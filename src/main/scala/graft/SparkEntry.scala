@@ -14,7 +14,9 @@ import graft.queries._
 object SparkEntry {
 
   private val groups: Seq[(Map[String, Q], Map[String, String])] = Seq(
-    (RelQueries.qs, RelQueries.sql))
+    (RelQueries.qs, RelQueries.sql),
+    (ScanFilterQueries.qs, ScanFilterQueries.sql),
+    (FnQueries.qs, FnQueries.sql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,327 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.ColumnFns
+import org.apache.spark.sql.functions._
+
+/** Scalar functions (SURVEY §2.7, F1–F17), sinks (§2.8, K1–K7 — their
+  * data-plane selections), and scheduled-micro-batch semantics (§2.9) as
+  * batch-window equivalents.  Each query exercises the reusable
+  * implementations in [[graft.functions.ColumnFns]].
+  */
+object FnQueries {
+  private val TS = "yyyy-MM-dd HH:mm:ss"
+  private val DTS = "%Y-%m-%d %H:%M:%S"
+
+  val qs: Map[String, Q] = Map(
+    // F1 unit normalization (measurand.js:19-36) through ColumnFns
+    "f1_unit_normalize" -> ((s, d) => {
+      val unit = when(col("user_id") % 5 === 0, "ppb")
+        .when(col("user_id") % 5 === 1, "ng/m³")
+        .when(col("user_id") % 5 === 2, "pp100ml")
+        .when(col("user_id") % 5 === 3, "pa")
+        .otherwise("ppm")
+      Tables.events(s, d)
+        .withColumn("unit", unit)
+        .select(col("event_id"),
+          ColumnFns.normalizeValue(col("unit"), col("value")).as("measure"),
+          ColumnFns.normalizeUnit(col("unit")).as("unit"))
+    }),
+
+    // F2/F3 id synthesis "{source}-{node}-{parameter}" (purpleair.js:63)
+    "f2_id_synthesis" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        ColumnFns.synthId(lit("src"), col("user_id"), col("event_type"))
+          .as("sensor_id"))),
+
+    // F4 camelize header normalization (utils.js:131-140)
+    "f4_camelize" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        ColumnFns.camelize(
+          concat(col("event_type"), lit("_"), col("event_type"), lit("_id")))
+          .as("camel"))),
+
+    // F5 comma-strip numeric parse (airqoon.js:93)
+    "f5_comma_parse" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        ColumnFns.parseCommaNumber(
+          concat(col("l_orderkey").cast("string"), lit(","),
+                 col("l_linenumber").cast("string"))).as("parsed"))),
+
+    // F6 epoch / ISO conversions (smartsense.js:122, providers.js:146)
+    "f6_epoch_iso" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        ColumnFns.toEpochSeconds(col("o_orderdate")).as("epoch_s"),
+        ColumnFns.toIso(col("o_orderdate")).as("iso"))),
+
+    // F7 tz-aware strict parse − 15 min, America/New_York → UTC (cmu.js:211-219)
+    "f7_tz_parse" -> ((s, d) => {
+      val localStr = date_format(col("o_orderdate"), "yyyy-MM-dd HH_mm")
+      val parsed = to_timestamp(localStr, "yyyy-MM-dd HH_mm")
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        unix_timestamp(ColumnFns.localToUtcShifted(parsed, "America/New_York"))
+          .as("utc_epoch"))
+    }),
+
+    // F9 hour-beginning → hour-ending (iqair.js:142, airgradient.js:161-163)
+    "f9_hour_ending" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        date_format(ColumnFns.hourEnding(date_trunc("hour", col("ts"))), TS)
+          .as("hour_ending"))),
+
+    // F10 month-range generation (cmu.js:126-135; test/cmu.test.js:8-39)
+    "f10_month_range" -> ((s, d) =>
+      Tables.orders(s, d)
+        .agg(min(col("o_orderdate")).as("from"), max(col("o_orderdate")).as("to"))
+        .select(explode(ColumnFns.monthSequence(col("from"), col("to")))
+          .as("month"))),
+
+    // F11 previous-day math incl. month boundary (iqair.js:24-26)
+    "f11_prev_day" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(date_format(
+          date_trunc("day", col("ts")) - expr("INTERVAL 1 DAY"), "yyyy-MM-dd")
+          .as("prev_day"))
+        .distinct()),
+
+    // F12 space→'T' timestamp fix (miri.js:140)
+    "f12_space_to_t" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        ColumnFns.spaceToT(date_format(col("o_orderdate"), TS)).as("iso_t"))),
+
+    // F13 melt / unpivot — THE core reshape (airgradient.js:164-170 etc.)
+    "f13_melt" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .selectExpr("l_orderkey", "l_linenumber",
+          "stack(3, 'quantity', l_quantity, 'discount', l_discount, " +
+            "'tax', l_tax) AS (parameter, value)")),
+
+    // F15 lat/lon string split (miri.js:123)
+    "f15_latlon_split" -> ((s, d) => {
+      val arr = ColumnFns.splitLatLon(
+        concat(col("n_nationkey").cast("string"), lit(","),
+               col("n_regionkey").cast("string")))
+      Tables.nation(s, d).select(
+        col("n_nationkey"),
+        arr.getItem(0).as("lat"), arr.getItem(1).as("lon"))
+    }),
+
+    // F16 timezone from coordinates (senstate.js:67) — nautical approximation
+    "f16_tz_from_lon" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        ColumnFns.tzFromLon(col("c_custkey") % 360 - 180).as("tz"))),
+
+    // F17 JSON serialize (providers.js:99)
+    "f17_to_json" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        to_json(struct(col("event_id").as("id"), col("event_type").as("t")))
+          .as("doc"))),
+
+    // K1 station diff-write selection: content-hash CDC (providers.js:94-132)
+    "k1_diff_write" -> ((s, d) => {
+      val all = Tables.orders(s, d)
+      def snap(cutoff: String) = all
+        .filter(col("o_orderdate") < lit(cutoff))
+        .select(col("o_orderkey"),
+          md5(concat_ws("|", col("o_orderstatus"), col("o_orderpriority")))
+            .as("content_hash"))
+      val existing = snap("1997-01-01")
+        .withColumnRenamed("content_hash", "old_hash")
+      val incoming = snap("1999-01-01")
+      incoming.join(existing, Seq("o_orderkey"), "left")
+        .filter(col("old_hash").isNull || col("content_hash") =!= col("old_hash"))
+        .select(col("o_orderkey"), col("content_hash"))
+    }),
+
+    // K2 measures CSV line rendering (measure.js:34-43)
+    "k2_csv_lines" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        concat_ws(",",
+          ColumnFns.synthId(lit("src"), col("user_id"), col("event_type")),
+          format_string("%.2f", col("value")),
+          date_format(col("ts"), TS)).as("line"))),
+
+    // K3 v0.1 JSON envelope (clarity.js:177-190, providers.js:168-185)
+    "k3_envelope" -> ((s, d) =>
+      Tables.events(s, d)
+        .agg(count(lit(1)).as("n"),
+          date_format(min(col("ts")), TS).as("from_ts"),
+          date_format(max(col("ts")), TS).as("to_ts"))
+        .select(to_json(struct(
+          lit("v0.1").as("schema"), lit("events").as("source"),
+          lit("ingest-id").as("matching_method"),
+          col("n"), col("from_ts"), col("to_ts"))).as("envelope"))),
+
+    // K7 empty-batch guard (providers.js:142-144): HAVING-style gate
+    "k7_empty_guard" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("value") > 200)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 0)),
+
+    // §2.9 tumbling-window micro-batch aggregation (Trigger per frequency)
+    "st1_hourly_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .select(date_format(col("w.start"), TS).as("window_start"),
+          col("event_type"), col("n"), col("sum_v"))),
+
+    // §2.9 late-data lookback re-read + idempotent dedup (airgradient.js:137-141)
+    "st2_late_dedup" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val lookback = base.filter(col("ts") >= lit("2024-01-28 00:00:00"))
+      base.unionByName(lookback)
+        .dropDuplicates("event_id")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), TS).as("ts_s"))
+    }),
+
+    // §2.9 sliding-window (2h window, 1h slide) aggregation
+    "st3_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("w.start"), TS).as("window_start"),
+          col("n"))))
+
+  val sql: Map[String, String] = Map(
+    "f1_unit_normalize" ->
+      """SELECT event_id,
+        |       CASE WHEN user_id % 5 = 0 THEN value / 1000
+        |            WHEN user_id % 5 = 1 THEN value / 1000
+        |            WHEN user_id % 5 = 2 THEN value / 100
+        |            WHEN user_id % 5 = 3 THEN value / 100
+        |            ELSE value END AS measure,
+        |       CASE WHEN user_id % 5 = 0 THEN 'ppm'
+        |            WHEN user_id % 5 = 1 THEN 'µg/m³'
+        |            WHEN user_id % 5 = 2 THEN 'particles/cm³'
+        |            WHEN user_id % 5 = 3 THEN 'hpa'
+        |            ELSE 'ppm' END AS unit
+        |FROM events""".stripMargin,
+    "f2_id_synthesis" ->
+      """SELECT event_id,
+        |       concat_ws('-', 'src', user_id, event_type) AS sensor_id
+        |FROM events""".stripMargin,
+    "f4_camelize" ->
+      """SELECT event_id,
+        |       event_type || upper(substr(event_type, 1, 1))
+        |         || substr(event_type, 2) || 'Id' AS camel
+        |FROM events""".stripMargin,
+    "f5_comma_parse" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(replace(concat(l_orderkey, ',', l_linenumber), ',', '')
+        |            AS DOUBLE) AS parsed
+        |FROM lineitem""".stripMargin,
+    "f6_epoch_iso" ->
+      """SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso
+        |FROM orders""".stripMargin,
+    "f7_tz_parse" ->
+      """SELECT o_orderkey,
+        |       CAST(epoch(timezone('America/New_York',
+        |           strptime(strftime(o_orderdate, '%Y-%m-%d %H_%M'),
+        |                    '%Y-%m-%d %H_%M')
+        |           - INTERVAL 15 MINUTE)) AS BIGINT) AS utc_epoch
+        |FROM orders""".stripMargin,
+    "f9_hour_ending" ->
+      s"""SELECT event_id,
+         |       strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '$DTS')
+         |         AS hour_ending
+         |FROM events""".stripMargin,
+    "f10_month_range" ->
+      """SELECT strftime(unnest(generate_series(
+        |    date_trunc('month', (SELECT min(o_orderdate) FROM orders)),
+        |    date_trunc('month', (SELECT max(o_orderdate) FROM orders)),
+        |    INTERVAL 1 MONTH)), '%Y-%m') AS month""".stripMargin,
+    "f11_prev_day" ->
+      """SELECT DISTINCT strftime(date_trunc('day', ts) - INTERVAL 1 DAY,
+        |                         '%Y-%m-%d') AS prev_day
+        |FROM events""".stripMargin,
+    "f12_space_to_t" ->
+      s"""SELECT o_orderkey,
+         |       replace(strftime(o_orderdate, '$DTS'), ' ', 'T') AS iso_t
+         |FROM orders""".stripMargin,
+    "f13_melt" ->
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS parameter,
+        |       l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem""".stripMargin,
+    "f15_latlon_split" ->
+      """SELECT n_nationkey,
+        |       CAST(string_split(concat(n_nationkey, ',', n_regionkey), ',')[1]
+        |            AS DOUBLE) AS lat,
+        |       CAST(string_split(concat(n_nationkey, ',', n_regionkey), ',')[2]
+        |            AS DOUBLE) AS lon
+        |FROM nation""".stripMargin,
+    "f16_tz_from_lon" ->
+      """SELECT c_custkey,
+        |       concat('UTC', CASE WHEN o >= 0 THEN concat('+', o)
+        |                          ELSE CAST(o AS VARCHAR) END) AS tz
+        |FROM (
+        |  SELECT c_custkey,
+        |         CAST(round((c_custkey % 360 - 180) / 15.0, 0) AS INT) AS o
+        |  FROM customer)""".stripMargin,
+    "f17_to_json" ->
+      """SELECT event_id,
+        |       concat('{"id":', event_id, ',"t":"', event_type, '"}') AS doc
+        |FROM events""".stripMargin,
+    "k1_diff_write" ->
+      """SELECT i.o_orderkey, i.content_hash FROM (
+        |  SELECT o_orderkey,
+        |         md5(concat_ws('|', o_orderstatus, o_orderpriority)) AS content_hash
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01') i
+        |LEFT JOIN (
+        |  SELECT o_orderkey,
+        |         md5(concat_ws('|', o_orderstatus, o_orderpriority)) AS old_hash
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01') e
+        |  ON i.o_orderkey = e.o_orderkey
+        |WHERE e.old_hash IS NULL OR i.content_hash != e.old_hash""".stripMargin,
+    "k2_csv_lines" ->
+      s"""SELECT event_id,
+         |       concat_ws(',', concat_ws('-', 'src', user_id, event_type),
+         |                 printf('%.2f', value),
+         |                 strftime(ts, '$DTS')) AS line
+         |FROM events""".stripMargin,
+    "k3_envelope" ->
+      s"""SELECT concat('{"schema":"v0.1","source":"events",',
+         |              '"matching_method":"ingest-id",',
+         |              '"n":', CAST(count(*) AS BIGINT),
+         |              ',"from_ts":"', strftime(min(ts), '$DTS'),
+         |              '","to_ts":"', strftime(max(ts), '$DTS'), '"}')
+         |         AS envelope
+         |FROM events""".stripMargin,
+    "k7_empty_guard" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events WHERE value > 200
+        |GROUP BY 1 HAVING count(*) > 0""".stripMargin,
+    "st1_hourly_tumbling" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '$DTS') AS window_start,
+         |       event_type, CAST(count(*) AS BIGINT) AS n,
+         |       round(sum(value), 2) AS sum_v
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "st2_late_dedup" ->
+      s"""SELECT event_id, user_id, strftime(ts, '$DTS') AS ts_s
+         |FROM events""".stripMargin,
+    "st3_sliding_window" ->
+      s"""SELECT strftime(ws, '$DTS') AS window_start, CAST(count(*) AS BIGINT) AS n
+         |FROM (
+         |  SELECT date_trunc('hour', ts) AS ws FROM events
+         |  UNION ALL
+         |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
+         |GROUP BY 1""".stripMargin)
+}
