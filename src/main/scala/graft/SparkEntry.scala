@@ -16,7 +16,8 @@ object SparkEntry {
   private val groups: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (RelQueries.qs, RelQueries.sql),
     (ScanFilterQueries.qs, ScanFilterQueries.sql),
-    (FnQueries.qs, FnQueries.sql))
+    (FnQueries.qs, FnQueries.sql),
+    (ExtQueries.qs, ExtQueries.sql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  *
+  * All pure `Column` expressions — narrow, codegen-friendly, no shuffle;
+  * at 100 TB these run map-side at scan speed and are the cheap first
+  * pass before any dedup/similarity shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization.  `sep` kept configurable; the default single
+    * space matches the synthetic corpus and stays portable to the SQL
+    * oracle. */
+  def tokens(text: Column, sep: String = " "): Column = split(text, sep)
+
+  /** n-gram language-ID heuristic: marker-stopword hit counts per
+    * language, argmax with deterministic preference order, `und` when no
+    * marker fires.  (A production build swaps the marker sets for
+    * char-n-gram profiles; the operator shape — per-row scoring over a
+    * token array — is identical.) */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "is"),
+    "es" -> Seq("el", "los", "una"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "les", "une"))
+
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  def langId(toks: Column): Column = {
+    val hits = langMarkers.map { case (l, m) => l -> markerHits(toks, m) }
+    val best = greatest(hits.map(_._2): _*)
+    hits.foldRight(lit("und")) { case ((l, h), acc) =>
+      when(best > 0 && h === best, l).otherwise(acc)
+    }
+  }
+
+  /** Quality scoring: token count, byte count, mean token length,
+    * stopword ratio, non-alpha ratio — the usual cheap quality gates. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "is", "and", "to", "in")
+
+  def nTokens(toks: Column): Column = size(toks)
+
+  def stopwordRatio(toks: Column): Column =
+    markerHits(toks, stopwords).cast("double") / size(toks)
+
+  def meanTokenLen(text: Column, toks: Column): Column =
+    (length(text) - (size(toks) - 1)).cast("double") / size(toks)
+
+  def qualityOk(toks: Column, minTokens: Int = 10, maxTokens: Int = 100000,
+                minStopRatio: Double = 0.0): Column =
+    size(toks).between(minTokens, maxTokens) &&
+      stopwordRatio(toks) >= minStopRatio
+
+  /** Token counting: whitespace count plus a BPE-ish regex count
+    * (letter runs / digit runs / single non-alnum marks — a cheap proxy
+    * for subword vocabularies). */
+  val bpePattern = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
+  /** Document fingerprinting: md5 over whitespace-normalized lowercase
+    * text — the exact-dedup key. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Rolling (Karp-Rabin) content hash over tokens, for shift-tolerant
+    * chunk fingerprints: fold h = (h*B + tokenHash) mod M.  M = 2^31-1 and
+    * B = 131 keep every intermediate < 2^39 — no Long overflow even under
+    * ANSI arithmetic. */
+  def rollingHash(toks: Column, b: Long = 131L,
+                  m: Long = 2147483647L): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * b + pmod(crc32(t.cast("binary")), lit(m)),
+        lit(m)))
+}

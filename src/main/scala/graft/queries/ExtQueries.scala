@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data-pipeline operators (builder-prompt
+  * extension goals): dedup family, similarity search, text analysis,
+  * multimodal plumbing — over the `documents` / `embeddings` tables.
+  *
+  * Hashing is md5-based throughout so the DuckDB oracle reproduces the
+  * exact same numbers (engine-portable, partitioning-independent).
+  * Approximate operators (LSH candidate generation) are declared
+  * rows-only and are instead ground-truthed against their exact
+  * counterparts in the test suite.
+  */
+object ExtQueries {
+
+  private def docToks = array_distinct(TextAnalysis.tokens(col("text")))
+
+  val qs: Map[String, Q] = Map(
+    // exact dedup: content-fingerprint groups, first-wins keeper
+    "x1_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")),
+
+    // MinHash signatures (k=4 shown; engine supports any k)
+    "x2_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
+          n = 3, k = 4)
+        .select(col("doc_id"), col("sig")(0).as("s0"), col("sig")(1).as("s1"),
+          col("sig")(2).as("s2"), col("sig")(3).as("s3"))),
+
+    // MinHash + LSH banding + exact-Jaccard verification (approximate
+    // recall → rows-only; ground-truthed vs x4 in DedupSpec).  n=1 so
+    // the hashed feature set (tokens) matches the verified one.
+    "x3_minhash_lsh_pairs" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 1, k = 8, bandRows = 2, threshold = 0.8)),
+
+    // exact n-gram-Jaccard near-dup join, blocked by language
+    "x4_jaccard_pairs" -> ((s, d) =>
+      Dedup.blockedJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        "lang", threshold = 0.8)),
+
+    // 16-bit SimHash fingerprints
+    "x5_simhash" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        Dedup.simhash16(TextAnalysis.tokens(col("text"))).as("simhash"))),
+
+    // brute-force cosine top-k (query set = vec_id < 8)
+    "x6_ann_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 8), e.filter(col("vec_id") >= 8), k = 10)
+    }),
+
+    // LSH-bucketed ANN (approximate → rows-only; recall vs x6 in tests)
+    "x7_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+        e.filter(col("vec_id") < 8), e.filter(col("vec_id") >= 8),
+        k = 10, dim = 64, planes = 4)
+    }),
+
+    // embedding-cosine near-duplicate pairs
+    "x8_cosine_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
+
+    // language-ID heuristic
+    "x9_langid" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang_pred"))),
+
+    // quality scoring
+    "x10_quality" -> ((s, d) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.nTokens(toks).as("n_tokens"),
+        TextAnalysis.stopwordRatio(toks).as("stop_ratio"),
+        TextAnalysis.meanTokenLen(col("text"), toks).as("mean_token_len"),
+        TextAnalysis.qualityOk(toks, minTokens = 10, maxTokens = 100000,
+          minStopRatio = 0.01).as("quality_ok"))
+    }),
+
+    // token counting: whitespace + BPE-ish regex
+    "x11_token_counts" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.nTokens(TextAnalysis.tokens(col("text"))).as("ws_tokens"),
+        TextAnalysis.bpeishCount(col("text")).as("bpeish_tokens"))),
+
+    // document fingerprint (normalized md5)
+    "x12_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // multimodal metadata plumbing over opaque binary payloads
+    "x13_multimodal_meta" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        md5(col("text")).as("content_md5"),
+        ascii(substring(col("text"), 1, 1)).as("first_byte"),
+        substring(col("text"), 1, 4).as("header_tag"))))
+
+  // ---- oracle SQL ---------------------------------------------------------
+
+  private val toksCte =
+    "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)"
+
+  private val shinglesCte =
+    s"""$toksCte,
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(generate_series(1, len(toks) - 2),
+       |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |  END AS sh FROM t)""".stripMargin
+
+  private def duckMinhash(seed: Int): String =
+    s"list_min(list_transform(sh, x -> md5('$seed:' || x)))"
+
+  private val simhashBits: String = (0 until 16).map { b =>
+    s"""CASE WHEN list_sum(list_transform(toks,
+       |  t -> CASE WHEN substr(md5(t), ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+       |  THEN ${1 << b} ELSE 0 END""".stripMargin
+  }.mkString(" + ")
+
+  private val duckDot =
+    "list_sum(list_transform(generate_series(1, 64), i -> q[i]::DOUBLE * c[i]::DOUBLE))"
+  private def duckNorm(v: String): String =
+    s"sqrt(list_sum(list_transform(generate_series(1, 64), i -> $v[i]::DOUBLE * $v[i]::DOUBLE)))"
+
+  private val langHits: String = TextAnalysis.langMarkers.map { case (l, m) =>
+    val set = m.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, x -> x IN ($set))) AS h_$l"
+  }.mkString(",\n       ")
+
+  private val langCase: String = {
+    val best = TextAnalysis.langMarkers.map { case (l, _) => s"h_$l" }
+      .mkString("greatest(", ", ", ")")
+    TextAnalysis.langMarkers.map { case (l, _) =>
+      s"WHEN $best > 0 AND h_$l = $best THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  private val stopSet = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  val sql: Map[String, String] = Map(
+    "x1_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |       min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "x2_minhash_sig" ->
+      s"""$shinglesCte
+         |SELECT doc_id, ${duckMinhash(0)} AS s0, ${duckMinhash(1)} AS s1,
+         |       ${duckMinhash(2)} AS s2, ${duckMinhash(3)} AS s3
+         |FROM sh""".stripMargin,
+    "x4_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents)
+        |SELECT a, b, jaccard FROM (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+        |         / (len(a.toks) + len(b.toks)
+        |            - len(list_filter(a.toks, x -> list_contains(b.toks, x))))
+        |           AS jaccard
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin,
+    "x5_simhash" ->
+      s"""$toksCte
+         |SELECT doc_id, CAST($simhashBits AS INT) AS simhash FROM t""".stripMargin,
+    "x6_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings
+         |           WHERE vec_id < 8),
+         |cs AS (SELECT vec_id AS c_id, embedding AS c FROM embeddings
+         |       WHERE vec_id >= 8),
+         |scored AS (
+         |  SELECT q_id, c_id,
+         |         round($duckDot / (${duckNorm("q")} * ${duckNorm("c")}), 6)
+         |           AS score
+         |  FROM q CROSS JOIN cs)
+         |SELECT q_id, c_id, score, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |                               ORDER BY score DESC, c_id ASC) AS rank
+         |  FROM scored) WHERE rank <= 10""".stripMargin,
+    "x8_cosine_neardup" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings)
+         |SELECT a, b, score FROM (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |         round(list_sum(list_transform(generate_series(1, 64),
+         |                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         |               / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}), 6)
+         |           AS score
+         |  FROM v a CROSS JOIN v b WHERE a.vec_id < b.vec_id)
+         |WHERE score >= 0.4""".stripMargin,
+    "x9_langid" ->
+      s"""$toksCte,
+         |h AS (SELECT doc_id, $langHits FROM t)
+         |SELECT doc_id, $langCase AS lang_pred FROM h""".stripMargin,
+    "x10_quality" ->
+      s"""$toksCte
+         |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         |       len(list_filter(toks, x -> x IN ($stopSet)))
+         |         / len(toks) AS stop_ratio,
+         |       (length(text) - (len(toks) - 1)) / len(toks) AS mean_token_len,
+         |       len(toks) BETWEEN 10 AND 100000
+         |         AND len(list_filter(toks, x -> x IN ($stopSet)))
+         |             / len(toks) >= 0.01 AS quality_ok
+         |FROM t JOIN documents USING (doc_id)""".stripMargin,
+    "x11_token_counts" ->
+      s"""$toksCte
+         |SELECT doc_id, CAST(len(toks) AS INT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(text,
+         |         '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS bpeish_tokens
+         |FROM t JOIN documents USING (doc_id)""".stripMargin,
+    "x12_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "x13_multimodal_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
+        |       md5(text) AS content_md5,
+        |       CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+        |       substr(text, 1, 4) AS header_tag
+        |FROM documents""".stripMargin)
+}
