@@ -1,0 +1,135 @@
+package graft.sinks
+
+import graft.model.Schemas
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sinks — SURVEY.md §2.8 (K1–K7).
+  *
+  * Semantics preserved from the reference:
+  *  - measures are at-least-once (random object names upstream); station
+  *    writes are idempotent via content diff (K1) — SURVEY §2.9;
+  *  - CSV header order is a contract (`measure.js:13-17`);
+  *  - station JSON strips null keys (`station.js:176-184`) — Spark's
+  *    `to_json` default;
+  *  - empty batches don't write (K7, `providers.js:142-144`).
+  *
+  * Scale: every writer is a distributed `df.write` partitioned by
+  * provider/date; the diff-write join is broadcast when the incoming
+  * batch is small (the common case: one provider's hourly batch vs the
+  * station dimension).
+  */
+object Sinks {
+
+  /** K2 — gzipped headered measures CSV.  `mobile` switches the header
+    * contract.  Timestamps render as ISO at the boundary (internal type
+    * stays TimestampType). */
+  def writeMeasuresCsv(measures: DataFrame, path: String,
+                       mobile: Boolean = false): Long = {
+    val header = if (mobile) Schemas.mobileCsvHeader else Schemas.fixedCsvHeader
+    val n = measures.count()
+    if (n > 0) { // K7 empty-batch guard
+      measures
+        .withColumn("timestamp",
+          date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .select(header.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("header", "true").option("compression", "gzip")
+        .csv(path)
+    }
+    n
+  }
+
+  /** K1 — station diff-upsert: write only stations whose rendered JSON
+    * differs from the previous snapshot (`providers.js:94-132`).
+    * Change detection joins on the node key and compares content
+    * hashes — the CDC anti-join of SURVEY §2.3 J7.  Returns the changed
+    * subset (written iff non-empty). */
+  def diffWriteStations(spark: SparkSession, stations: DataFrame,
+                        keyCol: String, jsonCol: String, path: String,
+                        force: Boolean = false): DataFrame = {
+    val incoming = stations
+      .withColumn("__hash", md5(col(jsonCol)))
+    val existingDir = new java.io.File(path)
+    val changed =
+      if (force || !existingDir.exists()) incoming
+      else {
+        val prev = spark.read.parquet(path)
+          .select(col(keyCol).as("__k"), md5(col(jsonCol)).as("__prev_hash"))
+        incoming.join(broadcast(prev),
+            incoming(keyCol) === col("__k"), "left")
+          .filter(col("__prev_hash").isNull ||
+            col("__hash") =!= col("__prev_hash"))
+          .drop("__k", "__prev_hash")
+      }
+    // materialize + cut lineage BEFORE overwriting the snapshot the
+    // diff was computed against (self-overwrite hazard)
+    val out = changed.drop("__hash").localCheckpoint()
+    if (!out.isEmpty) {
+      // full refreshed snapshot so the next diff sees current state
+      incoming.drop("__hash").write.mode(SaveMode.Overwrite).parquet(path)
+    }
+    out
+  }
+
+  /** K3 — v0.1 JSON envelope `{meta, measures, locations}`
+    * (`clarity.js:177-190`, sink `providers.js:168-185`): one gzipped
+    * JSON document per (provider, day) partition. */
+  def writeEnvelopeJson(measures: DataFrame, locations: DataFrame,
+                        source: String, path: String): Boolean = {
+    val m = measures.withColumn("timestamp",
+      date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    if (m.isEmpty && locations.isEmpty) false // K7
+    else {
+      val envelope = m.agg(collect_list(struct(m.columns.map(col): _*)).as("measures"))
+        .crossJoin(locations.agg(
+          collect_list(struct(locations.columns.map(col): _*)).as("locations")))
+        .select(to_json(struct(
+          struct(lit("v0.1").as("schema"), lit(source).as("source"),
+            lit("ingest-id").as("matching_method")).as("meta"),
+          col("measures"), col("locations"))).as("value"))
+      envelope.write.mode(SaveMode.Overwrite)
+        .option("compression", "gzip").text(path)
+      true
+    }
+  }
+
+  /** K6 — watermark persistence (`meta.js:11-42`): tiny parquet state
+    * table keyed by source. */
+  def readWatermark(spark: SparkSession, path: String,
+                    source: String): Option[java.sql.Timestamp] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) None
+    else spark.read.parquet(path)
+      .filter(col("source") === source)
+      .select(max(col("watermark"))).collect()
+      .headOption.flatMap(r => Option(r.getTimestamp(0)))
+  }
+
+  def writeWatermark(spark: SparkSession, path: String, source: String,
+                     wm: java.sql.Timestamp): Unit = {
+    import spark.implicits._
+    val cur = new java.io.File(path) match {
+      case f if f.exists() =>
+        spark.read.parquet(path).filter(col("source") =!= source)
+      case _ => Seq.empty[(String, java.sql.Timestamp)]
+        .toDF("source", "watermark")
+    }
+    val merged = cur.unionByName(Seq((source, wm)).toDF("source", "watermark"))
+      .collect() // tiny state table; rewrite atomically below
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(merged.toIndexedSeq, 1),
+        cur.schema)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** K5 — run-summary callback boundary (SNS in the reference); here a
+    * one-row DataFrame handed to the caller (`providers.js:59-71`). */
+  def summarize(source: String, locations: Long, measures: DataFrame): DataFrame =
+    measures.agg(
+      lit(source).as("source_name"),
+      lit(locations).as("locations"),
+      count(lit(1)).as("measures"),
+      min(col("timestamp")).as("from"),
+      max(col("timestamp")).as("to"))
+}

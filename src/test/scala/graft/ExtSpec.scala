@@ -1,0 +1,187 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup
+    (4L, "completely different text about spark engines here"),
+    (5L, "THE  QUICK brown fox jumps over the lazy dog")   // case/ws dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace-normalized copies, first wins") {
+    val g = Dedup.exactGroups(corpus, "doc_id", "text")
+    assert(g.count() == 3)
+    val big = g.filter($"n_copies" === 3).first()
+    assert(big.getLong(big.fieldIndex("keep_id")) == 1L)
+  }
+
+  test("minhash signatures: identical docs get identical signatures") {
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", n = 1, k = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    // near-dup shares most hash minima
+    assert(sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b } >= 4)
+  }
+
+  test("LSH pipeline finds the dup cluster and never fabricates pairs") {
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      n = 1, k = 8, bandRows = 2, threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 5L),
+      (2L, 5L), (3L, 5L))))
+  }
+
+  test("LSH recall vs exact blocked Jaccard on real documents (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001)
+    val exact = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "lang", 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lshAll = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 1, k = 8, bandRows = 2, threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val found = exact.count(lshAll.contains)
+    assert(exact.nonEmpty)
+    val recall = found.toDouble / exact.size
+    info(s"LSH recall over blocked-exact pairs: $recall (${exact.size} pairs)")
+    assert(recall >= 0.95)
+  }
+
+  test("simhash: normalized dups identical, near-dups close, distinct far") {
+    val fp = corpus.select($"doc_id",
+      Dedup.simhash16(TextAnalysis.tokens($"text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fp(1L) == fp(2L))
+    def ham(a: Int, b: Int) = Integer.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) <= 6)
+    assert(ham(fp(1L), fp(3L)) <= ham(fp(1L), fp(4L)))
+    // hamming16 column fn agrees with driver-side bitCount
+    val hc = corpus.as("x").crossJoin(corpus.as("y"))
+      .filter($"x.doc_id" === 1 && $"y.doc_id" === 4)
+      .select(Dedup.hamming16(
+        Dedup.simhash16(TextAnalysis.tokens($"x.text")),
+        Dedup.simhash16(TextAnalysis.tokens($"y.text")))).first().getInt(0)
+    assert(hc == ham(fp(1L), fp(4L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f)),
+    (10L, Array(1.0f, 0.05f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical direction → 1, orthogonal → 0") {
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter($"a.vec_id" === 0)
+      .select($"b.vec_id",
+        Similarity.cosine($"a.embedding", $"b.embedding").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(c(0L) - 1.0) < 1e-12)
+    assert(math.abs(c(2L)) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine with id tiebreak") {
+    val top = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs.filter($"vec_id" > 0), k = 2)
+      .orderBy("rank").select("c_id").as[Long].collect()
+    assert(top.toSeq == Seq(10L, 1L))
+  }
+
+  test("LSH ANN: hits are a correctly-scored subset; recall measured (sf0.001)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 8)
+    val c = e.filter($"vec_id" >= 8)
+    val brute = Similarity.bruteForceTopK(q, c, 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(q, c, 10, dim = 64, planes = 4)
+    val lshPairs = lsh.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    // scores in LSH output equal exact cosine (re-rank is exact)
+    val joined = lsh.as("l").join(
+      Similarity.bruteForceTopK(q, c, Int.MaxValue).as("b"),
+      $"l.q_id" === $"b.q_id" && $"l.c_id" === $"b.c_id")
+      .filter(abs($"l.score" - $"b.score") > 1e-9)
+    assert(joined.count() == 0)
+    val recall = brute.count(lshPairs.contains).toDouble / brute.size
+    info(s"LSH ANN recall@10 vs brute force: $recall")
+    assert(recall > 0.0)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langid picks marker argmax, und when none fire") {
+    val df = Seq("the cat is on the mat", "el gato", "zzz qqq").toDF("t")
+    val out = df.select(TextAnalysis.langId(TextAnalysis.tokens($"t")))
+      .as[String].collect()
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("quality metrics and gate") {
+    val toks = TextAnalysis.tokens($"t")
+    val r = Seq("the quick brown fox jumps over the lazy dog and runs away")
+      .toDF("t")
+      .select(TextAnalysis.nTokens(toks),
+        TextAnalysis.stopwordRatio(toks),
+        TextAnalysis.qualityOk(toks, 10, 100, 0.01)).first()
+    assert(r.getInt(0) == 12)
+    assert(math.abs(r.getDouble(1) - 3.0 / 12) < 1e-12)
+    assert(r.getBoolean(2))
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val r = Seq("hello world42 foo-bar").toDF("t")
+      .select(TextAnalysis.nTokens(TextAnalysis.tokens($"t")),
+        TextAnalysis.bpeishCount($"t")).first()
+    assert(r.getInt(0) == 3)
+    // hello | world | 42 | foo | - | bar
+    assert(r.getInt(1) == 6)
+  }
+
+  test("rolling hash: equal for equal token streams, shifts change it") {
+    val h = Seq("a b c", "a b c", "b c a").toDF("t")
+      .select(TextAnalysis.rollingHash(TextAnalysis.tokens($"t")))
+      .as[Long].collect()
+    assert(h(0) == h(1))
+    assert(h(0) != h(2))
+  }
+
+  test("fingerprint is whitespace/case invariant") {
+    val f = Seq("A  b\tC", "a b c").toDF("t")
+      .select(TextAnalysis.fingerprint($"t")).as[String].collect()
+    assert(f(0) == f(1))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary payload plumbing: features computed per partition") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val media = Multimodal.mediaFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(spark, media, frameEvery = 64)
+    val got = feats.collect().map(f => f.media_id -> f).toMap
+    val expected = docs.select($"doc_id", md5($"text"),
+      octet_length($"text").cast("long")).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(got.size == 50)
+    expected.foreach { case (id, (h, n)) =>
+      assert(got(id).content_md5 == h)
+      assert(got(id).n_bytes == n)
+      assert(got(id).frames_sampled == math.ceil(n / 64.0).toInt)
+      assert(got(id).mean_byte > 0)
+    }
+  }
+}
