@@ -1,0 +1,103 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Engine extensions, registered via `spark.sql.extensions=graft.plans.GraftExtensions`:
+  *
+  *  1. [[PushNanosEquivFilter]] — optimizer rule restoring filter
+  *     pushdown through the nanos→micros timestamp normalization;
+  *  2. SQL registration of [[SortedIntersectSize]]
+  *     (`sorted_intersect_size(a, b)`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => PushNanosEquivFilter)
+    e.injectFunction((
+      new FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName,
+        "sorted_intersect_size"),
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
+  }
+}
+
+/** Filter-pushdown restoration for nano-timestamp columns.
+  *
+  * Parquet TIMESTAMP(NANOS) columns are read as raw longs and
+  * normalized with `timestamp_micros(ts DIV 1000)`
+  * ([[graft.Tables]]).  A range predicate on the normalized column
+  * can't reach the parquet reader — the scan would be full at any
+  * scale.  Since micros(ts) = floor(ns/1000) is monotone, every
+  * comparison against a literal has an exact raw-long equivalent:
+  *
+  *   floor(ns/1000) ≥ M  ⟺  ns ≥ M·1000
+  *   floor(ns/1000) > M  ⟺  ns ≥ (M+1)·1000
+  *   floor(ns/1000) ≤ M  ⟺  ns ≤ M·1000 + 999
+  *   floor(ns/1000) < M  ⟺  ns < M·1000
+  *
+  * The rule ADDS the raw conjunct (keeping the original predicate, so
+  * correctness never depends on the rewrite) and the data source then
+  * pushes it into the scan: row groups outside the range are skipped
+  * via parquet min/max stats.
+  */
+object PushNanosEquivFilter extends Rule[LogicalPlan] {
+
+  /** Matches timestamp_micros(attr DIV 1000) over a long attr. */
+  private object MicrosOfNanos {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case MicrosToTimestamp(IntegralDivide(a: Attribute, Literal(d, _), _))
+          if a.dataType == LongType && d == 1000L => Some(a)
+      case _ => None
+    }
+  }
+
+  private def nanosLit(micros: Long, plus: Long): Option[Literal] = {
+    val ns = try Math.addExact(Math.multiplyExact(micros, 1000L), plus)
+    catch { case _: ArithmeticException => return None }
+    Some(Literal(ns, LongType))
+  }
+
+  private def equivalent(cmp: Expression): Option[Expression] = cmp match {
+    case GreaterThanOrEqual(MicrosOfNanos(a), Literal(m: Long, TimestampType)) =>
+      nanosLit(m, 0).map(GreaterThanOrEqual(a, _))
+    case GreaterThan(MicrosOfNanos(a), Literal(m: Long, TimestampType)) =>
+      nanosLit(m + 1, 0).map(GreaterThanOrEqual(a, _))
+    case LessThanOrEqual(MicrosOfNanos(a), Literal(m: Long, TimestampType)) =>
+      nanosLit(m, 999).map(LessThanOrEqual(a, _))
+    case LessThan(MicrosOfNanos(a), Literal(m: Long, TimestampType)) =>
+      nanosLit(m, 0).map(LessThan(a, _))
+    case EqualTo(MicrosOfNanos(a), Literal(m: Long, TimestampType)) =>
+      for (lo <- nanosLit(m, 0); hi <- nanosLit(m, 999))
+        yield And(GreaterThanOrEqual(a, lo), LessThanOrEqual(a, hi))
+    // literal-on-the-left orientations
+    case GreaterThanOrEqual(l @ Literal(_, TimestampType), r) =>
+      equivalent(LessThanOrEqual(r, l))
+    case GreaterThan(l @ Literal(_, TimestampType), r) =>
+      equivalent(LessThan(r, l))
+    case LessThanOrEqual(l @ Literal(_, TimestampType), r) =>
+      equivalent(GreaterThanOrEqual(r, l))
+    case LessThan(l @ Literal(_, TimestampType), r) =>
+      equivalent(GreaterThan(r, l))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val extra = conjuncts.flatMap(equivalent)
+        .filterNot(e => conjuncts.exists(_.semanticEquals(e)))
+      if (extra.isEmpty) f
+      else Filter((conjuncts ++ extra).reduce(And), child)
+  }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] =
+    e match {
+      case And(l, r) =>
+        splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+      case other => Seq(other)
+    }
+}
