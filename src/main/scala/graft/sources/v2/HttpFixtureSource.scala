@@ -1,0 +1,220 @@
+package graft.sources.v2
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector modeling the reference's HTTP providers —
+  * SURVEY §4 rows 1–2 made formal (§7.3 stretch goal).
+  *
+  * The reference pushes work to the API: PurpleAir requests only the
+  * `fields=` it needs (`purpleair.js:94-118` — column pruning) and
+  * constrains `max_age`/`location_type` server-side
+  * (`purpleair.js:120-125` — predicate pushdown).  This connector does
+  * the same at the DSv2 boundary: `SupportsPushDownRequiredColumns` and
+  * `SupportsPushDownFilters` receive Catalyst's pruned schema and
+  * predicates, and the "HTTP fetch" (here: a recorded JSONL payload
+  * read driver-side, exactly where the reference's `request()` runs)
+  * applies them before a single row enters the cluster.  Unsupported
+  * predicates are returned to Spark for post-scan evaluation.
+  *
+  * Usage:
+  *   spark.read.format("graft-fixture").schema(s).load(path)
+  *
+  * Scale note: rows ship to executors via `partitions` (default 4)
+  * InputPartitions — the connector boundary stays the same whether the
+  * payload is one HTTP response or a paged fan-out; large corpora
+  * would instead map each page/device cohort to one InputPartition so
+  * fetching itself parallelizes (the reference's `pLimit(10)` becomes
+  * task parallelism).
+  */
+class HttpFixtureSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-fixture"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HttpFixtureSource.infer(HttpFixtureSource.readLines(
+      Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException("path option required"))))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new FixtureTable(schema,
+      Option(properties.get("path")).getOrElse(
+        throw new IllegalArgumentException("path option required")),
+      Option(properties.get("partitions")).map(_.toInt).getOrElse(4))
+}
+
+object HttpFixtureSource {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  def readLines(path: String): Seq[String] =
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      .asScala.toSeq.filter(_.trim.nonEmpty)
+
+  /** First-record type inference: long / double / boolean / string. */
+  def infer(lines: Seq[String]): StructType = {
+    val first = JsonMethods.parse(lines.head).asInstanceOf[JObject]
+    StructType(first.obj.map {
+      case (k, _: JInt)    => StructField(k, LongType)
+      case (k, _: JDouble) => StructField(k, DoubleType)
+      case (k, _: JBool)   => StructField(k, BooleanType)
+      case (k, _)          => StructField(k, StringType)
+    })
+  }
+
+  /** Parse one payload record into schema-ordered JVM values. */
+  def parse(line: String, schema: StructType): Array[Any] = {
+    val obj = JsonMethods.parse(line).asInstanceOf[JObject].obj.toMap
+    schema.fields.map { f =>
+      obj.get(f.name) match {
+        case None | Some(JNull) => null
+        case Some(v) => (f.dataType, v) match {
+          case (LongType, JInt(i))      => i.toLong
+          case (LongType, JDouble(d))   => d.toLong
+          case (DoubleType, JInt(i))    => i.toDouble
+          case (DoubleType, JDouble(d)) => d
+          case (BooleanType, JBool(b))  => b
+          case (StringType, JString(s)) => s
+          case (StringType, other)      => JsonMethods.compact(other)
+          case (dt, other) =>
+            throw new IllegalArgumentException(s"can't read $other as $dt")
+        }
+      }
+    }
+  }
+
+  /** Driver-side ("API-side") evaluation of pushed filters. */
+  def accepts(filter: Filter, row: Map[String, Any]): Boolean = {
+    def cmp(att: String, v: Any): Option[Int] =
+      (row.getOrElse(att, null), v) match {
+        case (null, _) => None
+        case (a: Long, b: Number)    => Some(java.lang.Long.compare(a, b.longValue()))
+        case (a: Double, b: Number)  => Some(java.lang.Double.compare(a, b.doubleValue()))
+        case (a: String, b: String)  => Some(a.compareTo(b))
+        case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
+        case _ => None
+      }
+    filter match {
+      case EqualTo(a, v)            => cmp(a, v).contains(0)
+      case GreaterThan(a, v)        => cmp(a, v).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).exists(_ >= 0)
+      case LessThan(a, v)           => cmp(a, v).exists(_ < 0)
+      case LessThanOrEqual(a, v)    => cmp(a, v).exists(_ <= 0)
+      case IsNotNull(a)             => row.getOrElse(a, null) != null
+      case IsNull(a)                => row.getOrElse(a, null) == null
+      case In(a, vs)                => vs.exists(v => cmp(a, v).contains(0))
+      case And(l, r)                => accepts(l, row) && accepts(r, row)
+      case Or(l, r)                 => accepts(l, row) || accepts(r, row)
+      case _                        => true // unsupported: Spark re-checks
+    }
+  }
+
+  /** Which filters this "API" can evaluate server-side. */
+  def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
+         _: LessThanOrEqual | _: IsNotNull | _: IsNull | _: In => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r)  => supported(l) && supported(r)
+    case _ => false
+  }
+}
+
+class FixtureTable(tableSchema: StructType, path: String, partitions: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-fixture($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FixtureScanBuilder(tableSchema, path, partitions)
+}
+
+class FixtureScanBuilder(fullSchema: StructType, path: String, partitions: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(HttpFixtureSource.supported)
+    pushed = ok
+    rest // Spark evaluates these post-scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new FixtureScan(fullSchema, required, pushed, path, partitions)
+}
+
+class FixtureScan(fullSchema: StructType, required: StructType,
+                  pushed: Array[Filter], path: String, partitions: Int)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-fixture pushed=[${pushed.mkString(",")}] " +
+      s"columns=[${required.fieldNames.mkString(",")}]"
+
+  /** The "HTTP fetch": runs on the driver (like the reference's
+    * `request()`), applies pushed filters + pruning API-side, then
+    * splits rows round-robin into InputPartitions. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val lines = HttpFixtureSource.readLines(path)
+    val names = fullSchema.fieldNames
+    val keep = lines.iterator
+      .map(l => HttpFixtureSource.parse(l, fullSchema))
+      .filter { vals =>
+        val m = names.zip(vals).toMap
+        pushed.forall(HttpFixtureSource.accepts(_, m))
+      }
+      .map { vals =>
+        val m = names.zip(vals).toMap
+        required.fieldNames.map(m(_))
+      }.toArray
+    val n = math.max(1, math.min(partitions, keep.length))
+    (0 until n).map(i =>
+      FixturePartition(keep.zipWithIndex.collect {
+        case (r, j) if j % n == i => r
+      }): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FixtureReaderFactory(required)
+}
+
+case class FixturePartition(rows: Array[Array[Any]]) extends InputPartition
+
+class FixtureReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val rows = p.asInstanceOf[FixturePartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(rows(i).toIndexedSeq.map {
+          case s: String => UTF8String.fromString(s)
+          case v => v
+        })
+      override def close(): Unit = ()
+    }
+}
