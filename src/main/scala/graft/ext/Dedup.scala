@@ -61,8 +61,7 @@ object Dedup {
     * result. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 8): DataFrame = {
-    val exploded = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(TextAnalysis.tokens(col(textCol)), n)).as("sh"))
+    val exploded = explodedShingles(docs, idCol, textCol, n)
     val digests = (0 to (k - 1) / 4).map(m =>
       md5(concat(lit(s"$m:"), col("sh"))))
     val chunks = (0 until k).map(i =>
@@ -73,6 +72,34 @@ object Dedup {
         (1 until k).map(i => min(col(s"c$i")).as(s"m$i")): _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** (doc_id, sh) rows of word n-gram shingles.  For n>1 the shingle
+    * string is assembled AFTER exploding tokens, from `lead` windows
+    * over the token position — plain codegen'd/native operators instead
+    * of an interpreted per-element lambda (HOFs evaluate outside
+    * whole-stage codegen).  Documents shorter than n keep the
+    * whole-text-shingle fallback of [[shingles]]. */
+  private def explodedShingles(docs: DataFrame, idCol: String,
+                               textCol: String, n: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    if (n == 1) {
+      toks.select(col("doc_id"), explode(col("toks")).as("sh"))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val leads = (1 until n).map(j => lead(col("tok"), j).over(w))
+      val big = toks.filter(size(col("toks")) >= n)
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .withColumn("__last", leads.last)
+        .withColumn("sh", concat_ws(" ", col("tok") +: leads: _*))
+        .filter(col("__last").isNotNull) // concat_ws would silently skip
+        .select(col("doc_id"), col("sh")) // nulls → short tail shingles
+      val small = toks.filter(size(col("toks")) < n)
+        .select(col("doc_id"), array_join(col("toks"), " ").as("sh"))
+      big.unionByName(small)
+    }
   }
 
   /** LSH banding: k sigs → k/rows bands, band key = md5(band idx ||
