@@ -42,6 +42,41 @@ object Streams {
     events.withWatermark(tsCol, "3 hours")
       .dropDuplicates(keys :+ tsCol)
 
+  /** Streaming station diff-upsert (K1 as custom state): one state cell
+    * per station key holding the last content hash; a row is emitted
+    * only when its hash differs from state — the
+    * `providers.js:101-116` content-diff as
+    * `flatMapGroupsWithState`.  State is per-key and O(1); the
+    * watermark-less NoTimeout matches the reference (stations never
+    * expire).  At scale this is the canonical bounded-state pattern:
+    * keys partition across executors, the store is incremental
+    * (RocksDB-backed in production configs). */
+  def diffUpsertStream(spark: SparkSession, stations: DataFrame,
+                       keyCol: String = "key",
+                       contentCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val typed = stations
+      .select(col(keyCol).cast("string").as("_1"),
+        col(contentCol).cast("string").as("_2"))
+      .as[(String, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[String, (String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[String]) =>
+          // deterministic within-batch winner: lexicographically last
+          // content (micro-batches are per-source fetches; the
+          // reference keeps the last write)
+          val content = rows.map(_._2).max
+          val hash = java.security.MessageDigest.getInstance("MD5")
+            .digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val prev = state.getOption
+          if (prev.contains(hash)) Iterator.empty
+          else { state.update(hash); Iterator.single((key, content)) }
+      }.toDF(keyCol, contentCol)
+  }
+
   /** Run any streaming transform to a memory sink until input drains —
     * the test/local harness (one batch == one source fetch). */
   def runToMemory(spark: SparkSession, out: DataFrame, queryName: String,

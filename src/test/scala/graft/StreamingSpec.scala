@@ -48,6 +48,89 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+class StatefulStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateful diff-upsert emits only changed stations across batches") {
+    val in = java.nio.file.Files.createTempDirectory("graft_st_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_st_ck_").toString
+
+    val emitted = scala.collection.mutable.Set[(String, String)]()
+    def runBatch(): Set[(String, String)] = {
+      val schema = spark.read.parquet(in).schema
+      val stream = graft.streaming.Streams.fileStream(spark, in, schema)
+      val out = graft.streaming.Streams.diffUpsertStream(spark, stream)
+      val q = out.writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          emitted ++= df.as[(String, String)].collect(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      emitted.toSet
+    }
+
+    // batch 1: two stations
+    Seq(("st1", "siteA v1"), ("st2", "siteB v1")).toDF("key", "content")
+      .write.mode("append").parquet(in)
+    assert(runBatch() == Set(("st1", "siteA v1"), ("st2", "siteB v1")))
+
+    // batch 2: st1 unchanged, st2 changed, st3 new → only st2+st3 emitted
+    Seq(("st1", "siteA v1"), ("st2", "siteB v2"), ("st3", "siteC v1"))
+      .toDF("key", "content").write.mode("append").parquet(in)
+    val second = runBatch()
+    assert(second == Set(("st1", "siteA v1"), ("st2", "siteB v1"),
+      ("st2", "siteB v2"), ("st3", "siteC v1")))
+  }
+}
+
+class ScaleLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned write prunes partitions on read (SURVEY §4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    Tables.events(spark, sf0001)
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("day") === "2024-01-05")
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+    // partition filter present and only one partition directory selected
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.selectedPartitions.partitionCount == 1)
+    assert(q.count() > 0)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val _ = wh
+      Tables.orders(spark, sf0001)
+        .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("orders_b")
+      Tables.customer(spark, sf0001)
+        .write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("customer_b")
+      val j = spark.table("orders_b").join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      val exchanges = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        "bucketed join should not shuffle either side")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}
+
 class QueriesSpec extends SparkSpec {
   test("every declared query returns rows at sf0.001 (smoke)") {
     val empties = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
