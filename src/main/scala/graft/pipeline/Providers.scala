@@ -26,18 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object Pipelines {
 
-  /** One fetched+transformed batch, pre-sink. */
-  case class Batch(stations: DataFrame, measures: DataFrame)
+  /** One fetched+transformed batch, pre-sink.  `mobileMeasures` carries
+    * per-row coordinates (mobile CSV header contract, `measure.js:16`). */
+  case class Batch(stations: DataFrame, measures: DataFrame,
+                   mobileMeasures: Option[DataFrame] = None)
 
   trait ProviderPipeline {
     def name: String
-    /** fixture/bucket path → (stations, fixed measures) */
+    /** fixture/bucket path → (stations, fixed measures[, mobile]) */
     def run(spark: SparkSession, inputPath: String): Batch
   }
 
   val registry: Map[String, ProviderPipeline] = Map(
     "purpleair" -> PurpleAirPipeline,
-    "clarity" -> ClarityPipeline)
+    "clarity" -> ClarityPipeline,
+    "habitatmap" -> HabitatMapPipeline,
+    "cmu" -> CmuPipeline)
 
   /** `Providers.processor(source)` equivalent: dispatch by provider
     * name, run the provider's sink style, return the run summary row.
@@ -50,14 +54,21 @@ object Pipelines {
       throw new IllegalArgumentException(s"Unknown provider: $provider"))
     val batch = p.run(spark, inputPath)
     p match {
-      case PurpleAirPipeline =>
+      case ClarityPipeline =>
+        Sinks.writeEnvelopeJson(batch.measures.drop("flags"), batch.stations,
+          provider, s"$outDir/measures-json/$provider")
+      case _ =>
         val stationsJson = Transform.stationJson(batch.stations)
         Sinks.diffWriteStations(spark, stationsJson, "sensor_node_id", "json",
           s"$outDir/stations/$provider")
         Sinks.writeMeasuresCsv(batch.measures, s"$outDir/measures/$provider")
-      case _ =>
-        Sinks.writeEnvelopeJson(batch.measures.drop("flags"), batch.stations,
-          provider, s"$outDir/measures-json/$provider")
+        batch.mobileMeasures.foreach(m =>
+          Sinks.writeMeasuresCsv(m, s"$outDir/measures/$provider-mobile",
+            mobile = true))
+        if (p == CmuPipeline) {
+          Sinks.writeWatermark(spark, s"$outDir/meta/watermark", provider,
+            CmuPipeline.maxFileTimestamp(spark, inputPath))
+        }
     }
     Sinks.summarize(p.name, batch.stations.count(), batch.measures)
   }
