@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import graft.sources.Ingest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The scheduled-ingest production path — SURVEY §3.1.
+  *
+  * The reference's EventBridge→SQS→Lambda fan-out collapses into Spark
+  * job scheduling: one micro-batch == one source fetch.  `runDue` reads
+  * the active source configs (S1), keeps the requested frequency
+  * class(es), and runs each source's pipeline as an independent job —
+  * errors are captured per source (the `fetcher/error` SNS path,
+  * `fetcher/index.js:31-33`) so one provider can't fail the fleet.
+  *
+  * On a cluster the per-source jobs run concurrently from a driver
+  * thread pool (Spark schedules their tasks fairly); the SQS
+  * `batchSize: 1` isolation property is preserved because each source
+  * is its own action with its own sink paths.
+  */
+object Scheduler {
+
+  case class RunResult(provider: String, ok: Boolean,
+                       summary: Option[DataFrame], error: Option[String])
+
+  /** One scheduler tick for a frequency class ("minute"|"hour"|"day").
+    * `inputs` maps provider name → recorded payload path. */
+  def runDue(spark: SparkSession, configDir: String, frequency: String,
+             inputs: Map[String, String], outDir: String): Seq[RunResult] = {
+    val due = Ingest.readSourceConfigs(spark, configDir)
+      .filter(col("frequency") === frequency)
+      .select(col("provider")).collect().map(_.getString(0)).toSeq.sorted
+    due.map { provider =>
+      try {
+        val input = inputs.getOrElse(provider,
+          throw new IllegalArgumentException(s"no recorded input for $provider"))
+        val summary = Pipelines.processor(spark, provider, input, outDir)
+        RunResult(provider, ok = true, Some(summary), None)
+      } catch {
+        case e: Exception =>
+          RunResult(provider, ok = false, None, Some(e.getMessage))
+      }
+    }
+  }
+}
