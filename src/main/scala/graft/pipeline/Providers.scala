@@ -33,6 +33,9 @@ object Pipelines {
 
   trait ProviderPipeline {
     def name: String
+    /** v0.1-JSON client style (locations+measures envelope sink) vs
+      * station-object style (SURVEY §3.2 vs §3.3). */
+    def isV01: Boolean = false
     /** fixture/bucket path → (stations, fixed measures[, mobile]) */
     def run(spark: SparkSession, inputPath: String): Batch
   }
@@ -41,7 +44,12 @@ object Pipelines {
     "purpleair" -> PurpleAirPipeline,
     "clarity" -> ClarityPipeline,
     "habitatmap" -> HabitatMapPipeline,
-    "cmu" -> CmuPipeline)
+    "cmu" -> CmuPipeline,
+    "lovemyair" -> LoveMyAirPipeline,
+    "aernode" -> AernodePipeline,
+    "iqair" -> IqAirPipeline,
+    "airgradient" -> AirGradientPipeline,
+    "smartsense" -> SmartSensePipeline)
 
   /** `Providers.processor(source)` equivalent: dispatch by provider
     * name, run the provider's sink style, return the run summary row.
@@ -54,7 +62,7 @@ object Pipelines {
       throw new IllegalArgumentException(s"Unknown provider: $provider"))
     val batch = p.run(spark, inputPath)
     p match {
-      case ClarityPipeline =>
+      case v01 if v01.isV01 =>
         Sinks.writeEnvelopeJson(batch.measures.drop("flags"), batch.stations,
           provider, s"$outDir/measures-json/$provider")
       case _ =>
@@ -148,6 +156,7 @@ object PurpleAirPipeline extends Pipelines.ProviderPipeline {
   * join (J3) with missing-report, v0.1 locations (`clarity.js`). */
 object ClarityPipeline extends Pipelines.ProviderPipeline {
   val name = "clarity"
+  override val isV01 = true
 
   /** `clarity.js:27-29` parameter map. */
   val lookup: Seq[MeasurandRule] =
