@@ -49,7 +49,13 @@ object Pipelines {
     "aernode" -> AernodePipeline,
     "iqair" -> IqAirPipeline,
     "airgradient" -> AirGradientPipeline,
-    "smartsense" -> SmartSensePipeline)
+    "smartsense" -> SmartSensePipeline,
+    "airqo" -> AirQoPipeline,
+    "airqoon" -> AirQoonPipeline,
+    "data354" -> Data354Pipeline,
+    "miri" -> MiriPipeline,
+    "senstate" -> SenstatePipeline,
+    "cpcb" -> CpcbPipeline)
 
   /** `Providers.processor(source)` equivalent: dispatch by provider
     * name, run the provider's sink style, return the run summary row.
