@@ -101,6 +101,48 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("score"), col("rank"))
   }
 
+  /** Multi-table LSH ANN: `tables` independent hyperplane families
+    * (seeded by table index), candidates = union of per-table bucket
+    * matches, exact cosine re-rank over the deduped candidate set.
+    * Recall rises as 1−(1−p)^L for per-table hit rate p — the standard
+    * trade: more tables = more candidates = higher recall, still
+    * corpus-sublinear.  Spark shape: L equi-joins on bucket keys,
+    * unioned, then one distinct + window — all hash-partitioned. */
+  def lshTopKMulti(queries: DataFrame, corpus: DataFrame, k: Int,
+                   dim: Int = 64, planes: Int = 6,
+                   tables: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def sig(v: Column, table: Int): Column =
+      concat((0 until planes).map { h =>
+        val proj = (0 until dim).map { i =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$table:$h:$i".getBytes("UTF-8"))
+            .take(1).map("%02x".format(_)).mkString
+          val sign = if (Integer.parseInt(hex.substring(0, 1), 16) >= 8) 1.0 else -1.0
+          element_at(v, i + 1).cast("double") * sign
+        }.reduce(_ + _)
+        when(proj >= 0, "1").otherwise("0")
+      }: _*)
+    val cands = (0 until tables).map { t =>
+      val qb = queries.select(col("vec_id").as("q_id"),
+        sig(col("embedding"), t).as("bucket"))
+      val cb = corpus.select(col("vec_id").as("c_id"),
+        sig(col("embedding"), t).as("bucket"))
+      qb.join(cb, "bucket").select(col("q_id"), col("c_id"))
+    }.reduce(_ unionByName _).distinct()
+    val q = withNorm(queries, "q_id", "q")
+    val c = withNorm(corpus, "c_id", "c")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id").asc)
+    cands.join(q, "q_id").join(c, "c_id")
+      .withColumn("score", round(
+        dotExpanded(col("q"), col("c"), dim) /
+          (col("q_norm") * col("c_norm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("score"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a<b) pairs above a
     * cosine threshold.  Brute-force within the corpus — the embedding
     * analog of [[Dedup.blockedJaccardPairs]]; at scale, block by LSH

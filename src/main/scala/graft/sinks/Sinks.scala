@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
+  /** K4 — dry-run redirection (`utils.js:75-80`): when set, every sink
+    * path is rebased under a local inspection directory instead of the
+    * production prefix (`DRYRUN` writes to ~/Downloads in the
+    * reference).  Resolution is a pure path rewrite so ALL sinks honor
+    * it uniformly. */
+  @volatile var dryRunBase: Option[String] = None
+
+  def resolvePath(path: String): String = dryRunBase match {
+    case Some(base) =>
+      base + "/" + path.stripPrefix("/").replace(':', '_')
+    case None => path
+  }
+
   /** K2 — gzipped headered measures CSV.  `mobile` switches the header
     * contract.  Timestamps render as ISO at the boundary (internal type
     * stays TimestampType). */
@@ -35,7 +48,7 @@ object Sinks {
         .select(header.map(col): _*)
         .write.mode(SaveMode.Overwrite)
         .option("header", "true").option("compression", "gzip")
-        .csv(path)
+        .csv(resolvePath(path))
     }
     n
   }
@@ -50,11 +63,12 @@ object Sinks {
                         force: Boolean = false): DataFrame = {
     val incoming = stations
       .withColumn("__hash", md5(col(jsonCol)))
-    val existingDir = new java.io.File(path)
+    val rpath = resolvePath(path)
+    val existingDir = new java.io.File(rpath)
     val changed =
       if (force || !existingDir.exists()) incoming
       else {
-        val prev = spark.read.parquet(path)
+        val prev = spark.read.parquet(rpath)
           .select(col(keyCol).as("__k"), md5(col(jsonCol)).as("__prev_hash"))
         incoming.join(broadcast(prev),
             incoming(keyCol) === col("__k"), "left")
@@ -67,7 +81,7 @@ object Sinks {
     val out = changed.drop("__hash").localCheckpoint()
     if (!out.isEmpty) {
       // full refreshed snapshot so the next diff sees current state
-      incoming.drop("__hash").write.mode(SaveMode.Overwrite).parquet(path)
+      incoming.drop("__hash").write.mode(SaveMode.Overwrite).parquet(rpath)
     }
     out
   }
@@ -89,7 +103,7 @@ object Sinks {
             lit("ingest-id").as("matching_method")).as("meta"),
           col("measures"), col("locations"))).as("value"))
       envelope.write.mode(SaveMode.Overwrite)
-        .option("compression", "gzip").text(path)
+        .option("compression", "gzip").text(resolvePath(path))
       true
     }
   }

@@ -117,6 +117,26 @@ class SimilaritySpec extends SparkSpec {
     info(s"LSH ANN recall@10 vs brute force: $recall")
     assert(recall > 0.0)
   }
+
+  test("multi-table LSH strictly dominates single-table recall (sf0.001)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 8)
+    val c = e.filter($"vec_id" >= 8)
+    val brute = Similarity.bruteForceTopK(q, c, 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val pairs = df.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+      brute.count(pairs.contains).toDouble / brute.size
+    }
+    // weak angular signal (random vectors, max cos ≈ 0.5) → shallow
+    // buckets (4 planes), more tables
+    val single = recallOf(Similarity.lshTopK(q, c, 10, planes = 4))
+    val multi = recallOf(Similarity.lshTopKMulti(q, c, 10,
+      planes = 4, tables = 8))
+    info(s"recall single-table=$single multi-table=$multi")
+    assert(multi >= single)
+    assert(multi >= 0.5, s"multi-table recall too low: $multi")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

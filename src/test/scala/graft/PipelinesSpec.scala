@@ -112,6 +112,22 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("K4 dry-run redirects every sink under the inspection dir") {
+    val dry = java.nio.file.Files.createTempDirectory("graft_dry_").toString
+    val prod = "/nonexistent-production-prefix/out"
+    Sinks.dryRunBase = Some(dry)
+    try {
+      val batch = PurpleAirPipeline.run(spark, fixture("purpleair.json"))
+      val n = Sinks.writeMeasuresCsv(batch.measures, s"$prod/measures")
+      assert(n == 26)
+      // nothing written to the production prefix; all under dry base
+      assert(!new java.io.File(prod).exists())
+      val redirected = new java.io.File(
+        s"$dry/nonexistent-production-prefix/out/measures")
+      assert(redirected.exists())
+    } finally Sinks.dryRunBase = None
+  }
+
   test("K6 watermark table round trip") {
     val out = java.nio.file.Files.createTempDirectory("graft_wm_").toString
     val p = s"$out/wm"
