@@ -47,6 +47,17 @@ object ExtQueries {
       Tables.documents(s, d).select(col("doc_id"),
         Dedup.simhash16(TextAnalysis.tokens(col("text"))).as("simhash"))),
 
+    // SimHash-bucket near-dup clusters: docs sharing a fingerprint,
+    // deterministic keeper (the fingerprint-level exact-bucket variant
+    // of LSH dedup; hamming-radius expansion tested in DedupSpec)
+    "x5b_simhash_buckets" -> ((s, d) => {
+      val fp = Tables.documents(s, d).select(col("doc_id"),
+        Dedup.simhash16(TextAnalysis.tokens(col("text"))).as("simhash"))
+      fp.groupBy(col("simhash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+    }),
+
     // brute-force cosine top-k (query set = vec_id < 8)
     "x6_ann_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -169,6 +180,12 @@ object ExtQueries {
     "x5_simhash" ->
       s"""$toksCte
          |SELECT doc_id, CAST($simhashBits AS INT) AS simhash FROM t""".stripMargin,
+    "x5b_simhash_buckets" ->
+      s"""$toksCte,
+         |fp AS (SELECT doc_id, CAST($simhashBits AS INT) AS simhash FROM t)
+         |SELECT simhash, min(doc_id) AS keep_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs
+         |FROM fp GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "x6_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings
          |           WHERE vec_id < 8),
