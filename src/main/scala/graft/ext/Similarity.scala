@@ -66,17 +66,22 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("score"), col("rank"))
   }
 
-  /** Random-hyperplane signature: bit h = sign of <v, plane_h> where
-    * plane components are ±1 derived from md5(h:i) — deterministic,
-    * engine-portable, no stored plane matrix. */
+  /** ±1 plane component for (plane h, dim i): high bit of the first
+    * md5("h:i") nibble.  Deterministic, engine-portable, no stored
+    * plane matrix; the DuckDB oracle bakes the same signs in as
+    * literals. */
+  def planeSign(h: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$h:$i".getBytes("UTF-8")).take(1).map("%02x".format(_))
+      .mkString
+    if (Integer.parseInt(hex.substring(0, 1), 16) >= 8) 1.0 else -1.0
+  }
+
+  /** Random-hyperplane signature: bit h = sign of <v, plane_h>. */
   def hyperplaneSig(v: Column, dim: Int, planes: Int): Column =
     concat((0 until planes).map { h =>
       val proj = (0 until dim).map { i =>
-        val sign = if (Integer.parseInt(
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$h:$i".getBytes("UTF-8")).take(1).map("%02x".format(_))
-            .mkString.substring(0, 1), 16) >= 8) 1.0 else -1.0
-        element_at(v, i + 1).cast("double") * sign
+        element_at(v, i + 1).cast("double") * planeSign(h, i)
       }.reduce(_ + _)
       when(proj >= 0, "1").otherwise("0")
     }: _*)

@@ -155,7 +155,73 @@ object ExtQueries {
 
   private val stopSet = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Full MinHash-LSH oracle: the pipeline is deterministic end-to-end
+    * (md5 minhashes, md5 band keys, exact verification), so the DuckDB
+    * oracle replays it exactly — n=1, k=8, bandRows=2, τ=0.8 matching
+    * the x3 declaration. */
+  private val x3Sql: String = {
+    val sigCols = (0 until 8).map(i => s"${duckMinhash(i)} AS s$i").mkString(",\n         ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, md5('$b' || '|' || s${2 * b} || ',' || s${2 * b + 1}) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (SELECT doc_id, string_split(text, ' ') AS sh FROM documents),
+       |sig AS (SELECT doc_id,
+       |         $sigCols
+       |        FROM sh),
+       |enc AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+       |               len(list_distinct(string_split(text, ' '))) AS sz
+       |        FROM documents),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |bsz AS (SELECT b.doc_id, b.band_key, e.sz FROM bands b
+       |        JOIN enc e ON b.doc_id = e.doc_id),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bsz x JOIN bsz y ON x.band_key = y.band_key
+       |  WHERE x.doc_id < y.doc_id
+       |    AND least(x.sz, y.sz) / greatest(x.sz, y.sz) >= 0.8)
+       |SELECT a, b, jaccard FROM (
+       |  SELECT a, b,
+       |         len(list_filter(ea.toks, x -> list_contains(eb.toks, x)))
+       |         / (ea.sz + eb.sz
+       |            - len(list_filter(ea.toks, x -> list_contains(eb.toks, x))))
+       |           AS jaccard
+       |  FROM cands JOIN enc ea ON cands.a = ea.doc_id
+       |             JOIN enc eb ON cands.b = eb.doc_id)
+       |WHERE jaccard >= 0.8""".stripMargin
+  }
+
+  /** LSH ANN oracle: hyperplane signs are md5-derived constants — baked
+    * into the SQL as ±1.0 literal multipliers in the same left-fold
+    * order as the Spark expression (planes=4, k=10 matching x7). */
+  private val x7Sql: String = {
+    def bucket(v: String): String = (0 until 4).map { h =>
+      val proj = (0 until 64).map { i =>
+        s"$v[${i + 1}]::DOUBLE * ${graft.ext.Similarity.planeSign(h, i)}"
+      }.mkString(" + ")
+      s"CASE WHEN ($proj) >= 0 THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings
+       |           WHERE vec_id < 8),
+       |cs AS (SELECT vec_id AS c_id, embedding AS c FROM embeddings
+       |       WHERE vec_id >= 8),
+       |qb AS (SELECT q_id, q, ${bucket("q")} AS bucket FROM q),
+       |cb AS (SELECT c_id, c, ${bucket("c")} AS bucket FROM cs),
+       |scored AS (
+       |  SELECT q_id, c_id,
+       |         round($duckDot / (${duckNorm("q")} * ${duckNorm("c")}), 6)
+       |           AS score
+       |  FROM qb JOIN cb USING (bucket))
+       |SELECT q_id, c_id, score, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY score DESC, c_id ASC) AS rank
+       |  FROM scored) WHERE rank <= 10""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "x3_minhash_lsh_pairs" -> x3Sql,
+    "x7_ann_lsh" -> x7Sql,
     "x1_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
