@@ -46,6 +46,32 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"))
 
+  /** One sampled frame, addressable for downstream per-frame work
+    * (embedding, OCR, …). */
+  case class MediaFrame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte],
+                        frame_md5: String)
+
+  /** Frame-sampling stage: media row → one row per sampled frame.
+    * flatMap inside mapPartitions keeps the blob→frames fan-out narrow
+    * (no shuffle); only the sampled frames — a bounded fraction of the
+    * payload — continue downstream.  At 100 TB, `everyN` is the
+    * data-volume knob and partition sizing stays byte-based. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   everyN: Int = 256): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        FakeCodec.frameSample(FakeCodec.decode(r.payload), everyN)
+          .zipWithIndex.map { case (frame, i) =>
+            md.reset()
+            MediaFrame(r.media_id, i, frame,
+              md.digest(frame).map("%02x".format(_)).mkString)
+          }
+      }
+    }
+  }
+
   /** The decode/feature-extract stage: typed mapPartitions over media
     * rows.  Batch shape: one partition = one codec context (a real
     * decoder amortizes init per partition, exactly like an Arrow-batched

@@ -25,6 +25,16 @@ object Streams {
   def fileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** Source-config frequency class → streaming trigger
+    * (`schema/v1.json:21-27` enum; EventBridge rate rules). */
+  def triggerFor(frequency: String): Trigger = frequency match {
+    case "minute" => Trigger.ProcessingTime("1 minute")
+    case "hour"   => Trigger.ProcessingTime("1 hour")
+    case "day"    => Trigger.ProcessingTime("1 day")
+    case other =>
+      throw new IllegalArgumentException(s"unknown frequency: $other")
+  }
+
   /** Hourly tumbling aggregation with a 3-hour watermark — the
     * AirGradient lookback (`airgradient.js:137-141`) as declared late
     * tolerance. */

@@ -188,6 +188,33 @@ class TextAnalysisSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("frame sampling fans media out to per-frame rows, narrowly") {
+    val docs = Tables.documents(spark, sf0001).limit(10)
+    val media = Multimodal.mediaFromDocuments(docs)
+    val frames = Multimodal.sampleFrames(spark, media, everyN = 64)
+    val byDoc = frames.collect().groupBy(_.media_id)
+    val sizes = docs.select($"doc_id", octet_length($"text").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.length == math.ceil(sizes(id) / 64.0).toInt)
+      assert(fs.map(_.frame_no).sorted.toSeq == (0 until fs.length))
+      // frame bytes reassemble the payload
+      assert(fs.sortBy(_.frame_no).flatMap(_.frame_bytes).length == sizes(id))
+    }
+    // plan is shuffle-free (narrow fan-out)
+    val shuffles = frames.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty)
+  }
+
+  test("streaming trigger mapping covers the frequency enum") {
+    import graft.streaming.Streams
+    assert(graft.model.Schemas.frequencies
+      .forall(f => Streams.triggerFor(f) != null))
+    intercept[IllegalArgumentException](Streams.triggerFor("fortnight"))
+  }
+
   test("binary payload plumbing: features computed per partition") {
     val docs = Tables.documents(spark, sf0001).limit(50)
     val media = Multimodal.mediaFromDocuments(docs)
