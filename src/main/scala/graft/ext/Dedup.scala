@@ -106,9 +106,6 @@ object Dedup {
     * joined sigs).  Returns (band_key, doc_id) — the exploded, shuffled
     * unit is this 2-column row, never the document. */
   def lshBands(sigs: DataFrame, rows: Int): DataFrame = {
-    val k = sigs.schema("sig").dataType
-      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
-    val _ = k // signature arity checked at runtime by slice bounds
     sigs.select(col("doc_id"),
       posexplode(transform(
         sequence(lit(0), (size(col("sig")) / rows).cast("int") - 1),

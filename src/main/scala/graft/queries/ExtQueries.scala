@@ -104,6 +104,21 @@ object ExtQueries {
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // corpus length-distribution stats (exact interpolated quantiles)
+    "x14_length_stats" -> ((s, d) =>
+      graft.ext.CorpusStats.lengthStats(Tables.documents(s, d),
+        "lang", "n_chars")),
+
+    // deterministic content-addressed train/val/test split
+    "x15_split_counts" -> ((s, d) =>
+      graft.ext.CorpusStats.splitCounts(Tables.documents(s, d),
+        "doc_id", "lang")),
+
+    // heavy-hitter bigrams (top-20, deterministic ranking)
+    "x16_top_bigrams" -> ((s, d) =>
+      graft.ext.CorpusStats.topBigrams(Tables.documents(s, d),
+        "text", k = 20)),
+
     // multimodal metadata plumbing over opaque binary payloads
     "x13_multimodal_meta" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -300,6 +315,32 @@ object ExtQueries {
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "x14_length_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(avg(n_chars), 2) AS mean_len,
+        |       quantile_cont(n_chars, 0.5) AS p50_len,
+        |       quantile_cont(n_chars, 0.95) AS p95_len,
+        |       min(n_chars) AS min_len, max(n_chars) AS max_len
+        |FROM documents GROUP BY 1""".stripMargin,
+    "x15_split_counts" ->
+      """SELECT lang,
+        |       CASE WHEN b < 80 THEN 'train'
+        |            WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT lang,
+        |         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)
+        |                   AS UBIGINT) % 100 AS INT) AS b
+        |  FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
+    "x16_top_bigrams" ->
+      """SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+        |    AS bigram
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
     "x13_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
         |       md5(text) AS content_md5,
