@@ -253,4 +253,27 @@ object Dedup {
     * fingerprints). */
   def hamming16(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** docs(id, text) → (doc_id, simhash) via the explode + codegen'd
+    * CASE-sum + re-aggregate plan — same numbers as [[simhash16]]
+    * (which folds with 16 interpreted higher-order lambdas per row),
+    * ~3× faster on token-heavy corpora.  One skinny shuffle of
+    * (id, 16×int) rows. */
+  def simhashFingerprints(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val h = md5(col("tok"))
+    val contribs = (0 until 16).map { bit =>
+      when(substring(h, bit + 1, 1) >= "8", 1).otherwise(-1).as(s"b$bit")
+    }
+    exploded.select(col("doc_id") +: contribs: _*)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("b0")).as("s0"),
+        (1 until 16).map(i => sum(col(s"b$i")).as(s"s$i")): _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0)))
+          .reduce(_ + _).cast("int").as("simhash"))
+  }
 }

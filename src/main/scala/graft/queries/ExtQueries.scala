@@ -42,17 +42,16 @@ object ExtQueries {
       Dedup.blockedJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         "lang", threshold = 0.8)),
 
-    // 16-bit SimHash fingerprints
+    // 16-bit SimHash fingerprints (explode + codegen-sum plan)
     "x5_simhash" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        Dedup.simhash16(TextAnalysis.tokens(col("text"))).as("simhash"))),
+      Dedup.simhashFingerprints(Tables.documents(s, d), "doc_id", "text")),
 
     // SimHash-bucket near-dup clusters: docs sharing a fingerprint,
     // deterministic keeper (the fingerprint-level exact-bucket variant
     // of LSH dedup; hamming-radius expansion tested in DedupSpec)
     "x5b_simhash_buckets" -> ((s, d) => {
-      val fp = Tables.documents(s, d).select(col("doc_id"),
-        Dedup.simhash16(TextAnalysis.tokens(col("text"))).as("simhash"))
+      val fp = Dedup.simhashFingerprints(Tables.documents(s, d),
+        "doc_id", "text")
       fp.groupBy(col("simhash"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
         .filter(col("n_docs") > 1)

@@ -53,6 +53,14 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95)
   }
 
+  test("simhashFingerprints (explode plan) equals the expression fold") {
+    val docs = Tables.documents(spark, sf0001)
+    val fast = Dedup.simhashFingerprints(docs, "doc_id", "text")
+    val ref = docs.select($"doc_id",
+      Dedup.simhash16(TextAnalysis.tokens($"text")).as("simhash"))
+    assert(fast.except(ref).count() == 0 && ref.except(fast).count() == 0)
+  }
+
   test("simhash: normalized dups identical, near-dups close, distinct far") {
     val fp = corpus.select($"doc_id",
       Dedup.simhash16(TextAnalysis.tokens($"text")).as("s"))
