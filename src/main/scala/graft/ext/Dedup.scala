@@ -131,7 +131,7 @@ object Dedup {
     inter / (size(da) + size(db) - inter)
   }
 
-  /** Jaccard for already-distinct SORTED INT arrays: merge-count
+  /** Jaccard for already-distinct SORTED integer arrays: merge-count
     * intersection via the custom codegen'd
     * [[graft.plans.SortedIntersectSize]] expression — allocation-free,
     * ~30× cheaper than hash-based array_intersect per pair. */
@@ -141,22 +141,24 @@ object Dedup {
     inter / (size(da) + size(db) - inter)
   }
 
-  /** Dictionary-encode distinct token sets to sorted int arrays:
-    * (id, [block], toks:array<int>, sz).  Token strings shuffle once
-    * (vocab build); every pairwise comparison after this moves 4-byte
-    * ints instead of strings — ~6× less shuffle volume and cheaper
-    * intersections.  Results are identical (encoding is a bijection). */
-  private def encodeTokenSets(docs: DataFrame, idCol: String, textCol: String,
-                              blockCol: Option[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Hash-encode distinct token sets to sorted int64 arrays:
+    * (id, [block], toks:array<bigint>, sz).  Token ids are
+    * `xxhash64(token)` — computed MAP-SIDE, entirely inside the scan
+    * task: no vocabulary build, no dictionary shuffle, no global
+    * coordination of any kind, so the encoding step scales with mapper
+    * count alone.  Every pairwise comparison downstream moves 8-byte
+    * ints instead of strings, and set intersection runs as a sorted
+    * merge.  A 64-bit hash collision would merge two distinct tokens
+    * (birthday bound: P ≈ v²/2⁶⁵ for vocabulary size v — negligible
+    * below ~10⁸ distinct tokens and detectable by the oracle's exact
+    * string-token replay, which this engine's tests compare against). */
+  private[graft] def encodeTokenSets(docs: DataFrame, idCol: String,
+                                     textCol: String,
+                                     blockCol: Option[String]): DataFrame = {
     val base = Seq(col(idCol).as("id")) ++ blockCol.map(c => col(c).as("blk"))
-    val toks = docs.select(base :+
-      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"): _*)
-    val vocab = toks.select(col("tok")).distinct()
-      .withColumn("tid", row_number().over(Window.orderBy(col("tok"))))
-    toks.join(broadcast(vocab), "tok")
-      .groupBy((Seq(col("id")) ++ blockCol.map(_ => col("blk"))): _*)
-      .agg(sort_array(collect_list(col("tid"))).as("toks"))
+    docs.select(base :+
+      sort_array(array_distinct(transform(
+        TextAnalysis.tokens(col(textCol)), t => xxhash64(t)))).as("toks"): _*)
       .withColumn("sz", size(col("toks")))
   }
 
@@ -176,23 +178,26 @@ object Dedup {
     // Shape matters here: the band self-join and candidate-distinct run
     // on skinny (band_key, id) rows — boilerplate-heavy buckets inflate
     // pair counts multiplicatively, so nothing wide may flow through
-    // them.  Token arrays attach AFTER the distinct, via broadcast hash
-    // joins (the encoded token table is ~40B/token-id per doc; at
-    // corpus sizes past broadcast range Spark falls back to a shuffled
-    // hash join on the same plan).  Each surviving candidate is
-    // verified exactly once.
+    // them.  Token arrays attach AFTER the distinct, as plain equi-joins
+    // with NO broadcast hint: the encoded token table is doc-count-sized,
+    // so the optimizer (AQE, with accurate post-checkpoint stats)
+    // broadcasts it when it fits and falls back to a shuffled hash join
+    // when it doesn't — an explicit hint would instead force driver
+    // materialization and hit the 8 GB broadcast hard limit at scale.
+    // Each surviving candidate is verified exactly once.
     // localCheckpoint: both self-join sides consume bands/enc; without
     // materialization each side would recompute the full
     // shingle→md5→min-agg chain (the salt columns differ per side, so
     // exchange reuse can't kick in).  Both tables are doc-count-sized —
-    // KBs per partition.
+    // KBs per partition — and the checkpoint also gives AQE real sizes
+    // for its broadcast decision.
     val sigs = minhashSignatures(docs, idCol, textCol, n, k)
     val enc = encodeTokenSets(docs, idCol, textCol, None).localCheckpoint()
     // size-ratio prefilter runs INSIDE the band self-join (sz is one
     // extra int on the skinny band rows) so incompatible pairs never
     // reach the candidate distinct
     val szOnly = enc.select(col("id").as("doc_id"), col("sz"))
-    val bands = lshBands(sigs, bandRows).join(broadcast(szOnly), "doc_id")
+    val bands = lshBands(sigs, bandRows).join(szOnly, "doc_id")
       .localCheckpoint()
     // Salted self-join: boilerplate-heavy corpora put thousands of docs
     // in one band bucket, which would pin that bucket's O(n²) pair
@@ -211,7 +216,7 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
     val ea = enc.select(col("id").as("a"), col("toks").as("ta"))
     val eb = enc.select(col("id").as("b"), col("toks").as("tb"))
-    cands.join(broadcast(ea), "a").join(broadcast(eb), "b")
+    cands.join(ea, "a").join(eb, "b")
       .withColumn("jaccard", jaccardDistinct(col("ta"), col("tb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))

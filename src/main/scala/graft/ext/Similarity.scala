@@ -164,6 +164,34 @@ object Similarity {
       .select(col("a"), col("b"), col("score"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, LSH-bucket-blocked: the
+    * corpus is bucketed by random-hyperplane signature ([[hyperplaneSig]]),
+    * pairs form ONLY within a bucket via a hash-partitioned equi
+    * self-join, and each candidate is scored exactly with the codegen'd
+    * expanded dot product.  This is the 100 TB shape: no driver
+    * collect, no broadcast, no cross join — candidate volume is
+    * Σ_bucket n_b², corpus-sublinear for any corpus that spreads across
+    * buckets, and `planes` tunes bucket granularity (more planes →
+    * smaller buckets → fewer candidates, lower recall).  Pairs whose
+    * members land in different buckets are missed — recall is measured
+    * against the exact [[cosineNearDupPairs]] in the test suite, and
+    * the pipeline is deterministic end-to-end (md5-derived plane
+    * signs), so the SQL oracle replays it exactly. */
+  def cosineNearDupPairsBucketed(corpus: DataFrame, threshold: Double,
+                                 dim: Int = 64, planes: Int = 4): DataFrame = {
+    val v = withNorm(corpus, "id", "v")
+      .withColumn("bucket", hyperplaneSig(col("v"), dim, planes))
+    val a = v.select(col("bucket"), col("id").as("a"), col("v").as("va"),
+      col("v_norm").as("na"))
+    val b = v.select(col("bucket"), col("id").as("b"), col("v").as("vb"),
+      col("v_norm").as("nb"))
+    a.join(b, "bucket").filter(col("a") < col("b"))
+      .withColumn("score", round(
+        dotExpanded(col("va"), col("vb"), dim) / (col("na") * col("nb")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("a"), col("b"), col("score"))
+  }
+
   /** All-pairs cosine via a broadcast + mapPartitions numeric kernel.
     *
     * A BroadcastNestedLoopJoin evaluates the 64-term dot expression
@@ -174,9 +202,10 @@ object Similarity {
     * identical: ascending-index accumulation and HALF_UP rounding match
     * the expression path bit-for-bit (oracle-verified).
     *
-    * Scale: one side is broadcast (a query/centroid/recent-batch set —
-    * MBs); the corpus side streams partition-parallel.  Corpus×corpus
-    * at 100 TB instead goes through [[lshTopK]]-style bucketing first.
+    * Scale: the collected-and-broadcast side MUST be small — a query /
+    * centroid / recent-batch set (MBs).  Corpus×corpus near-dup goes
+    * through [[cosineNearDupPairsBucketed]] instead, which never
+    * materializes anything on the driver.
     */
   def cosinePairsKernel(spark: SparkSession, corpus: DataFrame,
                         threshold: Double): DataFrame = {

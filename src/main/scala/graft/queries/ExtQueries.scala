@@ -72,9 +72,12 @@ object ExtQueries {
         k = 10, dim = 64, planes = 4)
     }),
 
-    // embedding-cosine near-duplicate pairs (mapPartitions numeric kernel)
+    // embedding-cosine near-duplicate pairs, LSH-bucket-blocked (no
+    // driver collect / broadcast; deterministic buckets → oracle
+    // replays them; recall vs exact measured in SimilaritySpec)
     "x8_cosine_neardup" -> ((s, d) =>
-      Similarity.cosinePairsKernel(s, Tables.embeddings(s, d), threshold = 0.4)),
+      Similarity.cosineNearDupPairsBucketed(Tables.embeddings(s, d),
+        threshold = 0.4, dim = 64, planes = 4)),
 
     // language-ID heuristic
     "x9_langid" -> ((s, d) =>
@@ -206,16 +209,20 @@ object ExtQueries {
        |WHERE jaccard >= 0.8""".stripMargin
   }
 
-  /** LSH ANN oracle: hyperplane signs are md5-derived constants — baked
-    * into the SQL as ±1.0 literal multipliers in the same left-fold
-    * order as the Spark expression (planes=4, k=10 matching x7). */
-  private val x7Sql: String = {
-    def bucket(v: String): String = (0 until 4).map { h =>
+  /** Random-hyperplane bucket signature in DuckDB: md5-derived plane
+    * signs baked in as ±1.0 literal multipliers in the same left-fold
+    * order as the Spark expression (shared by the x7 and x8 oracles). */
+  private def duckBucket(v: String, planes: Int = 4): String =
+    (0 until planes).map { h =>
       val proj = (0 until 64).map { i =>
         s"$v[${i + 1}]::DOUBLE * ${graft.ext.Similarity.planeSign(h, i)}"
       }.mkString(" + ")
       s"CASE WHEN ($proj) >= 0 THEN '1' ELSE '0' END"
     }.mkString(" || ")
+
+  /** LSH ANN oracle (planes=4, k=10 matching x7). */
+  private val x7Sql: String = {
+    def bucket(v: String): String = duckBucket(v)
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings
        |           WHERE vec_id < 8),
        |cs AS (SELECT vec_id AS c_id, embedding AS c FROM embeddings
@@ -281,14 +288,16 @@ object ExtQueries {
          |                               ORDER BY score DESC, c_id ASC) AS rank
          |  FROM scored) WHERE rank <= 10""".stripMargin,
     "x8_cosine_neardup" ->
-      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings)
+      s"""WITH v AS (SELECT vec_id, embedding,
+         |                  ${duckBucket("embedding")} AS bucket
+         |           FROM embeddings)
          |SELECT a, b, score FROM (
          |  SELECT a.vec_id AS a, b.vec_id AS b,
          |         round(list_sum(list_transform(generate_series(1, 64),
          |                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
          |               / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}), 6)
          |           AS score
-         |  FROM v a CROSS JOIN v b WHERE a.vec_id < b.vec_id)
+         |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE score >= 0.4""".stripMargin,
     "x9_langid" ->
       s"""$toksCte,

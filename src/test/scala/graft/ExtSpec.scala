@@ -126,6 +126,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0)
   }
 
+  test("bucketed cosine near-dup: subset of exact pairs, scores identical, " +
+    "distributed plan (sf0.001)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val exact = Similarity.cosineNearDupPairs(e, threshold = 0.4)
+      .select("a", "b", "score").as[(Long, Long, Double)].collect().toSet
+    val bucketed = Similarity.cosineNearDupPairsBucketed(e, threshold = 0.4)
+    val got = bucketed.select("a", "b", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.subsetOf(exact), "bucketing must never fabricate or rescore pairs")
+    assert(exact.nonEmpty)
+    val recall = got.size.toDouble / exact.size
+    info(s"bucketed cosine recall vs exact: $recall (${exact.size} pairs)")
+    assert(recall > 0.0)
+    // 100 TB shape: equi-join only — no cartesian/BNLJ, no broadcast of
+    // the corpus, nothing collected to the driver (pure DataFrame plan)
+    val plan = bucketed.queryExecution.executedPlan
+    val bad = plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, s"non-equi join in bucketed plan: $bad")
+    val hints = bucketed.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty)
+  }
+
   test("multi-table LSH strictly dominates single-table recall (sf0.001)") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter($"vec_id" < 8)

@@ -27,6 +27,53 @@ class ExtensionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("SortedIntersectSize merges sorted long arrays (xxhash64 token ids)") {
+    val df = Seq((Seq(-9L, 1L, 5L), Seq(-9L, 5L, 11L))).toDF("a", "b")
+    val r = df.select(
+      SortedIntersectSize.sortedIntersectSize(col("a"), col("b"))).first().getInt(0)
+    assert(r == 2)
+    // agrees with array_intersect on random long sets
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 100).map { _ =>
+      val a = (1 to rnd.nextInt(30)).map(_ => rnd.nextLong() % 50).distinct.sorted
+      val b = (1 to rnd.nextInt(30)).map(_ => rnd.nextLong() % 50).distinct.sorted
+      (a, b)
+    }
+    val diffs = rows.toDF("a", "b").select(
+      SortedIntersectSize.sortedIntersectSize(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diffs == 0)
+  }
+
+  test("token encoding is map-side: no shuffle, no window, no dictionary join") {
+    val enc = graft.ext.Dedup.encodeTokenSets(
+      Tables.documents(spark, sf0001), "doc_id", "text", None)
+    val shuffles = enc.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, "encoding must stay narrow (scan-task-local)")
+    val windows = enc.queryExecution.analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "no window (esp. no global-sort dictionary)")
+    val joins = enc.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, "no vocabulary join")
+  }
+
+  test("x3 LSH pipeline carries no forced broadcast hints") {
+    val pairs = graft.ext.Dedup.minhashLshPairs(
+      Tables.documents(spark, sf0001), "doc_id", "text",
+      n = 1, k = 8, bandRows = 2, threshold = 0.8)
+    val hints = pairs.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty,
+      "broadcast choice belongs to AQE — a hint forces driver materialization")
+  }
+
   test("sorted_intersect_size is SQL-registered via GraftExtensions") {
     val r = spark.sql(
       "SELECT sorted_intersect_size(array(1,2,3), array(2,3,4))")
