@@ -1,9 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line `{"metric":"total","value":N,"unit":"sec",
+  * "queries":{...},"sf":...}`.
+  *
+  * The line is printed to stdout AND written to a file
+  * (SPARK_GRAFT_BENCH_OUT, default ./BENCH_LOCAL.json) so the driver's
+  * parser never races concurrent log output — round-1's recorded bench
+  * had a log line spliced mid-JSON.
+  *
+  * SPARK_GRAFT_BENCH_RUNS (default 1): run each query N times and report
+  * the minimum — warm-run mode that subtracts the ~0.5-1 s/query
+  * JIT/codegen warmup from the signal.  The JSON carries "runs" so
+  * rounds remain comparable.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,16 +29,23 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outFile), line + "\n")
+    spark.stop() // stop FIRST: no executor/shutdown log can splice the line
+    println(line)
+    System.out.flush()
   }
 }

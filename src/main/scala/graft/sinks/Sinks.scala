@@ -34,23 +34,47 @@ object Sinks {
     case None => path
   }
 
+  /** Existence via Hadoop's FileSystem so state/diff sinks behave
+    * identically on local disk, HDFS, and object stores (a
+    * `java.io.File` probe is always false off the local FS, which
+    * would silently disable content-diffs and lose watermarks). */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** K2 — gzipped headered measures CSV.  `mobile` switches the header
     * contract.  Timestamps render as ISO at the boundary (internal type
-    * stays TimestampType). */
+    * stays TimestampType).
+    *
+    * Single pass: the row count rides on the write job as an
+    * `observe()` metric instead of a separate `count()` action — at
+    * scale the batch is computed once, not twice.  The K7 empty-batch
+    * guard inverts to write-then-unlink: an empty batch's output
+    * directory is removed (a metadata-only op), leaving no object —
+    * same contract as the reference's pre-write check. */
   def writeMeasuresCsv(measures: DataFrame, path: String,
                        mobile: Boolean = false): Long = {
     val header = if (mobile) Schemas.mobileCsvHeader else Schemas.fixedCsvHeader
-    val n = measures.count()
-    if (n > 0) { // K7 empty-batch guard
-      measures
-        .withColumn("timestamp",
-          date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
-        .select(header.map(col): _*)
-        .write.mode(SaveMode.Overwrite)
-        .option("header", "true").option("compression", "gzip")
-        .csv(resolvePath(path))
-    }
+    val obs = org.apache.spark.sql.Observation()
+    val rpath = resolvePath(path)
+    measures
+      .withColumn("timestamp",
+        date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .select(header.map(col): _*)
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("compression", "gzip")
+      .csv(rpath)
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n == 0) deleteQuiet(measures.sparkSession, rpath) // K7
     n
+  }
+
+  private def deleteQuiet(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
   /** K1 — station diff-upsert: write only stations whose rendered JSON
@@ -64,9 +88,8 @@ object Sinks {
     val incoming = stations
       .withColumn("__hash", md5(col(jsonCol)))
     val rpath = resolvePath(path)
-    val existingDir = new java.io.File(rpath)
     val changed =
-      if (force || !existingDir.exists()) incoming
+      if (force || !pathExists(spark, rpath)) incoming
       else {
         val prev = spark.read.parquet(rpath)
           .select(col(keyCol).as("__k"), md5(col(jsonCol)).as("__prev_hash"))
@@ -87,24 +110,52 @@ object Sinks {
   }
 
   /** K3 — v0.1 JSON envelope `{meta, measures, locations}`
-    * (`clarity.js:177-190`, sink `providers.js:168-185`): one gzipped
-    * JSON document per (provider, day) partition. */
+    * (`clarity.js:177-190`, sink `providers.js:168-185`).
+    *
+    * Default mode writes one gzipped envelope per (provider, day)
+    * partition: measures group by their timestamp's day, each day's
+    * envelope serializes in its own task, and the layout is
+    * `provider=<p>/day=<d>/...` so readers partition-prune.  A batch
+    * therefore never funnels through a single serializer — the
+    * scale-safe default.  `singleDocument = true` restores the
+    * reference's one-JSON-document-per-batch contract (acceptable at
+    * per-source batch sizes of 10⁴–10⁵ rows). */
   def writeEnvelopeJson(measures: DataFrame, locations: DataFrame,
-                        source: String, path: String): Boolean = {
+                        source: String, path: String,
+                        singleDocument: Boolean = false): Boolean = {
     val m = measures.withColumn("timestamp",
       date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
-    if (m.isEmpty && locations.isEmpty) false // K7
-    else {
-      val envelope = m.agg(collect_list(struct(m.columns.map(col): _*)).as("measures"))
-        .crossJoin(locations.agg(
-          collect_list(struct(locations.columns.map(col): _*)).as("locations")))
-        .select(to_json(struct(
-          struct(lit("v0.1").as("schema"), lit(source).as("source"),
-            lit("ingest-id").as("matching_method")).as("meta"),
-          col("measures"), col("locations"))).as("value"))
-      envelope.write.mode(SaveMode.Overwrite)
-        .option("compression", "gzip").text(resolvePath(path))
-      true
+    val mCols = m.columns.map(col)
+    val locAgg = locations.agg(
+      collect_list(struct(locations.columns.map(col): _*)).as("locations"))
+    val meta = struct(lit("v0.1").as("schema"), lit(source).as("source"),
+      lit("ingest-id").as("matching_method")).as("meta")
+    if (singleDocument) {
+      if (m.isEmpty && locations.isEmpty) false // K7
+      else {
+        val envelope = m.agg(collect_list(struct(mCols: _*)).as("measures"))
+          .crossJoin(locAgg)
+          .select(to_json(struct(meta, col("measures"), col("locations")))
+            .as("value"))
+        envelope.write.mode(SaveMode.Overwrite)
+          .option("compression", "gzip").text(resolvePath(path))
+        true
+      }
+    } else {
+      val rpath = resolvePath(path)
+      val obs = org.apache.spark.sql.Observation()
+      m.withColumn("day", substring(col("timestamp"), 1, 10))
+        .groupBy(col("day"))
+        .agg(collect_list(struct(mCols: _*)).as("measures"))
+        .crossJoin(locAgg)
+        .select(lit(source).as("provider"), col("day"),
+          to_json(struct(meta, col("measures"), col("locations"))).as("value"))
+        .observe(obs, count(lit(1)).as("n"))
+        .write.partitionBy("provider", "day").mode(SaveMode.Overwrite)
+        .option("compression", "gzip").text(rpath)
+      val n = obs.get("n").asInstanceOf[Long]
+      if (n == 0) deleteQuiet(measures.sparkSession, rpath) // K7
+      n > 0
     }
   }
 
@@ -112,8 +163,7 @@ object Sinks {
     * table keyed by source. */
   def readWatermark(spark: SparkSession, path: String,
                     source: String): Option[java.sql.Timestamp] = {
-    val f = new java.io.File(path)
-    if (!f.exists()) None
+    if (!pathExists(spark, path)) None
     else spark.read.parquet(path)
       .filter(col("source") === source)
       .select(max(col("watermark"))).collect()
@@ -123,12 +173,11 @@ object Sinks {
   def writeWatermark(spark: SparkSession, path: String, source: String,
                      wm: java.sql.Timestamp): Unit = {
     import spark.implicits._
-    val cur = new java.io.File(path) match {
-      case f if f.exists() =>
+    val cur =
+      if (pathExists(spark, path))
         spark.read.parquet(path).filter(col("source") =!= source)
-      case _ => Seq.empty[(String, java.sql.Timestamp)]
+      else Seq.empty[(String, java.sql.Timestamp)]
         .toDF("source", "watermark")
-    }
     val merged = cur.unionByName(Seq((source, wm)).toDF("source", "watermark"))
       .collect() // tiny state table; rewrite atomically below
     spark.createDataFrame(

@@ -63,22 +63,33 @@ object Streams {
     * (RocksDB-backed in production configs). */
   def diffUpsertStream(spark: SparkSession, stations: DataFrame,
                        keyCol: String = "key",
-                       contentCol: String = "content"): DataFrame = {
+                       contentCol: String = "content",
+                       seqCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
+    // Within-batch winner = last write: ordered by `seqCol` (event
+    // time / sequence number) when the stream carries one, with content
+    // as a deterministic tiebreak.  Without a sequence column the
+    // lexicographically-last content stands in — deterministic, but
+    // only reference-faithful when batches carry at most one update
+    // per key (the reference's per-source fetches).
+    val seqExpr = seqCol.map { c =>
+      stations.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+        case _ => col(c).cast("long")
+      }
+    }.getOrElse(lit(0L))
     val typed = stations
       .select(col(keyCol).cast("string").as("_1"),
-        col(contentCol).cast("string").as("_2"))
-      .as[(String, String)]
+        col(contentCol).cast("string").as("_2"),
+        seqExpr.as("_3"))
+      .as[(String, String, Long)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[String, (String, String)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[(String, String)],
+        (key: String, rows: Iterator[(String, String, Long)],
          state: GroupState[String]) =>
-          // deterministic within-batch winner: lexicographically last
-          // content (micro-batches are per-source fetches; the
-          // reference keeps the last write)
-          val content = rows.map(_._2).max
+          val content = rows.maxBy(r => (r._3, r._2))._2
           val hash = java.security.MessageDigest.getInstance("MD5")
             .digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString
           val prev = state.getOption

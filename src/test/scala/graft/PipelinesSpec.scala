@@ -128,6 +128,73 @@ class PipelinesSpec extends SparkSpec {
     } finally Sinks.dryRunBase = None
   }
 
+  test("K2/K7 single pass: one action per sink; empty batch leaves no output") {
+    val out = java.nio.file.Files.createTempDirectory("graft_k7_").toString
+    val batch = PurpleAirPipeline.run(spark, fixture("purpleair.json"))
+    // one QueryExecution = the batch pipeline computed once (the old
+    // count()-then-write guard cost two full passes); scheduler-job
+    // count is not the right pin because AQE/broadcast stages submit
+    // their own jobs inside the single action
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = { execs.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      val n = Sinks.writeMeasuresCsv(batch.measures, s"$out/m1")
+      assert(n == 26)
+      // listener bus is async — wait for the event(s) to drain
+      val deadline = System.currentTimeMillis() + 10000
+      while (execs.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(500) // settle: catch any unexpected second action
+      assert(execs.get() == 1, s"expected ONE action, saw ${execs.get()}")
+    } finally spark.listenerManager.unregister(ql)
+    // K7 write-then-unlink: empty batch leaves no object behind
+    val n0 = Sinks.writeMeasuresCsv(
+      batch.measures.filter(lit(false)), s"$out/m0")
+    assert(n0 == 0)
+    assert(!new java.io.File(s"$out/m0").exists())
+  }
+
+  test("K3 partitioned envelope: per-day docs, partition pruning, " +
+    "single-doc compat mode") {
+    val out = java.nio.file.Files.createTempDirectory("graft_k3_").toString
+    val m = Seq(
+      ("s1", 1.0, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("s2", 2.0, java.sql.Timestamp.valueOf("2024-01-02 11:00:00")),
+      ("s3", 3.0, java.sql.Timestamp.valueOf("2024-01-02 12:00:00"))
+    ).toDF("sensor_id", "measure", "timestamp")
+    val locs = Seq(("loc1", "Site One")).toDF("id", "label")
+    assert(Sinks.writeEnvelopeJson(m, locs, "prov", s"$out/env"))
+    val back = spark.read.text(s"$out/env")
+    assert(back.count() == 2) // one envelope per day with measures
+    val q = back.filter(col("day") === "2024-01-01")
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.selectedPartitions.partitionCount == 1,
+      "day filter must prune to one partition directory")
+    val doc = q.select("value").as[String].first()
+    assert(doc.contains("\"schema\":\"v0.1\"") && doc.contains("\"s1\"")
+      && !doc.contains("\"s2\"") && doc.contains("Site One"))
+    // reference-compat single document
+    assert(Sinks.writeEnvelopeJson(m, locs, "prov", s"$out/env1",
+      singleDocument = true))
+    assert(spark.read.text(s"$out/env1").count() == 1)
+    // K7: empty in → nothing on disk
+    assert(!Sinks.writeEnvelopeJson(m.filter(lit(false)),
+      locs.filter(lit(false)), "prov", s"$out/env0"))
+    assert(!new java.io.File(s"$out/env0").exists())
+  }
+
   test("K6 watermark table round trip") {
     val out = java.nio.file.Files.createTempDirectory("graft_wm_").toString
     val p = s"$out/wm"

@@ -83,6 +83,30 @@ class StatefulStreamSpec extends SparkSpec {
     assert(second == Set(("st1", "siteA v1"), ("st2", "siteB v1"),
       ("st2", "siteB v2"), ("st3", "siteC v1")))
   }
+
+  test("diff-upsert with a sequence column keeps the LATEST write, " +
+    "not the lexicographic max") {
+    val in = java.nio.file.Files.createTempDirectory("graft_seq_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_seq_ck_").toString
+    // one batch, two updates for the same key; the newer content sorts
+    // lexicographically FIRST, so content-max would pick the older one
+    Seq(("st1", "z-old-content", 1L), ("st1", "a-new-content", 2L))
+      .toDF("key", "content", "seq").write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = graft.streaming.Streams.fileStream(spark, in, schema)
+    val out = graft.streaming.Streams.diffUpsertStream(spark, stream,
+      seqCol = Some("seq"))
+    val emitted = scala.collection.mutable.Set[(String, String)]()
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        emitted ++= df.as[(String, String)].collect(); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(emitted.toSet == Set(("st1", "a-new-content")))
+  }
 }
 
 class ScaleLayoutSpec extends SparkSpec {
