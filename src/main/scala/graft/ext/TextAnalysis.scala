@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -56,6 +56,47 @@ object TextAnalysis {
                 minStopRatio: Double = 0.0): Column =
     size(toks).between(minTokens, maxTokens) &&
       stopwordRatio(toks) >= minStopRatio
+
+  /** Language ID over whole documents via the explode + codegen'd
+    * conditional-sum plan: tokens explode map-side, per-language marker
+    * hits partial-aggregate before the (id, 4×int) shuffle, argmax runs
+    * post-agg.  Same numbers as [[langId]] (whose `filter` higher-order
+    * lambdas evaluate interpreted, outside whole-stage codegen) — the
+    * same rewrite that bought ~10× on minhash/simhash. */
+  def langIdByDoc(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("tok"))
+    val hitCols = langMarkers.map { case (l, m) =>
+      sum(when(col("tok").isin(m: _*), 1).otherwise(0)).as(s"h_$l")
+    }
+    val agged = ex.groupBy(col(idCol)).agg(hitCols.head, hitCols.tail: _*)
+    val best = greatest(langMarkers.map { case (l, _) => col(s"h_$l") }: _*)
+    val pred = langMarkers.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(best > 0 && col(s"h_$l") === best, l).otherwise(acc)
+    }
+    agged.select(col(idCol), pred.as("lang_pred"))
+  }
+
+  /** Quality metrics over whole documents, explode + codegen'd
+    * conditional sums (no interpreted HOF).  Column contract matches the
+    * [[stopwordRatio]]/[[meanTokenLen]]/[[qualityOk]] expression forms:
+    * (id, n_tokens:int, stop_ratio, mean_token_len, quality_ok). */
+  def qualityByDoc(docs: DataFrame, idCol: String, textCol: String,
+                   minTokens: Int, maxTokens: Int,
+                   minStopRatio: Double): DataFrame = {
+    val ex = docs.select(col(idCol), length(col(textCol)).as("__len"),
+      explode(tokens(col(textCol))).as("tok"))
+    val n = count(lit(1))
+    val stops = sum(when(col("tok").isin(stopwords: _*), 1).otherwise(0))
+    val ratio = stops.cast("double") / n
+    ex.groupBy(col(idCol)).agg(
+      n.cast("int").as("n_tokens"),
+      ratio.as("stop_ratio"),
+      ((max(col("__len")) - (n - lit(1))).cast("double") / n)
+        .as("mean_token_len"),
+      (n.between(minTokens, maxTokens) && ratio >= minStopRatio)
+        .as("quality_ok"))
+  }
 
   /** Token counting: whitespace count plus a BPE-ish regex count
     * (letter runs / digit runs / single non-alnum marks — a cheap proxy

@@ -12,7 +12,8 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *  1. [[PushNanosEquivFilter]] — optimizer rule restoring filter
   *     pushdown through the nanos→micros timestamp normalization;
   *  2. SQL registration of [[SortedIntersectSize]]
-  *     (`sorted_intersect_size(a, b)`).
+  *     (`sorted_intersect_size(a, b)`) and [[PointInPolygon]]
+  *     (`point_in_polygon(px, py, xs, ys)`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -22,6 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectSize].getName,
         "sorted_intersect_size"),
       (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("point_in_polygon"),
+      new ExpressionInfo(classOf[PointInPolygon].getName,
+        "point_in_polygon"),
+      (exprs: Seq[Expression]) =>
+        PointInPolygon(exprs(0), exprs(1), exprs(2), exprs(3))))
   }
 }
 

@@ -79,21 +79,14 @@ object ExtQueries {
       Similarity.cosineNearDupPairsBucketed(Tables.embeddings(s, d),
         threshold = 0.4, dim = 64, planes = 4)),
 
-    // language-ID heuristic
+    // language-ID heuristic (explode + codegen conditional sums)
     "x9_langid" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang_pred"))),
+      TextAnalysis.langIdByDoc(Tables.documents(s, d), "doc_id", "text")),
 
-    // quality scoring
-    "x10_quality" -> ((s, d) => {
-      val toks = TextAnalysis.tokens(col("text"))
-      Tables.documents(s, d).select(col("doc_id"),
-        TextAnalysis.nTokens(toks).as("n_tokens"),
-        TextAnalysis.stopwordRatio(toks).as("stop_ratio"),
-        TextAnalysis.meanTokenLen(col("text"), toks).as("mean_token_len"),
-        TextAnalysis.qualityOk(toks, minTokens = 10, maxTokens = 100000,
-          minStopRatio = 0.01).as("quality_ok"))
-    }),
+    // quality scoring (explode + codegen conditional sums)
+    "x10_quality" -> ((s, d) =>
+      TextAnalysis.qualityByDoc(Tables.documents(s, d), "doc_id", "text",
+        minTokens = 10, maxTokens = 100000, minStopRatio = 0.01)),
 
     // token counting: whitespace + BPE-ish regex
     "x11_token_counts" -> ((s, d) =>

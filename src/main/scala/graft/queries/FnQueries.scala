@@ -119,6 +119,15 @@ object FnQueries {
         col("c_custkey"),
         ColumnFns.tzFromLon(col("c_custkey") % 360 - 180).as("tz"))),
 
+    // F16 real polygon lookup: broadcast grid-indexed zone dim +
+    // codegen ray-cast point-in-polygon, nautical fallback off-zone
+    "f16b_tz_polygon" -> ((s, d) =>
+      graft.functions.GeoTz.tzForPoints(
+        Tables.customer(s, d).select(col("c_custkey"),
+          (col("c_custkey") % 360 - 180).cast("double").as("lon"),
+          (col("c_custkey") % 160 - 80).cast("double").as("lat")),
+        "c_custkey", "lon", "lat")),
+
     // F17 JSON serialize (providers.js:99)
     "f17_to_json" -> ((s, d) =>
       Tables.events(s, d).select(
@@ -196,6 +205,42 @@ object FnQueries {
         .agg(count(lit(1)).as("n"))
         .select(date_format(col("w.start"), TS).as("window_start"),
           col("n"))))
+
+  /** F16 polygon-lookup oracle: the zone dim inlines as VALUES from the
+    * same [[graft.functions.GeoTz.zones]] constants, and the ray-cast
+    * replays [[graft.plans.PointInPolygon]]'s float expression with
+    * identical operand order (edge = vertex i vs previous vertex), so
+    * in/out decisions are bit-identical.  The polygon data has no
+    * horizontal edges, so the non-short-circuiting CASE never divides
+    * by zero. */
+  private val f16bSql: String = {
+    val polyValues = graft.functions.GeoTz.zones.map { case (tz, xs, ys) =>
+      s"('$tz', [${xs.mkString(", ")}], [${ys.mkString(", ")}])"
+    }.mkString(",\n  ")
+    val prev = "CASE WHEN i = 1 THEN len(xs) ELSE i - 1 END"
+    s"""WITH pts AS (SELECT c_custkey,
+       |               CAST(c_custkey % 360 - 180 AS DOUBLE) AS px,
+       |               CAST(c_custkey % 160 - 80 AS DOUBLE) AS py
+       |             FROM customer),
+       |polys(tz, xs, ys) AS (VALUES
+       |  $polyValues),
+       |cr AS (SELECT c_custkey, tz,
+       |         list_sum(list_transform(generate_series(1, len(xs)), i ->
+       |           CASE WHEN ((ys[i] > py) <> (ys[$prev] > py))
+       |                 AND px < (xs[$prev] - xs[i]) * (py - ys[i])
+       |                          / (ys[$prev] - ys[i]) + xs[i]
+       |           THEN 1 ELSE 0 END)) AS k
+       |       FROM pts CROSS JOIN polys),
+       |m AS (SELECT c_custkey, min(tz) AS ptz FROM cr WHERE k % 2 = 1
+       |      GROUP BY 1)
+       |SELECT p.c_custkey,
+       |       coalesce(m.ptz,
+       |         concat('UTC', CASE WHEN o >= 0 THEN concat('+', o)
+       |                            ELSE CAST(o AS VARCHAR) END)) AS tz
+       |FROM (SELECT c_custkey, CAST(round(px / 15.0, 0) AS INT) AS o
+       |      FROM pts) p
+       |LEFT JOIN m USING (c_custkey)""".stripMargin
+  }
 
   val sql: Map[String, String] = Map(
     "f1_unit_normalize" ->
@@ -276,6 +321,7 @@ object FnQueries {
         |  SELECT c_custkey,
         |         CAST(round((c_custkey % 360 - 180) / 15.0, 0) AS INT) AS o
         |  FROM customer)""".stripMargin,
+    "f16b_tz_polygon" -> f16bSql,
     "f17_to_json" ->
       """SELECT event_id,
         |       concat('{"id":', event_id, ',"t":"', event_type, '"}') AS doc

@@ -29,12 +29,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * Usage:
   *   spark.read.format("graft-fixture").schema(s).load(path)
   *
-  * Scale note: rows ship to executors via `partitions` (default 4)
-  * InputPartitions — the connector boundary stays the same whether the
-  * payload is one HTTP response or a paged fan-out; large corpora
-  * would instead map each page/device cohort to one InputPartition so
-  * fetching itself parallelizes (the reference's `pLimit(10)` becomes
-  * task parallelism).
+  * Two layouts:
+  *  - `path` = one recorded response file → the "fetch" runs
+  *    driver-side (like the reference's single `request()`), rows split
+  *    round-robin into `partitions` (default 4) InputPartitions;
+  *  - `path` = a DIRECTORY of page files (`page-*.jsonl`, one per
+  *    HTTP page / device cohort) → ONE InputPartition PER PAGE, and
+  *    each page is fetched+parsed+filtered ON ITS EXECUTOR TASK.  This
+  *    is the scale path: the reference's driver-side `pLimit(10)`
+  *    concurrency cap becomes genuine task parallelism — 10 000 pages
+  *    are 10 000 tasks the scheduler spreads over the cluster, with
+  *    pushed filters and pruned columns applied inside each task
+  *    before a single row is materialized.
   */
 class HttpFixtureSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -60,9 +66,41 @@ object HttpFixtureSource {
   import org.json4s._
   import org.json4s.jackson.JsonMethods
 
+  /** Page files of a directory payload, deterministically ordered. */
+  def pageFiles(path: String): Option[Seq[String]] = {
+    val f = new java.io.File(path)
+    if (!f.isDirectory) None
+    else Some(f.listFiles().toSeq
+      .filter(p => p.getName.endsWith(".json") || p.getName.endsWith(".jsonl"))
+      .map(_.getAbsolutePath).sorted)
+  }
+
   def readLines(path: String): Seq[String] =
+    pageFiles(path) match {
+      case Some(pages) => pages.headOption.map(readFileLines).getOrElse(Seq.empty)
+      case None => readFileLines(path)
+    }
+
+  private def readFileLines(path: String): Seq[String] =
     java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
       .asScala.toSeq.filter(_.trim.nonEmpty)
+
+  /** Executor-side page scan: fetch → parse → pushed filters → prune,
+    * all inside the task that owns the page. */
+  def scanPage(file: String, fullSchema: StructType, required: StructType,
+               pushed: Array[Filter]): Iterator[Array[Any]] = {
+    val names = fullSchema.fieldNames
+    readFileLines(file).iterator
+      .map(l => parse(l, fullSchema))
+      .filter { vals =>
+        val m = names.zip(vals).toMap
+        pushed.forall(accepts(_, m))
+      }
+      .map { vals =>
+        val m = names.zip(vals).toMap
+        required.fieldNames.map(m(_))
+      }
+  }
 
   /** First-record type inference: long / double / boolean / string. */
   def infer(lines: Seq[String]): StructType = {
@@ -174,44 +212,53 @@ class FixtureScan(fullSchema: StructType, required: StructType,
     s"graft-fixture pushed=[${pushed.mkString(",")}] " +
       s"columns=[${required.fieldNames.mkString(",")}]"
 
-  /** The "HTTP fetch": runs on the driver (like the reference's
+  /** Partition planning.  Paged directory → one InputPartition per
+    * page, fetched lazily executor-side.  Single recorded response →
+    * the "HTTP fetch" runs on the driver (like the reference's
     * `request()`), applies pushed filters + pruning API-side, then
     * splits rows round-robin into InputPartitions. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val lines = HttpFixtureSource.readLines(path)
-    val names = fullSchema.fieldNames
-    val keep = lines.iterator
-      .map(l => HttpFixtureSource.parse(l, fullSchema))
-      .filter { vals =>
-        val m = names.zip(vals).toMap
-        pushed.forall(HttpFixtureSource.accepts(_, m))
-      }
-      .map { vals =>
-        val m = names.zip(vals).toMap
-        required.fieldNames.map(m(_))
-      }.toArray
-    val n = math.max(1, math.min(partitions, keep.length))
-    (0 until n).map(i =>
-      FixturePartition(keep.zipWithIndex.collect {
-        case (r, j) if j % n == i => r
-      }): InputPartition).toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    HttpFixtureSource.pageFiles(path) match {
+      case Some(pages) =>
+        pages.map(p => FixturePagePartition(p): InputPartition).toArray
+      case None =>
+        val keep = HttpFixtureSource
+          .scanPage(path, fullSchema, required, pushed).toArray
+        val n = math.max(1, math.min(partitions, keep.length))
+        (0 until n).map(i =>
+          FixturePartition(keep.zipWithIndex.collect {
+            case (r, j) if j % n == i => r
+          }): InputPartition).toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FixtureReaderFactory(required)
+    new FixtureReaderFactory(fullSchema, required, pushed)
 }
 
 case class FixturePartition(rows: Array[Array[Any]]) extends InputPartition
+case class FixturePagePartition(file: String) extends InputPartition
 
-class FixtureReaderFactory(schema: StructType)
+class FixtureReaderFactory(fullSchema: StructType, required: StructType,
+                           pushed: Array[Filter])
     extends PartitionReaderFactory {
+
+  private def rowIterator(p: InputPartition): Iterator[Array[Any]] = p match {
+    case FixturePartition(rows) => rows.iterator
+    case FixturePagePartition(file) => // fetch happens HERE, in the task
+      HttpFixtureSource.scanPage(file, fullSchema, required, pushed)
+    case other =>
+      throw new IllegalArgumentException(s"unexpected partition: $other")
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val rows = p.asInstanceOf[FixturePartition].rows
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
+      private val rows = rowIterator(p)
+      private var cur: Array[Any] = _
+      override def next(): Boolean = {
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      }
       override def get(): InternalRow =
-        InternalRow.fromSeq(rows(i).toIndexedSeq.map {
+        InternalRow.fromSeq(cur.toIndexedSeq.map {
           case s: String => UTF8String.fromString(s)
           case v => v
         })

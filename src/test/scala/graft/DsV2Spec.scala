@@ -29,6 +29,29 @@ class DsV2Spec extends SparkSpec {
     assert(rows.toSeq == Seq((456L, 7.0), (999L, 12.5)))
   }
 
+  test("paged payload: one InputPartition per page, pushdown applied in-task") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pages_").toString
+    (0 until 3).foreach { p =>
+      val lines = (0 until 4).map(i =>
+        s"""{"sensor_index": ${p * 10 + i}, "pm25": ${i * 2.0}, "name": "pg$p-$i"}""")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/page-00$p.jsonl"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val df = spark.read.format("graft-fixture").load(dir)
+    assert(df.rdd.getNumPartitions == 3,
+      "each page must map to its own InputPartition (task-parallel fetch)")
+    assert(df.count() == 12)
+    val filtered = df.filter($"pm25" > 3.0).select($"sensor_index")
+    val scan = filtered.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get
+    val desc = scan.scan.description()
+    assert(desc.contains("GreaterThan(pm25,3.0)"), desc)
+    assert(desc.contains("columns=[sensor_index]"), desc)
+    assert(filtered.rdd.getNumPartitions == 3)
+    assert(filtered.count() == 6) // pm25 ∈ {4.0, 6.0} per page
+  }
+
   test("unsupported predicates fall back to post-scan evaluation") {
     val df = spark.read.format("graft-fixture").load(path)
       .filter(substring($"name", 6, 1) === "A") // not connector-pushable

@@ -196,6 +196,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getBoolean(2))
   }
 
+  test("langIdByDoc / qualityByDoc (explode plans) equal the expression folds") {
+    val docs = Tables.documents(spark, sf0001)
+    val fastLang = TextAnalysis.langIdByDoc(docs, "doc_id", "text")
+    val refLang = docs.select($"doc_id",
+      TextAnalysis.langId(TextAnalysis.tokens($"text")).as("lang_pred"))
+    assert(fastLang.except(refLang).count() == 0 &&
+      refLang.except(fastLang).count() == 0)
+    val fastQ = TextAnalysis.qualityByDoc(docs, "doc_id", "text", 10, 100000, 0.01)
+    val toks = TextAnalysis.tokens($"text")
+    val refQ = docs.select($"doc_id",
+      TextAnalysis.nTokens(toks).as("n_tokens"),
+      TextAnalysis.stopwordRatio(toks).as("stop_ratio"),
+      TextAnalysis.meanTokenLen($"text", toks).as("mean_token_len"),
+      TextAnalysis.qualityOk(toks, 10, 100000, 0.01).as("quality_ok"))
+    assert(fastQ.except(refQ).count() == 0 && refQ.except(fastQ).count() == 0)
+  }
+
   test("token counts: whitespace vs BPE-ish") {
     val r = Seq("hello world42 foo-bar").toDF("t")
       .select(TextAnalysis.nTokens(TextAnalysis.tokens($"t")),

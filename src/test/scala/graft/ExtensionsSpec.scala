@@ -81,6 +81,50 @@ class ExtensionsSpec extends SparkSpec {
     assert(r == 2)
   }
 
+  test("PointInPolygon: convex, concave notch, outside, SQL registration") {
+    import graft.plans.PointInPolygon.pointInPolygon
+    // concave Asia/Shanghai ring from the GeoTz dim
+    val (_, xs, ys) = graft.functions.GeoTz.zones.find(_._1 == "Asia/Shanghai").get
+    val pts = Seq(
+      (80.0, 25.0, true),   // plainly inside
+      (110.0, 40.0, false), // inside bbox but in the concave notch
+      (80.0, 25.0, true),
+      (60.0, 25.0, false),  // west of the ring
+      (80.0, 50.0, false)   // north of the ring
+    ).toDF("px", "py", "want")
+    val wrong = pts
+      .withColumn("got", pointInPolygon(col("px"), col("py"),
+        typedLit(xs), typedLit(ys)))
+      .filter(col("got") =!= col("want")).count()
+    assert(wrong == 0)
+    // SQL registration via GraftExtensions
+    val r = spark.sql(
+      "SELECT point_in_polygon(0.5D, 0.5D, array(0D,1D,1D,0D), array(0.1D,0.2D,1.1D,1.2D))")
+      .first().getBoolean(0)
+    assert(r)
+  }
+
+  test("GeoTz polygon lookup: zone hit, concave miss, nautical fallback") {
+    val pts = Seq(
+      (1L, -75.0, 40.0),   // America/New_York
+      (2L, 10.0, 50.0),    // Europe/Berlin
+      (3L, 80.0, 25.0),    // Asia/Shanghai
+      (4L, 110.0, 40.0),   // in Shanghai bbox but inside the notch → fallback
+      (5L, 0.0, 0.0),      // ocean → fallback UTC+0
+      (6L, 150.0, -30.0),  // Australia/Sydney
+      (7L, -170.0, 10.0)   // ocean far west → UTC-11
+    ).toDF("id", "lon", "lat")
+    val got = graft.functions.GeoTz.tzForPoints(pts, "id", "lon", "lat")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "America/New_York")
+    assert(got(2L) == "Europe/Berlin")
+    assert(got(3L) == "Asia/Shanghai")
+    assert(got(4L) == "UTC+7")
+    assert(got(5L) == "UTC+0")
+    assert(got(6L) == "Australia/Sydney")
+    assert(got(7L) == "UTC-11")
+  }
+
   test("PushNanosEquivFilter restores range pushdown on nano timestamps") {
     val q = Tables.events(spark, sf0001)
       .filter(col("ts").between(lit("2024-01-03 00:00:00"),
