@@ -23,10 +23,26 @@ object Scheduler {
   case class RunResult(provider: String, ok: Boolean,
                        summary: Option[DataFrame], error: Option[String])
 
+  /** K5 — the reference's SNS notification boundary as a callback
+    * interface: `providers.js:59-71` publishes a run summary to the
+    * success topic, `fetcher/index.js:29-33` routes failures to the
+    * error topic.  Users attach a listener to wire those side channels
+    * (metrics, alerting, a real SNS client) without touching the data
+    * plane; the default is a no-op. */
+  trait RunListener {
+    /** Success topic: per-source run summary (K5 shape — source_name,
+      * locations, measures, from, to). */
+    def onSuccess(provider: String, summary: DataFrame): Unit = ()
+    /** Error topic: per-source failure with the captured cause. */
+    def onError(provider: String, error: Throwable): Unit = ()
+  }
+  object NoopListener extends RunListener
+
   /** One scheduler tick for a frequency class ("minute"|"hour"|"day").
     * `inputs` maps provider name → recorded payload path. */
   def runDue(spark: SparkSession, configDir: String, frequency: String,
-             inputs: Map[String, String], outDir: String): Seq[RunResult] = {
+             inputs: Map[String, String], outDir: String,
+             listener: RunListener = NoopListener): Seq[RunResult] = {
     val due = Ingest.readSourceConfigs(spark, configDir)
       .filter(col("frequency") === frequency)
       .select(col("provider")).collect().map(_.getString(0)).toSeq.sorted
@@ -35,9 +51,11 @@ object Scheduler {
         val input = inputs.getOrElse(provider,
           throw new IllegalArgumentException(s"no recorded input for $provider"))
         val summary = Pipelines.processor(spark, provider, input, outDir)
+        listener.onSuccess(provider, summary)
         RunResult(provider, ok = true, Some(summary), None)
       } catch {
         case e: Exception =>
+          listener.onError(provider, e)
           RunResult(provider, ok = false, None, Some(e.getMessage))
       }
     }

@@ -42,6 +42,43 @@ import org.apache.spark.unsafe.types.UTF8String
   *    pushed filters and pruned columns applied inside each task
   *    before a single row is materialized.
   */
+/** The reference's `request()` boundary (`utils.js:3`): URL, query
+  * params, API-key headers, and gzip handling live behind this
+  * interface.  This build ships the recorded-payload implementation
+  * (zero-egress environment); a production build registers an
+  * HTTP-client implementation by class name via the `fetcher` option —
+  * the DSv2 data plane (pushdown, page partitioning, in-task fetch) is
+  * identical either way. */
+trait PageFetcher extends Serializable {
+  def fetch(req: PageRequest): Seq[String]
+}
+
+case class PageRequest(url: String,
+                       params: Map[String, String] = Map.empty,
+                       headers: Map[String, String] = Map.empty)
+
+/** Recorded-payload fetcher: local replay with transparent gzip
+  * (the reference's gzip-aware body handling, `utils.js:18-24`). */
+class FixtureFetcher extends PageFetcher {
+  override def fetch(req: PageRequest): Seq[String] = {
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(req.url))
+    val bytes =
+      if (req.url.endsWith(".gz")) {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw))
+        val out = in.readAllBytes(); in.close(); out
+      } else raw
+    new String(bytes, "UTF-8").split("\n").toSeq.filter(_.trim.nonEmpty)
+  }
+}
+
+object PageFetcher {
+  def instantiate(className: String): PageFetcher =
+    Class.forName(className).getDeclaredConstructor()
+      .newInstance().asInstanceOf[PageFetcher]
+}
+
 class HttpFixtureSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
 
@@ -49,48 +86,55 @@ class HttpFixtureSource extends TableProvider
 
   override def supportsExternalMetadata(): Boolean = true
 
+  private def fetcherOf(get: String => String): String =
+    Option(get("fetcher")).getOrElse(classOf[FixtureFetcher].getName)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     HttpFixtureSource.infer(HttpFixtureSource.readLines(
       Option(options.get("path")).getOrElse(
-        throw new IllegalArgumentException("path option required"))))
+        throw new IllegalArgumentException("path option required")),
+      PageFetcher.instantiate(fetcherOf(options.get))))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new FixtureTable(schema,
       Option(properties.get("path")).getOrElse(
         throw new IllegalArgumentException("path option required")),
-      Option(properties.get("partitions")).map(_.toInt).getOrElse(4))
+      Option(properties.get("partitions")).map(_.toInt).getOrElse(4),
+      fetcherOf(properties.get))
 }
 
 object HttpFixtureSource {
   import org.json4s._
   import org.json4s.jackson.JsonMethods
 
+  private val pageExts = Seq(".json", ".jsonl", ".json.gz", ".jsonl.gz")
+
   /** Page files of a directory payload, deterministically ordered. */
   def pageFiles(path: String): Option[Seq[String]] = {
     val f = new java.io.File(path)
     if (!f.isDirectory) None
     else Some(f.listFiles().toSeq
-      .filter(p => p.getName.endsWith(".json") || p.getName.endsWith(".jsonl"))
+      .filter(p => pageExts.exists(p.getName.endsWith))
       .map(_.getAbsolutePath).sorted)
   }
 
-  def readLines(path: String): Seq[String] =
+  def readLines(path: String,
+                fetcher: PageFetcher = new FixtureFetcher): Seq[String] =
     pageFiles(path) match {
-      case Some(pages) => pages.headOption.map(readFileLines).getOrElse(Seq.empty)
-      case None => readFileLines(path)
+      case Some(pages) =>
+        pages.headOption.map(p => fetcher.fetch(PageRequest(p)))
+          .getOrElse(Seq.empty)
+      case None => fetcher.fetch(PageRequest(path))
     }
-
-  private def readFileLines(path: String): Seq[String] =
-    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
-      .asScala.toSeq.filter(_.trim.nonEmpty)
 
   /** Executor-side page scan: fetch → parse → pushed filters → prune,
     * all inside the task that owns the page. */
   def scanPage(file: String, fullSchema: StructType, required: StructType,
-               pushed: Array[Filter]): Iterator[Array[Any]] = {
+               pushed: Array[Filter],
+               fetcher: PageFetcher): Iterator[Array[Any]] = {
     val names = fullSchema.fieldNames
-    readFileLines(file).iterator
+    fetcher.fetch(PageRequest(file)).iterator
       .map(l => parse(l, fullSchema))
       .filter { vals =>
         val m = names.zip(vals).toMap
@@ -170,17 +214,19 @@ object HttpFixtureSource {
   }
 }
 
-class FixtureTable(tableSchema: StructType, path: String, partitions: Int)
+class FixtureTable(tableSchema: StructType, path: String, partitions: Int,
+                   fetcherClass: String)
     extends Table with SupportsRead {
   override def name(): String = s"graft-fixture($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FixtureScanBuilder(tableSchema, path, partitions)
+    new FixtureScanBuilder(tableSchema, path, partitions, fetcherClass)
 }
 
-class FixtureScanBuilder(fullSchema: StructType, path: String, partitions: Int)
+class FixtureScanBuilder(fullSchema: StructType, path: String,
+                         partitions: Int, fetcherClass: String)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -199,11 +245,13 @@ class FixtureScanBuilder(fullSchema: StructType, path: String, partitions: Int)
     required = requiredSchema
 
   override def build(): Scan =
-    new FixtureScan(fullSchema, required, pushed, path, partitions)
+    new FixtureScan(fullSchema, required, pushed, path, partitions,
+      fetcherClass)
 }
 
 class FixtureScan(fullSchema: StructType, required: StructType,
-                  pushed: Array[Filter], path: String, partitions: Int)
+                  pushed: Array[Filter], path: String, partitions: Int,
+                  fetcherClass: String)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -223,7 +271,8 @@ class FixtureScan(fullSchema: StructType, required: StructType,
         pages.map(p => FixturePagePartition(p): InputPartition).toArray
       case None =>
         val keep = HttpFixtureSource
-          .scanPage(path, fullSchema, required, pushed).toArray
+          .scanPage(path, fullSchema, required, pushed,
+            PageFetcher.instantiate(fetcherClass)).toArray
         val n = math.max(1, math.min(partitions, keep.length))
         (0 until n).map(i =>
           FixturePartition(keep.zipWithIndex.collect {
@@ -232,20 +281,21 @@ class FixtureScan(fullSchema: StructType, required: StructType,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FixtureReaderFactory(fullSchema, required, pushed)
+    new FixtureReaderFactory(fullSchema, required, pushed, fetcherClass)
 }
 
 case class FixturePartition(rows: Array[Array[Any]]) extends InputPartition
 case class FixturePagePartition(file: String) extends InputPartition
 
 class FixtureReaderFactory(fullSchema: StructType, required: StructType,
-                           pushed: Array[Filter])
+                           pushed: Array[Filter], fetcherClass: String)
     extends PartitionReaderFactory {
 
   private def rowIterator(p: InputPartition): Iterator[Array[Any]] = p match {
     case FixturePartition(rows) => rows.iterator
     case FixturePagePartition(file) => // fetch happens HERE, in the task
-      HttpFixtureSource.scanPage(file, fullSchema, required, pushed)
+      HttpFixtureSource.scanPage(file, fullSchema, required, pushed,
+        PageFetcher.instantiate(fetcherClass))
     case other =>
       throw new IllegalArgumentException(s"unexpected partition: $other")
   }

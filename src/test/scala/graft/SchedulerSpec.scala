@@ -37,6 +37,30 @@ class SchedulerSpec extends SparkSpec {
     assert(new java.io.File(s"$out/measures/purpleair").exists())
   }
 
+  test("K5 run listener receives success and error topic events") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sns_").toString
+    val ok = scala.collection.mutable.ArrayBuffer[String]()
+    val failed = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val listener = new Scheduler.RunListener {
+      override def onSuccess(provider: String,
+                             summary: org.apache.spark.sql.DataFrame): Unit = {
+        ok += provider
+        // the success payload is the K5 summary shape
+        assert(summary.columns.toSeq ==
+          Seq("source_name", "locations", "measures", "from", "to"))
+        ()
+      }
+      override def onError(provider: String, error: Throwable): Unit = {
+        failed += provider -> error.getMessage; ()
+      }
+    }
+    Scheduler.runDue(spark, configDir, "hour",
+      Map("purpleair" -> fixture("purpleair.json")), out, listener)
+    assert(ok.toSeq == Seq("purpleair"))
+    assert(failed.map(_._1).toSeq == Seq("habitatmap"))
+    assert(failed.head._2.contains("no recorded input"))
+  }
+
   test("minute tick runs clarity alone (frequency classes)") {
     val out = java.nio.file.Files.createTempDirectory("graft_sched2_").toString
     val results = Scheduler.runDue(spark, configDir, "minute",
