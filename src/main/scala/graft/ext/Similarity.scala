@@ -164,6 +164,67 @@ object Similarity {
       .select(col("a"), col("b"), col("score"))
   }
 
+  /** IVF-style ANN: coarse quantizer + probed-cell search — the
+    * inverted-file counterpart to [[lshTopK]] (the two standard
+    * sublinear ANN layouts).
+    *
+    *  1. centroids = the `nlist` lowest-id corpus vectors (a
+    *     deterministic stand-in for a k-means codebook — the operator
+    *     shape is identical, and determinism is what lets the SQL
+    *     oracle replay cell assignment exactly);
+    *  2. every corpus vector assigns to its nearest centroid by cosine
+    *     (corpus × broadcast-centroids, argmax per vector) — at scale
+    *     this is ONE narrow pass over the corpus against a tiny
+    *     broadcast table, and the resulting (cell, vector) layout is
+    *     the partition-pruning structure: a cell is a partition key;
+    *  3. queries probe their `nprobe` nearest centroids and re-rank
+    *     exactly within the probed cells only — candidates shrink by
+    *     ~nlist/nprobe versus a full scan.
+    *
+    * Ranking keys round to 6 decimals with id tiebreaks throughout, so
+    * results are stable across engines and partitionings; recall vs
+    * [[bruteForceTopK]] is measured in the test suite. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              dim: Int = 64, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = withNorm(corpus, "c_id", "c")
+    val q = withNorm(queries, "q_id", "q")
+    // lowest-id selection is a distributed TakeOrdered (top-k), NOT a
+    // global-sort window — stays scale-safe
+    val cent = withNorm(corpus, "cell", "cv")
+      .orderBy(col("cell").asc).limit(nlist)
+    // (2) corpus→cell assignment: narrow pass vs broadcast centroids
+    val wc = Window.partitionBy(col("c_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val assigned = c.crossJoin(broadcast(cent))
+      .withColumn("csim", round(
+        dotExpanded(col("c"), col("cv"), dim) /
+          (col("c_norm") * col("cv_norm")), 6))
+      .withColumn("__rk", row_number().over(wc))
+      .filter(col("__rk") === 1)
+      .select(col("cell"), col("c_id"), col("c"), col("c_norm"))
+    // (3) query probes: nprobe nearest cells per query
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("qsim").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("qsim", round(
+        dotExpanded(col("q"), col("cv"), dim) /
+          (col("q_norm") * col("cv_norm")), 6))
+      .withColumn("__rk", row_number().over(wq))
+      .filter(col("__rk") <= nprobe)
+      .select(col("q_id"), col("q"), col("q_norm"), col("cell"))
+    // exact re-rank within probed cells
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id").asc)
+    probes.join(assigned, "cell")
+      .withColumn("score", round(
+        dotExpanded(col("q"), col("c"), dim) /
+          (col("q_norm") * col("c_norm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("score"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucket-blocked: the
     * corpus is bucketed by random-hyperplane signature ([[hyperplaneSig]]),
     * pairs form ONLY within a bucket via a hash-partitioned equi

@@ -72,6 +72,16 @@ object ExtQueries {
         k = 10, dim = 64, planes = 4)
     }),
 
+    // IVF ANN: coarse-quantizer cells + nprobe probing (the inverted-
+    // file counterpart to x7's LSH; deterministic centroids → oracle
+    // replays cell assignment exactly)
+    "x17_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") < 8), e.filter(col("vec_id") >= 8),
+        k = 10, dim = 64, nlist = 16, nprobe = 4)
+    }),
+
     // embedding-cosine near-duplicate pairs, LSH-bucket-blocked (no
     // driver collect / broadcast; deterministic buckets → oracle
     // replays them; recall vs exact measured in SimilaritySpec)
@@ -233,9 +243,42 @@ object ExtQueries {
        |  FROM scored) WHERE rank <= 10""".stripMargin
   }
 
+  /** IVF oracle: replays centroid selection (lowest-id LIMIT),
+    * cell assignment argmax, nprobe probing, and in-cell re-rank with
+    * the same rounding/tiebreak keys (nlist=16, nprobe=4, k=10). */
+  private val x17Sql: String = {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    def cos(a: String, b: String): String =
+      s"round(${dot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}), 6)"
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings
+       |           WHERE vec_id < 8),
+       |cs AS (SELECT vec_id AS c_id, embedding AS c FROM embeddings
+       |       WHERE vec_id >= 8),
+       |cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+       |         WHERE vec_id >= 8 ORDER BY vec_id ASC LIMIT 16),
+       |asg AS (SELECT cell, c_id, c FROM (
+       |  SELECT cent.cell, cs.c_id, cs.c,
+       |         row_number() OVER (PARTITION BY cs.c_id
+       |           ORDER BY ${cos("cs.c", "cent.cv")} DESC, cent.cell ASC) AS rk
+       |  FROM cs CROSS JOIN cent) WHERE rk = 1),
+       |pr AS (SELECT q_id, q, cell FROM (
+       |  SELECT q.q_id, q.q, cent.cell,
+       |         row_number() OVER (PARTITION BY q.q_id
+       |           ORDER BY ${cos("q.q", "cent.cv")} DESC, cent.cell ASC) AS rk
+       |  FROM q CROSS JOIN cent) WHERE rk <= 4),
+       |scored AS (SELECT q_id, c_id, ${cos("q", "c")} AS score
+       |           FROM pr JOIN asg USING (cell))
+       |SELECT q_id, c_id, score, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY score DESC, c_id ASC) AS rank
+       |  FROM scored) WHERE rank <= 10""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "x3_minhash_lsh_pairs" -> x3Sql,
     "x7_ann_lsh" -> x7Sql,
+    "x17_ann_ivf" -> x17Sql,
     "x1_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies

@@ -126,6 +126,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0)
   }
 
+  test("IVF ANN: exact scores, recall grows with nprobe, full probe = " +
+    "brute force (sf0.001)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 8)
+    val c = e.filter($"vec_id" >= 8)
+    val brute = Similarity.bruteForceTopK(q, c, 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val ivf4 = Similarity.ivfTopK(q, c, 10, nlist = 16, nprobe = 4)
+    // scores in IVF output equal exact cosine (re-rank is exact)
+    val all = Similarity.bruteForceTopK(q, c, Int.MaxValue)
+    val wrong = ivf4.as("l").join(all.as("b"),
+      $"l.q_id" === $"b.q_id" && $"l.c_id" === $"b.c_id")
+      .filter(abs($"l.score" - $"b.score") > 1e-9).count()
+    assert(wrong == 0)
+    val r4 = brute.count(pairs(ivf4).contains).toDouble / brute.size
+    val r16 = brute.count(pairs(
+      Similarity.ivfTopK(q, c, 10, nlist = 16, nprobe = 16)).contains)
+      .toDouble / brute.size
+    info(s"IVF recall@10: nprobe=4 → $r4, nprobe=16 (all cells) → $r16")
+    assert(r4 > 0.0 && r4 <= r16)
+    // probing every cell searches the whole corpus → identical to brute
+    assert(r16 == 1.0)
+  }
+
   test("bucketed cosine near-dup: subset of exact pairs, scores identical, " +
     "distributed plan (sf0.001)") {
     val e = Tables.embeddings(spark, sf0001)
