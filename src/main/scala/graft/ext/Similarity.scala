@@ -226,31 +226,48 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH-bucket-blocked: the
-    * corpus is bucketed by random-hyperplane signature ([[hyperplaneSig]]),
-    * pairs form ONLY within a bucket via a hash-partitioned equi
-    * self-join, and each candidate is scored exactly with the codegen'd
-    * expanded dot product.  This is the 100 TB shape: no driver
+    * corpus is bucketed by random-hyperplane signature
+    * ([[hyperplaneSig]]), buckets hash-partition across executors, and
+    * each bucket's pairs are scored exactly by a primitive numeric
+    * kernel inside its own task.  This is the 100 TB shape: no driver
     * collect, no broadcast, no cross join — candidate volume is
     * Σ_bucket n_b², corpus-sublinear for any corpus that spreads across
     * buckets, and `planes` tunes bucket granularity (more planes →
-    * smaller buckets → fewer candidates, lower recall).  Pairs whose
-    * members land in different buckets are missed — recall is measured
-    * against the exact [[cosineNearDupPairs]] in the test suite, and
-    * the pipeline is deterministic end-to-end (md5-derived plane
-    * signs), so the SQL oracle replays it exactly. */
+    * smaller buckets that must individually fit a task, fewer
+    * candidates, lower recall).  Pairs whose members land in different
+    * buckets are missed — recall is measured against the exact
+    * [[cosineNearDupPairs]] in the test suite, and the pipeline is
+    * deterministic end-to-end (md5-derived plane signs), so the SQL
+    * oracle replays it exactly. */
   def cosineNearDupPairsBucketed(corpus: DataFrame, threshold: Double,
                                  dim: Int = 64, planes: Int = 4): DataFrame = {
-    val v = withNorm(corpus, "id", "v")
-      .withColumn("bucket", hyperplaneSig(col("v"), dim, planes))
-    val a = v.select(col("bucket"), col("id").as("a"), col("v").as("va"),
-      col("v_norm").as("na"))
-    val b = v.select(col("bucket"), col("id").as("b"), col("v").as("vb"),
-      col("v_norm").as("nb"))
-    a.join(b, "bucket").filter(col("a") < col("b"))
-      .withColumn("score", round(
-        dotExpanded(col("va"), col("vb"), dim) / (col("na") * col("nb")), 6))
-      .filter(col("score") >= threshold)
-      .select(col("a"), col("b"), col("score"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // bucket signature map-side; one skinny shuffle partitions buckets
+    // across executors; each bucket's all-pairs scoring runs as a
+    // primitive double-array kernel inside its task (the same
+    // memory-bandwidth loop as [[cosinePairsKernel]] — a 64-term
+    // column expression in a join projection evaluates ~50× slower).
+    // Ascending-index accumulation + HALF_UP rounding keep scores
+    // bit-identical to the oracle's replay.
+    val v = corpus.select(col("vec_id").cast("long").as("id"),
+        hyperplaneSig(col("embedding"), dim, planes).as("bucket"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, String, Array[Double])]
+    v.groupByKey(_._2).flatMapGroups { (_, it) =>
+      val vecs = it.map { case (id, _, arr) =>
+        (id, arr, math.sqrt(blasDot(arr, arr)))
+      }.toArray.sortBy(_._1)
+      for {
+        i <- vecs.indices.iterator
+        j <- (i + 1) until vecs.length
+        (aId, av, na) = vecs(i)
+        (bId, bv, nb) = vecs(j)
+        s = blasDot(av, bv) / (na * nb)
+        r = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if r >= threshold
+      } yield (aId, bId, r)
+    }.toDF("a", "b", "score")
   }
 
   /** All-pairs cosine via a broadcast + mapPartitions numeric kernel.
