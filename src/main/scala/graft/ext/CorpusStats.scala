@@ -50,6 +50,34 @@ object CorpusStats {
       .groupBy(col(groupCol), col("split"))
       .agg(count(lit(1)).as("n"))
 
+  /** Greedy contiguous sequence packing: assign documents to
+    * fixed-token-budget training context packs.  Documents order
+    * deterministically by id within a (stream, shard) lane; a running
+    * token total places each doc in pack `floor(tokens_before/budget)`
+    * — the standard concat-and-chunk packing of LM data pipelines.
+    *
+    * Scale: the cumulative window partitions by (stream, shard), so
+    * parallelism is streams×shards, NOT streams — `shards` keeps lanes
+    * fine-grained enough that no window partition exceeds a task
+    * (packing is order-dependent ONLY within a lane by construction,
+    * so sharding changes which docs co-pack, never correctness). */
+  def packAssignments(docs: DataFrame, idCol: String, streamCol: String,
+                      textCol: String, budget: Int,
+                      shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = size(TextAnalysis.tokens(col(textCol)))
+    val w = Window.partitionBy(col(streamCol), col("shard"))
+      .orderBy(col(idCol))
+    docs.select(col(idCol), col(streamCol),
+        pmod(col(idCol), lit(shards)).cast("int").as("shard"),
+        n.as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col(streamCol), col("shard"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        floor((col("__cum") - col("n_tokens")) / budget.toDouble)
+          .cast("int").as("pack_id"))
+  }
+
   /** Top-k word bigrams: heavy-hitter n-grams across the corpus with a
     * deterministic (count desc, bigram asc) ranking.  Bigrams assemble
     * via posexplode + a lead window over token position — plain

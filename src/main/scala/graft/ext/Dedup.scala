@@ -242,6 +242,22 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: training documents sharing ≥1 word
+    * n-gram with an evaluation/benchmark set.  Both sides explode to
+    * (doc, shingle) rows ([[explodedShingles]] — codegen'd, the
+    * whole-text fallback covers sub-n docs); the benchmark shingle set
+    * deduplicates and drives a semi-join.  Scale shape: the benchmark
+    * side is eval-set-sized (thousands of docs → MBs of distinct
+    * shingles → AQE broadcasts it); the training side streams through
+    * one hash semi-join and never materializes anywhere. */
+  def contaminatedDocs(train: DataFrame, bench: DataFrame, idCol: String,
+                       textCol: String, n: Int): DataFrame = {
+    val t = explodedShingles(train, idCol, textCol, n)
+    val b = explodedShingles(bench, idCol, textCol, n)
+      .select(col("sh")).distinct()
+    t.join(b, Seq("sh"), "left_semi").select(col("doc_id")).distinct()
+  }
+
   /** 16-bit SimHash from md5 nibbles: per bit position b, sum ±1 over
     * tokens by whether hex nibble b of md5(token) has its high bit set;
     * fingerprint bit b = (sum > 0).  Engine-portable ('8' ≤ nibble char

@@ -93,14 +93,19 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               dim: Int = 64, planes: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qb = queries.select(col("vec_id").as("q_id"), col("embedding").as("q"),
-      hyperplaneSig(col("embedding"), dim, planes).as("bucket"))
-    val cb = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c"),
-      hyperplaneSig(col("embedding"), dim, planes).as("bucket"))
+    // norms/signatures compute once map-side; in-bucket scoring is the
+    // codegen'd expanded dot (same left-fold as [[cosine]], which as an
+    // interpreted HOF costs ~µs per candidate pair)
+    val qb = withNorm(queries, "q_id", "q")
+      .withColumn("bucket", hyperplaneSig(col("q"), dim, planes))
+    val cb = withNorm(corpus, "c_id", "c")
+      .withColumn("bucket", hyperplaneSig(col("c"), dim, planes))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("c_id").asc)
     qb.join(cb, "bucket")
-      .withColumn("score", round(cosine(col("q"), col("c")), 6))
+      .withColumn("score", round(
+        dotExpanded(col("q"), col("c"), dim) /
+          (col("q_norm") * col("c_norm")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("score"), col("rank"))

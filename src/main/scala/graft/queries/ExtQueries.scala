@@ -124,6 +124,21 @@ object ExtQueries {
       graft.ext.CorpusStats.topBigrams(Tables.documents(s, d),
         "text", k = 20)),
 
+    // greedy sequence packing into fixed-token-budget context packs
+    "x18_pack_assignments" -> ((s, d) =>
+      graft.ext.CorpusStats.packAssignments(Tables.documents(s, d),
+        "doc_id", "lang", "text", budget = 2048, shards = 8)),
+
+    // benchmark decontamination: train docs sharing a 5-gram with the
+    // (deterministic) benchmark subset
+    "x19_contaminated" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminatedDocs(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
     // multimodal metadata plumbing over opaque binary payloads
     "x13_multimodal_meta" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -385,6 +400,27 @@ object ExtQueries {
         |    AS bigram
         |  FROM documents)
         |GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+    "x18_pack_assignments" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS shard,
+        |             len(string_split(text, ' ')) AS n
+        |           FROM documents)
+        |SELECT doc_id, lang, shard, CAST(n AS INT) AS n_tokens,
+        |       CAST(floor((cum - n) / 2048.0) AS INT) AS pack_id
+        |FROM (SELECT *, SUM(n) OVER (PARTITION BY lang, shard
+        |                             ORDER BY doc_id) AS cum
+        |      FROM t)""".stripMargin,
+    "x19_contaminated" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |              ELSE list_transform(generate_series(1, len(toks) - 4),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                     || ' ' || toks[i+3] || ' ' || toks[i+4])
+        |         END AS sh FROM t),
+        |tr AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0),
+        |be AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0)
+        |SELECT DISTINCT tr.doc_id FROM tr JOIN be ON tr.s = be.s""".stripMargin,
     "x13_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
         |       md5(text) AS content_md5,

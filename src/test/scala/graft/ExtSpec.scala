@@ -53,6 +53,43 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95)
   }
 
+  test("sequence packing: lanes fill to budget, contiguous by id, " +
+    "oversize docs get their own pack boundary") {
+    val docs = Tables.documents(spark, sf0001)
+    val packs = graft.ext.CorpusStats.packAssignments(
+      docs, "doc_id", "lang", "text", budget = 2048, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    assert(packs.length == docs.count())
+    packs.groupBy(p => (p._2, p._3)).foreach { case (_, lane) =>
+      val sorted = lane.sortBy(_._1)
+      // pack ids are non-decreasing in id order and start at 0
+      assert(sorted.head._5 == 0)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => b._5 >= a._5; case _ => true })
+      // each pack's PRECEDING-doc total stays under budget (the doc
+      // that crosses the boundary opens the next pack)
+      sorted.groupBy(_._5).foreach { case (_, pk) =>
+        val withoutLast = pk.sortBy(_._1).dropRight(1).map(_._4).sum
+        assert(withoutLast < 2048)
+      }
+    }
+  }
+
+  test("decontamination: shared n-gram flags the doc, disjoint text passes") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),      // shares 5-gram
+      (2L, "one two three four five six seven"),        // disjoint
+      (3L, "alpha beta gamma delta epsilon")            // whole = bench prefix
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.contaminatedDocs(train, bench, "doc_id", "text", 5)
+      .as[Long].collect().toSet
+    assert(flagged == Set(1L, 3L))
+  }
+
   test("simhashFingerprints (explode plan) equals the expression fold") {
     val docs = Tables.documents(spark, sf0001)
     val fast = Dedup.simhashFingerprints(docs, "doc_id", "text")
