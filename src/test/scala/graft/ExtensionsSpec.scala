@@ -125,6 +125,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(7L) == "UTC-11")
   }
 
+  test("x18 packing and x17 IVF plans: every window is partitioned " +
+    "(no global sort funnels)") {
+    val packs = graft.ext.CorpusStats.packAssignments(
+      Tables.documents(spark, sf0001), "doc_id", "lang", "text", 2048, 8)
+    val pw = packs.queryExecution.analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(pw.isEmpty, "packing windows must partition by (stream, shard)")
+    val e = Tables.embeddings(spark, sf0001)
+    val ivf = graft.ext.Similarity.ivfTopK(
+      e.filter(col("vec_id") < 8), e.filter(col("vec_id") >= 8), 10)
+    val iw = ivf.queryExecution.analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(iw.isEmpty,
+      "IVF centroid selection must be TakeOrdered, not a global window")
+  }
+
   test("PushNanosEquivFilter restores range pushdown on nano timestamps") {
     val q = Tables.events(spark, sf0001)
       .filter(col("ts").between(lit("2024-01-03 00:00:00"),
