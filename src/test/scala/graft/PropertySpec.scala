@@ -80,6 +80,60 @@ class PropertySpec extends SparkSpec {
     assert(back.except(df).count() == 0 && df.except(back).count() == 0)
   }
 
+  test("PointInPolygon agrees with an independent half-plane test on " +
+    "random convex polygons") {
+    // reference algorithm: for a CCW convex ring, inside ⟺ the point
+    // is left of every directed edge (cross product ≥ 0) — a different
+    // decision procedure from the expression's ray casting
+    def insideConvex(px: Double, py: Double,
+                     xs: Seq[Double], ys: Seq[Double]): Boolean =
+      xs.indices.forall { i =>
+        val j = (i + 1) % xs.length
+        (xs(j) - xs(i)) * (py - ys(i)) - (ys(j) - ys(i)) * (px - xs(i)) > 0
+      }
+    val gen = for {
+      cx <- Gen.choose(-50.0, 50.0)
+      cy <- Gen.choose(-50.0, 50.0)
+      k <- Gen.choose(3, 9)
+      radii <- Gen.listOfN(k, Gen.choose(5.0, 20.0))
+      phase <- Gen.choose(0.0, math.Pi / k)
+      px <- Gen.choose(-80.0, 80.0)
+      py <- Gen.choose(-80.0, 80.0)
+    } yield {
+      // strictly increasing angles → simple convex-ish star; keep only
+      // truly convex rings below
+      val angles = (0 until k).map(i => phase + i * 2 * math.Pi / k)
+      val xs = angles.zip(radii).map { case (a, r) => cx + r * math.cos(a) }
+      val ys = angles.zip(radii).map { case (a, r) => cy + r * math.sin(a) }
+      (px, py, xs, ys)
+    }
+    val cases = samples(gen, 120).filter { case (_, _, xs, ys) =>
+      // convexity: every vertex left of the previous edge
+      xs.indices.forall { i =>
+        val j = (i + 1) % xs.length; val l = (i + 2) % xs.length
+        (xs(j) - xs(i)) * (ys(l) - ys(i)) -
+          (ys(j) - ys(i)) * (xs(l) - xs(i)) > 0
+      }
+    }.filter { case (px, py, xs, ys) =>
+      // skip boundary-grazing points where float tie-breaks may differ
+      // between the two algorithms
+      xs.indices.forall { i =>
+        val j = (i + 1) % xs.length
+        math.abs((xs(j) - xs(i)) * (py - ys(i)) -
+          (ys(j) - ys(i)) * (px - xs(i))) > 1e-6
+      }
+    }
+    assert(cases.nonEmpty)
+    val df = cases.toDF("px", "py", "xs", "ys")
+    val got = df.select(
+      graft.plans.PointInPolygon.pointInPolygon(
+        $"px", $"py", $"xs", $"ys")).as[Boolean].collect()
+    cases.zip(got).foreach { case ((px, py, xs, ys), g) =>
+      assert(g == insideConvex(px, py, xs, ys),
+        s"disagreement at ($px,$py) ring=${xs.zip(ys)}")
+    }
+  }
+
   test("diff-write idempotence: same content twice → second write empty (K1)") {
     samples(Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty)), 3).foreach {
       contents =>
