@@ -31,6 +31,24 @@ object CorpusStats {
         min(col(lenColName)).as("min_len"),
         max(col(lenColName)).as("max_len"))
 
+  /** The 100 TB variant of [[lengthStats]]: `approx_percentile`
+    * (KLL-style sketch) replaces the exact per-group value-list sort —
+    * constant memory per group, mergeable partials, same column
+    * contract.  `accuracy` trades sketch size for error
+    * (1/accuracy relative rank error; 10 000 ⇒ ±0.01%). */
+  def lengthStatsApprox(docs: DataFrame, groupCol: String,
+                        lenColName: String,
+                        accuracy: Int = 10000): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col(lenColName)), 2).as("mean_len"),
+        expr(s"approx_percentile($lenColName, 0.5, $accuracy)")
+          .cast("double").as("p50_len"),
+        expr(s"approx_percentile($lenColName, 0.95, $accuracy)")
+          .cast("double").as("p95_len"),
+        min(col(lenColName)).as("min_len"),
+        max(col(lenColName)).as("max_len"))
+
   /** Deterministic train/val/test assignment: bucket = first 8 hex of
     * md5(id || salt) as int mod 100.  Content-addressed, so the split
     * is stable under re-partitioning, re-runs, and incremental corpus

@@ -76,6 +76,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("approx length stats track exact within sketch tolerance") {
+    val docs = Tables.documents(spark, sf0001)
+    val exact = graft.ext.CorpusStats.lengthStats(docs, "lang", "n_chars")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = graft.ext.CorpusStats
+      .lengthStatsApprox(docs, "lang", "n_chars")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (lang, a) =>
+      val e = exact(lang)
+      // counts/min/max/mean identical; quantiles within a loose band
+      // (interpolated exact vs nearest-rank sketch on small groups)
+      assert(a.getLong(a.fieldIndex("n_docs")) == e.getLong(e.fieldIndex("n_docs")))
+      assert(a.getLong(a.fieldIndex("min_len")) == e.getLong(e.fieldIndex("min_len")))
+      assert(a.getLong(a.fieldIndex("max_len")) == e.getLong(e.fieldIndex("max_len")))
+      val p95e = e.getDouble(e.fieldIndex("p95_len"))
+      val p95a = a.getDouble(a.fieldIndex("p95_len"))
+      assert(math.abs(p95a - p95e) <= math.max(0.05 * p95e, 50.0),
+        s"$lang p95 approx=$p95a exact=$p95e")
+    }
+  }
+
   test("decontamination: shared n-gram flags the doc, disjoint text passes") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),      // shares 5-gram
