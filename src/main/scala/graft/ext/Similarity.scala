@@ -245,7 +245,8 @@ object Similarity {
     * deterministic end-to-end (md5-derived plane signs), so the SQL
     * oracle replays it exactly. */
   def cosineNearDupPairsBucketed(corpus: DataFrame, threshold: Double,
-                                 dim: Int = 64, planes: Int = 4): DataFrame = {
+                                 dim: Int = 64, planes: Int = 4,
+                                 blocks: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // bucket signature map-side; one skinny shuffle partitions buckets
@@ -255,24 +256,69 @@ object Similarity {
     // column expression in a join projection evaluates ~50× slower).
     // Ascending-index accumulation + HALF_UP rounding keep scores
     // bit-identical to the oracle's replay.
+    //
+    // blocks > 1 decomposes each bucket's pair space block-wise: a
+    // vector replicates to the `blocks` unordered block-pairs it joins,
+    // so a skewed mega-bucket's O(n²) work spreads over B(B+1)/2 tasks
+    // instead of pinning one (replication factor B on the skinny
+    // (id, vec) rows — the standard block-nested distribution trade).
+    // Results are identical for any `blocks`.
     val v = corpus.select(col("vec_id").cast("long").as("id"),
         hyperplaneSig(col("embedding"), dim, planes).as("bucket"),
         transform(col("embedding"), _.cast("double")).as("v"))
       .as[(Long, String, Array[Double])]
-    v.groupByKey(_._2).flatMapGroups { (_, it) =>
-      val vecs = it.map { case (id, _, arr) =>
-        (id, arr, math.sqrt(blasDot(arr, arr)))
-      }.toArray.sortBy(_._1)
-      for {
-        i <- vecs.indices.iterator
-        j <- (i + 1) until vecs.length
-        (aId, av, na) = vecs(i)
-        (bId, bv, nb) = vecs(j)
-        s = blasDot(av, bv) / (na * nb)
-        r = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        if r >= threshold
-      } yield (aId, bId, r)
-    }.toDF("a", "b", "score")
+
+    val tau = threshold
+    val pairs =
+      if (blocks <= 1) {
+        v.groupByKey(_._2).flatMapGroups { (_, it) =>
+          val vecs = it.map { case (id, _, arr) =>
+            (id, arr, math.sqrt(blasDot(arr, arr)))
+          }.toArray.sortBy(_._1)
+          for {
+            i <- vecs.indices.iterator
+            j <- (i + 1) until vecs.length
+            (aId, av, na) = vecs(i)
+            (bId, bv, nb) = vecs(j)
+            out <- Similarity.scoredPair(aId, av, na, bId, bv, nb, tau).iterator
+          } yield out
+        }
+      } else {
+        val b = blocks
+        v.flatMap { case (id, bkt, arr) =>
+          val mine = (java.lang.Long.hashCode(id) & Int.MaxValue) % b
+          (0 until b).map { other =>
+            val (i, j) = (math.min(mine, other), math.max(mine, other))
+            (s"$bkt|$i|$j", mine, id, arr)
+          }
+        }.groupByKey(_._1).flatMapGroups { (key, it) =>
+          val Array(_, is, js) = key.split('|')
+          val (bi, bj) = (is.toInt, js.toInt)
+          val rows = it.map { case (_, blk, id, arr) =>
+            (blk, id, arr, math.sqrt(blasDot(arr, arr)))
+          }.toArray
+          if (bi == bj) {
+            val vecs = rows.map { case (_, id, arr, n) => (id, arr, n) }
+              .sortBy(_._1)
+            for {
+              i <- vecs.indices.iterator
+              j <- (i + 1) until vecs.length
+              (aId, av, na) = vecs(i)
+              (bId, bv, nb) = vecs(j)
+              out <- Similarity.scoredPair(aId, av, na, bId, bv, nb, tau).iterator
+            } yield out
+          } else {
+            val left = rows.filter(_._1 == bi)
+            val right = rows.filter(_._1 == bj)
+            for {
+              (_, aId, av, na) <- left.iterator
+              (_, bId, bv, nb) <- right
+              out <- Similarity.scoredPair(aId, av, na, bId, bv, nb, tau).iterator
+            } yield out
+          }
+        }
+      }
+    pairs.toDF("a", "b", "score")
   }
 
   /** All-pairs cosine via a broadcast + mapPartitions numeric kernel.
@@ -321,5 +367,17 @@ object Similarity {
     var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
+  }
+
+  /** Kernel pair scorer (object-level so task closures call it
+    * statically instead of capturing method scope — a local def here
+    * would drag non-serializable driver state into the task). */
+  private def scoredPair(aId: Long, av: Array[Double], na: Double,
+                         bId: Long, bv: Array[Double], nb: Double,
+                         threshold: Double): Option[(Long, Long, Double)] = {
+    val s = blasDot(av, bv) / (na * nb)
+    val r = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (r >= threshold) Some((math.min(aId, bId), math.max(aId, bId), r))
+    else None
   }
 }

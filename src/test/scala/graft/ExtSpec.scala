@@ -238,6 +238,18 @@ class SimilaritySpec extends SparkSpec {
     assert(hints.isEmpty)
   }
 
+  test("block-decomposed bucketed cosine equals the single-task-per-bucket " +
+    "result (skew path, sf0.001)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val whole = Similarity.cosineNearDupPairsBucketed(e, 0.4)
+      .select("a", "b", "score").as[(Long, Long, Double)].collect().toSet
+    val blocked = Similarity.cosineNearDupPairsBucketed(e, 0.4, blocks = 3)
+      .select("a", "b", "score").as[(Long, Long, Double)].collect().toSet
+    assert(whole.nonEmpty)
+    assert(blocked == whole,
+      "block decomposition must change task layout only, never results")
+  }
+
   test("multi-table LSH strictly dominates single-table recall (sf0.001)") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter($"vec_id" < 8)
