@@ -34,6 +34,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming exact dedup: fingerprint state drops re-ingested docs " +
+    "across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdd_").toString
+    val docs = Tables.documents(spark, sf0001).limit(30)
+      .select($"doc_id", $"text")
+    docs.write.mode("overwrite").parquet(dir)
+    // second delivery: same texts under new ids (re-crawl duplicates)
+    docs.withColumn("doc_id", $"doc_id" + 100000)
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = graft.streaming.Streams.fileStream(spark, dir, schema)
+      .withColumn("fp", graft.ext.TextAnalysis.fingerprint($"text"))
+      .dropDuplicates("fp")
+    graft.streaming.Streams.runToMemory(spark, stream, "sdedup")
+    val expected = docs
+      .select(graft.ext.TextAnalysis.fingerprint($"text")).distinct().count()
+    assert(spark.table("sdedup").count() == expected)
+  }
+
   test("watermark dedup removes double-delivered rows") {
     // stage the events twice (overlap re-read, SURVEY §2.9 late data)
     val dir = java.nio.file.Files.createTempDirectory("graft_dd_").toString
