@@ -49,21 +49,54 @@ object Similarity {
         transform(col(vc), x => x * x), lit(0.0), (acc, x) => acc + x)))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
-    * corpus vectors.  Ranking key = (round(cos,6) desc, id asc). */
+    * corpus vectors.  Ranking key = (round(cos,6) desc, id asc).
+    *
+    * Exact at any scale WITHOUT shuffling the scored space: scoring is
+    * narrow (small query side broadcast against the corpus scan), a
+    * per-partition bounded heap keeps each partition's k best per
+    * query, and only partitions×queries×k survivors reach the final
+    * ranking window — the global top-k is always a subset of the
+    * per-partition top-k, so results are identical to ranking the full
+    * q×corpus space. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
     val q = withNorm(queries, "q_id", "q")
     val c = withNorm(corpus, "c_id", "c")
     val scored = q.crossJoin(c)
       .withColumn("score", round(
         dotExpanded(col("q"), col("c"), dim) /
           (col("q_norm") * col("c_norm")), 6))
+      .select(col("q_id"), col("c_id"), col("score"))
+      .as[(Long, Long, Double)]
+    val reduced = scored.mapPartitions(Similarity.partitionTopK(_, k))
+      .toDF("q_id", "c_id", "score")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    reduced.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("score"), col("rank"))
+  }
+
+  /** Per-partition bounded top-k per query id, under the global ranking
+    * order (score desc, c_id asc).  Object-level for closure hygiene. */
+  private def partitionTopK(it: Iterator[(Long, Long, Double)],
+                            k: Int): Iterator[(Long, Long, Double)] = {
+    // worst-first ordering so the heap head is the eviction candidate
+    val worstFirst = Ordering.by[(Long, Long, Double), (Double, Long)] {
+      case (_, cId, s) => (-s, cId)
+    }
+    val heaps = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+    it.foreach { row =>
+      val h = heaps.getOrElseUpdate(row._1,
+        scala.collection.mutable.PriorityQueue.empty(worstFirst))
+      if (h.size < k) h.enqueue(row)
+      else if (worstFirst.lt(row, h.head)) { h.dequeue(); h.enqueue(row) }
+    }
+    heaps.valuesIterator.flatMap(_.iterator)
   }
 
   /** ±1 plane component for (plane h, dim i): high bit of the first
