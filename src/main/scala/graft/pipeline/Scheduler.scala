@@ -39,14 +39,23 @@ object Scheduler {
   object NoopListener extends RunListener
 
   /** One scheduler tick for a frequency class ("minute"|"hour"|"day").
-    * `inputs` maps provider name → recorded payload path. */
+    * `inputs` maps provider name → recorded payload path.
+    *
+    * `parallelism` > 1 submits sources from a driver thread pool — the
+    * reference's SQS `batchSize: 1` fan-out (one Lambda per source)
+    * becomes concurrent Spark actions whose tasks the scheduler
+    * interleaves fairly; isolation is preserved because each source
+    * stays its own action with its own sink paths and error capture.
+    * Results return in the same deterministic provider order either
+    * way. */
   def runDue(spark: SparkSession, configDir: String, frequency: String,
              inputs: Map[String, String], outDir: String,
-             listener: RunListener = NoopListener): Seq[RunResult] = {
+             listener: RunListener = NoopListener,
+             parallelism: Int = 1): Seq[RunResult] = {
     val due = Ingest.readSourceConfigs(spark, configDir)
       .filter(col("frequency") === frequency)
       .select(col("provider")).collect().map(_.getString(0)).toSeq.sorted
-    due.map { provider =>
+    def runOne(provider: String): RunResult =
       try {
         val input = inputs.getOrElse(provider,
           throw new IllegalArgumentException(s"no recorded input for $provider"))
@@ -58,6 +67,17 @@ object Scheduler {
           listener.onError(provider, e)
           RunResult(provider, ok = false, None, Some(e.getMessage))
       }
+    if (parallelism <= 1) due.map(runOne)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, math.max(1, due.size)))
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try Await.result(
+        Future.sequence(due.map(p => Future(runOne(p)))), Duration.Inf)
+      finally pool.shutdown()
     }
   }
 }

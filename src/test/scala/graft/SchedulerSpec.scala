@@ -61,6 +61,17 @@ class SchedulerSpec extends SparkSpec {
     assert(failed.head._2.contains("no recorded input"))
   }
 
+  test("parallel tick: concurrent sources, same results and isolation") {
+    val out = java.nio.file.Files.createTempDirectory("graft_par_").toString
+    val results = Scheduler.runDue(spark, configDir, "hour",
+      Map("purpleair" -> fixture("purpleair.json")), out,
+      parallelism = 4)
+    assert(results.map(_.provider) == Seq("habitatmap", "purpleair"))
+    val byName = results.map(r => r.provider -> r).toMap
+    assert(byName("purpleair").ok && !byName("habitatmap").ok)
+    assert(byName("purpleair").summary.get.first().getLong(2) == 26)
+  }
+
   test("minute tick runs clarity alone (frequency classes)") {
     val out = java.nio.file.Files.createTempDirectory("graft_sched2_").toString
     val results = Scheduler.runDue(spark, configDir, "minute",
