@@ -11,16 +11,21 @@ import java.nio.file.{Files, Paths}
   * parser never races concurrent log output — round-1's recorded bench
   * had a log line spliced mid-JSON.
   *
-  * SPARK_GRAFT_BENCH_RUNS (default 1): run each query N times and report
+  * SPARK_GRAFT_BENCH_RUNS (default 2): run each query N times and report
   * the minimum — warm-run mode that subtracts the ~0.5-1 s/query
   * JIT/codegen warmup from the signal.  The JSON carries "runs" so
-  * rounds remain comparable.
+  * rounds remain comparable.  (Default raised 1→2 in round 3 so the
+  * driver-recorded artifact is warm numbers, per the round-2 verdict.)
+  *
+  * Times are rounded to ms so the whole line stays well under typical
+  * log-tail windows — the round-2 driver artifact truncated the head of
+  * the ~3 KB full-precision line.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,11 +43,12 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     spark.stop() // stop FIRST: no executor/shutdown log can splice the line
     println(line)

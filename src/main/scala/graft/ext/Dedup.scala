@@ -174,7 +174,7 @@ object Dedup {
     * (not precision) is the only approximation. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 8, bandRows: Int = 2,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8, salts: Int = 16): DataFrame = {
     // Shape matters here: the band self-join and candidate-distinct run
     // on skinny (band_key, id) rows — boilerplate-heavy buckets inflate
     // pair counts multiplicatively, so nothing wide may flow through
@@ -204,8 +204,10 @@ object Dedup {
     // generation on a single task.  Salting the left side and
     // replicating the right across `salts` sub-keys preserves exactly
     // the same pair set while spreading a hot bucket over `salts`
-    // tasks.
-    val salts = 16
+    // tasks.  Default 16 suits tens of cores; raise to O(executor
+    // count) on a cluster (the right side replicates `salts`×, so don't
+    // oversize it either).
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val a = bands.select(col("band_key"), col("doc_id").as("a"), col("sz").as("sa"))
       .withColumn("salt", pmod(hash(col("a")), lit(salts)))
     val b = bands.select(col("band_key"), col("doc_id").as("b"), col("sz").as("sb"))

@@ -370,11 +370,20 @@ object Similarity {
     * materializes anything on the driver.
     */
   def cosinePairsKernel(spark: SparkSession, corpus: DataFrame,
-                        threshold: Double): DataFrame = {
+                        threshold: Double,
+                        maxCollectRows: Long = 1000000L): DataFrame = {
     import spark.implicits._
     val vecs = corpus.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
       .as[(Long, Array[Double])]
+    // Enforced contract, not advisory: the whole side is collected to
+    // the driver and broadcast, so refuse anything corpus-sized up
+    // front with a clear message instead of an eventual driver OOM.
+    val cnt = vecs.count()
+    require(cnt <= maxCollectRows,
+      s"cosinePairsKernel collects its input to the driver: $cnt rows " +
+        s"exceeds maxCollectRows=$maxCollectRows. Use " +
+        "cosineNearDupPairsBucketed for corpus-scale near-dup instead.")
     val side = spark.sparkContext.broadcast(
       vecs.collect().sortBy(_._1)
         .map { case (id, v) => (id, v, math.sqrt(blasDot(v, v))) })

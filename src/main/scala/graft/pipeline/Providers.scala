@@ -55,7 +55,8 @@ object Pipelines {
     "data354" -> Data354Pipeline,
     "miri" -> MiriPipeline,
     "senstate" -> SenstatePipeline,
-    "cpcb" -> CpcbPipeline)
+    "cpcb" -> CpcbPipeline,
+    "hawanama" -> HawanamaPipeline)
 
   /** `Providers.processor(source)` equivalent: dispatch by provider
     * name, run the provider's sink style, return the run summary row.

@@ -51,7 +51,9 @@ object Scheduler {
   def runDue(spark: SparkSession, configDir: String, frequency: String,
              inputs: Map[String, String], outDir: String,
              listener: RunListener = NoopListener,
-             parallelism: Int = 1): Seq[RunResult] = {
+             parallelism: Int = 1,
+             process: (SparkSession, String, String, String) => DataFrame =
+               Pipelines.processor): Seq[RunResult] = {
     val due = Ingest.readSourceConfigs(spark, configDir)
       .filter(col("frequency") === frequency)
       .select(col("provider")).collect().map(_.getString(0)).toSeq.sorted
@@ -59,11 +61,16 @@ object Scheduler {
       try {
         val input = inputs.getOrElse(provider,
           throw new IllegalArgumentException(s"no recorded input for $provider"))
-        val summary = Pipelines.processor(spark, provider, input, outDir)
+        val summary = process(spark, provider, input, outDir)
         listener.onSuccess(provider, summary)
         RunResult(provider, ok = true, Some(summary), None)
       } catch {
-        case e: Exception =>
+        // NonFatal, not Exception: Error-rooted throwables a provider can
+        // surface (codegen CompileException wrappers, assertion errors)
+        // must not escape the per-source isolation contract and kill the
+        // whole tick.  Genuinely fatal errors (OOM, thread death) still
+        // propagate.
+        case scala.util.control.NonFatal(e) =>
           listener.onError(provider, e)
           RunResult(provider, ok = false, None, Some(e.getMessage))
       }

@@ -1,12 +1,56 @@
 package graft.pipeline
 
 import graft.functions.ColumnFns
+import graft.measurand.Measurands
+import graft.model.MeasurandRule
 import graft.sources.Ingest
 import graft.transform.Transform
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The final six providers — completing 16/16 reference coverage. */
+/** The final seven providers — completing 16/16 reference coverage. */
+
+/** Hawanama (`hawanama.js`) — the plainest v0.1 archetype: flat
+  * locations + already-long measurements, measurand dict probe (J1/F1),
+  * ids `hawanama-{location_id}[-{parameter}]` (F2/F3), envelope sink
+  * (K3).  The 16th ACTIVE reference provider
+  * (`sources/hawanama.json:6`) — an hourly source, so a user
+  * scheduling the `hour` class hits it immediately. */
+object HawanamaPipeline extends Pipelines.ProviderPipeline {
+  val name = "hawanama"
+  override val isV01 = true
+
+  /** `hawanama.js:20-22` parameter map. */
+  val lookup: Seq[MeasurandRule] = Seq(MeasurandRule("pm25", "pm25", "ug/m3"))
+
+  def run(spark: SparkSession, inputPath: String): Pipelines.Batch = {
+    val dim = Measurands.supported(spark, lookup)
+    val raw = Ingest.readJson(spark, inputPath)
+    // locations endpoint `results` (hawanama.js:52-62; shape :105-118)
+    val locDocs = raw.select(explode(col("locations")).as("l"))
+      .select(col("l.location_id").as("location_id"),
+        col("l.location").as("location_name"),
+        col("l.lon").as("lon"), col("l.lat").as("lat"))
+    val locs = V01.locations(locDocs, name, col("location_id"),
+      col("location_name"), col("lon"), col("lat"))
+    // measurements endpoint `results` — already long (hawanama.js:64-75)
+    val meas = raw.select(explode(col("measurements")).as("m"))
+      .select(col("m.location_id").as("location_id"),
+        col("m.parameter").as("input_param"),
+        col("m.value").as("value"),
+        col("m.datetime").as("datetime"))
+    // J1+F1: the per-row dict probe that throws "Could not find
+    // measurand" (hawanama.js:85-88, caught and skipped :124-131)
+    // becomes a broadcast inner join — misses drop, rows never error.
+    val resolved = Measurands.resolve(meas, dim)
+    val measures = resolved.select(
+      ColumnFns.synthId(lit(name), col("location_id"),
+        col("measurand_parameter")).as("sensor_id"), // F2 (hawanama.js:90)
+      col("measure"),
+      Transform.normalizeTs(col("datetime"), Transform.Iso).as("timestamp"))
+    Pipelines.Batch(locs, measures)
+  }
+}
 
 /** AirQo (`airqo.js`): multi-cohort fetch-union (S11) + metric-key
   * semi-join (J4) over per-reading parameter objects. */

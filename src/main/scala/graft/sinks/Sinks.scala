@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   *  - empty batches don't write (K7, `providers.js:142-144`).
   *
   * Scale: every writer is a distributed `df.write` partitioned by
-  * provider/date; the diff-write join is broadcast when the incoming
-  * batch is small (the common case: one provider's hourly batch vs the
-  * station dimension).
+  * provider/date; the diff-write join strategy is left to the
+  * optimizer — AQE broadcasts the (key, hash)-skinny previous snapshot
+  * when its runtime size is under the threshold and falls back to a
+  * shuffled hash join when it isn't.  No forced hint: a forced
+  * broadcast would hit the 8 GB broadcast hard limit / driver OOM at a
+  * very large station dimension instead of degrading gracefully.
   */
 object Sinks {
 
@@ -91,9 +94,12 @@ object Sinks {
     val changed =
       if (force || !pathExists(spark, rpath)) incoming
       else {
+        // skinny build side (key + md5 only) but NO broadcast hint: let
+        // AQE pick broadcast vs shuffled-hash from the runtime size —
+        // see the scale note in the object scaladoc.
         val prev = spark.read.parquet(rpath)
           .select(col(keyCol).as("__k"), md5(col(jsonCol)).as("__prev_hash"))
-        incoming.join(broadcast(prev),
+        incoming.join(prev,
             incoming(keyCol) === col("__k"), "left")
           .filter(col("__prev_hash").isNull ||
             col("__hash") =!= col("__prev_hash"))

@@ -72,6 +72,23 @@ class SchedulerSpec extends SparkSpec {
     assert(byName("purpleair").summary.get.first().getLong(2) == 26)
   }
 
+  test("per-source isolation holds for Error-rooted failures (NonFatal)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_err_").toString
+    // the `process` seam stands in for a pipeline whose codegen/assembly
+    // fails with an Error-rooted throwable (e.g. a wrapped
+    // CompileException) — the tick must capture it and keep going
+    val results = Scheduler.runDue(spark, configDir, "hour",
+      Map("purpleair" -> fixture("purpleair.json"),
+        "habitatmap" -> fixture("habitatmap.json")), out,
+      process = (s, p, in, o) =>
+        if (p == "habitatmap") throw new AssertionError("codegen blew up")
+        else graft.pipeline.Pipelines.processor(s, p, in, o))
+    val byName = results.map(r => r.provider -> r).toMap
+    assert(!byName("habitatmap").ok)
+    assert(byName("habitatmap").error.get.contains("codegen blew up"))
+    assert(byName("purpleair").ok) // the Error did not kill the tick
+  }
+
   test("minute tick runs clarity alone (frequency classes)") {
     val out = java.nio.file.Files.createTempDirectory("graft_sched2_").toString
     val results = Scheduler.runDue(spark, configDir, "minute",

@@ -81,13 +81,38 @@ class V01Providers2Spec extends SparkSpec {
     assert(m.filter(_._2 == 55.0).head._3 == "2024-04-30 11:00")
   }
 
+  test("hawanama: long measurements + measurand dict-miss drop + ids") {
+    val b = HawanamaPipeline.run(spark, fixture("hawanama.json"))
+    val locs = b.stations.select($"location", $"label", $"ismobile")
+      .as[(String, String, Boolean)].collect().sortBy(_._1)
+    assert(locs.toSeq == Seq(
+      ("hawanama-1", "Accra Central", false),
+      ("hawanama-2", "Kumasi North", false),
+      ("hawanama-3", "Tamale East", false)))
+    val m = b.measures.select($"sensor_id", $"measure")
+      .as[(String, Double)].collect().sorted
+    // the unsupported "noise" row drops via the dict probe (J1 inner
+    // join) like the reference's caught per-row throw
+    assert(m.toSeq == Seq(("hawanama-1-pm25", 11.0),
+      ("hawanama-1-pm25", 12.5), ("hawanama-2-pm25", 21.0)))
+  }
+
+  test("hawanama e2e: processor writes the v0.1 envelope (K3)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_haw_").toString
+    val s = Pipelines.processor(spark, "hawanama",
+      fixture("hawanama.json"), out).first()
+    assert(s.getString(0) == "hawanama")
+    assert(s.getLong(1) == 3 && s.getLong(2) == 3) // locations, measures
+    assert(new java.io.File(s"$out/measures-json/hawanama").exists())
+  }
+
   test("full registry: 16/16 providers dispatch through the processor") {
-    assert(Pipelines.registry.size == 15) // 16 reference providers;
-    // habitatmap fixed+mobile is ONE registry entry (two sink flavors)
+    assert(Pipelines.registry.size == 16) // all 16 reference providers
     val out = java.nio.file.Files.createTempDirectory("graft_all_").toString
     for ((p, fx) <- Seq("airqo" -> "airqo.json", "airqoon" -> "airqoon.json",
       "data354" -> "data354.json", "miri" -> "miri.json",
-      "senstate" -> "senstate.json", "cpcb" -> "cpcb")) {
+      "senstate" -> "senstate.json", "cpcb" -> "cpcb",
+      "hawanama" -> "hawanama.json")) {
       val s = Pipelines.processor(spark, p, fixture(fx), out).first()
       assert(s.getLong(2) > 0, s"$p measures")
     }
