@@ -98,22 +98,15 @@ object CorpusStats {
 
   /** Top-k word bigrams: heavy-hitter n-grams across the corpus with a
     * deterministic (count desc, bigram asc) ranking.  Bigrams assemble
-    * via posexplode + a lead window over token position — plain
-    * codegen'd operators instead of an interpreted per-element
-    * `transform` lambda (the same rewrite that bought ~10× on
-    * minhash/simhash); docs shorter than 2 tokens contribute nothing. */
+    * via [[Dedup.assembleNgrams]] (narrow zip+slice by default — no
+    * shuffle before the count agg; strategy conf-selectable); docs
+    * shorter than 2 tokens contribute nothing. */
   def topBigrams(docs: DataFrame, textCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(TextAnalysis.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .withColumn("__doc", monotonically_increasing_id())
-    val w = Window.partitionBy(col("__doc")).orderBy(col("pos"))
-    val bigrams = toks
-      .select(col("__doc"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      .withColumn("__next", lead(col("tok"), 1).over(w))
-      .filter(col("__next").isNotNull)
-      .select(concat_ws(" ", col("tok"), col("__next")).as("bigram"))
-    bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    val toks = docs.select(monotonically_increasing_id().as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    Dedup.assembleNgrams(toks, 2)
+      .select(col("sh").as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(k)
   }

@@ -74,12 +74,56 @@ object Dedup {
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** (doc_id, sh) rows of word n-gram shingles.  For n>1 the shingle
-    * string is assembled AFTER exploding tokens, from `lead` windows
-    * over the token position — plain codegen'd/native operators instead
-    * of an interpreted per-element lambda (HOFs evaluate outside
-    * whole-stage codegen).  Documents shorter than n keep the
-    * whole-text-shingle fallback of [[shingles]]. */
+  /** (doc_id, sh) n-gram rows from a (doc_id, toks) frame, n >= 2; rows
+    * with fewer than n tokens contribute nothing.  Two physical
+    * strategies, selected by the `spark.graft.shingleAssembly` session
+    * conf:
+    *
+    *  - `narrow` (default): per-row assembly — n shifted `slice` views
+    *    of the token array are `arrays_zip`ped and exploded, so every
+    *    operator is native/codegen'd and the stage is shuffle-FREE.
+    *    At cluster scale this is the right shape: nothing moves on the
+    *    network until the (doc_id, sh) rows hit their downstream agg.
+    *  - `window`: posexplode + `lead` windows over token position —
+    *    the round-1/2 implementation.  It shuffles the full
+    *    (doc_id, pos, tok) token stream (corpus-sized network) before
+    *    assembling; kept selectable for measurement (PERF.md records
+    *    the sf0.1 comparison).
+    *
+    * Both emit the identical (doc_id, sh) multiset (pinned by
+    * DedupSpec's strategy-equivalence test and the x2/x16/x19 oracles).
+    */
+  private[ext] def assembleNgrams(tokDf: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"assembleNgrams needs n >= 2, got $n")
+    val strategy = tokDf.sparkSession.conf
+      .get("spark.graft.shingleAssembly", "narrow")
+    val big0 = tokDf.filter(size(col("toks")) >= n)
+    if (strategy == "window") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val leads = (1 until n).map(j => lead(col("tok"), j).over(w))
+      big0.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .withColumn("__last", leads.last)
+        .withColumn("sh", concat_ws(" ", col("tok") +: leads: _*))
+        .filter(col("__last").isNotNull) // concat_ws would silently skip
+        .select(col("doc_id"), col("sh")) // nulls → short tail shingles
+    } else {
+      // slice(toks, j+1, size) is the array shifted left by j; zipping
+      // n shifts gives (tok_i, tok_i+1, …, tok_i+n-1) structs, null-
+      // padded past the end — dropping structs whose LAST field is null
+      // leaves exactly the size-n+1 full n-grams.
+      val zipped = arrays_zip((0 until n).map(j =>
+        slice(col("toks"), lit(j + 1), size(col("toks"))).as(s"t$j")): _*)
+      big0.select(col("doc_id"), explode(zipped).as("s"))
+        .filter(col(s"s.t${n - 1}").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", (0 until n).map(j => col(s"s.t$j")): _*).as("sh"))
+    }
+  }
+
+  /** (doc_id, sh) rows of word n-gram shingles via [[assembleNgrams]];
+    * documents shorter than n keep the whole-text-shingle fallback of
+    * [[shingles]]. */
   private def explodedShingles(docs: DataFrame, idCol: String,
                                textCol: String, n: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
@@ -87,18 +131,9 @@ object Dedup {
     if (n == 1) {
       toks.select(col("doc_id"), explode(col("toks")).as("sh"))
     } else {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val leads = (1 until n).map(j => lead(col("tok"), j).over(w))
-      val big = toks.filter(size(col("toks")) >= n)
-        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
-        .withColumn("__last", leads.last)
-        .withColumn("sh", concat_ws(" ", col("tok") +: leads: _*))
-        .filter(col("__last").isNotNull) // concat_ws would silently skip
-        .select(col("doc_id"), col("sh")) // nulls → short tail shingles
       val small = toks.filter(size(col("toks")) < n)
         .select(col("doc_id"), array_join(col("toks"), " ").as("sh"))
-      big.unionByName(small)
+      assembleNgrams(toks, n).unionByName(small)
     }
   }
 

@@ -371,7 +371,8 @@ object Similarity {
     */
   def cosinePairsKernel(spark: SparkSession, corpus: DataFrame,
                         threshold: Double,
-                        maxCollectRows: Long = 1000000L): DataFrame = {
+                        maxCollectRows: Long = 1000000L,
+                        maxCollectBytes: Long = 1L << 30): DataFrame = {
     import spark.implicits._
     val vecs = corpus.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
@@ -379,13 +380,25 @@ object Similarity {
     // Enforced contract, not advisory: the whole side is collected to
     // the driver and broadcast, so refuse anything corpus-sized up
     // front with a clear message instead of an eventual driver OOM.
-    val cnt = vecs.count()
-    require(cnt <= maxCollectRows,
-      s"cosinePairsKernel collects its input to the driver: $cnt rows " +
+    // Single pass: collect at most max+1 rows (no separate count job,
+    // no two-pass divergence on non-deterministic sources), then check
+    // bytes too — a row cap alone still admits 1M × 768-d doubles
+    // (~6 GB), so the cap is rows AND rows×dims×8 bytes.
+    val capped = math.min(maxCollectRows, Int.MaxValue - 1L).toInt
+    val collected = vecs.limit(capped + 1).collect()
+    require(collected.length <= capped,
+      s"cosinePairsKernel collects its input to the driver: input " +
         s"exceeds maxCollectRows=$maxCollectRows. Use " +
         "cosineNearDupPairsBucketed for corpus-scale near-dup instead.")
+    val dims = if (collected.nonEmpty) collected.head._2.length else 0
+    val approxBytes = collected.length.toLong * dims * 8L
+    require(approxBytes <= maxCollectBytes,
+      s"cosinePairsKernel collected side is ~$approxBytes bytes " +
+        s"(${collected.length} rows x $dims dims x 8) > " +
+        s"maxCollectBytes=$maxCollectBytes. Use " +
+        "cosineNearDupPairsBucketed for corpus-scale near-dup instead.")
     val side = spark.sparkContext.broadcast(
-      vecs.collect().sortBy(_._1)
+      collected.sortBy(_._1)
         .map { case (id, v) => (id, v, math.sqrt(blasDot(v, v))) })
     val out = vecs.mapPartitions { it =>
       val bc = side.value

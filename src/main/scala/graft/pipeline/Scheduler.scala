@@ -72,7 +72,11 @@ object Scheduler {
         // propagate.
         case scala.util.control.NonFatal(e) =>
           listener.onError(provider, e)
-          RunResult(provider, ok = false, None, Some(e.getMessage))
+          // Error-rooted throwables often carry a null message (e.g.
+          // bare AssertionError) — fall back to toString so consumers
+          // never see Some(null).
+          RunResult(provider, ok = false, None,
+            Some(Option(e.getMessage).getOrElse(e.toString)))
       }
     if (parallelism <= 1) due.map(runOne)
     else {

@@ -30,6 +30,33 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b } >= 4)
   }
 
+  test("n-gram assembly: narrow and window strategies emit identical " +
+    "results; narrow plan is shuffle-free before the agg") {
+    def sigs(strategy: String): Map[Long, Seq[String]] = {
+      spark.conf.set("spark.graft.shingleAssembly", strategy)
+      try Dedup.minhashSignatures(corpus, "doc_id", "text", n = 3, k = 8)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      finally spark.conf.unset("spark.graft.shingleAssembly")
+    }
+    assert(sigs("narrow") == sigs("window"))
+    // narrow (default): the only exchange is the signature groupBy —
+    // no window, no token-stream shuffle before it.  AQE off so the
+    // executed plan carries literal ShuffleExchangeExec nodes.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Dedup.minhashSignatures(corpus, "doc_id", "text", n = 3, k = 8)
+        .queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, "narrow shingle assembly must not use a window")
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1,
+        s"expected exactly the groupBy exchange, got ${exchanges.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("LSH pipeline finds the dup cluster and never fabricates pairs") {
     val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
       n = 1, k = 8, bandRows = 2, threshold = 0.8)
@@ -148,6 +175,20 @@ class SimilaritySpec extends SparkSpec {
     (3L, Array(0.0f, 0.0f, 1.0f)),
     (10L, Array(1.0f, 0.05f, 0.0f))
   ).toDF("vec_id", "embedding")
+
+  test("cosinePairsKernel enforces its collect caps, single pass") {
+    val rowsErr = intercept[IllegalArgumentException] {
+      Similarity.cosinePairsKernel(spark, vecs, 0.0, maxCollectRows = 3L)
+    }
+    assert(rowsErr.getMessage.contains("maxCollectRows"))
+    assert(rowsErr.getMessage.contains("cosineNearDupPairsBucketed"))
+    val bytesErr = intercept[IllegalArgumentException] {
+      Similarity.cosinePairsKernel(spark, vecs, 0.0, maxCollectBytes = 64L)
+    }
+    assert(bytesErr.getMessage.contains("maxCollectBytes"))
+    // within caps it still computes: 5 vecs, all pairs at threshold 0
+    assert(Similarity.cosinePairsKernel(spark, vecs, -1.0).count() == 10)
+  }
 
   test("cosine: identical direction → 1, orthogonal → 0") {
     val c = vecs.as("a").crossJoin(vecs.as("b"))
