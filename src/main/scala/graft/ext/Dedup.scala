@@ -295,6 +295,68 @@ object Dedup {
     t.join(b, Seq("sh"), "left_semi").select(col("doc_id")).distinct()
   }
 
+  /** Connected components over a near-duplicate pair set →
+    * (doc_id, cluster_id) for EVERY input document; cluster_id is the
+    * smallest doc_id in the component (singletons keep their own id).
+    *
+    * This turns pairwise near-dup evidence ([[minhashLshPairs]],
+    * [[blockedJaccardPairs]],
+    * [[Similarity.cosineNearDupPairsBucketed]]) into dedup DECISIONS:
+    * one canonical keeper per cluster, everything else droppable — the
+    * transitive-closure step every corpus-dedup pipeline needs (A≈B,
+    * B≈C must collapse to ONE keeper even when A≉C directly).
+    *
+    * Algorithm: synchronous hash-min label propagation — each round
+    * every node takes the min of its own and its neighbours' labels;
+    * the fixpoint labels each node with its component minimum.  Rounds
+    * = O(graph diameter); near-dup graphs are dense local cliques with
+    * tiny diameters, so the round count stays single-digit where the
+    * O(log n)-round star-contraction family pays bigger per-round
+    * constants.  Each round is one skinny equi-join (edges × labels)
+    * plus a min-agg — both AQE-planned, nothing ever materializes on
+    * the driver.  Lineage is cut per round with localCheckpoint so the
+    * plan cannot grow with the iteration count, and convergence is
+    * detected via the strictly-decreasing label sum (labels only ever
+    * decrease) — one cheap aggregate per round instead of a
+    * change-count join. */
+  def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                        maxIter: Int = 25): DataFrame = {
+    val nodes = docs.select(col(idCol).cast("long").as("node"))
+    val edges = pairs.select(col("a").cast("long").as("s"),
+        col("b").cast("long").as("d"))
+      .unionByName(pairs.select(col("b").cast("long").as("s"),
+        col("a").cast("long").as("d")))
+      .localCheckpoint()
+    // decimal(38,0) sum: overflow-proof convergence metric at any scale
+    def lblSum(labels: DataFrame): java.math.BigDecimal =
+      labels.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var prevSum = lblSum(labels)
+    var iter = 0
+    var converged = labels.isEmpty
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, col("s") === col("node"))
+        .groupBy(col("d")).agg(min(col("lbl")).as("nbl"))
+        .withColumnRenamed("d", "node")
+      val next = labels.as("l")
+        .join(nbrMin.as("m"), col("l.node") === col("m.node"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.lbl"), coalesce(col("m.nbl"), col("l.lbl"))).as("lbl"))
+        .localCheckpoint()
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIter rounds — the " +
+          "pair graph has a longer path than expected; raise maxIter")
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** 16-bit SimHash from md5 nibbles: per bit position b, sum ±1 over
     * tokens by whether hex nibble b of md5(token) has its high bit set;
     * fingerprint bit b = (sum > 0).  Engine-portable ('8' ≤ nibble char

@@ -354,6 +354,65 @@ object Similarity {
     pairs.toDF("a", "b", "score")
   }
 
+  /** SemDeDup-style semantic prune: coarse-quantize the corpus into
+    * `nlist` cells (the deterministic lowest-id codebook of [[ivfTopK]])
+    * and, WITHIN each cell, drop every vector that has a lower-id
+    * cell-mate with cosine >= tau.  Returns every vector with its cell,
+    * a `dropped` flag, and the responsible keeper (`dropped_by` = the
+    * smallest qualifying cell-mate, null when kept).
+    *
+    * The keep-lowest-id rule is the order-free variant of SemDeDup's
+    * sequential greedy sweep: decisions depend only on (cell, pairwise
+    * scores), never on visit order, so the operator is deterministic,
+    * embarrassingly parallel per cell, and oracle-replayable.  Scale
+    * shape: one narrow corpus pass against the broadcast codebook for
+    * cell assignment, then cells shuffle as skinny (id, vec) rows and
+    * each cell scores inside its own task with the primitive-array
+    * kernel (same trade as [[cosineNearDupPairsBucketed]] — quadratic
+    * only within a cell; `nlist` tunes cell granularity so cells fit
+    * tasks at the target corpus size). */
+  def semanticPrune(corpus: DataFrame, tau: Double, dim: Int = 64,
+                    nlist: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = withNorm(corpus, "id", "v")
+    val cent = withNorm(corpus, "cell", "cv").orderBy(col("cell").asc)
+      .limit(nlist)
+    val wc = Window.partitionBy(col("id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val assigned = c.crossJoin(broadcast(cent))
+      .withColumn("csim", round(
+        dotExpanded(col("v"), col("cv"), dim) /
+          (col("v_norm") * col("cv_norm")), 6))
+      .withColumn("__rk", row_number().over(wc))
+      .filter(col("__rk") === 1)
+      .select(col("cell").cast("long").as("cell"),
+        col("id").cast("long").as("id"), col("v"))
+    val drops = assigned.as[(Long, Long, Array[Double])]
+      .groupByKey(_._1).flatMapGroups { (_, it) =>
+        val vecs = it.map { case (_, id, arr) =>
+          (id, arr, math.sqrt(blasDot(arr, arr)))
+        }.toArray.sortBy(_._1)
+        // ascending scan + break ⇒ dropped_by is the MIN qualifying id
+        Iterator.range(1, vecs.length).flatMap { j =>
+          val (bId, bv, nb) = vecs(j)
+          var i = 0
+          var hit = -1L
+          while (i < j && hit < 0) {
+            val (aId, av, na) = vecs(i)
+            if (scoredPair(aId, av, na, bId, bv, nb, tau).isDefined) hit = aId
+            i += 1
+          }
+          if (hit >= 0) Some((bId, hit)) else None
+        }
+      }.toDF("vec_id", "dropped_by")
+    assigned.select(col("id").as("vec_id"), col("cell"))
+      .join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dropped_by").isNotNull.as("dropped"), col("dropped_by"))
+  }
+
   /** All-pairs cosine via a broadcast + mapPartitions numeric kernel.
     *
     * A BroadcastNestedLoopJoin evaluates the 64-term dot expression

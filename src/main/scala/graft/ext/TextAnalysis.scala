@@ -113,6 +113,41 @@ object TextAnalysis {
 
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Per-document repetition signals (the Gopher-rule family of
+    * repetition quality filters): what fraction of the document is its
+    * single most frequent token / bigram, and how diverse the
+    * vocabulary is.  High top-fractions or a low distinct ratio flag
+    * templated, boilerplate, or looping text for removal from training
+    * corpora — the repetition axis the length/stopword signals of
+    * [[qualityByDoc]] can't see.
+    *
+    * Plan shape: explode + two-level hash agg per signal (all
+    * codegen'd, map-side partial aggregation), bigrams via the narrow
+    * [[Dedup.assembleNgrams]] path, one skinny (doc_id-keyed) join to
+    * combine — no windows, no per-doc state, nothing driver-side.
+    * Ratios are raw integer-over-integer doubles: bit-identical across
+    * engines with no rounding step. */
+  def repetitionByDoc(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    val tokStats = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_c"),
+        count(lit(1)).as("n_distinct"))
+    val biStats = Dedup.assembleNgrams(toks, 2)
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bc"))
+    tokStats.join(biStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("top_c") / col("n_tokens")).as("top_token_frac"),
+        (col("n_distinct") / col("n_tokens")).as("distinct_ratio"),
+        coalesce(col("top_bc") / col("n_bigrams"), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
   /** Rolling (Karp-Rabin) content hash over tokens, for shift-tolerant
     * chunk fingerprints: fold h = (h*B + tokenHash) mod M.  M = 2^31-1 and
     * B = 131 keep every intermediate < 2^39 — no Long overflow even under

@@ -139,6 +139,28 @@ object ExtQueries {
         "doc_id", "text", n = 5)
     }),
 
+    // near-dup clusters: connected components over the exact blocked-
+    // Jaccard pairs (x4's edge set) — the transitive-closure step that
+    // turns pairwise evidence into one keeper per cluster
+    "x20_dup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
+        "lang", threshold = 0.8).select(col("a"), col("b"))
+      Dedup.duplicateClusters(docs, "doc_id", pairs)
+    }),
+
+    // Gopher-style repetition signals: top-token / top-bigram fractions
+    // and vocabulary diversity per document
+    "x21_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionByDoc(Tables.documents(s, d),
+        "doc_id", "text")),
+
+    // SemDeDup-style semantic prune: IVF-cell-scoped keep/drop
+    // decisions over embeddings (keep-lowest-id rule, deterministic)
+    "x22_semantic_prune" -> ((s, d) =>
+      Similarity.semanticPrune(Tables.embeddings(s, d),
+        tau = 0.4, dim = 64, nlist = 16)),
+
     // multimodal metadata plumbing over opaque binary payloads
     "x13_multimodal_meta" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -290,7 +312,79 @@ object ExtQueries {
        |  FROM scored) WHERE rank <= 10""".stripMargin
   }
 
+  /** Rounded cosine between two DuckDB list expressions — mirrors the
+    * engine's 6-decimal HALF_UP scoring keys (shared by x22). */
+  private def duckCos(a: String, b: String): String =
+    s"round(list_sum(list_transform(generate_series(1, 64), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) / " +
+      s"(${duckNorm(a)} * ${duckNorm(b)}), 6)"
+
+  /** Connected-components oracle: min label reachable from each node,
+    * via a recursive reachability CTE over the x4 edge set (mirrors
+    * [[Dedup.duplicateClusters]]' hash-min fixpoint). */
+  private val x20Sql: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, lang,
+      |             list_distinct(string_split(text, ' ')) AS toks
+      |           FROM documents),
+      |p AS (SELECT a, b FROM (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |         len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+      |         / (len(a.toks) + len(b.toks)
+      |            - len(list_filter(a.toks, x -> list_contains(b.toks, x))))
+      |           AS jaccard
+      |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.8),
+      |e AS (SELECT a AS s, b AS d FROM p
+      |      UNION ALL SELECT b AS s, a AS d FROM p),
+      |reach(node, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.d, reach.r FROM e JOIN reach ON e.s = reach.node)
+      |SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1""".stripMargin
+
+  private val x22Sql: String =
+    s"""WITH v AS (SELECT vec_id, embedding AS ev FROM embeddings),
+       |cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+       |         ORDER BY vec_id ASC LIMIT 16),
+       |asg AS (SELECT cell, vec_id, ev FROM (
+       |  SELECT cent.cell, v.vec_id, v.ev,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${duckCos("v.ev", "cent.cv")} DESC,
+       |                    cent.cell ASC) AS rk
+       |  FROM v CROSS JOIN cent) WHERE rk = 1),
+       |dr AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dropped_by
+       |       FROM asg a JOIN asg b ON a.cell = b.cell
+       |                            AND a.vec_id < b.vec_id
+       |       WHERE ${duckCos("a.ev", "b.ev")} >= 0.4
+       |       GROUP BY 1)
+       |SELECT asg.vec_id, asg.cell,
+       |       dr.dropped_by IS NOT NULL AS dropped, dr.dropped_by
+       |FROM asg LEFT JOIN dr ON asg.vec_id = dr.vec_id""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "x20_dup_clusters" -> x20Sql,
+    "x22_semantic_prune" -> x22Sql,
+    "x21_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              CAST(max(c) AS BIGINT) AS top_c,
+        |              CAST(count(*) AS BIGINT) AS n_distinct
+        |       FROM tc GROUP BY 1),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS bi
+        |       FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, bi, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |              CAST(max(c) AS BIGINT) AS top_bc FROM bc GROUP BY 1)
+        |SELECT ts.doc_id, n_tokens,
+        |       top_c / n_tokens AS top_token_frac,
+        |       n_distinct / n_tokens AS distinct_ratio,
+        |       coalesce(top_bc / n_bigrams, 0.0) AS top_bigram_frac
+        |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin,
     "x3_minhash_lsh_pairs" -> x3Sql,
     "x7_ann_lsh" -> x7Sql,
     "x17_ann_ivf" -> x17Sql,

@@ -57,6 +57,25 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("duplicate clusters: transitive closure to the min id, " +
+    "singletons keep their own, diameter > 1 converges") {
+    val docsDf = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // a diameter-3 chain (1-2-3-4), a pair (5-6), a singleton (7)
+    val pairsDf = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.duplicateClusters(docsDf, "doc_id", pairsDf)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // real pipeline: LSH pairs over the tiny corpus — the exact-dup
+    // pair (1,2) collapses, the unrelated doc stays alone
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      n = 1, k = 8, bandRows = 2, threshold = 0.8).select($"a", $"b")
+    val clusters = Dedup.duplicateClusters(corpus, "doc_id", lsh)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L)
+    assert(clusters(4L) == 4L)
+  }
+
   test("LSH pipeline finds the dup cluster and never fabricates pairs") {
     val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
       n = 1, k = 8, bandRows = 2, threshold = 0.8)
@@ -291,6 +310,33 @@ class SimilaritySpec extends SparkSpec {
       "block decomposition must change task layout only, never results")
   }
 
+  test("semanticPrune: every vector appears once; dropped iff a lower-id " +
+    "cell-mate is within tau (independent replay, sf0.001)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val res = Similarity.semanticPrune(e, tau = 0.4, nlist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val raw = e.select($"vec_id",
+        transform($"embedding", _.cast("double")).as("v"))
+      .as[(Long, Array[Double])].collect().toMap
+    assert(res.map(_._1).distinct.length == raw.size)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.map(i => x(i) * y(i)).sum
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val cellOf = res.map(r => r._1 -> r._2).toMap
+    res.foreach { case (id, cell, dropped, by) =>
+      val expectBy = raw.keys.toSeq.sorted
+        .filter(o => o < id && cellOf(o) == cell && cos(raw(o), raw(id)) >= 0.4)
+        .headOption
+      assert(by == expectBy && dropped == expectBy.isDefined,
+        s"vec $id: got ($dropped, $by), expected $expectBy")
+    }
+    info(s"${res.count(_._3)} of ${res.length} vectors pruned")
+  }
+
   test("multi-table LSH strictly dominates single-table recall (sf0.001)") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter($"vec_id" < 8)
@@ -332,6 +378,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getInt(0) == 12)
     assert(math.abs(r.getDouble(1) - 3.0 / 12) < 1e-12)
     assert(r.getBoolean(2))
+  }
+
+  test("repetition signals: crafted doc fractions are exact") {
+    val df = Seq((1L, "a a a b"), (2L, "x y z w v u q r s t")).toDF("id", "t")
+    val r = TextAnalysis.repetitionByDoc(df, "id", "t")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    // "a a a b": 4 tokens, top tok "a"×3, 2 distinct, bigrams
+    // {"a a"×2, "a b"} → top fraction 2/3
+    assert(r(1L) == ((4L, 0.75, 0.5, 2.0 / 3.0)))
+    // all-distinct doc: top token 1/10, distinct 1.0, every bigram unique
+    assert(r(2L) == ((10L, 0.1, 1.0, 1.0 / 9.0)))
   }
 
   test("langIdByDoc / qualityByDoc (explode plans) equal the expression folds") {
