@@ -82,6 +82,73 @@ class DsV2Spec extends SparkSpec {
       == Seq(7L, 8L))
   }
 
+  test("HttpClientFetcher: real transport against an in-process server " +
+    "through the DSv2 scan; params, gzip, retry") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.sources.v2.{HttpClientFetcher, PageRequest}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var lastQuery: String = null
+    val body =
+      "{\"sensor_index\": 1, \"pm25\": 1.5}\n{\"sensor_index\": 2, \"pm25\": 2.5}"
+        .getBytes("UTF-8")
+    server.createContext("/data", (ex: HttpExchange) => {
+      lastQuery = ex.getRequestURI.getQuery
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.createContext("/gz", (ex: HttpExchange) => {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(body); gz.close()
+      val zipped = bos.toByteArray
+      ex.getResponseHeaders.add("Content-Encoding", "gzip")
+      ex.sendResponseHeaders(200, zipped.length)
+      ex.getResponseBody.write(zipped); ex.close()
+    })
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      if (hits.incrementAndGet() < 3) {
+        ex.sendResponseHeaders(503, -1); ex.close()
+      } else {
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.createContext("/forbidden", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(403, -1); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // end-to-end: schema inference + scan both fetch over real HTTP
+      val df = spark.read.format("graft-fixture")
+        .option("fetcher", classOf[HttpClientFetcher].getName)
+        .load(s"$base/data")
+      assert(df.select("sensor_index").as[Long].collect().sorted.toSeq
+        == Seq(1L, 2L))
+      val f = new HttpClientFetcher
+      // params: sorted + URL-encoded into the query string
+      assert(f.fetch(PageRequest(s"$base/data",
+        params = Map("b" -> "2", "a" -> "x y"))).size == 2)
+      assert(lastQuery == "a=x+y&b=2")
+      // Content-Encoding: gzip decodes transparently
+      assert(f.fetch(PageRequest(s"$base/gz")).size == 2)
+      // 5xx retries until success (3rd attempt here)
+      System.setProperty("graft.http.backoffMs", "1")
+      assert(f.fetch(PageRequest(s"$base/flaky")).size == 2)
+      assert(hits.get() == 3)
+      // 4xx fails fast, no retry
+      val e = intercept[IllegalStateException] {
+        f.fetch(PageRequest(s"$base/forbidden"))
+      }
+      assert(e.getMessage.contains("403"))
+    } finally {
+      System.clearProperty("graft.http.backoffMs")
+      server.stop(0)
+    }
+  }
+
   test("unsupported predicates fall back to post-scan evaluation") {
     val df = spark.read.format("graft-fixture").load(path)
       .filter(substring($"name", 6, 1) === "A") // not connector-pushable
