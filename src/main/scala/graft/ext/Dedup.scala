@@ -306,19 +306,21 @@ object Dedup {
     * transitive-closure step every corpus-dedup pipeline needs (A≈B,
     * B≈C must collapse to ONE keeper even when A≉C directly).
     *
-    * Algorithm: synchronous hash-min label propagation — each round
-    * every node takes the min of its own and its neighbours' labels;
-    * the fixpoint labels each node with its component minimum.  Rounds
-    * = O(graph diameter); near-dup graphs are dense local cliques with
-    * tiny diameters, so the round count stays single-digit where the
-    * O(log n)-round star-contraction family pays bigger per-round
-    * constants.  Each round is one skinny equi-join (edges × labels)
-    * plus a min-agg — both AQE-planned, nothing ever materializes on
-    * the driver.  Lineage is cut per round with localCheckpoint so the
-    * plan cannot grow with the iteration count, and convergence is
-    * detected via the strictly-decreasing label sum (labels only ever
-    * decrease) — one cheap aggregate per round instead of a
-    * change-count join. */
+    * Algorithm: hash-min label propagation with DELTA iteration —
+    * round r only the labels that improved in round r-1 send messages
+    * (a label that didn't change was already propagated when it was
+    * set), so per-round message volume collapses after the first
+    * sweep instead of re-flooding the whole graph every round.  The
+    * fixpoint labels each node with its component minimum in
+    * O(graph diameter) rounds; near-dup graphs are dense local
+    * cliques with tiny diameters, so the round count stays
+    * single-digit where the O(log n)-round star-contraction family
+    * pays bigger per-round constants.  Each round is one skinny
+    * equi-join (edges × changed-labels) plus a min-agg — both
+    * AQE-planned, nothing ever materializes on the driver.  Lineage is
+    * cut per round with localCheckpoint so the plan cannot grow with
+    * the iteration count, and the delta's emptiness IS the convergence
+    * test — no separate probe. */
   def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                         maxIter: Int = 25): DataFrame = {
     val nodes = docs.select(col(idCol).cast("long").as("node"))
@@ -327,30 +329,26 @@ object Dedup {
       .unionByName(pairs.select(col("b").cast("long").as("s"),
         col("a").cast("long").as("d")))
       .localCheckpoint()
-    // decimal(38,0) sum: overflow-proof convergence metric at any scale
-    def lblSum(labels: DataFrame): java.math.BigDecimal =
-      labels.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
     var labels = nodes.select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
-    var prevSum = lblSum(labels)
+    var delta = labels // round 0: every initial label is news
     var iter = 0
-    var converged = labels.isEmpty
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels, col("s") === col("node"))
+    while (iter < maxIter && !delta.isEmpty) {
+      val nbrMin = edges.join(delta, col("s") === col("node"))
         .groupBy(col("d")).agg(min(col("lbl")).as("nbl"))
         .withColumnRenamed("d", "node")
-      val next = labels.as("l")
-        .join(nbrMin.as("m"), col("l.node") === col("m.node"), "left")
-        .select(col("l.node").as("node"),
-          least(col("l.lbl"), coalesce(col("m.nbl"), col("l.lbl"))).as("lbl"))
-        .localCheckpoint()
-      val s = lblSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
+      val joined = labels.as("l")
+        .join(nbrMin.as("m"), Seq("node"), "left")
+        .select(col("node"), col("l.lbl").as("old"),
+          least(col("l.lbl"), coalesce(col("m.nbl"), col("l.lbl")))
+            .as("lbl"))
+        .localCheckpoint() // one materialization feeds labels AND delta
+      labels = joined.select(col("node"), col("lbl"))
+      delta = joined.filter(col("lbl") < col("old"))
+        .select(col("node"), col("lbl"))
       iter += 1
     }
-    if (!converged)
+    if (!delta.isEmpty)
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIter rounds — the " +
           "pair graph has a longer path than expected; raise maxIter")
