@@ -125,6 +125,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(7L) == "UTC-11")
   }
 
+  test("GeoTz coarse world extract: real city coordinates resolve to " +
+    "their IANA zones; loadZones round-trips an external dim") {
+    import graft.functions.GeoTz
+    val cities = Seq(
+      (1L, -118.24, 34.05, "America/Los_Angeles"), // Los Angeles
+      (2L, -87.63, 41.88, "America/Chicago"),      // Chicago
+      (3L, -74.01, 40.71, "America/New_York"),     // New York
+      (4L, -0.13, 51.51, "Europe/London"),         // London
+      (5L, 13.40, 52.52, "Europe/Berlin"),         // Berlin
+      (6L, 77.21, 28.64, "Asia/Kolkata"),          // Delhi
+      (7L, 121.47, 31.23, "Asia/Shanghai"),        // Shanghai
+      (8L, 139.69, 35.69, "Asia/Tokyo"),           // Tokyo
+      (9L, 151.21, -33.87, "Australia/Sydney"),    // Sydney
+      (10L, 28.05, -26.20, "Africa/Johannesburg"), // Johannesburg
+      (11L, -46.63, -23.55, "America/Sao_Paulo"),  // São Paulo
+      (12L, -140.0, -20.0, "UTC-9")                // open Pacific → nautical
+    )
+    val pts = cities.map(c => (c._1, c._2, c._3)).toDF("id", "lon", "lat")
+    val got = GeoTz.tzForPoints(pts, "id", "lon", "lat",
+        zs = GeoTz.coarseWorldZones)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cities.foreach { case (id, _, _, want) =>
+      assert(got(id) == want, s"city $id: got ${got(id)}, want $want")
+    }
+    // external extract: one zone through the JSON bridge
+    val dir = java.nio.file.Files.createTempDirectory("graft_tz_").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/zones.json"),
+      """{"tz": "Test/Zone", "xs": [0.5, 10.5, 9.5, 1.5], "ys": [0.5, 1.5, 10.5, 9.5]}""")
+    val loaded = GeoTz.loadZones(spark, s"$dir/zones.json")
+    assert(loaded == Seq(("Test/Zone", Seq(0.5, 10.5, 9.5, 1.5),
+      Seq(0.5, 1.5, 10.5, 9.5))))
+    val one = GeoTz.tzForPoints(Seq((1L, 5.0, 5.0)).toDF("id", "lon", "lat"),
+      "id", "lon", "lat", zs = loaded).first().getString(1)
+    assert(one == "Test/Zone")
+  }
+
   test("x18 packing and x17 IVF plans: every window is partitioned " +
     "(no global sort funnels)") {
     val packs = graft.ext.CorpusStats.packAssignments(
