@@ -96,6 +96,27 @@ object CorpusStats {
           .cast("int").as("pack_id"))
   }
 
+  /** Source mixing stats: per-source document/token volume and corpus
+    * token share — the input to data-mixture weighting (DoReMi-style
+    * sampling ratios start from exactly these shares, and any
+    * source-balanced training run needs this table first).
+    *
+    * Scale shape: one map-side token count + grouped agg (partial
+    * aggregation; result is #sources rows, never data-sized), then a
+    * broadcast of the single-row total for the share division — no
+    * unpartitioned window over the grouped table. */
+  def sourceMix(docs: DataFrame, sourceCol: String,
+                textCol: String): DataFrame = {
+    val per = docs.select(col(sourceCol).as("source"),
+        TextAnalysis.nTokens(TextAnalysis.tokens(col(textCol))).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("__tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens") / col("__tot")).as("tok_share"))
+  }
+
   /** Top-k word bigrams: heavy-hitter n-grams across the corpus with a
     * deterministic (count desc, bigram asc) ranking.  Bigrams assemble
     * via [[Dedup.assembleNgrams]] (narrow zip+slice by default — no

@@ -295,6 +295,31 @@ object Dedup {
     t.join(b, Seq("sh"), "left_semi").select(col("doc_id")).distinct()
   }
 
+  /** Contamination REPORT — the severity ranking on top of
+    * [[contaminatedDocs]]' boolean: for each contaminated training
+    * document, the fraction of its distinct n-grams that appear
+    * anywhere in the benchmark set.  A doc sharing one boilerplate
+    * 5-gram and a doc that IS a benchmark item both flag; this tells
+    * them apart so the pipeline can rank, audit, or threshold drops.
+    *
+    * Same scale shape as [[contaminatedDocs]]: distinct benchmark
+    * shingles stay eval-set-sized (AQE broadcasts them), the training
+    * side streams through one left join + per-doc count agg. */
+  def contaminationOverlap(train: DataFrame, bench: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    val t = explodedShingles(train, idCol, textCol, n).distinct()
+    val b = explodedShingles(bench, idCol, textCol, n)
+      .select(col("sh")).distinct().withColumn("__hit", lit(1))
+    t.join(b, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared") / col("n_shingles")).as("overlap_frac"))
+  }
+
   /** Connected components over a near-duplicate pair set →
     * (doc_id, cluster_id) for EVERY input document; cluster_id is the
     * smallest doc_id in the component (singletons keep their own id).

@@ -161,6 +161,21 @@ object ExtQueries {
       Similarity.semanticPrune(Tables.embeddings(s, d),
         tau = 0.4, dim = 64, nlist = 16)),
 
+    // per-source volume + token share (data-mixture weighting input)
+    "x23_source_mix" -> ((s, d) =>
+      graft.ext.CorpusStats.sourceMix(Tables.documents(s, d),
+        "source", "text")),
+
+    // contamination severity: shared-distinct-5-gram fraction per
+    // contaminated training doc (x19's boolean, ranked)
+    "x24_contamination_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationOverlap(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
     // multimodal metadata plumbing over opaque binary payloads
     "x13_multimodal_meta" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -385,6 +400,37 @@ object ExtQueries {
         |       n_distinct / n_tokens AS distinct_ratio,
         |       coalesce(top_bc / n_bigrams, 0.0) AS top_bigram_frac
         |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin,
+    "x23_source_mix" ->
+      """WITH t AS (SELECT source, len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n) AS BIGINT) AS n_tokens
+        |      FROM t GROUP BY 1)
+        |SELECT source, n_docs, n_tokens,
+        |       n_tokens / CAST((SELECT sum(n_tokens) FROM g) AS BIGINT)
+        |         AS tok_share
+        |FROM g""".stripMargin,
+    "x24_contamination_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |              ELSE list_transform(generate_series(1, len(toks) - 4),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                     || ' ' || toks[i+3] || ' ' || toks[i+4])
+        |         END AS sh FROM t),
+        |tr AS (SELECT DISTINCT doc_id, s FROM (
+        |         SELECT doc_id, unnest(sh) AS s FROM sh
+        |         WHERE doc_id % 97 <> 0)),
+        |be AS (SELECT DISTINCT s FROM (
+        |         SELECT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0)),
+        |j AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |             CAST(sum(CASE WHEN be.s IS NOT NULL THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS n_shared
+        |      FROM tr LEFT JOIN be ON tr.s = be.s GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_shared,
+        |       n_shared / n_shingles AS overlap_frac
+        |FROM j WHERE n_shared > 0""".stripMargin,
     "x3_minhash_lsh_pairs" -> x3Sql,
     "x7_ann_lsh" -> x7Sql,
     "x17_ann_ivf" -> x17Sql,

@@ -76,6 +76,27 @@ class DedupSpec extends SparkSpec {
     assert(clusters(4L) == 4L)
   }
 
+  test("contamination overlap: exact shared-shingle fractions, " +
+    "clean docs absent") {
+    val train = Seq((1L, "a b c d e f"),     // 5-grams: abcde, bcdef
+                    (2L, "q w e r t y u"))   // disjoint from bench
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val out = Dedup.contaminationOverlap(train, bench, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(1L -> ((2L, 1L, 0.5))))
+  }
+
+  test("source mix: token shares are exact and sum to 1") {
+    val docs = Seq(("web", "a b c"), ("web", "d e"), ("books", "f g h i j"))
+      .toDF("source", "text")
+    val out = graft.ext.CorpusStats.sourceMix(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map("web" -> ((2L, 5L, 0.5)), "books" -> ((1L, 5L, 0.5))))
+  }
+
   test("LSH pipeline finds the dup cluster and never fabricates pairs") {
     val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
       n = 1, k = 8, bandRows = 2, threshold = 0.8)

@@ -46,6 +46,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("duplicateClusters equals brute-force union-find on random graphs") {
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(0, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L)
+        d <- Gen.choose(1L, n - 1L) // b ≠ a by construction
+      } yield { val b = (a + d) % n; (math.min(a, b), math.max(a, b)) })
+    } yield (n, edges)
+    samples(gen, 8).foreach { case (n, edges) =>
+      // reference: plain union-find
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n.toInt).map(i => i.toLong -> find(i).toLong).toMap
+      val docsDf = (0L until n.toLong).toDF("doc_id")
+      val pairsDf = edges.toDF("a", "b")
+      val got = Dedup.duplicateClusters(docsDf, "doc_id", pairsDf)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"n=$n edges=$edges")
+    }
+  }
+
   test("jaccard ∈ [0,1], symmetric, 1 for equal sets") {
     val gen = for {
       a <- Gen.nonEmptyListOf(Gen.choose(0, 20))
