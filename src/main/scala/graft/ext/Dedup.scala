@@ -295,6 +295,45 @@ object Dedup {
     t.join(b, Seq("sh"), "left_semi").select(col("doc_id")).distinct()
   }
 
+  /** Ingest-time near-dup gate — the stream-static shape of
+    * [[minhashLshPairs]]: flag each INCOMING document that is a
+    * verified near-duplicate of the EXISTING corpus, with its best
+    * match (max jaccard, min existing-id tiebreak — deterministic).
+    *
+    * This is how dedup runs in production ingest: the existing corpus
+    * is indexed ONCE (band table + encoded token sets — at scale both
+    * persist as tables bucketed by band_key / id), and each incoming
+    * micro-batch computes its own bands map-side and equi-joins the
+    * index.  No salting on this path: the incoming side is
+    * batch-bounded, so a hot band costs candidates proportional to the
+    * batch, not the corpus.  Used under `foreachBatch` for Structured
+    * Streaming ingest (StreamingSpec proves batch-equivalence). */
+  def lshMatchAgainst(existing: DataFrame, incoming: DataFrame,
+                      idCol: String, textCol: String,
+                      n: Int = 1, k: Int = 8, bandRows: Int = 2,
+                      threshold: Double = 0.8): DataFrame = {
+    val exBands = lshBands(minhashSignatures(existing, idCol, textCol, n, k),
+      bandRows).select(col("band_key"), col("doc_id").as("ex_id"))
+    val exEnc = encodeTokenSets(existing, idCol, textCol, None)
+      .select(col("id").as("ex_id"), col("toks").as("te"), col("sz").as("se"))
+    val inBands = lshBands(minhashSignatures(incoming, idCol, textCol, n, k),
+      bandRows).select(col("band_key"), col("doc_id").as("in_id"))
+    val inEnc = encodeTokenSets(incoming, idCol, textCol, None)
+      .select(col("id").as("in_id"), col("toks").as("ti"), col("sz").as("si"))
+    val cands = inBands.join(exBands, "band_key")
+      .select(col("in_id"), col("ex_id")).distinct()
+    cands.join(inEnc, "in_id").join(exEnc, "ex_id")
+      .filter(sizeCompatible(col("si"), col("se"), threshold))
+      .withColumn("jaccard", jaccardDistinct(col("ti"), col("te")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("in_id"))
+      .agg(max(struct(col("jaccard"), (-col("ex_id")).as("neg")))
+        .as("best"))
+      .select(col("in_id").as("doc_id"),
+        (-col("best.neg")).as("match_id"),
+        col("best.jaccard").as("jaccard"))
+  }
+
   /** Contamination REPORT — the severity ranking on top of
     * [[contaminatedDocs]]' boolean: for each contaminated training
     * document, the fraction of its distinct n-grams that appear

@@ -176,6 +176,17 @@ object ExtQueries {
         "doc_id", "text", n = 5)
     }),
 
+    // §2.9 ingest-time near-dup gate (stream-static LSH; run per
+    // micro-batch under foreachBatch — batch-equivalent declared here,
+    // streaming execution proven in StreamingSpec)
+    "st4_ingest_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.lshMatchAgainst(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 1, k = 8, bandRows = 2, threshold = 0.8)
+    }),
+
     // multimodal metadata plumbing over opaque binary payloads
     "x13_multimodal_meta" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -376,7 +387,46 @@ object ExtQueries {
        |       dr.dropped_by IS NOT NULL AS dropped, dr.dropped_by
        |FROM asg LEFT JOIN dr ON asg.vec_id = dr.vec_id""".stripMargin
 
+  /** Stream-static ingest-gate oracle: same sig/band/verify replay as
+    * [[x3Sql]], asymmetric sides (incoming = doc_id %% 7 == 0), best
+    * match per incoming doc by (jaccard DESC, ex_id ASC). */
+  private val st4Sql: String = {
+    val sigCols = (0 until 8).map(i => s"${duckMinhash(i)} AS s$i")
+      .mkString(",\n         ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, md5('$b' || '|' || s${2 * b} || ',' || s${2 * b + 1}) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (SELECT doc_id, string_split(text, ' ') AS sh FROM documents),
+       |sig AS (SELECT doc_id,
+       |         $sigCols
+       |        FROM sh),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |enc AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+       |               len(list_distinct(string_split(text, ' '))) AS sz
+       |        FROM documents),
+       |cands AS (
+       |  SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS ex_id
+       |  FROM bands i JOIN bands e ON i.band_key = e.band_key
+       |  WHERE i.doc_id % 7 = 0 AND e.doc_id % 7 <> 0),
+       |ver AS (
+       |  SELECT in_id, ex_id,
+       |         len(list_filter(ei.toks, x -> list_contains(ee.toks, x)))
+       |         / (ei.sz + ee.sz
+       |            - len(list_filter(ei.toks, x -> list_contains(ee.toks, x))))
+       |           AS jaccard
+       |  FROM cands JOIN enc ei ON cands.in_id = ei.doc_id
+       |             JOIN enc ee ON cands.ex_id = ee.doc_id
+       |  WHERE least(ei.sz, ee.sz) / greatest(ei.sz, ee.sz) >= 0.8)
+       |SELECT in_id AS doc_id, ex_id AS match_id, jaccard FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY in_id
+       |            ORDER BY jaccard DESC, ex_id ASC) AS rk
+       |  FROM ver WHERE jaccard >= 0.8) WHERE rk = 1""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "st4_ingest_neardup" -> st4Sql,
     "x20_dup_clusters" -> x20Sql,
     "x22_semantic_prune" -> x22Sql,
     "x21_repetition" ->

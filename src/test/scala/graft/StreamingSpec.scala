@@ -53,6 +53,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("sdedup").count() == expected)
   }
 
+  test("streaming ingest near-dup gate equals the batch answer " +
+    "(stream-static LSH under foreachBatch)") {
+    val docs = Tables.documents(spark, sf0001)
+    val existing = docs.filter($"doc_id" % 7 =!= 0)
+    val incoming = docs.filter($"doc_id" % 7 === 0)
+    val batchAnswer = graft.ext.Dedup
+      .lshMatchAgainst(existing, incoming, "doc_id", "text",
+        n = 1, k = 8, bandRows = 2, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batchAnswer.nonEmpty)
+    // deliver the incoming docs in two files → two-ish micro-batches;
+    // the static existing side is indexed per batch by the same call
+    val dir = java.nio.file.Files.createTempDirectory("graft_ing_").toString
+    incoming.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+      .write.mode("append").parquet(dir)
+    incoming.filter($"doc_id" % 2 =!= 0).select($"doc_id", $"text")
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val flagged = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        flagged ++= graft.ext.Dedup
+          .lshMatchAgainst(existing, df, "doc_id", "text",
+            n = 1, k = 8, bandRows = 2, threshold = 0.8)
+          .as[(Long, Long, Double)].collect()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(flagged.toSet == batchAnswer,
+      "per-micro-batch gating must equal the all-at-once batch answer")
+  }
+
   test("watermark dedup removes double-delivered rows") {
     // stage the events twice (overlap re-read, SURVEY §2.9 late data)
     val dir = java.nio.file.Files.createTempDirectory("graft_dd_").toString
