@@ -107,10 +107,14 @@ object CorpusStats {
     * unpartitioned window over the grouped table. */
   def sourceMix(docs: DataFrame, sourceCol: String,
                 textCol: String): DataFrame = {
+    // checkpointed: the total is derived from the grouped table, and
+    // without materialization its lineage would re-scan the corpus a
+    // second time.  #sources rows — KBs.
     val per = docs.select(col(sourceCol).as("source"),
         TextAnalysis.nTokens(TextAnalysis.tokens(col(textCol))).as("n"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .localCheckpoint()
     val tot = per.agg(sum(col("n_tokens")).as("__tot"))
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
