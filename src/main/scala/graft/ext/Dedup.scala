@@ -311,18 +311,47 @@ object Dedup {
   def lshMatchAgainst(existing: DataFrame, incoming: DataFrame,
                       idCol: String, textCol: String,
                       n: Int = 1, k: Int = 8, bandRows: Int = 2,
+                      threshold: Double = 0.8): DataFrame =
+    lshMatchIndexed(lshIndex(existing, idCol, textCol, n, k, bandRows),
+      incoming, idCol, textCol, threshold)
+
+  /** Materialized LSH corpus index: band table + encoded token sets,
+    * with the signature parameters baked in so a match call cannot
+    * silently mix incompatible band schemes. */
+  case class LshIndex(bands: DataFrame, enc: DataFrame,
+                      n: Int, k: Int, bandRows: Int)
+
+  /** Index the existing corpus ONCE for [[lshMatchIndexed]]:
+    * localCheckpoint pins both tables so every subsequent micro-batch
+    * joins materialized data instead of recomputing the
+    * shingle→md5→min-agg chain.  At production scale these persist as
+    * tables (bucketed by band_key / id) and are unioned with each
+    * accepted batch's own bands. */
+  def lshIndex(existing: DataFrame, idCol: String, textCol: String,
+               n: Int = 1, k: Int = 8, bandRows: Int = 2): LshIndex =
+    LshIndex(
+      lshBands(minhashSignatures(existing, idCol, textCol, n, k), bandRows)
+        .select(col("band_key"), col("doc_id").as("ex_id"))
+        .localCheckpoint(),
+      encodeTokenSets(existing, idCol, textCol, None)
+        .select(col("id").as("ex_id"), col("toks").as("te"),
+          col("sz").as("se"))
+        .localCheckpoint(),
+      n, k, bandRows)
+
+  /** Match one incoming batch against a prebuilt [[LshIndex]] — the
+    * per-micro-batch half of the ingest gate. */
+  def lshMatchIndexed(index: LshIndex, incoming: DataFrame,
+                      idCol: String, textCol: String,
                       threshold: Double = 0.8): DataFrame = {
-    val exBands = lshBands(minhashSignatures(existing, idCol, textCol, n, k),
-      bandRows).select(col("band_key"), col("doc_id").as("ex_id"))
-    val exEnc = encodeTokenSets(existing, idCol, textCol, None)
-      .select(col("id").as("ex_id"), col("toks").as("te"), col("sz").as("se"))
-    val inBands = lshBands(minhashSignatures(incoming, idCol, textCol, n, k),
-      bandRows).select(col("band_key"), col("doc_id").as("in_id"))
+    val inBands = lshBands(
+      minhashSignatures(incoming, idCol, textCol, index.n, index.k),
+      index.bandRows).select(col("band_key"), col("doc_id").as("in_id"))
     val inEnc = encodeTokenSets(incoming, idCol, textCol, None)
       .select(col("id").as("in_id"), col("toks").as("ti"), col("sz").as("si"))
-    val cands = inBands.join(exBands, "band_key")
+    val cands = inBands.join(index.bands, "band_key")
       .select(col("in_id"), col("ex_id")).distinct()
-    cands.join(inEnc, "in_id").join(exEnc, "ex_id")
+    cands.join(inEnc, "in_id").join(index.enc, "ex_id")
       .filter(sizeCompatible(col("si"), col("se"), threshold))
       .withColumn("jaccard", jaccardDistinct(col("ti"), col("te")))
       .filter(col("jaccard") >= threshold)

@@ -74,11 +74,13 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
     val flagged = scala.collection.mutable.Set[(Long, Long, Double)]()
+    // index the static side ONCE; every micro-batch joins it
+    val index = graft.ext.Dedup.lshIndex(existing, "doc_id", "text",
+      n = 1, k = 8, bandRows = 2)
     val q = stream.writeStream
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
         flagged ++= graft.ext.Dedup
-          .lshMatchAgainst(existing, df, "doc_id", "text",
-            n = 1, k = 8, bandRows = 2, threshold = 0.8)
+          .lshMatchIndexed(index, df, "doc_id", "text", threshold = 0.8)
           .as[(Long, Long, Double)].collect()
         ()
       }
