@@ -123,13 +123,21 @@ object Dedup {
 
   /** (doc_id, sh) rows of word n-gram shingles via [[assembleNgrams]];
     * documents shorter than n keep the whole-text-shingle fallback of
-    * [[shingles]]. */
+    * [[shingles]].
+    *
+    * Every consumer is set-semantic (min-agg minhash, distinct-driven
+    * decontamination joins), so for n=1 the token array deduplicates
+    * MAP-SIDE (`array_distinct`, codegen'd) before exploding — on
+    * repetitive corpora this cuts the downstream md5 volume by the
+    * per-doc repetition factor for free, with bit-identical results
+    * (the oracle hashes the full multiset; min over a set equals min
+    * over its multiset). */
   private def explodedShingles(docs: DataFrame, idCol: String,
                                textCol: String, n: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
     if (n == 1) {
-      toks.select(col("doc_id"), explode(col("toks")).as("sh"))
+      toks.select(col("doc_id"), explode(array_distinct(col("toks"))).as("sh"))
     } else {
       val small = toks.filter(size(col("toks")) < n)
         .select(col("doc_id"), array_join(col("toks"), " ").as("sh"))
@@ -328,31 +336,37 @@ object Dedup {
     * tables (bucketed by band_key / id) and are unioned with each
     * accepted batch's own bands. */
   def lshIndex(existing: DataFrame, idCol: String, textCol: String,
-               n: Int = 1, k: Int = 8, bandRows: Int = 2): LshIndex =
-    LshIndex(
+               n: Int = 1, k: Int = 8, bandRows: Int = 2): LshIndex = {
+    val enc = encodeTokenSets(existing, idCol, textCol, None)
+      .select(col("id").as("ex_id"), col("toks").as("te"),
+        col("sz").as("se"))
+      .localCheckpoint()
+    // band rows carry sz (one extra int) so the size-ratio prefilter
+    // can run INSIDE the band join, before the candidate distinct —
+    // same placement as minhashLshPairs
+    val bands =
       lshBands(minhashSignatures(existing, idCol, textCol, n, k), bandRows)
         .select(col("band_key"), col("doc_id").as("ex_id"))
-        .localCheckpoint(),
-      encodeTokenSets(existing, idCol, textCol, None)
-        .select(col("id").as("ex_id"), col("toks").as("te"),
-          col("sz").as("se"))
-        .localCheckpoint(),
-      n, k, bandRows)
+        .join(enc.select(col("ex_id"), col("se")), "ex_id")
+        .localCheckpoint()
+    LshIndex(bands, enc, n, k, bandRows)
+  }
 
   /** Match one incoming batch against a prebuilt [[LshIndex]] — the
     * per-micro-batch half of the ingest gate. */
   def lshMatchIndexed(index: LshIndex, incoming: DataFrame,
                       idCol: String, textCol: String,
                       threshold: Double = 0.8): DataFrame = {
+    val inEnc = encodeTokenSets(incoming, idCol, textCol, None)
+      .select(col("id").as("in_id"), col("toks").as("ti"), col("sz").as("si"))
     val inBands = lshBands(
       minhashSignatures(incoming, idCol, textCol, index.n, index.k),
       index.bandRows).select(col("band_key"), col("doc_id").as("in_id"))
-    val inEnc = encodeTokenSets(incoming, idCol, textCol, None)
-      .select(col("id").as("in_id"), col("toks").as("ti"), col("sz").as("si"))
+      .join(inEnc.select(col("in_id"), col("si")), "in_id")
     val cands = inBands.join(index.bands, "band_key")
+      .filter(sizeCompatible(col("si"), col("se"), threshold))
       .select(col("in_id"), col("ex_id")).distinct()
     cands.join(inEnc, "in_id").join(index.enc, "ex_id")
-      .filter(sizeCompatible(col("si"), col("se"), threshold))
       .withColumn("jaccard", jaccardDistinct(col("ti"), col("te")))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("in_id"))
