@@ -8,6 +8,12 @@ object TimeQ {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // ad-hoc A/B of session-conf strategy switches:
+    // SPARK_GRAFT_CONF="spark.graft.minhashImpl=explode,..."
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     for (name <- args; i <- 1 to 2) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()

@@ -51,16 +51,32 @@ object Dedup {
         (i % 4) * 8 + 1, 8)))
 
   /** docs(id, text) → (id, sig array) with a k-hash signature over
-    * n-gram shingles.
+    * n-gram shingles.  Two physical strategies, selected by the
+    * `spark.graft.minhashImpl` session conf, identical output (pinned
+    * by DedupSpec's strategy-equivalence test):
     *
-    * Implementation note: higher-order-function lambdas evaluate
-    * interpreted (outside whole-stage codegen), so hashing inside a
-    * `transform` costs µs/element.  Instead shingles are exploded and
-    * hashed with plain codegen'd expressions, then min-aggregated —
-    * one skinny shuffle of (id, chunk…) rows, ~10× faster, same
-    * result. */
+    *  - `kernel` (default): the custom codegen'd
+    *    [[graft.plans.MinHashSig]] expression computes the whole k-lane
+    *    signature per document row — shingle assembly, md5, per-lane
+    *    min all in one JVM loop.  scan → project, NO explode, NO
+    *    aggregate, NO shuffle: the signature stage scales with mapper
+    *    throughput alone.
+    *  - `explode`: shingles exploded and hashed with plain codegen'd
+    *    `md5` expressions, then min-aggregated per doc (higher-order
+    *    lambdas evaluate interpreted, so per-element hashing inside a
+    *    `transform` was never an option).  One skinny (id, chunk…)
+    *    shuffle; kept selectable for measurement. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 8): DataFrame = {
+    val impl = docs.sparkSession.conf.get("spark.graft.minhashImpl", "kernel")
+    if (impl == "kernel") {
+      import graft.plans.MinHashSig.minhashSig
+      return docs
+        .select(col(idCol).as("doc_id"),
+          TextAnalysis.tokens(col(textCol)).as("toks"))
+        .select(col("doc_id"), minhashSig(col("toks"), n, k).as("sig"))
+        .filter(col("sig").isNotNull)
+    }
     val exploded = explodedShingles(docs, idCol, textCol, n)
     val digests = (0 to (k - 1) / 4).map(m =>
       md5(concat(lit(s"$m:"), col("sh"))))

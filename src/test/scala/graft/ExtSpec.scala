@@ -33,16 +33,21 @@ class DedupSpec extends SparkSpec {
   test("n-gram assembly: narrow and window strategies emit identical " +
     "results; narrow plan is shuffle-free before the agg") {
     def sigs(strategy: String): Map[Long, Seq[String]] = {
+      spark.conf.set("spark.graft.minhashImpl", "explode")
       spark.conf.set("spark.graft.shingleAssembly", strategy)
       try Dedup.minhashSignatures(corpus, "doc_id", "text", n = 3, k = 8)
         .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-      finally spark.conf.unset("spark.graft.shingleAssembly")
+      finally {
+        spark.conf.unset("spark.graft.shingleAssembly")
+        spark.conf.unset("spark.graft.minhashImpl")
+      }
     }
     assert(sigs("narrow") == sigs("window"))
-    // narrow (default): the only exchange is the signature groupBy —
-    // no window, no token-stream shuffle before it.  AQE off so the
-    // executed plan carries literal ShuffleExchangeExec nodes.
+    // narrow: the only exchange is the signature groupBy — no window,
+    // no token-stream shuffle before it.  AQE off so the executed plan
+    // carries literal ShuffleExchangeExec nodes.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.graft.minhashImpl", "explode")
     try {
       val plan = Dedup.minhashSignatures(corpus, "doc_id", "text", n = 3, k = 8)
         .queryExecution.executedPlan
@@ -54,6 +59,39 @@ class DedupSpec extends SparkSpec {
       }
       assert(exchanges.size == 1,
         s"expected exactly the groupBy exchange, got ${exchanges.size}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.graft.minhashImpl")
+    }
+  }
+
+  test("minhash kernel expression: bit-identical to the exploded " +
+    "strategy for n=1 and n=3; kernel plan is shuffle-free") {
+    def sigs(impl: String, n: Int): Map[Long, Seq[String]] = {
+      spark.conf.set("spark.graft.minhashImpl", impl)
+      try Dedup.minhashSignatures(corpus, "doc_id", "text", n = n, k = 8)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      finally spark.conf.unset("spark.graft.minhashImpl")
+    }
+    for (n <- Seq(1, 3)) assert(sigs("kernel", n) == sigs("explode", n),
+      s"kernel/explode signature mismatch at n=$n")
+    // short-doc fallback (fewer tokens than n) and interpreted eval
+    val short = Seq((1L, "ab"), (2L, "ab cd")).toDF("doc_id", "text")
+    def shortSigs(impl: String): Map[Long, Seq[String]] = {
+      spark.conf.set("spark.graft.minhashImpl", impl)
+      try Dedup.minhashSignatures(short, "doc_id", "text", n = 3, k = 8)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      finally spark.conf.unset("spark.graft.minhashImpl")
+    }
+    assert(shortSigs("kernel") == shortSigs("explode"))
+    // the kernel path is scan → project → filter: zero exchanges
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Dedup.minhashSignatures(corpus, "doc_id", "text", n = 3, k = 8)
+        .queryExecution.executedPlan
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "kernel minhash must not shuffle")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
