@@ -121,6 +121,37 @@ object CorpusStats {
         (col("n_tokens") / col("__tot")).as("tok_share"))
   }
 
+  /** Deterministic stratified downsampling: balance every stratum
+    * (source, language, …) down to the size of the smallest one —
+    * the data-mixture rebalancing step of training-corpus assembly.
+    *
+    * The keep decision is content-addressed, not random: a document is
+    * kept iff its md5 unit-interval coordinate falls below the
+    * stratum's keep rate (`target/count`).  That makes the sample a
+    * pure FUNCTION of (id, salt, stratum counts) — reproducible across
+    * runs, engines (the DuckDB oracle replays it), partitionings and
+    * cluster sizes, and stable under re-runs of upstream stages, which
+    * a `rand()`-based sample is not.  Expected kept size per stratum is
+    * `target` (binomial, not exact — the price of coordination-free
+    * decisions; an exact-n variant would need a per-stratum sort).
+    *
+    * Scale: one grouped count (#strata rows), a broadcast of the
+    * single-row min, then one narrow filter pass — the corpus is
+    * never shuffled. */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       salt: String = "graft"): DataFrame = {
+    // #strata rows; checkpointed so the min doesn't re-scan the corpus
+    val counts = docs.groupBy(col(stratumCol).as("__st"))
+      .agg(count(lit(1)).as("__n")).localCheckpoint()
+    val target = counts.agg(min(col("__n")).as("__t"))
+    val rates = counts.crossJoin(broadcast(target))
+    val u = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
+      1, 8), 16, 10).cast("double") / lit(4294967296.0)
+    docs.join(rates, col(stratumCol) === col("__st"))
+      .filter(u < col("__t").cast("double") / col("__n").cast("double"))
+      .drop("__st", "__n", "__t")
+  }
+
   /** Top-k word bigrams: heavy-hitter n-grams across the corpus with a
     * deterministic (count desc, bigram asc) ranking.  Bigrams assemble
     * via [[Dedup.assembleNgrams]] (narrow zip+slice by default — no

@@ -478,6 +478,58 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Canonical-document selection per duplicate cluster — the DECISION
+    * step after [[duplicateClusters]]: within each cluster keep the
+    * document with the largest `weightCol` (ties → smallest doc_id),
+    * mark everything else droppable.  "Keep the longest member" is the
+    * standard near-dup resolution heuristic (the longest copy is most
+    * often the complete one); any numeric quality score works as the
+    * weight.
+    *
+    * Scale: one window PARTITIONED BY cluster_id (keyed, never global)
+    * ranks members; the keeper table that joins back is
+    * cluster-count-sized, so AQE broadcasts it.  Output one row per
+    * input document: (doc_id, cluster_id, keeper_id, is_keeper). */
+  def clusterKeepers(docs: DataFrame, idCol: String, pairs: DataFrame,
+                     weightCol: String, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = duplicateClusters(docs, idCol, pairs, maxIter)
+    val weights = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(weightCol).cast("long").as("__w"))
+    val members = clusters.join(weights, "doc_id")
+    val rk = row_number().over(Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__w").desc, col("doc_id").asc))
+    val keepers = members.withColumn("__rk", rk).filter(col("__rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_id"))
+    members.join(keepers, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).cast("int").as("is_keeper"))
+  }
+
+  /** Cluster-level MinHash signatures via the
+    * [[graft.plans.MinHashUnionAgg]] custom aggregate: the signature of
+    * the UNION of a cluster's shingle sets is the elementwise minimum
+    * of the members' signatures, so a cluster sketch costs one
+    * aggregation over already-computed per-doc signatures — no
+    * re-tokenization, no second text pass.  Cluster sketches let
+    * cross-batch dedup compare an incoming document against whole
+    * clusters (one row per cluster, not per member) and keep the
+    * LSH index cluster-granular.
+    *
+    * Scale: per-doc signatures are narrow ([[minhashSignatures]]
+    * kernel strategy), the cluster agg is a standard partial+final
+    * hash aggregate on (cluster_id, k×8-byte sig) rows. */
+  def clusterSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        pairs: DataFrame, n: Int = 1, k: Int = 8,
+                        maxIter: Int = 25): DataFrame = {
+    import graft.plans.MinHashUnionAgg.minhashUnion
+    val clusters = duplicateClusters(docs, idCol, pairs, maxIter)
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+    clusters.join(sigs, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), minhashUnion(col("sig")).as("usig"))
+  }
+
   /** 16-bit SimHash from md5 nibbles: per bit position b, sum ±1 over
     * tokens by whether hex nibble b of md5(token) has its high bit set;
     * fingerprint bit b = (sum > 0).  Engine-portable ('8' ≤ nibble char

@@ -29,6 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "point_in_polygon"),
       (exprs: Seq[Expression]) =>
         PointInPolygon(exprs(0), exprs(1), exprs(2), exprs(3))))
+    // aggregate: the analyzer wraps a bare AggregateFunction in its
+    // AggregateExpression during resolution
+    e.injectFunction((
+      new FunctionIdentifier("minhash_union"),
+      new ExpressionInfo(classOf[MinHashUnionAgg].getName,
+        "minhash_union"),
+      (exprs: Seq[Expression]) => MinHashUnionAgg(exprs(0))))
   }
 }
 

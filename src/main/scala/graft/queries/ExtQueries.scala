@@ -193,7 +193,36 @@ object ExtQueries {
         octet_length(col("text")).as("n_bytes"),
         md5(col("text")).as("content_md5"),
         ascii(substring(col("text"), 1, 1)).as("first_byte"),
-        substring(col("text"), 1, 4).as("header_tag"))))
+        substring(col("text"), 1, 4).as("header_tag"))),
+
+    // canonical-doc selection per near-dup cluster: keep the longest
+    // member (doc_id tiebreak), mark the rest droppable — the decision
+    // step after x20's transitive closure
+    "x25_cluster_keepers" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
+        "lang", threshold = 0.8).select(col("a"), col("b"))
+      Dedup.clusterKeepers(docs, "doc_id", pairs, "n_chars")
+    }),
+
+    // deterministic stratified downsampling: balance every language
+    // stratum to the smallest one, content-addressed keep decision
+    "x26_stratified_sample" -> ((s, d) =>
+      graft.ext.CorpusStats.stratifiedSample(Tables.documents(s, d),
+          "doc_id", "lang")
+        .select(col("doc_id"), col("lang"))),
+
+    // cluster-level union sketches via the MinHashUnionAgg custom
+    // aggregate: elementwise-min of member signatures == signature of
+    // the cluster's union shingle set
+    "x27_cluster_sigs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
+        "lang", threshold = 0.8).select(col("a"), col("b"))
+      Dedup.clusterSignatures(docs, "doc_id", "text", pairs, n = 1, k = 8)
+        .select(col("cluster_id") +: col("n_docs") +:
+          (0 until 8).map(i => col("usig")(i).as(s"u$i")): _*)
+    }))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -348,7 +377,10 @@ object ExtQueries {
   /** Connected-components oracle: min label reachable from each node,
     * via a recursive reachability CTE over the x4 edge set (mirrors
     * [[Dedup.duplicateClusters]]' hash-min fixpoint). */
-  private val x20Sql: String =
+  /** Shared connected-components CTE chain (x20/x25/x27): exact
+    * lang-blocked Jaccard pairs → recursive reachability → min-label
+    * clusters as `c(doc_id, cluster_id)`. */
+  private val ccPrefix: String =
     """WITH RECURSIVE t AS (SELECT doc_id, lang,
       |             list_distinct(string_split(text, ' ')) AS toks
       |           FROM documents),
@@ -365,8 +397,49 @@ object ExtQueries {
       |reach(node, r) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
-      |  SELECT e.d, reach.r FROM e JOIN reach ON e.s = reach.node)
-      |SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1""".stripMargin
+      |  SELECT e.d, reach.r FROM e JOIN reach ON e.s = reach.node),
+      |c AS (SELECT node AS doc_id, min(r) AS cluster_id
+      |      FROM reach GROUP BY 1)""".stripMargin
+
+  private val x20Sql: String =
+    s"$ccPrefix\nSELECT doc_id, cluster_id FROM c"
+
+  private val x25Sql: String =
+    s"""$ccPrefix,
+       |j AS (SELECT c.doc_id, c.cluster_id, d.n_chars
+       |      FROM c JOIN documents d ON d.doc_id = c.doc_id),
+       |k AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+       |  SELECT cluster_id, doc_id,
+       |         row_number() OVER (PARTITION BY cluster_id
+       |           ORDER BY n_chars DESC, doc_id ASC) AS rk FROM j)
+       |  WHERE rk = 1)
+       |SELECT j.doc_id, j.cluster_id, k.keeper_id,
+       |       CAST(j.doc_id = k.keeper_id AS INT) AS is_keeper
+       |FROM j JOIN k ON j.cluster_id = k.cluster_id""".stripMargin
+
+  private val x27Sql: String = {
+    val laneMins = (0 until 8).map(i => s"min(s$i) AS u$i").mkString(", ")
+    val sigCols = (0 until 8).map(i => s"${duckMinhash(i)} AS s$i")
+      .mkString(",\n         ")
+    s"""$ccPrefix,
+       |shn AS (SELECT doc_id, string_split(text, ' ') AS sh FROM documents),
+       |sg AS (SELECT doc_id,
+       |         $sigCols
+       |        FROM shn)
+       |SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_docs, $laneMins
+       |FROM c JOIN sg ON sg.doc_id = c.doc_id
+       |GROUP BY 1""".stripMargin
+  }
+
+  private val x26Sql: String =
+    """WITH cnt AS (SELECT lang AS st, count(*) AS n
+      |             FROM documents GROUP BY 1),
+      |tgt AS (SELECT min(n) AS t FROM cnt)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN cnt ON d.lang = cnt.st CROSS JOIN tgt
+      |WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'graft'), 1, 8)
+      |             AS UBIGINT) AS DOUBLE) / 4294967296.0
+      |      < CAST(tgt.t AS DOUBLE) / CAST(cnt.n AS DOUBLE)""".stripMargin
 
   private val x22Sql: String =
     s"""WITH v AS (SELECT vec_id, embedding AS ev FROM embeddings),
@@ -428,6 +501,9 @@ object ExtQueries {
   val sql: Map[String, String] = Map(
     "st4_ingest_neardup" -> st4Sql,
     "x20_dup_clusters" -> x20Sql,
+    "x25_cluster_keepers" -> x25Sql,
+    "x26_stratified_sample" -> x26Sql,
+    "x27_cluster_sigs" -> x27Sql,
     "x22_semantic_prune" -> x22Sql,
     "x21_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

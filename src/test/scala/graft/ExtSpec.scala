@@ -114,6 +114,66 @@ class DedupSpec extends SparkSpec {
     assert(clusters(4L) == 4L)
   }
 
+  test("cluster keepers: longest member wins, doc_id breaks ties, " +
+    "singletons keep themselves") {
+    val docsDf = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (5L, 7L))
+      .toDF("doc_id", "n_chars")
+    // cluster {1,2,3}: 2 and 3 tie on weight 30 → 2 wins; {4} and {5}
+    // are singletons
+    val pairsDf = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Dedup.clusterKeepers(docsDf, "doc_id", pairsDf, "n_chars")
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      1L -> (1L, 2L, 0), 2L -> (1L, 2L, 1), 3L -> (1L, 2L, 0),
+      4L -> (4L, 4L, 1), 5L -> (5L, 5L, 1)))
+  }
+
+  test("minhash union aggregate: elementwise min of member sigs equals " +
+    "the signature of the concatenated text; SQL-registered") {
+    import graft.plans.MinHashUnionAgg.minhashUnion
+    val members = Seq((1L, "red fox"), (2L, "blue fox"), (3L, "red dog"))
+      .toDF("doc_id", "text")
+    // union of the three token sets == tokens of the concatenation
+    val union = Seq((9L, "red fox blue dog")).toDF("doc_id", "text")
+    val agg = Dedup.minhashSignatures(members, "doc_id", "text", n = 1, k = 8)
+      .agg(minhashUnion($"sig").as("usig"))
+      .as[Seq[String]].head()
+    val direct = Dedup.minhashSignatures(union, "doc_id", "text", n = 1, k = 8)
+      .select($"sig").as[Seq[String]].head()
+    assert(agg == direct)
+    // SQL surface via GraftExtensions
+    Dedup.minhashSignatures(members, "doc_id", "text", n = 1, k = 8)
+      .createOrReplaceTempView("__sigs")
+    val viaSql = spark.sql("SELECT minhash_union(sig) FROM __sigs")
+      .as[Seq[String]].head()
+    assert(viaSql == direct)
+    // empty input → NULL (built-in aggregate null semantics)
+    assert(spark.sql(
+      "SELECT minhash_union(sig) FROM __sigs WHERE 1=0").head().isNullAt(0))
+  }
+
+  test("stratified sample: deterministic, subset of input, smallest " +
+    "stratum fully kept, skewed strata shrink toward the target") {
+    val docs = (1 to 300).map(i => (i.toLong, if (i <= 240) "big" else "small"))
+      .toDF("doc_id", "lang")
+    val kept = graft.ext.CorpusStats
+      .stratifiedSample(docs, "doc_id", "lang")
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    // reproducible: a second run returns the identical set
+    val again = graft.ext.CorpusStats
+      .stratifiedSample(docs, "doc_id", "lang")
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    assert(kept == again)
+    assert(kept.subsetOf((1 to 300).map(i =>
+      (i.toLong, if (i <= 240) "big" else "small")).toSet))
+    // rate for the smallest stratum is 1.0 → fully kept
+    assert(kept.count(_._2 == "small") == 60)
+    // the big stratum downsamples toward 60 (binomial around the target)
+    val bigKept = kept.count(_._2 == "big")
+    assert(bigKept < 120 && bigKept > 20, s"bigKept=$bigKept")
+  }
+
   test("contamination overlap: exact shared-shingle fractions, " +
     "clean docs absent") {
     val train = Seq((1L, "a b c d e f"),     // 5-grams: abcde, bcdef
