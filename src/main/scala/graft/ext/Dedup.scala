@@ -368,6 +368,53 @@ object Dedup {
     LshIndex(bands, enc, n, k, bandRows)
   }
 
+  /** Persist an [[LshIndex]] as BUCKETED tables — the cross-job form
+    * of the ingest gate's index.  `localCheckpoint` pins the index for
+    * one driver's lifetime; production ingest runs for months, so the
+    * index must survive restarts AND keep its join locality: bucketing
+    * by the join key means every later [[lshMatchIndexed]] call reads
+    * the corpus-sized side pre-partitioned — the scan provides the
+    * hash partitioning, only the batch-bounded incoming side shuffles.
+    * At 100 TB that is the difference between re-shuffling the corpus
+    * every batch and never shuffling it again.
+    *
+    * Signature parameters (n, k, bandRows) are stored as table
+    * properties so [[loadLshIndex]] cannot mix incompatible band
+    * schemes. */
+  def saveLshIndex(index: LshIndex, bandsTable: String, encTable: String,
+                   buckets: Int = 16): Unit = {
+    index.bands.write.mode("overwrite")
+      .bucketBy(buckets, "band_key").sortBy("band_key")
+      .format("parquet").saveAsTable(bandsTable)
+    index.enc.write.mode("overwrite")
+      .bucketBy(buckets, "ex_id").sortBy("ex_id")
+      .format("parquet").saveAsTable(encTable)
+    val spark = index.bands.sparkSession
+    val props = s"'graft.lsh.n'='${index.n}', 'graft.lsh.k'='${index.k}', " +
+      s"'graft.lsh.bandRows'='${index.bandRows}'"
+    spark.sql(s"ALTER TABLE $bandsTable SET TBLPROPERTIES ($props)")
+    spark.sql(s"ALTER TABLE $encTable SET TBLPROPERTIES ($props)")
+  }
+
+  /** Reopen a bucketed [[LshIndex]] written by [[saveLshIndex]],
+    * restoring the signature parameters from the table properties. */
+  def loadLshIndex(spark: org.apache.spark.sql.SparkSession,
+                   bandsTable: String, encTable: String): LshIndex = {
+    def prop(table: String, key: String): Int = {
+      val rows = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      rows.getOrElse(key, sys.error(
+        s"$table is not a graft LSH index table (missing $key)")).toInt
+    }
+    val (n, k, bandRows) = (prop(bandsTable, "graft.lsh.n"),
+      prop(bandsTable, "graft.lsh.k"), prop(bandsTable, "graft.lsh.bandRows"))
+    require(prop(encTable, "graft.lsh.n") == n &&
+      prop(encTable, "graft.lsh.k") == k &&
+      prop(encTable, "graft.lsh.bandRows") == bandRows,
+      s"$bandsTable / $encTable carry different signature parameters")
+    LshIndex(spark.table(bandsTable), spark.table(encTable), n, k, bandRows)
+  }
+
   /** Match one incoming batch against a prebuilt [[LshIndex]] — the
     * per-micro-batch half of the ingest gate. */
   def lshMatchIndexed(index: LshIndex, incoming: DataFrame,

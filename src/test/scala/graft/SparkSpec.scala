@@ -11,6 +11,8 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft-warehouse-${sys.props.getOrElse("user.name", "t")}")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -91,6 +91,33 @@ class StreamingSpec extends SparkSpec {
       "per-micro-batch gating must equal the all-at-once batch answer")
   }
 
+  test("bucketed LSH index: save/load round-trips parameters and " +
+    "matches, and the corpus side joins WITHOUT a shuffle") {
+    val docs = Tables.documents(spark, sf0001)
+    val existing = docs.filter($"doc_id" % 7 =!= 0)
+    val incoming = docs.filter($"doc_id" % 7 === 0)
+    val mem = graft.ext.Dedup.lshIndex(existing, "doc_id", "text",
+      n = 1, k = 8, bandRows = 2)
+    graft.ext.Dedup.saveLshIndex(mem, "g_ix_bands", "g_ix_enc", buckets = 4)
+    val loaded = graft.ext.Dedup.loadLshIndex(spark, "g_ix_bands", "g_ix_enc")
+    assert((loaded.n, loaded.k, loaded.bandRows) == (1, 8, 2))
+    def answer(ix: graft.ext.Dedup.LshIndex) = graft.ext.Dedup
+      .lshMatchIndexed(ix, incoming, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(answer(loaded) == answer(mem))
+    // the bucketed scan supplies the band_key hash partitioning: the
+    // corpus-sized side of the candidate join never shuffles — only
+    // batch-derived sides do.  AQE off so exchanges are literal.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = loaded.bands.groupBy($"band_key")
+        .count().queryExecution.executedPlan
+      assert(probe.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "bucketed band table must pre-partition by band_key")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("watermark dedup removes double-delivered rows") {
     // stage the events twice (overlap re-read, SURVEY §2.9 late data)
     val dir = java.nio.file.Files.createTempDirectory("graft_dd_").toString
