@@ -212,6 +212,27 @@ object ExtQueries {
           "doc_id", "lang")
         .select(col("doc_id"), col("lang"))),
 
+    // end-to-end curation pipeline COMPOSED from the library's own
+    // operators: quality gate → exact-dedup keepers → stratified
+    // balance → deterministic split → per-(lang, split) budget summary.
+    // One declaration, one optimized plan — Catalyst fuses the narrow
+    // stages; nothing materializes between steps.
+    "x28_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = TextAnalysis.tokens(col("text"))
+      val q = docs.filter(TextAnalysis.qualityOk(toks, minTokens = 10,
+        maxTokens = 100000, minStopRatio = 0.01))
+      val keepers = Dedup.exactGroups(q, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val kept = q.join(keepers, "doc_id")
+      val bal = graft.ext.CorpusStats.stratifiedSample(kept, "doc_id", "lang")
+      bal.withColumn("split",
+          graft.ext.CorpusStats.splitColumn(col("doc_id")))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.nTokens(toks)).as("n_tokens"))
+    }),
+
     // cluster-level union sketches via the MinHashUnionAgg custom
     // aggregate: elementwise-min of member signatures == signature of
     // the cluster's union shingle set
@@ -431,6 +452,34 @@ object ExtQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  private val x28Sql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) BETWEEN 10 AND 100000
+       |    AND len(list_filter(string_split(text, ' '), x -> x IN ($stopSet)))
+       |        / len(string_split(text, ' ')) >= 0.01),
+       |k AS (SELECT min(doc_id) AS doc_id FROM q
+       |      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+       |kept AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+       |cnt AS (SELECT lang AS st, count(*) AS n FROM kept GROUP BY 1),
+       |tgt AS (SELECT min(n) AS t FROM cnt),
+       |bal AS (SELECT kept.* FROM kept
+       |        JOIN cnt ON kept.lang = cnt.st CROSS JOIN tgt
+       |        WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)
+       |                     AS UBIGINT) AS DOUBLE) / 4294967296.0
+       |              < CAST(tgt.t AS DOUBLE) / CAST(cnt.n AS DOUBLE))
+       |SELECT lang,
+       |       CASE WHEN b < 80 THEN 'train'
+       |            WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+       |FROM (SELECT *,
+       |        CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)
+       |                  AS UBIGINT) % 100 AS INT) AS b
+       |      FROM bal)
+       |GROUP BY 1, 2""".stripMargin
+
   private val x26Sql: String =
     """WITH cnt AS (SELECT lang AS st, count(*) AS n
       |             FROM documents GROUP BY 1),
@@ -504,6 +553,7 @@ object ExtQueries {
     "x25_cluster_keepers" -> x25Sql,
     "x26_stratified_sample" -> x26Sql,
     "x27_cluster_sigs" -> x27Sql,
+    "x28_curation_pipeline" -> x28Sql,
     "x22_semantic_prune" -> x22Sql,
     "x21_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
