@@ -494,12 +494,19 @@ object Dedup {
   def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                         maxIter: Int = 25): DataFrame = {
     val nodes = docs.select(col(idCol).cast("long").as("node"))
+    // repartition BEFORE the checkpoint: LogicalRDD keeps the hash
+    // partitioning, so every round's edges⋈delta join reuses it and
+    // only the (shrinking) delta side shuffles — the edge table, the
+    // biggest relation in the loop, crosses the network once, not
+    // once per round
     val edges = pairs.select(col("a").cast("long").as("s"),
         col("b").cast("long").as("d"))
       .unionByName(pairs.select(col("b").cast("long").as("s"),
         col("a").cast("long").as("d")))
+      .repartition(col("s"))
       .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("lbl"))
+      .repartition(col("node"))
       .localCheckpoint()
     var delta = labels // round 0: every initial label is news
     var iter = 0
