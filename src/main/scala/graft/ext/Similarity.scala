@@ -231,33 +231,45 @@ object Similarity {
     // global-sort window — stays scale-safe
     val cent = withNorm(corpus, "cell", "cv")
       .orderBy(col("cell").asc).limit(nlist)
-    // (2) corpus→cell assignment: narrow pass vs broadcast centroids
-    val wc = Window.partitionBy(col("c_id"))
-      .orderBy(col("csim").desc, col("cell").asc)
-    val assigned = c.crossJoin(broadcast(cent))
-      .withColumn("csim", round(
+    // (2) corpus→cell assignment.  Scoring rows stay SKINNY (c_id,
+    // cell, csim): the argmax runs as a max_by hash aggregate — the
+    // nlist-per-vector candidates collapse map-side (partial agg)
+    // before any exchange, and the corpus VECTORS never ride a
+    // replicated shuffle; they attach once, by id, after the winner is
+    // known.  (A per-id window here would shuffle nlist copies of every
+    // embedding — the dominant network cost at corpus scale.)
+    // (csim, -cell) is unique per candidate, so max_by is
+    // deterministic: highest similarity, then lowest cell id.
+    val winner = c.crossJoin(broadcast(cent))
+      .select(col("c_id"), col("cell"), round(
         dotExpanded(col("c"), col("cv"), dim) /
-          (col("c_norm") * col("cv_norm")), 6))
-      .withColumn("__rk", row_number().over(wc))
-      .filter(col("__rk") === 1)
+          (col("c_norm") * col("cv_norm")), 6).as("csim"))
+      .groupBy(col("c_id"))
+      .agg(max_by(col("cell"),
+        struct(col("csim"), (-col("cell")).as("nc"))).as("cell"))
+    val assigned = c.join(winner, "c_id")
       .select(col("cell"), col("c_id"), col("c"), col("c_norm"))
-    // (3) query probes: nprobe nearest cells per query
+    // (3) query probes: nprobe nearest cells per query — same skinny
+    // shape (a window, because nprobe > 1, but over 3-column rows;
+    // query vectors join back after)
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("qsim").desc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("qsim", round(
+    val probeCells = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("cell"), round(
         dotExpanded(col("q"), col("cv"), dim) /
-          (col("q_norm") * col("cv_norm")), 6))
+          (col("q_norm") * col("cv_norm")), 6).as("qsim"))
       .withColumn("__rk", row_number().over(wq))
       .filter(col("__rk") <= nprobe)
-      .select(col("q_id"), col("q"), col("q_norm"), col("cell"))
-    // exact re-rank within probed cells
+      .select(col("q_id"), col("cell"))
+    val probes = q.join(probeCells, "q_id")
+    // exact re-rank within probed cells; candidates stripped to
+    // (q_id, c_id, score) before the ranking window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("c_id").asc)
     probes.join(assigned, "cell")
-      .withColumn("score", round(
+      .select(col("q_id"), col("c_id"), round(
         dotExpanded(col("q"), col("c"), dim) /
-          (col("q_norm") * col("c_norm")), 6))
+          (col("q_norm") * col("c_norm")), 6).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("score"), col("rank"))
