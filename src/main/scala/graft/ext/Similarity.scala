@@ -391,14 +391,17 @@ object Similarity {
     val c = withNorm(corpus, "id", "v")
     val cent = withNorm(corpus, "cell", "cv").orderBy(col("cell").asc)
       .limit(nlist)
-    val wc = Window.partitionBy(col("id"))
-      .orderBy(col("csim").desc, col("cell").asc)
-    val assigned = c.crossJoin(broadcast(cent))
-      .withColumn("csim", round(
+    // skinny argmax assignment (same shape as [[ivfTopK]]): max_by over
+    // (id, cell, csim) rows collapses map-side; embeddings join back by
+    // id instead of riding an nlist-replicated shuffle
+    val winner = c.crossJoin(broadcast(cent))
+      .select(col("id"), col("cell"), round(
         dotExpanded(col("v"), col("cv"), dim) /
-          (col("v_norm") * col("cv_norm")), 6))
-      .withColumn("__rk", row_number().over(wc))
-      .filter(col("__rk") === 1)
+          (col("v_norm") * col("cv_norm")), 6).as("csim"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cell"),
+        struct(col("csim"), (-col("cell")).as("nc"))).as("cell"))
+    val assigned = c.join(winner, "id")
       .select(col("cell").cast("long").as("cell"),
         col("id").cast("long").as("id"), col("v"))
     val drops = assigned.as[(Long, Long, Array[Double])]
