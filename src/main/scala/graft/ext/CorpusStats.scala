@@ -147,7 +147,10 @@ object CorpusStats {
     val rates = counts.crossJoin(broadcast(target))
     val u = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
       1, 8), 16, 10).cast("double") / lit(4294967296.0)
-    docs.join(rates, col(stratumCol) === col("__st"))
+    // broadcast is PROVABLY bounded here (one row per stratum — a
+    // handful of languages/sources), unlike data-sized dimension joins
+    // where the hint is left to AQE
+    docs.join(broadcast(rates), col(stratumCol) === col("__st"))
       .filter(u < col("__t").cast("double") / col("__n").cast("double"))
       .drop("__st", "__n", "__t")
   }
