@@ -46,6 +46,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MinHashSig kernel equals the exploded strategy on random corpora " +
+    "(n = 1/2/3, ragged token counts, repeated and empty-ish tokens)") {
+    val word = Gen.oneOf("a", "bb", "ccc", "dd dd", "", "zz")
+    // docs of 0..6 words joined by single spaces — covers empty text,
+    // below-n fallbacks, duplicate tokens, and multi-space artifacts
+    // (the "dd dd"/"" words inject doubled separators after join)
+    val doc = Gen.choose(0, 6).flatMap(len => Gen.listOfN(len, word))
+      .map(_.mkString(" "))
+    val texts = samples(doc, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      def sigs(impl: String): Map[Long, Seq[String]] = {
+        spark.conf.set("spark.graft.minhashImpl", impl)
+        try Dedup.minhashSignatures(df, "doc_id", "text", n = n, k = 8)
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        finally spark.conf.unset("spark.graft.minhashImpl")
+      }
+      assert(sigs("kernel") == sigs("explode"),
+        s"kernel/explode mismatch at n=$n")
+    }
+  }
+
+  test("minhash_union(sigs of parts) equals sig of the union for random " +
+    "partitions of a token pool") {
+    val pool = ('a' to 'z').map(_.toString)
+    val part = Gen.listOfN(30, Gen.choose(0, 3)) // token i → part 0..3
+    samples(part, 5).foreach { assign =>
+      val docs = assign.zipWithIndex.groupBy(_._1).toSeq.map {
+        case (p, xs) => (p.toLong, xs.map(x => pool(x._2 % 26)).mkString(" "))
+      }
+      val all = docs.map(_._2).mkString(" ")
+      val df = docs.toDF("doc_id", "text")
+      val viaAgg = Dedup.minhashSignatures(df, "doc_id", "text", n = 1, k = 8)
+        .agg(graft.plans.MinHashUnionAgg.minhashUnion($"sig"))
+        .as[Seq[String]].head()
+      val direct = Dedup
+        .minhashSignatures(Seq((0L, all)).toDF("doc_id", "text"),
+          "doc_id", "text", n = 1, k = 8)
+        .select($"sig").as[Seq[String]].head()
+      assert(viaAgg == direct)
+    }
+  }
+
   test("duplicateClusters equals brute-force union-find on random graphs") {
     val gen = for {
       n <- Gen.choose(2, 40)
