@@ -155,6 +155,32 @@ object CorpusStats {
       .drop("__st", "__n", "__t")
   }
 
+  /** Corpus-global rare-token signal: per document, how much of its
+    * DISTINCT vocabulary is hapax legomena (document frequency 1 across
+    * the whole corpus).  Gibberish, OCR noise, and mangled encodings
+    * score high; natural text stays low — the vocabulary-global quality
+    * axis the per-document signals ([[TextAnalysis.qualityByDoc]],
+    * `repetitionByDoc`) cannot see, because it needs corpus state.
+    *
+    * Scale shape: (doc_id, token) rows deduplicate map-side
+    * (`array_distinct` before the explode), the document-frequency
+    * table is one hash-partitioned count over those skinny rows, and
+    * the join back is token-keyed equi-join — vocabulary-sized build
+    * side, AQE picks broadcast vs shuffle.  Nothing document-sized
+    * crosses the network. */
+  def rareTokenRatio(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val dt = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+    val df = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    dt.join(df, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("df") === 1, 1).otherwise(0)).as("n_hapax"))
+      .withColumn("hapax_ratio",
+        col("n_hapax").cast("double") / col("n_distinct"))
+  }
+
   /** Top-k word bigrams: heavy-hitter n-grams across the corpus with a
     * deterministic (count desc, bigram asc) ranking.  Bigrams assemble
     * via [[Dedup.assembleNgrams]] (narrow zip+slice by default — no

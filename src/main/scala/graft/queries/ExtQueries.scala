@@ -233,6 +233,12 @@ object ExtQueries {
           sum(TextAnalysis.nTokens(toks)).as("n_tokens"))
     }),
 
+    // corpus-global rare-token (hapax) ratio per document — the
+    // vocabulary-wide quality axis per-doc signals can't see
+    "x29_rare_tokens" -> ((s, d) =>
+      graft.ext.CorpusStats.rareTokenRatio(Tables.documents(s, d),
+        "doc_id", "text")),
+
     // cluster-level union sketches via the MinHashUnionAgg custom
     // aggregate: elementwise-min of member signatures == signature of
     // the cluster's union shingle set
@@ -554,6 +560,17 @@ object ExtQueries {
     "x26_stratified_sample" -> x26Sql,
     "x27_cluster_sigs" -> x27Sql,
     "x28_curation_pipeline" -> x28Sql,
+    "x29_rare_tokens" ->
+      """WITH dt AS (SELECT doc_id,
+        |              unnest(list_distinct(string_split(text, ' '))) AS tok
+        |            FROM documents),
+        |df AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+        |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_hapax,
+        |       sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*)
+        |         AS hapax_ratio
+        |FROM dt JOIN df USING (tok) GROUP BY 1""".stripMargin,
     "x22_semantic_prune" -> x22Sql,
     "x21_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -174,6 +174,23 @@ class DedupSpec extends SparkSpec {
     assert(bigKept < 120 && bigKept > 20, s"bigKept=$bigKept")
   }
 
+  test("rare-token ratio: hapax counted corpus-wide over distinct " +
+    "per-doc vocabularies") {
+    // corpus DF: shared=3 docs, pair=2, solo1/solo2/solo3 = 1 each
+    val docsDf = Seq(
+      (1L, "shared pair solo1"),
+      (2L, "shared pair"),
+      (3L, "shared solo2 solo3 solo3")) // in-doc repeat still hapax
+      .toDF("doc_id", "text")
+    val got = graft.ext.CorpusStats
+      .rareTokenRatio(docsDf, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == (3L, 1L, 1.0 / 3))
+    assert(got(2L) == (2L, 0L, 0.0))
+    assert(got(3L) == (3L, 2L, 2.0 / 3))
+  }
+
   test("contamination overlap: exact shared-shingle fractions, " +
     "clean docs absent") {
     val train = Seq((1L, "a b c d e f"),     // 5-grams: abcde, bcdef
