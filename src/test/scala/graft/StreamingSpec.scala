@@ -98,6 +98,18 @@ class StreamingSpec extends SparkSpec {
     val incoming = docs.filter($"doc_id" % 7 === 0)
     val mem = graft.ext.Dedup.lshIndex(existing, "doc_id", "text",
       n = 1, k = 8, bandRows = 2)
+    // the in-memory catalog forgets tables across JVM restarts while
+    // the warehouse dir persists — clear both so overwrite can create
+    for (t <- Seq("g_ix_bands", "g_ix_enc")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val dir = new java.io.File(loc, t)
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
     graft.ext.Dedup.saveLshIndex(mem, "g_ix_bands", "g_ix_enc", buckets = 4)
     val loaded = graft.ext.Dedup.loadLshIndex(spark, "g_ix_bands", "g_ix_enc")
     assert((loaded.n, loaded.k, loaded.bandRows) == (1, 8, 2))
