@@ -608,6 +608,17 @@ object Dedup {
     * (id, 16×int) rows. */
   def simhashFingerprints(docs: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
+    // `kernel` (default): one codegen'd [[graft.plans.SimHashSig]] call
+    // per document — scan → project, no explode/aggregate/shuffle.
+    // `explode` keeps the row-expanded plan selectable for A/B.
+    val impl = docs.sparkSession.conf.get("spark.graft.simhashImpl", "kernel")
+    if (impl == "kernel") {
+      import graft.plans.SimHashSig.simhashSig
+      return docs
+        .select(col(idCol).as("doc_id"),
+          simhashSig(TextAnalysis.tokens(col(textCol))).as("simhash"))
+        .filter(col("simhash").isNotNull)
+    }
     val exploded = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val h = md5(col("tok"))

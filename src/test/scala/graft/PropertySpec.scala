@@ -69,6 +69,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SimHashSig kernel equals the exploded strategy on random corpora " +
+    "(multiplicity-sensitive, ragged docs); kernel plan is shuffle-free") {
+    val word = Gen.oneOf("a", "bb", "ccc", "dd", "", "a") // repeats matter
+    val doc = Gen.choose(0, 8).flatMap(len => Gen.listOfN(len, word))
+      .map(_.mkString(" "))
+    val texts = samples(doc, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    def fps(impl: String): Map[Long, Int] = {
+      spark.conf.set("spark.graft.simhashImpl", impl)
+      try Dedup.simhashFingerprints(df, "doc_id", "text")
+        .as[(Long, Int)].collect().toMap
+      finally spark.conf.unset("spark.graft.simhashImpl")
+    }
+    assert(fps("kernel") == fps("explode"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Dedup.simhashFingerprints(df, "doc_id", "text")
+        .queryExecution.executedPlan
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "kernel simhash must not shuffle")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("minhash_union(sigs of parts) equals sig of the union for random " +
     "partitions of a token pool") {
     val pool = ('a' to 'z').map(_.toString)
