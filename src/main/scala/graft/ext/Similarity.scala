@@ -223,16 +223,28 @@ object Similarity {
     * results are stable across engines and partitionings; recall vs
     * [[bruteForceTopK]] is measured in the test suite. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              dim: Int = 64, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+              dim: Int = 64, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKIndexed(ivfIndex(corpus, dim, nlist), queries, k, nprobe)
+
+  /** Materialized IVF index: cell-assigned corpus + centroid codebook,
+    * with (dim, nlist) baked in — the build-once half of ANN serving. */
+  case class IvfIndex(assigned: DataFrame, cent: DataFrame,
+                      dim: Int, nlist: Int)
+
+  /** Build the IVF index ONCE for [[ivfTopKIndexed]]: centroid
+    * selection and the corpus→cell assignment are corpus passes, so
+    * query batches must not re-run them — localCheckpoint pins both
+    * (cross-job persistence: [[saveIvfIndex]]). */
+  def ivfIndex(corpus: DataFrame, dim: Int = 64,
+               nlist: Int = 16): IvfIndex = {
     val c = withNorm(corpus, "c_id", "c")
-    val q = withNorm(queries, "q_id", "q")
     // lowest-id selection is a distributed TakeOrdered (top-k), NOT a
     // global-sort window — stays scale-safe
     val cent = withNorm(corpus, "cell", "cv")
       .orderBy(col("cell").asc).limit(nlist)
-    // (2) corpus→cell assignment.  Scoring rows stay SKINNY (c_id,
-    // cell, csim): the argmax runs as a max_by hash aggregate — the
+      .localCheckpoint()
+    // corpus→cell assignment.  Scoring rows stay SKINNY (c_id, cell,
+    // csim): the argmax runs as a max_by hash aggregate — the
     // nlist-per-vector candidates collapse map-side (partial agg)
     // before any exchange, and the corpus VECTORS never ride a
     // replicated shuffle; they attach once, by id, after the winner is
@@ -249,7 +261,55 @@ object Similarity {
         struct(col("csim"), (-col("cell")).as("nc"))).as("cell"))
     val assigned = c.join(winner, "c_id")
       .select(col("cell"), col("c_id"), col("c"), col("c_norm"))
-    // (3) query probes: nprobe nearest cells per query — same skinny
+      .localCheckpoint()
+    IvfIndex(assigned, cent, dim, nlist)
+  }
+
+  /** Persist an [[IvfIndex]] as tables — assignment BUCKETED by cell so
+    * probe joins read the corpus side pre-partitioned (only the
+    * query-batch side shuffles), parameters in table properties. */
+  def saveIvfIndex(index: IvfIndex, assignedTable: String,
+                   centTable: String, buckets: Int = 16): Unit = {
+    index.assigned.write.mode("overwrite")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .format("parquet").saveAsTable(assignedTable)
+    index.cent.write.mode("overwrite")
+      .format("parquet").saveAsTable(centTable)
+    val spark = index.assigned.sparkSession
+    val props = s"'graft.ivf.dim'='${index.dim}', " +
+      s"'graft.ivf.nlist'='${index.nlist}'"
+    spark.sql(s"ALTER TABLE $assignedTable SET TBLPROPERTIES ($props)")
+    spark.sql(s"ALTER TABLE $centTable SET TBLPROPERTIES ($props)")
+  }
+
+  /** Reopen a persisted [[IvfIndex]], restoring (dim, nlist) from the
+    * table properties and refusing mismatched tables. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   assignedTable: String, centTable: String): IvfIndex = {
+    def prop(table: String, key: String): Int = {
+      val rows = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      rows.getOrElse(key, sys.error(
+        s"$table is not a graft IVF index table (missing $key)")).toInt
+    }
+    val (dim, nlist) =
+      (prop(assignedTable, "graft.ivf.dim"), prop(assignedTable, "graft.ivf.nlist"))
+    require(prop(centTable, "graft.ivf.dim") == dim &&
+      prop(centTable, "graft.ivf.nlist") == nlist,
+      s"$assignedTable / $centTable carry different IVF parameters")
+    IvfIndex(spark.table(assignedTable), spark.table(centTable), dim, nlist)
+  }
+
+  /** Probe a prebuilt [[IvfIndex]] with a query batch — the per-batch
+    * half of ANN serving. */
+  def ivfTopKIndexed(index: IvfIndex, queries: DataFrame, k: Int,
+                     nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = index.dim
+    val cent = index.cent
+    val assigned = index.assigned
+    val q = withNorm(queries, "q_id", "q")
+    // query probes: nprobe nearest cells per query — same skinny
     // shape (a window, because nprobe > 1, but over 3-column rows;
     // query vectors join back after)
     val wq = Window.partitionBy(col("q_id"))

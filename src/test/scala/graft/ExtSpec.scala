@@ -407,6 +407,31 @@ class SimilaritySpec extends SparkSpec {
     assert(r16 == 1.0)
   }
 
+  test("IVF index: build-once probes equal the one-shot call; bucketed " +
+    "save/load round-trips parameters and answers") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 8)
+    val c = e.filter($"vec_id" >= 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id", "score")
+        .as[(Long, Long, Double)].collect().toSet
+    val oneShot = pairs(Similarity.ivfTopK(q, c, 10, nlist = 16, nprobe = 4))
+    val ix = Similarity.ivfIndex(c, dim = 64, nlist = 16)
+    assert(pairs(Similarity.ivfTopKIndexed(ix, q, 10, nprobe = 4)) == oneShot)
+    for (t <- Seq("g_ivf_a", "g_ivf_c")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val dir = new java.io.File(loc, t)
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
+    Similarity.saveIvfIndex(ix, "g_ivf_a", "g_ivf_c", buckets = 4)
+    val loaded = Similarity.loadIvfIndex(spark, "g_ivf_a", "g_ivf_c")
+    assert((loaded.dim, loaded.nlist) == (64, 16))
+    assert(pairs(Similarity.ivfTopKIndexed(loaded, q, 10, nprobe = 4))
+      == oneShot)
+  }
+
   test("bucketed cosine near-dup: subset of exact pairs, scores identical, " +
     "distributed plan (sf0.001)") {
     val e = Tables.embeddings(spark, sf0001)
