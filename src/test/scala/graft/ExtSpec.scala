@@ -430,6 +430,16 @@ class SimilaritySpec extends SparkSpec {
     assert((loaded.dim, loaded.nlist) == (64, 16))
     assert(pairs(Similarity.ivfTopKIndexed(loaded, q, 10, nprobe = 4))
       == oneShot)
+    // the bucketed assignment scan supplies the cell partitioning: the
+    // corpus side of a probe join never shuffles
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = loaded.assigned.groupBy($"cell").count()
+        .queryExecution.executedPlan
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "bucketed IVF assignment must pre-partition by cell")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("bucketed cosine near-dup: subset of exact pairs, scores identical, " +
