@@ -540,21 +540,23 @@ object Dedup {
     * often the complete one); any numeric quality score works as the
     * weight.
     *
-    * Scale: one window PARTITIONED BY cluster_id (keyed, never global)
-    * ranks members; the keeper table that joins back is
+    * Scale: the per-cluster argmax is a `max_by` hash AGGREGATE, not a
+    * window — partial aggregation collapses members map-side, so a
+    * boilerplate mega-cluster (every copy of one template in the same
+    * component) never pins a single task the way a partitioned-window
+    * sort would.  (max weight, then lowest doc_id) is a unique key, so
+    * the pick is deterministic.  The keeper table that joins back is
     * cluster-count-sized, so AQE broadcasts it.  Output one row per
     * input document: (doc_id, cluster_id, keeper_id, is_keeper). */
   def clusterKeepers(docs: DataFrame, idCol: String, pairs: DataFrame,
                      weightCol: String, maxIter: Int = 25): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val clusters = duplicateClusters(docs, idCol, pairs, maxIter)
     val weights = docs.select(col(idCol).cast("long").as("doc_id"),
       col(weightCol).cast("long").as("__w"))
     val members = clusters.join(weights, "doc_id")
-    val rk = row_number().over(Window.partitionBy(col("cluster_id"))
-      .orderBy(col("__w").desc, col("doc_id").asc))
-    val keepers = members.withColumn("__rk", rk).filter(col("__rk") === 1)
-      .select(col("cluster_id"), col("doc_id").as("keeper_id"))
+    val keepers = members.groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("__w"), (-col("doc_id")).as("nd"))).as("keeper_id"))
     members.join(keepers, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
         (col("doc_id") === col("keeper_id")).cast("int").as("is_keeper"))
