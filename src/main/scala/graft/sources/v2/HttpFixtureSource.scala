@@ -228,10 +228,12 @@ class FixtureTable(tableSchema: StructType, path: String, partitions: Int,
 class FixtureScanBuilder(fullSchema: StructType, path: String,
                          partitions: Int, fetcherClass: String)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(HttpFixtureSource.supported)
@@ -244,21 +246,35 @@ class FixtureScanBuilder(fullSchema: StructType, path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** LIMIT pushdown — the API-side `limit=` query param every paged
+    * HTTP source supports.  Fully pushed for the single-payload path
+    * (the driver-side fetch truncates AFTER the pushed filters, so the
+    * scan emits exactly ≤ limit rows and Spark drops its own Limit).
+    * Honestly DECLINED for paged directories: a recorded page may be
+    * empty, so capping the page count could under-deliver rows — the
+    * per-page partitions stay and Spark's limit applies. */
+  override def pushLimit(l: Int): Boolean =
+    HttpFixtureSource.pageFiles(path) match {
+      case Some(_) => false
+      case None => limit = Some(l); true
+    }
+
   override def build(): Scan =
     new FixtureScan(fullSchema, required, pushed, path, partitions,
-      fetcherClass)
+      fetcherClass, limit)
 }
 
 class FixtureScan(fullSchema: StructType, required: StructType,
                   pushed: Array[Filter], path: String, partitions: Int,
-                  fetcherClass: String)
+                  fetcherClass: String, limit: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-fixture pushed=[${pushed.mkString(",")}] " +
-      s"columns=[${required.fieldNames.mkString(",")}]"
+      s"columns=[${required.fieldNames.mkString(",")}]" +
+      limit.map(l => s" limit=$l").getOrElse("")
 
   /** Partition planning.  Paged directory → one InputPartition per
     * page, fetched lazily executor-side.  Single recorded response →
@@ -270,9 +286,10 @@ class FixtureScan(fullSchema: StructType, required: StructType,
       case Some(pages) =>
         pages.map(p => FixturePagePartition(p): InputPartition).toArray
       case None =>
-        val keep = HttpFixtureSource
+        val all = HttpFixtureSource
           .scanPage(path, fullSchema, required, pushed,
-            PageFetcher.instantiate(fetcherClass)).toArray
+            PageFetcher.instantiate(fetcherClass))
+        val keep = limit.fold(all)(all.take).toArray
         val n = math.max(1, math.min(partitions, keep.length))
         (0 until n).map(i =>
           FixturePartition(keep.zipWithIndex.collect {

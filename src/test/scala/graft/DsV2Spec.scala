@@ -149,6 +149,34 @@ class DsV2Spec extends SparkSpec {
     }
   }
 
+  test("limit pushdown: fully pushed for single payloads (with filters " +
+    "applied first), declined for paged directories") {
+    val df = spark.read.format("graft-fixture").load(path)
+      .filter($"pm25" > 4.0).limit(1)
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.scan.description().contains("limit=1"),
+      scan.scan.description())
+    assert(df.count() == 1)
+    // filters run BEFORE the truncation: the surviving row must satisfy
+    // them (a truncate-then-filter scan could return zero rows here)
+    assert(df.select($"pm25").as[Double].collect().forall(_ > 4.0))
+    // paged directory: pushLimit declines (a page may be empty), Spark
+    // applies the limit itself, results stay correct
+    val dir = java.nio.file.Files.createTempDirectory("graft_lim_").toString
+    (0 until 2).foreach { p =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/page-00$p.jsonl"),
+        s"""{"sensor_index": $p, "pm25": 1.0, "name": "x"}""".getBytes("UTF-8"))
+    }
+    val paged = spark.read.format("graft-fixture").load(dir).limit(1)
+    val pscan = paged.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(!pscan.scan.description().contains("limit="),
+      pscan.scan.description())
+    assert(paged.count() == 1)
+  }
+
   test("unsupported predicates fall back to post-scan evaluation") {
     val df = spark.read.format("graft-fixture").load(path)
       .filter(substring($"name", 6, 1) === "A") // not connector-pushable
