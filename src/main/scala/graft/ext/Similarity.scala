@@ -243,22 +243,60 @@ object Similarity {
     val cent = withNorm(corpus, "cell", "cv")
       .orderBy(col("cell").asc).limit(nlist)
       .localCheckpoint()
-    // corpus→cell assignment.  Scoring rows stay SKINNY (c_id, cell,
-    // csim): the argmax runs as a max_by hash aggregate — the
-    // nlist-per-vector candidates collapse map-side (partial agg)
-    // before any exchange, and the corpus VECTORS never ride a
-    // replicated shuffle; they attach once, by id, after the winner is
-    // known.  (A per-id window here would shuffle nlist copies of every
-    // embedding — the dominant network cost at corpus scale.)
-    // (csim, -cell) is unique per candidate, so max_by is
-    // deterministic: highest similarity, then lowest cell id.
-    val winner = c.crossJoin(broadcast(cent))
+    val winner = assignCells(c, cent, dim)
+    val assigned = c.join(winner, "c_id")
+      .select(col("cell"), col("c_id"), col("c"), col("c_norm"))
+      .localCheckpoint()
+    IvfIndex(assigned, cent, dim, nlist)
+  }
+
+  /** corpus→cell argmax.  Scoring rows stay SKINNY (c_id, cell, csim):
+    * the argmax runs as a max_by hash aggregate — the nlist-per-vector
+    * candidates collapse map-side (partial agg) before any exchange,
+    * and the corpus VECTORS never ride a replicated shuffle; they
+    * attach once, by id, after the winner is known.  (A per-id window
+    * here would shuffle nlist copies of every embedding — the dominant
+    * network cost at corpus scale.)  (csim, -cell) is unique per
+    * candidate, so max_by is deterministic: highest similarity, then
+    * lowest cell id. */
+  private def assignCells(c: DataFrame, cent: DataFrame,
+                          dim: Int): DataFrame =
+    c.crossJoin(broadcast(cent))
       .select(col("c_id"), col("cell"), round(
         dotExpanded(col("c"), col("cv"), dim) /
           (col("c_norm") * col("cv_norm")), 6).as("csim"))
       .groupBy(col("c_id"))
       .agg(max_by(col("cell"),
         struct(col("csim"), (-col("cell")).as("nc"))).as("cell"))
+
+  /** [[ivfIndex]] with Lloyd's k-means refinement of the codebook —
+    * what production IVF training does.  Each iteration is one skinny
+    * [[assignCells]] pass plus a centroid update via the
+    * [[graft.plans.VectorAvgAgg]] custom aggregate (map-side-combining
+    * elementwise mean — the posexplode formulation would shuffle
+    * dim× the corpus row count).  Empty cells drop out (standard
+    * Lloyd's); probe correctness is codebook-independent because the
+    * re-rank is exact — centroid quality only steers RECALL, which is
+    * why the FP-order nondeterminism of the mean is acceptable here
+    * and why the oracle-checked query (`x17`) stays on the
+    * deterministic lowest-id codebook. */
+  def ivfIndexRefined(corpus: DataFrame, dim: Int = 64, nlist: Int = 16,
+                      iters: Int = 2): IvfIndex = {
+    import graft.plans.VectorAvgAgg.vectorAvg
+    val c = withNorm(corpus, "c_id", "c").localCheckpoint()
+    var cent = withNorm(corpus, "cell", "cv")
+      .orderBy(col("cell").asc).limit(nlist)
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val w = assignCells(c, cent, dim)
+      cent = c.join(w, "c_id")
+        .groupBy(col("cell"))
+        .agg(vectorAvg(col("c")).as("cv"))
+        .withColumn("cv_norm", sqrt(aggregate(
+          transform(col("cv"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+        .localCheckpoint() // nlist rows; HOF norm is fine off the hot path
+    }
+    val winner = assignCells(c, cent, dim)
     val assigned = c.join(winner, "c_id")
       .select(col("cell"), col("c_id"), col("c"), col("c_norm"))
       .localCheckpoint()

@@ -442,6 +442,38 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("vector_avg aggregate: elementwise means per group") {
+    import graft.plans.VectorAvgAgg.vectorAvg
+    val df = Seq(
+      (1L, Array(1.0, 2.0)), (1L, Array(3.0, 4.0)), (2L, Array(5.0, 6.0)))
+      .toDF("g", "v")
+    val got = df.groupBy($"g").agg(vectorAvg($"v").as("m"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) == Seq(2.0, 3.0) && got(2L) == Seq(5.0, 6.0))
+    assert(df.filter($"g" === 99).agg(vectorAvg($"v")).head().isNullAt(0))
+  }
+
+  test("k-means-refined IVF: exact scores and full-probe = brute force " +
+    "hold for ANY codebook (re-rank is exact)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 8)
+    val c = e.filter($"vec_id" >= 8)
+    val ix = Similarity.ivfIndexRefined(c, dim = 64, nlist = 8, iters = 2)
+    val nCells = ix.cent.count().toInt // empty cells may drop (Lloyd's)
+    assert(nCells >= 1 && nCells <= 8)
+    val full = Similarity.ivfTopKIndexed(ix, q, 10, nprobe = nCells)
+    val brute = Similarity.bruteForceTopK(q, c, 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(full.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+      == brute, "probing every cell must equal brute force")
+    // returned scores are exact cosines regardless of centroids
+    val all = Similarity.bruteForceTopK(q, c, Int.MaxValue)
+    val wrong = full.as("l").join(all.as("b"),
+      $"l.q_id" === $"b.q_id" && $"l.c_id" === $"b.c_id")
+      .filter(abs($"l.score" - $"b.score") > 1e-9).count()
+    assert(wrong == 0)
+  }
+
   test("bucketed cosine near-dup: subset of exact pairs, scores identical, " +
     "distributed plan (sf0.001)") {
     val e = Tables.embeddings(spark, sf0001)
