@@ -368,6 +368,29 @@ object Dedup {
     LshIndex(bands, enc, n, k, bandRows)
   }
 
+  /** Grow an [[LshIndex]] with a batch the gate just ACCEPTED — the
+    * incremental half of the ingest loop.  Real ingest must flag a
+    * near-dup of a document accepted five minutes ago, not just of the
+    * original corpus, so after each micro-batch the accepted survivors
+    * fold into the index: bands and token sets are unioned and
+    * re-pinned.  Cost is one signature pass over the (batch-bounded)
+    * accepted rows — the existing index tables are already
+    * materialized and are reused as-is. */
+  def extendLshIndex(index: LshIndex, accepted: DataFrame,
+                     idCol: String, textCol: String): LshIndex = {
+    val enc = encodeTokenSets(accepted, idCol, textCol, None)
+      .select(col("id").as("ex_id"), col("toks").as("te"),
+        col("sz").as("se"))
+    val bands = lshBands(
+      minhashSignatures(accepted, idCol, textCol, index.n, index.k),
+      index.bandRows)
+      .select(col("band_key"), col("doc_id").as("ex_id"))
+      .join(enc.select(col("ex_id"), col("se")), "ex_id")
+    LshIndex(index.bands.unionByName(bands).localCheckpoint(),
+      index.enc.unionByName(enc).localCheckpoint(),
+      index.n, index.k, index.bandRows)
+  }
+
   /** Persist an [[LshIndex]] as BUCKETED tables — the cross-job form
     * of the ingest gate's index.  `localCheckpoint` pins the index for
     * one driver's lifetime; production ingest runs for months, so the

@@ -91,6 +91,33 @@ class StreamingSpec extends SparkSpec {
       "per-micro-batch gating must equal the all-at-once batch answer")
   }
 
+  test("incremental ingest: extending the index with accepted batches " +
+    "catches near-dups of PRIOR batches, not just the original corpus") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    // batch 1: doc 10 is novel (accepted); batch 2: doc 20 near-dups
+    // doc 10 — only an EXTENDED index can flag it
+    val batch1 = Seq((10L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq((20L, "zeta eta theta iota kappa lambda"))
+      .toDF("doc_id", "text")
+    val ix0 = graft.ext.Dedup.lshIndex(corpus, "doc_id", "text",
+      n = 1, k = 8, bandRows = 2)
+    val hits1 = graft.ext.Dedup
+      .lshMatchIndexed(ix0, batch1, "doc_id", "text", threshold = 0.8)
+    assert(hits1.count() == 0) // batch 1 accepted wholesale
+    val ix1 = graft.ext.Dedup.extendLshIndex(ix0, batch1, "doc_id", "text")
+    // static index misses the cross-batch dup; extended index flags it
+    val staticHits = graft.ext.Dedup
+      .lshMatchIndexed(ix0, batch2, "doc_id", "text", threshold = 0.8)
+    assert(staticHits.count() == 0)
+    val hits2 = graft.ext.Dedup
+      .lshMatchIndexed(ix1, batch2, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(hits2.map(h => (h._1, h._2)).toSeq == Seq((20L, 10L)))
+    assert(hits2.head._3 >= 0.8)
+  }
+
   test("bucketed LSH index: save/load round-trips parameters and " +
     "matches, and the corpus side joins WITHOUT a shuffle") {
     val docs = Tables.documents(spark, sf0001)
