@@ -91,6 +91,69 @@ class StreamingSpec extends SparkSpec {
       "per-micro-batch gating must equal the all-at-once batch answer")
   }
 
+  test("full curation ingest loop under foreachBatch: quality gate + " +
+    "growing near-dup index, accepted set equals sequential replay") {
+    import graft.ext.{Dedup, TextAnalysis}
+    // corpus seed + three staged batches: b1 novel (accepted), b2 a
+    // near-dup of b1 (rejected ONLY if the index grew), b3 low-quality
+    // (rejected by the quality gate before the index is even consulted)
+    val seed = Seq((1L, "alpha beta gamma delta epsilon zeta eta " +
+      "theta iota kappa the a of is")).toDF("doc_id", "text")
+    val b1 = Seq((10L, "lambda mu nu xi omicron pi rho sigma tau " +
+      "upsilon the a of is"))
+    val b2 = Seq((20L, "lambda mu nu xi omicron pi rho sigma tau " +
+      "upsilon the a of is phi"))
+    val b3 = Seq((30L, "tiny"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_loop_").toString
+    for ((batch, i) <- Seq(b1, b2, b3).zipWithIndex)
+      batch.toDF("doc_id", "text").coalesce(1).write.mode("append")
+        .parquet(s"$dir/b$i")
+    def qualityOkDf(df: org.apache.spark.sql.DataFrame) =
+      df.filter(TextAnalysis.qualityOk(
+        TextAnalysis.tokens(col("text")), minTokens = 5,
+        maxTokens = 1000, minStopRatio = 0.01))
+    // sequential replay (the expected semantics)
+    var ixSeq = Dedup.lshIndex(seed, "doc_id", "text", n = 1, k = 8,
+      bandRows = 2)
+    val acceptedSeq = scala.collection.mutable.Set[Long]()
+    for (i <- 0 until 3) {
+      val batch = spark.read.parquet(s"$dir/b$i")
+      val q = qualityOkDf(batch)
+      val dups = Dedup.lshMatchIndexed(ixSeq, q, "doc_id", "text", 0.8)
+        .select($"doc_id").as[Long].collect().toSet
+      val ok = q.filter(!$"doc_id".isin(dups.toSeq: _*))
+      acceptedSeq ++= ok.select($"doc_id").as[Long].collect()
+      ixSeq = Dedup.extendLshIndex(ixSeq, ok, "doc_id", "text")
+    }
+    assert(acceptedSeq.toSet == Set(10L), // b2 near-dups b1; b3 low-quality
+      s"sequential replay accepted $acceptedSeq")
+    // the same loop as a Structured Streaming foreachBatch job
+    val schema = spark.read.parquet(s"$dir/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    var ix = Dedup.lshIndex(seed, "doc_id", "text", n = 1, k = 8,
+      bandRows = 2)
+    val accepted = scala.collection.mutable.Set[Long]()
+    val qr = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val q = qualityOkDf(df)
+        val dups = Dedup.lshMatchIndexed(ix, q, "doc_id", "text", 0.8)
+          .select(col("doc_id")).as[Long].collect().toSet
+        val ok = q.filter(!col("doc_id").isin(dups.toSeq: _*))
+        accepted ++= ok.select(col("doc_id")).as[Long].collect()
+        ix = Dedup.extendLshIndex(ix, ok, "doc_id", "text")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    qr.awaitTermination()
+    // micro-batch ORDER is not contractual for a file source, so the
+    // invariant is: exactly one of the near-dup pair survives (whoever
+    // arrived first), and the low-quality doc never does
+    assert(accepted.toSet == Set(10L) || accepted.toSet == Set(20L),
+      s"streaming loop accepted $accepted")
+  }
+
   test("incremental ingest: extending the index with accepted batches " +
     "catches near-dups of PRIOR batches, not just the original corpus") {
     val corpus = Seq((1L, "alpha beta gamma delta epsilon"))
@@ -155,6 +218,19 @@ class StreamingSpec extends SparkSpec {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }.isEmpty, "bucketed band table must pre-partition by band_key")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("index loaders refuse non-index tables with a clear message") {
+    Seq((1L, "x")).toDF("doc_id", "text")
+      .write.mode("overwrite").saveAsTable("g_plain")
+    val e = intercept[RuntimeException] {
+      graft.ext.Dedup.loadLshIndex(spark, "g_plain", "g_plain")
+    }
+    assert(e.getMessage.contains("not a graft LSH index"))
+    val e2 = intercept[RuntimeException] {
+      graft.ext.Similarity.loadIvfIndex(spark, "g_plain", "g_plain")
+    }
+    assert(e2.getMessage.contains("not a graft IVF index"))
   }
 
   test("watermark dedup removes double-delivered rows") {
