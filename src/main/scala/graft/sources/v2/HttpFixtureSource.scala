@@ -131,19 +131,53 @@ object HttpFixtureSource {
   /** Executor-side page scan: fetch → parse → pushed filters → prune,
     * all inside the task that owns the page. */
   def scanPage(file: String, fullSchema: StructType, required: StructType,
-               pushed: Array[Filter],
-               fetcher: PageFetcher): Iterator[Array[Any]] = {
+               pushed: Array[Filter], fetcher: PageFetcher,
+               topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None)
+      : Iterator[Array[Any]] = {
     val names = fullSchema.fieldNames
-    fetcher.fetch(PageRequest(file)).iterator
+    val filtered = fetcher.fetch(PageRequest(file)).iterator
       .map(l => parse(l, fullSchema))
       .filter { vals =>
         val m = names.zip(vals).toMap
         pushed.forall(accepts(_, m))
       }
-      .map { vals =>
-        val m = names.zip(vals).toMap
-        required.fieldNames.map(m(_))
-      }
+    // API-side ORDER BY … LIMIT (the reference's sorted listing +
+    // early exit, cmu.js:254-264): sort AFTER the pushed filters,
+    // truncate, THEN project — sort keys need not survive pruning
+    val ordered = topN.fold(filtered) { case (orders, l) =>
+      val idx = orders.map { case (f, _, _) => names.indexOf(f) }
+      filtered.toSeq.sortWith { (ra, rb) =>
+        var c = 0
+        var i = 0
+        while (c == 0 && i < orders.length) {
+          val (_, desc, nullsFirst) = orders(i)
+          val (va, vb) = (ra(idx(i)), rb(idx(i)))
+          c = (va, vb) match {
+            case (null, null) => 0
+            case (null, _)    => if (nullsFirst) -1 else 1
+            case (_, null)    => if (nullsFirst) 1 else -1
+            case _            =>
+              val base = compareValues(va, vb)
+              if (desc) -base else base
+          }
+          i += 1
+        }
+        c < 0
+      }.take(l).iterator
+    }
+    ordered.map { vals =>
+      val m = names.zip(vals).toMap
+      required.fieldNames.map(m(_))
+    }
+  }
+
+  /** Same-type value comparison for TopN ordering. */
+  private def compareValues(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double)   => java.lang.Double.compare(x, y)
+    case (x: String, y: String)   => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case _                        => 0
   }
 
   /** First-record type inference: long / double / boolean / string. */
@@ -229,11 +263,12 @@ class FixtureScanBuilder(fullSchema: StructType, path: String,
                          partitions: Int, fetcherClass: String)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
+  private var topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(HttpFixtureSource.supported)
@@ -259,14 +294,42 @@ class FixtureScanBuilder(fullSchema: StructType, path: String,
       case None => limit = Some(l); true
     }
 
+  /** ORDER BY … LIMIT pushdown — the reference's sorted-listing early
+    * exit (`cmu.js:254-264` orders objects `desc` and stops at the
+    * watermark).  Fully pushed for single payloads over plain column
+    * references; declined for paged directories (same reason as
+    * [[pushLimit]]) and for computed sort expressions. */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean =
+    HttpFixtureSource.pageFiles(path) match {
+      case Some(_) => false
+      case None =>
+        import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+        val parsed = orders.toSeq.map(o => o.expression() match {
+          case ref: NamedReference if ref.fieldNames().length == 1 =>
+            Some((ref.fieldNames()(0),
+              o.direction() == SortDirection.DESCENDING,
+              o.nullOrdering() == NullOrdering.NULLS_FIRST))
+          case _ => None
+        })
+        if (parsed.forall(_.isDefined)) {
+          topN = Some((parsed.flatten, l))
+          true
+        } else false
+    }
+
+  override def isPartiallyPushed(): Boolean = false
+
   override def build(): Scan =
     new FixtureScan(fullSchema, required, pushed, path, partitions,
-      fetcherClass, limit)
+      fetcherClass, limit, topN)
 }
 
 class FixtureScan(fullSchema: StructType, required: StructType,
                   pushed: Array[Filter], path: String, partitions: Int,
-                  fetcherClass: String, limit: Option[Int] = None)
+                  fetcherClass: String, limit: Option[Int] = None,
+                  topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -274,7 +337,10 @@ class FixtureScan(fullSchema: StructType, required: StructType,
   override def description(): String =
     s"graft-fixture pushed=[${pushed.mkString(",")}] " +
       s"columns=[${required.fieldNames.mkString(",")}]" +
-      limit.map(l => s" limit=$l").getOrElse("")
+      limit.map(l => s" limit=$l").getOrElse("") +
+      topN.map { case (o, l) =>
+        s" topN=[${o.map(_._1).mkString(",")}:$l]"
+      }.getOrElse("")
 
   /** Partition planning.  Paged directory → one InputPartition per
     * page, fetched lazily executor-side.  Single recorded response →
@@ -288,13 +354,19 @@ class FixtureScan(fullSchema: StructType, required: StructType,
       case None =>
         val all = HttpFixtureSource
           .scanPage(path, fullSchema, required, pushed,
-            PageFetcher.instantiate(fetcherClass))
+            PageFetcher.instantiate(fetcherClass), topN)
         val keep = limit.fold(all)(all.take).toArray
-        val n = math.max(1, math.min(partitions, keep.length))
-        (0 until n).map(i =>
-          FixturePartition(keep.zipWithIndex.collect {
-            case (r, j) if j % n == i => r
-          }): InputPartition).toArray
+        if (topN.isDefined) {
+          // fully-pushed TopN removed Spark's Sort: the scan OWNS the
+          // global order, so the ≤N rows stay in one ordered partition
+          Array(FixturePartition(keep): InputPartition)
+        } else {
+          val n = math.max(1, math.min(partitions, keep.length))
+          (0 until n).map(i =>
+            FixturePartition(keep.zipWithIndex.collect {
+              case (r, j) if j % n == i => r
+            }): InputPartition).toArray
+        }
     }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -177,6 +177,37 @@ class DsV2Spec extends SparkSpec {
     assert(paged.count() == 1)
   }
 
+  test("TopN pushdown: API-side ORDER BY + LIMIT (the reference's " +
+    "sorted-listing early exit), filters applied first") {
+    val df = spark.read.format("graft-fixture").load(path)
+      .filter($"location_type" === 0)
+      .orderBy($"pm25".desc).limit(2)
+      .select($"sensor_index", $"pm25")
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.scan.description().contains("topN=[pm25:2]"),
+      scan.scan.description())
+    // global order is the scan's responsibility once the Sort is gone
+    val rows = df.as[(Long, Double)].collect().toSeq
+    assert(rows == rows.sortBy(-_._2) && rows.length == 2, rows)
+    assert(rows.forall(_._2 >= rows.last._2))
+    // paged directories decline: Spark keeps its own Sort+Limit
+    val dir = java.nio.file.Files.createTempDirectory("graft_topn_").toString
+    (0 until 2).foreach { p =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/page-00$p.jsonl"),
+        s"""{"sensor_index": $p, "pm25": ${p * 2.0}, "name": "x"}"""
+          .getBytes("UTF-8"))
+    }
+    val paged = spark.read.format("graft-fixture").load(dir)
+      .orderBy($"pm25".desc).limit(1)
+    val pscan = paged.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(!pscan.scan.description().contains("topN="),
+      pscan.scan.description())
+    assert(paged.select($"sensor_index").as[Long].head() == 1L)
+  }
+
   test("unsupported predicates fall back to post-scan evaluation") {
     val df = spark.read.format("graft-fixture").load(path)
       .filter(substring($"name", 6, 1) === "A") // not connector-pushable
