@@ -373,21 +373,26 @@ object Dedup {
     * near-dup of a document accepted five minutes ago, not just of the
     * original corpus, so after each micro-batch the accepted survivors
     * fold into the index: bands and token sets are unioned and
-    * re-pinned.  Cost is one signature pass over the (batch-bounded)
-    * accepted rows — the existing index tables are already
-    * materialized and are reused as-is. */
+    * re-pinned.  Cost is O(batch), NOT O(index): only the new legs are
+    * checkpointed and the union over already-materialized legs stays
+    * lazy — re-checkpointing the union would copy the whole index
+    * every micro-batch.  The union plan grows by one node per
+    * extension; compact periodically by persisting
+    * ([[saveLshIndex]]/[[loadLshIndex]]) at a convenient cadence. */
   def extendLshIndex(index: LshIndex, accepted: DataFrame,
                      idCol: String, textCol: String): LshIndex = {
     val enc = encodeTokenSets(accepted, idCol, textCol, None)
       .select(col("id").as("ex_id"), col("toks").as("te"),
         col("sz").as("se"))
+      .localCheckpoint()
     val bands = lshBands(
       minhashSignatures(accepted, idCol, textCol, index.n, index.k),
       index.bandRows)
       .select(col("band_key"), col("doc_id").as("ex_id"))
       .join(enc.select(col("ex_id"), col("se")), "ex_id")
-    LshIndex(index.bands.unionByName(bands).localCheckpoint(),
-      index.enc.unionByName(enc).localCheckpoint(),
+      .localCheckpoint()
+    LshIndex(index.bands.unionByName(bands),
+      index.enc.unionByName(enc),
       index.n, index.k, index.bandRows)
   }
 
