@@ -418,13 +418,7 @@ class SimilaritySpec extends SparkSpec {
     val oneShot = pairs(Similarity.ivfTopK(q, c, 10, nlist = 16, nprobe = 4))
     val ix = Similarity.ivfIndex(c, dim = 64, nlist = 16)
     assert(pairs(Similarity.ivfTopKIndexed(ix, q, 10, nprobe = 4)) == oneShot)
-    for (t <- Seq("g_ivf_a", "g_ivf_c")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.net.URI(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath
-      val dir = new java.io.File(loc, t)
-      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
-    }
+    Seq("g_ivf_a", "g_ivf_c").foreach(dropTableFully)
     Similarity.saveIvfIndex(ix, "g_ivf_a", "g_ivf_c", buckets = 4)
     val loaded = Similarity.loadIvfIndex(spark, "g_ivf_a", "g_ivf_c")
     assert((loaded.dim, loaded.nlist) == (64, 16))

@@ -18,6 +18,21 @@ trait SparkSpec extends AnyFunSuite {
 
   lazy val sf0001 = "/root/testdata/sf0.001"
 
+  /** Drop a managed table AND its warehouse directory — the in-memory
+    * catalog forgets tables across JVM restarts while the directory
+    * persists, so a bare overwrite hits LOCATION_ALREADY_EXISTS. */
+  def dropTableFully(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = new java.io.File(loc, name)
+    if (dir.exists()) {
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+      ()
+    }
+  }
+
   def fixture(name: String): String =
     getClass.getResource(s"/fixtures/$name").getPath
 }

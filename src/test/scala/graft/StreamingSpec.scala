@@ -188,18 +188,7 @@ class StreamingSpec extends SparkSpec {
     val incoming = docs.filter($"doc_id" % 7 === 0)
     val mem = graft.ext.Dedup.lshIndex(existing, "doc_id", "text",
       n = 1, k = 8, bandRows = 2)
-    // the in-memory catalog forgets tables across JVM restarts while
-    // the warehouse dir persists — clear both so overwrite can create
-    for (t <- Seq("g_ix_bands", "g_ix_enc")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.net.URI(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath
-      val dir = new java.io.File(loc, t)
-      if (dir.exists()) {
-        dir.listFiles().foreach(_.delete())
-        dir.delete()
-      }
-    }
+    Seq("g_ix_bands", "g_ix_enc").foreach(dropTableFully)
     graft.ext.Dedup.saveLshIndex(mem, "g_ix_bands", "g_ix_enc", buckets = 4)
     val loaded = graft.ext.Dedup.loadLshIndex(spark, "g_ix_bands", "g_ix_enc")
     assert((loaded.n, loaded.k, loaded.bandRows) == (1, 8, 2))
@@ -221,6 +210,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("index loaders refuse non-index tables with a clear message") {
+    dropTableFully("g_plain")
     Seq((1L, "x")).toDF("doc_id", "text")
       .write.mode("overwrite").saveAsTable("g_plain")
     val e = intercept[RuntimeException] {
@@ -330,8 +320,7 @@ class ScaleLayoutSpec extends SparkSpec {
   test("bucketed tables co-locate the join: no shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val _ = wh
+      Seq("orders_b", "customer_b").foreach(dropTableFully)
       Tables.orders(spark, sf0001)
         .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
         .mode("overwrite").saveAsTable("orders_b")
