@@ -294,6 +294,10 @@ object Similarity {
         .agg(vectorAvg(col("c")).as("cv"))
         .withColumn("cv_norm", sqrt(aggregate(
           transform(col("cv"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+        // a degenerate zero-vector centroid (mean of opposing members)
+        // would null every similarity against it — drop it like an
+        // empty cell
+        .filter(col("cv_norm") > 0)
         .localCheckpoint() // nlist rows; HOF norm is fine off the hot path
     }
     val winner = assignCells(c, cent, dim)
