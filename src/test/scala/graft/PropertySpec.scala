@@ -115,6 +115,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSample is partitioning-independent: same kept set " +
+    "after an adversarial repartition") {
+    val docs = (1 to 200).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b")).toDF("doc_id", "lang")
+    def kept(df: org.apache.spark.sql.DataFrame) = graft.ext.CorpusStats
+      .stratifiedSample(df, "doc_id", "lang")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept(docs) == kept(docs.repartition(13, $"lang")) &&
+      kept(docs) == kept(docs.repartition(1)))
+  }
+
+  test("extendLshIndex law: matching against (corpus ⊕ batch) equals " +
+    "one-shot matching against their union") {
+    val corpus = Seq((1L, "p q r s t"), (2L, "u v w x y")).toDF("doc_id", "text")
+    val accepted = Seq((10L, "m n o p q")).toDF("doc_id", "text")
+    val incoming = Seq((20L, "m n o p q z"), (21L, "p q r s t"),
+      (22L, "zz yy xx")).toDF("doc_id", "text")
+    val viaExtend = Dedup.lshMatchIndexed(
+      Dedup.extendLshIndex(
+        Dedup.lshIndex(corpus, "doc_id", "text", n = 1, k = 8, bandRows = 2),
+        accepted, "doc_id", "text"),
+      incoming, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val oneShot = Dedup.lshMatchAgainst(
+      corpus.unionByName(accepted), incoming, "doc_id", "text",
+      n = 1, k = 8, bandRows = 2, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaExtend == oneShot && viaExtend.nonEmpty)
+  }
+
+  test("clusterKeepers: every keeper is a member of its own cluster and " +
+    "every cluster has exactly one keeper") {
+    val docs = (1L to 40L).map(i => (i, i * 7 % 13)).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L), (11L, 12L),
+      (12L, 13L), (20L, 21L)).toDF("a", "b")
+    val out = Dedup.clusterKeepers(docs, "doc_id", pairs, "n_chars")
+      .as[(Long, Long, Long, Int)].collect()
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (c, rows) =>
+      val keepers = rows.map(_._3).distinct
+      assert(keepers.length == 1, s"cluster $c has keepers $keepers")
+      assert(rows.map(_._1).contains(keepers.head),
+        s"cluster $c keeper not a member")
+      assert(rows.count(_._4 == 1) == 1, s"cluster $c is_keeper count")
+    }
+    assert(out.length == 40) // every doc labeled
+  }
+
   test("duplicateClusters equals brute-force union-find on random graphs") {
     val gen = for {
       n <- Gen.choose(2, 40)
