@@ -18,7 +18,7 @@ import java.nio.file.{Files, Paths}
   * driver-recorded artifact is warm numbers, per the round-2 verdict.)
   *
   * Times are rounded to ms, and the STDOUT line carries only the
-  * slowest [[stdoutTopK]] queries (plus `queries_run` so the subset is
+  * slowest `stdoutTopK` queries (plus `queries_run` so the subset is
   * explicit) — the round-2/3 driver artifacts truncated the head of the
   * ~3 KB all-queries line in a ~3 KB log-tail window.  The file gets
   * the full per-query map.  Both totals are the sum of the ROUNDED

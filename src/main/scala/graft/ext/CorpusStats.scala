@@ -183,7 +183,7 @@ object CorpusStats {
 
   /** Top-k word bigrams: heavy-hitter n-grams across the corpus with a
     * deterministic (count desc, bigram asc) ranking.  Bigrams assemble
-    * via [[Dedup.assembleNgrams]] (narrow zip+slice by default — no
+    * via `Dedup.assembleNgrams` (narrow zip+slice by default — no
     * shuffle before the count agg; strategy conf-selectable); docs
     * shorter than 2 tokens contribute nothing. */
   def topBigrams(docs: DataFrame, textCol: String, k: Int): DataFrame = {

@@ -305,7 +305,7 @@ object Dedup {
 
   /** Benchmark decontamination: training documents sharing ≥1 word
     * n-gram with an evaluation/benchmark set.  Both sides explode to
-    * (doc, shingle) rows ([[explodedShingles]] — codegen'd, the
+    * (doc, shingle) rows (`explodedShingles` — codegen'd, the
     * whole-text fallback covers sub-n docs); the benchmark shingle set
     * deduplicates and drives a semi-join.  Scale shape: the benchmark
     * side is eval-set-sized (thousands of docs → MBs of distinct

@@ -271,7 +271,7 @@ object Similarity {
 
   /** [[ivfIndex]] with Lloyd's k-means refinement of the codebook —
     * what production IVF training does.  Each iteration is one skinny
-    * [[assignCells]] pass plus a centroid update via the
+    * `assignCells` pass plus a centroid update via the
     * [[graft.plans.VectorAvgAgg]] custom aggregate (map-side-combining
     * elementwise mean — the posexplode formulation would shuffle
     * dim× the corpus row count).  Empty cells drop out (standard

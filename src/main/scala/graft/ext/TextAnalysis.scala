@@ -123,7 +123,7 @@ object TextAnalysis {
     *
     * Plan shape: explode + two-level hash agg per signal (all
     * codegen'd, map-side partial aggregation), bigrams via the narrow
-    * [[Dedup.assembleNgrams]] path, one skinny (doc_id-keyed) join to
+    * `Dedup.assembleNgrams` path, one skinny (doc_id-keyed) join to
     * combine — no windows, no per-doc state, nothing driver-side.
     * Ratios are raw integer-over-integer doubles: bit-identical across
     * engines with no rounding step. */
