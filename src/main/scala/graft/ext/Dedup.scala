@@ -214,10 +214,16 @@ object Dedup {
   private[graft] def encodeTokenSets(docs: DataFrame, idCol: String,
                                      textCol: String,
                                      blockCol: Option[String]): DataFrame = {
+    // hash+distinct+sort as one codegen'd kernel call; the composed
+    // sort_array(array_distinct(transform(…, xxhash64))) evaluates its
+    // lambda interpreted — kept selectable for equivalence measurement
+    val impl = docs.sparkSession.conf.get("spark.graft.encodeImpl", "kernel")
+    val enc: Column => Column =
+      if (impl == "kernel") graft.plans.TokenSetEncode.tokenSetEncode
+      else toks => sort_array(array_distinct(transform(toks, t => xxhash64(t))))
     val base = Seq(col(idCol).as("id")) ++ blockCol.map(c => col(c).as("blk"))
     docs.select(base :+
-      sort_array(array_distinct(transform(
-        TextAnalysis.tokens(col(textCol)), t => xxhash64(t)))).as("toks"): _*)
+      enc(TextAnalysis.tokens(col(textCol))).as("toks"): _*)
       .withColumn("sz", size(col("toks")))
   }
 

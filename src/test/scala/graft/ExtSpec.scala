@@ -114,6 +114,21 @@ class DedupSpec extends SparkSpec {
     assert(clusters(4L) == 4L)
   }
 
+  test("token-set encoding: kernel expression bit-identical to the " +
+    "composed HOF form") {
+    val docs = Seq((1L, "b a c a b"), (2L, "z"), (3L, ""),
+      (4L, "x y z x y z")).toDF("doc_id", "text")
+    def enc(impl: String): Map[Long, Seq[Long]] = {
+      spark.conf.set("spark.graft.encodeImpl", impl)
+      try Dedup.encodeTokenSets(docs, "doc_id", "text", None)
+        .select($"id", $"toks").as[(Long, Seq[Long])].collect().toMap
+      finally spark.conf.unset("spark.graft.encodeImpl")
+    }
+    val k = enc("kernel")
+    assert(k == enc("hof"))
+    assert(k(1L).length == 3 && k(1L) == k(1L).sorted)
+  }
+
   test("cluster keepers: longest member wins, doc_id breaks ties, " +
     "singletons keep themselves") {
     val docsDf = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (5L, 7L))
