@@ -129,6 +129,15 @@ class DedupSpec extends SparkSpec {
     assert(k(1L).length == 3 && k(1L) == k(1L).sorted)
   }
 
+  test("duplicateClusters refuses to return unconverged labels") {
+    val docsDf = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(docsDf, "doc_id", chain, maxIter = 1).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("cluster keepers: longest member wins, doc_id breaks ties, " +
     "singletons keep themselves") {
     val docsDf = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (5L, 7L))
