@@ -5,15 +5,16 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
 
 /** Engine extensions, registered via `spark.sql.extensions=graft.plans.GraftExtensions`:
   *
   *  1. [[PushNanosEquivFilter]] — optimizer rule restoring filter
   *     pushdown through the nanos→micros timestamp normalization;
-  *  2. SQL registration of [[SortedIntersectSize]]
-  *     (`sorted_intersect_size(a, b)`) and [[PointInPolygon]]
-  *     (`point_in_polygon(px, py, xs, ys)`).
+  *  2. SQL registration of the custom expression/aggregate surface:
+  *     `sorted_intersect_size(a, b)`, `point_in_polygon(px, py, xs,
+  *     ys)`, `minhash_union(sig)`, `minhash_sig(toks, n, k)`,
+  *     `simhash_sig(toks)`, `token_set_encode(toks)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -36,6 +37,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashUnionAgg].getName,
         "minhash_union"),
       (exprs: Seq[Expression]) => MinHashUnionAgg(exprs(0))))
+    // the sketch/encoding kernels, for SQL-only users:
+    //   minhash_sig(tokens, n, k), simhash_sig(tokens),
+    //   token_set_encode(tokens)
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        def lit(i: Int): Int = exprs(i) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig argument ${i + 1} must be an integer literal, " +
+              s"got $other")
+        }
+        MinHashSig(exprs.head, lit(1), lit(2))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("token_set_encode"),
+      new ExpressionInfo(classOf[TokenSetEncode].getName,
+        "token_set_encode"),
+      (exprs: Seq[Expression]) => TokenSetEncode(exprs.head)))
   }
 }
 

@@ -81,6 +81,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(r == 2)
   }
 
+  test("sketch kernels are SQL-registered: minhash_sig, simhash_sig, " +
+    "token_set_encode match their Column-API forms") {
+    import graft.ext.Dedup
+    import spark.implicits._
+    val docs = Seq((1L, "red fox jumps"), (2L, "blue fox"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("__sqldocs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, minhash_sig(split(text, ' '), 1, 8) AS sig,
+        |       simhash_sig(split(text, ' ')) AS sh,
+        |       token_set_encode(split(text, ' ')) AS enc
+        |FROM __sqldocs""".stripMargin)
+      .as[(Long, Seq[String], Int, Seq[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 1, k = 8)
+      .as[(Long, Seq[String])].collect().toMap
+    val fps = Dedup.simhashFingerprints(docs, "doc_id", "text")
+      .as[(Long, Int)].collect().toMap
+    val encs = Dedup.encodeTokenSets(docs, "doc_id", "text", None)
+      .select($"id", $"toks").as[(Long, Seq[Long])].collect().toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(viaSql(id)._1 == sigs(id))
+      assert(viaSql(id)._2 == fps(id))
+      assert(viaSql(id)._3 == encs(id))
+    }
+    // non-literal n/k is a clear error, not a silent misplan
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(split(text, ' '), doc_id + 1, 8) " +
+        "FROM __sqldocs").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("PointInPolygon: convex, concave notch, outside, SQL registration") {
     import graft.plans.PointInPolygon.pointInPolygon
     // concave Asia/Shanghai ring from the GeoTz dim
