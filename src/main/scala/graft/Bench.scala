@@ -47,16 +47,26 @@ object Bench {
       .foreach(v => spark.conf.set("spark.graft.shingleAssembly", v))
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries
       .filter(kv => only.forall(_.exists(kv._1.startsWith)))
-      .map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+      .flatMap { case (name, fn) =>
+        val times = (1 to runs).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              None
+          }
+        }
+        // a failing query must not silently poison the total — it is
+        // excluded from "queries" and reported in "failed" instead
+        if (times.isEmpty) { failed += name; None }
+        else Some(name -> times.min)
       }
-      name -> times.min
-    }
     val stdoutTopK = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOPK", "30").toInt
     def msBd(v: Double): BigDecimal =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
@@ -65,8 +75,11 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = rounded.values.foldLeft(BigDecimal(0))(_ + _)
     val slowest = rounded.toSeq.sortBy(-_._2).take(stdoutTopK)
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     def line(qs: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries_run":${rounded.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries_run":${rounded.size}$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), line(qJson(rounded)) + "\n")
     spark.stop() // stop FIRST: no executor/shutdown log can splice the line
     println(line(qJson(slowest)))
