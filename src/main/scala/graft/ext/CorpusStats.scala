@@ -139,12 +139,17 @@ object CorpusStats {
     * single-row min, then one narrow filter pass — the corpus is
     * never shuffled. */
   def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
-                       salt: String = "graft"): DataFrame = {
+                       salt: String = "graft",
+                       target: Option[Long] = None): DataFrame = {
     // #strata rows; checkpointed so the min doesn't re-scan the corpus
     val counts = docs.groupBy(col(stratumCol).as("__st"))
       .agg(count(lit(1)).as("__n")).localCheckpoint()
-    val target = counts.agg(min(col("__n")).as("__t"))
-    val rates = counts.crossJoin(broadcast(target))
+    // default target = the smallest stratum (full balance); an explicit
+    // per-stratum budget caps oversized strata and keeps smaller ones
+    // whole (rate clamps at 1)
+    val targetDf = target.fold(counts.agg(min(col("__n")).as("__t")))(t =>
+      counts.sparkSession.range(1).select(lit(t).as("__t")))
+    val rates = counts.crossJoin(broadcast(targetDf))
     val u = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
       1, 8), 16, 10).cast("double") / lit(4294967296.0)
     // broadcast is PROVABLY bounded here (one row per stratum — a

@@ -196,6 +196,14 @@ class DedupSpec extends SparkSpec {
     // the big stratum downsamples toward 60 (binomial around the target)
     val bigKept = kept.count(_._2 == "big")
     assert(bigKept < 120 && bigKept > 20, s"bigKept=$bigKept")
+    // explicit per-stratum budget: rate clamps at 1 for small strata,
+    // oversized strata shrink toward the budget
+    val budgeted = graft.ext.CorpusStats
+      .stratifiedSample(docs, "doc_id", "lang", target = Some(120L))
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    assert(budgeted.count(_._2 == "small") == 60) // 60 < 120 → all kept
+    val bigBudgeted = budgeted.count(_._2 == "big")
+    assert(bigBudgeted > 60 && bigBudgeted < 200, s"bigBudgeted=$bigBudgeted")
   }
 
   test("rare-token ratio: hapax counted corpus-wide over distinct " +
