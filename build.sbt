@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the LAST
+// stdout line as JSON. Two sbt behaviors have broken that for four
+// rounds: the logger wraps forked-process output as `[info] {...}`,
+// and a `[success] Total time...` line follows it. StdoutOutput makes
+// the forked JVM's stdout pass through bare (no [info] prefix), and
+// showSuccess=false suppresses the trailing [success] line — so the
+// bench JSON is the literal final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
