@@ -466,12 +466,14 @@ object Dedup {
     cands.join(inEnc, "in_id").join(index.enc, "ex_id")
       .withColumn("jaccard", jaccardDistinct(col("ti"), col("te")))
       .filter(col("jaccard") >= threshold)
+      // min_by over (-jaccard, ex_id) = highest jaccard, ties → lowest
+      // ex_id — WITHOUT negating the id, so non-numeric idCols work
+      // (unary minus on a string id casts to double → NULL match_id)
       .groupBy(col("in_id"))
-      .agg(max(struct(col("jaccard"), (-col("ex_id")).as("neg")))
-        .as("best"))
-      .select(col("in_id").as("doc_id"),
-        (-col("best.neg")).as("match_id"),
-        col("best.jaccard").as("jaccard"))
+      .agg(max(col("jaccard")).as("jaccard"),
+        min_by(col("ex_id"),
+          struct((-col("jaccard")).as("nj"), col("ex_id"))).as("match_id"))
+      .select(col("in_id").as("doc_id"), col("match_id"), col("jaccard"))
   }
 
   /** Contamination REPORT — the severity ranking on top of
@@ -585,8 +587,10 @@ object Dedup {
   def clusterKeepers(docs: DataFrame, idCol: String, pairs: DataFrame,
                      weightCol: String, maxIter: Int = 25): DataFrame = {
     val clusters = duplicateClusters(docs, idCol, pairs, maxIter)
+    // double, not long: fractional quality scores (0.9 vs 0.2) must
+    // order correctly, not both truncate to 0
     val weights = docs.select(col(idCol).cast("long").as("doc_id"),
-      col(weightCol).cast("long").as("__w"))
+      col(weightCol).cast("double").as("__w"))
     val members = clusters.join(weights, "doc_id")
     val keepers = members.groupBy(col("cluster_id"))
       .agg(max_by(col("doc_id"),

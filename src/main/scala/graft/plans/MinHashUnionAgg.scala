@@ -62,19 +62,29 @@ case class MinHashUnionAgg(child: Expression,
     if (buffer.isEmpty) {
       val fresh = new Array[Array[Byte]](k)
       var i = 0
-      while (i < k) { fresh(i) = arr.getUTF8String(i).getBytes; i += 1 }
+      while (i < k) { fresh(i) = laneBytes(arr, i); i += 1 }
       fresh
     } else {
       require(buffer.length == k,
         s"minhash_union: mixed signature widths (${buffer.length} vs $k)")
       var i = 0
       while (i < k) {
-        val b = arr.getUTF8String(i).getBytes
+        val b = laneBytes(arr, i)
         if (compareBytes(b, buffer(i)) < 0) buffer(i) = b
         i += 1
       }
       buffer
     }
+  }
+
+  // checkInputDataTypes accepts containsNull=true arrays (Spark marks
+  // most constructed arrays nullable regardless of content), so a null
+  // LANE must fail with a clear message, not an NPE inside the task
+  private def laneBytes(arr: ArrayData, i: Int): Array[Byte] = {
+    if (arr.isNullAt(i)) throw new IllegalArgumentException(
+      s"minhash_union: signature lane $i is NULL — signatures must be " +
+        "complete arrays of hex chunks")
+    arr.getUTF8String(i).getBytes
   }
 
   override def merge(buffer: Array[Array[Byte]],

@@ -48,7 +48,9 @@ class HttpClientFetcher extends PageFetcher {
                 new java.io.ByteArrayInputStream(resp.body()))
               val out = in.readAllBytes(); in.close(); out
             } else resp.body()
-          result = Some(new String(bytes, "UTF-8").split("\n").toSeq
+          // \r?\n: a CRLF server must not leave a trailing \r on every
+          // line (it would corrupt the last field of each JSONL record)
+          result = Some(new String(bytes, "UTF-8").split("\r?\n").toSeq
             .filter(_.trim.nonEmpty))
         } else if (code >= 500) {
           lastErr = new java.io.IOException(s"HTTP $code from $uri")

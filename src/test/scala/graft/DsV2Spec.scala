@@ -118,6 +118,12 @@ class DsV2Spec extends SparkSpec {
     server.createContext("/forbidden", (ex: HttpExchange) => {
       ex.sendResponseHeaders(403, -1); ex.close()
     })
+    server.createContext("/crlf", (ex: HttpExchange) => {
+      val b = new String(body, "UTF-8").split("\n").mkString("", "\r\n", "\r\n")
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
     server.start()
     try {
       val base = s"http://127.0.0.1:${server.getAddress.getPort}"
@@ -134,6 +140,9 @@ class DsV2Spec extends SparkSpec {
       assert(lastQuery == "a=x+y&b=2")
       // Content-Encoding: gzip decodes transparently
       assert(f.fetch(PageRequest(s"$base/gz")).size == 2)
+      // CRLF line endings: no trailing \r survives on any line
+      val crlf = f.fetch(PageRequest(s"$base/crlf"))
+      assert(crlf.size == 2 && crlf.forall(!_.endsWith("\r")), crlf)
       // 5xx retries until success (3rd attempt here)
       System.setProperty("graft.http.backoffMs", "1")
       assert(f.fetch(PageRequest(s"$base/flaky")).size == 2)

@@ -153,6 +153,49 @@ class DedupSpec extends SparkSpec {
       4L -> (4L, 4L, 1), 5L -> (5L, 5L, 1)))
   }
 
+  test("cluster keepers: fractional weights order correctly " +
+    "(no silent long truncation)") {
+    // 0.9 vs 0.2 vs 0.5 — a long cast truncates all three to 0 and the
+    // keeper would fall back to lowest doc_id (doc 1); the double path
+    // must pick doc 2
+    val docsDf = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5))
+      .toDF("doc_id", "score")
+    val pairsDf = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val keepers = Dedup.clusterKeepers(docsDf, "doc_id", pairsDf, "score")
+      .filter($"is_keeper" === 1).select($"doc_id").as[Long].collect().toSet
+    assert(keepers == Set(2L))
+  }
+
+  test("lshMatchIndexed: non-numeric doc ids produce a real match_id " +
+    "(tiebreak must not negate a string id)") {
+    val corpus = Seq(
+      ("docA", "the quick brown fox jumps over the lazy dog"),
+      ("docB", "an entirely different sentence about cats"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      ("inX", "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val ix = Dedup.lshIndex(corpus, "doc_id", "text")
+    val m = Dedup.lshMatchIndexed(ix, incoming, "doc_id", "text", 0.8)
+      .as[(String, String, Double)].collect()
+    assert(m.length == 1)
+    assert(m(0)._1 == "inX" && m(0)._2 == "docA" && m(0)._3 == 1.0)
+  }
+
+  test("minhash_union: a NULL signature lane fails with a clear error, " +
+    "not an NPE") {
+    import graft.plans.MinHashUnionAgg.minhashUnion
+    val df = Seq(Tuple1(Seq("aa", null.asInstanceOf[String])))
+      .toDF("sig")
+    val e = intercept[Exception] {
+      df.agg(minhashUnion($"sig")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("signature lane 1 is NULL")), e)
+  }
+
   test("minhash union aggregate: elementwise min of member sigs equals " +
     "the signature of the concatenated text; SQL-registered") {
     import graft.plans.MinHashUnionAgg.minhashUnion
