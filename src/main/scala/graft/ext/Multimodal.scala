@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * The decode step is STUBBED (no codec libraries in this environment):
-  * [[FakeCodec]] derives deterministic pseudo-features from the raw
-  * bytes so the Spark-side plumbing — schema, batching, partitioning,
-  * the typed `mapPartitions` boundary — is real and testable.  Swapping
-  * in a real codec changes only the function body inside
-  * `decodePartition`.
+  * The decode step is REAL for images ([[ImageIoCodec]]: PNG/BMP/GIF/
+  * JPEG via the JDK's `javax.imageio`, zero new dependencies) and
+  * STUBBED for audio/video (no codec libraries in this environment):
+  * payloads whose magic bytes don't sniff as a supported image fall
+  * back to [[FakeCodec]], which derives deterministic pseudo-features
+  * from the raw bytes so the Spark-side plumbing — schema, batching,
+  * partitioning, the typed `mapPartitions` boundary — stays exercisable
+  * on the driver's text-payload tables.
   *
   * Scale design: media blobs never shuffle.  All per-media stages are
   * narrow `mapPartitions`; only the (small) extracted-feature rows flow
@@ -26,16 +28,67 @@ object Multimodal {
   case class MediaRow(media_id: Long, modality: String, payload: Array[Byte],
                       width: Int, height: Int, sample_rate: Int)
 
-  /** Extracted features — the only thing that leaves the media stage. */
+  /** Extracted features — the only thing that leaves the media stage.
+    * width/height are the DECODED dimensions for image payloads; for
+    * non-image payloads the input metadata passes through. */
   case class MediaFeatures(media_id: Long, modality: String, n_bytes: Long,
                            content_md5: String, mean_byte: Double,
-                           frames_sampled: Int)
+                           frames_sampled: Int, width: Int, height: Int)
 
-  /** Deterministic stand-in for an image/audio decoder. */
+  /** Deterministic stand-in for an audio/video decoder (no codec libs
+    * in this environment); also the non-image passthrough. */
   object FakeCodec {
-    def decode(payload: Array[Byte]): Array[Byte] = payload // ??? real codec
+    def decode(payload: Array[Byte]): Array[Byte] = payload // stub: a/v codec
     def frameSample(payload: Array[Byte], everyN: Int): Seq[Array[Byte]] =
       payload.grouped(math.max(1, everyN)).toSeq
+  }
+
+  /** Real image decoder on the JDK's `javax.imageio` — no new
+    * dependencies.  Output is row-major 8-bit grayscale (BT.601 luma),
+    * a deterministic canonical form independent of the source pixel
+    * layout, so downstream hashing/statistics are stable across
+    * formats of the same image. */
+  object ImageIoCodec {
+    javax.imageio.ImageIO.setUseCache(false) // memory, not temp files
+
+    /** Format tag by magic bytes; None = not an image this codec reads. */
+    def sniff(p: Array[Byte]): Option[String] =
+      if (p.length >= 4 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+        p(2) == 'N' && p(3) == 'G') Some("png")
+      else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') Some("bmp")
+      else if (p.length >= 4 && p(0) == 'G' && p(1) == 'I' &&
+        p(2) == 'F' && p(3) == '8') Some("gif")
+      else if (p.length >= 2 && (p(0) & 0xff) == 0xff &&
+        (p(1) & 0xff) == 0xd8) Some("jpeg")
+      else None
+
+    case class DecodedImage(width: Int, height: Int, gray: Array[Byte])
+
+    /** None when the payload isn't a supported image OR the bytes are
+      * corrupt (text that merely starts with 'BM' must fall through to
+      * the passthrough, not kill the task). */
+    def decode(payload: Array[Byte]): Option[DecodedImage] =
+      sniff(payload).flatMap { _ =>
+        try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))).map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              out(y * w + x) = lum.toByte
+              x += 1
+            }
+            y += 1
+          }
+          DecodedImage(w, h, out)
+        } catch { case _: java.io.IOException => None }
+      }
   }
 
   /** documents-as-media adapter: treats each doc's text bytes as an
@@ -62,7 +115,9 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { r =>
-        FakeCodec.frameSample(FakeCodec.decode(r.payload), everyN)
+        val decoded = ImageIoCodec.decode(r.payload).map(_.gray)
+          .getOrElse(FakeCodec.decode(r.payload))
+        FakeCodec.frameSample(decoded, everyN)
           .zipWithIndex.map { case (frame, i) =>
             md.reset()
             MediaFrame(r.media_id, i, frame,
@@ -82,7 +137,10 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val decoded = FakeCodec.decode(r.payload)
+        val (decoded, w, h) = ImageIoCodec.decode(r.payload) match {
+          case Some(d) => (d.gray, d.width, d.height)
+          case None => (FakeCodec.decode(r.payload), r.width, r.height)
+        }
         val frames = FakeCodec.frameSample(decoded, frameEvery)
         md.reset()
         val hash = md.digest(decoded).map("%02x".format(_)).mkString
@@ -90,7 +148,7 @@ object Multimodal {
           if (decoded.isEmpty) 0.0
           else decoded.map(b => (b & 0xff).toLong).sum.toDouble / decoded.length
         MediaFeatures(r.media_id, r.modality, decoded.length.toLong, hash,
-          mean, frames.size)
+          mean, frames.size, w, h)
       }
     }
   }

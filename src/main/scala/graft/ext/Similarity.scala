@@ -149,8 +149,14 @@ object Similarity {
     * matches, exact cosine re-rank over the deduped candidate set.
     * Recall rises as 1−(1−p)^L for per-table hit rate p — the standard
     * trade: more tables = more candidates = higher recall, still
-    * corpus-sublinear.  Spark shape: L equi-joins on bucket keys,
-    * unioned, then one distinct + window — all hash-partitioned. */
+    * corpus-sublinear.  Spark shape: ONE projection per side emits all
+    * L per-table signatures as an array, `posexplode` turns them into
+    * (table, bucket) rows, and a single equi-join on the
+    * table-qualified bucket key replaces L separate joins — the corpus
+    * is scanned once, not once per table (L separate projections were
+    * linear waste in L at scale).  The table index is baked into the
+    * bucket key so signatures only match WITHIN a table, exactly the
+    * candidate set the per-table joins produced. */
   def lshTopKMulti(queries: DataFrame, corpus: DataFrame, k: Int,
                    dim: Int = 64, planes: Int = 6,
                    tables: Int = 4): DataFrame = {
@@ -166,13 +172,15 @@ object Similarity {
         }.reduce(_ + _)
         when(proj >= 0, "1").otherwise("0")
       }: _*)
-    val cands = (0 until tables).map { t =>
-      val qb = queries.select(col("vec_id").as("q_id"),
-        sig(col("embedding"), t).as("bucket"))
-      val cb = corpus.select(col("vec_id").as("c_id"),
-        sig(col("embedding"), t).as("bucket"))
-      qb.join(cb, "bucket").select(col("q_id"), col("c_id"))
-    }.reduce(_ unionByName _).distinct()
+    def buckets(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+          posexplode(array((0 until tables).map(t =>
+            sig(col("embedding"), t)): _*)))
+        .select(col(idAs),
+          concat_ws(":", col("pos"), col("col")).as("bucket"))
+    val cands = buckets(queries, "q_id")
+      .join(buckets(corpus, "c_id"), "bucket")
+      .select(col("q_id"), col("c_id")).distinct()
     val q = withNorm(queries, "q_id", "q")
     val c = withNorm(corpus, "c_id", "c")
     val w = Window.partitionBy(col("q_id"))

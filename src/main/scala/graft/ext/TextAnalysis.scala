@@ -12,10 +12,33 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization.  `sep` kept configurable; the default single
-    * space matches the synthetic corpus and stays portable to the SQL
-    * oracle. */
-  def tokens(text: Column, sep: String = " "): Column = split(text, sep)
+  /** Tokenization.  Two modes, selected by the session conf
+    * `spark.graft.tokenizer`:
+    *
+    *  - `simple` (default): split on the literal `sep` (single space) —
+    *    matches the synthetic corpus exactly and stays portable to the
+    *    SQL oracle, which is why it remains the default;
+    *  - `unicode`: real-corpus tokenization — Unicode punctuation
+    *    (`\p{P}`) is stripped to whitespace, then the text splits on
+    *    Unicode whitespace runs (`(?U)\s+`: NBSP, em/en spaces,
+    *    ideographic space, …).  Contractions split ("don't" → "don t");
+    *    that is the standard cheap-tokenizer trade.  All three steps
+    *    are codegen'd `regexp_*`/`split` expressions — no interpreted
+    *    higher-order functions on this hot path.
+    *
+    * An EXPLICIT non-default `sep` always wins (callers that pass one
+    * are pinning semantics, e.g. tests and the oracle queries). */
+  def tokens(text: Column, sep: String = " "): Column = {
+    val mode =
+      try org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.tokenizer", "simple")
+      catch { case _: IllegalStateException => "simple" } // no session yet
+    if (mode == "unicode" && sep == " ") {
+      val noPunct = regexp_replace(text, "(?U)\\p{P}+", " ")
+      val trimmed = regexp_replace(noPunct, "(?U)(^\\s+|\\s+$)", "")
+      split(trimmed, "(?U)\\s+")
+    } else split(text, sep)
+  }
 
   /** n-gram language-ID heuristic: marker-stopword hit counts per
     * language, argmax with deterministic preference order, `und` when no

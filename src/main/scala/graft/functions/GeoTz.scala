@@ -112,6 +112,47 @@ object GeoTz {
       .map(r => (r.getString(0), r.getSeq[Double](1), r.getSeq[Double](2)))
       .toSeq
 
+  /** Bridge from a RAW timezone-boundary extract — a GeoJSON
+    * FeatureCollection whose features carry `properties.tzid` and
+    * Polygon / MultiPolygon geometry (the schema of
+    * timezone-boundary-builder's `combined.json` releases).  Every
+    * polygon contributes its OUTER ring; holes are dropped (the dim is
+    * a containment proxy) and the GeoJSON closing vertex is removed
+    * (rings here are stored open; [[graft.plans.PointInPolygon]]
+    * closes implicitly).  Parsed driver-side with jackson (already on
+    * Spark's classpath) through the Hadoop filesystem — same
+    * bounded-dim rationale as [[loadZones]]. */
+  def loadZonesGeoJson(spark: SparkSession,
+                       path: String): Seq[(String, Seq[Double], Seq[Double])] = {
+    import scala.jdk.CollectionConverters._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    def ring(r: com.fasterxml.jackson.databind.JsonNode)
+        : (Seq[Double], Seq[Double]) = {
+      val pts = r.elements().asScala
+        .map(pt => (pt.get(0).asDouble(), pt.get(1).asDouble())).toSeq
+      val open =
+        if (pts.length > 1 && pts.head == pts.last) pts.dropRight(1) else pts
+      (open.map(_._1), open.map(_._2))
+    }
+    root.get("features").elements().asScala.flatMap { f =>
+      val tz = f.get("properties").get("tzid").asText()
+      val geom = f.get("geometry")
+      val outers = geom.get("type").asText() match {
+        case "Polygon" => Seq(geom.get("coordinates").get(0))
+        case "MultiPolygon" =>
+          geom.get("coordinates").elements().asScala.map(_.get(0)).toSeq
+        case other => throw new IllegalArgumentException(
+          s"unsupported geometry type $other for $tz")
+      }
+      outers.map { o => val (xs, ys) = ring(o); (tz, xs, ys) }
+    }.toSeq
+  }
+
   /** Grid-indexed polygon dim: (cx, cy, tz, xs, ys), one row per
     * 15° cell overlapping a polygon's bounding box.  Built driver-side —
     * it is a small constant dim by design (real tz data: ~10⁵ rows). */

@@ -654,10 +654,47 @@ class SimilaritySpec extends SparkSpec {
     assert(multi >= single)
     assert(multi >= 0.5, s"multi-table recall too low: $multi")
   }
+
+  test("lshTopKMulti signature stage scans the corpus once, not once " +
+    "per table") {
+    val e = Tables.embeddings(spark, sf0001)
+    val plan = Similarity.lshTopKMulti(e.filter($"vec_id" < 8),
+        e.filter($"vec_id" >= 8), 10, planes = 4, tables = 8)
+      .queryExecution.optimizedPlan
+    // 2 scans feed the candidate join (one per side) + 2 feed the
+    // exact re-rank = 4 total; the old shape had tables+1 per side
+    val scans = plan.collectLeaves().size
+    assert(scans == 4, s"expected 4 relation scans, got $scans:\n$plan")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
+
+  test("tokenizer modes: unicode equals simple on plain ASCII, and " +
+    "handles NBSP / em-space / punctuation where simple can't") {
+    def toksOf(mode: String, s: String): Seq[String] = {
+      spark.conf.set("spark.graft.tokenizer", mode)
+      try Seq(Tuple1(s)).toDF("t")
+        .select(TextAnalysis.tokens($"t")).as[Seq[String]].head()
+      finally spark.conf.unset("spark.graft.tokenizer")
+    }
+    // equivalence on space-separated ASCII (the oracle-parity corpus)
+    val ascii = "the quick brown fox"
+    assert(toksOf("unicode", ascii) == toksOf("simple", ascii))
+    assert(toksOf("simple", ascii) == Seq("the", "quick", "brown", "fox"))
+    // divergence: NBSP, em space, ideographic space, punctuation
+    val messy = "héllo, wörld! foo　bar."
+    assert(toksOf("unicode", messy)
+      == Seq("héllo", "wörld", "foo", "bar"))
+    assert(toksOf("simple", messy) == Seq(messy)) // one unbroken blob
+    // an explicit separator pins semantics regardless of mode
+    spark.conf.set("spark.graft.tokenizer", "unicode")
+    try assert(Seq(Tuple1("a|b|c")).toDF("t")
+      .select(TextAnalysis.tokens($"t", "\\|")).as[Seq[String]].head()
+      == Seq("a", "b", "c"))
+    finally spark.conf.unset("spark.graft.tokenizer")
+  }
 
   test("langid picks marker argmax, und when none fire") {
     val df = Seq("the cat is on the mat", "el gato", "zzz qqq").toDF("t")
@@ -759,6 +796,40 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.model.Schemas.frequencies
       .forall(f => Streams.triggerFor(f) != null))
     intercept[IllegalArgumentException](Streams.triggerFor("fortnight"))
+  }
+
+  test("extractFeatures decodes a real PNG and BMP via javax.imageio: " +
+    "true width/height, luminance statistics, format-independent hash") {
+    import Multimodal.MediaRow
+    def imageBytes(fmt: String): Array[Byte] = {
+      // 8x5 vertical stripes: even columns white, odd black → mean 127.5
+      val img = new java.awt.image.BufferedImage(8, 5,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 8; y <- 0 until 5)
+        img.setRGB(x, y, if (x % 2 == 0) 0xffffff else 0x000000)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val media = Seq(
+      MediaRow(1L, "image", imageBytes("png"), 0, 0, 0),
+      MediaRow(2L, "image", imageBytes("bmp"), 0, 0, 0)).toDS().toDF()
+    val f = Multimodal.extractFeatures(spark, media).collect()
+      .map(r => r.media_id -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(f(id).width == 8 && f(id).height == 5, f(id))
+      assert(f(id).n_bytes == 40) // decoded = w*h grayscale bytes
+      assert(math.abs(f(id).mean_byte - 127.5) < 0.01, f(id).mean_byte)
+    }
+    // canonical grayscale form: PNG and BMP of the SAME image hash alike
+    assert(f(1L).content_md5 == f(2L).content_md5)
+    // corrupt bytes with an image magic fall through to the passthrough
+    // instead of killing the task
+    val junk = "BMthis is not a real bitmap".getBytes("UTF-8")
+    val fallback = Multimodal.extractFeatures(spark,
+      Seq(MediaRow(3L, "text", junk, 7, 9, 0)).toDS().toDF()).head()
+    assert(fallback.n_bytes == junk.length)
+    assert(fallback.width == 7 && fallback.height == 9)
   }
 
   test("binary payload plumbing: features computed per partition") {

@@ -195,6 +195,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(one == "Test/Zone")
   }
 
+  test("loadZonesGeoJson: a timezone-boundary-builder-shaped " +
+    "FeatureCollection (Polygon + MultiPolygon, holes, closed rings) " +
+    "drives tzForPoints on real coordinates") {
+    import graft.functions.GeoTz
+    val zs = GeoTz.loadZonesGeoJson(spark,
+      "src/test/resources/fixtures/tz_extract.geojson")
+    // London = 1 outer ring (its hole is dropped), Tokyo = 3 islands,
+    // Sydney = 1 → 5 rings; closing vertices removed
+    assert(zs.length == 5)
+    assert(zs.count(_._1 == "Asia/Tokyo") == 3)
+    assert(zs.forall { case (_, xs, ys) =>
+      xs.length == 4 && ys.length == 4 &&
+        (xs.head, ys.head) != (xs.last, ys.last)
+    })
+    val cities = Seq(
+      (1L, -0.13, 51.51, "Europe/London"),   // London
+      (2L, 139.69, 35.69, "Asia/Tokyo"),     // Tokyo (Honshu ring)
+      (3L, 141.35, 43.06, "Asia/Tokyo"),     // Sapporo (Hokkaido ring)
+      (4L, 130.42, 33.59, "Asia/Tokyo"),     // Fukuoka (Kyushu ring)
+      (5L, 151.21, -33.87, "Australia/Sydney"),
+      (6L, -3.5, 54.2, "Europe/London"),     // inside the dropped hole
+      (7L, -140.0, -20.0, "UTC-9"))          // open Pacific → nautical
+    val got = GeoTz.tzForPoints(
+        cities.map(c => (c._1, c._2, c._3)).toDF("id", "lon", "lat"),
+        "id", "lon", "lat", zs = zs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cities.foreach { case (id, _, _, want) =>
+      assert(got(id) == want, s"point $id: got ${got(id)}, want $want")
+    }
+  }
+
   test("x18 packing and x17 IVF plans: every window is partitioned " +
     "(no global sort funnels)") {
     val packs = graft.ext.CorpusStats.packAssignments(
