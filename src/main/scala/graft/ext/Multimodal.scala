@@ -64,13 +64,27 @@ object Multimodal {
 
     case class DecodedImage(width: Int, height: Int, gray: Array[Byte])
 
+    /** Upper bound on decoded pixel count (width × height) before the
+      * grayscale buffer is allocated: a 4-byte header field in a
+      * hostile/corrupt payload can claim a 2^31-pixel image, and the
+      * allocation would OOM the executor before the decoder even finds
+      * the bytes are short.  64 MPix ≈ 8K×8K — beyond any training
+      * corpus thumbnail, cheap to raise per-job if ever needed. */
+    val maxPixels: Long = 64L * 1024 * 1024
+
     /** None when the payload isn't a supported image OR the bytes are
       * corrupt (text that merely starts with 'BM' must fall through to
-      * the passthrough, not kill the task). */
+      * the passthrough, not kill the task).  ImageIO decoders throw
+      * unchecked exceptions on malformed payloads that pass the magic
+      * sniff — CMMException on bad ICC profiles, IllegalArgumentException
+      * on band mismatches, AIOOBE on truncated JPEGs — so the guard is
+      * NonFatal, not just IOException. */
     def decode(payload: Array[Byte]): Option[DecodedImage] =
       sniff(payload).flatMap { _ =>
         try Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))).map { img =>
+            new java.io.ByteArrayInputStream(payload)))
+          .filter(img => img.getWidth.toLong * img.getHeight <= maxPixels)
+          .map { img =>
           val w = img.getWidth
           val h = img.getHeight
           val out = new Array[Byte](w * h)
@@ -87,7 +101,7 @@ object Multimodal {
             y += 1
           }
           DecodedImage(w, h, out)
-        } catch { case _: java.io.IOException => None }
+        } catch { case scala.util.control.NonFatal(_) => None }
       }
   }
 
