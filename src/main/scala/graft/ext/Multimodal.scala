@@ -64,35 +64,80 @@ object Multimodal {
 
     case class DecodedImage(width: Int, height: Int, gray: Array[Byte])
 
-    /** Upper bound on decoded pixel count (width × height) before the
-      * grayscale buffer is allocated: a 4-byte header field in a
-      * hostile/corrupt payload can claim a 2^31-pixel image, and the
-      * allocation would OOM the executor before the decoder even finds
-      * the bytes are short.  64 MPix ≈ 8K×8K — beyond any training
-      * corpus thumbnail, cheap to raise per-job if ever needed. */
-    val maxPixels: Long = 64L * 1024 * 1024
+    /** Default upper bound on decoded pixel count (width × height).
+      * Enforced by a HEADER-ONLY probe before any raster is decoded: a
+      * 4-byte header field in a hostile/corrupt payload can claim a
+      * 2^31-pixel image, and `ImageIO.read` would allocate the full
+      * raster (~4 bytes/pixel) before discovering the bytes are short.
+      * 64 MPix ≈ 8K×8K — beyond any training corpus thumbnail; raise
+      * per-job via [[maxPixelsConf]]. */
+    val defaultMaxPixels: Long = 64L * 1024 * 1024
+
+    /** Per-job override for the decode pixel cap (same conf idiom as
+      * `spark.graft.shingleAssembly` / `spark.graft.simhashImpl`). Read
+      * on the driver at plan-build time and captured in the closure. */
+    val maxPixelsConf = "spark.graft.maxDecodePixels"
+
+    def maxPixelsFor(spark: SparkSession): Long =
+      spark.conf.get(maxPixelsConf, defaultMaxPixels.toString).toLong
+
+    /** Successfully header-probed images dropped by the pixel cap —
+      * exposed so oversize drops are observable rather than silently
+      * indistinguishable from non-image payloads. Each drop also logs. */
+    val oversizeRejected = new java.util.concurrent.atomic.AtomicLong()
+
+    @transient private lazy val log =
+      org.slf4j.LoggerFactory.getLogger("graft.ext.Multimodal")
 
     /** None when the payload isn't a supported image OR the bytes are
       * corrupt (text that merely starts with 'BM' must fall through to
       * the passthrough, not kill the task).  ImageIO decoders throw
       * unchecked exceptions on malformed payloads that pass the magic
       * sniff — CMMException on bad ICC profiles, IllegalArgumentException
-      * on band mismatches, AIOOBE on truncated JPEGs — so the guard is
-      * NonFatal, not just IOException. */
-    def decode(payload: Array[Byte]): Option[DecodedImage] =
-      sniff(payload).flatMap { _ =>
-        try Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload)))
-          .filter(img => img.getWidth.toLong * img.getHeight <= maxPixels)
-          .map { img =>
-          val w = img.getWidth
-          val h = img.getHeight
+      * on band mismatches, AIOOBE on truncated JPEGs — so the read path
+      * guards with NonFatal, not just IOException.
+      *
+      * Dimensions are probed from the HEADER (`reader.getWidth(0)`)
+      * before `reader.read(0)` decodes the raster, so an oversize claim
+      * is rejected without ever allocating pixel memory.  The luma
+      * conversion runs OUTSIDE the catch: a genuine bug there should
+      * surface, not silently degrade to the passthrough. */
+    def decode(payload: Array[Byte],
+               maxPixels: Long = defaultMaxPixels): Option[DecodedImage] =
+      sniff(payload).flatMap { fmt =>
+        val img: Option[java.awt.image.BufferedImage] =
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) None
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis, true, true)
+                  val w = reader.getWidth(0).toLong
+                  val h = reader.getHeight(0).toLong
+                  if (w <= 0 || h <= 0) None // corrupt header
+                  else if (w * h > maxPixels) {
+                    oversizeRejected.incrementAndGet()
+                    log.warn(s"dropping $fmt image to passthrough: " +
+                      s"header claims ${w}x$h > maxPixels=$maxPixels")
+                    None
+                  } else Option(reader.read(0))
+                } finally reader.dispose()
+              }
+            } finally if (iis != null) iis.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        img.map { bi =>
+          val w = bi.getWidth
+          val h = bi.getHeight
           val out = new Array[Byte](w * h)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              val rgb = img.getRGB(x, y)
+              val rgb = bi.getRGB(x, y)
               val lum = (((rgb >> 16) & 0xff) * 299 +
                 ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
               out(y * w + x) = lum.toByte
@@ -101,7 +146,7 @@ object Multimodal {
             y += 1
           }
           DecodedImage(w, h, out)
-        } catch { case scala.util.control.NonFatal(_) => None }
+        }
       }
   }
 
@@ -126,10 +171,11 @@ object Multimodal {
   def sampleFrames(spark: SparkSession, media: DataFrame,
                    everyN: Int = 256): Dataset[MediaFrame] = {
     import spark.implicits._
+    val maxPixels = ImageIoCodec.maxPixelsFor(spark)
     media.as[MediaRow].mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { r =>
-        val decoded = ImageIoCodec.decode(r.payload).map(_.gray)
+        val decoded = ImageIoCodec.decode(r.payload, maxPixels).map(_.gray)
           .getOrElse(FakeCodec.decode(r.payload))
         FakeCodec.frameSample(decoded, everyN)
           .zipWithIndex.map { case (frame, i) =>
@@ -148,10 +194,11 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       frameEvery: Int = 256): Dataset[MediaFeatures] = {
     import spark.implicits._
+    val maxPixels = ImageIoCodec.maxPixelsFor(spark)
     media.as[MediaRow].mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val (decoded, w, h) = ImageIoCodec.decode(r.payload) match {
+        val (decoded, w, h) = ImageIoCodec.decode(r.payload, maxPixels) match {
           case Some(d) => (d.gray, d.width, d.height)
           case None => (FakeCodec.decode(r.payload), r.width, r.height)
         }

@@ -832,6 +832,50 @@ class MultimodalSpec extends SparkSpec {
     assert(fallback.width == 7 && fallback.height == 9)
   }
 
+  test("oversize image headers are rejected header-only: no raster " +
+    "allocation, observable counter, conf-tunable cap") {
+    import Multimodal.{ImageIoCodec, MediaRow}
+    // A valid, self-consistent BMP header claiming 20000x20000 (400 MPix)
+    // with no pixel data.  The old ImageIO.read-first path would allocate
+    // the ~1.6 GB raster before noticing the truncation; the header-only
+    // probe must reject it without allocating anything.  (The size fields
+    // must be self-consistent: the JDK BMP reader rejects mismatched
+    // fileSize/imageSize in readHeader before dimensions are exposed.)
+    def le(v: Int, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val (w0, h0) = (20000, 20000)
+    val dataSz = (((w0.toLong * 3 + 3) / 4 * 4) * h0).toInt
+    val hostile: Array[Byte] =
+      Array[Byte]('B', 'M') ++ le(54 + dataSz, 4) ++ le(0, 4) ++ le(54, 4) ++
+        le(40, 4) ++ le(w0, 4) ++ le(h0, 4) ++ le(1, 2) ++
+        le(24, 2) ++ le(0, 4) ++ le(dataSz, 4) ++ le(0, 4) ++ le(0, 4) ++
+        le(0, 4) ++ le(0, 4)
+    val before = ImageIoCodec.oversizeRejected.get()
+    assert(ImageIoCodec.decode(hostile).isEmpty)
+    assert(ImageIoCodec.oversizeRejected.get() == before + 1,
+      "oversize drop must be counted, not silent")
+    // the cap is per-call tunable: a real 8x5 PNG passes the default
+    // cap and fails a cap of 1 pixel
+    val img = new java.awt.image.BufferedImage(8, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert(ImageIoCodec.decode(png).isDefined)
+    assert(ImageIoCodec.decode(png, maxPixels = 1L).isEmpty)
+    // spark.graft.maxDecodePixels reaches the pipeline: with the cap at
+    // 1 the PNG falls back to the passthrough (encoded-byte features)
+    spark.conf.set(ImageIoCodec.maxPixelsConf, "1")
+    try {
+      val f = Multimodal.extractFeatures(spark,
+        Seq(MediaRow(9L, "image", png, 3, 4, 0)).toDS().toDF()).head()
+      assert(f.n_bytes == png.length && f.width == 3 && f.height == 4)
+    } finally spark.conf.unset(ImageIoCodec.maxPixelsConf)
+    val f2 = Multimodal.extractFeatures(spark,
+      Seq(MediaRow(9L, "image", png, 3, 4, 0)).toDS().toDF()).head()
+    assert(f2.n_bytes == 40 && f2.width == 8 && f2.height == 5)
+  }
+
   test("binary payload plumbing: features computed per partition") {
     val docs = Tables.documents(spark, sf0001).limit(50)
     val media = Multimodal.mediaFromDocuments(docs)
