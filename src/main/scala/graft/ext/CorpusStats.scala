@@ -78,7 +78,14 @@ object CorpusStats {
     * parallelism is streams×shards, NOT streams — `shards` keeps lanes
     * fine-grained enough that no window partition exceeds a task
     * (packing is order-dependent ONLY within a lane by construction,
-    * so sharding changes which docs co-pack, never correctness). */
+    * so sharding changes which docs co-pack, never correctness).
+    *
+    * Contract: a document with n_tokens > budget cannot fit in any
+    * single pack; concat-and-chunk places it at its running-total
+    * position and lets it SPAN pack boundaries (pack_id is where it
+    * starts).  The `oversize` flag makes those docs visible so a
+    * downstream sampler can drop/truncate them instead of silently
+    * training on mid-document pack seams. */
   def packAssignments(docs: DataFrame, idCol: String, streamCol: String,
                       textCol: String, budget: Int,
                       shards: Int): DataFrame = {
@@ -93,7 +100,8 @@ object CorpusStats {
       .select(col(idCol), col(streamCol), col("shard"),
         col("n_tokens").cast("int").as("n_tokens"),
         floor((col("__cum") - col("n_tokens")) / budget.toDouble)
-          .cast("int").as("pack_id"))
+          .cast("int").as("pack_id"),
+        (col("n_tokens") > budget).as("oversize"))
   }
 
   /** Source mixing stats: per-source document/token volume and corpus

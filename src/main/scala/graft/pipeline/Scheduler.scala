@@ -47,13 +47,23 @@ object Scheduler {
     * interleaves fairly; isolation is preserved because each source
     * stays its own action with its own sink paths and error capture.
     * Results return in the same deterministic provider order either
-    * way. */
+    * way.
+    *
+    * `tickTimeout` bounds the parallel tick: a provider that hasn't
+    * completed when the shared deadline expires is reported as a
+    * RunResult error (and to the listener's error topic) instead of
+    * wedging the tick forever — the reference's Lambda timeout has the
+    * same role.  Providers that finished before the deadline still
+    * return their real results; the straggler's pool thread is
+    * interrupted on exit.  Default Inf preserves the old behavior. */
   def runDue(spark: SparkSession, configDir: String, frequency: String,
              inputs: Map[String, String], outDir: String,
              listener: RunListener = NoopListener,
              parallelism: Int = 1,
              process: (SparkSession, String, String, String) => DataFrame =
-               Pipelines.processor): Seq[RunResult] = {
+               Pipelines.processor,
+             tickTimeout: scala.concurrent.duration.Duration =
+               scala.concurrent.duration.Duration.Inf): Seq[RunResult] = {
     val due = Ingest.readSourceConfigs(spark, configDir)
       .filter(col("frequency") === frequency)
       .select(col("provider")).collect().map(_.getString(0)).toSeq.sorted
@@ -80,15 +90,37 @@ object Scheduler {
       }
     if (parallelism <= 1) due.map(runOne)
     else {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+      import scala.concurrent.duration.{Duration, FiniteDuration}
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(parallelism, math.max(1, due.size)))
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
-      try Await.result(
-        Future.sequence(due.map(p => Future(runOne(p)))), Duration.Inf)
-      finally pool.shutdown()
+      try {
+        val futures = due.map(p => p -> Future(runOne(p)))
+        // One shared deadline for the whole tick (not per provider):
+        // awaiting in provider order against `deadline.timeLeft` means a
+        // hung first provider can't extend the tick for later ones, and
+        // an already-completed future returns its value even with zero
+        // time left.
+        val deadline = tickTimeout match {
+          case f: FiniteDuration => Some(f.fromNow)
+          case _ => None
+        }
+        futures.map { case (p, f) =>
+          val remaining = deadline
+            .map(d => d.timeLeft.max(Duration.Zero): Duration)
+            .getOrElse(Duration.Inf)
+          try Await.result(f, remaining)
+          catch {
+            case _: TimeoutException =>
+              val e = new TimeoutException(
+                s"provider $p exceeded tick timeout $tickTimeout")
+              listener.onError(p, e)
+              RunResult(p, ok = false, None, Some(e.getMessage))
+          }
+        }
+      } finally pool.shutdownNow() // interrupt stragglers past the deadline
     }
   }
 }

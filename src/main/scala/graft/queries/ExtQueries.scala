@@ -752,7 +752,8 @@ object ExtQueries {
         |             len(string_split(text, ' ')) AS n
         |           FROM documents)
         |SELECT doc_id, lang, shard, CAST(n AS INT) AS n_tokens,
-        |       CAST(floor((cum - n) / 2048.0) AS INT) AS pack_id
+        |       CAST(floor((cum - n) / 2048.0) AS INT) AS pack_id,
+        |       n > 2048 AS oversize
         |FROM (SELECT *, SUM(n) OVER (PARTITION BY lang, shard
         |                             ORDER BY doc_id) AS cum
         |      FROM t)""".stripMargin,

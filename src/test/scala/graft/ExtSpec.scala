@@ -359,6 +359,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("oversize docs (n_tokens > budget) are flagged; they span pack " +
+    "boundaries from their running-total position") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "en", "a b c"),                          // 3 tokens
+      (2L, "en", Seq.fill(10)("t").mkString(" ")),  // 10 tokens > budget 8
+      (3L, "en", "x y")                             // 2 tokens
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.ext.CorpusStats.packAssignments(
+        tiny, "doc_id", "lang", "text", budget = 8, shards = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(4), r.getBoolean(5)))).toMap
+    // doc 2 starts in pack 0 (cum-before = 3) and spills past the budget
+    // into pack 1's range — flagged so samplers can drop/truncate it
+    assert(got(1L) == ((0, false)))
+    assert(got(2L) == ((0, true)), "doc over budget must carry the flag")
+    assert(got(3L) == ((1, false))) // cum-before = 13 → pack 1
+  }
+
   test("approx length stats track exact within sketch tolerance") {
     val docs = Tables.documents(spark, sf0001)
     val exact = graft.ext.CorpusStats.lengthStats(docs, "lang", "n_chars")

@@ -89,6 +89,34 @@ class SchedulerSpec extends SparkSpec {
     assert(byName("purpleair").ok) // the Error did not kill the tick
   }
 
+  test("tick timeout: a hung provider becomes a RunResult error, the " +
+    "rest of the tick completes") {
+    import scala.concurrent.duration._
+    val out = java.nio.file.Files.createTempDirectory("graft_to_").toString
+    val errored = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new Scheduler.RunListener {
+      override def onError(provider: String, error: Throwable): Unit = {
+        errored.add(provider); ()
+      }
+    }
+    val results = Scheduler.runDue(spark, configDir, "hour",
+      Map("purpleair" -> fixture("purpleair.json"),
+        "habitatmap" -> fixture("habitatmap.json")), out,
+      listener, parallelism = 2,
+      process = (s, p, in, o) =>
+        // habitatmap stands in for a provider wedged on a dead upstream
+        if (p == "habitatmap") { Thread.sleep(600000L); null }
+        else graft.pipeline.Pipelines.processor(s, p, in, o),
+      tickTimeout = 15.seconds)
+    val byName = results.map(r => r.provider -> r).toMap
+    assert(results.map(_.provider) == Seq("habitatmap", "purpleair"))
+    assert(!byName("habitatmap").ok)
+    assert(byName("habitatmap").error.get.contains("tick timeout"))
+    assert(byName("purpleair").ok,
+      "the deadline must not fail providers that finished in time")
+    assert(errored.contains("habitatmap"), "timeout hits the error topic")
+  }
+
   test("minute tick runs clarity alone (frequency classes)") {
     val out = java.nio.file.Files.createTempDirectory("graft_sched2_").toString
     val results = Scheduler.runDue(spark, configDir, "minute",

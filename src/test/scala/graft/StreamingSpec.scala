@@ -273,6 +273,45 @@ class StatefulStreamSpec extends SparkSpec {
       ("st2", "siteB v2"), ("st3", "siteC v1")))
   }
 
+  test("diff-upsert state survives a query restart under the RocksDB " +
+    "state store provider") {
+    val in = java.nio.file.Files.createTempDirectory("graft_rdb_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rdb_ck_").toString
+    // The production config for large key spaces: incremental,
+    // disk-backed state (SURVEY §2.9).  The provider class is read per
+    // query start, so setting it here scopes it to these two runs.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      // each run returns ONLY its own emissions, so the second run
+      // proves the first run's hash state was restored from RocksDB
+      def runBatch(): Set[(String, String)] = {
+        val emitted = scala.collection.mutable.Set[(String, String)]()
+        val schema = spark.read.parquet(in).schema
+        val stream = graft.streaming.Streams.fileStream(spark, in, schema)
+        val out = graft.streaming.Streams.diffUpsertStream(spark, stream)
+        val q = out.writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            emitted ++= df.as[(String, String)].collect(); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        emitted.toSet
+      }
+      Seq(("st1", "siteA v1"), ("st2", "siteB v1")).toDF("key", "content")
+        .write.mode("append").parquet(in)
+      assert(runBatch() == Set(("st1", "siteA v1"), ("st2", "siteB v1")))
+      // restart: st1 re-delivered unchanged, st2 changed, st3 new —
+      // unchanged st1 must be suppressed by RESTORED state, not re-emitted
+      Seq(("st1", "siteA v1"), ("st2", "siteB v2"), ("st3", "siteC v1"))
+        .toDF("key", "content").write.mode("append").parquet(in)
+      assert(runBatch() == Set(("st2", "siteB v2"), ("st3", "siteC v1")))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("diff-upsert with a sequence column keeps the LATEST write, " +
     "not the lexicographic max") {
     val in = java.nio.file.Files.createTempDirectory("graft_seq_in_").toString
