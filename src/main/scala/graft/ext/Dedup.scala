@@ -524,9 +524,9 @@ object Dedup {
     * pays bigger per-round constants.  Each round is one skinny
     * equi-join (edges × changed-labels) plus a min-agg — both
     * AQE-planned, nothing ever materializes on the driver.  Lineage is
-    * cut per round with localCheckpoint so the plan cannot grow with
-    * the iteration count, and the delta's emptiness IS the convergence
-    * test — no separate probe. */
+    * cut per round with a LAZY localCheckpoint whose materialization
+    * job is the changed-row count — so the convergence probe and the
+    * checkpoint are ONE driver action per round, not two. */
   def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                         maxIter: Int = 25): DataFrame = {
     val nodes = docs.select(col(idCol).cast("long").as("node"))
@@ -546,22 +546,27 @@ object Dedup {
       .localCheckpoint()
     var delta = labels // round 0: every initial label is news
     var iter = 0
-    while (iter < maxIter && !delta.isEmpty) {
+    var converged = delta.isEmpty // only true here for an empty corpus
+    while (iter < maxIter && !converged) {
       val nbrMin = edges.join(delta, col("s") === col("node"))
         .groupBy(col("d")).agg(min(col("lbl")).as("nbl"))
         .withColumnRenamed("d", "node")
+      // lazy checkpoint: the changed-row count below runs the round's
+      // one job, materializing the checkpoint AND answering convergence
       val joined = labels.as("l")
         .join(nbrMin.as("m"), Seq("node"), "left")
         .select(col("node"), col("l.lbl").as("old"),
           least(col("l.lbl"), coalesce(col("m.nbl"), col("l.lbl")))
             .as("lbl"))
-        .localCheckpoint() // one materialization feeds labels AND delta
+        .localCheckpoint(eager = false)
+      val changed = joined.filter(col("lbl") < col("old")).count()
       labels = joined.select(col("node"), col("lbl"))
       delta = joined.filter(col("lbl") < col("old"))
         .select(col("node"), col("lbl"))
+      converged = changed == 0
       iter += 1
     }
-    if (!delta.isEmpty)
+    if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIter rounds — the " +
           "pair graph has a longer path than expected; raise maxIter")

@@ -263,7 +263,31 @@ object ExtQueries {
       Dedup.clusterSignaturesFrom(Tables.documents(s, d), "doc_id",
           "text", sharedClusters(s, d), n = 1, k = 8)
         .select(col("cluster_id") +: col("n_docs") +:
-          (0 until 8).map(i => col("usig")(i).as(s"u$i")): _*)))
+          (0 until 8).map(i => col("usig")(i).as(s"u$i")): _*)),
+
+    // privacy pass: C4-style regex PII scrub.  The synthetic corpus
+    // carries no PII, so the query injects emails/IPs/SSNs/phones
+    // deterministically (same expression on the oracle side) — the
+    // detection AND redaction paths are genuinely exercised.
+    "x30_pii_redact" -> ((s, d) => {
+      val injected = Tables.documents(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com from 10.0."),
+              pmod(col("doc_id"), lit(256)).cast("string"), lit(".1")))
+          .when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-123-4567 ssn 123-45-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      graft.ext.Pii.piiByDoc(injected, "doc_id", "text")
+    }),
+
+    // model-based quality scoring: md5-hashed token features averaged
+    // against a broadcast (bucket, weight) linear model
+    "x31_quality_model" -> ((s, d) =>
+      graft.ext.QualityModel.scoreDocs(Tables.documents(s, d),
+        "doc_id", "text")))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -568,6 +592,44 @@ object ExtQueries {
   }
 
   val sql: Map[String, String] = Map(
+    "x30_pii_redact" ->
+      """WITH inj AS (SELECT doc_id, text || CASE
+        |    WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+        |    WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 ssn 123-45-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, text,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phone
+        |  FROM inj)
+        |SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS text_redacted,
+        |  (n_email > 0 OR n_ipv4 > 0 OR n_ssn > 0 OR n_phone > 0) AS has_pii
+        |FROM c""".stripMargin,
+    "x31_quality_model" ->
+      """WITH w AS (SELECT g AS bucket,
+        |    CAST(CAST('0x' || substr(md5(CAST(g AS VARCHAR) || 'graft-qm'), 1, 8)
+        |           AS UBIGINT) AS DOUBLE) / 2147483648.0 - 1.0 AS w
+        |  FROM generate_series(0, 1023) t(g)),
+        |b AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) % 1024 AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |s AS (SELECT doc_id, round(sum(w.w) / count(*), 4) AS score
+        |      FROM b JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id, score, score > 0 AS keep FROM s""".stripMargin,
     "st4_ingest_neardup" -> st4Sql,
     "x20_dup_clusters" -> x20Sql,
     "x25_cluster_keepers" -> x25Sql,

@@ -715,6 +715,62 @@ class TextAnalysisSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.tokenizer")
   }
 
+  test("PII redaction: typed placeholders, counts, ordering contract") {
+    import graft.ext.Pii
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@mail.example.org now"),
+      (2L, "server 192.168.0.1 and 8.8.8.8"),
+      (3L, "ssn 123-45-6789 phone 555-123-4567 or 555.123.4567"),
+      (4L, "clean text no pii 12345")
+    ).toDF("doc_id", "text")
+    val got = Pii.piiByDoc(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[String]("text_redacted")
+      == "mail me at <EMAIL> now")
+    assert(got(1L).getAs[Int]("n_email") == 1)
+    assert(got(2L).getAs[Int]("n_ipv4") == 2)
+    assert(got(2L).getAs[String]("text_redacted") == "server <IP> and <IP>")
+    // dotted and dashed phones both hit; the 3-group dotted phone must
+    // NOT be eaten by the 4-group IP pattern that runs first
+    assert(got(3L).getAs[Int]("n_ssn") == 1)
+    assert(got(3L).getAs[Int]("n_phone") == 2)
+    assert(got(3L).getAs[String]("text_redacted")
+      == "ssn <SSN> phone <PHONE> or <PHONE>")
+    assert(!got(4L).getAs[Boolean]("has_pii"))
+    assert(got(4L).getAs[String]("text_redacted")
+      == "clean text no pii 12345")
+  }
+
+  test("quality-model scoring: deterministic, bounded, broadcast model " +
+    "join (corpus text never shuffles)") {
+    import graft.ext.QualityModel
+    val docs = Tables.documents(spark, sf0001)
+    val scored = QualityModel.scoreDocs(docs, "doc_id", "text")
+    val a = scored.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(a.size == docs.count())
+    // deterministic across independent plan builds
+    val b = QualityModel.scoreDocs(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(a == b)
+    // mean of [-1,1) weights stays bounded; keep == score > threshold
+    a.values.foreach { case (s, k) =>
+      assert(s >= -1.0 && s < 1.0)
+      assert(k == (s > 0.0))
+    }
+    // the model side broadcasts: scoring joins must not shuffle the corpus
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastQueryStage"), plan)
+    // an externally-supplied model rides the same path
+    val w = QualityModel.hashedWeights(spark, 64, salt = "other-model")
+    val alt = QualityModel.scoreWith(docs, "doc_id", "text", w, 64,
+      bias = 0.5, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(alt.keySet == a.keySet)
+    assert(alt != a.map { case (k, (s, _)) => k -> s })
+  }
+
   test("langid picks marker argmax, und when none fire") {
     val df = Seq("the cat is on the mat", "el gato", "zzz qqq").toDF("t")
     val out = df.select(TextAnalysis.langId(TextAnalysis.tokens($"t")))
