@@ -208,4 +208,23 @@ object CorpusStats {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(k)
   }
+
+  /** Corpus-global token-frequency (Zipf) histogram: how many distinct
+    * token types occur with 1-digit / 2-digit / … frequencies, and how
+    * much of the corpus mass each magnitude band carries.  The shape
+    * check for a healthy natural corpus (a long hapax-heavy tail) vs a
+    * templated one (mass concentrated in a few high-frequency types);
+    * the corpus-level complement of the per-doc [[rareTokenRatio]].
+    *
+    * Buckets are DECIMAL-DIGIT counts of the frequency, not log2 —
+    * integer string length is exact on every engine, where
+    * floor(log2(x)) flips at power-of-two boundaries under FP.
+    *
+    * Scale: explode → two stacked hash aggregations, both map-side
+    * partial; intermediate is vocabulary-sized, output is ≤20 rows. */
+  def tokenFrequencyHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .groupBy(length(col("freq").cast("string")).as("freq_digits"))
+      .agg(count(lit(1)).as("n_types"), sum(col("freq")).as("n_occurrences"))
 }

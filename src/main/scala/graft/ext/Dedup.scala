@@ -724,4 +724,28 @@ object Dedup {
           when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0)))
           .reduce(_ + _).cast("int").as("simhash"))
   }
+
+  /** Cross-source duplication matrix — curation analytics over a
+    * near-dup pair set: for each unordered source pair, how many
+    * near-duplicate document pairs cross it.  This is the table that
+    * answers "which crawls/dumps duplicate each other" and drives
+    * source-level dedup ordering (dedup the most-overlapping source
+    * pair first) in multi-source corpus assembly.
+    *
+    * Scale shape: `pairs` is the skinny (a, b) edge table and the
+    * doc→source map is a two-column projection of the corpus — both
+    * shuffle as narrow keyed relations (AQE broadcasts the map when it
+    * fits).  Source names order with least/greatest so the matrix is
+    * symmetric-canonical; the output is #source² rows at most. */
+  def crossSourceDupMatrix(docs: DataFrame, idCol: String,
+                           sourceCol: String, pairs: DataFrame): DataFrame = {
+    val srcOf = docs.select(col(idCol).cast("long").as("__id"),
+      col(sourceCol).cast("string").as("__src"))
+    pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .join(srcOf.select(col("__id").as("a"), col("__src").as("src_a")), "a")
+      .join(srcOf.select(col("__id").as("b"), col("__src").as("src_b")), "b")
+      .groupBy(least(col("src_a"), col("src_b")).as("source_1"),
+        greatest(col("src_a"), col("src_b")).as("source_2"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -30,18 +30,29 @@ object ExtQueries {
   private val clusterCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]
+  private val pairCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
+  /** The exact near-dup edge set, pinned once per (session, dataset) —
+    * shared by the cluster family AND the cross-source matrix. */
+  private def sharedPairs(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame =
+    pairCache.getOrElseUpdate((s, d),
+      Dedup.blockedJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          "lang", threshold = 0.8)
+        .select(col("a"), col("b")).localCheckpoint())
 
   private def sharedClusters(s: org.apache.spark.sql.SparkSession,
                              d: String): org.apache.spark.sql.DataFrame =
-    clusterCache.getOrElseUpdate((s, d), {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
-        "lang", threshold = 0.8).select(col("a"), col("b"))
-      Dedup.duplicateClusters(docs, "doc_id", pairs).localCheckpoint()
-    })
+    clusterCache.getOrElseUpdate((s, d),
+      Dedup.duplicateClusters(Tables.documents(s, d), "doc_id",
+        sharedPairs(s, d)).localCheckpoint())
 
   /** Test hook: drop pinned cluster tables (e.g. between conf A/B runs). */
-  private[graft] def clearClusterCache(): Unit = clusterCache.clear()
+  private[graft] def clearClusterCache(): Unit = {
+    clusterCache.clear(); pairCache.clear()
+  }
 
   val qs: Map[String, Q] = Map(
     // exact dedup: content-fingerprint groups, first-wins keeper
@@ -287,7 +298,19 @@ object ExtQueries {
     // against a broadcast (bucket, weight) linear model
     "x31_quality_model" -> ((s, d) =>
       graft.ext.QualityModel.scoreDocs(Tables.documents(s, d),
-        "doc_id", "text")))
+        "doc_id", "text")),
+
+    // which sources duplicate each other: near-dup pairs (shared edge
+    // set) mapped to unordered source pairs
+    "x32_cross_source_dups" -> ((s, d) =>
+      Dedup.crossSourceDupMatrix(Tables.documents(s, d), "doc_id",
+        "source", sharedPairs(s, d))),
+
+    // corpus-global Zipf histogram: token types and corpus mass per
+    // frequency magnitude (decimal-digit buckets — engine-exact)
+    "x33_token_zipf" -> ((s, d) =>
+      graft.ext.CorpusStats.tokenFrequencyHistogram(
+        Tables.documents(s, d), "text")))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -630,6 +653,32 @@ object ExtQueries {
         |s AS (SELECT doc_id, round(sum(w.w) / count(*), 4) AS score
         |      FROM b JOIN w USING (bucket) GROUP BY doc_id)
         |SELECT doc_id, score, score > 0 AS keep FROM s""".stripMargin,
+    "x32_cross_source_dups" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents),
+        |p AS (SELECT a, b FROM (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+        |         / (len(a.toks) + len(b.toks)
+        |            - len(list_filter(a.toks, x -> list_contains(b.toks, x))))
+        |           AS jaccard
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.8)
+        |SELECT least(da.source, db.source) AS source_1,
+        |       greatest(da.source, db.source) AS source_2,
+        |       CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p JOIN documents da ON p.a = da.doc_id
+        |       JOIN documents db ON p.b = db.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+    "x33_token_zipf" ->
+      """WITH tf AS (SELECT tok, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1)
+        |SELECT CAST(length(CAST(freq AS VARCHAR)) AS INT) AS freq_digits,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(freq) AS BIGINT) AS n_occurrences
+        |FROM tf GROUP BY 1""".stripMargin,
     "st4_ingest_neardup" -> st4Sql,
     "x20_dup_clusters" -> x20Sql,
     "x25_cluster_keepers" -> x25Sql,

@@ -21,6 +21,37 @@ class DedupSpec extends SparkSpec {
     assert(big.getLong(big.fieldIndex("keep_id")) == 1L)
   }
 
+  test("cross-source dup matrix: unordered source pairs, exact counts") {
+    val docs = Seq(
+      (1L, "crawl_a"), (2L, "crawl_b"), (3L, "crawl_b"),
+      (4L, "crawl_c"), (5L, "crawl_a")
+    ).toDF("doc_id", "source")
+    // near-dup edges: a↔b twice (1-2, 3-5 reversed order), within-a once
+    val pairs = Seq((1L, 2L), (3L, 5L), (1L, 5L), (2L, 3L))
+      .toDF("a", "b")
+    val got = Dedup.crossSourceDupMatrix(docs, "doc_id", "source", pairs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (3,5)=(b,a) and (1,2)=(a,b) both land in the canonical (a,b) cell
+    assert(got == Map(
+      ("crawl_a", "crawl_b") -> 2L,
+      ("crawl_a", "crawl_a") -> 1L,
+      ("crawl_b", "crawl_b") -> 1L))
+  }
+
+  test("token-frequency Zipf histogram: exact digit buckets, mass adds up") {
+    val docs = Seq(
+      Tuple1(Seq.fill(12)("common").mkString(" ")), // common ×12 → 2 digits
+      Tuple1("common rare1 rare2 mid mid mid")      // mid ×3, hapax ×2
+    ).toDF("text")
+    val got = graft.ext.CorpusStats.tokenFrequencyHistogram(docs, "text")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 1-digit band: rare1(1), rare2(1), mid(3) → 3 types, 5 occurrences;
+    // 2-digit band: common(13) → 1 type, 13 occurrences
+    assert(got == Map(1 -> ((3L, 5L)), 2 -> ((1L, 13L))))
+    assert(got.values.map(_._2).sum == 18L) // every token counted once
+  }
+
   test("minhash signatures: identical docs get identical signatures") {
     val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", n = 1, k = 8)
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
