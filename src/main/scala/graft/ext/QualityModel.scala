@@ -60,4 +60,53 @@ object QualityModel {
                 threshold: Double = 0.0): DataFrame =
     scoreWith(docs, idCol, textCol,
       hashedWeights(docs.sparkSession, dim), dim, bias, threshold)
+
+  /** Bigram language model trained on a corpus: (bigram, log_p) with
+    * the MLE conditional  P(w₂|w₁) = c(w₁ w₂) / c(w₁)  (unigram-count
+    * denominator, so P ∈ (0, 1] for every observed bigram).  The
+    * KenLM/CCNet quality-filter family reduced to its Spark shape: two
+    * global hash aggregations plus one vocabulary-keyed join — the
+    * model is a table, so it persists/broadcasts/reuses like any other
+    * dimension. */
+  def bigramModel(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs.select(monotonically_increasing_id().as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val bi = Dedup.assembleNgrams(toks, 2)
+      .groupBy(col("sh").as("bigram")).agg(count(lit(1)).as("c2"))
+    bi.join(uni, substring_index(col("bigram"), " ", 1) === col("tok"))
+      .select(col("bigram"),
+        log(col("c2").cast("double") / col("c1")).as("log_p"))
+  }
+
+  /** Mean bigram log-probability per document under a trained
+    * [[bigramModel]] — low scores flag text the model finds surprising
+    * (noise) or that repeats what it has already memorized poorly.
+    * Bigrams absent from the model score `unseenLogP` (never fires
+    * when scoring the training corpus itself).  Documents shorter than
+    * two tokens have no bigrams and no row.
+    *
+    * Scale: doc bigrams join the model on the bigram key — a narrow
+    * (string, double) relation that AQE broadcasts when the vocabulary
+    * fits; the corpus side then aggregates map-side to (id, sum,
+    * count) partials.  Text never shuffles. */
+  def lmScoreWith(docs: DataFrame, idCol: String, textCol: String,
+                  model: DataFrame,
+                  unseenLogP: Double = -23.0): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    Dedup.assembleNgrams(toks, 2)
+      .join(model.withColumnRenamed("bigram", "sh"), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(coalesce(col("log_p"), lit(unseenLogP)))
+          / count(lit(1)), 4).as("lm_score"))
+  }
+
+  /** Self-scored corpus: train the bigram model on `docs` and score the
+    * same docs (the standard boilerplate/noise sweep). */
+  def lmScoreDocs(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    lmScoreWith(docs, idCol, textCol, bigramModel(docs, textCol))
 }

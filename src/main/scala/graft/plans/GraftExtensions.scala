@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
   *  2. SQL registration of the custom expression/aggregate surface:
   *     `sorted_intersect_size(a, b)`, `point_in_polygon(px, py, xs,
   *     ys)`, `minhash_union(sig)`, `minhash_sig(toks, n, k)`,
-  *     `simhash_sig(toks)`, `token_set_encode(toks)`.
+  *     `simhash_sig(toks)`, `token_set_encode(toks)`, `pii_redact(text)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -61,6 +61,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenSetEncode].getName,
         "token_set_encode"),
       (exprs: Seq[Expression]) => TokenSetEncode(exprs.head)))
+    // pii_redact(text): the privacy scrub as a SQL function.  The
+    // builder runs mid-analysis, so it must emit RESOLVED Catalyst
+    // nodes — the RegExpReplace chain is built directly from the same
+    // [[graft.ext.Pii.patterns]] the DataFrame API folds over (a
+    // Column→Expression bridge here would smuggle in unresolved
+    // function nodes the analyzer no longer visits).
+    e.injectFunction((
+      new FunctionIdentifier("pii_redact"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "pii_redact"),
+      (exprs: Seq[Expression]) =>
+        graft.ext.Pii.patterns.foldLeft(exprs.head) {
+          case (acc, (_, re, tok)) =>
+            RegExpReplace(acc, Literal(re), Literal(tok))
+        }))
   }
 }
 

@@ -310,7 +310,13 @@ object ExtQueries {
     // frequency magnitude (decimal-digit buckets — engine-exact)
     "x33_token_zipf" -> ((s, d) =>
       graft.ext.CorpusStats.tokenFrequencyHistogram(
-        Tables.documents(s, d), "text")))
+        Tables.documents(s, d), "text")),
+
+    // bigram-LM quality scoring: per-doc mean log P(w2|w1) under the
+    // corpus-trained bigram model (KenLM/CCNet-family filter)
+    "x34_lm_score" -> ((s, d) =>
+      graft.ext.QualityModel.lmScoreDocs(Tables.documents(s, d),
+        "doc_id", "text")))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -679,6 +685,21 @@ object ExtQueries {
         |       CAST(count(*) AS BIGINT) AS n_types,
         |       CAST(sum(freq) AS BIGINT) AS n_occurrences
         |FROM tf GROUP BY 1""".stripMargin,
+    "x34_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |uni AS (SELECT tok, count(*) AS c1 FROM (
+        |          SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS bi
+        |       FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT bi, count(*) AS c2 FROM bg GROUP BY 1),
+        |m AS (SELECT bi, ln(CAST(c2 AS DOUBLE) / c1) AS log_p
+        |      FROM bc JOIN uni ON string_split(bi, ' ')[1] = uni.tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(sum(log_p) / count(*), 4) AS lm_score
+        |FROM bg JOIN m USING (bi) GROUP BY 1""".stripMargin,
     "st4_ingest_neardup" -> st4Sql,
     "x20_dup_clusters" -> x20Sql,
     "x25_cluster_keepers" -> x25Sql,

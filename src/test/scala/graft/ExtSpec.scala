@@ -802,6 +802,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(alt != a.map { case (k, (s, _)) => k -> s })
   }
 
+  test("bigram LM scoring: hand-computed probabilities, unseen floor " +
+    "for cross-corpus scoring") {
+    import graft.ext.QualityModel
+    val train = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // uni: a=3 b=3 c=1; bigrams: "a b"=3, "b a"=1, "b c"=1
+    // P(a b)=3/3  P(b a)=1/3  P(b c)=1/3
+    val got = QualityModel.lmScoreDocs(train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val third = math.log(1.0 / 3)
+    assert(got(1L)._1 == 3)
+    assert(got(1L)._2 == BigDecimal(third / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(2L)._1 == 2)
+    assert(got(2L)._2 == BigDecimal(third / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a doc full of bigrams the model never saw scores the floor
+    val model = QualityModel.bigramModel(train, "text")
+    val unseen = QualityModel.lmScoreWith(
+      Seq((9L, "x y")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(unseen.toSeq == Seq((9L, 1L, -23.0)))
+    // sub-2-token docs carry no bigrams and no row
+    assert(QualityModel.lmScoreDocs(
+      Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+      .count() == 0)
+  }
+
   test("langid picks marker argmax, und when none fire") {
     val df = Seq("the cat is on the mat", "el gato", "zzz qqq").toDF("t")
     val out = df.select(TextAnalysis.langId(TextAnalysis.tokens($"t")))

@@ -114,6 +114,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("integer literal"))
   }
 
+  test("pii_redact is SQL-registered and matches the Column-API scrub") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail jo@x.org from 10.0.0.1 ssn 123-45-6789"),
+      (2L, "nothing here")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("__piidocs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, pii_redact(text) AS r FROM __piidocs")
+      .as[(Long, String)].collect().toMap
+    assert(viaSql(1L) == "mail <EMAIL> from <IP> ssn <SSN>")
+    assert(viaSql(2L) == "nothing here")
+    val viaCol = docs.select($"doc_id",
+        graft.ext.Pii.redact($"text").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(viaSql == viaCol)
+  }
+
   test("PointInPolygon: convex, concave notch, outside, SQL registration") {
     import graft.plans.PointInPolygon.pointInPolygon
     // concave Asia/Shanghai ring from the GeoTz dim
