@@ -154,6 +154,47 @@ class StreamingSpec extends SparkSpec {
       s"streaming loop accepted $accepted")
   }
 
+  test("privacy + model-quality gates compose in the streaming ingest " +
+    "loop: scrub-then-score equals the batch answer") {
+    import graft.ext.{Pii, QualityModel}
+    val base = Tables.documents(spark, sf0001)
+    // stream-static: the LM trains once on the full corpus and is pinned
+    val model = QualityModel.bigramModel(base, "text").localCheckpoint()
+    // inject PII into some docs so the scrub genuinely rewrites text —
+    // the <EMAIL>/<IP> placeholder tokens are unseen by the model, so
+    // the cross-corpus floor is exercised in-stream too
+    val sample = base.limit(60).withColumn("text",
+      when($"doc_id" % 7 === 0,
+        concat($"text", lit(" mail u@x.org from 10.0.0.1")))
+        .otherwise($"text"))
+      .select($"doc_id", $"text").repartition(3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+    sample.write.mode("overwrite").parquet(dir)
+    def stage(df: org.apache.spark.sql.DataFrame) = {
+      val scrubbed = Pii.piiByDoc(df, "doc_id", "text")
+        .select($"doc_id", $"has_pii", $"text_redacted".as("text"))
+      QualityModel.lmScoreWith(scrubbed, "doc_id", "text", model)
+        .join(scrubbed.select($"doc_id", $"has_pii"), "doc_id")
+    }
+    def toSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    val expected = toSet(stage(spark.read.parquet(dir)).collect())
+    assert(expected.nonEmpty && expected.exists(_._4),
+      "injection must produce PII hits")
+    val got = scala.collection.mutable.Set[(Long, Long, Double, Boolean)]()
+    val q = spark.readStream.schema(sample.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= toSet(stage(df).collect()); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got.toSet == expected)
+  }
+
   test("incremental ingest: extending the index with accepted batches " +
     "catches near-dups of PRIOR batches, not just the original corpus") {
     val corpus = Seq((1L, "alpha beta gamma delta epsilon"))
