@@ -325,6 +325,35 @@ object Dedup {
     t.join(b, Seq("sh"), "left_semi").select(col("doc_id")).distinct()
   }
 
+  /** [[contaminatedDocs]] with a Bloom prefilter — same EXACT answer,
+    * built for the scale where even the "small" benchmark shingle set
+    * is too wide to hash-join against every training shingle: the
+    * bench set aggregates into `numBits` of filter
+    * ([[graft.plans.BloomFilterAgg]], map-side OR partials), the
+    * training stream drops non-candidate shingles inside whole-stage
+    * codegen ([[graft.plans.BloomMightContain]] — no shuffle, no join,
+    * ~numHashes masked loads per row), and only the surviving sliver
+    * reaches the verifying semi-join that removes Bloom false
+    * positives.  The bench side is pinned once and reused by build and
+    * verify.  Size `numBits ≈ 10–15 bits per distinct bench shingle`
+    * for a ~1% candidate false-positive rate. */
+  def contaminatedDocsBloom(train: DataFrame, bench: DataFrame,
+                            idCol: String, textCol: String, n: Int,
+                            numBits: Int = 1 << 22,
+                            numHashes: Int = 5): DataFrame = {
+    import graft.plans.{BloomFilterAgg, BloomMightContain}
+    val b = explodedShingles(bench, idCol, textCol, n)
+      .select(col("sh")).distinct().localCheckpoint()
+    val bloomBytes = b
+      .agg(BloomFilterAgg.bloomAgg(xxhash64(col("sh")), numBits, numHashes))
+      .head.getAs[Array[Byte]](0)
+    explodedShingles(train, idCol, textCol, n)
+      .filter(BloomMightContain.bloomMightContain(bloomBytes,
+        xxhash64(col("sh"))))
+      .join(b, Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
   /** Ingest-time near-dup gate — the stream-static shape of
     * [[minhashLshPairs]]: flag each INCOMING document that is a
     * verified near-duplicate of the EXISTING corpus, with its best

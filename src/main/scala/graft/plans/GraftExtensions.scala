@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, TimestampType}
 
 /** Engine extensions, registered via `spark.sql.extensions=graft.plans.GraftExtensions`:
   *
@@ -14,7 +14,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
   *  2. SQL registration of the custom expression/aggregate surface:
   *     `sorted_intersect_size(a, b)`, `point_in_polygon(px, py, xs,
   *     ys)`, `minhash_union(sig)`, `minhash_sig(toks, n, k)`,
-  *     `simhash_sig(toks)`, `token_set_encode(toks)`, `pii_redact(text)`.
+  *     `simhash_sig(toks)`, `token_set_encode(toks)`, `pii_redact(text)`,
+  *     `bloom_agg(hash64, numBits, numHashes)`,
+  *     `bloom_might_contain(filter, hash64)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -61,6 +63,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenSetEncode].getName,
         "token_set_encode"),
       (exprs: Seq[Expression]) => TokenSetEncode(exprs.head)))
+    // the Bloom pair: bloom_agg(hash64, numBits, numHashes) builds
+    // filter bytes; bloom_might_contain(filterBytes, hash64) probes
+    // them (first argument must fold to a BINARY constant — the filter
+    // is a driver-side value, never a per-row column)
+    e.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
+      (exprs: Seq[Expression]) => {
+        def intLit(i: Int): Int = exprs(i) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"bloom_agg argument ${i + 1} must be an integer literal, " +
+              s"got $other")
+        }
+        BloomFilterAgg(exprs.head, intLit(1), intLit(2))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "bloom_might_contain"),
+      (exprs: Seq[Expression]) => exprs.head match {
+        case f if f.foldable && f.dataType == BinaryType =>
+          BloomMightContain(f.eval().asInstanceOf[Array[Byte]], exprs(1))
+        case other => throw new IllegalArgumentException(
+          "bloom_might_contain first argument must be a foldable BINARY " +
+            s"Bloom filter (from bloom_agg), got $other")
+      }))
     // pii_redact(text): the privacy scrub as a SQL function.  The
     // builder runs mid-analysis, so it must emit RESOLVED Catalyst
     // nodes — the RegExpReplace chain is built directly from the same

@@ -316,7 +316,17 @@ object ExtQueries {
     // corpus-trained bigram model (KenLM/CCNet-family filter)
     "x34_lm_score" -> ((s, d) =>
       graft.ext.QualityModel.lmScoreDocs(Tables.documents(s, d),
-        "doc_id", "text")))
+        "doc_id", "text")),
+
+    // decontamination via Bloom prefilter + exact verify join: same
+    // rows as x19, corpus side culled inside whole-stage codegen
+    "x35_contamination_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminatedDocsBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5)
+    }))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -620,6 +630,19 @@ object ExtQueries {
        |  FROM ver WHERE jaccard >= 0.8) WHERE rk = 1""".stripMargin
   }
 
+  private val contaminationSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+      |              ELSE list_transform(generate_series(1, len(toks) - 4),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                     || ' ' || toks[i+3] || ' ' || toks[i+4])
+      |         END AS sh FROM t),
+      |tr AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0),
+      |be AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0)
+      |SELECT DISTINCT tr.doc_id FROM tr JOIN be ON tr.s = be.s""".stripMargin
+
   val sql: Map[String, String] = Map(
     "x30_pii_redact" ->
       """WITH inj AS (SELECT doc_id, text || CASE
@@ -889,18 +912,10 @@ object ExtQueries {
         |FROM (SELECT *, SUM(n) OVER (PARTITION BY lang, shard
         |                             ORDER BY doc_id) AS cum
         |      FROM t)""".stripMargin,
-    "x19_contaminated" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |           FROM documents),
-        |sh AS (SELECT doc_id,
-        |         CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
-        |              ELSE list_transform(generate_series(1, len(toks) - 4),
-        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-        |                     || ' ' || toks[i+3] || ' ' || toks[i+4])
-        |         END AS sh FROM t),
-        |tr AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0),
-        |be AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0)
-        |SELECT DISTINCT tr.doc_id FROM tr JOIN be ON tr.s = be.s""".stripMargin,
+    "x19_contaminated" -> contaminationSql,
+    // the Bloom path gives the same EXACT rows (the verify join removes
+    // false positives), so it replays against the identical oracle
+    "x35_contamination_bloom" -> contaminationSql,
     "x13_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
         |       md5(text) AS content_md5,

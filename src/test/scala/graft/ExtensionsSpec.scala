@@ -114,6 +114,73 @@ class ExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("integer literal"))
   }
 
+  test("Bloom aggregate: distributed build equals local build bit-for-bit, " +
+    "no false negatives, probe stays codegen'd") {
+    import graft.plans.{BloomFilterAgg, BloomKernel, BloomMightContain}
+    import spark.implicits._
+    val keys = (0 until 2000).map(_.toLong)
+    val (numBits, numHashes) = (1 << 15, 5)
+    // distributed: 8 partitions of map-side partials OR-merged
+    val distBytes = keys.toDF("k").repartition(8)
+      .agg(BloomFilterAgg.bloomAgg($"k", numBits, numHashes))
+      .head.getAs[Array[Byte]](0)
+    // local reference build
+    val words = new Array[Long](BloomKernel.wordsFor(numBits))
+    keys.foreach(BloomKernel.set(words, numBits, numHashes, _))
+    assert(distBytes.sameElements(
+      BloomKernel.serialize(words, numBits, numHashes)),
+      "OR-merge must be partitioning-independent")
+    // no false negatives; false positives rare at ~16 bits/key
+    val probed = (0 until 6000).map(_.toLong).toDF("v")
+      .filter(BloomMightContain.bloomMightContain(distBytes, $"v"))
+      .as[Long].collect().toSet
+    assert((0 until 2000).forall(i => probed.contains(i.toLong)),
+      "a Bloom filter can never drop an inserted key")
+    val fps = probed.size - 2000
+    assert(fps < 200, s"implausible FP count $fps at 16 bits/key")
+    // the probe compiles into whole-stage codegen (no interpreted
+    // eval); a Range source, because LocalRelation filters constant-fold
+    val plan = spark.range(10).select($"id".as("v"))
+      .filter(BloomMightContain.bloomMightContain(distBytes, $"v"))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, plan.toString)
+    // SQL surface: build with bloom_agg, probe with the filter bytes
+    // bound as a BINARY parameter (foldable → accepted by the builder)
+    val sqlBytes = spark.sql(
+      "SELECT bloom_agg(xxhash64(CAST(id AS STRING)), 32768, 5) " +
+        "FROM range(100)").head.getAs[Array[Byte]](0)
+    val viaSql = spark.sql(
+      "SELECT count(*) AS n FROM range(200) " +
+        "WHERE bloom_might_contain(:f, xxhash64(CAST(id AS STRING)))",
+      Map("f" -> sqlBytes)).head.getLong(0)
+    assert(viaSql >= 100 && viaSql < 150,
+      s"SQL probe found $viaSql of 100 inserted (+ rare FPs)")
+  }
+
+  test("Bloom decontamination equals the exact semi-join even when the " +
+    "filter is sized to false-positive heavily") {
+    val docs = Tables.documents(spark, sf0001)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    import spark.implicits._
+    val exact = graft.ext.Dedup
+      .contaminatedDocs(train, bench, "doc_id", "text", n = 5)
+      .as[Long].collect().toSet
+    // 256 bits for thousands of shingles → the prefilter passes almost
+    // everything; the verify join must still produce the exact answer
+    val bloomTiny = graft.ext.Dedup.contaminatedDocsBloom(train, bench,
+      "doc_id", "text", n = 5, numBits = 256, numHashes = 3)
+      .as[Long].collect().toSet
+    assert(bloomTiny == exact)
+    // and a realistically-sized filter too
+    val bloom = graft.ext.Dedup.contaminatedDocsBloom(train, bench,
+      "doc_id", "text", n = 5)
+      .as[Long].collect().toSet
+    assert(bloom == exact)
+  }
+
   test("pii_redact is SQL-registered and matches the Column-API scrub") {
     import spark.implicits._
     val docs = Seq(
