@@ -326,6 +326,19 @@ object ExtQueries {
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 5)
+    }),
+
+    // HTML/boilerplate scrub: markup injected deterministically (the
+    // synthetic corpus has none), stripped by the C4-style chain
+    "x36_html_clean" -> ((s, d) => {
+      val injected = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(
+            lit("<div class=\"w\"><script type=\"text/js\">var a = 1 < 2;" +
+              "</script><!-- c --><p>"),
+            col("text"), lit(" &amp; tail&nbsp;bits</p></div>")))
+        .otherwise(col("text")))
+      graft.ext.TextClean.cleanByDoc(injected, "doc_id", "text")
     }))
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -669,6 +682,32 @@ object ExtQueries {
         |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
         |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS text_redacted,
         |  (n_email > 0 OR n_ipv4 > 0 OR n_ssn > 0 OR n_phone > 0) AS has_pii
+        |FROM c""".stripMargin,
+    "x36_html_clean" ->
+      """WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN '<div class="w"><script type="text/js">var a = 1 < 2;'
+        |         || '</script><!-- c --><p>' || text
+        |         || ' &amp; tail&nbsp;bits</p></div>'
+        |    ELSE text END AS text FROM documents),
+        |c AS (SELECT doc_id, text,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(text,
+        |              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '(?s)<[^>]+>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |      '&quot;', '"'), '&#39;', ''''),
+        |    '\s+', ' ', 'g')) AS text_clean
+        |  FROM inj)
+        |SELECT doc_id, text_clean, CAST(length(text) AS INT) AS n_chars_raw,
+        |       CAST(length(text_clean) AS INT) AS n_chars_clean,
+        |       CAST(length(text) - length(text_clean) AS DOUBLE)
+        |         / length(text) AS removed_frac
         |FROM c""".stripMargin,
     "x31_quality_model" ->
       """WITH w AS (SELECT g AS bucket,

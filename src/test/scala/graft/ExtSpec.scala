@@ -772,6 +772,27 @@ class TextAnalysisSpec extends SparkSpec {
       == "clean text no pii 12345")
   }
 
+  test("HTML cleaning: script content dies, tag content survives, " +
+    "entities decode after stripping, whitespace collapses") {
+    import graft.ext.TextClean
+    val df = Seq(
+      (1L, "<div><script>var x = \"<p>\";</script>" +
+        "<p>Hello &amp; world</p></div>"),
+      (2L, "plain text stays"),
+      (3L, "a &lt;tag&gt; literal<!-- note --> here")
+    ).toDF("doc_id", "text")
+    val got = TextClean.cleanByDoc(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the script BLOCK vanishes (embedded "<p>" string included); the
+    // real <p> tag dies but its content survives; &amp; decodes last
+    assert(got(1L).getAs[String]("text_clean") == "Hello & world")
+    assert(got(2L).getAs[String]("text_clean") == "plain text stays")
+    assert(got(2L).getAs[Double]("removed_frac") == 0.0)
+    // decoded &lt;tag&gt; is PROSE, not markup — decode-after-strip
+    // means it can never be re-stripped
+    assert(got(3L).getAs[String]("text_clean") == "a <tag> literal here")
+  }
+
   test("quality-model scoring: deterministic, bounded, broadcast model " +
     "join (corpus text never shuffles)") {
     import graft.ext.QualityModel
