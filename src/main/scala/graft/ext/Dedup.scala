@@ -777,4 +777,33 @@ object Dedup {
         greatest(col("src_a"), col("src_b")).as("source_2"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** Per-document duplicated-n-gram fraction: for each doc, the share
+    * of its DISTINCT word n-grams that also occur in at least one other
+    * document (cf. the repeated-n-gram corpus filters in RefinedWeb /
+    * Rae et al.'s MassiveText rules — a cheap substring-duplication
+    * signal that needs no pairwise comparison at all).
+    *
+    * Scale shape: shingles assemble map-side (narrow `assembleNgrams`),
+    * collapse to an md5 key, and deduplicate per doc BEFORE the global
+    * aggregate, so the only corpus-sized shuffle carries distinct
+    * (doc_id, 32-char-hash) rows — no document pair is ever formed, no
+    * text rides a shuffle.  The n-gram→doc-count table is vocabulary-
+    * sized; the final per-doc agg is a standard partial+final hash
+    * aggregate.  Documents shorter than n collapse to one whole-text
+    * shingle (same fallback as [[shingles]]), so every input doc gets
+    * an output row. */
+  def duplicatedNgramFraction(docs: DataFrame, idCol: String,
+                              textCol: String, n: Int = 3): DataFrame = {
+    val perDoc = explodedShingles(docs, idCol, textCol, n)
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+      .distinct()
+    val global = perDoc.groupBy(col("h"))
+      .agg(count(lit(1)).as("__n_docs"))
+    perDoc.join(global, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("__n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_frac", round(col("n_shared") / col("n_ngrams"), 4))
+  }
 }

@@ -339,7 +339,13 @@ object ExtQueries {
             col("text"), lit(" &amp; tail&nbsp;bits</p></div>")))
         .otherwise(col("text")))
       graft.ext.TextClean.cleanByDoc(injected, "doc_id", "text")
-    }))
+    }),
+
+    // per-doc duplicated-n-gram fraction (RefinedWeb-style repeated-
+    // substring signal: no pairwise comparison, one vocab-keyed agg)
+    "x37_dup_ngram_frac" -> ((s, d) =>
+      Dedup.duplicatedNgramFraction(Tables.documents(s, d),
+        "doc_id", "text", n = 3)))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -709,6 +715,17 @@ object ExtQueries {
         |       CAST(length(text) - length(text_clean) AS DOUBLE)
         |         / length(text) AS removed_frac
         |FROM c""".stripMargin,
+    "x37_dup_ngram_frac" ->
+      s"""$shinglesCte,
+        |d AS (SELECT DISTINCT doc_id, md5(s) AS h
+        |      FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+        |g AS (SELECT h, count(*) AS n_docs FROM d GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        |       CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_shared,
+        |       round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::DOUBLE
+        |             / count(*), 4) AS dup_frac
+        |FROM d JOIN g USING (h) GROUP BY 1""".stripMargin,
     "x31_quality_model" ->
       """WITH w AS (SELECT g AS bucket,
         |    CAST(CAST('0x' || substr(md5(CAST(g AS VARCHAR) || 'graft-qm'), 1, 8)

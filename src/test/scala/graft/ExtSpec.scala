@@ -52,6 +52,27 @@ class DedupSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 18L) // every token counted once
   }
 
+  test("duplicated-n-gram fraction: shared trigrams flag dup docs, " +
+    "unique docs score zero, short docs use the whole-text fallback") {
+    val docs = Seq(
+      (1L, "a b c d e"),            // trigrams: abc bcd cde
+      (2L, "a b c d e"),            // exact dup → every trigram shared
+      (3L, "a b c x y"),            // shares only "a b c"
+      (4L, "p q r s t"),            // all unique
+      (5L, "hi")                    // < 3 tokens → whole-text shingle
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedNgramFraction(docs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))  // all three trigrams also in doc 2
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 0.3333)))
+    assert(got(4L) == ((3L, 0L, 0.0)))
+    assert(got(5L) == ((1L, 0L, 0.0)))  // lone whole-text shingle, unshared
+    assert(got.size == 5)               // every doc gets a row
+  }
+
   test("minhash signatures: identical docs get identical signatures") {
     val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", n = 1, k = 8)
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
