@@ -227,4 +227,51 @@ object CorpusStats {
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .groupBy(length(col("freq").cast("string")).as("freq_digits"))
       .agg(count(lit(1)).as("n_types"), sum(col("freq")).as("n_occurrences"))
+
+  /** Per-source Jensen-Shannon divergence between the source's token
+    * distribution and the whole-corpus distribution — the drift /
+    * skew measure behind source-reweighting decisions ([[sourceMix]]
+    * gives the volumes; this gives how DIFFERENT each source reads).
+    * JS rather than KL because it is finite even when a source misses
+    * corpus tokens, symmetric, and bounded by ln 2.
+    *
+    * The corpus side Q is evaluated sparsely: tokens absent from a
+    * source contribute `q·ln 2` to KL(Q‖M) (there `m = q/2`), so that
+    * tail collapses to the closed form `(1 − Σ_covered q)·ln 2` and
+    * the join only ever touches the source's own vocabulary — no
+    * dense #sources × |vocab| expansion.
+    *
+    * Scale shape: ONE corpus-sized shuffle (the (source, token) count,
+    * map-side combined); the per-source counts are localCheckpointed
+    * (vocab-sized, the same derived-total idiom as [[sourceMix]]) so
+    * the global distribution, per-source totals, and the divergence
+    * join all reuse that one pass instead of re-scanning text; the
+    * single-row grand total rides a broadcast cross join. */
+  def sourceDivergence(docs: DataFrame, sourceCol: String,
+                       textCol: String): DataFrame = {
+    val perSrc = docs.select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .localCheckpoint()
+    val global = perSrc.groupBy(col("tok")).agg(sum(col("__c")).as("__cg"))
+    val srcTot = perSrc.groupBy(col("source")).agg(sum(col("__c")).as("__ts"))
+    val grand = srcTot.agg(sum(col("__ts")).as("__t"))
+    val pq = perSrc.join(global, "tok").join(srcTot, "source")
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("__ts"),
+        (col("__c") / col("__ts")).as("p"),
+        (col("__cg") / col("__t")).as("q"))
+    pq.groupBy(col("source"), col("__ts"))
+      .agg(
+        sum(col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))))
+          .as("__klp"),
+        sum(col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+          .as("__klq_cov"),
+        sum(col("q")).as("__qcov"))
+      .select(col("source"), col("__ts").cast("long").as("n_tokens"),
+        round(lit(0.5) * col("__klp")
+          + lit(0.5) * (col("__klq_cov")
+            + (lit(1.0) - col("__qcov")) * log(lit(2.0))), 6).as("js_div"))
+  }
 }

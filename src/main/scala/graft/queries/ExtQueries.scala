@@ -345,7 +345,13 @@ object ExtQueries {
     // substring signal: no pairwise comparison, one vocab-keyed agg)
     "x37_dup_ngram_frac" -> ((s, d) =>
       Dedup.duplicatedNgramFraction(Tables.documents(s, d),
-        "doc_id", "text", n = 3)))
+        "doc_id", "text", n = 3)),
+
+    // per-source token-distribution JS divergence vs the corpus (the
+    // drift measure behind source-reweighting; x23 gives the volumes)
+    "x38_source_divergence" -> ((s, d) =>
+      graft.ext.CorpusStats.sourceDivergence(Tables.documents(s, d),
+        "source", "text")))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -726,6 +732,22 @@ object ExtQueries {
         |       round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::DOUBLE
         |             / count(*), 4) AS dup_frac
         |FROM d JOIN g USING (h) GROUP BY 1""".stripMargin,
+    "x38_source_divergence" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |ps AS (SELECT source, tok, CAST(count(*) AS DOUBLE) AS c
+        |       FROM tok GROUP BY 1, 2),
+        |g AS (SELECT tok, sum(c) AS cg FROM ps GROUP BY 1),
+        |st AS (SELECT source, sum(c) AS ts FROM ps GROUP BY 1),
+        |tot AS (SELECT sum(c) AS t FROM ps),
+        |pq AS (SELECT ps.source, st.ts, ps.c / st.ts AS p, g.cg / tot.t AS q
+        |       FROM ps JOIN g USING (tok) JOIN st USING (source)
+        |            CROSS JOIN tot)
+        |SELECT source, CAST(ts AS BIGINT) AS n_tokens,
+        |       round(0.5 * sum(p * ln(2 * p / (p + q)))
+        |           + 0.5 * (sum(q * ln(2 * q / (p + q)))
+        |                    + (1 - sum(q)) * ln(2)), 6) AS js_div
+        |FROM pq GROUP BY source, ts""".stripMargin,
     "x31_quality_model" ->
       """WITH w AS (SELECT g AS bucket,
         |    CAST(CAST('0x' || substr(md5(CAST(g AS VARCHAR) || 'graft-qm'), 1, 8)

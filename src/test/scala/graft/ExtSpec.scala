@@ -365,6 +365,31 @@ class DedupSpec extends SparkSpec {
     assert(out == Map("web" -> ((2L, 5L, 0.5)), "books" -> ((1L, 5L, 0.5))))
   }
 
+  test("source JS divergence: zero for identical distributions, " +
+    "symmetric closed-form value for disjoint sources, bounded by ln 2") {
+    // identical distributions → JS = 0 exactly (p = q for every token)
+    val same = Seq(("s1", "a b"), ("s2", "a b")).toDF("source", "text")
+    val j0 = graft.ext.CorpusStats.sourceDivergence(same, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(j0 == Map("s1" -> 0.0, "s2" -> 0.0))
+
+    // disjoint equal-mass sources: each has p=1 on its own token,
+    // q=0.5 on both → JS = 0.5·ln(4/3) + 0.5·(0.5·ln(2/3) + 0.5·ln 2)
+    val expected = BigDecimal(
+      0.5 * math.log(4.0 / 3) +
+      0.5 * (0.5 * math.log(2.0 / 3) + 0.5 * math.log(2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val disj = Seq(("s1", "a"), ("s2", "b")).toDF("source", "text")
+    val jd = graft.ext.CorpusStats.sourceDivergence(disj, "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(jd.map(_._1).toSet == Set("s1", "s2"))
+    jd.foreach { case (_, n, js) =>
+      assert(n == 1L)
+      assert(js == expected)
+      assert(js > 0 && js < math.log(2.0))
+    }
+  }
+
   test("LSH pipeline finds the dup cluster and never fabricates pairs") {
     val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
       n = 1, k = 8, bandRows = 2, threshold = 0.8)
