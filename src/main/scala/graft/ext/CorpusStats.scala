@@ -228,6 +228,54 @@ object CorpusStats {
       .groupBy(length(col("freq").cast("string")).as("freq_digits"))
       .agg(count(lit(1)).as("n_types"), sum(col("freq")).as("n_occurrences"))
 
+  /** Total-order global rank WITHOUT the single-task trap: Spark's own
+    * `row_number() OVER (ORDER BY …)` plans an unpartitioned window —
+    * every row through ONE task — so it cannot rank a corpus.  This is
+    * the distributed shape: range-repartition on the order columns
+    * (parallel sort, the same machinery as `orderBy`), attach a local
+    * per-partition index imperatively (per-partition iterator — one of
+    * the rare justified `mapPartitions`), then add each partition's
+    * global offset, computed from the #partitions-row count table via
+    * a broadcast triangular self-join (no driver collect, no window).
+    *
+    * The sorted frame is localCheckpointed because both the offsets and
+    * the final join read it — the price is one materialization of the
+    * sorted corpus (the same cost class as the sort itself); without it
+    * the full range-sort would run twice.  Ranks are 1-based and dense
+    * iff `orderCols` is a total order — pass a unique tiebreak column
+    * last, or ties land in partition-boundary-dependent order.
+    *
+    * This is the curriculum primitive: rank-by-quality feeds ordered
+    * training schedules and top-p corpus selection at any scale. */
+  def globalRank(df: DataFrame, orderCols: Seq[Column],
+                 rankName: String = "rank",
+                 partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val n = if (partitions > 0) partitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val schema = df.schema
+      .add("__pid", IntegerType, nullable = false)
+      .add("__idx", LongType, nullable = false)
+    val indexed = df.repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ pid :+ i.toLong)
+        }
+      }(Encoders.row(schema))
+      .localCheckpoint()
+    val counts = indexed.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__offset"))
+    indexed.join(broadcast(offsets), "__pid")
+      .withColumn(rankName, col("__offset") + col("__idx") + 1)
+      .drop("__pid", "__idx", "__offset")
+  }
+
   /** Per-source Jensen-Shannon divergence between the source's token
     * distribution and the whole-corpus distribution — the drift /
     * skew measure behind source-reweighting decisions ([[sourceMix]]

@@ -351,7 +351,15 @@ object ExtQueries {
     // drift measure behind source-reweighting; x23 gives the volumes)
     "x38_source_divergence" -> ((s, d) =>
       graft.ext.CorpusStats.sourceDivergence(Tables.documents(s, d),
-        "source", "text")))
+        "source", "text")),
+
+    // curriculum ordering: distributed total-order rank (range
+    // repartition + local index + broadcast offsets — NOT the
+    // single-task unpartitioned window Spark would plan for this)
+    "x39_curriculum_rank" -> ((s, d) =>
+      graft.ext.CorpusStats.globalRank(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").desc, col("doc_id").asc))))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -748,6 +756,11 @@ object ExtQueries {
         |           + 0.5 * (sum(q * ln(2 * q / (p + q)))
         |                    + (1 - sum(q)) * ln(2)), 6) AS js_div
         |FROM pq GROUP BY source, ts""".stripMargin,
+    "x39_curriculum_rank" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+        |            AS BIGINT) AS rank
+        |FROM documents""".stripMargin,
     "x31_quality_model" ->
       """WITH w AS (SELECT g AS bucket,
         |    CAST(CAST('0x' || substr(md5(CAST(g AS VARCHAR) || 'graft-qm'), 1, 8)

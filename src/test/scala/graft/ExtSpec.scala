@@ -390,6 +390,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("globalRank: exact 1..N total-order ranks, independent of the " +
+    "partition count, and no (single-task) Window in the physical plan") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("v", pmod(col("id") * 37, lit(101)))
+    val order = Seq(col("v").desc, col("id").asc)
+    val want = df.orderBy(order: _*).select("id").as[Long].collect()
+
+    for (parts <- Seq(3, 7, 32)) {
+      val ranked = graft.ext.CorpusStats.globalRank(df, order,
+        partitions = parts)
+      val got = ranked.orderBy("rank").select("id").as[Long].collect()
+      assert(got.sameElements(want), s"order mismatch at parts=$parts")
+      val Array(lo, hi, distinct) = ranked
+        .agg(min("rank"), max("rank"), countDistinct("rank"))
+        .first().toSeq.map(_.asInstanceOf[Long]).toArray
+      assert((lo, hi, distinct) == ((1L, 1000L, 1000L)))
+      assert(!ranked.queryExecution.executedPlan.toString.contains("Window"),
+        "globalRank must not plan an unpartitioned window")
+    }
+  }
+
   test("LSH pipeline finds the dup cluster and never fabricates pairs") {
     val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
       n = 1, k = 8, bandRows = 2, threshold = 0.8)
