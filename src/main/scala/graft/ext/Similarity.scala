@@ -194,6 +194,69 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("score"), col("rank"))
   }
 
+  /** Johnson–Lindenstrauss sign-random-projection reduction:
+    * out[r] = Σ_i v[i]·s(r,i) with s = ±1 from the md5 plane-sign
+    * oracle ([[planeSign]], seed offset past the LSH plane family so
+    * the two sign matrices are independent).  The signs are
+    * compile-time literals, so the whole reduction codegens into one
+    * projection — no stored matrix, no shuffle, bit-identical across
+    * engines (the DuckDB oracle bakes the same literals). */
+  def rpReduce(v: Column, dim: Int, rDim: Int, seed: Int = 101): Column =
+    array((0 until rDim).map { r =>
+      (0 until dim).map { i =>
+        element_at(v, i + 1).cast("double") * planeSign(seed + r, i)
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Compress-then-rerank ANN: candidates ranked by cosine in the
+    * [[rpReduce]]d space (rDim ≪ dim), then the top `cand` per query
+    * reranked by EXACT full-dimension cosine.  This is the standard
+    * 100 TB serving shape for dense retrieval: the corpus side of the
+    * candidate stage carries rDim doubles per row (16 dims = 128 B
+    * instead of a 512 B float vector — 4× less network/scan) and each
+    * candidate dot costs rDim multiplies; full vectors are fetched by
+    * id for only queries×cand survivors.  Same two-phase bounded-heap
+    * scoring as [[bruteForceTopK]], so no scored-space shuffle either.
+    * Recall vs exact is pinned by the test suite (JL: reduced cosine
+    * concentrates around true cosine; misses need a pair whose reduced
+    * score drops below the candidate cut). */
+  def rpTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             dim: Int = 64, rDim: Int = 16, cand: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
+    def rnorm(rv: Column): Column =
+      sqrt(aggregate(transform(rv, x => x * x), lit(0.0), (a, x) => a + x))
+    val q = withNorm(queries, "q_id", "q")
+    val c = withNorm(corpus, "c_id", "c")
+    val qr = q.select(col("q_id"), rpReduce(col("q"), dim, rDim).as("rq"))
+      .withColumn("rq_norm", rnorm(col("rq")))
+    val cr = c.select(col("c_id"), rpReduce(col("c"), dim, rDim).as("rc"))
+      .withColumn("rc_norm", rnorm(col("rc")))
+    val rscored = qr.crossJoin(cr)
+      .withColumn("rscore", round(
+        dotExpanded(col("rq"), col("rc"), rDim) /
+          (col("rq_norm") * col("rc_norm")), 6))
+      .select(col("q_id"), col("c_id"), col("rscore"))
+      .as[(Long, Long, Double)]
+    val heaped = rscored.mapPartitions(partitionTopK(_, cand))
+      .toDF("q_id", "c_id", "rscore")
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("rscore").desc, col("c_id").asc)
+    val topCand = heaped.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= cand)
+      .select(col("q_id"), col("c_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id").asc)
+    topCand.join(q, "q_id").join(c, "c_id")
+      .withColumn("score", round(
+        dotExpanded(col("q"), col("c"), dim) /
+          (col("q_norm") * col("c_norm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("score"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a<b) pairs above a
     * cosine threshold.  Brute-force within the corpus — the embedding
     * analog of [[Dedup.blockedJaccardPairs]]; at scale, block by LSH

@@ -359,7 +359,16 @@ object ExtQueries {
     "x39_curriculum_rank" -> ((s, d) =>
       graft.ext.CorpusStats.globalRank(
         Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
-        Seq(col("n_chars").desc, col("doc_id").asc))))
+        Seq(col("n_chars").desc, col("doc_id").asc))),
+
+    // compress-then-rerank ANN: JL sign-random-projection candidates
+    // (16-dim), exact full-dim cosine rerank of the top-30 per query
+    "x40_rp_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.rpTopK(
+        e.filter(col("vec_id") < 8), e.filter(col("vec_id") >= 8),
+        k = 10, dim = 64, rDim = 16, cand = 30)
+    }))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -451,6 +460,42 @@ object ExtQueries {
       }.mkString(" + ")
       s"CASE WHEN ($proj) >= 0 THEN '1' ELSE '0' END"
     }.mkString(" || ")
+
+  /** RP compress-then-rerank oracle (rDim=16, cand=30, k=10, seed=101
+    * matching x40): reduced vectors as list_value literals in the same
+    * left-fold order as [[Similarity.rpReduce]], candidate cut on the
+    * ROUNDED reduced cosine with c_id tiebreak, exact rerank. */
+  private val x40Sql: String = {
+    def rlist(v: String): String =
+      (0 until 16).map { r =>
+        (0 until 64).map { i =>
+          s"$v[${i + 1}]::DOUBLE * ${graft.ext.Similarity.planeSign(101 + r, i)}"
+        }.mkString("(", " + ", ")")
+      }.mkString("list_value(", ", ", ")")
+    val rdot =
+      "list_sum(list_transform(generate_series(1, 16), i -> rq[i] * rc[i]))"
+    def rnorm(v: String): String =
+      s"sqrt(list_sum(list_transform(generate_series(1, 16), i -> $v[i] * $v[i])))"
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings
+       |           WHERE vec_id < 8),
+       |cs AS (SELECT vec_id AS c_id, embedding AS c FROM embeddings
+       |       WHERE vec_id >= 8),
+       |qr AS (SELECT q_id, q, ${rlist("q")} AS rq FROM q),
+       |cr AS (SELECT c_id, c, ${rlist("c")} AS rc FROM cs),
+       |cand AS (SELECT q_id, c_id, q, c FROM (
+       |  SELECT qr.q_id, cr.c_id, qr.q, cr.c,
+       |         row_number() OVER (PARTITION BY qr.q_id ORDER BY
+       |           round($rdot / (${rnorm("rq")} * ${rnorm("rc")}), 6) DESC,
+       |           cr.c_id ASC) AS crank
+       |  FROM qr CROSS JOIN cr) WHERE crank <= 30),
+       |scored AS (SELECT q_id, c_id,
+       |    round($duckDot / (${duckNorm("q")} * ${duckNorm("c")}), 6) AS score
+       |  FROM cand)
+       |SELECT q_id, c_id, score, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY score DESC, c_id ASC) AS rank
+       |  FROM scored) WHERE rank <= 10""".stripMargin
+  }
 
   /** LSH ANN oracle (planes=4, k=10 matching x7). */
   private val x7Sql: String = {
@@ -886,6 +931,7 @@ object ExtQueries {
         |FROM j WHERE n_shared > 0""".stripMargin,
     "x3_minhash_lsh_pairs" -> x3Sql,
     "x7_ann_lsh" -> x7Sql,
+    "x40_rp_ann" -> x40Sql,
     "x17_ann_ivf" -> x17Sql,
     "x1_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
