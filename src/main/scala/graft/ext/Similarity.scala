@@ -682,4 +682,137 @@ object Similarity {
     if (r >= threshold) Some((math.min(aId, bId), math.max(aId, bId), r))
     else None
   }
+
+  // ---- product quantization -----------------------------------------------
+
+  /** Materialized PQ index: per-(vector, subspace) code rows + the
+    * subspace codebook, with (dim, m, k) baked in.  A coded corpus
+    * vector is m ln2(k)-bit codes — at (dim=64, m=8, k=16) that is
+    * 8 nibbles instead of 64 floats, a 64× compression of what the
+    * query-time scoring stage has to scan and ship. */
+  case class PqIndex(codes: DataFrame, codebook: DataFrame,
+                     dim: Int, m: Int, k: Int)
+
+  /** (id, s, sv) subvector rows: vector split into m contiguous
+    * dim/m-wide slices, exploded map-side (narrow — no shuffle). */
+  private def subRows(df: DataFrame, idC: String, vC: String,
+                      dim: Int, m: Int): DataFrame = {
+    val sub = dim / m
+    df.select(col(idC), posexplode(array((0 until m).map(s =>
+        slice(toDouble(col(vC)), s * sub + 1, sub)): _*)).as(Seq("s", "sv")))
+  }
+
+  /** Codegen'd squared L2 distance between two `sub`-dim arrays. */
+  private def l2sqExpanded(a: Column, b: Column, sub: Int): Column =
+    (0 until sub).map { i =>
+      val d = element_at(a, i + 1) - element_at(b, i + 1)
+      d * d
+    }.reduce(_ + _)
+
+  /** Build the PQ index ONCE: deterministic codebook (the k lowest-id
+    * corpus vectors' subvectors, selected by a distributed TakeOrdered
+    * — the codes carry the codeword's source id, so no window is
+    * needed to number them; production kit would Lloyd's-refine each
+    * subspace exactly like [[ivfIndexRefined]] refines cells), then
+    * encode = per-(vector, subspace) argmin over the k codewords.
+    *
+    * Scale shape mirrors [[ivfIndex]]'s assignment: the codebook (m·k
+    * rows) broadcasts; scoring rows stay SKINNY (c_id, s, dist, j) and
+    * the argmin is a `min(struct(dist, j))` hash aggregate that
+    * collapses map-side — full vectors never ride a replicated
+    * shuffle, and nothing here is a window over the corpus. */
+  def pqIndex(corpus: DataFrame, dim: Int = 64, m: Int = 8,
+              k: Int = 16): PqIndex = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val cb = subRows(
+      corpus.orderBy(col("vec_id").asc).limit(k)
+        .select(col("vec_id").as("j"), col("embedding")),
+      "j", "embedding", dim, m)
+      .select(col("s"), col("j"), col("sv").as("cbv"))
+      .localCheckpoint()
+    val sub = dim / m
+    val codes = subRows(
+      corpus.select(col("vec_id").as("c_id"), col("embedding")),
+      "c_id", "embedding", dim, m)
+      .join(broadcast(cb), "s")
+      .select(col("c_id"), col("s"),
+        struct(round(l2sqExpanded(col("sv"), col("cbv"), sub), 6).as("d"),
+          col("j").as("j")).as("dj"))
+      .groupBy(col("c_id"), col("s"))
+      .agg(min(col("dj")).getField("j").as("code"))
+      .localCheckpoint()
+    PqIndex(codes, cb, dim, m, k)
+  }
+
+  /** Probe a prebuilt [[PqIndex]] by asymmetric distance computation:
+    * the query builds its m×k distance lookup table against the
+    * broadcast codebook (queries×m×k tiny rows), the coded corpus
+    * joins that LUT on (subspace, code) — a broadcast hash join
+    * against nibble-wide rows, the corpus' float vectors untouched —
+    * and per-(query, vector) partial sums aggregate the approximate
+    * distance.  Ranking key = (round(adist,6) asc, c_id asc). */
+  def pqTopKIndexed(index: PqIndex, queries: DataFrame,
+                    topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = index.dim / index.m
+    val lut = subRows(
+      queries.select(col("vec_id").as("q_id"), col("embedding")),
+      "q_id", "embedding", index.dim, index.m)
+      .join(broadcast(index.codebook), "s")
+      .select(col("q_id"), col("s"), col("j").as("code"),
+        l2sqExpanded(col("sv"), col("cbv"), sub).as("d"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("c_id").asc)
+    index.codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(round(sum(col("d")), 6).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("c_id"), col("adist"), col("rank"))
+  }
+
+  /** One-shot PQ ANN: build + probe ([[pqIndex]] / [[pqTopKIndexed]]).
+    * PQ distances are approximations — production retrieval reranks
+    * the top candidates exactly (same second phase as [[rpTopK]]);
+    * the declared query keeps the raw ADC ranking so the oracle pins
+    * the quantization itself. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, topK: Int,
+             dim: Int = 64, m: Int = 8, k: Int = 16): DataFrame =
+    pqTopKIndexed(pqIndex(corpus, dim, m, k), queries, topK)
+
+  /** Persist a [[PqIndex]] — codes bucketed by subspace+code so serving
+    * joins read the corpus side pre-partitioned (mirrors
+    * [[saveIvfIndex]]); parameters in table properties. */
+  def savePqIndex(index: PqIndex, codesTable: String,
+                  codebookTable: String, buckets: Int = 16): Unit = {
+    index.codes.write.mode("overwrite")
+      .bucketBy(buckets, "s", "code").sortBy("s", "code")
+      .format("parquet").saveAsTable(codesTable)
+    index.codebook.write.mode("overwrite")
+      .format("parquet").saveAsTable(codebookTable)
+    val spark = index.codes.sparkSession
+    val props = s"'graft.pq.dim'='${index.dim}', " +
+      s"'graft.pq.m'='${index.m}', 'graft.pq.k'='${index.k}'"
+    spark.sql(s"ALTER TABLE $codesTable SET TBLPROPERTIES ($props)")
+    spark.sql(s"ALTER TABLE $codebookTable SET TBLPROPERTIES ($props)")
+  }
+
+  /** Reopen a persisted [[PqIndex]], restoring (dim, m, k) from table
+    * properties and refusing mismatched tables. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  codesTable: String, codebookTable: String): PqIndex = {
+    def prop(table: String, key: String): Int = {
+      val rows = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      rows.getOrElse(key, sys.error(
+        s"$table is not a graft PQ index table (missing $key)")).toInt
+    }
+    val (dim, m, k) = (prop(codesTable, "graft.pq.dim"),
+      prop(codesTable, "graft.pq.m"), prop(codesTable, "graft.pq.k"))
+    require(prop(codebookTable, "graft.pq.dim") == dim &&
+      prop(codebookTable, "graft.pq.m") == m &&
+      prop(codebookTable, "graft.pq.k") == k,
+      s"$codesTable / $codebookTable carry different PQ parameters")
+    PqIndex(spark.table(codesTable), spark.table(codebookTable), dim, m, k)
+  }
 }

@@ -368,6 +368,16 @@ object ExtQueries {
       Similarity.rpTopK(
         e.filter(col("vec_id") < 8), e.filter(col("vec_id") >= 8),
         k = 10, dim = 64, rDim = 16, cand = 30)
+    }),
+
+    // product-quantization ANN: 8×16 deterministic subspace codebook,
+    // nibble codes, asymmetric-distance (ADC) top-k — the 64×-
+    // compressed serving path (codes + LUT join; vectors never move)
+    "x41_pq_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqTopK(
+        e.filter(col("vec_id") < 8), e.filter(col("vec_id") >= 8),
+        topK = 10, dim = 64, m = 8, k = 16)
     }))
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -494,6 +504,44 @@ object ExtQueries {
        |SELECT q_id, c_id, score, CAST(rank AS INT) AS rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |                               ORDER BY score DESC, c_id ASC) AS rank
+       |  FROM scored) WHERE rank <= 10""".stripMargin
+  }
+
+  /** PQ ADC oracle (m=8, k=16, topK=10 matching x41): codebook = 16
+    * lowest-id corpus vectors (codes carry the source vec_id), encode
+    * argmin on the ROUNDED subspace distance with lowest-j tiebreak,
+    * ADC sums rounded before ranking. */
+  private val x41Sql: String = {
+    def sv(v: String): String =
+      s"list_transform(generate_series(1, 8), i -> $v[s * 8 + i]::DOUBLE)"
+    def l2(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, 8), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+       |           WHERE vec_id < 8),
+       |cs AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+       |       WHERE vec_id >= 8),
+       |cbsrc AS (SELECT vec_id AS j, embedding AS v FROM embeddings
+       |          WHERE vec_id >= 8 ORDER BY vec_id ASC LIMIT 16),
+       |cb AS (SELECT j, s, ${sv("v")} AS cbv
+       |       FROM cbsrc CROSS JOIN generate_series(0, 7) t(s)),
+       |csub AS (SELECT c_id, s, ${sv("cv")} AS csv
+       |         FROM cs CROSS JOIN generate_series(0, 7) t(s)),
+       |enc AS (SELECT c_id, s, j AS code FROM (
+       |  SELECT c_id, cb.s, cb.j,
+       |         row_number() OVER (PARTITION BY c_id, cb.s ORDER BY
+       |           round(${l2("csv", "cbv")}, 6) ASC, cb.j ASC) AS rk
+       |  FROM csub JOIN cb ON csub.s = cb.s) WHERE rk = 1),
+       |lut AS (SELECT q_id, cb.s, cb.j AS code, ${l2("qsv", "cbv")} AS d
+       |        FROM (SELECT q_id, s, ${sv("qv")} AS qsv
+       |              FROM q CROSS JOIN generate_series(0, 7) t(s)) qs
+       |        JOIN cb ON qs.s = cb.s),
+       |scored AS (SELECT q_id, c_id, round(sum(d), 6) AS adist
+       |           FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+       |           GROUP BY 1, 2)
+       |SELECT q_id, c_id, adist, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY adist ASC, c_id ASC) AS rank
        |  FROM scored) WHERE rank <= 10""".stripMargin
   }
 
@@ -932,6 +980,7 @@ object ExtQueries {
     "x3_minhash_lsh_pairs" -> x3Sql,
     "x7_ann_lsh" -> x7Sql,
     "x40_rp_ann" -> x40Sql,
+    "x41_pq_ann" -> x41Sql,
     "x17_ann_ivf" -> x17Sql,
     "x1_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

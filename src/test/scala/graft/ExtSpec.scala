@@ -683,6 +683,48 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("PQ ANN: codewords retrieve themselves at zero distance, L2 " +
+    "recall beats chance, bucketed save/load round-trips (sf0.001)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 8)
+    val c = e.filter($"vec_id" >= 8)
+    // codebook = 16 lowest corpus ids (8..23); a codeword queried
+    // against the corpus quantizes losslessly → adist 0, rank 1
+    val selfQ = e.filter($"vec_id" === 9)
+    val self = Similarity.pqTopK(selfQ, c, topK = 1).first()
+    assert((self.getLong(0), self.getLong(1), self.getDouble(2),
+      self.getInt(3)) == ((9L, 9L, 0.0, 1)))
+
+    // recall vs EXACT L2 top-10 (PQ approximates L2, not cosine)
+    def l2sq(a: org.apache.spark.sql.Column,
+             b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"d".asc, $"c_id".asc)
+    val exact = q.select($"vec_id".as("q_id"), $"embedding".as("qv"))
+      .crossJoin(c.select($"vec_id".as("c_id"), $"embedding".as("cv")))
+      .withColumn("d", l2sq($"qv", $"cv"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(q, c, topK = 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    info(s"PQ ADC recall@10 vs exact L2 (m=8, k=16): $recall")
+    assert(recall >= 0.2) // 16-codeword toy codebook on random vectors
+
+    // save/load: parameters and answers survive the round trip
+    val ix = Similarity.pqIndex(c, dim = 64, m = 8, k = 16)
+    Seq("g_pq_codes", "g_pq_cb").foreach(dropTableFully)
+    Similarity.savePqIndex(ix, "g_pq_codes", "g_pq_cb", buckets = 4)
+    val loaded = Similarity.loadPqIndex(spark, "g_pq_codes", "g_pq_cb")
+    assert((loaded.dim, loaded.m, loaded.k) == ((64, 8, 16)))
+    assert(Similarity.pqTopKIndexed(loaded, q, 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet == pq)
+  }
+
   test("vector_avg aggregate: elementwise means per group") {
     import graft.plans.VectorAvgAgg.vectorAvg
     val df = Seq(
