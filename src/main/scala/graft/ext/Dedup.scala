@@ -340,17 +340,53 @@ object Dedup {
   def contaminatedDocsBloom(train: DataFrame, bench: DataFrame,
                             idCol: String, textCol: String, n: Int,
                             numBits: Int = 1 << 22,
-                            numHashes: Int = 5): DataFrame = {
-    import graft.plans.{BloomFilterAgg, BloomMightContain}
+                            numHashes: Int = 5): DataFrame =
+    contaminatedInBatch(
+      bloomGate(bench, idCol, textCol, n, numBits, numHashes),
+      train, idCol, textCol)
+
+  /** Build-once decontamination gate: the Bloom filter bytes plus the
+    * pinned distinct bench-shingle table the verify join needs.  The
+    * streaming sibling of [[LshIndex]] — construct it ONCE per job,
+    * probe it every micro-batch ([[contaminatedInBatch]]); the n-gram
+    * width is baked in so a probe cannot silently mix shingle
+    * schemes. */
+  case class BloomGate(bloomBytes: Array[Byte], benchShingles: DataFrame,
+                       n: Int, numBits: Int, numHashes: Int)
+
+  /** Aggregate the benchmark set into a [[BloomGate]]: distinct bench
+    * shingles (localCheckpointed — build and every verify join reuse
+    * the one materialization) and their Bloom filter
+    * ([[graft.plans.BloomFilterAgg]], map-side OR partials).  Size
+    * `numBits ≈ 10–15 bits per distinct bench shingle` for a ~1%
+    * candidate false-positive rate. */
+  def bloomGate(bench: DataFrame, idCol: String, textCol: String,
+                n: Int, numBits: Int = 1 << 22,
+                numHashes: Int = 5): BloomGate = {
+    import graft.plans.BloomFilterAgg
     val b = explodedShingles(bench, idCol, textCol, n)
       .select(col("sh")).distinct().localCheckpoint()
     val bloomBytes = b
       .agg(BloomFilterAgg.bloomAgg(xxhash64(col("sh")), numBits, numHashes))
       .head.getAs[Array[Byte]](0)
-    explodedShingles(train, idCol, textCol, n)
-      .filter(BloomMightContain.bloomMightContain(bloomBytes,
+    BloomGate(bloomBytes, b, n, numBits, numHashes)
+  }
+
+  /** Probe a [[BloomGate]] with one (micro-)batch: batch shingles drop
+    * non-candidates inside whole-stage codegen
+    * ([[graft.plans.BloomMightContain]] — no shuffle, no join,
+    * ~numHashes masked loads per row), and only the surviving sliver
+    * reaches the verifying semi-join that removes Bloom false
+    * positives — same EXACT answer as [[contaminatedDocs]].  The
+    * decision is per-document, so batch boundaries cannot change the
+    * verdict (StreamingSpec pins stream ≡ batch). */
+  def contaminatedInBatch(gate: BloomGate, batch: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    import graft.plans.BloomMightContain
+    explodedShingles(batch, idCol, textCol, gate.n)
+      .filter(BloomMightContain.bloomMightContain(gate.bloomBytes,
         xxhash64(col("sh"))))
-      .join(b, Seq("sh"), "left_semi")
+      .join(gate.benchShingles, Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct()
   }
 

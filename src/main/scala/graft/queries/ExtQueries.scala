@@ -370,6 +370,25 @@ object ExtQueries {
         k = 10, dim = 64, rDim = 16, cand = 30)
     }),
 
+    // streaming decontamination gate: Bloom filter built ONCE from the
+    // bench set, probed per micro-batch (three simulated batches here;
+    // decisions are per-doc, so the union replays the streaming loop —
+    // StreamingSpec drives the same gate under real foreachBatch)
+    "st5_bloom_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val gate = Dedup.bloomGate(
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 5)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      (0 until 3).map { b =>
+        Dedup.contaminatedInBatch(gate,
+            train.filter(pmod(col("doc_id"), lit(3)) === b),
+            "doc_id", "text")
+          .withColumn("batch_id", lit(b))
+      }.reduce(_ unionByName _)
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_contaminated"))
+    }),
+
     // product-quantization ANN: 8×16 deterministic subspace codebook,
     // nibble codes, asymmetric-distance (ADC) top-k — the 64×-
     // compressed serving path (codes + LUT join; vectors never move)
@@ -1099,6 +1118,22 @@ object ExtQueries {
         |                             ORDER BY doc_id) AS cum
         |      FROM t)""".stripMargin,
     "x19_contaminated" -> contaminationSql,
+    // per-batch regrouping of the same per-doc contamination verdicts
+    "st5_bloom_gate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |              ELSE list_transform(generate_series(1, len(toks) - 4),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                     || ' ' || toks[i+3] || ' ' || toks[i+4])
+        |         END AS sh FROM t),
+        |tr AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0),
+        |be AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
+        |fl AS (SELECT DISTINCT tr.doc_id FROM tr JOIN be ON tr.s = be.s)
+        |SELECT CAST(doc_id % 3 AS INT) AS batch_id,
+        |       CAST(count(*) AS BIGINT) AS n_contaminated
+        |FROM fl GROUP BY 1""".stripMargin,
     // the Bloom path gives the same EXACT rows (the verify join removes
     // false positives), so it replays against the identical oracle
     "x35_contamination_bloom" -> contaminationSql,

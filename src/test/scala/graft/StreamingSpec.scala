@@ -91,6 +91,40 @@ class StreamingSpec extends SparkSpec {
       "per-micro-batch gating must equal the all-at-once batch answer")
   }
 
+  test("streaming Bloom decontamination gate equals the batch answer " +
+    "(filter built once, probed per micro-batch)") {
+    val docs = Tables.documents(spark, sf0001)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val train = docs.filter($"doc_id" % 97 =!= 0)
+    val batchAnswer = graft.ext.Dedup
+      .contaminatedDocs(train, bench, "doc_id", "text", n = 5)
+      .as[Long].collect().toSet
+    assert(batchAnswer.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_").toString
+    train.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+      .write.mode("append").parquet(dir)
+    train.filter($"doc_id" % 2 =!= 0).select($"doc_id", $"text")
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    // the gate (bloom bytes + pinned bench shingles) builds ONCE
+    val gate = graft.ext.Dedup.bloomGate(bench, "doc_id", "text", n = 5)
+    val flagged = scala.collection.mutable.Set[Long]()
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        flagged ++= graft.ext.Dedup
+          .contaminatedInBatch(gate, df, "doc_id", "text")
+          .as[Long].collect()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(flagged.toSet == batchAnswer,
+      "per-micro-batch Bloom gating must equal the all-at-once answer")
+  }
+
   test("full curation ingest loop under foreachBatch: quality gate + " +
     "growing near-dup index, accepted set equals sequential replay") {
     import graft.ext.{Dedup, TextAnalysis}
