@@ -276,6 +276,38 @@ object CorpusStats {
       .drop("__pid", "__idx", "__offset")
   }
 
+  /** Vocabulary coverage: fix the vocabulary at the corpus' top
+    * `vocabSize` tokens (frequency desc, token asc — deterministic at
+    * the cutoff) and report each source's out-of-vocabulary token
+    * rate.  This is the tokenizer-design signal: OOV/fertility by
+    * source tells you which sources a vocab of a given size serves
+    * badly, before any BPE training run.
+    *
+    * Scale shape: the same single (source, token) corpus shuffle as
+    * [[sourceDivergence]] (checkpointed, reused by the vocab agg and
+    * the coverage agg); vocab selection is a distributed TakeOrdered
+    * over the vocabulary-sized count table (N bounded — never a
+    * global-sort window); the membership join broadcasts the N-row
+    * vocab. */
+  def vocabCoverage(docs: DataFrame, sourceCol: String, textCol: String,
+                    vocabSize: Int = 1000): DataFrame = {
+    val perSrc = docs.select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val vocab = perSrc.groupBy(col("tok")).agg(sum(col("__c")).as("__cg"))
+      .orderBy(col("__cg").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in"))
+    perSrc.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(when(col("__in").isNull, col("__c")).otherwise(lit(0L)))
+          .as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+  }
+
   /** Per-source Jensen-Shannon divergence between the source's token
     * distribution and the whole-corpus distribution — the drift /
     * skew measure behind source-reweighting decisions ([[sourceMix]]

@@ -389,6 +389,12 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_contaminated"))
     }),
 
+    // vocabulary coverage: per-source OOV rate against the corpus'
+    // top-1000 vocab (tokenizer-sizing signal; deterministic cutoff)
+    "x42_vocab_coverage" -> ((s, d) =>
+      graft.ext.CorpusStats.vocabCoverage(Tables.documents(s, d),
+        "source", "text", vocabSize = 1000)),
+
     // product-quantization ANN: 8×16 deterministic subspace codebook,
     // nibble codes, asymmetric-distance (ADC) top-k — the 64×-
     // compressed serving path (codes + LUT join; vectors never move)
@@ -868,6 +874,18 @@ object ExtQueries {
         |           + 0.5 * (sum(q * ln(2 * q / (p + q)))
         |                    + (1 - sum(q)) * ln(2)), 6) AS js_div
         |FROM pq GROUP BY source, ts""".stripMargin,
+    "x42_vocab_coverage" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |ps AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |v AS (SELECT tok FROM (SELECT tok, sum(c) AS cg FROM ps GROUP BY 1)
+        |      ORDER BY cg DESC, tok ASC LIMIT 1000)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT)
+        |         AS n_oov,
+        |       round(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END)::DOUBLE
+        |             / sum(c), 6) AS oov_rate
+        |FROM ps LEFT JOIN v ON ps.tok = v.tok GROUP BY 1""".stripMargin,
     "x39_curriculum_rank" ->
       """SELECT doc_id, n_chars,
         |       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)

@@ -365,6 +365,24 @@ class DedupSpec extends SparkSpec {
     assert(out == Map("web" -> ((2L, 5L, 0.5)), "books" -> ((1L, 5L, 0.5))))
   }
 
+  test("vocab coverage: exact OOV occurrence counts, token-asc " +
+    "tiebreak at the frequency cutoff") {
+    // corpus freqs: x:4, z:2, y:1 → top-2 vocab = {x, z}; y is OOV
+    val docs = Seq(("a", "x x x y"), ("b", "x z z")).toDF("source", "text")
+    val got = graft.ext.CorpusStats
+      .vocabCoverage(docs, "source", "text", vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map("a" -> ((4L, 1L, 0.25)), "b" -> ((3L, 0L, 0.0))))
+    // equal-frequency cutoff: 'a' and 'b' both ×1, vocabSize=1 →
+    // token-asc keeps 'a', so exactly the 'b' occurrence is OOV
+    val tie = Seq(("s", "a b")).toDF("source", "text")
+    val gotTie = graft.ext.CorpusStats
+      .vocabCoverage(tie, "source", "text", vocabSize = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(gotTie.toSeq == Seq((2L, 1L, 0.5)))
+  }
+
   test("source JS divergence: zero for identical distributions, " +
     "symmetric closed-form value for disjoint sources, bounded by ln 2") {
     // identical distributions → JS = 0 exactly (p = q for every token)
