@@ -228,6 +228,42 @@ object CorpusStats {
       .groupBy(length(col("freq").cast("string")).as("freq_digits"))
       .agg(count(lit(1)).as("n_types"), sum(col("freq")).as("n_occurrences"))
 
+  /** Per-source exact-duplicate share: fraction of a source's docs
+    * whose normalized fingerprint ([[TextAnalysis.fingerprint]]) occurs
+    * more than once ANYWHERE in the corpus (cross-source copies count —
+    * that is the share dedup would touch).  Key-only hash aggregates;
+    * text never shuffles. */
+  def exactDupShare(docs: DataFrame, sourceCol: String,
+                    textCol: String): DataFrame = {
+    val fp = docs.select(col(sourceCol).as("source"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val g = fp.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+    fp.join(g, "fp").groupBy(col("source"))
+      .agg(count(lit(1)).as("__docs"),
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("__dups"))
+      .select(col("source"),
+        round(col("__dups") / col("__docs"), 6).as("exact_dup_share"))
+  }
+
+  /** Dataset card: the one-row-per-source curation summary — volumes
+    * and token share ([[sourceMix]]), distribution drift
+    * ([[sourceDivergence]]), vocabulary fit ([[vocabCoverage]]), and
+    * duplication exposure ([[exactDupShare]]) in one table.  This is
+    * the artifact a data-mixture decision actually reads.
+    *
+    * Each component keeps its own (already scale-shaped) corpus pass —
+    * they genuinely differ (token counts vs (source, token) counts vs
+    * fingerprints) — and every component OUTPUT is #sources rows, so
+    * the assembly itself is three broadcast joins of skinny tables. */
+  def datasetCard(docs: DataFrame, sourceCol: String,
+                  textCol: String, vocabSize: Int = 1000): DataFrame =
+    sourceMix(docs, sourceCol, textCol)
+      .join(sourceDivergence(docs, sourceCol, textCol)
+        .select(col("source"), col("js_div")), "source")
+      .join(vocabCoverage(docs, sourceCol, textCol, vocabSize)
+        .select(col("source"), col("oov_rate")), "source")
+      .join(exactDupShare(docs, sourceCol, textCol), "source")
+
   /** Total-order global rank WITHOUT the single-task trap: Spark's own
     * `row_number() OVER (ORDER BY …)` plans an unpartitioned window —
     * every row through ONE task — so it cannot rank a corpus.  This is

@@ -395,6 +395,13 @@ object ExtQueries {
       graft.ext.CorpusStats.vocabCoverage(Tables.documents(s, d),
         "source", "text", vocabSize = 1000)),
 
+    // dataset card: the one-row-per-source mixture-decision summary
+    // (volumes + drift + vocab fit + duplication exposure, assembled
+    // from skinny per-source aggregates by broadcast joins)
+    "x43_dataset_card" -> ((s, d) =>
+      graft.ext.CorpusStats.datasetCard(Tables.documents(s, d),
+        "source", "text", vocabSize = 1000)),
+
     // product-quantization ANN: 8×16 deterministic subspace codebook,
     // nibble codes, asymmetric-distance (ADC) top-k — the 64×-
     // compressed serving path (codes + LUT join; vectors never move)
@@ -874,6 +881,49 @@ object ExtQueries {
         |           + 0.5 * (sum(q * ln(2 * q / (p + q)))
         |                    + (1 - sum(q)) * ln(2)), 6) AS js_div
         |FROM pq GROUP BY source, ts""".stripMargin,
+    "x43_dataset_card" ->
+      """WITH t AS (SELECT source, len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |mix AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(n) AS BIGINT) AS n_tokens
+        |        FROM t GROUP BY 1),
+        |tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents),
+        |ps AS (SELECT source, tok, CAST(count(*) AS DOUBLE) AS c
+        |       FROM tok GROUP BY 1, 2),
+        |g AS (SELECT tok, sum(c) AS cg FROM ps GROUP BY 1),
+        |st AS (SELECT source, sum(c) AS ts FROM ps GROUP BY 1),
+        |tot AS (SELECT sum(c) AS t FROM ps),
+        |pq AS (SELECT ps.source, ps.c / st.ts AS p, g.cg / tot.t AS q
+        |       FROM ps JOIN g USING (tok) JOIN st USING (source)
+        |            CROSS JOIN tot),
+        |js AS (SELECT source,
+        |         round(0.5 * sum(p * ln(2 * p / (p + q)))
+        |             + 0.5 * (sum(q * ln(2 * q / (p + q)))
+        |                      + (1 - sum(q)) * ln(2)), 6) AS js_div
+        |       FROM pq GROUP BY 1),
+        |psl AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |v AS (SELECT tok FROM (SELECT tok, sum(c) AS cg FROM psl GROUP BY 1)
+        |      ORDER BY cg DESC, tok ASC LIMIT 1000),
+        |oov AS (SELECT source,
+        |          round(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END)::DOUBLE
+        |                / sum(c), 6) AS oov_rate
+        |        FROM psl LEFT JOIN v ON psl.tok = v.tok GROUP BY 1),
+        |fps AS (SELECT source,
+        |          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |        FROM documents),
+        |fg AS (SELECT fp, count(*) AS n FROM fps GROUP BY 1),
+        |dup AS (SELECT source,
+        |          round(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::DOUBLE
+        |                / count(*), 6) AS exact_dup_share
+        |        FROM fps JOIN fg USING (fp) GROUP BY 1)
+        |SELECT mix.source, n_docs, n_tokens,
+        |       n_tokens / CAST((SELECT sum(n_tokens) FROM mix) AS BIGINT)
+        |         AS tok_share,
+        |       js_div, oov_rate, exact_dup_share
+        |FROM mix JOIN js ON mix.source = js.source
+        |         JOIN oov ON mix.source = oov.source
+        |         JOIN dup ON mix.source = dup.source""".stripMargin,
     "x42_vocab_coverage" ->
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
         |             FROM documents),
