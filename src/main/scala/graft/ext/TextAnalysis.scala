@@ -175,6 +175,37 @@ object TextAnalysis {
     * chunk fingerprints: fold h = (h*B + tokenHash) mod M.  M = 2^31-1 and
     * B = 131 keep every intermediate < 2^39 — no Long overflow even under
     * ANSI arithmetic. */
+  /** Per-document top-k TF-IDF terms — the classic keyword/topic
+    * signal (feeds topic balancing and near-dup explanation).
+    * idf = ln(N/df) on raw counts; ranking key = (round(score,6) desc,
+    * term asc) so the cut is deterministic cross-engine.
+    *
+    * Scale shape: ONE corpus-sized (doc, token) count shuffle
+    * (checkpointed — document frequencies and the scoring join both
+    * derive from it, not from a re-scan); df is vocabulary-sized; the
+    * single-row N rides a broadcast cross join (x23-class); the top-k
+    * window partitions by doc_id — per-partition work is one
+    * document's vocabulary, never corpus-sized. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok").as("term"),
+        round(col("tf") * log(col("__n").cast("double") / col("__df")), 6)
+          .as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   def rollingHash(toks: Column, b: Long = 131L,
                   m: Long = 2147483647L): Column =
     aggregate(toks, lit(0L),

@@ -402,6 +402,11 @@ object ExtQueries {
       graft.ext.CorpusStats.datasetCard(Tables.documents(s, d),
         "source", "text", vocabSize = 1000)),
 
+    // per-doc top-3 TF-IDF keywords (deterministic rounded-score cut)
+    "x44_tfidf_keywords" -> ((s, d) =>
+      TextAnalysis.tfidfKeywords(Tables.documents(s, d),
+        "doc_id", "text", k = 3)),
+
     // product-quantization ANN: 8×16 deterministic subspace codebook,
     // nibble codes, asymmetric-distance (ADC) top-k — the 64×-
     // compressed serving path (codes + LUT join; vectors never move)
@@ -924,6 +929,19 @@ object ExtQueries {
         |FROM mix JOIN js ON mix.source = js.source
         |         JOIN oov ON mix.source = oov.source
         |         JOIN dup ON mix.source = dup.source""".stripMargin,
+    "x44_tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, tok AS term,
+        |         round(tf * ln(n.n::DOUBLE / df), 6) AS score
+        |       FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+        |SELECT doc_id, term, score, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, term ASC) AS rank
+        |  FROM sc) WHERE rank <= 3""".stripMargin,
     "x42_vocab_coverage" ->
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
         |             FROM documents),

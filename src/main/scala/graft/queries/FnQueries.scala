@@ -204,7 +204,23 @@ object FnQueries {
         .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
         .agg(count(lit(1)).as("n"))
         .select(date_format(col("w.start"), TS).as("window_start"),
-          col("n"))))
+          col("n"))),
+
+    // §2.9 session windows: per-user activity sessions with a 30-min
+    // inactivity gap (session end = last event + gap; an event at
+    // EXACTLY the gap still extends the session — pinned by
+    // StreamingSpec; the oracle replays the break rule via
+    // gaps-and-islands on the same µs-floored timestamps)
+    "st6_session_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_v"))
+        .select(col("user_id"),
+          date_format(col("w.start"), TS).as("session_start"),
+          date_format(col("w.end"), TS).as("session_end"),
+          col("n_events"), col("sum_v"))))
 
   /** F16 polygon-lookup oracle: the zone dim inlines as VALUES from the
     * same [[graft.functions.GeoTz.zones]] constants, and the ray-cast
@@ -369,5 +385,27 @@ object FnQueries {
          |  SELECT date_trunc('hour', ts) AS ws FROM events
          |  UNION ALL
          |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin,
+    // gaps-and-islands replay of session_window: same µs-floored
+    // timestamps (make_timestamp mirrors Tables.events' nanos→µs
+    // floor), break iff gap STRICTLY exceeds 30 min (an event at
+    // exactly the gap extends the session — pinned by StreamingSpec)
+    "st6_session_agg" ->
+      s"""WITH e AS (SELECT user_id,
+         |             make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+         |           FROM events),
+         |m AS (SELECT user_id, ts, value,
+         |        CASE WHEN lag(ts) OVER w IS NULL
+         |             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         |        THEN 1 ELSE 0 END AS brk
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                               ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM m)
+         |SELECT user_id, strftime(min(ts), '$DTS') AS session_start,
+         |       strftime(max(ts) + INTERVAL 30 MINUTE, '$DTS')
+         |         AS session_end,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       round(sum(value), 2) AS sum_v
+         |FROM s GROUP BY user_id, sid""".stripMargin)
 }

@@ -1055,6 +1055,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fastQ.except(refQ).count() == 0 && refQ.except(fastQ).count() == 0)
   }
 
+  test("tfidf keywords: exact scores, common terms score zero, " +
+    "term-asc tiebreak") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis
+      .tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getString(1),
+        r.getDouble(2)))).toMap
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // N=2: df(apple)=1, df(cherry)=1 → idf ln2; df(banana)=2 → idf 0
+    assert(got((1L, 1)) == (("apple", (ln2 * 2 * 1e6).round / 1e6)))
+    assert(got((1L, 2)) == (("banana", 0.0)))
+    assert(got((2L, 1)) == (("cherry", ln2)))
+    assert(got((2L, 2)) == (("banana", 0.0)))
+  }
+
   test("token counts: whitespace vs BPE-ish") {
     val r = Seq("hello world42 foo-bar").toDF("t")
       .select(TextAnalysis.nTokens(TextAnalysis.tokens($"t")),

@@ -125,6 +125,30 @@ class StreamingSpec extends SparkSpec {
       "per-micro-batch Bloom gating must equal the all-at-once answer")
   }
 
+  test("session windows: an event at EXACTLY the gap extends the " +
+    "session; one past it starts a new one; end = last event + gap") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:10:00"), 2.0),
+      (1L, ts("2024-01-01 00:40:00"), 3.0), // = prior end → EXTENDS
+      (1L, ts("2024-01-01 01:10:01"), 5.0), // 1 s past the gap → new
+      (2L, ts("2024-01-01 05:00:00"), 4.0)
+    ).toDF("user_id", "ts", "value")
+    val got = events
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+      .select($"user_id", $"w.start".cast("string").as("b"),
+        $"w.end".cast("string").as("e"), $"n", $"s")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 01:10:00", 3L, 6.0),
+      (1L, "2024-01-01 01:10:01", "2024-01-01 01:40:01", 1L, 5.0),
+      (2L, "2024-01-01 05:00:00", "2024-01-01 05:30:00", 1L, 4.0)))
+  }
+
   test("full curation ingest loop under foreachBatch: quality gate + " +
     "growing near-dup index, accepted set equals sequential replay") {
     import graft.ext.{Dedup, TextAnalysis}
