@@ -225,8 +225,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     import spark.implicits._
-    def rnorm(rv: Column): Column =
-      sqrt(aggregate(transform(rv, x => x * x), lit(0.0), (a, x) => a + x))
+    // norms via the expanded (codegen'd) dot — the `aggregate` HOF
+    // evaluates interpreted per row, which would put a lambda in the
+    // hot projection
+    def rnorm(rv: Column): Column = sqrt(dotExpanded(rv, rv, rDim))
     val q = withNorm(queries, "q_id", "q")
     val c = withNorm(corpus, "c_id", "c")
     val qr = q.select(col("q_id"), rpReduce(col("q"), dim, rDim).as("rq"))
