@@ -309,6 +309,36 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Containment near-dup pairs: score = |A∩B| / min(|A|,|B|) — the
+    * SUBSET-duplication signal plain Jaccard misses.  A short document
+    * quoted whole inside a long one scores containment 1.0 but Jaccard
+    * ≈ |A|/|B| → such pairs never clear a Jaccard threshold; this is
+    * the standard second lens for boilerplate wrapping and quote
+    * inclusion.  Same blocked self-join shape as
+    * [[blockedJaccardPairs]], BUT no size-ratio prefilter — asymmetric
+    * pairs are precisely the target, so pruning by size would delete
+    * the answer.  The merge-count intersection still runs as the
+    * codegen'd [[graft.plans.SortedIntersectSize]] kernel over sorted
+    * int64 token sets. */
+  def blockedContainmentPairs(docs: DataFrame, idCol: String,
+                              textCol: String, blockCol: String,
+                              threshold: Double): DataFrame = {
+    val enc = encodeTokenSets(docs, idCol, textCol, Some(blockCol))
+      .localCheckpoint()
+    val a = enc.select(col("blk"), col("id").as("a"), col("toks").as("ta"),
+      col("sz").as("sa"))
+    val b = enc.select(col("blk"), col("id").as("b"), col("toks").as("tb"),
+      col("sz").as("sb"))
+    a.join(b, "blk")
+      .filter(col("a") < col("b"))
+      .withColumn("containment",
+        graft.plans.SortedIntersectSize
+          .sortedIntersectSize(col("ta"), col("tb")).cast("double")
+          / least(col("sa"), col("sb")))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("containment"))
+  }
+
   /** Benchmark decontamination: training documents sharing ≥1 word
     * n-gram with an evaluation/benchmark set.  Both sides explode to
     * (doc, shingle) rows (`explodedShingles` — codegen'd, the

@@ -407,6 +407,12 @@ object ExtQueries {
       TextAnalysis.tfidfKeywords(Tables.documents(s, d),
         "doc_id", "text", k = 3)),
 
+    // containment near-dups (|A∩B|/min) — the subset-duplication lens
+    // Jaccard misses (quote inclusion / boilerplate wrapping)
+    "x45_containment_pairs" -> ((s, d) =>
+      Dedup.blockedContainmentPairs(Tables.documents(s, d), "doc_id",
+        "text", "lang", threshold = 0.9)),
+
     // product-quantization ANN: 8×16 deterministic subspace codebook,
     // nibble codes, asymmetric-distance (ADC) top-k — the 64×-
     // compressed serving path (codes + LUT join; vectors never move)
@@ -1108,6 +1114,16 @@ object ExtQueries {
         |           AS jaccard
         |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+    "x45_containment_pairs" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents)
+        |SELECT a, b, containment FROM (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+        |         / least(len(a.toks), len(b.toks)) AS containment
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |WHERE containment >= 0.9""".stripMargin,
     "x5_simhash" ->
       s"""$toksCte
          |SELECT doc_id, CAST($simhashBits AS INT) AS simhash FROM t""".stripMargin,

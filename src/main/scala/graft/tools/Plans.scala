@@ -13,8 +13,8 @@ object Plans {
     // (cartesian products, nested-loop joins) and print one line per
     // hit.  Expected hits — all bounded-broadcast cross joins by
     // construction: x6/x40 (broadcast query set), x17/x22 (nlist-row
-    // centroid codebook), x23/x26/x28/x38 (single-row total/target),
-    // x39 (#partitions-row triangular offset join).
+    // centroid codebook), x23/x26/x28/x38/x43/x44 (single-row
+    // total/target), x39 (#partitions-row triangular offset join).
     // Anything NEW in this list needs the same justification.
     if (args.headOption.contains("audit")) {
       // AQE off: AdaptiveSparkPlanExec hides its children from collect,

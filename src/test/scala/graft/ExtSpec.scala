@@ -408,6 +408,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment pairs: a fully-quoted short doc scores 1.0 where " +
+    "Jaccard misses it; unrelated docs never pair") {
+    val docs = Seq(
+      (1L, "en", "a b c d e f g h i j"),
+      (2L, "en", "a b c"),            // subset of 1 → containment 1.0
+      (3L, "en", "x y z"),
+      (4L, "de", "a b c")             // same text, different block
+    ).toDF("doc_id", "lang", "text")
+    val got = Dedup.blockedContainmentPairs(docs, "doc_id", "text",
+      "lang", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+    // the same pair is invisible to Jaccard at any near-dup threshold
+    // (J = 3/10) — containment is a genuinely different lens
+    val jac = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
+      "lang", threshold = 0.8)
+    assert(jac.count() == 0)
+  }
+
   test("globalRank: exact 1..N total-order ranks, independent of the " +
     "partition count, and no (single-task) Window in the physical plan") {
     val df = spark.range(0, 1000).toDF("id")
