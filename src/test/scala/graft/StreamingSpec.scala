@@ -125,6 +125,40 @@ class StreamingSpec extends SparkSpec {
       "per-micro-batch Bloom gating must equal the all-at-once answer")
   }
 
+  test("streaming session windows equal the batch answer " +
+    "(watermarked session_window over a file stream)") {
+    // append mode emits only watermark-CLOSED sessions, so a far-future
+    // sentinel event (own user, second file → second micro-batch)
+    // pushes the final watermark past every real session
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_").toString
+    val events = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"value")
+    events.write.mode("append").parquet(dir)
+    Seq((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 0.0))
+      .toDF("user_id", "ts", "value").write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val sessions = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("s"))
+    Streams.runToMemory(spark, sessions, "sess", outputMode = "append")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"user_id" >= 0)
+      .select($"user_id", date_format($"w.start", "yyyy-MM-dd HH:mm:ss"),
+        date_format($"w.end", "yyyy-MM-dd HH:mm:ss"), $"n", $"s")
+      .as[(Long, String, String, Long, Double)].collect().toSet
+    val streamedCols = spark.table("sess").columns
+    val streamed = shape(
+      if (streamedCols.contains("w")) spark.table("sess")
+      else spark.table("sess").withColumnRenamed("session_window", "w"))
+    val batch = shape(events
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("s")))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("session windows: an event at EXACTLY the gap extends the " +
     "session; one past it starts a new one; end = last event + gap") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
