@@ -861,6 +861,14 @@ object Dedup {
     * an output row. */
   def duplicatedNgramFraction(docs: DataFrame, idCol: String,
                               textCol: String, n: Int = 3): DataFrame = {
+    // deliberately NOT checkpointed: the global counts and the join
+    // side each recompute the shingle→md5→distinct chain (planner
+    // exchange reuse does not fire across the union-of-fallback
+    // subtrees), but the recompute is pure codegen'd CPU — measured at
+    // sf0.1 it beats materializing the corpus-sized distinct table
+    // 2.5× (0.8 s vs 2.0 s; PERF.md).  Past the point where the
+    // duplicate DISTINCT SHUFFLE dominates (very wide clusters), pin
+    // with .localCheckpoint() — the sourceDivergence idiom.
     val perDoc = explodedShingles(docs, idCol, textCol, n)
       .select(col("doc_id"), md5(col("sh")).as("h"))
       .distinct()
