@@ -251,18 +251,22 @@ object CorpusStats {
     * duplication exposure ([[exactDupShare]]) in one table.  This is
     * the artifact a data-mixture decision actually reads.
     *
-    * Each component keeps its own (already scale-shaped) corpus pass —
-    * they genuinely differ (token counts vs (source, token) counts vs
-    * fingerprints) — and every component OUTPUT is #sources rows, so
+    * Drift and OOV share ONE checkpointed (source, token) count pass
+    * ([[perSourceTokenCounts]]); the remaining passes genuinely differ
+    * (per-doc token counts for volumes, fingerprints for duplication)
+    * and stay separate.  Every component OUTPUT is #sources rows, so
     * the assembly itself is three broadcast joins of skinny tables. */
   def datasetCard(docs: DataFrame, sourceCol: String,
-                  textCol: String, vocabSize: Int = 1000): DataFrame =
+                  textCol: String, vocabSize: Int = 1000): DataFrame = {
+    // drift and OOV share ONE (source, token) count pass
+    val perSrc = perSourceTokenCounts(docs, sourceCol, textCol)
     sourceMix(docs, sourceCol, textCol)
-      .join(sourceDivergence(docs, sourceCol, textCol)
+      .join(sourceDivergenceFrom(perSrc)
         .select(col("source"), col("js_div")), "source")
-      .join(vocabCoverage(docs, sourceCol, textCol, vocabSize)
+      .join(vocabCoverageFrom(perSrc, vocabSize)
         .select(col("source"), col("oov_rate")), "source")
       .join(exactDupShare(docs, sourceCol, textCol), "source")
+  }
 
   /** Total-order global rank WITHOUT the single-task trap: Spark's own
     * `row_number() OVER (ORDER BY …)` plans an unpartitioned window —
@@ -325,22 +329,34 @@ object CorpusStats {
     * over the vocabulary-sized count table (N bounded — never a
     * global-sort window); the membership join broadcasts the N-row
     * vocab. */
-  def vocabCoverage(docs: DataFrame, sourceCol: String, textCol: String,
-                    vocabSize: Int = 1000): DataFrame = {
-    val perSrc = docs.select(col(sourceCol).as("source"),
+  /** The checkpointed (source, token, count) table that
+    * [[sourceDivergence]] and [[vocabCoverage]] both derive from —
+    * ONE corpus-sized shuffle, shareable across analytics
+    * ([[datasetCard]] computes it once for both). */
+  def perSourceTokenCounts(docs: DataFrame, sourceCol: String,
+                           textCol: String): DataFrame =
+    docs.select(col(sourceCol).as("source"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy(col("source"), col("tok"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).cast("double").as("__c"))
       .localCheckpoint()
+
+  def vocabCoverage(docs: DataFrame, sourceCol: String, textCol: String,
+                    vocabSize: Int = 1000): DataFrame =
+    vocabCoverageFrom(perSourceTokenCounts(docs, sourceCol, textCol),
+      vocabSize)
+
+  /** [[vocabCoverage]] over a precomputed [[perSourceTokenCounts]]. */
+  def vocabCoverageFrom(perSrc: DataFrame, vocabSize: Int): DataFrame = {
     val vocab = perSrc.groupBy(col("tok")).agg(sum(col("__c")).as("__cg"))
       .orderBy(col("__cg").desc, col("tok").asc)
       .limit(vocabSize)
       .select(col("tok"), lit(1).as("__in"))
     perSrc.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col("source"))
-      .agg(sum(col("__c")).as("n_tokens"),
-        sum(when(col("__in").isNull, col("__c")).otherwise(lit(0L)))
-          .as("n_oov"))
+      .agg(sum(col("__c")).cast("long").as("n_tokens"),
+        sum(when(col("__in").isNull, col("__c")).otherwise(lit(0.0)))
+          .cast("long").as("n_oov"))
       .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
   }
 
@@ -364,12 +380,11 @@ object CorpusStats {
     * join all reuse that one pass instead of re-scanning text; the
     * single-row grand total rides a broadcast cross join. */
   def sourceDivergence(docs: DataFrame, sourceCol: String,
-                       textCol: String): DataFrame = {
-    val perSrc = docs.select(col(sourceCol).as("source"),
-        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .groupBy(col("source"), col("tok"))
-      .agg(count(lit(1)).cast("double").as("__c"))
-      .localCheckpoint()
+                       textCol: String): DataFrame =
+    sourceDivergenceFrom(perSourceTokenCounts(docs, sourceCol, textCol))
+
+  /** [[sourceDivergence]] over a precomputed [[perSourceTokenCounts]]. */
+  def sourceDivergenceFrom(perSrc: DataFrame): DataFrame = {
     val global = perSrc.groupBy(col("tok")).agg(sum(col("__c")).as("__cg"))
     val srcTot = perSrc.groupBy(col("source")).agg(sum(col("__c")).as("__ts"))
     val grand = srcTot.agg(sum(col("__ts")).as("__t"))
