@@ -329,6 +329,36 @@ object CorpusStats {
     * over the vocabulary-sized count table (N bounded — never a
     * global-sort window); the membership join broadcasts the N-row
     * vocab. */
+  /** Exact heavy hitters via a Count-Min prefilter: all tokens with
+    * true frequency ≥ `minFreq`, computed WITHOUT a vocabulary-sized
+    * exact aggregation.  The token stream first folds into a
+    * fixed-size [[graft.plans.CountMinAgg]] sketch (depth×width longs
+    * no matter how many distinct tokens exist — map-side partials,
+    * elementwise-add merge); the stream is then culled inside
+    * whole-stage codegen by `cms_estimate ≥ minFreq`
+    * ([[graft.plans.CmsEstimate]]).  CMS never underestimates, so
+    * every occurrence of a truly-heavy token survives the cull and the
+    * exact `GROUP BY` runs over only the candidate sliver; the final
+    * `freq ≥ minFreq` filter removes the overestimated stragglers —
+    * same EXACT rows as the naive full aggregation (the oracle pins
+    * it), with the exact agg's hash table bounded by the candidate
+    * vocabulary instead of the whole one.  Size `width ≈ e/ε` for
+    * overshoot ≤ εN; the Bloom-pair economics apply (x35). */
+  def heavyHitters(docs: DataFrame, textCol: String, minFreq: Long,
+                   depth: Int = 4, width: Int = 1 << 14): DataFrame = {
+    import graft.plans.{CmsEstimate, CountMinAgg}
+    val toks = docs.select(
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val cms = toks
+      .agg(CountMinAgg.cmsAgg(xxhash64(col("tok")), depth, width))
+      .head.getAs[Array[Byte]](0)
+    toks.filter(CmsEstimate.cmsEstimate(cms, xxhash64(col("tok")))
+        >= minFreq)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+  }
+
   /** The checkpointed (source, token, count) table that
     * [[sourceDivergence]] and [[vocabCoverage]] both derive from —
     * ONE corpus-sized shuffle, shareable across analytics

@@ -90,6 +90,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bloom_might_contain first argument must be a foldable BINARY " +
             s"Bloom filter (from bloom_agg), got $other")
       }))
+    // the Count-Min pair (frequency sibling of the Bloom pair):
+    // cms_agg(hash64, depth, width) builds sketch bytes;
+    // cms_estimate(sketchBytes, hash64) reads them (first argument
+    // must fold to a BINARY constant, same contract as the Bloom probe)
+    e.injectFunction((
+      new FunctionIdentifier("cms_agg"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "cms_agg"),
+      (exprs: Seq[Expression]) => {
+        def intLit(i: Int): Int = exprs(i) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"cms_agg argument ${i + 1} must be an integer literal, " +
+              s"got $other")
+        }
+        CountMinAgg(exprs.head, intLit(1), intLit(2))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (exprs: Seq[Expression]) => exprs.head match {
+        case f if f.foldable && f.dataType == BinaryType =>
+          CmsEstimate(f.eval().asInstanceOf[Array[Byte]], exprs(1))
+        case other => throw new IllegalArgumentException(
+          "cms_estimate first argument must be a foldable BINARY " +
+            s"Count-Min sketch (from cms_agg), got $other")
+      }))
     // pii_redact(text): the privacy scrub as a SQL function.  The
     // builder runs mid-analysis, so it must emit RESOLVED Catalyst
     // nodes — the RegExpReplace chain is built directly from the same

@@ -413,6 +413,12 @@ object ExtQueries {
       Dedup.blockedContainmentPairs(Tables.documents(s, d), "doc_id",
         "text", "lang", threshold = 0.9)),
 
+    // exact heavy hitters via Count-Min prefilter (fixed-memory sketch
+    // culls the stream in codegen; exact agg sees only candidates)
+    "x46_heavy_hitters" -> ((s, d) =>
+      graft.ext.CorpusStats.heavyHitters(Tables.documents(s, d),
+        "text", minFreq = 500L)),
+
     // product-quantization ANN: 8×16 deterministic subspace codebook,
     // nibble codes, asymmetric-distance (ADC) top-k — the 64×-
     // compressed serving path (codes + LUT join; vectors never move)
@@ -1114,6 +1120,13 @@ object ExtQueries {
         |           AS jaccard
         |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+    // CMS prefilter never underestimates → same exact rows as the
+    // naive aggregation (the Bloom-pair exactness pattern, x35)
+    "x46_heavy_hitters" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY 1 HAVING count(*) >= 500""".stripMargin,
     "x45_containment_pairs" ->
       """WITH t AS (SELECT doc_id, lang,
         |             list_distinct(string_split(text, ' ')) AS toks

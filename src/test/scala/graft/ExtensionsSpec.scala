@@ -159,6 +159,55 @@ class ExtensionsSpec extends SparkSpec {
       s"SQL probe found $viaSql of 100 inserted (+ rare FPs)")
   }
 
+  test("Count-Min aggregate: distributed build equals local build " +
+    "bit-for-bit, estimates never undercount, exact-prefilter heavy " +
+    "hitters equal the naive aggregation even on a tiny sketch") {
+    import graft.plans.{CmsEstimate, CmsKernel, CountMinAgg}
+    import spark.implicits._
+    // skewed stream: key i appears (i+1) times, i = 0..99
+    val keys = (0 until 100).flatMap(i => Seq.fill(i + 1)(i.toLong))
+    val (depth, width) = (4, 1 << 10)
+    val distBytes = keys.toDF("k").repartition(8)
+      .agg(CountMinAgg.cmsAgg($"k", depth, width))
+      .head.getAs[Array[Byte]](0)
+    val local = new Array[Long](depth * width)
+    keys.foreach(CmsKernel.add(local, depth, width, _))
+    assert(distBytes.sameElements(
+      CmsKernel.serialize(local, depth, width)),
+      "add-merge must be partitioning-independent")
+    // one-sided error: estimate >= true count for every key
+    val est = (0 until 100).map(_.toLong).toDF("v")
+      .select($"v", CmsEstimate.cmsEstimate(distBytes, $"v").as("e"))
+      .as[(Long, Long)].collect().toMap
+    (0 until 100).foreach { i =>
+      assert(est(i.toLong) >= i + 1,
+        s"CMS undercounted key $i: ${est(i.toLong)} < ${i + 1}")
+    }
+    // SQL surface round trip
+    val sqlBytes = spark.sql(
+      "SELECT cms_agg(xxhash64(CAST(id % 10 AS STRING)), 4, 1024) " +
+        "FROM range(1000)").head.getAs[Array[Byte]](0)
+    val viaSql = spark.sql(
+      "SELECT cms_estimate(:s, xxhash64(CAST(7 AS STRING))) AS e",
+      Map("s" -> sqlBytes)).head.getLong(0)
+    assert(viaSql >= 100, s"key 7 appears 100 times, estimated $viaSql")
+    // heavy hitters: CMS prefilter = naive agg, even with a sketch so
+    // small that collisions overestimate heavily (exactness comes from
+    // the verify agg, same pattern as the 256-bit Bloom test)
+    val docs = Tables.documents(spark, sf0001)
+    val naive = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+      .filter($"freq" >= 50)
+      .as[(String, Long)].collect().toSet
+    for (w <- Seq(16, 1 << 14)) {
+      val got = graft.ext.CorpusStats
+        .heavyHitters(docs, "text", minFreq = 50L, depth = 4, width = w)
+        .as[(String, Long)].collect().toSet
+      assert(got == naive, s"width=$w heavy hitters diverged")
+    }
+  }
+
   test("Bloom decontamination equals the exact semi-join even when the " +
     "filter is sized to false-positive heavily") {
     val docs = Tables.documents(spark, sf0001)
