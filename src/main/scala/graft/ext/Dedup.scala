@@ -309,6 +309,32 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Sketch-estimated Jaccard for candidate pairs: matching signature
+    * lanes / k — the estimation half of the MinHash story (banding,
+    * x3, is its retrieval half).  P(lane match) = J exactly, so the
+    * estimate is an unbiased k-sample mean with σ = √(J(1−J)/k);
+    * production dedup uses it to SKIP the exact token-set verify when
+    * k is large enough to decide, turning the per-pair cost from
+    * O(|doc|) into O(k).
+    *
+    * Scale shape: signatures come from the zero-shuffle
+    * [[graft.plans.MinHashSig]] kernel pass; each pair then moves two
+    * k-lane arrays (k·8 chars) instead of two token sets, and the
+    * lane-match count is a fully codegen'd expanded sum. */
+  def minhashEstimate(docs: DataFrame, idCol: String, textCol: String,
+                      pairs: DataFrame, n: Int = 1,
+                      k: Int = 8): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+    val matches = (0 until k).map(i =>
+      when(element_at(col("__sa"), i + 1) === element_at(col("__sb"), i + 1),
+        1).otherwise(0)).reduce(_ + _)
+    pairs.select(col("a"), col("b"))
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("__sa")), "a")
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("__sb")), "b")
+      .select(col("a"), col("b"),
+        round(matches / lit(k.toDouble), 4).as("est_jaccard"))
+  }
+
   /** Containment near-dup pairs: score = |A∩B| / min(|A|,|B|) — the
     * SUBSET-duplication signal plain Jaccard misses.  A short document
     * quoted whole inside a long one scores containment 1.0 but Jaccard

@@ -419,6 +419,12 @@ object ExtQueries {
       graft.ext.CorpusStats.heavyHitters(Tables.documents(s, d),
         "text", minFreq = 500L)),
 
+    // sketch-estimated Jaccard over the shared near-dup edge set (the
+    // O(k) estimation that replaces O(|doc|) verification at scale)
+    "x47_minhash_estimate" -> ((s, d) =>
+      Dedup.minhashEstimate(Tables.documents(s, d), "doc_id", "text",
+        sharedPairs(s, d), n = 1, k = 8)),
+
     // product-quantization ANN: 8×16 deterministic subspace codebook,
     // nibble codes, asymmetric-distance (ADC) top-k — the 64×-
     // compressed serving path (codes + LUT join; vectors never move)
@@ -1120,6 +1126,33 @@ object ExtQueries {
         |           AS jaccard
         |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+    // estimated jaccard = matching md5-minhash lanes / 8 over the
+    // exact-verified pair set (pairs replayed by the x4 predicate)
+    "x47_minhash_estimate" -> {
+      val sigCols = (0 until 8).map(i => s"${duckMinhash(i)} AS s$i")
+        .mkString(",\n        |       ").stripMargin
+      val match8 = (0 until 8)
+        .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, lang,
+        |             list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents),
+        |p AS (SELECT a, b FROM (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+        |         / (len(a.toks) + len(b.toks)
+        |            - len(list_filter(a.toks, x -> list_contains(b.toks, x))))
+        |           AS jaccard
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.8),
+        |sh AS (SELECT doc_id, string_split(text, ' ') AS sh FROM documents),
+        |sig AS (SELECT doc_id,
+        |       $sigCols
+        |        FROM sh)
+        |SELECT p.a, p.b, round(($match8) / 8.0, 4) AS est_jaccard
+        |FROM p JOIN sig sa ON p.a = sa.doc_id
+        |       JOIN sig sb ON p.b = sb.doc_id""".stripMargin
+    },
     // CMS prefilter never underestimates → same exact rows as the
     // naive aggregation (the Bloom-pair exactness pattern, x35)
     "x46_heavy_hitters" ->

@@ -408,6 +408,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash estimate: identical docs score 1.0, disjoint docs 0.0, " +
+    "and the k-lane estimate tracks exact Jaccard on real pairs") {
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "en", "alpha beta gamma delta"), // = doc 1 → est 1.0
+      (3L, "en", "omicron pi rho sigma")    // disjoint from both
+    ).toDF("doc_id", "lang", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val est = Dedup.minhashEstimate(docs, "doc_id", "text", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(est((1L, 2L)) == 1.0)
+    assert(est((1L, 3L)) == 0.0)
+
+    // on sf0.001's verified near-dup pairs (true J >= 0.8) the 8-lane
+    // estimate must concentrate high: mean >= 0.6 (σ ≈ 0.14 at J=0.8)
+    val real = Tables.documents(spark, sf0001)
+    val exact = Dedup.blockedJaccardPairs(real, "doc_id", "text",
+      "lang", threshold = 0.8).select($"a", $"b")
+    val ests = Dedup.minhashEstimate(real, "doc_id", "text", exact)
+      .select($"est_jaccard").as[Double].collect()
+    assert(ests.nonEmpty)
+    val mean = ests.sum / ests.length
+    info(s"mean 8-lane estimate over ${ests.length} true >=0.8 pairs: $mean")
+    assert(mean >= 0.6)
+  }
+
   test("containment pairs: a fully-quoted short doc scores 1.0 where " +
     "Jaccard misses it; unrelated docs never pair") {
     val docs = Seq(
