@@ -292,6 +292,14 @@ object CorpusStats {
                  partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{IntegerType, LongType}
+    // the scratch columns and the rank column are appended to the
+    // caller's schema — a collision would silently clobber caller data
+    // in the final drop/withColumn
+    val reserved = Set("__pid", "__idx", "__offset", rankName)
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"globalRank: input columns ${clash.mkString(", ")} collide with " +
+        s"reserved names (__pid, __idx, __offset) or rankName=$rankName")
     val n = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
     val schema = df.schema

@@ -236,10 +236,32 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidate
     * pairs → exact-Jaccard verification at `threshold`.  Output
     * (a, b, jaccard) — only verified near-dups survive, so LSH recall
-    * (not precision) is the only approximation. */
+    * (not precision) is the only approximation.
+    *
+    * `estCull`: optional estimate-then-verify prefilter (the Bloom/CMS
+    * pattern applied to pair verification).  When set, each candidate
+    * pair is first scored with the O(k) signature lane-match estimate
+    * (see [[minhashEstimate]]) and only pairs with estimate ≥ `estCull`
+    * fetch token arrays for exact verification.  The estimate join
+    * moves two k-lane signatures (~k·8 B) per pair instead of two
+    * token sets (O(|doc|)), so on candidate sets dominated by
+    * below-threshold pairs the verify stage shrinks to the survivors.
+    * The cull is DETERMINISTIC given the signatures (no runtime
+    * randomness), so an oracle replaying the same lanes reproduces the
+    * output bit-for-bit.  Statistically it can drop a qualifying pair
+    * whose signature under-samples its true Jaccard: conditioned on
+    * sharing a band (2 lanes), a J = τ = 0.8 pair fails a 0.5 cutoff at
+    * k = 8 with p = P(Bin(6, 0.8) ≤ 1) ≈ 0.0016, vanishing for J > τ —
+    * DedupSpec pins subset + ≥0.999 recall vs the unculled path on real
+    * documents.  When to use it: corpora where band collisions give LOW
+    * candidate precision (typical at corpus scale).  The declared x3
+    * leaves it off — on the self-similar test corpus candidate precision
+    * is already ~98%, so the cull costs more than it saves (measured,
+    * PERF.md round 8). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 8, bandRows: Int = 2,
-                      threshold: Double = 0.8, salts: Int = 16): DataFrame = {
+                      threshold: Double = 0.8, salts: Int = 16,
+                      estCull: Option[Double] = None): DataFrame = {
     // Shape matters here: the band self-join and candidate-distinct run
     // on skinny (band_key, id) rows — boilerplate-heavy buckets inflate
     // pair counts multiplicatively, so nothing wide may flow through
@@ -256,7 +278,10 @@ object Dedup {
     // exchange reuse can't kick in).  Both tables are doc-count-sized —
     // KBs per partition — and the checkpoint also gives AQE real sizes
     // for its broadcast decision.
-    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+    val sigs0 = minhashSignatures(docs, idCol, textCol, n, k)
+    // with the estimate cull the signature table is consumed twice
+    // (banding + per-pair estimate) — materialize once
+    val sigs = if (estCull.isDefined) sigs0.localCheckpoint() else sigs0
     val enc = encodeTokenSets(docs, idCol, textCol, None).localCheckpoint()
     // size-ratio prefilter runs INSIDE the band self-join (sz is one
     // extra int on the skinny band rows) so incompatible pairs never
@@ -281,9 +306,25 @@ object Dedup {
       .filter(col("a") < col("b") &&
         sizeCompatible(col("sa"), col("sb"), threshold))
       .select(col("a"), col("b")).distinct()
+    // O(k) lane-match cull BEFORE the token arrays attach: skinny
+    // (a, b, sig, sig) rows, fully codegen'd expanded sum, integer
+    // cutoff ceil(estCull·k) so the oracle mirrors it exactly
+    val toVerify = estCull match {
+      case Some(minEst) =>
+        val cut = math.ceil(minEst * k).toInt
+        val sa = sigs.select(col("doc_id").as("a"), col("sig").as("__sa"))
+        val sb = sigs.select(col("doc_id").as("b"), col("sig").as("__sb"))
+        val laneMatches = (0 until k).map(i =>
+          when(element_at(col("__sa"), i + 1) === element_at(col("__sb"), i + 1),
+            1).otherwise(0)).reduce(_ + _)
+        cands.join(sa, "a").join(sb, "b")
+          .filter(laneMatches >= lit(cut))
+          .select(col("a"), col("b"))
+      case None => cands
+    }
     val ea = enc.select(col("id").as("a"), col("toks").as("ta"))
     val eb = enc.select(col("id").as("b"), col("toks").as("tb"))
-    cands.join(ea, "a").join(eb, "b")
+    toVerify.join(ea, "a").join(eb, "b")
       .withColumn("jaccard", jaccardDistinct(col("ta"), col("tb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
@@ -328,11 +369,18 @@ object Dedup {
     val matches = (0 until k).map(i =>
       when(element_at(col("__sa"), i + 1) === element_at(col("__sb"), i + 1),
         1).otherwise(0)).reduce(_ + _)
+    // LEFT joins: a token-less doc has no signature (minhashSignatures
+    // drops null sigs); its pairs must surface with a null estimate
+    // rather than silently vanish from the output
     pairs.select(col("a"), col("b"))
-      .join(sigs.select(col("doc_id").as("a"), col("sig").as("__sa")), "a")
-      .join(sigs.select(col("doc_id").as("b"), col("sig").as("__sb")), "b")
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("__sa")),
+        Seq("a"), "left")
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("__sb")),
+        Seq("b"), "left")
       .select(col("a"), col("b"),
-        round(matches / lit(k.toDouble), 4).as("est_jaccard"))
+        when(col("__sa").isNull || col("__sb").isNull, lit(null))
+          .otherwise(round(matches / lit(k.toDouble), 4))
+          .as("est_jaccard"))
   }
 
   /** Containment near-dup pairs: score = |A∩B| / min(|A|,|B|) — the
@@ -349,7 +397,12 @@ object Dedup {
   def blockedContainmentPairs(docs: DataFrame, idCol: String,
                               textCol: String, blockCol: String,
                               threshold: Double): DataFrame = {
+    // empty-token docs would make the min-size denominator 0 → null
+    // containment → the pair silently drops (and DuckDB's 0-division
+    // semantics need not agree) — exclude them up front, mirroring the
+    // Jaccard path's implicit sz>0 behavior
     val enc = encodeTokenSets(docs, idCol, textCol, Some(blockCol))
+      .filter(col("sz") > 0)
       .localCheckpoint()
     val a = enc.select(col("blk"), col("id").as("a"), col("toks").as("ta"),
       col("sz").as("sa"))
@@ -547,8 +600,8 @@ object Dedup {
     val spark = index.bands.sparkSession
     val props = s"'graft.lsh.n'='${index.n}', 'graft.lsh.k'='${index.k}', " +
       s"'graft.lsh.bandRows'='${index.bandRows}'"
-    spark.sql(s"ALTER TABLE $bandsTable SET TBLPROPERTIES ($props)")
-    spark.sql(s"ALTER TABLE $encTable SET TBLPROPERTIES ($props)")
+    spark.sql(s"ALTER TABLE ${SqlIdent.quote(bandsTable)} SET TBLPROPERTIES ($props)")
+    spark.sql(s"ALTER TABLE ${SqlIdent.quote(encTable)} SET TBLPROPERTIES ($props)")
   }
 
   /** Reopen a bucketed [[LshIndex]] written by [[saveLshIndex]],
@@ -556,7 +609,7 @@ object Dedup {
   def loadLshIndex(spark: org.apache.spark.sql.SparkSession,
                    bandsTable: String, encTable: String): LshIndex = {
     def prop(table: String, key: String): Int = {
-      val rows = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      val rows = spark.sql(s"SHOW TBLPROPERTIES ${SqlIdent.quote(table)}").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       rows.getOrElse(key, sys.error(
         s"$table is not a graft LSH index table (missing $key)")).toInt
@@ -782,13 +835,13 @@ object Dedup {
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(table)
     clusters.sparkSession.sql(
-      s"ALTER TABLE $table SET TBLPROPERTIES ('graft.clusters'='1')")
+      s"ALTER TABLE ${SqlIdent.quote(table)} SET TBLPROPERTIES ('graft.clusters'='1')")
   }
 
   /** Reopen a bucketed cluster table written by [[saveClusters]]. */
   def loadClusters(spark: org.apache.spark.sql.SparkSession,
                    table: String): DataFrame = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${SqlIdent.quote(table)}").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     require(props.get("graft.clusters").contains("1"),
       s"$table is not a graft cluster table (missing graft.clusters)")

@@ -393,8 +393,8 @@ object Similarity {
     val spark = index.assigned.sparkSession
     val props = s"'graft.ivf.dim'='${index.dim}', " +
       s"'graft.ivf.nlist'='${index.nlist}'"
-    spark.sql(s"ALTER TABLE $assignedTable SET TBLPROPERTIES ($props)")
-    spark.sql(s"ALTER TABLE $centTable SET TBLPROPERTIES ($props)")
+    spark.sql(s"ALTER TABLE ${SqlIdent.quote(assignedTable)} SET TBLPROPERTIES ($props)")
+    spark.sql(s"ALTER TABLE ${SqlIdent.quote(centTable)} SET TBLPROPERTIES ($props)")
   }
 
   /** Reopen a persisted [[IvfIndex]], restoring (dim, nlist) from the
@@ -402,7 +402,7 @@ object Similarity {
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
                    assignedTable: String, centTable: String): IvfIndex = {
     def prop(table: String, key: String): Int = {
-      val rows = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      val rows = spark.sql(s"SHOW TBLPROPERTIES ${SqlIdent.quote(table)}").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       rows.getOrElse(key, sys.error(
         s"$table is not a graft IVF index table (missing $key)")).toInt
@@ -795,8 +795,8 @@ object Similarity {
     val spark = index.codes.sparkSession
     val props = s"'graft.pq.dim'='${index.dim}', " +
       s"'graft.pq.m'='${index.m}', 'graft.pq.k'='${index.k}'"
-    spark.sql(s"ALTER TABLE $codesTable SET TBLPROPERTIES ($props)")
-    spark.sql(s"ALTER TABLE $codebookTable SET TBLPROPERTIES ($props)")
+    spark.sql(s"ALTER TABLE ${SqlIdent.quote(codesTable)} SET TBLPROPERTIES ($props)")
+    spark.sql(s"ALTER TABLE ${SqlIdent.quote(codebookTable)} SET TBLPROPERTIES ($props)")
   }
 
   /** Reopen a persisted [[PqIndex]], restoring (dim, m, k) from table
@@ -804,7 +804,7 @@ object Similarity {
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
                   codesTable: String, codebookTable: String): PqIndex = {
     def prop(table: String, key: String): Int = {
-      val rows = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      val rows = spark.sql(s"SHOW TBLPROPERTIES ${SqlIdent.quote(table)}").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       rows.getOrElse(key, sys.error(
         s"$table is not a graft PQ index table (missing $key)")).toInt

@@ -90,6 +90,12 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
   require(depth >= 1 && depth <= 16,
     s"cms_agg needs 1 <= depth <= 16, got $depth")
   require(width >= 16, s"cms_agg needs width >= 16, got $width")
+  // fail fast on oversized sketches: beyond 2^26 cells (512 MB) each
+  // task would commit GBs of buffer, and depth*width near 2^28 would
+  // overflow the Int byte-size arithmetic in CmsKernel.serialize
+  require(depth.toLong * width <= CountMinAgg.MaxCells,
+    s"cms_agg sketch too large: depth*width = ${depth.toLong * width} " +
+      s"exceeds ${CountMinAgg.MaxCells} cells (${CountMinAgg.MaxCells * 8L} B)")
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
@@ -136,6 +142,12 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
 
 object CountMinAgg {
   import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Hard cap on depth×width: 2^26 cells = 512 MB of Long counters —
+    * far past any useful CMS (width 2^20 at depth 5 is sub-1% error on
+    * a 100 TB vocabulary) and safely below Int-overflow territory in
+    * the serialize arithmetic. */
+  val MaxCells: Long = 1L << 26
 
   /** Column-API entry point: aggregate `hash64` keys into sketch bytes. */
   def cmsAgg(hash64: Column, depth: Int, width: Int): Column =

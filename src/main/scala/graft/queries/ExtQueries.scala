@@ -69,6 +69,13 @@ object ExtQueries {
     // MinHash + LSH banding + exact-Jaccard verification (approximate
     // recall → rows-only; ground-truthed vs x4 in DedupSpec).  n=1 so
     // the hashed feature set (tokens) matches the verified one.
+    // estCull deliberately OFF: measured at sf0.1 the size-ratio
+    // prefilter already leaves ~98% candidate precision (2.95M of ~3M
+    // candidates verify above τ), so the O(k) cull removes ~1.7% of
+    // verify volume while paying two candidate-sized joins — net +0.2 s
+    // and a 0.1% recall cost (PERF.md round 8).  On low-precision real
+    // corpora pass estCull=Some(τ−ε); the oracle pattern for mirroring
+    // the deterministic lane-match filter is pinned in DedupSpec.
     "x3_minhash_lsh_pairs" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
         n = 1, k = 8, bandRows = 2, threshold = 0.8)),

@@ -498,6 +498,27 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95)
   }
 
+  test("estimate cull (estCull=0.5) is a pure prefilter with >= 0.999 " +
+    "recall on real documents (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001)
+    def run(cull: Option[Double]): Set[(Long, Long)] =
+      Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 1, k = 8, bandRows = 2, threshold = 0.8, estCull = cull)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    val unculled = run(None)
+    val culled = run(Some(0.5))
+    assert(unculled.nonEmpty)
+    // a prefilter may only ever REMOVE pairs — fabrication is a bug
+    assert(culled.subsetOf(unculled))
+    // at cutoff 0.5 / k=8 the binomial tail says a J=0.8 pair that
+    // already shares a band fails with p ≈ 0.0016; measured on this
+    // corpus: 11 / 32028 dropped (0.034%).  Pin the order of magnitude.
+    val recall = culled.size.toDouble / unculled.size
+    info(s"estimate-cull recall: $recall " +
+      s"(dropped ${(unculled -- culled).size} of ${unculled.size})")
+    assert(recall >= 0.999)
+  }
+
   test("sequence packing: lanes fill to budget, contiguous by id, " +
     "oversize docs get their own pack boundary") {
     val docs = Tables.documents(spark, sf0001)
