@@ -351,7 +351,10 @@ object CorpusStats {
     * same EXACT rows as the naive full aggregation (the oracle pins
     * it), with the exact agg's hash table bounded by the candidate
     * vocabulary instead of the whole one.  Size `width ≈ e/ε` for
-    * overshoot ≤ εN; the Bloom-pair economics apply (x35). */
+    * overshoot ≤ εN; the Bloom-pair economics apply (x35).  The built
+    * sketch ships to executors as a Spark broadcast (one torrent copy
+    * per executor), never as a plan-literal constant re-serialized
+    * into each task binary. */
   def heavyHitters(docs: DataFrame, textCol: String, minFreq: Long,
                    depth: Int = 4, width: Int = 1 << 14): DataFrame = {
     import graft.plans.{CmsEstimate, CountMinAgg}
@@ -360,8 +363,8 @@ object CorpusStats {
     val cms = toks
       .agg(CountMinAgg.cmsAgg(xxhash64(col("tok")), depth, width))
       .head.getAs[Array[Byte]](0)
-    toks.filter(CmsEstimate.cmsEstimate(cms, xxhash64(col("tok")))
-        >= minFreq)
+    toks.filter(CmsEstimate.cmsEstimate(CmsEstimate.broadcastCms(cms),
+        depth, width, xxhash64(col("tok"))) >= minFreq)
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)

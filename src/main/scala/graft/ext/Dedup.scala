@@ -461,7 +461,8 @@ object Dedup {
     * width is baked in so a probe cannot silently mix shingle
     * schemes. */
   case class BloomGate(bloomBytes: Array[Byte], benchShingles: DataFrame,
-                       n: Int, numBits: Int, numHashes: Int)
+                       n: Int, numBits: Int, numHashes: Int,
+                       bloom: org.apache.spark.broadcast.Broadcast[Array[Long]])
 
   /** Aggregate the benchmark set into a [[BloomGate]]: distinct bench
     * shingles (localCheckpointed — build and every verify join reuse
@@ -478,7 +479,10 @@ object Dedup {
     val bloomBytes = b
       .agg(BloomFilterAgg.bloomAgg(xxhash64(col("sh")), numBits, numHashes))
       .head.getAs[Array[Byte]](0)
-    BloomGate(bloomBytes, b, n, numBits, numHashes)
+    // broadcast ONCE at gate build: every micro-batch probe reuses the
+    // per-executor copy instead of re-shipping filter bytes per batch
+    BloomGate(bloomBytes, b, n, numBits, numHashes,
+      graft.plans.BloomMightContain.broadcastBloom(bloomBytes))
   }
 
   /** Probe a [[BloomGate]] with one (micro-)batch: batch shingles drop
@@ -493,8 +497,8 @@ object Dedup {
                           idCol: String, textCol: String): DataFrame = {
     import graft.plans.BloomMightContain
     explodedShingles(batch, idCol, textCol, gate.n)
-      .filter(BloomMightContain.bloomMightContain(gate.bloomBytes,
-        xxhash64(col("sh"))))
+      .filter(BloomMightContain.bloomMightContain(gate.bloom, gate.numBits,
+        gate.numHashes, xxhash64(col("sh"))))
       .join(gate.benchShingles, Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct()
   }

@@ -2,6 +2,8 @@ package graft.plans
 
 import java.nio.ByteBuffer
 
+import org.apache.spark.broadcast.Broadcast
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -154,14 +156,18 @@ object BloomFilterAgg {
         .toAggregateExpression())
 }
 
-/** Membership probe against a DRIVER-MATERIALIZED filter: the bytes ride
-  * the expression (task-broadcast with the serialized plan), deserialize
-  * once per executor via the codegen reference object, and each row
-  * costs `numHashes` masked loads inside whole-stage codegen. */
-case class BloomMightContain(bloomBytes: Array[Byte], child: Expression)
+/** Membership probe against a driver-materialized filter, shipped to
+  * executors as a SPARK BROADCAST rather than a plan literal: the
+  * expression (and with it every serialized task closure) carries only
+  * the broadcast handle; the word array moves once per executor over
+  * the torrent protocol and is read via `value()` — at production
+  * filter sizes (2²⁴ bits = 2 MB, or far larger) a plan-embedded
+  * constant would instead be re-serialized into every task binary.
+  * Each row costs `numHashes` masked loads inside whole-stage
+  * codegen. */
+case class BloomMightContain(bloom: Broadcast[Array[Long]], numBits: Int,
+                             numHashes: Int, child: Expression)
     extends UnaryExpression {
-
-  @transient private lazy val parsed = BloomKernel.deserialize(bloomBytes)
 
   override def dataType: DataType = BooleanType
 
@@ -172,16 +178,19 @@ case class BloomMightContain(bloomBytes: Array[Byte], child: Expression)
         other.catalogString)
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val (m, k, words) = parsed
-    BloomKernel.mightContain(words, m, k, v.asInstanceOf[Long])
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    BloomKernel.mightContain(bloom.value, numBits, numHashes,
+      v.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val (m, k, words) = parsed
-    val wordsRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+    val bRef = ctx.addReferenceObj("bloomBcast", bloom,
+      "org.apache.spark.broadcast.Broadcast")
+    val words = ctx.freshName("bloomWords")
+    // resolve the broadcast once per generated-class instance, not per row
+    ctx.addImmutableStateIfNotExists("long[]", words,
+      w => s"$w = (long[]) $bRef.value();")
     defineCodeGen(ctx, ev, c =>
-      s"graft.plans.BloomKernel.mightContain($wordsRef, $m, $k, $c)")
+      s"graft.plans.BloomKernel.mightContain($words, $numBits, $numHashes, $c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
@@ -191,8 +200,23 @@ case class BloomMightContain(bloomBytes: Array[Byte], child: Expression)
 object BloomMightContain {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** Column-API entry point. */
-  def bloomMightContain(bloomBytes: Array[Byte], hash64: Column): Column =
-    ColumnBridge.column(
-      BloomMightContain(bloomBytes, ColumnBridge.expression(hash64)))
+  /** Broadcast serialized filter bytes once; probes built from the
+    * returned handle share the per-executor copy. */
+  def broadcastBloom(bloomBytes: Array[Byte]): Broadcast[Array[Long]] = {
+    val (_, _, words) = BloomKernel.deserialize(bloomBytes)
+    org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(words)
+  }
+
+  /** Column-API entry point over a pre-broadcast filter (build once,
+    * probe many — e.g. per micro-batch). */
+  def bloomMightContain(bloom: Broadcast[Array[Long]], numBits: Int,
+                        numHashes: Int, hash64: Column): Column =
+    ColumnBridge.column(BloomMightContain(bloom, numBits, numHashes,
+      ColumnBridge.expression(hash64)))
+
+  /** Column-API entry point from serialized bytes (broadcasts them). */
+  def bloomMightContain(bloomBytes: Array[Byte], hash64: Column): Column = {
+    val (m, k, _) = BloomKernel.deserialize(bloomBytes)
+    bloomMightContain(broadcastBloom(bloomBytes), m, k, hash64)
+  }
 }

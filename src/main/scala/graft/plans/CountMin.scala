@@ -2,6 +2,8 @@ package graft.plans
 
 import java.nio.ByteBuffer
 
+import org.apache.spark.broadcast.Broadcast
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -156,14 +158,17 @@ object CountMinAgg {
         .toAggregateExpression())
 }
 
-/** Frequency estimate against a DRIVER-MATERIALIZED sketch: the bytes
-  * ride the expression, deserialize once per executor via the codegen
-  * reference object, and each row costs `depth` reads + a min inside
-  * whole-stage codegen. */
-case class CmsEstimate(cmsBytes: Array[Byte], child: Expression)
+/** Frequency estimate against a driver-materialized sketch, shipped as
+  * a SPARK BROADCAST rather than a plan literal: the expression (and
+  * every serialized task closure with it) carries only the broadcast
+  * handle; the counter array moves once per executor over the torrent
+  * protocol — at production widths (2²⁰ for sub-1% error on a 100 TB
+  * vocabulary ⇒ 32 MB at depth 4) a plan-embedded constant would
+  * instead re-serialize into every task binary.  Each row costs
+  * `depth` reads + a min inside whole-stage codegen. */
+case class CmsEstimate(cms: Broadcast[Array[Long]], depth: Int, width: Int,
+                       child: Expression)
     extends UnaryExpression {
-
-  @transient private lazy val parsed = CmsKernel.deserialize(cmsBytes)
 
   override def dataType: DataType = LongType
 
@@ -174,16 +179,18 @@ case class CmsEstimate(cmsBytes: Array[Byte], child: Expression)
         other.catalogString)
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val (d, w, counters) = parsed
-    CmsKernel.estimate(counters, d, w, v.asInstanceOf[Long])
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    CmsKernel.estimate(cms.value, depth, width, v.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val (d, w, counters) = parsed
-    val countersRef = ctx.addReferenceObj("cmsCounters", counters, "long[]")
+    val bRef = ctx.addReferenceObj("cmsBcast", cms,
+      "org.apache.spark.broadcast.Broadcast")
+    val counters = ctx.freshName("cmsCounters")
+    // resolve the broadcast once per generated-class instance, not per row
+    ctx.addImmutableStateIfNotExists("long[]", counters,
+      c => s"$c = (long[]) $bRef.value();")
     defineCodeGen(ctx, ev, c =>
-      s"graft.plans.CmsKernel.estimate($countersRef, $d, $w, $c)")
+      s"graft.plans.CmsKernel.estimate($counters, $depth, $width, $c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CmsEstimate =
@@ -193,8 +200,22 @@ case class CmsEstimate(cmsBytes: Array[Byte], child: Expression)
 object CmsEstimate {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** Column-API entry point. */
-  def cmsEstimate(cmsBytes: Array[Byte], hash64: Column): Column =
-    ColumnBridge.column(
-      CmsEstimate(cmsBytes, ColumnBridge.expression(hash64)))
+  /** Broadcast serialized sketch bytes once; estimates built from the
+    * returned handle share the per-executor copy. */
+  def broadcastCms(cmsBytes: Array[Byte]): Broadcast[Array[Long]] = {
+    val (_, _, counters) = CmsKernel.deserialize(cmsBytes)
+    org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(counters)
+  }
+
+  /** Column-API entry point over a pre-broadcast sketch. */
+  def cmsEstimate(cms: Broadcast[Array[Long]], depth: Int, width: Int,
+                  hash64: Column): Column =
+    ColumnBridge.column(CmsEstimate(cms, depth, width,
+      ColumnBridge.expression(hash64)))
+
+  /** Column-API entry point from serialized bytes (broadcasts them). */
+  def cmsEstimate(cmsBytes: Array[Byte], hash64: Column): Column = {
+    val (d, w, _) = CmsKernel.deserialize(cmsBytes)
+    cmsEstimate(broadcastCms(cmsBytes), d, w, hash64)
+  }
 }

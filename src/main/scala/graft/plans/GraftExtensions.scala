@@ -85,7 +85,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bloom_might_contain"),
       (exprs: Seq[Expression]) => exprs.head match {
         case f if f.foldable && f.dataType == BinaryType =>
-          BloomMightContain(f.eval().asInstanceOf[Array[Byte]], exprs(1))
+          // builder runs on the driver mid-analysis: fold the bytes,
+          // broadcast them, hand the expression only the handle
+          val bytes = f.eval().asInstanceOf[Array[Byte]]
+          val (m, k, _) = BloomKernel.deserialize(bytes)
+          BloomMightContain(BloomMightContain.broadcastBloom(bytes), m, k,
+            exprs(1))
         case other => throw new IllegalArgumentException(
           "bloom_might_contain first argument must be a foldable BINARY " +
             s"Bloom filter (from bloom_agg), got $other")
@@ -111,7 +116,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
       (exprs: Seq[Expression]) => exprs.head match {
         case f if f.foldable && f.dataType == BinaryType =>
-          CmsEstimate(f.eval().asInstanceOf[Array[Byte]], exprs(1))
+          val bytes = f.eval().asInstanceOf[Array[Byte]]
+          val (d, w, _) = CmsKernel.deserialize(bytes)
+          CmsEstimate(CmsEstimate.broadcastCms(bytes), d, w, exprs(1))
         case other => throw new IllegalArgumentException(
           "cms_estimate first argument must be a foldable BINARY " +
             s"Count-Min sketch (from cms_agg), got $other")

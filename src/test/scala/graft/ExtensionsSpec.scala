@@ -208,6 +208,53 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("sketch probes ship as broadcasts, not plan literals: a " +
+    "production-width sketch adds only a handle to the serialized " +
+    "expression") {
+    import graft.plans.{CmsEstimate, CmsKernel, CountMinAgg}
+    import graft.plans.{BloomFilterAgg, BloomKernel, BloomMightContain}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import spark.implicits._
+    def serializedSize(o: AnyRef): Int = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close()
+      bos.size()
+    }
+    // width 2^18 at depth 4 = 8 MB of counters; numBits 2^24 = 2 MB of
+    // filter words.  The task closure must carry the Broadcast handle
+    // (KBs), not the arrays.
+    val (depth, width) = (4, 1 << 18)
+    val cmsBytes = (0 until 1000).map(_.toLong).toDF("k")
+      .agg(CountMinAgg.cmsAgg($"k", depth, width))
+      .head.getAs[Array[Byte]](0)
+    assert(cmsBytes.length > (8 << 20))
+    val cmsExpr = ColumnBridge.expression(
+      CmsEstimate.cmsEstimate(cmsBytes, $"k"))
+    assert(serializedSize(cmsExpr) < (64 << 10),
+      s"cms_estimate expression serialized to ${serializedSize(cmsExpr)} B " +
+        "— the sketch is riding the plan instead of a broadcast")
+    val bloomBytes = (0 until 1000).map(_.toLong).toDF("k")
+      .agg(BloomFilterAgg.bloomAgg($"k", 1 << 24, 5))
+      .head.getAs[Array[Byte]](0)
+    assert(bloomBytes.length > (1 << 20))
+    val bloomExpr = ColumnBridge.expression(
+      BloomMightContain.bloomMightContain(bloomBytes, $"k"))
+    assert(serializedSize(bloomExpr) < (64 << 10),
+      s"bloom_might_contain expression serialized to " +
+        s"${serializedSize(bloomExpr)} B — the filter is riding the plan " +
+        "instead of a broadcast")
+    // and the broadcast-backed probes still answer correctly
+    val est = (0 until 10).map(_.toLong).toDF("k")
+      .select(CmsEstimate.cmsEstimate(cmsBytes, $"k").as("e"))
+      .as[Long].collect()
+    assert(est.forall(_ >= 1))
+    val hits = (0 until 2000).map(_.toLong).toDF("k")
+      .filter(BloomMightContain.bloomMightContain(bloomBytes, $"k"))
+      .count()
+    assert(hits >= 1000 && hits < 1100, s"bloom probe found $hits")
+  }
+
   test("Bloom decontamination equals the exact semi-join even when the " +
     "filter is sized to false-positive heavily") {
     val docs = Tables.documents(spark, sf0001)
