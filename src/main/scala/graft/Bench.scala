@@ -11,25 +11,30 @@ import java.nio.file.{Files, Paths}
   * parser never races concurrent log output — round-1's recorded bench
   * had a log line spliced mid-JSON.
   *
-  * SPARK_GRAFT_BENCH_RUNS (default 2): run each query N times and report
+  * SPARK_GRAFT_BENCH_RUNS (default 3): run each query N times and report
   * the minimum — warm-run mode that subtracts the ~0.5-1 s/query
-  * JIT/codegen warmup from the signal.  The JSON carries "runs" so
-  * rounds remain comparable.  (Default raised 1→2 in round 3 so the
-  * driver-recorded artifact is warm numbers, per the round-2 verdict.)
+  * JIT/codegen warmup AND de-noises ambient-load spikes on a shared
+  * box (rounds 4/6/7 recorded phantom per-query regressions on
+  * byte-identical code; min-of-3 bounds that).  The JSON carries
+  * "runs" so rounds remain comparable.  (1→2 in round 3 for warm
+  * numbers; 2→3 in round 8 for noise, per the round-7 verdict.)
   *
-  * Times are rounded to ms, and the STDOUT line carries only the
-  * slowest `stdoutTopK` queries (plus `queries_run` so the subset is
-  * explicit) — the round-2/3 driver artifacts truncated the head of the
-  * ~3 KB all-queries line in a ~3 KB log-tail window.  The file gets
-  * the full per-query map.  Both totals are the sum of the ROUNDED
-  * per-query values so a consumer cross-checking total vs entries sees
-  * an exact match (file) or a documented subset (stdout).
+  * Times are rounded to ms.  The STDOUT line now carries the FULL
+  * per-query map (round-7 verdict: cross-round per-query comparison
+  * from driver artifacts alone was limited to overlapping top-30
+  * lists; the full 113-entry line is ~4 KB and the driver's recorder
+  * has parsed clean since round 7).  SPARK_GRAFT_BENCH_TOPK=N restores
+  * the slowest-N-only stdout line if a tail-window recorder ever needs
+  * it; the file always gets the full map.  Both totals are the sum of
+  * the ROUNDED per-query values so a consumer cross-checking total vs
+  * entries sees an exact match (or a documented subset when TOPK is
+  * set, flagged by `queries_run` > map size).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -67,14 +72,16 @@ object Bench {
         if (times.isEmpty) { failed += name; None }
         else Some(name -> times.min)
       }
-    val stdoutTopK = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOPK", "30").toInt
+    // 0 = no cap: the stdout line carries every query
+    val stdoutTopK = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOPK", "0").toInt
     def msBd(v: Double): BigDecimal =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val rounded = results.map { case (k, v) => k -> msBd(v) }
     def qJson(m: Iterable[(String, BigDecimal)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = rounded.values.foldLeft(BigDecimal(0))(_ + _)
-    val slowest = rounded.toSeq.sortBy(-_._2).take(stdoutTopK)
+    val slowest = rounded.toSeq.sortBy(-_._2)
+      .take(if (stdoutTopK > 0) stdoutTopK else rounded.size)
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
