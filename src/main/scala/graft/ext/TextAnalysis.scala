@@ -15,24 +15,32 @@ object TextAnalysis {
   /** Tokenization.  Two modes, selected by the session conf
     * `spark.graft.tokenizer`:
     *
-    *  - `simple` (default): split on the literal `sep` (single space) —
-    *    matches the synthetic corpus exactly and stays portable to the
-    *    SQL oracle, which is why it remains the default;
-    *  - `unicode`: real-corpus tokenization — Unicode punctuation
-    *    (`\p{P}`) is stripped to whitespace, then the text splits on
-    *    Unicode whitespace runs (`(?U)\s+`: NBSP, em/en spaces,
-    *    ideographic space, …).  Contractions split ("don't" → "don t");
-    *    that is the standard cheap-tokenizer trade.  All three steps
-    *    are codegen'd `regexp_*`/`split` expressions — no interpreted
-    *    higher-order functions on this hot path.
+    *  - `unicode` (default since round 8): real-corpus tokenization —
+    *    Unicode punctuation (`\p{P}`) is stripped to whitespace, then
+    *    the text splits on Unicode whitespace runs (`(?U)\s+`: NBSP,
+    *    em/en spaces, ideographic space, …).  Contractions split
+    *    ("don't" → "don t"); that is the standard cheap-tokenizer
+    *    trade.  All three steps are codegen'd `regexp_*`/`split`
+    *    expressions — no interpreted higher-order functions on this
+    *    hot path.
+    *  - `simple`: split on the literal `sep` (single space) — the
+    *    oracle-parity fallback.
+    *
+    * Oracle parity under the unicode default: the synthetic corpus is
+    * single-spaced lowercase ASCII with no punctuation (verified:
+    * distinct charset is exactly `[a-z ]`, zero double/leading/
+    * trailing spaces), so both modes produce byte-identical token
+    * arrays on the test tables and the DuckDB oracles keep their plain
+    * `string_split(text, ' ')` — TextAnalysisSpec pins the
+    * equivalence on ASCII and the divergence on messy text.
     *
     * An EXPLICIT non-default `sep` always wins (callers that pass one
     * are pinning semantics, e.g. tests and the oracle queries). */
   def tokens(text: Column, sep: String = " "): Column = {
     val mode =
       try org.apache.spark.sql.SparkSession.active.conf
-        .get("spark.graft.tokenizer", "simple")
-      catch { case _: IllegalStateException => "simple" } // no session yet
+        .get("spark.graft.tokenizer", "unicode")
+      catch { case _: IllegalStateException => "unicode" } // no session yet
     if (mode == "unicode" && sep == " ") {
       val noPunct = regexp_replace(text, "(?U)\\p{P}+", " ")
       val trimmed = regexp_replace(noPunct, "(?U)(^\\s+|\\s+$)", "")

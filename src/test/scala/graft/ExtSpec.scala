@@ -967,6 +967,12 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.tokens($"t", "\\|")).as[Seq[String]].head()
       == Seq("a", "b", "c"))
     finally spark.conf.unset("spark.graft.tokenizer")
+    // the DEFAULT (no conf set) is unicode since round 8: punctuation
+    // and CJK/exotic whitespace tokenize sanely out of the box
+    spark.conf.unset("spark.graft.tokenizer")
+    val byDefault = Seq(Tuple1("日本語　テスト, and more!")).toDF("t")
+      .select(TextAnalysis.tokens($"t")).as[Seq[String]].head()
+    assert(byDefault == Seq("日本語", "テスト", "and", "more"))
   }
 
   test("PII redaction: typed placeholders, counts, ordering contract") {
@@ -1143,12 +1149,20 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("token counts: whitespace vs BPE-ish") {
+    // unicode default: the hyphen is punctuation → foo-bar splits
     val r = Seq("hello world42 foo-bar").toDF("t")
       .select(TextAnalysis.nTokens(TextAnalysis.tokens($"t")),
         TextAnalysis.bpeishCount($"t")).first()
-    assert(r.getInt(0) == 3)
+    assert(r.getInt(0) == 4)
     // hello | world | 42 | foo | - | bar
     assert(r.getInt(1) == 6)
+    // simple mode keeps the literal-space split
+    spark.conf.set("spark.graft.tokenizer", "simple")
+    try {
+      val s = Seq("hello world42 foo-bar").toDF("t")
+        .select(TextAnalysis.nTokens(TextAnalysis.tokens($"t"))).first()
+      assert(s.getInt(0) == 3)
+    } finally spark.conf.unset("spark.graft.tokenizer")
   }
 
   test("rolling hash: equal for equal token streams, shifts change it") {
