@@ -21,6 +21,23 @@ class HttpClientFetcher extends PageFetcher {
       .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
       .build()
 
+  /** Per-host in-flight cap for THIS JVM (reference analog: the
+    * p-limit(10) politeness contract, `cmu.js:74`, and the 20-device
+    * batches of `airgradient.js:101-110`).  Spark's task parallelism
+    * otherwise fires one request per core at the same host.  Set via
+    * the `fetcher.maxInflightPerHost` source option; cluster-wide
+    * in-flight is cap × executor count, so size it as
+    * budget / #executors. */
+  @volatile private var maxInflightPerHost: Int =
+    HttpClientFetcher.defaultMaxInflightPerHost
+
+  override def configure(conf: Map[String, String]): Unit =
+    conf.get("maxinflightperhost").foreach { v =>
+      val n = v.toInt
+      require(n >= 1, s"fetcher.maxInflightPerHost must be >= 1, got $n")
+      maxInflightPerHost = n
+    }
+
   override def fetch(req: PageRequest): Seq[String] = {
     val uri = java.net.URI.create(HttpClientFetcher.withQuery(req))
     val builder = java.net.http.HttpRequest.newBuilder(uri)
@@ -28,6 +45,8 @@ class HttpClientFetcher extends PageFetcher {
     req.headers.toSeq.sortBy(_._1)
       .foreach { case (k, v) => builder.header(k, v) }
     val request = builder.build()
+    val limiter = HttpClientFetcher.limiterFor(
+      s"${uri.getHost}:${uri.getPort}", maxInflightPerHost)
     var attempt = 0
     var result: Option[Seq[String]] = None
     var lastErr: Throwable = null
@@ -35,8 +54,13 @@ class HttpClientFetcher extends PageFetcher {
       if (attempt > 0) Thread.sleep(HttpClientFetcher.backoffMs << (attempt - 1))
       attempt += 1
       try {
-        val resp = client.send(request,
-          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        // the permit covers only the wire time — backoff sleeps hold
+        // no permit, so a retrying task never starves its neighbors
+        limiter.acquire()
+        val resp =
+          try client.send(request,
+            java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+          finally limiter.release()
         val code = resp.statusCode()
         if (code >= 200 && code < 300) {
           val enc = resp.headers().firstValue("Content-Encoding")
@@ -69,6 +93,22 @@ class HttpClientFetcher extends PageFetcher {
 
 object HttpClientFetcher {
   val maxAttempts = 3
+
+  /** Conservative default politeness cap (the reference uses 10 for
+    * its heaviest API). */
+  val defaultMaxInflightPerHost = 8
+
+  /** host:port → semaphore, shared by every fetcher instance in this
+    * JVM so concurrent tasks contend on the same permits.  The FIRST
+    * fetcher to touch a host fixes its cap (documented first-wins —
+    * one politeness budget per host per executor). */
+  private val limiters =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Semaphore]()
+
+  private[v2] def limiterFor(hostKey: String,
+                             permits: Int): java.util.concurrent.Semaphore =
+    limiters.computeIfAbsent(hostKey,
+      _ => new java.util.concurrent.Semaphore(permits, true))
   /** Base backoff between retries; system-property override keeps the
     * retry test fast. */
   def backoffMs: Long =

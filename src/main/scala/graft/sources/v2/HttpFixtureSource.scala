@@ -51,6 +51,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * identical either way. */
 trait PageFetcher extends Serializable {
   def fetch(req: PageRequest): Seq[String]
+
+  /** Source options prefixed `fetcher.` arrive here (prefix stripped,
+    * keys lowercased — DSv2 option maps are case-insensitive), once,
+    * right after instantiation.  Default: ignore. */
+  def configure(conf: Map[String, String]): Unit = ()
 }
 
 case class PageRequest(url: String,
@@ -74,9 +79,23 @@ class FixtureFetcher extends PageFetcher {
 }
 
 object PageFetcher {
-  def instantiate(className: String): PageFetcher =
-    Class.forName(className).getDeclaredConstructor()
+  def instantiate(className: String,
+                  conf: Map[String, String] = Map.empty): PageFetcher = {
+    val f = Class.forName(className).getDeclaredConstructor()
       .newInstance().asInstanceOf[PageFetcher]
+    f.configure(conf)
+    f
+  }
+
+  /** `fetcher.`-prefixed entries of a DSv2 option/property map, prefix
+    * stripped and keys lowercased. */
+  def confOf(m: java.util.Map[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    m.asScala.collect {
+      case (k, v) if k.toLowerCase.startsWith("fetcher.") =>
+        k.toLowerCase.stripPrefix("fetcher.") -> v
+    }.toMap
+  }
 }
 
 class HttpFixtureSource extends TableProvider
@@ -93,7 +112,8 @@ class HttpFixtureSource extends TableProvider
     HttpFixtureSource.infer(HttpFixtureSource.readLines(
       Option(options.get("path")).getOrElse(
         throw new IllegalArgumentException("path option required")),
-      PageFetcher.instantiate(fetcherOf(options.get))))
+      PageFetcher.instantiate(fetcherOf(options.get),
+        PageFetcher.confOf(options))))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -101,7 +121,7 @@ class HttpFixtureSource extends TableProvider
       Option(properties.get("path")).getOrElse(
         throw new IllegalArgumentException("path option required")),
       Option(properties.get("partitions")).map(_.toInt).getOrElse(4),
-      fetcherOf(properties.get))
+      fetcherOf(properties.get), PageFetcher.confOf(properties))
 }
 
 object HttpFixtureSource {
@@ -249,18 +269,21 @@ object HttpFixtureSource {
 }
 
 class FixtureTable(tableSchema: StructType, path: String, partitions: Int,
-                   fetcherClass: String)
+                   fetcherClass: String,
+                   fetcherConf: Map[String, String] = Map.empty)
     extends Table with SupportsRead {
   override def name(): String = s"graft-fixture($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FixtureScanBuilder(tableSchema, path, partitions, fetcherClass)
+    new FixtureScanBuilder(tableSchema, path, partitions, fetcherClass,
+      fetcherConf)
 }
 
 class FixtureScanBuilder(fullSchema: StructType, path: String,
-                         partitions: Int, fetcherClass: String)
+                         partitions: Int, fetcherClass: String,
+                         fetcherConf: Map[String, String] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -323,13 +346,14 @@ class FixtureScanBuilder(fullSchema: StructType, path: String,
 
   override def build(): Scan =
     new FixtureScan(fullSchema, required, pushed, path, partitions,
-      fetcherClass, limit, topN)
+      fetcherClass, limit, topN, fetcherConf)
 }
 
 class FixtureScan(fullSchema: StructType, required: StructType,
                   pushed: Array[Filter], path: String, partitions: Int,
                   fetcherClass: String, limit: Option[Int] = None,
-                  topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None)
+                  topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None,
+                  fetcherConf: Map[String, String] = Map.empty)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -354,7 +378,7 @@ class FixtureScan(fullSchema: StructType, required: StructType,
       case None =>
         val all = HttpFixtureSource
           .scanPage(path, fullSchema, required, pushed,
-            PageFetcher.instantiate(fetcherClass), topN)
+            PageFetcher.instantiate(fetcherClass, fetcherConf), topN)
         val keep = limit.fold(all)(all.take).toArray
         if (topN.isDefined) {
           // fully-pushed TopN removed Spark's Sort: the scan OWNS the
@@ -370,21 +394,23 @@ class FixtureScan(fullSchema: StructType, required: StructType,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FixtureReaderFactory(fullSchema, required, pushed, fetcherClass)
+    new FixtureReaderFactory(fullSchema, required, pushed, fetcherClass,
+      fetcherConf)
 }
 
 case class FixturePartition(rows: Array[Array[Any]]) extends InputPartition
 case class FixturePagePartition(file: String) extends InputPartition
 
 class FixtureReaderFactory(fullSchema: StructType, required: StructType,
-                           pushed: Array[Filter], fetcherClass: String)
+                           pushed: Array[Filter], fetcherClass: String,
+                           fetcherConf: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
 
   private def rowIterator(p: InputPartition): Iterator[Array[Any]] = p match {
     case FixturePartition(rows) => rows.iterator
     case FixturePagePartition(file) => // fetch happens HERE, in the task
       HttpFixtureSource.scanPage(file, fullSchema, required, pushed,
-        PageFetcher.instantiate(fetcherClass))
+        PageFetcher.instantiate(fetcherClass, fetcherConf))
     case other =>
       throw new IllegalArgumentException(s"unexpected partition: $other")
   }

@@ -11,6 +11,16 @@ class CannedFetcher extends graft.sources.v2.PageFetcher {
       """{"sensor_index": 8, "pm25": 0.8}""")
 }
 
+/** Captures the conf handed to [[graft.sources.v2.PageFetcher.configure]]
+  * so the option-plumbing test can assert on it. */
+class RecordingConfFetcher extends graft.sources.v2.FixtureFetcher {
+  override def configure(conf: Map[String, String]): Unit =
+    RecordingConfFetcher.seen = conf
+}
+object RecordingConfFetcher {
+  @volatile var seen: Map[String, String] = Map.empty
+}
+
 class DsV2Spec extends SparkSpec {
   import spark.implicits._
 
@@ -156,6 +166,63 @@ class DsV2Spec extends SparkSpec {
       System.clearProperty("graft.http.backoffMs")
       server.stop(0)
     }
+  }
+
+  test("fetcher.* source options reach the fetcher via configure") {
+    RecordingConfFetcher.seen = Map.empty
+    val df = spark.read.format("graft-fixture")
+      .option("fetcher", classOf[RecordingConfFetcher].getName)
+      .option("fetcher.maxInflightPerHost", "3")
+      .option("fetcher.apiKeyHeader", "X-Key")
+      .load(path)
+    assert(df.count() == 4)
+    // DSv2 option maps are case-insensitive → keys arrive lowercased,
+    // prefix stripped
+    assert(RecordingConfFetcher.seen.get("maxinflightperhost")
+      .contains("3"), RecordingConfFetcher.seen)
+    assert(RecordingConfFetcher.seen.get("apikeyheader")
+      .contains("X-Key"), RecordingConfFetcher.seen)
+  }
+
+  test("per-host in-flight cap: 24 concurrent fetches never exceed the " +
+    "configured limit, and all complete") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.sources.v2.{HttpClientFetcher, PageRequest}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // an Executor with real parallelism — the default single-threaded
+    // handler would serialize requests and mask a broken cap
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(32))
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val body = "{\"v\": 1}".getBytes("UTF-8")
+    server.createContext("/slow", (ex: HttpExchange) => {
+      val now = inFlight.incrementAndGet()
+      maxSeen.accumulateAndGet(now, Math.max(_, _))
+      Thread.sleep(30) // widen the overlap window
+      inFlight.decrementAndGet()
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val f = new HttpClientFetcher
+      f.configure(Map("maxinflightperhost" -> "3"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(24)
+      try {
+        val futures = (1 to 24).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            override def call(): Int = f.fetch(PageRequest(s"$base/slow")).size
+          })
+        }
+        assert(futures.map(_.get()).sum == 24, "every fetch must succeed")
+      } finally pool.shutdown()
+      assert(maxSeen.get() <= 3,
+        s"server observed ${maxSeen.get()} concurrent requests, cap was 3")
+      assert(maxSeen.get() >= 2,
+        "the pool never overlapped — test lost its teeth")
+    } finally server.stop(0)
   }
 
   test("limit pushdown: fully pushed for single payloads (with filters " +
