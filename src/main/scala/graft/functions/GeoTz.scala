@@ -124,13 +124,19 @@ object GeoTz {
     * bounded-dim rationale as [[loadZones]]. */
   def loadZonesGeoJson(spark: SparkSession,
                        path: String): Seq[(String, Seq[Double], Seq[Double])] = {
-    import scala.jdk.CollectionConverters._
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
-    val root =
-      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-      finally in.close()
+    try parseZonesGeoJson(in) finally in.close()
+  }
+
+  /** The parsing half of [[loadZonesGeoJson]], over any stream — also
+    * feeds the bundled [[denseWorldZones]] resource (no SparkSession
+    * needed, so oracle SQL generation can run before one exists). */
+  def parseZonesGeoJson(in: java.io.InputStream)
+      : Seq[(String, Seq[Double], Seq[Double])] = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
     def ring(r: com.fasterxml.jackson.databind.JsonNode)
         : (Seq[Double], Seq[Double]) = {
       val pts = r.elements().asScala
@@ -151,6 +157,21 @@ object GeoTz {
       }
       outers.map { o => val (xs, ys) = ring(o); (tz, xs, ys) }
     }.toSeq
+  }
+
+  /** The bundled ~230-zone world extract
+    * (`graft/tz/dense_zones.geojson`, generated by
+    * `tools/gen_dense_tz.py`): every feature is a coarse tilted
+    * bounding quad of one IANA zone's main landmass, in
+    * timezone-boundary-builder's combined.json schema.  Containment is
+    * approximate (boxes bleed into neighbors and coastal water;
+    * min(tz) resolves overlaps deterministically) — swap in a real
+    * simplified tz-boundary dump via [[loadZonesGeoJson]] for survey
+    * accuracy; plan and operators are identical at either fidelity. */
+  lazy val denseWorldZones: Seq[(String, Seq[Double], Seq[Double])] = {
+    val in = getClass.getResourceAsStream("/graft/tz/dense_zones.geojson")
+    require(in != null, "bundled dense_zones.geojson missing from classpath")
+    try parseZonesGeoJson(in) finally in.close()
   }
 
   /** Grid-indexed polygon dim: (cx, cy, tz, xs, ys), one row per

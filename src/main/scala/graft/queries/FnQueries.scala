@@ -120,13 +120,17 @@ object FnQueries {
         ColumnFns.tzFromLon(col("c_custkey") % 360 - 180).as("tz"))),
 
     // F16 real polygon lookup: broadcast grid-indexed zone dim +
-    // codegen ray-cast point-in-polygon, nautical fallback off-zone
+    // codegen ray-cast point-in-polygon, nautical fallback off-zone.
+    // Round 8: runs against the bundled ~230-zone world extract (the
+    // dense dim), not the 5-polygon synthetic table — land points
+    // resolve to real IANA zones, nautical only at sea.
     "f16b_tz_polygon" -> ((s, d) =>
       graft.functions.GeoTz.tzForPoints(
         Tables.customer(s, d).select(col("c_custkey"),
           (col("c_custkey") % 360 - 180).cast("double").as("lon"),
           (col("c_custkey") % 160 - 80).cast("double").as("lat")),
-        "c_custkey", "lon", "lat")),
+        "c_custkey", "lon", "lat",
+        zs = graft.functions.GeoTz.denseWorldZones)),
 
     // F17 JSON serialize (providers.js:99)
     "f17_to_json" -> ((s, d) =>
@@ -230,9 +234,12 @@ object FnQueries {
     * horizontal edges, so the non-short-circuiting CASE never divides
     * by zero. */
   private val f16bSql: String = {
-    val polyValues = graft.functions.GeoTz.zones.map { case (tz, xs, ys) =>
-      s"('$tz', [${xs.mkString(", ")}], [${ys.mkString(", ")}])"
-    }.mkString(",\n  ")
+    // the SAME dense dim the Spark query uses — the oracle replays all
+    // ~230 ray-casts; min(tz) keeps overlap resolution deterministic
+    val polyValues = graft.functions.GeoTz.denseWorldZones
+      .map { case (tz, xs, ys) =>
+        s"('$tz', [${xs.mkString(", ")}], [${ys.mkString(", ")}])"
+      }.mkString(",\n  ")
     val prev = "CASE WHEN i = 1 THEN len(xs) ELSE i - 1 END"
     s"""WITH pts AS (SELECT c_custkey,
        |               CAST(c_custkey % 360 - 180 AS DOUBLE) AS px,

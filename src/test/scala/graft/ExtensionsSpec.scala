@@ -407,6 +407,41 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("dense world extract: ~230 zones load from the bundled GeoJSON, " +
+    "land coordinates resolve to real IANA zones, nautical only at sea") {
+    import graft.functions.GeoTz
+    val zs = GeoTz.denseWorldZones
+    assert(zs.length >= 200, s"expected a dense extract, got ${zs.length}")
+    assert(zs.forall { case (_, xs, ys) =>
+      xs.length == 4 && ys.length == 4 &&
+        ys.indices.forall(i => ys(i) != ys((i + 1) % 4)) // no horizontal edge
+    })
+    val cities = Seq(
+      (1L, 2.35, 48.85, "Europe/Paris"),
+      (2L, -0.13, 51.51, "Europe/London"),
+      (3L, 139.69, 35.69, "Asia/Tokyo"),
+      (4L, -99.13, 19.43, "America/Mexico_City"),
+      (5L, 36.82, -1.29, "Africa/Nairobi"),
+      (6L, 77.21, 28.64, "Asia/Kolkata"),
+      (7L, -58.38, -34.60, "America/Argentina/Buenos_Aires"),
+      (8L, 174.76, -36.85, "Pacific/Auckland"),
+      (9L, 37.62, 55.75, "Europe/Moscow"),
+      (10L, -149.5, -17.68, "Pacific/Tahiti"),
+      (11L, -140.0, -20.0, "UTC-9"),   // open Pacific → nautical
+      (12L, -30.0, 0.0, "UTC-2"))      // mid-Atlantic → nautical
+    val got = GeoTz.tzForPoints(
+        cities.map(c => (c._1, c._2, c._3)).toDF("id", "lon", "lat"),
+        "id", "lon", "lat", zs = zs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cities.foreach { case (id, _, _, want) =>
+      assert(got(id) == want, s"point $id: got ${got(id)}, want $want")
+    }
+    // the bundled file also round-trips through the Hadoop-path loader
+    val viaLoader = GeoTz.loadZonesGeoJson(spark,
+      "src/main/resources/graft/tz/dense_zones.geojson")
+    assert(viaLoader == zs)
+  }
+
   test("x18 packing and x17 IVF plans: every window is partitioned " +
     "(no global sort funnels)") {
     val packs = graft.ext.CorpusStats.packAssignments(
