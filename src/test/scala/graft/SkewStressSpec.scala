@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+/** Adversarial-skew proof for the pairwise paths: a corpus engineered
+  * so thousands of docs share ONE band bucket / ONE cosine bucket, with
+  * the per-task work distribution measured from real task metrics — the
+  * 100×-scale skew story tested, not just documented.
+  *
+  * Methodology: a SparkListener records per-task shuffle records; the
+  * stage moving the most records is the candidate-pair stage (the join
+  * output feeding the distinct), and its task histogram is the skew
+  * evidence.  AQE is off during measurement so Spark cannot re-split
+  * the hot partition behind the test's back (at scale AQE skew-join is
+  * a SECOND line of defense; salting must stand alone). */
+class SkewStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run `body`, return stageId → per-task shuffle (write, read) record
+    * counts, polling until the listener bus has drained. */
+  private def perTaskRecords(body: => Unit): Map[Int, Seq[(Long, Long)]] = {
+    val recs =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, (Long, Long))]()
+    val l = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) recs.add((t.stageId,
+          (m.shuffleWriteMetrics.recordsWritten,
+            m.shuffleReadMetrics.recordsRead)))
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var last = -1
+      var stable = 0
+      while (stable < 2) { // listener events arrive async — settle
+        Thread.sleep(250)
+        if (recs.size == last) stable += 1 else { stable = 0; last = recs.size }
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    import scala.jdk.CollectionConverters._
+    recs.asScala.toSeq.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+  }
+
+  private def withMeasuredConf[T](parts: Int)(body: => T): T = {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.shuffle.partitions", sp)
+    }
+  }
+
+  /** 600 identical docs (one mega band bucket at bandRows = k) plus 100
+    * distinct fillers. */
+  private def hotCorpus = {
+    val rnd = new scala.util.Random(1234)
+    val boiler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 600L).map((_, boiler)) ++
+      (601L to 700L).map(i =>
+        (i, (1 to 30).map(_ => s"t${rnd.nextInt(100000)}").mkString(" ")))
+    docs.toDF("doc_id", "text")
+  }
+
+  test("salted LSH band join spreads a mega-bucket: per-task pair " +
+    "volume within 2.5x of median; unsalted pins one task") {
+    withMeasuredConf(16) {
+      def run(salts: Int): (Long, Seq[Long]) = {
+        var n = 0L
+        val stages = perTaskRecords {
+          n = graft.ext.Dedup.minhashLshPairs(hotCorpus, "doc_id", "text",
+            n = 1, k = 8, bandRows = 8, threshold = 0.8, salts = salts)
+            .count()
+        }
+        // the candidate-pair stage is the one writing the most records
+        val pairStage = stages.maxBy(_._2.map(_._1).sum)._2.map(_._1)
+        (n, pairStage.filter(_ > 0))
+      }
+      val (nSalted, salted) = run(16)
+      val (nUnsalted, unsalted) = run(1)
+      // same answer either way — salting only redistributes work
+      assert(nSalted == nUnsalted && nSalted >= 179700L,
+        s"pair counts diverged or implausible: $nSalted vs $nUnsalted")
+      // unsalted: the single band key hash-routes EVERYTHING to one task
+      assert(unsalted.max >= (unsalted.sum * 0.9).toLong,
+        s"expected one pinned task, got spread $unsalted")
+      // salted: the same volume spreads — no task above 2.5x the median,
+      // and a real fan-out (most of the 16 sub-keys carry work)
+      assert(salted.size >= 8, s"only ${salted.size} tasks carried pairs")
+      val sorted = salted.sorted
+      val median = sorted(sorted.size / 2)
+      assert(salted.max <= median * 2.5,
+        s"skewed salted spread: max=${salted.max} median=$median ($sorted)")
+      assert(salted.max < unsalted.max / 4,
+        s"salting should cut the hottest task >= 4x: " +
+          s"${salted.max} vs ${unsalted.max}")
+    }
+  }
+
+  test("block decomposition spreads a mega cosine bucket: blocks=4 " +
+    "caps per-task pair work, identical results") {
+    withMeasuredConf(16) {
+      val rnd = new scala.util.Random(99)
+      val hot = Array.fill(8)(1.0f)
+      val corpus = ((1L to 400L).map(i => (i, hot)) ++
+        (401L to 450L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+        ).toDF("vec_id", "embedding")
+      def run(blocks: Int): (Set[(Long, Long)], Seq[Long]) = {
+        val pairs = graft.ext.Similarity
+          .cosineNearDupPairsBucketed(corpus, 0.95, dim = 8, planes = 2,
+            blocks = blocks)
+          .select("a", "b")
+        val out = pairs.as[(Long, Long)].collect().toSet
+        // measure per-task PAIR PRODUCTION (the O(n²) work itself): a
+        // user repartition after the kernel forces every produced pair
+        // through a shuffle, so the kernel stage's per-task shuffle
+        // writes ARE its pair counts
+        val stages = perTaskRecords {
+          pairs.repartition(col("a")).count()
+          ()
+        }
+        val kernelStage = stages.maxBy(_._2.map(_._1).sum)._2.map(_._1)
+        (out, kernelStage.filter(_ > 0))
+      }
+      val (one, writesOne) = run(1)
+      val (four, writesFour) = run(4)
+      assert(one == four, "block decomposition must not change results")
+      assert(one.size >= 79800, s"expected the mega-bucket pairs, got ${one.size}")
+      // blocks=1: one task scores the whole 400-vector bucket
+      assert(writesOne.max >= (writesOne.sum * 0.9).toLong,
+        s"expected a pinned task, got $writesOne")
+      // blocks=4: the hottest task carries at most a couple of the 10
+      // block-pairs (each ~(n/B)² ≈ 1/8 of the bucket's pair space)
+      assert(writesFour.max <= writesOne.max / 3,
+        s"block spread too weak: ${writesFour.max} vs ${writesOne.max}")
+      assert(writesFour.size >= 6,
+        s"only ${writesFour.size} tasks carried pair work")
+    }
+  }
+}
