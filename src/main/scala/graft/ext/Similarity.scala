@@ -261,10 +261,21 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: all (a<b) pairs above a
     * cosine threshold.  Brute-force within the corpus — the embedding
-    * analog of [[Dedup.blockedJaccardPairs]]; at scale, block by LSH
-    * bucket first (same join shape as [[lshTopK]]). */
+    * analog of [[Dedup.blockedJaccardPairs]], retained as the exact
+    * semantic baseline; production near-dup goes through
+    * [[cosineNearDupPairsBucketed]] (LSH-bucket-blocked, never
+    * all-pairs).  Refuses corpus-sized input outright — an O(n²) cross
+    * join past the cap is a cluster-melter, and the refusal names the
+    * right operator (same guard contract as [[cosinePairsKernel]]).
+    * `maxRows` raises the cap for deliberate ground-truth runs. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
-                         dim: Int = 64): DataFrame = {
+                         dim: Int = 64, maxRows: Long = 100000L): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxRows,
+      s"cosineNearDupPairs is the brute-force O(n²) baseline: $n rows > " +
+        s"cap $maxRows (~${n * n / 2} pairs). Use " +
+        "cosineNearDupPairsBucketed for corpus-scale near-dup instead, " +
+        "or raise maxRows for a deliberate ground-truth run.")
     val a = withNorm(corpus, "a", "va")
     val b = withNorm(corpus, "b", "vb")
     a.crossJoin(b).filter(col("a") < col("b"))

@@ -842,6 +842,17 @@ class SimilaritySpec extends SparkSpec {
     assert(wrong == 0)
   }
 
+  test("brute-force cosine pairs refuse corpus-sized input with a " +
+    "pointer to the bucketed operator") {
+    val big = spark.range(1001)
+      .select($"id".as("vec_id"),
+        array(Seq.fill(8)(lit(1.0f)): _*).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(big, 0.9, dim = 8, maxRows = 1000)
+    }
+    assert(e.getMessage.contains("cosineNearDupPairsBucketed"))
+  }
+
   test("bucketed cosine near-dup: subset of exact pairs, scores identical, " +
     "distributed plan (sf0.001)") {
     val e = Tables.embeddings(spark, sf0001)
