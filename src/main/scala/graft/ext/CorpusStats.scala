@@ -370,6 +370,26 @@ object CorpusStats {
       .filter(col("freq") >= minFreq)
   }
 
+  /** Per-source vocabulary size, sketch next to truth: the
+    * [[graft.plans.HllAgg]] HyperLogLog estimate (256 B of state per
+    * source, elementwise-max merge) alongside the exact
+    * `count(DISTINCT …)`.  At 100 TB the exact column is the one you
+    * DROP: countDistinct builds a per-group hash table over every
+    * distinct token and shuffles the full (source, token) stream,
+    * while the sketch's partials are 256 bytes per source per mapper —
+    * the side-by-side output exists so the error of the cheap path is
+    * measured on your own data, not asserted from a formula
+    * (σ ≈ 1.04/√256 ≈ 6.5%).  Every hash is md5-derived, so the
+    * estimate is bit-reproducible across engines (the x48 oracle
+    * replays registers and float arithmetic exactly). */
+  def vocabSizeBySource(docs: DataFrame, sourceCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"))
+      .agg(round(graft.plans.HllAgg.hllAgg(col("tok")), 4).as("est_vocab"),
+        countDistinct(col("tok")).as("n_exact"))
+
   /** The checkpointed (source, token, count) table that
     * [[sourceDivergence]] and [[vocabCoverage]] both derive from —
     * ONE corpus-sized shuffle, shareable across analytics

@@ -123,6 +123,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "cms_estimate first argument must be a foldable BINARY " +
             s"Count-Min sketch (from cms_agg), got $other")
       }))
+    // hll_agg(value): md5-deterministic HyperLogLog distinct count —
+    // the cardinality sibling of the Bloom/CMS pair (oracle-replayable,
+    // unlike approx_count_distinct's internal xxhash sketch)
+    e.injectFunction((
+      new FunctionIdentifier("hll_agg"),
+      new ExpressionInfo(classOf[HllAgg].getName, "hll_agg"),
+      (exprs: Seq[Expression]) => HllAgg(exprs.head)))
     // pii_redact(text): the privacy scrub as a SQL function.  The
     // builder runs mid-analysis, so it must emit RESOLVED Catalyst
     // nodes — the RegExpReplace chain is built directly from the same

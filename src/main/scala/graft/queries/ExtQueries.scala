@@ -440,7 +440,14 @@ object ExtQueries {
       Similarity.pqTopK(
         e.filter(col("vec_id") < 8), e.filter(col("vec_id") >= 8),
         topK = 10, dim = 64, m = 8, k = 16)
-    }))
+    }),
+
+    // HyperLogLog per-source vocabulary (third sketch family:
+    // membership=Bloom, frequency=CMS, cardinality=HLL) — estimate
+    // side-by-side with the exact count it replaces at scale
+    "x48_hll_vocab" -> ((s, d) =>
+      graft.ext.CorpusStats.vocabSizeBySource(Tables.documents(s, d),
+        "source", "text")))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -1160,6 +1167,50 @@ object ExtQueries {
         |FROM p JOIN sig sa ON p.a = sa.doc_id
         |       JOIN sig sb ON p.b = sb.doc_id""".stripMargin
     },
+    // md5-deterministic HyperLogLog: the oracle replays bucket, rho,
+    // register max AND the estimate float arithmetic (Σ in bucket
+    // order, 2^-r exact in a double) — bit-identical to HllKernel
+    "x48_hll_vocab" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |dt AS (SELECT DISTINCT source, tok FROM tok),
+        |p AS (SELECT source, md5(tok) AS h,
+        |        len(regexp_extract(substr(md5(tok), 3, 12), '^0*')) AS z
+        |      FROM dt),
+        |r AS (SELECT source,
+        |        (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+        |        max(4 * z
+        |          + CASE WHEN z = 12 THEN 0
+        |                 WHEN substr(h, 3 + z, 1) = '1' THEN 3
+        |                 WHEN substr(h, 3 + z, 1) IN ('2', '3') THEN 2
+        |                 WHEN substr(h, 3 + z, 1) IN ('4', '5', '6', '7') THEN 1
+        |                 ELSE 0 END + 1) AS rho
+        |      FROM p GROUP BY 1, 2),
+        |grid AS (SELECT s.source, gs.j AS bucket
+        |         FROM (SELECT DISTINCT source FROM documents) s
+        |         CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS j) gs),
+        |fullr AS (SELECT g.source, g.bucket, coalesce(r.rho, 0) AS rho
+        |          FROM grid g
+        |          LEFT JOIN r ON g.source = r.source AND g.bucket = r.bucket),
+        |agg AS (SELECT source,
+        |          list_sum(list_transform(list(rho ORDER BY bucket),
+        |            x -> power(2::DOUBLE, -x))) AS s,
+        |          len(list_filter(list(rho ORDER BY bucket),
+        |            x -> x = 0)) AS v
+        |        FROM fullr GROUP BY 1),
+        |est AS (SELECT source,
+        |          0.7213::DOUBLE / (1::DOUBLE + 1.079::DOUBLE / 256)
+        |            * 256 * 256 / s AS raw, v
+        |        FROM agg),
+        |ex AS (SELECT source, count(DISTINCT tok) AS n_exact
+        |       FROM tok GROUP BY 1)
+        |SELECT est.source,
+        |       round(CASE WHEN raw <= 2.5::DOUBLE * 256 AND v > 0
+        |                  THEN 256 * ln(256::DOUBLE / v) ELSE raw END, 4)
+        |         AS est_vocab,
+        |       ex.n_exact
+        |FROM est JOIN ex ON est.source = ex.source""".stripMargin,
     // CMS prefilter never underestimates → same exact rows as the
     // naive aggregation (the Bloom-pair exactness pattern, x35)
     "x46_heavy_hitters" ->

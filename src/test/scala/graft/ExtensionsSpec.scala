@@ -208,6 +208,35 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("HyperLogLog aggregate: partitioning-independent, duplicate-blind, " +
+    "estimate within the theoretical error bound, SQL-registered") {
+    import graft.plans.{HllAgg, HllKernel}
+    import spark.implicits._
+    val keys = (1 to 20000).map(i => s"key-$i")
+    def est(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(HllAgg.hllAgg(col("v"))).head.getDouble(0)
+    val base = est(keys.toDF("v").repartition(8))
+    // partitioning must not move the estimate (max-merge is associative)
+    assert(est(keys.toDF("v").repartition(3)) == base)
+    // duplicates must not move it (max is idempotent)
+    assert(est((keys ++ keys ++ keys.take(5000)).toDF("v").repartition(8))
+      == base)
+    // σ ≈ 1.04/√256 = 6.5%; allow 4σ
+    assert(math.abs(base - 20000) / 20000 < 0.26,
+      s"HLL estimate $base implausible for 20000 distinct")
+    // local replay of the kernel matches the distributed aggregate
+    val regs = new Array[Long](HllKernel.m)
+    keys.foreach(k => HllKernel.add(regs, k.getBytes("UTF-8")))
+    assert(HllKernel.estimate(regs) == base)
+    // SQL surface
+    keys.toDF("v").createOrReplaceTempView("__hllv")
+    assert(spark.sql("SELECT hll_agg(v) FROM __hllv").head.getDouble(0)
+      == base)
+    // linear-counting branch: tiny cardinality stays near-exact
+    val small = est((1 to 30).map(i => s"s$i").toDF("v"))
+    assert(math.abs(small - 30) < 4, s"small-range estimate $small for 30")
+  }
+
   test("sketch probes ship as broadcasts, not plan literals: a " +
     "production-width sketch adds only a handle to the serialized " +
     "expression") {
