@@ -390,6 +390,48 @@ object CorpusStats {
       .agg(round(graft.plans.HllAgg.hllAgg(col("tok")), 4).as("est_vocab"),
         countDistinct(col("tok")).as("n_exact"))
 
+  /** PMI collocation mining: top-`topK` bigrams by pointwise mutual
+    * information `ln(c12·N / (c1·c2))` with a `minCount` floor — the
+    * standard multiword-expression / tokenizer-merge-candidate signal
+    * (a high-PMI bigram is one BPE would fuse).  The floor matters:
+    * PMI is maximal for hapax pairs, so unfloored ranking returns
+    * noise.
+    *
+    * Scale shape: bigram assembly is the shuffle-free narrow
+    * [[Dedup.assembleNgrams]] pass; the two count aggregations are
+    * vocabulary-keyed (map-side partials); the bigram total attaches
+    * as a single-row broadcast (bounded BNLJ, same pattern as x44's
+    * doc-count); ranking is a distributed TakeOrdered over the floored
+    * candidate set, never a global-sort window.  Rounds to 6 decimals
+    * BEFORE ranking with a bigram tiebreak, so the cut is
+    * engine-portable. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5, topK: Int = 20): DataFrame = {
+    val tokDf = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val bi = Dedup.assembleNgrams(tokDf, 2).select(col("sh").as("bigram"))
+    val biCounts = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    val uni = tokDf.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = bi.agg(count(lit(1)).as("n"))
+    // get(), not getItem(): the join below makes Catalyst infer
+    // isnotnull(w2) and push `split(bigram)[1]` BELOW the aggregate
+    // onto raw n-gram zip rows — where concat_ws skips a null t1 and
+    // the 1-element split makes ANSI getItem throw.  get() returns
+    // null there and the pushed constraint filters the row instead.
+    biCounts.filter(col("c12") >= minCount)
+      .withColumn("w1", get(split(col("bigram"), " "), lit(0)))
+      .withColumn("w2", get(split(col("bigram"), " "), lit(1)))
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi",
+        round(log(col("c12") * col("n") / (col("c1") * col("c2"))), 6))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"))
+  }
+
   /** The checkpointed (source, token, count) table that
     * [[sourceDivergence]] and [[vocabCoverage]] both derive from —
     * ONE corpus-sized shuffle, shareable across analytics

@@ -144,6 +144,33 @@ object TextAnalysis {
 
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Per-document character-distribution Shannon entropy
+    * `−Σ (c/n)·ln(c/n)` over the document's characters — the
+    * encoding-garbage detector the token-level signals miss: mojibake,
+    * base64/hex blobs, and key-mash text sit at pathological entropy
+    * (too high for natural language, or too low for repeated-character
+    * padding), while natural-language text clusters tightly per
+    * language.  Standard cheap quality gate next to the Gopher
+    * repetition rules.
+    *
+    * Plan shape: explode to (doc, char) — bounded by text bytes — one
+    * codegen'd two-level hash agg to char counts, one more to the
+    * per-doc sum; `n` is `length(text)` so no second pass or window
+    * computes the denominator.  `c/n` is an exact-int division both
+    * engines perform identically; the Σ rounds to 6 decimals (the
+    * cross-engine float-sum idiom every divergence-scored query here
+    * uses). */
+  def charEntropy(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        length(col(textCol)).as("n"),
+        explode(split(col(textCol), "")).as("ch"))
+      .groupBy(col("doc_id"), col("n"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(-sum((col("c") / col("n")) *
+        log(col("c") / col("n"))), 6).as("entropy"))
+
   /** Per-document repetition signals (the Gopher-rule family of
     * repetition quality filters): what fraction of the document is its
     * single most frequent token / bigram, and how diverse the

@@ -447,7 +447,19 @@ object ExtQueries {
     // side-by-side with the exact count it replaces at scale
     "x48_hll_vocab" -> ((s, d) =>
       graft.ext.CorpusStats.vocabSizeBySource(Tables.documents(s, d),
-        "source", "text")))
+        "source", "text")),
+
+    // PMI collocations: top bigrams by pointwise mutual information
+    // with a min-count floor (multiword-expression / BPE-merge signal)
+    "x49_pmi_collocations" -> ((s, d) =>
+      graft.ext.CorpusStats.pmiCollocations(Tables.documents(s, d),
+        "doc_id", "text", minCount = 5, topK = 20)),
+
+    // character-distribution Shannon entropy per doc (encoding-garbage
+    // and key-mash detector; the char-level quality axis)
+    "x50_char_entropy" -> ((s, d) =>
+      graft.ext.TextAnalysis.charEntropy(Tables.documents(s, d),
+        "doc_id", "text")))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -1211,6 +1223,39 @@ object ExtQueries {
         |         AS est_vocab,
         |       ex.n_exact
         |FROM est JOIN ex ON est.source = ex.source""".stripMargin,
+    // round-6 BEFORE the rank cut + bigram tiebreak → the top-20 set
+    // is engine-portable despite the ln
+    "x49_pmi_collocations" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |bi AS (SELECT unnest(list_transform(
+        |                generate_series(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |       FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT bigram, count(*) AS c12 FROM bi GROUP BY 1),
+        |uni AS (SELECT unnest(toks) AS tok FROM t),
+        |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM bi)
+        |SELECT split_part(bigram, ' ', 1) AS w1,
+        |       split_part(bigram, ' ', 2) AS w2,
+        |       CAST(c12 AS BIGINT) AS c12,
+        |       round(ln((c12 * n) / (u1.c * u2.c)), 6) AS pmi
+        |FROM bc
+        |JOIN uc u1 ON split_part(bigram, ' ', 1) = u1.tok
+        |JOIN uc u2 ON split_part(bigram, ' ', 2) = u2.tok
+        |CROSS JOIN tot
+        |WHERE c12 >= 5
+        |ORDER BY pmi DESC, bigram ASC
+        |LIMIT 20""".stripMargin,
+    "x50_char_entropy" ->
+      """SELECT doc_id,
+        |       round(-sum((c / n) * ln(c / n)), 6) AS entropy
+        |FROM (SELECT doc_id, n, ch, count(*) AS c
+        |      FROM (SELECT doc_id, len(text) AS n,
+        |              unnest(string_split_regex(text, '')) AS ch
+        |            FROM documents)
+        |      GROUP BY 1, 2, 3)
+        |GROUP BY doc_id, n""".stripMargin,
     // CMS prefilter never underestimates → same exact rows as the
     // naive aggregation (the Bloom-pair exactness pattern, x35)
     "x46_heavy_hitters" ->

@@ -1176,6 +1176,41 @@ class TextAnalysisSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.tokenizer")
   }
 
+  test("PMI collocations: the engineered collocation wins, independent " +
+    "pairs score ~0, hapax pairs are floored out") {
+    // "aa bb" always co-occur (8x); "cc" and "dd" appear together only
+    // by chance; "ee ff" appears once (hapax — must be floored)
+    val docs = ((1L to 8L).map(i => (i, "aa bb cc")) ++
+      Seq((9L, "dd cc ee ff"), (10L, "dd xx"))).toDF("doc_id", "text")
+    val got = graft.ext.CorpusStats
+      .pmiCollocations(docs, "doc_id", "text", minCount = 5, topK = 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // N = 8*2 + 3 + 1 = 20 bigrams; c(aa bb)=8, c(aa)=8, c(bb)=8
+    // PMI = ln(8*20 / 64) = ln(2.5)
+    assert(got.keySet == Set(("aa", "bb"), ("bb", "cc")))
+    assert(got(("aa", "bb"))._1 == 8L)
+    assert(got(("aa", "bb"))._2
+      == BigDecimal(math.log(2.5)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // "ee ff" (hapax) floored despite maximal PMI
+    assert(!got.contains(("ee", "ff")))
+  }
+
+  test("char entropy: degenerate text scores 0, uniform alphabets score " +
+    "ln(k), natural-ish text lands between") {
+    val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "abcd"),
+      (4L, "the quick brown fox")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == 0.0) // single repeated char: no information
+    assert(got(2L) == r6(math.log(2)))
+    assert(got(3L) == r6(math.log(4)))
+    assert(got(4L) > 2.0 && got(4L) < 3.0) // natural text, 19 chars
+  }
+
   test("rolling hash: equal for equal token streams, shifts change it") {
     val h = Seq("a b c", "a b c", "b c a").toDF("t")
       .select(TextAnalysis.rollingHash(TextAnalysis.tokens($"t")))
