@@ -224,7 +224,21 @@ object FnQueries {
         .select(col("user_id"),
           date_format(col("w.start"), TS).as("session_start"),
           date_format(col("w.end"), TS).as("session_end"),
-          col("n_events"), col("sum_v"))))
+          col("n_events"), col("sum_v"))),
+
+    // §2.9 + sketches: per-window distinct users via the md5 HLL
+    // aggregate — the streaming cardinality shape (256 B of state per
+    // window vs a distinct-user hash table; max-merge partials are
+    // exactly what a stateful streaming agg stores).  Estimate and
+    // exact side-by-side; stream ≡ batch pinned in StreamingSpec.
+    "st7_hll_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours").as("w"))
+        .agg(round(graft.plans.HllAgg.hllAgg(col("user_id")), 4)
+            .as("est_users"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(date_format(col("w.start"), TS).as("window_start"),
+          col("est_users"), col("n_exact"))))
 
   /** F16 polygon-lookup oracle: the zone dim inlines as VALUES from the
     * same [[graft.functions.GeoTz.zones]] constants, and the ray-cast
@@ -393,6 +407,54 @@ object FnQueries {
          |  UNION ALL
          |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
          |GROUP BY 1""".stripMargin,
+    // epoch-aligned 6h buckets mirror Spark's window(); the HLL replay
+    // is the x48 pattern grouped by window (hex-digit registers, Σ in
+    // bucket order, exact 2^-r doubles)
+    "st7_hll_window" ->
+      s"""WITH e AS (SELECT make_timestamp(
+         |             epoch_ns(ts) // 1000 // 21600000000 * 21600000000)
+         |             AS w, user_id
+         |           FROM events),
+         |dt AS (SELECT DISTINCT w, CAST(user_id AS VARCHAR) AS v FROM e),
+         |p AS (SELECT w, md5(v) AS h,
+         |        len(regexp_extract(substr(md5(v), 3, 12), '^0*')) AS z
+         |      FROM dt),
+         |r AS (SELECT w,
+         |        (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+         |          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+         |          AS bucket,
+         |        max(4 * z
+         |          + CASE WHEN z = 12 THEN 0
+         |                 WHEN substr(h, 3 + z, 1) = '1' THEN 3
+         |                 WHEN substr(h, 3 + z, 1) IN ('2', '3') THEN 2
+         |                 WHEN substr(h, 3 + z, 1) IN ('4', '5', '6', '7')
+         |                   THEN 1
+         |                 ELSE 0 END + 1) AS rho
+         |      FROM p GROUP BY 1, 2),
+         |grid AS (SELECT s.w, gs.j AS bucket
+         |         FROM (SELECT DISTINCT w FROM e) s
+         |         CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS j) gs),
+         |fullr AS (SELECT g.w, g.bucket, coalesce(r.rho, 0) AS rho
+         |          FROM grid g
+         |          LEFT JOIN r ON g.w = r.w AND g.bucket = r.bucket),
+         |agg AS (SELECT w,
+         |          list_sum(list_transform(list(rho ORDER BY bucket),
+         |            x -> power(2::DOUBLE, -x))) AS s,
+         |          len(list_filter(list(rho ORDER BY bucket),
+         |            x -> x = 0)) AS v
+         |        FROM fullr GROUP BY 1),
+         |est AS (SELECT w,
+         |          0.7213::DOUBLE / (1::DOUBLE + 1.079::DOUBLE / 256)
+         |            * 256 * 256 / s AS raw, v
+         |        FROM agg),
+         |ex AS (SELECT w, count(DISTINCT user_id) AS n_exact
+         |       FROM e GROUP BY 1)
+         |SELECT strftime(est.w, '$DTS') AS window_start,
+         |       round(CASE WHEN raw <= 2.5::DOUBLE * 256 AND v > 0
+         |                  THEN 256 * ln(256::DOUBLE / v) ELSE raw END, 4)
+         |         AS est_users,
+         |       ex.n_exact
+         |FROM est JOIN ex ON est.w = ex.w""".stripMargin,
     // gaps-and-islands replay of session_window: same µs-floored
     // timestamps (make_timestamp mirrors Tables.events' nanos→µs
     // floor), break iff gap STRICTLY exceeds 30 min (an event at

@@ -34,6 +34,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming windowed HLL distinct estimate equals the batch " +
+    "answer (sketch buffers live in streaming state)") {
+    import graft.plans.HllAgg
+    val schema = spark.read.parquet(stagedDir).schema
+    val stream = Streams.fileStream(spark, stagedDir, schema)
+      .groupBy(window($"ts", "6 hours").as("w"))
+      .agg(round(HllAgg.hllAgg($"user_id"), 4).as("est_users"))
+    Streams.runToMemory(spark, stream, "hllwin", outputMode = "complete")
+    val streamed = spark.table("hllwin")
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss"), $"est_users")
+      .as[(String, Double)].collect().toSet
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(window($"ts", "6 hours").as("w"))
+      .agg(round(HllAgg.hllAgg($"user_id"), 4).as("est_users"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss"), $"est_users")
+      .as[(String, Double)].collect().toSet
+    // the sketch is order- and batching-insensitive (max-merge), so the
+    // streaming estimates are BIT-identical to batch, not merely close
+    assert(streamed == batch)
+  }
+
   test("streaming exact dedup: fingerprint state drops re-ingested docs " +
     "across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sdd_").toString
