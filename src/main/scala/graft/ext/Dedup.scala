@@ -298,10 +298,22 @@ object Dedup {
     // count) on a cluster (the right side replicates `salts`×, so don't
     // oversize it either).
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    // Explicit co-partitioning on the join keys, at the session's
+    // shuffle parallelism, on BOTH sides: the pair join EXPLODES its
+    // skinny input ~bucket²-fold, and AQE sizes stages by INPUT bytes —
+    // left alone it coalesces (or local-shuffle-reads a broadcast
+    // probe down to) 2-3 tasks holding the whole explosion.
+    // User-specified partition counts are exempt from AQE coalescing,
+    // so the explosion runs at full width; the cost is two skinny-row
+    // shuffles that were happening anyway.  Measured at sf0.1: pair
+    // stage 3 tasks / 2.9 s → 32 tasks / ~0.6 s (PERF.md round 8).
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val a = bands.select(col("band_key"), col("doc_id").as("a"), col("sz").as("sa"))
       .withColumn("salt", pmod(hash(col("a")), lit(salts)))
+      .repartition(parts, col("band_key"), col("salt"))
     val b = bands.select(col("band_key"), col("doc_id").as("b"), col("sz").as("sb"))
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      .repartition(parts, col("band_key"), col("salt"))
     val cands = a.join(b, Seq("band_key", "salt"))
       .filter(col("a") < col("b") &&
         sizeCompatible(col("sa"), col("sb"), threshold))
