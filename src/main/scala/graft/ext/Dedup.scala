@@ -555,11 +555,21 @@ object Dedup {
       .localCheckpoint()
     // band rows carry sz (one extra int) so the size-ratio prefilter
     // can run INSIDE the band join, before the candidate distinct —
-    // same placement as minhashLshPairs
+    // same placement as minhashLshPairs.
+    // Repartition by band_key BEFORE pinning: every micro-batch probe
+    // joins this table with the (small, broadcast) incoming bands, so
+    // the probe stage's parallelism IS this checkpoint's partition
+    // count — unwidened, a few input-sized blocks hold each batch's
+    // full candidate explosion (measured: st4's candidate stage ran 1
+    // task, PERF.md round 8).  One shuffle at BUILD time, amortized
+    // over every batch; the disk-persisted form (saveLshIndex) gets
+    // the same locality from bucketing by band_key.
+    val parts = existing.sparkSession.sessionState.conf.numShufflePartitions
     val bands =
       lshBands(minhashSignatures(existing, idCol, textCol, n, k), bandRows)
         .select(col("band_key"), col("doc_id").as("ex_id"))
         .join(enc.select(col("ex_id"), col("se")), "ex_id")
+        .repartition(parts, col("band_key"))
         .localCheckpoint()
     LshIndex(bands, enc, n, k, bandRows)
   }
@@ -644,10 +654,19 @@ object Dedup {
   def lshMatchIndexed(index: LshIndex, incoming: DataFrame,
                       idCol: String, textCol: String,
                       threshold: Double = 0.8): DataFrame = {
-    val inEnc = encodeTokenSets(incoming, idCol, textCol, None)
+    // Spread the BATCH first: a micro-batch often arrives as one file,
+    // and with the index broadcast the whole probe pipeline — encode,
+    // signatures, band join, candidate explosion — would otherwise run
+    // fused on that one scan task (measured: st4's candidate stage ran
+    // 1 task holding a ~1.4 M-row explosion, PERF.md round 8).  One
+    // batch-sized round-robin shuffle up front parallelizes everything
+    // downstream and keeps the per-stage fusion intact.
+    val parts = incoming.sparkSession.sessionState.conf.numShufflePartitions
+    val in = incoming.repartition(parts)
+    val inEnc = encodeTokenSets(in, idCol, textCol, None)
       .select(col("id").as("in_id"), col("toks").as("ti"), col("sz").as("si"))
     val inBands = lshBands(
-      minhashSignatures(incoming, idCol, textCol, index.n, index.k),
+      minhashSignatures(in, idCol, textCol, index.n, index.k),
       index.bandRows).select(col("band_key"), col("doc_id").as("in_id"))
       .join(inEnc.select(col("in_id"), col("si")), "in_id")
     val cands = inBands.join(index.bands, "band_key")
