@@ -21,6 +21,9 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, TimestampT
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PushNanosEquivFilter)
+    // whole-operator extension: per-key top-k via bounded heaps
+    // (logical node + physical operator — see plans/TopKPerKey.scala)
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     e.injectFunction((
       new FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName,

@@ -459,7 +459,17 @@ object ExtQueries {
     // and key-mash detector; the char-level quality axis)
     "x50_char_entropy" -> ((s, d) =>
       graft.ext.TextAnalysis.charEntropy(Tables.documents(s, d),
-        "doc_id", "text")))
+        "doc_id", "text")),
+
+    // per-key top-k through the custom PHYSICAL operator (bounded heaps
+    // after one hash exchange — no per-group full sort, nothing spills;
+    // plans/TopKPerKey.scala): 3 longest docs per language
+    "x51_topk_per_key" -> ((s, d) =>
+      graft.plans.TopKPerKey.topKPerKey(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), length(col("text")).as("len")),
+        keys = Seq(col("lang")),
+        order = Seq(col("len").desc, col("doc_id").asc), k = 3)))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -1256,6 +1266,16 @@ object ExtQueries {
         |            FROM documents)
         |      GROUP BY 1, 2, 3)
         |GROUP BY doc_id, n""".stripMargin,
+    // the oracle replays the heap operator's contract as the window
+    // form it replaces (total order via the doc_id tiebreak)
+    "x51_topk_per_key" ->
+      """SELECT doc_id, lang, CAST(len AS INT) AS len FROM (
+        |  SELECT doc_id, lang, length(text) AS len,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY length(text) DESC, doc_id ASC)
+        |           AS rn
+        |  FROM documents)
+        |WHERE rn <= 3""".stripMargin,
     // CMS prefilter never underestimates → same exact rows as the
     // naive aggregation (the Bloom-pair exactness pattern, x35)
     "x46_heavy_hitters" ->

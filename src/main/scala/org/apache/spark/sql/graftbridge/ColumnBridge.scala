@@ -12,4 +12,23 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** EAGER Column→Expression conversion: a real catalyst tree
+    * (UnresolvedAttribute / SortOrder / …) instead of the lazy
+    * `ColumnNodeExpression` wrapper `expression` returns.  Required
+    * when the expression embeds in a CUSTOM logical node — the
+    * analyzer resolves generic expression trees inside unknown nodes,
+    * but never forces the lazy wrapper, which then reaches execution
+    * unevaluable. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** DataFrame from a raw logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — needed by operators that inject a custom
+    * LogicalPlan node (e.g. [[graft.plans.TopKPerKey]]). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -436,6 +436,32 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKey physical operator: same rows as window+filter, " +
+    "plans a heap exec instead of a WindowExec, handles k > group size") {
+    import graft.plans.TopKPerKey.topKPerKey
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf0001)
+    val byLen = Seq(length($"text").desc, $"doc_id".asc)
+    val viaWindow = docs.withColumn("rn", row_number().over(
+        Window.partitionBy($"lang").orderBy(byLen: _*)))
+      .filter($"rn" <= 3).drop("rn")
+      .select($"doc_id").as[Long].collect().toSet
+    val viaHeap = topKPerKey(docs, Seq($"lang"), byLen, k = 3)
+    assert(viaHeap.select($"doc_id").as[Long].collect().toSet == viaWindow)
+    val plan = viaHeap.queryExecution.executedPlan.toString
+    // the physical node prints by its nodeName ("TopKPerKey" + the
+    // keys/order/k args)
+    assert(plan.contains("TopKPerKey [lang"), plan)
+    assert(!plan.contains("Window"),
+      "the heap operator must replace the window sort entirely")
+    // k larger than every group: identity on rows
+    assert(topKPerKey(docs, Seq($"lang"), byLen, k = 100000).count()
+      == docs.count())
+    // distribution contract: grouped keys never split across partitions
+    // (child distribution requirement inserted the hash exchange)
+    assert(plan.contains("hashpartitioning"), plan)
+  }
+
   test("dense world extract: ~230 zones load from the bundled GeoJSON, " +
     "land coordinates resolve to real IANA zones, nautical only at sea") {
     import graft.functions.GeoTz
