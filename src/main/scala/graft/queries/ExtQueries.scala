@@ -469,7 +469,52 @@ object ExtQueries {
         Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), length(col("text")).as("len")),
         keys = Seq(col("lang")),
-        order = Seq(col("len").desc, col("doc_id").asc), k = 3)))
+        order = Seq(col("len").desc, col("doc_id").asc), k = 3)),
+
+    // backward as-of join (union+window, zero join nodes): each
+    // purchase picks up the most recent click at-or-before it by the
+    // same user; ties on ts resolve to the greatest click id.  The
+    // DuckDB oracle replays it with a genuine ASOF LEFT JOIN, so the
+    // operator's semantics are pinned against a reference
+    // implementation, not just our own formula.
+    "x52_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.transform.Temporal.asOfJoin(
+        purchases, clicks, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        payload = Seq("click_id", "click_value"),
+        tiebreak = Some("click_id"), matchedTsAs = "click_ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("click_id"), col("click_value"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"))
+    }),
+
+    // bounded range join via bucket banding (equi-join the optimizer
+    // can shuffle/skew-split — the inequality-join formulation would
+    // plan as BNLJ): error events within one hour AFTER a purchase
+    // by the same user
+    "x53_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val r = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("e_ts"))
+      graft.transform.Temporal.rangeJoinBanded(
+        p, r, keys = Seq("user_id"),
+        leftTs = "p_ts", rightTs = "e_ts", maxGapSeconds = 3600L)
+        .select(col("purchase_id"), col("error_id"), col("user_id"),
+          (unix_micros(col("e_ts")) - unix_micros(col("p_ts")))
+            .as("gap_us"))
+    }))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -1413,5 +1458,43 @@ object ExtQueries {
         |       md5(text) AS content_md5,
         |       CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
         |       substr(text, 1, 4) AS header_tag
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // real ASOF LEFT JOIN — DuckDB's own backward as-of operator; the
+    // right side pre-dedups equal timestamps to the greatest click id,
+    // mirroring asOfJoin's tiebreak ordering
+    "x52_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |             event_type, value
+        |           FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM e
+        |      WHERE event_type = 'purchase'),
+        |c0 AS (SELECT user_id, ts, event_id AS click_id,
+        |              value AS click_value
+        |       FROM e WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts,
+        |             max(click_id) AS click_id,
+        |             max_by(click_value, click_id) AS click_value
+        |      FROM c0 GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |       c.click_id, c.click_value,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    // the oracle states the range predicate directly; the engine's
+    // banded equi-join must produce the identical pair set
+    "x53_range_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |             event_type
+        |           FROM events)
+        |SELECT p.event_id AS purchase_id, r.event_id AS error_id,
+        |       p.user_id,
+        |       epoch_us(r.ts) - epoch_us(p.ts) AS gap_us
+        |FROM e p JOIN e r
+        |  ON p.user_id = r.user_id
+        | AND p.event_type = 'purchase' AND r.event_type = 'error'
+        | AND r.ts > p.ts
+        | AND r.ts <= p.ts + INTERVAL 1 HOUR""".stripMargin)
 }

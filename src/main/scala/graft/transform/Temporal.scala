@@ -1,0 +1,154 @@
+package graft.transform
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark's DataFrame API lacks natively: the
+  * backward as-of join (attach the most recent right-side row at or
+  * before each left timestamp) and the bounded range join (pair rows
+  * whose timestamps fall within a fixed gap).
+  *
+  * Both are expressed so the physical plan stays a single hash
+  * exchange + linear pass at any scale:
+  *
+  *  - [[asOfJoin]] is the union-then-window formulation: tag both
+  *    sides, union, and carry the right payload forward with
+  *    `last(..., ignoreNulls)` over a running row frame.  One shuffle
+  *    on the join keys, one ordered scan per key — never a per-row
+  *    range probe, never a BroadcastNestedLoopJoin, and no state blow-up
+  *    when one left row matches a million-old right history (the frame
+  *    is O(1) amortized per row).
+  *  - [[rangeJoinBanded]] replaces the inequality join (which Spark
+  *    plans as BNLJ/cartesian) with an equi-join on coarse time
+  *    buckets sized to the gap: each left row joins exactly two
+  *    bucket keys, so the shuffle is keyed and AQE-sizable, and the
+  *    exact range predicate filters inside the joined stream.
+  *
+  * Reference behavior (what to compute): the fetchers repeatedly align
+  * a reading with the latest preceding station/config state and window
+  * readings into bounded lookback ranges (`airgradient.js:101-141`,
+  * `cmu.js:118-160`); these are those alignments as reusable relational
+  * operators.
+  */
+object Temporal {
+
+  private val Reserved = Seq("__asof_side", "__asof_ts", "__asof_tb")
+
+  /** Backward as-of join: for every `left` row, attach `payload`
+    * columns from the `right` row with the greatest `rightTs <=
+    * leftTs` (or `< leftTs` when `inclusive = false`) within the same
+    * `keys` group; left rows with no predecessor keep null payloads
+    * (left-outer semantics).
+    *
+    * Ties on `rightTs` resolve to the greatest `tiebreak` value, so
+    * results are deterministic on real data where timestamps collide.
+    * The matched right timestamp is exposed as `matchedTsAs` — callers
+    * wanting a tolerance (max match age) filter on it afterwards, which
+    * keeps this operator one window pass.
+    *
+    * Scale shape: one exchange on `keys`, one sort, one running-frame
+    * window computing every payload column in a single Window operator.
+    * No join node at all — as-of over a 100 TB history costs the same
+    * plan as over a day.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, payload: Seq[String],
+               tiebreak: Option[String] = None, inclusive: Boolean = true,
+               matchedTsAs: String = "matched_ts"): DataFrame = {
+    require(keys.nonEmpty, "asOfJoin needs at least one key column")
+    val outCols = matchedTsAs +: payload
+    val clash = left.columns.toSeq.intersect(outCols) ++
+      (left.columns ++ right.columns).toSeq.intersect(Reserved)
+    require(clash.isEmpty,
+      s"asOfJoin reserved/output column collision: ${clash.mkString(", ")}")
+
+    val rSchema = right.schema
+    def rType(c: String) = rSchema(c).dataType
+    val tbType = tiebreak.map(rType).getOrElse(
+      org.apache.spark.sql.types.IntegerType)
+
+    // Both sides projected to one union schema: left's own columns,
+    // then the matched-ts + payload slots, then the window bookkeeping.
+    val leftCols = left.columns.toSeq
+    val l2 = payload.foldLeft(
+      left
+        .withColumn(matchedTsAs, lit(null).cast(rType(rightTs)))
+    )((df, c) => df.withColumn(c, lit(null).cast(rType(c))))
+      .withColumn("__asof_side", lit(1))
+      .withColumn("__asof_ts", col(leftTs))
+      .withColumn("__asof_tb", lit(null).cast(tbType))
+
+    val r2base = right
+      .withColumn(matchedTsAs, col(rightTs))
+      .withColumn("__asof_side", lit(0))
+      .withColumn("__asof_ts", col(rightTs))
+      .withColumn("__asof_tb",
+        tiebreak.map(col).getOrElse(lit(null).cast(tbType)))
+    // left-only columns ride as nulls on right rows
+    val lSchema = left.schema
+    val r2 = leftCols.filterNot(c => keys.contains(c))
+      .foldLeft(r2base)((df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(lSchema(c).dataType)))
+
+    val unionCols =
+      leftCols ++ outCols ++ Reserved
+    val unioned = l2.select(unionCols.map(col): _*)
+      .unionByName(r2.select(unionCols.map(col): _*))
+
+    // At equal timestamps: inclusive → right rows sort first (left
+    // sees them); strict → left rows sort first (left does not).
+    val sideOrder =
+      if (inclusive) col("__asof_side").asc else col("__asof_side").desc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__asof_ts").asc, sideOrder, col("__asof_tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = outCols.foldLeft(unioned)((df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+
+    carried.filter(col("__asof_side") === 1)
+      .select((leftCols ++ outCols).map(col): _*)
+  }
+
+  /** Bounded range join: inner-join pairs `(l, r)` on `keys` where
+    * `l.leftTs < r.rightTs <= l.leftTs + maxGapSeconds` (the lower
+    * bound becomes inclusive with `strictLower = false`).
+    *
+    * Implementation is the bucketed band join: timestamps floor to
+    * `maxGapSeconds`-wide buckets, the left side duplicates onto
+    * `(bucket, bucket + 1)`, and the join is a plain equi-join on
+    * `keys :+ bucket` — any in-range pair shares a key by
+    * construction, each pair matches exactly one bucket key (no
+    * dedup needed), and the exact predicate runs on the joined
+    * stream.  Catalyst plans a shuffled hash/sort-merge join keyed by
+    * `(keys, bucket)`: AQE can size and skew-split it, which an
+    * inequality-only join (BNLJ) never allows.  Left-side row count
+    * grows 2×, not gap×.
+    */
+  def rangeJoinBanded(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String, maxGapSeconds: Long,
+                      strictLower: Boolean = true): DataFrame = {
+    require(maxGapSeconds > 0, "rangeJoinBanded needs a positive gap")
+    require(keys.nonEmpty, "rangeJoinBanded needs at least one key column")
+    val clash = (left.columns ++ right.columns).filter(_ == "__rj_b")
+    require(clash.isEmpty, "rangeJoinBanded reserved column __rj_b present")
+    require(leftTs != rightTs,
+      "rangeJoinBanded needs distinct left/right timestamp column names")
+
+    val gapUs = maxGapSeconds * 1000000L
+    val l2 = left.withColumn("__rj_b",
+      explode(array(
+        floor(unix_micros(col(leftTs)) / gapUs),
+        floor(unix_micros(col(leftTs)) / gapUs) + 1)))
+    val r2 = right.withColumn("__rj_b",
+      floor(unix_micros(col(rightTs)) / gapUs))
+
+    val gap = unix_micros(col(rightTs)) - unix_micros(col(leftTs))
+    val lower = if (strictLower) gap > 0 else gap >= 0
+    l2.join(r2, keys :+ "__rj_b")
+      .filter(lower && gap <= gapUs)
+      .drop("__rj_b")
+  }
+}
