@@ -129,6 +129,70 @@ object CorpusStats {
         (col("n_tokens") / col("__tot")).as("tok_share"))
   }
 
+  /** Sliding context-window chunking: split every document's token
+    * sequence into windows of `size` tokens advancing by `stride`
+    * (`stride < size` ⇒ overlapping windows, the usual LM training
+    * shape).  Emits one row per (doc, window) with the window's token
+    * offset and clipped length — the assignment table a downstream
+    * tokenizer/packer materializes into actual training sequences.
+    *
+    * Window count per doc is `1 + ceil((n - size) / stride)` (one
+    * window when `n <= size`), so every token is covered and the final
+    * window clips to the document end instead of spilling past it.
+    *
+    * Scale shape: pure map-side — token count, `sequence()`, one
+    * `posexplode`.  No shuffle, no window function, output rows ≈
+    * `corpus_tokens / stride`; at 100 TB this pipelines through
+    * whole-stage codegen with zero exchanges. */
+  def chunkAssignments(docs: DataFrame, idCol: String, textCol: String,
+                       size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"chunkAssignments needs 0 < stride <= size (got size=$size stride=$stride)")
+    val n = TextAnalysis.nTokens(TextAnalysis.tokens(col(textCol)))
+    docs.select(col(idCol), n.cast("long").as("__n"))
+      .withColumn("__nc",
+        when(col("__n") <= size, lit(1L))
+          .otherwise(ceil((col("__n") - size) / stride.toDouble)
+            .cast("long") + 1L))
+      .select(col(idCol),
+        explode(sequence(lit(0L), col("__nc") - 1L)).as("chunk_idx"),
+        col("__n"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_token"),
+        least(lit(size.toLong), col("__n") - col("chunk_idx") * stride)
+          .as("chunk_len"))
+  }
+
+  /** Temperature-scaled source mixture weights: sampling weight
+    * `w_s ∝ n_s^alpha` over per-source token counts (`alpha = 1` is
+    * proportional sampling, `alpha → 0` uniform; 0.3 is the usual
+    * multilingual flattening exponent), plus the expected token draw
+    * from a training budget and the implied epochs over each source —
+    * the over-sampling early-warning number (epochs >> 1 on a small
+    * source means it will be repeated that many times).
+    *
+    * Scale shape: the corpus collapses to #sources rows in one
+    * map-side-partial agg; the normalizer is a broadcast single-row
+    * cross join.  Nothing downstream is data-sized. */
+  def mixtureWeights(docs: DataFrame, sourceCol: String, textCol: String,
+                     alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1] (got $alpha)")
+    val per = docs.select(col(sourceCol).as("source"),
+        TextAnalysis.nTokens(TextAnalysis.tokens(col(textCol))).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"))
+      .withColumn("__w", pow(col("n_tokens").cast("double"), lit(alpha)))
+      .localCheckpoint() // #sources rows; total derives from this table
+    val tot = per.agg(sum(col("__w")).as("__tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        round(col("__w") / col("__tot"), 6).as("weight"),
+        round(col("__w") / col("__tot") * budgetTokens, 0)
+          .cast("long").as("expected_tokens"),
+        round(col("__w") / col("__tot") * budgetTokens
+          / col("n_tokens"), 6).as("epochs"))
+  }
+
   /** Deterministic stratified downsampling: balance every stratum
     * (source, language, …) down to the size of the smallest one —
     * the data-mixture rebalancing step of training-corpus assembly.

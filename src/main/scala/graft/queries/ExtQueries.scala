@@ -514,7 +514,19 @@ object ExtQueries {
         .select(col("purchase_id"), col("error_id"), col("user_id"),
           (unix_micros(col("e_ts")) - unix_micros(col("p_ts")))
             .as("gap_us"))
-    }))
+    }),
+
+    // sliding context-window chunking (64-token windows, stride 32):
+    // the doc → training-sequence assignment table, all map-side
+    "x54_chunk_windows" -> ((s, d) =>
+      graft.ext.CorpusStats.chunkAssignments(Tables.documents(s, d),
+        "doc_id", "text", size = 64, stride = 32)),
+
+    // temperature-scaled mixture weights (alpha=0.3, 10M-token budget):
+    // per-source sampling shares + implied epochs
+    "x56_mixture_weights" -> ((s, d) =>
+      graft.ext.CorpusStats.mixtureWeights(Tables.documents(s, d),
+        "source", "text", alpha = 0.3, budgetTokens = 10000000L)))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -1496,5 +1508,36 @@ object ExtQueries {
         |  ON p.user_id = r.user_id
         | AND p.event_type = 'purchase' AND r.event_type = 'error'
         | AND r.ts > p.ts
-        | AND r.ts <= p.ts + INTERVAL 1 HOUR""".stripMargin)
+        | AND r.ts <= p.ts + INTERVAL 1 HOUR""".stripMargin,
+    // window count = 1 + ceil((n-64)/32), final window clips to doc end
+    "x54_chunk_windows" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n,
+        |        CASE WHEN n <= 64 THEN 1
+        |             ELSE CAST(ceil((n - 64) / 32.0) AS BIGINT) + 1
+        |        END AS nc
+        |      FROM t),
+        |u AS (SELECT doc_id, n,
+        |        unnest(generate_series(0, nc - 1)) AS chunk_idx
+        |      FROM c)
+        |SELECT doc_id, chunk_idx, chunk_idx * 32 AS start_token,
+        |       least(64, n - chunk_idx * 32) AS chunk_len
+        |FROM u""".stripMargin,
+    "x56_mixture_weights" ->
+      """WITH per AS (SELECT source,
+        |               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |                 AS n_tokens
+        |             FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_tokens,
+        |        pow(n_tokens::DOUBLE, 0.3::DOUBLE) AS wr
+        |      FROM per),
+        |tot AS (SELECT sum(wr) AS t FROM w)
+        |SELECT source, n_tokens,
+        |       round(wr / t, 6) AS weight,
+        |       CAST(round(wr / t * 10000000::DOUBLE, 0) AS BIGINT)
+        |         AS expected_tokens,
+        |       round(wr / t * 10000000::DOUBLE / n_tokens, 6) AS epochs
+        |FROM w, tot""".stripMargin)
 }

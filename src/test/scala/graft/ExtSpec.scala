@@ -561,6 +561,68 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((1, false))) // cum-before = 13 → pack 1
   }
 
+  test("chunk windows: counts, offsets and clipping match the contract") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, Seq.fill(5)("t").mkString(" ")),  // 5 tokens: [0,4) + [2,5)
+      (2L, "a b"),                           // under size → one short chunk
+      (3L, Seq.fill(4)("t").mkString(" ")),  // exactly size → one chunk
+      (4L, Seq.fill(9)("t").mkString(" "))   // 9: starts 0,2,4 (ceil(5/2)+1... )
+    ).toDF("doc_id", "text")
+    val got = graft.ext.CorpusStats.chunkAssignments(
+        tiny, "doc_id", "text", size = 4, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(c => (c._3, c._4)))
+      .toMap
+    assert(got(1L) === Seq((0L, 4L), (2L, 3L)))
+    assert(got(2L) === Seq((0L, 2L)))
+    assert(got(3L) === Seq((0L, 4L)))
+    // n=9: nc = ceil((9-4)/2)+1 = 4 → starts 0,2,4,6; last clips to 3
+    assert(got(4L) === Seq((0L, 4L), (2L, 4L), (4L, 4L), (6L, 3L)))
+    // full coverage: union of [start, start+len) == [0, n)
+    val covered = got(4L).flatMap { case (s0, l) => s0 until (s0 + l) }.toSet
+    assert(covered === (0L until 9L).toSet)
+  }
+
+  test("chunk windows reject zero or oversized stride") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.ext.CorpusStats.chunkAssignments(df, "doc_id", "text", 4, 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.CorpusStats.chunkAssignments(df, "doc_id", "text", 4, 5)
+    }
+  }
+
+  test("mixture weights: alpha=1 is proportional sampling; alpha<1 " +
+    "flattens toward the small sources") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", Seq.fill(90)("t").mkString(" ")),
+      (2L, "s2", Seq.fill(9)("t").mkString(" ")),
+      (3L, "s3", "t")
+    ).toDF("doc_id", "source", "text")
+
+    val prop = graft.ext.CorpusStats
+      .mixtureWeights(docs, "source", "text", alpha = 1.0,
+        budgetTokens = 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(prop("s1") === ((0.9, 900L, 10.0)))
+    assert(prop("s2") === ((0.09, 90L, 10.0)))
+    assert(prop("s3") === ((0.01, 10L, 10.0))) // α=1 ⇒ equal epochs
+
+    val flat = graft.ext.CorpusStats
+      .mixtureWeights(docs, "source", "text", alpha = 0.3,
+        budgetTokens = 1000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(flat("s1") < 0.9 && flat("s3") > 0.01,
+      s"alpha<1 must compress the spread: $flat")
+    assert(math.abs(flat.values.sum - 1.0) < 1e-4)
+  }
+
   test("approx length stats track exact within sketch tolerance") {
     val docs = Tables.documents(spark, sf0001)
     val exact = graft.ext.CorpusStats.lengthStats(docs, "lang", "n_chars")
