@@ -994,4 +994,62 @@ object Dedup {
         sum(when(col("__n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
       .withColumn("dup_frac", round(col("n_shared") / col("n_ngrams"), 4))
   }
+
+  /** Edit-distance-verified near-dup pairs: SimHash-LSH blocking with a
+    * guaranteed hamming radius, then an exact `levenshtein` check on
+    * the candidate sliver — the character-level dup lens (template
+    * boilerplate, OCR/encoding jitter, small in-place edits) that
+    * token-set Jaccard can misjudge in both directions.
+    *
+    * Blocking is permute-and-mask over the 16-bit fingerprint:
+    * `C(4, maskNibbles)` keys per doc, one per way of masking
+    * `maskNibbles` of the four nibbles.  Any pair whose fingerprint
+    * diffs are confined to the masked nibbles shares a key by
+    * construction — the recall guarantee brute-force pairing gets
+    * without the O(n²); `maskNibbles = 2` (default) catches all diffs
+    * spanning <= 2 nibbles, at 6 keys/doc.  A 64-bit fingerprint with
+    * 8-bit blocks is the drop-in widening for corpus-scale key
+    * cardinality; the pattern (and this code's shape) is identical.
+    *
+    * Scale shape: the x3 skinny-candidate discipline — blocking join
+    * carries (id, len) only, with the `|len_a - len_b| <= maxDist`
+    * levenshtein lower bound applied IN-join before the distinct;
+    * texts attach to surviving candidates afterwards; the verify runs
+    * `levenshtein(a, b, threshold)` whose banded DP is O(len·maxDist),
+    * not O(len²), and whole-stage-codegens. */
+  def simhashEditPairs(docs: DataFrame, idCol: String, textCol: String,
+                       maxDist: Int, maskNibbles: Int = 2): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
+    require(maskNibbles >= 1 && maskNibbles <= 2,
+      s"maskNibbles must be 1 or 2 (got $maskNibbles)")
+    val enc = simhashFingerprints(docs, idCol, textCol)
+      .join(docs.select(col(idCol), length(col(textCol)).as("__len")),
+        idCol)
+    // one key per way of masking `maskNibbles` of the 4 nibbles: any
+    // pair whose fingerprint diffs are confined to the masked nibbles
+    // shares that key (wider mask = higher recall, coarser key)
+    val masks = (0 until 4).combinations(maskNibbles).toSeq.map(c =>
+      c.foldLeft(0xFFFF)((m, i) => m & ~(0xF << (4 * i))))
+    val keys = masks.zipWithIndex.map { case (mask, idx) =>
+      (col("simhash").bitwiseAND(lit(mask)) * masks.size + lit(idx))
+        .cast("int")
+    }
+    val blocked = enc.select(col(idCol), col("__len"),
+      explode(array(keys: _*)).as("bk"))
+    val cand = blocked.select(col("bk"), col(idCol).as("a"),
+        col("__len").as("la"))
+      .join(blocked.select(col("bk"), col(idCol).as("b"),
+        col("__len").as("lb")), Seq("bk"))
+      .filter(col("a") < col("b") &&
+        abs(col("la") - col("lb")) <= maxDist)
+      .select(col("a"), col("b")).distinct()
+    val t = docs.select(col(idCol), col(textCol))
+    cand
+      .join(t.select(col(idCol).as("a"), col(textCol).as("__ta")), "a")
+      .join(t.select(col(idCol).as("b"), col(textCol).as("__tb")), "b")
+      .withColumn("edit_dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      .select(col("a"), col("b"), col("edit_dist"))
+  }
 }

@@ -526,7 +526,13 @@ object ExtQueries {
     // per-source sampling shares + implied epochs
     "x56_mixture_weights" -> ((s, d) =>
       graft.ext.CorpusStats.mixtureWeights(Tables.documents(s, d),
-        "source", "text", alpha = 0.3, budgetTokens = 10000000L)))
+        "source", "text", alpha = 0.3, budgetTokens = 10000000L)),
+
+    // character-level near-dups: SimHash permute-and-mask blocking +
+    // exact banded-levenshtein verify on the candidate sliver
+    "x55_edit_neardup" -> ((s, d) =>
+      Dedup.simhashEditPairs(Tables.documents(s, d),
+        "doc_id", "text", maxDist = 40)))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -1539,5 +1545,28 @@ object ExtQueries {
         |       CAST(round(wr / t * 10000000::DOUBLE, 0) AS BIGINT)
         |         AS expected_tokens,
         |       round(wr / t * 10000000::DOUBLE / n_tokens, 6) AS epochs
-        |FROM w, tot""".stripMargin)
+        |FROM w, tot""".stripMargin,
+    // simhash replay (same md5-nibble bits), 2-of-4 nibble-masked
+    // block keys, length lower bound in-join, levenshtein <= 40 verify
+    "x55_edit_neardup" ->
+      s"""$toksCte,
+         |fp AS (SELECT doc_id, CAST($simhashBits AS INT) AS sh FROM t),
+         |e AS (SELECT fp.doc_id, sh, strlen(d.text) AS len
+         |      FROM fp JOIN documents d ON fp.doc_id = d.doc_id),
+         |k AS (SELECT doc_id, len,
+         |        unnest([(sh & 65280) * 6 + 0, (sh & 61680) * 6 + 1,
+         |                (sh & 4080) * 6 + 2, (sh & 61455) * 6 + 3,
+         |                (sh & 3855) * 6 + 4, (sh & 255) * 6 + 5])
+         |          AS bk
+         |      FROM e),
+         |c AS (SELECT DISTINCT ka.doc_id AS a, kb.doc_id AS b
+         |      FROM k ka JOIN k kb ON ka.bk = kb.bk
+         |       AND ka.doc_id < kb.doc_id
+         |       AND abs(ka.len - kb.len) <= 40)
+         |SELECT c.a, c.b,
+         |       CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist
+         |FROM c
+         |JOIN documents da ON c.a = da.doc_id
+         |JOIN documents db ON c.b = db.doc_id
+         |WHERE levenshtein(da.text, db.text) <= 40""".stripMargin)
 }

@@ -623,6 +623,59 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(flat.values.sum - 1.0) < 1e-4)
   }
 
+  test("edit-distance near-dups: exact copies, small edits in, " +
+    "unrelated docs out") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // "tok7x37790" has the same md5 nibble high-bit pattern as "tok7",
+    // so swapping it preserves the SimHash fingerprint exactly — the
+    // pair is caught by construction, at edit distance 6
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                 // identical → dist 0
+      (3L, base.replace("tok7 ", "tok7x37790 ")), // fp-preserving edit
+      (4L, (101 to 140).map(i => s"zz$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.simhashEditPairs(docs, "doc_id", "text",
+        maxDist = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+      .toMap
+    assert(got.get((1L, 2L)).contains(0))
+    assert(got.get((1L, 3L)).contains(6))
+    assert(got.get((2L, 3L)).contains(6))
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("edit-distance near-dups: blocking loses nothing vs brute force " +
+    "on a corpus slice") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 150)
+    val blocked = graft.ext.Dedup.simhashEditPairs(docs, "doc_id", "text",
+        maxDist = 40)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val t = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("len"))
+    val brute = t.as("x").join(t.as("y"),
+        col("x.doc_id") < col("y.doc_id") &&
+          abs(col("x.len") - col("y.len")) <= 40)
+      .filter(levenshtein(col("x.text"), col("y.text"), 40) >= 0)
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "slice must contain at least one near-dup pair")
+    val recall = blocked.intersect(brute).size.toDouble / brute.size
+    info(s"simhash-block recall on slice: $recall " +
+      s"(${blocked.intersect(brute).size}/${brute.size})")
+    assert(recall >= 0.9, s"missed pairs: ${(brute -- blocked).take(5)}")
+    assert((blocked -- brute).isEmpty, "verify stage must keep it exact")
+
+    // the narrower 1-nibble blocking is strictly weaker — monotone recall
+    val narrow = graft.ext.Dedup.simhashEditPairs(docs, "doc_id", "text",
+        maxDist = 40, maskNibbles = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(narrow.subsetOf(blocked))
+  }
+
   test("approx length stats track exact within sketch tolerance") {
     val docs = Tables.documents(spark, sf0001)
     val exact = graft.ext.CorpusStats.lengthStats(docs, "lang", "n_chars")
