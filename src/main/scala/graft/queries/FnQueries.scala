@@ -238,7 +238,17 @@ object FnQueries {
             .as("est_users"),
           countDistinct(col("user_id")).as("n_exact"))
         .select(date_format(col("w.start"), TS).as("window_start"),
-          col("est_users"), col("n_exact"))))
+          col("est_users"), col("n_exact"))),
+
+    // §2.9 + sketches: per-window heavy hitters — one composite-keyed
+    // Count-Min sketch prefilters (window, user) groups, exact verify
+    // on the sliver; output is sketch-independent (x46 windowed).
+    // Stream ≡ batch pinned in StreamingSpec.
+    "st8_cms_window_hh" -> ((s, d) =>
+      graft.streaming.Streams.windowedHeavyHitters(
+        Tables.events(s, d), "ts", "user_id", "1 day", minFreq = 6L)
+        .select(date_format(col("w"), TS).as("window_start"),
+          col("k").as("user_id"), col("n"))))
 
   /** F16 polygon-lookup oracle: the zone dim inlines as VALUES from the
     * same [[graft.functions.GeoTz.zones]] constants, and the ray-cast
@@ -455,6 +465,16 @@ object FnQueries {
          |         AS est_users,
          |       ex.n_exact
          |FROM est JOIN ex ON est.w = ex.w""".stripMargin,
+    // exact replay — the CMS prefilter is output-invisible (one-sided
+    // error + exact verify); epoch-aligned 1-day buckets mirror window()
+    "st8_cms_window_hh" ->
+      s"""WITH e AS (SELECT make_timestamp(
+         |             epoch_ns(ts) // 1000 // 86400000000 * 86400000000)
+         |             AS w, user_id
+         |           FROM events)
+         |SELECT strftime(w, '$DTS') AS window_start, user_id,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM e GROUP BY 1, 2 HAVING count(*) >= 6""".stripMargin,
     // gaps-and-islands replay of session_window: same µs-floored
     // timestamps (make_timestamp mirrors Tables.events' nanos→µs
     // floor), break iff gap STRICTLY exceeds 30 min (an event at

@@ -98,6 +98,49 @@ object Streams {
       }.toDF(keyCol, contentCol)
   }
 
+  /** Per-window heavy hitters, CMS-prefiltered and exact-verified: keys
+    * with at least `minFreq` events inside their tumbling `windowDur`
+    * window, with exact counts.  The composite `(window, key)` is
+    * hashed into ONE Count-Min sketch, so "frequency of key k in
+    * window w" is a plain sketch lookup — the windowed variant costs
+    * the same fixed memory as the global one (no per-window sketch
+    * table, no sketch-column join).
+    *
+    * Exactness: CMS over-counts only, so `estimate >= minFreq` never
+    * drops a true heavy hitter; the exact group-by over the surviving
+    * sliver removes false positives — output is sketch-independent
+    * (the x46 pattern, windowed).
+    *
+    * Streaming shape (pinned stream ≡ batch in StreamingSpec): the
+    * sketch is built once from accepted history and broadcast — per
+    * micro-batch the probe is a stateless codegen'd filter and the
+    * exact verify is an ordinary watermarked windowed count whose
+    * state is CANDIDATE-sized, not key-space-sized.  That's the point
+    * at scale: the state store holds only (window, key) groups that
+    * might be heavy, while the sketch absorbs the long tail in
+    * depth×width longs. */
+  def windowedHeavyHitters(events: DataFrame, tsCol: String, keyCol: String,
+                           windowDur: String, minFreq: Long,
+                           depth: Int = 4, width: Int = 1 << 14,
+                           probeSketch: Option[Array[Byte]] = None,
+                           buildOnly: Boolean = false): DataFrame = {
+    import graft.plans.{CmsEstimate, CountMinAgg}
+    val keyed = events.select(
+      window(col(tsCol), windowDur).getField("start").as("w"),
+      col(keyCol).as("k"))
+    val h = xxhash64(col("w"), col("k"))
+    if (buildOnly)
+      return keyed.agg(CountMinAgg.cmsAgg(h, depth, width).as("cms"))
+    val cms = probeSketch.getOrElse(
+      keyed.agg(CountMinAgg.cmsAgg(h, depth, width))
+        .head.getAs[Array[Byte]](0))
+    keyed.filter(CmsEstimate.cmsEstimate(CmsEstimate.broadcastCms(cms),
+        depth, width, h) >= minFreq)
+      .groupBy(col("w"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minFreq)
+  }
+
   /** Run any streaming transform to a memory sink until input drains —
     * the test/local harness (one batch == one source fetch). */
   def runToMemory(spark: SparkSession, out: DataFrame, queryName: String,

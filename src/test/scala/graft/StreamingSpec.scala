@@ -55,6 +55,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming windowed CMS heavy hitters equal the batch answer " +
+    "(broadcast sketch probe + candidate-sized windowed state)") {
+    val batchEvents = Tables.events(spark, sf0001)
+    // sketch built once from accepted history (the st5 gate pattern)
+    val cms = graft.streaming.Streams.windowedHeavyHitters(
+        batchEvents, "ts", "user_id", "1 day", minFreq = 3L,
+        buildOnly = true)
+      .head.getAs[Array[Byte]]("cms")
+    val schema = spark.read.parquet(stagedDir).schema
+    val stream = graft.streaming.Streams.windowedHeavyHitters(
+      Streams.fileStream(spark, stagedDir, schema),
+      "ts", "user_id", "1 day", minFreq = 3L, probeSketch = Some(cms))
+    Streams.runToMemory(spark, stream, "cmswin", outputMode = "complete")
+    val streamed = spark.table("cmswin")
+      .select(date_format($"w", "yyyy-MM-dd HH:mm:ss"), $"k", $"n")
+      .as[(String, Long, Long)].collect().toSet
+    val batch = graft.streaming.Streams.windowedHeavyHitters(
+        batchEvents, "ts", "user_id", "1 day", minFreq = 3L)
+      .select(date_format($"w", "yyyy-MM-dd HH:mm:ss"), $"k", $"n")
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture must produce at least one heavy hitter")
+  }
+
+  test("windowed heavy hitters are sketch-independent: a tiny sketch " +
+    "(all-collisions) still returns the exact answer") {
+    val ev = Tables.events(spark, sf0001)
+    val wide = graft.streaming.Streams.windowedHeavyHitters(
+        ev, "ts", "user_id", "1 day", minFreq = 3L)
+      .select($"w", $"k", $"n").as[(java.sql.Timestamp, Long, Long)]
+      .collect().toSet
+    val tiny = graft.streaming.Streams.windowedHeavyHitters(
+        ev, "ts", "user_id", "1 day", minFreq = 3L, depth = 1, width = 16)
+      .select($"w", $"k", $"n").as[(java.sql.Timestamp, Long, Long)]
+      .collect().toSet
+    assert(tiny == wide)
+  }
+
   test("streaming exact dedup: fingerprint state drops re-ingested docs " +
     "across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sdd_").toString
