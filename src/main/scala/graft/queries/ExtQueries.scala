@@ -532,7 +532,37 @@ object ExtQueries {
     // exact banded-levenshtein verify on the candidate sliver
     "x55_edit_neardup" -> ((s, d) =>
       Dedup.simhashEditPairs(Tables.documents(s, d),
-        "doc_id", "text", maxDist = 40)))
+        "doc_id", "text", maxDist = 40)),
+
+    // curriculum decile table: total-order rank by entropy via the
+    // distributed globalRank primitive (no corpus-wide window), decile
+    // assignment from a broadcast single-row count, per-decile stats —
+    // the schedule table a curriculum sampler consumes
+    "x57_curriculum_deciles" -> ((s, d) => {
+      val ent = graft.ext.TextAnalysis.charEntropy(
+        Tables.documents(s, d), "doc_id", "text")
+      val ranked = graft.ext.CorpusStats.globalRank(ent,
+        Seq(col("entropy").desc, col("doc_id").asc))
+      val n = ranked.agg(count(lit(1)).as("__n"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("decile",
+          floor((col("rank") - 1) * 10 / col("__n")).cast("int"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("entropy")), 6).as("min_entropy"),
+          round(max(col("entropy")), 6).as("max_entropy"),
+          round(avg(col("entropy")), 6).as("avg_entropy"))
+    }),
+
+    // deterministic k-per-group sample: content-addressed md5 order
+    // through the TopKPerKey physical operator (bounded heaps, no
+    // per-group sort) — reproducible "5 random-looking docs per source"
+    "x58_group_sample" -> ((s, d) =>
+      graft.plans.TopKPerKey.topKPerKey(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          md5(concat(lit("smp:"), col("doc_id"))).as("h")),
+        keys = Seq(col("source")),
+        order = Seq(col("h").asc, col("doc_id").asc), k = 5)))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -1568,5 +1598,37 @@ object ExtQueries {
          |FROM c
          |JOIN documents da ON c.a = da.doc_id
          |JOIN documents db ON c.b = db.doc_id
-         |WHERE levenshtein(da.text, db.text) <= 40""".stripMargin)
+         |WHERE levenshtein(da.text, db.text) <= 40""".stripMargin,
+    // same entropy replay as x50, ranked with a unique tiebreak; the
+    // decile formula floors over exact small-integer doubles
+    "x57_curriculum_deciles" ->
+      """WITH ent AS (
+        |  SELECT doc_id,
+        |         round(-sum((c / n) * ln(c / n)), 6) AS entropy
+        |  FROM (SELECT doc_id, n, ch, count(*) AS c
+        |        FROM (SELECT doc_id, len(text) AS n,
+        |                unnest(string_split_regex(text, '')) AS ch
+        |              FROM documents)
+        |        GROUP BY 1, 2, 3)
+        |  GROUP BY doc_id, n),
+        |r AS (SELECT entropy,
+        |        row_number() OVER (ORDER BY entropy DESC, doc_id ASC)
+        |          AS rk,
+        |        count(*) OVER () AS n
+        |      FROM ent)
+        |SELECT CAST(floor((rk - 1) * 10.0 / n) AS INT) AS decile,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(min(entropy), 6) AS min_entropy,
+        |       round(max(entropy), 6) AS max_entropy,
+        |       round(avg(entropy), 6) AS avg_entropy
+        |FROM r GROUP BY 1""".stripMargin,
+    "x58_group_sample" ->
+      """SELECT doc_id, source, h FROM (
+        |  SELECT doc_id, source,
+        |         md5('smp:' || CAST(doc_id AS VARCHAR)) AS h,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5('smp:' || CAST(doc_id AS VARCHAR)) ASC,
+        |                    doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin)
 }

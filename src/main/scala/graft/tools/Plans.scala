@@ -24,7 +24,8 @@ object Plans {
     "x44_tfidf_keywords" -> "single-row doc-count for the IDF term",
     "x39_curriculum_rank" -> "#partitions-row triangular offset join",
     "x49_pmi_collocations" -> "single-row bigram total for the PMI term",
-    "x56_mixture_weights" -> "single-row weight-sum normalizer")
+    "x56_mixture_weights" -> "single-row weight-sum normalizer",
+    "x57_curriculum_deciles" -> "single-row corpus count for the decile cut")
 
   /** Sweep every declared query's physical plan for anti-pattern nodes.
     * Returns name → hits, where a hit is "CartesianProduct",

@@ -676,6 +676,41 @@ class DedupSpec extends SparkSpec {
     assert(narrow.subsetOf(blocked))
   }
 
+  test("curriculum deciles partition the corpus into near-equal bands " +
+    "ordered by score") {
+    val q = graft.queries.ExtQueries.qs("x57_curriculum_deciles")
+    val rows = q(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0 until 10))
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"uneven deciles: ${sizes.toSeq}")
+    // decile 0 holds the highest-entropy docs; bands are ordered and
+    // non-overlapping: each decile's max <= the previous decile's min
+    rows.sliding(2).foreach { case Array(hi, lo) =>
+      assert(lo._3 <= hi._3, s"band overlap: $lo vs $hi")
+      ()
+    }
+  }
+
+  test("group sample is k-per-group, deterministic, and " +
+    "partitioning-independent") {
+    val docs = Tables.documents(spark, sf0001)
+    def run(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      graft.plans.TopKPerKey.topKPerKey(
+          df.select(col("doc_id"), col("source"),
+            md5(concat(lit("smp:"), col("doc_id"))).as("h")),
+          keys = Seq(col("source")),
+          order = Seq(col("h").asc, col("doc_id").asc), k = 5)
+        .select("doc_id", "source")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = run(docs)
+    val b = run(docs.repartition(13, col("doc_id")))
+    assert(a == b, "sample must not depend on physical partitioning")
+    val perGroup = a.groupBy(_._2).view.mapValues(_.size)
+    assert(perGroup.values.forall(_ == 5))
+  }
+
   test("approx length stats track exact within sketch tolerance") {
     val docs = Tables.documents(spark, sf0001)
     val exact = graft.ext.CorpusStats.lengthStats(docs, "lang", "n_chars")
