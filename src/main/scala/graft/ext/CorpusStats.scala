@@ -388,6 +388,56 @@ object CorpusStats {
       .drop("__pid", "__idx", "__offset")
   }
 
+  /** Global running total of `valueCol` in the total order given by
+    * `orderCols` — [[globalRank]]'s machinery with a sum instead of a
+    * count: range-repartition on the order, one in-partition prefix
+    * pass, then a broadcast join of the #partitions-row partition-total
+    * prefix table.  No corpus-wide single-task window, no driver
+    * collect of data rows.
+    *
+    * This is the budget-selection primitive: "take documents in
+    * quality order until the token budget is spent" is one filter on
+    * the inclusive running total ([[globalRank]] ranks, this one
+    * meters).  `valueCol` must be integral (summed as long); pass a
+    * unique tiebreak in `orderCols` or boundary rows land in
+    * partition-dependent order. */
+  def globalCumSum(df: DataFrame, orderCols: Seq[Column], valueCol: String,
+                   cumName: String = "cum", partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val reserved = Set("__pid", "__pcum", "__offset", cumName)
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"globalCumSum: input columns ${clash.mkString(", ")} collide with " +
+        s"reserved names (__pid, __pcum, __offset) or cumName=$cumName")
+    val n = if (partitions > 0) partitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val valueIdx = df.schema.fieldIndex(valueCol)
+    val schema = df.schema
+      .add("__pid", IntegerType, nullable = false)
+      .add("__pcum", LongType, nullable = false)
+    val summed = df.repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var acc = 0L
+        it.map { r =>
+          acc += r.getAs[Number](valueIdx).longValue()
+          Row.fromSeq(r.toSeq :+ pid :+ acc)
+        }
+      }(Encoders.row(schema))
+      .localCheckpoint() // totals derive from this; avoid a second sort
+    val totals = summed.groupBy(col("__pid"))
+      .agg(max(col("__pcum")).as("__t"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__t")), lit(0L)).as("__offset"))
+    summed.join(broadcast(offsets), "__pid")
+      .withColumn(cumName, col("__offset") + col("__pcum"))
+      .drop("__pid", "__pcum", "__offset")
+  }
+
   /** Vocabulary coverage: fix the vocabulary at the corpus' top
     * `vocabSize` tokens (frequency desc, token asc — deterministic at
     * the cutoff) and report each source's out-of-vocabulary token

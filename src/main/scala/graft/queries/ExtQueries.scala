@@ -562,7 +562,25 @@ object ExtQueries {
         Tables.documents(s, d).select(col("doc_id"), col("source"),
           md5(concat(lit("smp:"), col("doc_id"))).as("h")),
         keys = Seq(col("source")),
-        order = Seq(col("h").asc, col("doc_id").asc), k = 5)))
+        order = Seq(col("h").asc, col("doc_id").asc), k = 5)),
+
+    // token-budget corpus selection: docs in entropy-quality order
+    // until a 10k-token budget is spent — the globalCumSum metering
+    // primitive (a doc is in iff the budget wasn't exhausted when it
+    // starts); reported per source
+    "x59_budget_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ent = graft.ext.TextAnalysis.charEntropy(docs, "doc_id", "text")
+      val t = docs.select(col("doc_id"), col("source"),
+          TextAnalysis.nTokens(TextAnalysis.tokens(col("text")))
+            .cast("long").as("n"))
+        .join(ent, "doc_id")
+      graft.ext.CorpusStats.globalCumSum(t,
+          Seq(col("entropy").desc, col("doc_id").asc), "n")
+        .filter(col("cum") - col("n") < 10000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    }))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -1630,5 +1648,28 @@ object ExtQueries {
         |           ORDER BY md5('smp:' || CAST(doc_id AS VARCHAR)) ASC,
         |                    doc_id ASC) AS rn
         |  FROM documents)
-        |WHERE rn <= 5""".stripMargin)
+        |WHERE rn <= 5""".stripMargin,
+    // the oracle meters with a plain running-sum window; a doc is
+    // selected iff the tokens spent BEFORE it are under budget
+    "x59_budget_select" ->
+      """WITH ent AS (
+        |  SELECT doc_id,
+        |         round(-sum((c / n) * ln(c / n)), 6) AS entropy
+        |  FROM (SELECT doc_id, n, ch, count(*) AS c
+        |        FROM (SELECT doc_id, len(text) AS n,
+        |                unnest(string_split_regex(text, '')) AS ch
+        |              FROM documents)
+        |        GROUP BY 1, 2, 3)
+        |  GROUP BY doc_id, n),
+        |t AS (SELECT d.doc_id, d.source,
+        |        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n,
+        |        ent.entropy
+        |      FROM documents d JOIN ent ON d.doc_id = ent.doc_id),
+        |r AS (SELECT *,
+        |        sum(n) OVER (ORDER BY entropy DESC, doc_id ASC
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM r WHERE cum - n < 10000 GROUP BY 1""".stripMargin)
 }

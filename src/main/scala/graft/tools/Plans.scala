@@ -25,7 +25,8 @@ object Plans {
     "x39_curriculum_rank" -> "#partitions-row triangular offset join",
     "x49_pmi_collocations" -> "single-row bigram total for the PMI term",
     "x56_mixture_weights" -> "single-row weight-sum normalizer",
-    "x57_curriculum_deciles" -> "single-row corpus count for the decile cut")
+    "x57_curriculum_deciles" -> "single-row corpus count for the decile cut",
+    "x59_budget_select" -> "#partitions-row triangular offset join (globalCumSum)")
 
   /** Sweep every declared query's physical plan for anti-pattern nodes.
     * Returns name → hits, where a hit is "CartesianProduct",

@@ -711,6 +711,32 @@ class DedupSpec extends SparkSpec {
     assert(perGroup.values.forall(_ == 5))
   }
 
+  test("globalCumSum equals the single-task window form and is " +
+    "partitioning-independent") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars").cast("long").as("v"))
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.ext.CorpusStats.globalCumSum(df,
+          Seq(col("v").desc, col("doc_id").asc), "v")
+        .select("doc_id", "cum")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(docs)
+    val b = run(docs.repartition(17, col("doc_id")))
+    assert(a == b, "cumsum must not depend on physical partitioning")
+    val w = Window.orderBy(col("v").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = docs.withColumn("cum", sum(col("v")).over(w))
+      .select("doc_id", "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == expected)
+    // and the plan truly avoids the single-task window
+    val plan = graft.ext.CorpusStats.globalCumSum(docs,
+        Seq(col("v").desc, col("doc_id").asc), "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
+  }
+
   test("approx length stats track exact within sketch tolerance") {
     val docs = Tables.documents(spark, sf0001)
     val exact = graft.ext.CorpusStats.lengthStats(docs, "lang", "n_chars")
