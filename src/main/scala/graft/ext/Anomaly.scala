@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Activity-rate anomaly detection: flag (key, window) buckets whose
+  * event count is a z-score outlier against that key's own history —
+  * the data-quality monitor a large ingest pipeline runs continuously
+  * (a provider suddenly posting 10× its usual volume is either an
+  * incident or a duplication bug; both need surfacing, reference
+  * analog: the count-compare warning `clarity.js:151-160` generalized
+  * from one batch to a per-key baseline).
+  *
+  * Determinism across engines: mean and variance are derived from
+  * exact integer sums (`Σn`, `Σn²`) with one fixed arithmetic shape —
+  * `var = ss/k − (s/k)²` — so the oracle computes bit-identical
+  * doubles; the z-score rounds before the threshold filter, so the
+  * boundary decision is replayable too.
+  *
+  * Scale shape: two grouped aggregations (map-side partials) — the
+  * second collapses to #keys rows, and the join back to bucket counts
+  * broadcasts it.  Nothing is ever data-sized after the first agg; no
+  * windows, no driver-side state.  Zero-activity buckets are absent by
+  * construction (baseline = the key's ACTIVE windows); a calendar
+  * left-join densification is the caller's composition when silence
+  * itself is the anomaly. */
+object Anomaly {
+
+  def keyRateAnomalies(events: DataFrame, tsCol: String, keyCol: String,
+                       windowDur: String, minZ: Double): DataFrame = {
+    require(minZ > 0, s"minZ must be positive (got $minZ)")
+    val counts = events.groupBy(
+        window(col(tsCol), windowDur).getField("start").as("w"),
+        col(keyCol).as("k"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy(col("k"))
+      .agg(count(lit(1)).as("kd"),
+        sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+    counts.join(broadcast(stats), "k")
+      .withColumn("mean", col("s").cast("double") / col("kd"))
+      .withColumn("__var",
+        col("ss").cast("double") / col("kd") - col("mean") * col("mean"))
+      .filter(col("__var") > 0) // constant-rate keys have no outliers
+      .withColumn("z",
+        round((col("n") - col("mean")) / sqrt(col("__var")), 6))
+      .filter(abs(col("z")) >= minZ)
+      .select(col("w"), col("k"), col("n"), round(col("mean"), 6).as("mean"),
+        col("z"))
+  }
+}

@@ -1034,15 +1034,36 @@ object Dedup {
       (col("simhash").bitwiseAND(lit(mask)) * masks.size + lit(idx))
         .cast("int")
     }
+    // Length banding folds the `|la - lb| <= maxDist` levenshtein lower
+    // bound INTO the join key (band width = maxDist; the probe side
+    // explodes to bands ±1, so every in-range pair still meets exactly
+    // once) — identical output, bucket enumeration cut by the corpus'
+    // length spread instead of filtered after the fact.
+    val bw = math.max(maxDist, 1)
     val blocked = enc.select(col(idCol), col("__len"),
+      floor(col("__len") / bw).as("__band"),
       explode(array(keys: _*)).as("bk"))
-    val cand = blocked.select(col("bk"), col(idCol).as("a"),
+    // Pin the exploding join's width (the x3 discipline): AQE sizes
+    // stages by INPUT bytes, and these key rows are skinny — left
+    // alone the pair enumeration + verify coalesced onto 4 tasks for
+    // 6.9 s at sf0.1.  User repartition counts are AQE-coalesce-exempt.
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val a = blocked.select(col("bk"), col("__band"), col(idCol).as("a"),
         col("__len").as("la"))
-      .join(blocked.select(col("bk"), col(idCol).as("b"),
-        col("__len").as("lb")), Seq("bk"))
+      .repartition(parts, col("bk"), col("__band"))
+    val b = blocked.select(col("bk"), col(idCol).as("b"),
+        col("__len").as("lb"),
+        explode(array(col("__band") - 1, col("__band"),
+          col("__band") + 1)).as("__band"))
+      .repartition(parts, col("bk"), col("__band"))
+    val cand = a.join(b, Seq("bk", "__band"))
       .filter(col("a") < col("b") &&
         abs(col("la") - col("lb")) <= maxDist)
       .select(col("a"), col("b")).distinct()
+      // candidates are 16-byte rows: AQE would coalesce the verify to a
+      // handful of tasks.  Round-robin re-pin — a (a, b)-hash pin would
+      // collapse into the distinct's own exchange and change nothing.
+      .repartition(parts)
     val t = docs.select(col(idCol), col(textCol))
     cand
       .join(t.select(col(idCol).as("a"), col(textCol).as("__ta")), "a")

@@ -248,7 +248,16 @@ object FnQueries {
       graft.streaming.Streams.windowedHeavyHitters(
         Tables.events(s, d), "ts", "user_id", "1 day", minFreq = 6L)
         .select(date_format(col("w"), TS).as("window_start"),
-          col("k").as("user_id"), col("n"))))
+          col("k").as("user_id"), col("n"))),
+
+    // per-key activity-rate anomalies: daily buckets z-scored against
+    // each user's own history (exact-integer-sum moments → replayable
+    // doubles; #keys-row broadcast join)
+    "x60_rate_anomaly" -> ((s, d) =>
+      graft.ext.Anomaly.keyRateAnomalies(
+        Tables.events(s, d), "ts", "user_id", "1 day", minZ = 2.0)
+        .select(date_format(col("w"), TS).as("window_start"),
+          col("k").as("user_id"), col("n"), col("mean"), col("z"))))
 
   /** F16 polygon-lookup oracle: the zone dim inlines as VALUES from the
     * same [[graft.functions.GeoTz.zones]] constants, and the ray-cast
@@ -475,6 +484,27 @@ object FnQueries {
          |SELECT strftime(w, '$DTS') AS window_start, user_id,
          |       CAST(count(*) AS BIGINT) AS n
          |FROM e GROUP BY 1, 2 HAVING count(*) >= 6""".stripMargin,
+    // same fixed arithmetic shape as the engine: var = ss/k - (s/k)^2
+    // over exact integer sums, z rounded BEFORE the threshold
+    "x60_rate_anomaly" ->
+      s"""WITH e AS (SELECT make_timestamp(
+         |             epoch_ns(ts) // 1000 // 86400000000 * 86400000000)
+         |             AS w, user_id
+         |           FROM events),
+         |c AS (SELECT w, user_id, count(*) AS n FROM e GROUP BY 1, 2),
+         |s AS (SELECT user_id, count(*) AS kd, sum(n) AS s,
+         |             sum(n * n) AS ss
+         |      FROM c GROUP BY 1),
+         |j AS (SELECT c.w, c.user_id, c.n,
+         |        s.s::DOUBLE / s.kd AS mean,
+         |        s.ss::DOUBLE / s.kd
+         |          - (s.s::DOUBLE / s.kd) * (s.s::DOUBLE / s.kd) AS v
+         |      FROM c JOIN s ON c.user_id = s.user_id)
+         |SELECT strftime(w, '$DTS') AS window_start, user_id,
+         |       CAST(n AS BIGINT) AS n, round(mean, 6) AS mean,
+         |       round((n - mean) / sqrt(v), 6) AS z
+         |FROM j WHERE v > 0
+         |  AND abs(round((n - mean) / sqrt(v), 6)) >= 2""".stripMargin,
     // gaps-and-islands replay of session_window: same µs-floored
     // timestamps (make_timestamp mirrors Tables.events' nanos→µs
     // floor), break iff gap STRICTLY exceeds 30 min (an event at

@@ -1,0 +1,38 @@
+package graft
+
+import graft.ext.Anomaly
+import org.apache.spark.sql.functions._
+
+class AnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** user A: daily counts 1,1,1,1,16 → mean 4, var 36, z(16) = 2.0
+    * exactly (threshold boundary) and z(1) = −0.5; user B: constant
+    * rate → var 0 → excluded entirely. */
+  private def fixture = {
+    val rows = Seq.newBuilder[(String, Long)]
+    for (d <- 1 to 5) {
+      val copies = if (d == 5) 16 else 1
+      for (i <- 0 until copies) rows += ((f"2024-01-0$d $i%02d:00:00", 1L))
+      for (i <- 0 until 3) rows += ((f"2024-01-0$d 2$i:00:00", 2L))
+    }
+    rows.result().toDF("ss", "user_id")
+      .select(to_timestamp(col("ss")).as("ts"), col("user_id"))
+  }
+
+  test("rate anomalies: exact z boundary included, constant keys excluded") {
+    val got = Anomaly.keyRateAnomalies(fixture, "ts", "user_id",
+        "1 day", minZ = 2.0)
+      .select("k", "n", "mean", "z").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 16L, 4.0, 2.0)),
+      s"expected exactly the boundary outlier, got ${got.toSeq}")
+  }
+
+  test("rate anomalies: lowering the threshold surfaces the mild days") {
+    val got = Anomaly.keyRateAnomalies(fixture, "ts", "user_id",
+        "1 day", minZ = 0.4)
+      .filter(col("k") === 1L).select("z").as[Double].collect().toSet
+    assert(got === Set(2.0, -0.5))
+  }
+}
