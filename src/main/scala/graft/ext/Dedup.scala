@@ -1018,10 +1018,12 @@ object Dedup {
     * `levenshtein(a, b, threshold)` whose banded DP is O(len·maxDist),
     * not O(len²), and whole-stage-codegens. */
   def simhashEditPairs(docs: DataFrame, idCol: String, textCol: String,
-                       maxDist: Int, maskNibbles: Int = 2): DataFrame = {
+                       maxDist: Int, maskNibbles: Int = 2,
+                       salts: Int = 8): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
     require(maskNibbles >= 1 && maskNibbles <= 2,
       s"maskNibbles must be 1 or 2 (got $maskNibbles)")
+    require(salts >= 1, s"salts must be >= 1 (got $salts)")
     val enc = simhashFingerprints(docs, idCol, textCol)
       .join(docs.select(col(idCol), length(col(textCol)).as("__len")),
         idCol)
@@ -1048,15 +1050,23 @@ object Dedup {
     // alone the pair enumeration + verify coalesced onto 4 tasks for
     // 6.9 s at sf0.1.  User repartition counts are AQE-coalesce-exempt.
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // Salting (the x3 pattern): a boilerplate-heavy corpus puts
+    // thousands of identical fingerprints in ONE (bk, band) bucket;
+    // hashing `a` over `salts` sub-keys and replicating the probe side
+    // spreads that bucket's pair enumeration over `salts` tasks with
+    // the identical pair set (each pair still meets exactly once per
+    // shared mask key).  Skew-test-pinned alongside the LSH join.
     val a = blocked.select(col("bk"), col("__band"), col(idCol).as("a"),
         col("__len").as("la"))
-      .repartition(parts, col("bk"), col("__band"))
+      .withColumn("__salt", pmod(hash(col("a")), lit(salts)))
+      .repartition(parts, col("bk"), col("__band"), col("__salt"))
     val b = blocked.select(col("bk"), col(idCol).as("b"),
         col("__len").as("lb"),
         explode(array(col("__band") - 1, col("__band"),
           col("__band") + 1)).as("__band"))
-      .repartition(parts, col("bk"), col("__band"))
-    val cand = a.join(b, Seq("bk", "__band"))
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .repartition(parts, col("bk"), col("__band"), col("__salt"))
+    val cand = a.join(b, Seq("bk", "__band", "__salt"))
       .filter(col("a") < col("b") &&
         abs(col("la") - col("lb")) <= maxDist)
       .select(col("a"), col("b")).distinct()

@@ -102,6 +102,48 @@ class SkewStressSpec extends SparkSpec {
     }
   }
 
+  test("salted SimHash edit-pair join spreads a mega fingerprint " +
+    "bucket; unsalted pins one task") {
+    withMeasuredConf(16) {
+      // 400 identical docs: one fingerprint, one length band — every
+      // mask key is the same mega bucket
+      val boiler = (1 to 30).map(i => s"w$i").mkString(" ")
+      val rnd = new scala.util.Random(7)
+      val corpus = ((1L to 400L).map((_, boiler)) ++
+        (401L to 450L).map(i =>
+          (i, (1 to 30).map(_ => s"t${rnd.nextInt(100000)}").mkString(" ")))
+        ).toDF("doc_id", "text")
+      def run(salts: Int): (Long, Seq[Long]) = {
+        var n = 0L
+        val stages = perTaskRecords {
+          n = graft.ext.Dedup.simhashEditPairs(corpus, "doc_id", "text",
+            maxDist = 10, salts = salts).count()
+        }
+        val pairStage = stages.maxBy(_._2.map(_._1).sum)._2.map(_._1)
+        (n, pairStage.filter(_ > 0))
+      }
+      val (nSalted, salted) = run(16)
+      val (nUnsalted, unsalted) = run(1)
+      // 400 identical docs → C(400,2) = 79800 zero-distance pairs
+      assert(nSalted == nUnsalted && nSalted >= 79800L,
+        s"pair counts diverged or implausible: $nSalted vs $nUnsalted")
+      // unsalted: the 6 mask keys give at most 6 copies of the mega
+      // bucket, so SOME task enumerates the full C(400,2) alone
+      assert(unsalted.max >= 79800L,
+        s"expected a full-bucket task, got spread $unsalted")
+      assert(salted.size >= 8, s"only ${salted.size} tasks carried pairs")
+      val sorted = salted.sorted
+      val median = sorted(sorted.size / 2)
+      assert(salted.max <= median * 2.5,
+        s"skewed salted spread: max=${salted.max} median=$median ($sorted)")
+      // the hottest task shrinks even though total volume is 6x the
+      // distinct pair count (one copy per mask key)
+      assert(salted.max <= (unsalted.max * 0.6).toLong,
+        s"salting should cut the hottest task: " +
+          s"${salted.max} vs ${unsalted.max}")
+    }
+  }
+
   test("block decomposition spreads a mega cosine bucket: blocks=4 " +
     "caps per-task pair work, identical results") {
     withMeasuredConf(16) {
