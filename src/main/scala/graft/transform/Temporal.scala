@@ -47,6 +47,10 @@ object Temporal {
     * wanting a tolerance (max match age) filter on it afterwards, which
     * keeps this operator one window pass.
     *
+    * `direction = "forward"` flips the match to the EARLIEST right row
+    * at-or-after (`> ` when strict) each left timestamp — the "next
+    * state change" lookup; same plan, the window just orders descending.
+    *
     * Scale shape: one exchange on `keys`, one sort, one running-frame
     * window computing every payload column in a single Window operator.
     * No join node at all — as-of over a 100 TB history costs the same
@@ -55,8 +59,11 @@ object Temporal {
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
                tiebreak: Option[String] = None, inclusive: Boolean = true,
-               matchedTsAs: String = "matched_ts"): DataFrame = {
+               matchedTsAs: String = "matched_ts",
+               direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asOfJoin needs at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward (got $direction)")
     val outCols = matchedTsAs +: payload
     val clash = left.columns.toSeq.intersect(outCols) ++
       (left.columns ++ right.columns).toSeq.intersect(Reserved)
@@ -99,10 +106,15 @@ object Temporal {
 
     // At equal timestamps: inclusive → right rows sort first (left
     // sees them); strict → left rows sort first (left does not).
+    // Forward mode scans time in reverse: the running frame then
+    // carries the EARLIEST at-or-after right row.
     val sideOrder =
       if (inclusive) col("__asof_side").asc else col("__asof_side").desc
+    val tsOrder =
+      if (direction == "backward") col("__asof_ts").asc
+      else col("__asof_ts").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__asof_ts").asc, sideOrder, col("__asof_tb").asc)
+      .orderBy(tsOrder, sideOrder, col("__asof_tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = outCols.foldLeft(unioned)((df, c) =>

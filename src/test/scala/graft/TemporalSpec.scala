@@ -52,6 +52,31 @@ class TemporalSpec extends SparkSpec {
       105L -> -1L))
   }
 
+  test("asOfJoin forward mode attaches the earliest at-or-after row") {
+    def fwd(inclusive: Boolean): Map[Long, Long] =
+      Temporal.asOfJoin(trades, quotes, keys = Seq("k"),
+        leftTs = "tts", rightTs = "qts", payload = Seq("qid", "px"),
+        tiebreak = Some("qid"), inclusive = inclusive,
+        matchedTsAs = "mts", direction = "forward")
+        .select("tid", "qid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+    assert(fwd(inclusive = true) === Map(
+      100L -> 1L,  // earliest quote after 09:59
+      101L -> 3L,  // next is the 10:05 pair; tie → greatest qid
+      102L -> 3L,  // equal-ts match included
+      103L -> -1L, // nothing after 10:30
+      104L -> 4L,
+      105L -> -1L))
+    assert(fwd(inclusive = false) === Map(
+      100L -> 1L,
+      101L -> 3L,
+      102L -> -1L, // equal-ts quotes excluded, nothing later
+      103L -> -1L,
+      104L -> -1L,
+      105L -> -1L))
+  }
+
   test("asOfJoin exposes the matched right timestamp for tolerance filters") {
     val out = Temporal.asOfJoin(trades, quotes, keys = Seq("k"),
       leftTs = "tts", rightTs = "qts", payload = Seq("qid"),
