@@ -31,6 +31,35 @@ object CorpusStats {
         min(col(lenColName)).as("min_len"),
         max(col(lenColName)).as("max_len"))
 
+  /** Percentile-based length trim (the C4 "drop the improbably short
+    * and long tails" rule, made per-group and auditable): per group,
+    * the `[pLo, pHi]` interdecile cutoffs of `lenColName` and how many
+    * documents survive them.  Run this BEFORE committing a trim — the
+    * kept-fraction per source is the audit row that catches a source
+    * whose whole distribution would be deleted.
+    *
+    * Scale shape: one grouped percentile agg collapsing to #groups
+    * rows, broadcast back over the corpus for the in-range count —
+    * the corpus never shuffles.  Swap `percentile` for
+    * `approx_percentile` at 100 TB exactly as [[lengthStatsApprox]]
+    * does. */
+  def lengthTrimStats(docs: DataFrame, groupCol: String,
+                      lenColName: String, pLo: Double,
+                      pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1 (got $pLo, $pHi)")
+    val cuts = docs.groupBy(col(groupCol))
+      .agg(expr(s"percentile($lenColName, $pLo)").as("__lo"),
+        expr(s"percentile($lenColName, $pHi)").as("__hi"))
+    docs.join(broadcast(cuts), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(lenColName) >= col("__lo") &&
+          col(lenColName) <= col("__hi"), 1L).otherwise(0L)).as("n_kept"),
+        round(min(col("__lo")), 2).as("lo"),
+        round(min(col("__hi")), 2).as("hi"))
+  }
+
   /** The 100 TB variant of [[lengthStats]]: `approx_percentile`
     * (KLL-style sketch) replaces the exact per-group value-list sort —
     * constant memory per group, mergeable partials, same column

@@ -564,6 +564,32 @@ object ExtQueries {
         keys = Seq(col("source")),
         order = Seq(col("h").asc, col("doc_id").asc), k = 5)),
 
+    // snapshot novelty: incoming docs (the st4 split) with NO near-dup
+    // in the accepted snapshot, as a per-source rate — the
+    // "how much of this crawl is actually new" number that decides
+    // whether a source is worth re-fetching
+    "x61_snapshot_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val incoming = docs.filter(col("doc_id") % 7 === 0)
+      val matches = Dedup.lshMatchAgainst(
+        docs.filter(col("doc_id") % 7 =!= 0), incoming,
+        "doc_id", "text", n = 1, k = 8, bandRows = 2, threshold = 0.8)
+      incoming
+        .join(matches.select(col("doc_id"), lit(1).as("__m")),
+          Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(when(col("__m").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_rate",
+          round(col("n_novel") / col("n_incoming"), 6))
+    }),
+
+    // per-source percentile length trim audit (C4 tail-drop rule):
+    // interdecile cutoffs + survivor counts BEFORE committing a trim
+    "x62_percentile_trim" -> ((s, d) =>
+      graft.ext.CorpusStats.lengthTrimStats(Tables.documents(s, d),
+        "source", "n_chars", pLo = 0.1, pHi = 0.9)),
+
     // token-budget corpus selection: docs in entropy-quality order
     // until a 10k-token budget is spent — the globalCumSum metering
     // primitive (a doc is in iff the budget wasn't exhausted when it
@@ -923,7 +949,10 @@ object ExtQueries {
   /** Stream-static ingest-gate oracle: same sig/band/verify replay as
     * [[x3Sql]], asymmetric sides (incoming = doc_id %% 7 == 0), best
     * match per incoming doc by (jaccard DESC, ex_id ASC). */
-  private val st4Sql: String = {
+  /** The stream-static LSH match CTE chain (incoming = doc_id % 7 == 0
+    * probing the rest), shared by st4 (best match per incoming doc) and
+    * x61 (novelty = incoming docs with NO match). */
+  private val st4Cte: String = {
     val sigCols = (0 until 8).map(i => s"${duckMinhash(i)} AS s$i")
       .mkString(",\n         ")
     val bandSelects = (0 until 4).map { b =>
@@ -951,12 +980,15 @@ object ExtQueries {
        |           AS jaccard
        |  FROM cands JOIN enc ei ON cands.in_id = ei.doc_id
        |             JOIN enc ee ON cands.ex_id = ee.doc_id
-       |  WHERE least(ei.sz, ee.sz) / greatest(ei.sz, ee.sz) >= 0.8)
+       |  WHERE least(ei.sz, ee.sz) / greatest(ei.sz, ee.sz) >= 0.8)""".stripMargin
+  }
+
+  private val st4Sql: String =
+    s"""$st4Cte
        |SELECT in_id AS doc_id, ex_id AS match_id, jaccard FROM (
        |  SELECT *, row_number() OVER (PARTITION BY in_id
        |            ORDER BY jaccard DESC, ex_id ASC) AS rk
        |  FROM ver WHERE jaccard >= 0.8) WHERE rk = 1""".stripMargin
-  }
 
   private val contaminationSql =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -1649,6 +1681,32 @@ object ExtQueries {
         |                    doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 5""".stripMargin,
+    // novelty = anti of the st4 match set (shared CTE chain)
+    "x61_snapshot_novelty" ->
+      s"""$st4Cte,
+         |m AS (SELECT DISTINCT in_id FROM ver WHERE jaccard >= 0.8),
+         |inc AS (SELECT doc_id, source FROM documents
+         |        WHERE doc_id % 7 = 0)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_incoming,
+         |       CAST(sum(CASE WHEN m.in_id IS NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_novel,
+         |       round(sum(CASE WHEN m.in_id IS NULL THEN 1 ELSE 0 END)
+         |         / count(*)::DOUBLE, 6) AS novelty_rate
+         |FROM inc LEFT JOIN m ON inc.doc_id = m.in_id
+         |GROUP BY 1""".stripMargin,
+    // quantile_cont ≡ Spark `percentile` (the x14 parity); boundary
+    // compares run long-vs-double identically in both engines
+    "x62_percentile_trim" ->
+      """WITH c AS (SELECT source,
+        |             quantile_cont(n_chars, 0.1) AS lo,
+        |             quantile_cont(n_chars, 0.9) AS hi
+        |           FROM documents GROUP BY 1)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN d.n_chars >= c.lo AND d.n_chars <= c.hi
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       round(min(c.lo), 2) AS lo, round(min(c.hi), 2) AS hi
+        |FROM documents d JOIN c ON d.source = c.source
+        |GROUP BY 1""".stripMargin,
     // the oracle meters with a plain running-sum window; a doc is
     // selected iff the tokens spent BEFORE it are under budget
     "x59_budget_select" ->

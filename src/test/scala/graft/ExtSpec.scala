@@ -737,6 +737,40 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
   }
 
+  test("snapshot novelty: copies are not novel, fresh docs are") {
+    import spark.implicits._
+    // no underscores: the unicode tokenizer treats them as punctuation
+    // and "tokA_1" would split into shared tokens across seeds
+    val mk = (seed: Int) => (1 to 30)
+      .map(i => s"tok${seed}x$i").mkString(" ")
+    val snapshot = Seq((1L, "s1", mk(1)), (2L, "s1", mk(2)))
+    val incoming = Seq(
+      (10L, "s1", mk(1)),   // verbatim copy of doc 1 → matched
+      (11L, "s1", mk(99)),  // brand new → novel
+      (12L, "s2", mk(2)))   // copy in another source → matched
+    val docs = (snapshot ++ incoming).toDF("doc_id", "source", "text")
+    val matches = graft.ext.Dedup.lshMatchAgainst(
+      docs.filter($"doc_id" < 10), docs.filter($"doc_id" >= 10),
+      "doc_id", "text", n = 1, k = 8, bandRows = 2, threshold = 0.8)
+    val novel = docs.filter($"doc_id" >= 10)
+      .join(matches.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(novel === Set(11L))
+  }
+
+  test("percentile trim: cutoffs and kept counts match a hand-computed " +
+    "group") {
+    import spark.implicits._
+    // lengths 10..19: p10 = 10.9, p90 = 18.1 → kept = 11..18 (8 docs)
+    val docs = (0 until 10).map(i => (i.toLong, "s", 10L + i))
+      .toDF("doc_id", "source", "n_chars")
+    val got = graft.ext.CorpusStats.lengthTrimStats(
+        docs, "source", "n_chars", 0.1, 0.9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(("s", 10L, 8L, 10.9, 18.1)))
+  }
+
   test("approx length stats track exact within sketch tolerance") {
     val docs = Tables.documents(spark, sf0001)
     val exact = graft.ext.CorpusStats.lengthStats(docs, "lang", "n_chars")
