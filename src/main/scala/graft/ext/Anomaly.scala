@@ -26,17 +26,30 @@ import org.apache.spark.sql.functions._
   * itself is the anomaly. */
 object Anomaly {
 
-  def keyRateAnomalies(events: DataFrame, tsCol: String, keyCol: String,
-                       windowDur: String, minZ: Double): DataFrame = {
-    require(minZ > 0, s"minZ must be positive (got $minZ)")
-    val counts = events.groupBy(
+  /** Tumbling-window event counts per key — the shared first stage
+    * (and, in the streaming composition, the only stateful one). */
+  def windowCounts(events: DataFrame, tsCol: String, keyCol: String,
+                   windowDur: String): DataFrame =
+    events.groupBy(
         window(col(tsCol), windowDur).getField("start").as("w"),
         col(keyCol).as("k"))
       .agg(count(lit(1)).as("n"))
-    val stats = counts.groupBy(col("k"))
+
+  /** Per-key first/second moments over windowed counts: #keys rows,
+    * broadcastable — in a monitoring deployment this is the table you
+    * persist from history and probe with each closed window. */
+  def keyStats(counts: DataFrame): DataFrame =
+    counts.groupBy(col("k"))
       .agg(count(lit(1)).as("kd"),
         sum(col("n")).as("s"),
         sum(col("n") * col("n")).as("ss"))
+
+  /** z-score windowed counts against broadcast per-key stats and keep
+    * the |z| >= minZ outliers.  Stateless past the inputs — per
+    * micro-batch this is a codegen'd broadcast join + filter. */
+  def zScores(counts: DataFrame, stats: DataFrame,
+              minZ: Double): DataFrame = {
+    require(minZ > 0, s"minZ must be positive (got $minZ)")
     counts.join(broadcast(stats), "k")
       .withColumn("mean", col("s").cast("double") / col("kd"))
       .withColumn("__var",
@@ -47,5 +60,11 @@ object Anomaly {
       .filter(abs(col("z")) >= minZ)
       .select(col("w"), col("k"), col("n"), round(col("mean"), 6).as("mean"),
         col("z"))
+  }
+
+  def keyRateAnomalies(events: DataFrame, tsCol: String, keyCol: String,
+                       windowDur: String, minZ: Double): DataFrame = {
+    val counts = windowCounts(events, tsCol, keyCol, windowDur)
+    zScores(counts, keyStats(counts), minZ)
   }
 }

@@ -79,6 +79,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture must produce at least one heavy hitter")
   }
 
+  test("streaming rate anomalies equal the batch answer (history stats " +
+    "broadcast, stateless z-score past the windowed count)") {
+    import graft.ext.Anomaly
+    val ev = Tables.events(spark, sf0001)
+    val batch = Anomaly.keyRateAnomalies(ev, "ts", "user_id", "1 day", 1.5)
+      .select(date_format($"w", "yyyy-MM-dd HH:mm:ss"), $"k", $"n", $"z")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty)
+    // stats table persisted from history (the st5/st8 gate pattern);
+    // the stream re-counts windows and z-scores each as it closes
+    val stats = Anomaly.keyStats(
+      Anomaly.windowCounts(ev, "ts", "user_id", "1 day")).localCheckpoint()
+    val schema = spark.read.parquet(stagedDir).schema
+    val stream = Anomaly.zScores(
+      Anomaly.windowCounts(
+        Streams.fileStream(spark, stagedDir, schema), "ts", "user_id",
+        "1 day"),
+      stats, minZ = 1.5)
+    Streams.runToMemory(spark, stream, "ratewin", outputMode = "complete")
+    val streamed = spark.table("ratewin")
+      .select(date_format($"w", "yyyy-MM-dd HH:mm:ss"), $"k", $"n", $"z")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("windowed heavy hitters are sketch-independent: a tiny sketch " +
     "(all-collisions) still returns the exact answer") {
     val ev = Tables.events(spark, sf0001)
