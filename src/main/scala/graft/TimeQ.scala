@@ -14,9 +14,10 @@ object TimeQ {
       val Array(k, v) = kv.split("=", 2)
       spark.conf.set(k, v)
     })
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (name <- args; i <- 1 to 2) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(s"$name run $i: ${(System.nanoTime()-t0)/1e9}s rows=$n")
     }
     spark.stop()
