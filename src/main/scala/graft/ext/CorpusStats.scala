@@ -31,6 +31,38 @@ object CorpusStats {
         min(col(lenColName)).as("min_len"),
         max(col(lenColName)).as("max_len"))
 
+  /** Weighted sampling WITHOUT replacement, `k` per group
+    * (Efraimidis–Spirakis A-Res): each row draws a content-addressed
+    * uniform `u` from md5(id ++ salt) and scores `key = ln(u) / w`;
+    * the `k` LARGEST keys per group are distributed exactly as
+    * sequential weighted draws without replacement.  Unlike the
+    * keep-rate filter of [[stratifiedSample]] this returns an EXACT
+    * count per group with inclusion probability ∝ weight — the
+    * quality-weighted shortlist primitive (eval set selection,
+    * exemplar mining, importance-weighted subcorpora).
+    *
+    * Determinism: u is a pure function of (id, salt) — reproducible
+    * across runs, engines (the oracle replays key values bit-for-bit),
+    * and partitionings; keys round to 6 before ranking with an id
+    * tiebreak, the cross-engine ordering idiom.  Rows with
+    * non-positive weight are never sampled.
+    *
+    * Scale shape: key assignment is map-side; the per-group top-k runs
+    * on [[graft.plans.TopKPerKey]] bounded heaps — O(#groups · k)
+    * memory after one hash exchange, no per-group sort. */
+  def weightedSample(docs: DataFrame, idCol: String, groupCol: String,
+                     weightCol: String, k: Int,
+                     salt: String = "es"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(salt))), 1, 8), 16, 10).cast("double") + 0.5) / lit(4294967296.0)
+    val keyed = docs.filter(col(weightCol) > 0)
+      .select(col(idCol), col(groupCol),
+        round(log(u) / col(weightCol), 6).as("es_key"))
+    graft.plans.TopKPerKey.topKPerKey(keyed, Seq(col(groupCol)),
+      Seq(col("es_key").desc, col(idCol).asc), k)
+  }
+
   /** Percentile-based length trim (the C4 "drop the improbably short
     * and long tails" rule, made per-group and auditable): per group,
     * the `[pLo, pHi]` interdecile cutoffs of `lenColName` and how many

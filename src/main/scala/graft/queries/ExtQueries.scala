@@ -590,6 +590,13 @@ object ExtQueries {
       graft.ext.CorpusStats.lengthTrimStats(Tables.documents(s, d),
         "source", "n_chars", pLo = 0.1, pHi = 0.9)),
 
+    // Efraimidis–Spirakis weighted sample: 5 docs per source with
+    // inclusion ∝ n_chars, content-addressed uniforms (reproducible,
+    // oracle-replayed), TopKPerKey bounded heaps
+    "x63_weighted_sample" -> ((s, d) =>
+      graft.ext.CorpusStats.weightedSample(Tables.documents(s, d),
+        "doc_id", "source", "n_chars", k = 5)),
+
     // token-budget corpus selection: docs in entropy-quality order
     // until a 10k-token budget is spent — the globalCumSum metering
     // primitive (a doc is in iff the budget wasn't exhausted when it
@@ -1694,6 +1701,20 @@ object ExtQueries {
          |         / count(*)::DOUBLE, 6) AS novelty_rate
          |FROM inc LEFT JOIN m ON inc.doc_id = m.in_id
          |GROUP BY 1""".stripMargin,
+    // same md5-uniform (+0.5 offset avoids ln(0)), same ln/w key,
+    // rounded-before-rank with id tiebreak
+    "x63_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  round(ln((CAST(CAST('0x' ||
+        |      substr(md5(CAST(doc_id AS VARCHAR) || 'es'), 1, 8)
+        |      AS UBIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+        |    / n_chars, 6) AS es_key
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, source, es_key FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY es_key DESC, doc_id ASC) AS rn
+        |  FROM t)
+        |WHERE rn <= 5""".stripMargin,
     // quantile_cont ≡ Spark `percentile` (the x14 parity); boundary
     // compares run long-vs-double identically in both engines
     "x62_percentile_trim" ->

@@ -771,6 +771,36 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq(("s", 10L, 8L, 10.9, 18.1)))
   }
 
+  test("weighted sample replays the Efraimidis-Spirakis keys computed " +
+    "independently in the JVM, and ignores partitioning") {
+    val docs = Tables.documents(spark, sf0001)
+    def run(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] =
+      graft.ext.CorpusStats.weightedSample(df, "doc_id", "source",
+          "n_chars", k = 5)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    val a = run(docs)
+    assert(a == run(docs.repartition(11, col("doc_id"))))
+
+    // independent replay: same md5 uniform + ln/w key, straight Scala
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      val hex = md.digest(s"${id}es".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      BigDecimal(math.log(u) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rows = docs.select("doc_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = rows.groupBy(_._2).view.mapValues { grp =>
+      grp.map(t => (t._1, key(t._1, t._3)))
+        .sortBy { case (id, k0) => (-k0, id) }
+        .take(5).map(_._1).sorted.toSeq
+    }.toMap
+    assert(a == expected)
+  }
+
   test("approx length stats track exact within sketch tolerance") {
     val docs = Tables.documents(spark, sf0001)
     val exact = graft.ext.CorpusStats.lengthStats(docs, "lang", "n_chars")
