@@ -21,6 +21,9 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, TimestampT
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PushNanosEquivFilter)
+    // rewrite naive bounded time-range joins (would plan as BNLJ) into
+    // banded equi-joins — see plans/BandTimeRangeJoin.scala
+    e.injectOptimizerRule(_ => BandTimeRangeJoin)
     // whole-operator extension: per-key top-k via bounded heaps
     // (logical node + physical operator — see plans/TopKPerKey.scala)
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)

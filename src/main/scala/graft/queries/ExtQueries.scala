@@ -590,6 +590,24 @@ object ExtQueries {
       graft.ext.CorpusStats.lengthTrimStats(Tables.documents(s, d),
         "source", "n_chars", pLo = 0.1, pHi = 0.9)),
 
+    // the NAIVE bounded time-range join, no keys, no manual banding —
+    // written the way a user would; the BandTimeRangeJoin optimizer
+    // rule turns it into a banded equi-join (the plan audit proves no
+    // BNLJ survives, and BandRangeJoinSpec pins identical answers)
+    "x64_range_join_auto" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val r = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
+      p.join(r,
+          col("e_ts") > col("p_ts") &&
+            col("e_ts") <= col("p_ts") + expr("INTERVAL 60 SECOND"))
+        .select(col("p_id"), col("e_id"),
+          (unix_micros(col("e_ts")) - unix_micros(col("p_ts")))
+            .as("gap_us"))
+    }),
+
     // Efraimidis–Spirakis weighted sample: 5 docs per source with
     // inclusion ∝ n_chars, content-addressed uniforms (reproducible,
     // oracle-replayed), TopKPerKey bounded heaps
@@ -1701,6 +1719,17 @@ object ExtQueries {
          |         / count(*)::DOUBLE, 6) AS novelty_rate
          |FROM inc LEFT JOIN m ON inc.doc_id = m.in_id
          |GROUP BY 1""".stripMargin,
+    "x64_range_join_auto" ->
+      """WITH e AS (SELECT event_id,
+        |             make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |             event_type
+        |           FROM events)
+        |SELECT p.event_id AS p_id, r.event_id AS e_id,
+        |       epoch_us(r.ts) - epoch_us(p.ts) AS gap_us
+        |FROM e p JOIN e r
+        |  ON p.event_type = 'purchase' AND r.event_type = 'error'
+        | AND r.ts > p.ts
+        | AND r.ts <= p.ts + INTERVAL 60 SECOND""".stripMargin,
     // same md5-uniform (+0.5 offset avoids ln(0)), same ln/w key,
     // rounded-before-rank with id tiebreak
     "x63_weighted_sample" ->
