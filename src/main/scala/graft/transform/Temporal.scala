@@ -150,12 +150,13 @@ object Temporal {
       "rangeJoinBanded needs distinct left/right timestamp column names")
 
     val gapUs = maxGapSeconds * 1000000L
+    // exact integer division (truncated `div` keeps the two-band
+    // adjacency guarantee for every sign; a double `floor` could flip
+    // at exact gap multiples once epochs outgrow the mantissa)
+    def bandOf(ts: String) = expr(s"unix_micros(`$ts`) div ${gapUs}L")
     val l2 = left.withColumn("__rj_b",
-      explode(array(
-        floor(unix_micros(col(leftTs)) / gapUs),
-        floor(unix_micros(col(leftTs)) / gapUs) + 1)))
-    val r2 = right.withColumn("__rj_b",
-      floor(unix_micros(col(rightTs)) / gapUs))
+      explode(array(bandOf(leftTs), bandOf(leftTs) + 1)))
+    val r2 = right.withColumn("__rj_b", bandOf(rightTs))
 
     val gap = unix_micros(col(rightTs)) - unix_micros(col(leftTs))
     val lower = if (strictLower) gap > 0 else gap >= 0
