@@ -602,7 +602,7 @@ object ExtQueries {
         .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
       p.join(r,
           col("e_ts") > col("p_ts") &&
-            col("e_ts") <= col("p_ts") + expr("INTERVAL 60 SECOND"))
+            col("e_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTE"))
         .select(col("p_id"), col("e_id"),
           (unix_micros(col("e_ts")) - unix_micros(col("p_ts")))
             .as("gap_us"))
@@ -1729,7 +1729,7 @@ object ExtQueries {
         |FROM e p JOIN e r
         |  ON p.event_type = 'purchase' AND r.event_type = 'error'
         | AND r.ts > p.ts
-        | AND r.ts <= p.ts + INTERVAL 60 SECOND""".stripMargin,
+        | AND r.ts <= p.ts + INTERVAL 10 MINUTE""".stripMargin,
     // same md5-uniform (+0.5 offset avoids ln(0)), same ln/w key,
     // rounded-before-rank with id tiebreak
     "x63_weighted_sample" ->
