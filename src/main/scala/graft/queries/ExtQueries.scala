@@ -590,6 +590,46 @@ object ExtQueries {
       graft.ext.CorpusStats.lengthTrimStats(Tables.documents(s, d),
         "source", "n_chars", pLo = 0.1, pHi = 0.9)),
 
+    // click→purchase attribution: each purchase takes its most recent
+    // prior click (as-of), attributed if within the 1h window; daily
+    // conversion ledger — the funnel composition of x52
+    "x65_click_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.transform.Temporal.asOfJoin(purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payload = Seq("click_id"), tiebreak = Some("click_id"),
+          matchedTsAs = "click_ts")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+          .as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("click_ts").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("click_ts"))
+              <= 3600000000L, 1L).otherwise(0L)).as("n_attributed"))
+        .withColumn("rate",
+          round(col("n_attributed") / col("n_purchases"), 6))
+    }),
+
+    // weekly retention: users active in week w who are also active in
+    // w+1 — distinct (user, week) grid + a shifted self equi-join
+    "x66_weekly_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val weeks = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).as("wk")).distinct()
+      val next = weeks.select(col("user_id"),
+        (col("wk") - expr("INTERVAL 7 DAYS")).as("wk"), lit(1).as("__r"))
+      weeks.join(next, Seq("user_id", "wk"), "left")
+        .groupBy(date_format(col("wk"), "yyyy-MM-dd").as("week"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("__r").isNotNull, 1L).otherwise(0L))
+            .as("n_retained"))
+        .withColumn("retention",
+          round(col("n_retained") / col("n_active"), 6))
+    }),
+
     // the NAIVE bounded time-range join, no keys, no manual banding —
     // written the way a user would; the BandTimeRangeJoin optimizer
     // rule turns it into a banded equi-join (the plan audit proves no
@@ -1719,6 +1759,48 @@ object ExtQueries {
          |         / count(*)::DOUBLE, 6) AS novelty_rate
          |FROM inc LEFT JOIN m ON inc.doc_id = m.in_id
          |GROUP BY 1""".stripMargin,
+    // ASOF LEFT JOIN again (x52's oracle machinery), aggregated to the
+    // daily conversion ledger
+    "x65_click_attribution" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |             event_type
+        |           FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM e
+        |      WHERE event_type = 'purchase'),
+        |c0 AS (SELECT user_id, ts, event_id AS click_id FROM e
+        |       WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts, max(click_id) AS click_id
+        |      FROM c0 GROUP BY 1, 2),
+        |j AS (SELECT p.ts, c.ts AS click_ts
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(sum(CASE WHEN click_ts IS NOT NULL
+        |                 AND epoch_us(ts) - epoch_us(click_ts)
+        |                     <= 3600000000 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_attributed,
+        |       round(sum(CASE WHEN click_ts IS NOT NULL
+        |                 AND epoch_us(ts) - epoch_us(click_ts)
+        |                     <= 3600000000 THEN 1 ELSE 0 END)
+        |             / count(*)::DOUBLE, 6) AS rate
+        |FROM j GROUP BY 1""".stripMargin,
+    "x66_weekly_retention" ->
+      """WITH e AS (SELECT user_id,
+        |             date_trunc('week',
+        |               make_timestamp(epoch_ns(ts) // 1000)) AS wk
+        |           FROM events),
+        |w AS (SELECT DISTINCT user_id, wk FROM e),
+        |n AS (SELECT user_id, wk - INTERVAL 7 DAY AS wk, 1 AS r FROM w)
+        |SELECT strftime(w.wk, '%Y-%m-%d') AS week,
+        |       CAST(count(*) AS BIGINT) AS n_active,
+        |       CAST(sum(CASE WHEN n.r IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_retained,
+        |       round(sum(CASE WHEN n.r IS NOT NULL THEN 1 ELSE 0 END)
+        |             / count(*)::DOUBLE, 6) AS retention
+        |FROM w LEFT JOIN n ON w.user_id = n.user_id AND w.wk = n.wk
+        |GROUP BY 1""".stripMargin,
     "x64_range_join_auto" ->
       """WITH e AS (SELECT event_id,
         |             make_timestamp(epoch_ns(ts) // 1000) AS ts,
