@@ -97,6 +97,21 @@ class TemporalSpec extends SparkSpec {
     assert(plan.contains("Window"), s"expected a window operator:\n$plan")
   }
 
+  test("asOfJoin keeps left values intact when both sides share a " +
+    "non-key column name") {
+    // both sides carry "v"; v is neither key, payload, nor timestamp —
+    // left rows must come out with THEIR v, never the right side's
+    val l = trades.withColumn("v", col("tid") * 10)
+    val r = quotes.withColumn("v", lit(-1L))
+    val out = Temporal.asOfJoin(l, r, keys = Seq("k"),
+        leftTs = "tts", rightTs = "qts", payload = Seq("qid"),
+        tiebreak = Some("qid"))
+      .select("tid", "v").collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(out === Map(100L -> 1000L, 101L -> 1010L, 102L -> 1020L,
+      103L -> 1030L, 104L -> 1040L, 105L -> 1050L))
+  }
+
   test("asOfJoin rejects column collisions with its outputs") {
     val bad = trades.withColumn("qid", lit(0))
     intercept[IllegalArgumentException] {
