@@ -67,4 +67,29 @@ object Anomaly {
     val counts = windowCounts(events, tsCol, keyCol, windowDur)
     zScores(counts, keyStats(counts), minZ)
   }
+
+  /** Silence detection — the half of the monitor [[zScores]] cannot
+    * see: zero-activity windows are ABSENT from the count grid, so a
+    * key that stops reporting never produces a low z-score row.  This
+    * flags keys with history whose last active window predates the
+    * corpus' latest one, with their historical mean for triage (a
+    * silent high-volume key is the incident; a silent stray is noise).
+    *
+    * Scale shape: the per-key agg collapses the count grid to #keys
+    * rows; the latest-window bound attaches as a single-row broadcast.
+    * (Reference analog: a provider that stops posting is exactly the
+    * missing-station report of `clarity.js:168-171`, lifted from one
+    * batch to the time axis.) */
+  def silentKeys(events: DataFrame, tsCol: String, keyCol: String,
+                 windowDur: String): DataFrame = {
+    val counts = windowCounts(events, tsCol, keyCol, windowDur)
+    val latest = counts.agg(max(col("w")).as("__mw"))
+    counts.crossJoin(broadcast(latest))
+      .groupBy(col("k"), col("__mw"))
+      .agg(max(col("w")).as("last_seen"), count(lit(1)).as("kd"),
+        sum(col("n")).as("s"))
+      .filter(col("last_seen") < col("__mw"))
+      .select(col("k"), col("last_seen"),
+        round(col("s").cast("double") / col("kd"), 6).as("mean_n"))
+  }
 }

@@ -257,7 +257,16 @@ object FnQueries {
       graft.ext.Anomaly.keyRateAnomalies(
         Tables.events(s, d), "ts", "user_id", "1 day", minZ = 2.0)
         .select(date_format(col("w"), TS).as("window_start"),
-          col("k").as("user_id"), col("n"), col("mean"), col("z"))))
+          col("k").as("user_id"), col("n"), col("mean"), col("z"))),
+
+    // silence detection: keys with history but no events in the
+    // corpus' latest daily window — the gap the z-score can't see
+    "x67_silent_keys" -> ((s, d) =>
+      graft.ext.Anomaly.silentKeys(
+        Tables.events(s, d), "ts", "user_id", "1 day")
+        .select(col("k").as("user_id"),
+          date_format(col("last_seen"), TS).as("last_seen"),
+          col("mean_n"))))
 
   /** F16 polygon-lookup oracle: the zone dim inlines as VALUES from the
     * same [[graft.functions.GeoTz.zones]] constants, and the ray-cast
@@ -505,6 +514,17 @@ object FnQueries {
          |       round((n - mean) / sqrt(v), 6) AS z
          |FROM j WHERE v > 0
          |  AND abs(round((n - mean) / sqrt(v), 6)) >= 2""".stripMargin,
+    "x67_silent_keys" ->
+      s"""WITH e AS (SELECT make_timestamp(
+         |             epoch_ns(ts) // 1000 // 86400000000 * 86400000000)
+         |             AS w, user_id
+         |           FROM events),
+         |c AS (SELECT w, user_id, count(*) AS n FROM e GROUP BY 1, 2),
+         |mx AS (SELECT max(w) AS mw FROM c)
+         |SELECT user_id, strftime(max(w), '$DTS') AS last_seen,
+         |       round(sum(n)::DOUBLE / count(*), 6) AS mean_n
+         |FROM c, mx GROUP BY user_id, mw
+         |HAVING max(w) < mw""".stripMargin,
     // gaps-and-islands replay of session_window: same µs-floored
     // timestamps (make_timestamp mirrors Tables.events' nanos→µs
     // floor), break iff gap STRICTLY exceeds 30 min (an event at

@@ -26,7 +26,8 @@ object Plans {
     "x49_pmi_collocations" -> "single-row bigram total for the PMI term",
     "x56_mixture_weights" -> "single-row weight-sum normalizer",
     "x57_curriculum_deciles" -> "single-row corpus count for the decile cut",
-    "x59_budget_select" -> "#partitions-row triangular offset join (globalCumSum)")
+    "x59_budget_select" -> "#partitions-row triangular offset join (globalCumSum)",
+    "x67_silent_keys" -> "single-row latest-window bound")
 
   /** Sweep every declared query's physical plan for anti-pattern nodes.
     * Returns name → hits, where a hit is "CartesianProduct",

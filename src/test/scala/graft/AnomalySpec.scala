@@ -29,6 +29,22 @@ class AnomalySpec extends SparkSpec {
       s"expected exactly the boundary outlier, got ${got.toSeq}")
   }
 
+  test("silent keys: a key that stops reporting is flagged with its " +
+    "last window and historical mean; active keys are not") {
+    import spark.implicits._
+    val rows = Seq.newBuilder[(String, Long)]
+    for (d <- 1 to 5) rows += ((f"2024-01-0$d 08:00:00", 1L))
+    for (d <- 1 to 3; i <- 0 until 2) // user 2 goes silent after day 3
+      rows += ((f"2024-01-0$d 1$i:00:00", 2L))
+    val ev = rows.result().toDF("ss", "user_id")
+      .select(to_timestamp(col("ss")).as("ts"), col("user_id"))
+    val got = Anomaly.silentKeys(ev, "ts", "user_id", "1 day")
+      .select(col("k"), date_format(col("last_seen"), "yyyy-MM-dd"),
+        col("mean_n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((2L, "2024-01-03", 2.0)))
+  }
+
   test("rate anomalies: lowering the threshold surfaces the mild days") {
     val got = Anomaly.keyRateAnomalies(fixture, "ts", "user_id",
         "1 day", minZ = 0.4)
