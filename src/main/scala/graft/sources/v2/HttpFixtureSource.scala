@@ -286,12 +286,58 @@ class FixtureScanBuilder(fullSchema: StructType, path: String,
                          fetcherConf: Map[String, String] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
   private var topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None
+  private var agg: Option[(Seq[String], Seq[(String, String)])] = None
+
+  /** Parse a connector [[Aggregation]] into (groupBy col names,
+    * (kind, col) specs) — only plain column references and the
+    * aggregate kinds the fixture API can answer (COUNT(*) / COUNT /
+    * MIN / MAX, no DISTINCT). */
+  private def parseAgg(a: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation)
+      : Option[(Seq[String], Seq[(String, String)])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference}
+    def name(e: V2Expr): Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    val gb = a.groupByExpressions().toSeq.map(name)
+    val fns = a.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(("count_star", ""))
+      case c: Count if !c.isDistinct => name(c.column).map(("count", _))
+      case m: Min => name(m.column).map(("min", _))
+      case m: Max => name(m.column).map(("max", _))
+      case _ => None
+    }
+    if (gb.forall(_.isDefined) && fns.forall(_.isDefined) && fns.nonEmpty)
+      Some((gb.flatten, fns.flatten))
+    else None
+  }
+
+  /** Aggregate pushdown — the API-side rollup endpoint (a paged HTTP
+    * API answering `/summary?groupby=` instead of shipping raw rows).
+    * COMPLETE pushdown only, and only for the single-payload path
+    * where the driver-side fetch owns every row: a paged directory
+    * computes per-page partials at most, and partial pushdown would
+    * make Spark re-aggregate rows this source already collapsed. */
+  override def supportCompletePushDown(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    HttpFixtureSource.pageFiles(path).isEmpty && parseAgg(a).isDefined
+
+  override def pushAggregation(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    if (!supportCompletePushDown(a)) false
+    else { agg = parseAgg(a); true }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(HttpFixtureSource.supported)
@@ -346,17 +392,28 @@ class FixtureScanBuilder(fullSchema: StructType, path: String,
 
   override def build(): Scan =
     new FixtureScan(fullSchema, required, pushed, path, partitions,
-      fetcherClass, limit, topN, fetcherConf)
+      fetcherClass, limit, topN, fetcherConf, agg)
 }
 
 class FixtureScan(fullSchema: StructType, required: StructType,
                   pushed: Array[Filter], path: String, partitions: Int,
                   fetcherClass: String, limit: Option[Int] = None,
                   topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None,
-                  fetcherConf: Map[String, String] = Map.empty)
+                  fetcherConf: Map[String, String] = Map.empty,
+                  agg: Option[(Seq[String], Seq[(String, String)])] = None)
     extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  private def aggSchema: StructType = {
+    val (gb, fns) = agg.get
+    StructType(gb.map(c => fullSchema(c)) ++ fns.map {
+      case ("count_star", _) => StructField("count(*)", LongType, false)
+      case ("count", c) => StructField(s"count($c)", LongType, false)
+      case (kind, c) =>
+        StructField(s"$kind($c)", fullSchema(c).dataType, true)
+    })
+  }
+
+  override def readSchema(): StructType = agg.fold(required)(_ => aggSchema)
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-fixture pushed=[${pushed.mkString(",")}] " +
@@ -364,7 +421,46 @@ class FixtureScan(fullSchema: StructType, required: StructType,
       limit.map(l => s" limit=$l").getOrElse("") +
       topN.map { case (o, l) =>
         s" topN=[${o.map(_._1).mkString(",")}:$l]"
+      }.getOrElse("") +
+      agg.map { case (gb, fns) =>
+        s" aggregates=[${fns.map(f => s"${f._1}(${f._2})").mkString(",")}" +
+          s" by ${gb.mkString(",")}]"
       }.getOrElse("")
+
+  /** Driver-side complete aggregation over the fetched+filtered rows —
+    * the "rollup endpoint" the pushed [[agg]] stands for.  Null
+    * semantics mirror Spark's: COUNT(c) skips nulls, MIN/MAX ignore
+    * nulls, a null group key is its own group. */
+  private def aggregatedRows(): Array[Array[Any]] = {
+    val (gb, fns) = agg.get
+    val names = fullSchema.fieldNames
+    val rows = HttpFixtureSource.scanPage(path, fullSchema, fullSchema,
+      pushed, PageFetcher.instantiate(fetcherClass, fetcherConf)).toSeq
+    val gbIdx = gb.map(c => names.indexOf(c))
+    val fnIdx = fns.map { case (_, c) => if (c.isEmpty) -1 else names.indexOf(c) }
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: Int, y: Int) => x < y
+      case (x: Double, y: Double) => x < y
+      case (x: Boolean, y: Boolean) => !x && y
+      case (x: String, y: String) => x < y
+      case _ => throw new IllegalArgumentException(
+        s"unorderable agg input: $a / $b")
+    }
+    rows.groupBy(r => gbIdx.map(i => r(i)).toList).toArray
+      .map { case (key, grp) =>
+      val out = fns.zip(fnIdx).map {
+        case (("count_star", _), _) => grp.size.toLong
+        case (("count", _), i) => grp.count(_(i) != null).toLong
+        case ((kind, _), i) =>
+          val vs = grp.map(_(i)).filter(_ != null)
+          if (vs.isEmpty) null
+          else if (kind == "min") vs.reduce((a, b) => if (lt(a, b)) a else b)
+          else vs.reduce((a, b) => if (lt(a, b)) b else a)
+      }
+      (key ++ out).toArray
+    }
+  }
 
   /** Partition planning.  Paged directory → one InputPartition per
     * page, fetched lazily executor-side.  Single recorded response →
@@ -372,7 +468,10 @@ class FixtureScan(fullSchema: StructType, required: StructType,
     * `request()`), applies pushed filters + pruning API-side, then
     * splits rows round-robin into InputPartitions. */
   override def planInputPartitions(): Array[InputPartition] =
-    HttpFixtureSource.pageFiles(path) match {
+    if (agg.isDefined) {
+      // complete agg pushdown: one partition of pre-aggregated rows
+      Array(FixturePartition(aggregatedRows()): InputPartition)
+    } else HttpFixtureSource.pageFiles(path) match {
       case Some(pages) =>
         pages.map(p => FixturePagePartition(p): InputPartition).toArray
       case None =>

@@ -70,6 +70,54 @@ class DsV2Spec extends SparkSpec {
     assert(filtered.count() == 6) // pm25 ∈ {4.0, 6.0} per page
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX collapse at the source — " +
+    "no Spark-side aggregate, same answers") {
+    val df = spark.read.format("graft-fixture").load(path)
+    // global agg with a pushed filter underneath
+    val global = df.filter($"location_type" === 0)
+      .agg(count(lit(1)).as("n"), min($"pm25").as("lo"),
+        max($"pm25").as("hi"))
+    val plan = global.queryExecution.executedPlan
+    assert(!plan.toString.contains("HashAggregate"),
+      s"aggregate should be fully pushed:\n$plan")
+    val desc = plan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get.scan.description()
+    assert(desc.contains("aggregates=["), desc)
+    assert(global.as[(Long, Double, Double)].collect().toSeq ==
+      Seq((3L, 3.4, 12.5)))
+
+    // grouped agg: the type-1 group's only pm25 is null → MAX null,
+    // COUNT(*) still 1 (Spark null semantics mirrored at the source)
+    val grouped = df.groupBy($"location_type")
+      .agg(count(lit(1)).as("n"), max($"pm25").as("hi"))
+      .orderBy($"location_type")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(grouped == Seq((0L, 3L, Some(12.5)), (1L, 1L, None)))
+  }
+
+  test("aggregate pushdown declines honestly: paged dirs and DISTINCT " +
+    "fall back to Spark's aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggp_").toString
+    (0 until 2).foreach { p =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/page-00$p.jsonl"),
+        s"""{"sensor_index": $p, "pm25": ${p + 1.0}}""".getBytes("UTF-8"))
+    }
+    val paged = spark.read.format("graft-fixture").load(dir)
+      .agg(count(lit(1)).as("n"))
+    assert(paged.queryExecution.executedPlan.toString
+      .contains("HashAggregate"),
+      "paged directories must keep Spark's aggregate")
+    assert(paged.as[Long].head() == 2L)
+
+    val distinct = spark.read.format("graft-fixture").load(path)
+      .agg(countDistinct($"location_type").as("n"))
+    assert(distinct.queryExecution.executedPlan.toString
+      .contains("HashAggregate"),
+      "COUNT(DISTINCT) must not be claimed by the source")
+    assert(distinct.as[Long].head() == 2L)
+  }
+
   test("gzipped pages and the PageFetcher boundary") {
     // gz page read transparently (the reference's gzip-aware body)
     val dir = java.nio.file.Files.createTempDirectory("graft_gzp_").toString
