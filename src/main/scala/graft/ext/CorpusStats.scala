@@ -31,6 +31,33 @@ object CorpusStats {
         min(col(lenColName)).as("min_len"),
         max(col(lenColName)).as("max_len"))
 
+  /** Source-concentration summary: Herfindahl–Hirschman index over
+    * per-source token shares (`HHI = Σ share²`) and its inverse — the
+    * "effective number of sources" — plus the top share.  One number
+    * answering "is this corpus really diverse, or is it one crawl
+    * wearing twenty names"; tracked across curation steps it shows
+    * whether dedup/balancing actually flattened the mixture.
+    *
+    * Scale shape: the corpus collapses to #sources rows in one
+    * partial agg, then two #sources-row reductions — nothing
+    * data-sized past the first shuffle. */
+  def sourceConcentration(docs: DataFrame, sourceCol: String,
+                          textCol: String): DataFrame = {
+    val per = docs.select(col(sourceCol).as("source"),
+        TextAnalysis.nTokens(TextAnalysis.tokens(col(textCol))).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"))
+      .localCheckpoint() // #sources rows; both reductions derive from it
+    val tot = per.agg(sum(col("n_tokens")).as("__tot"))
+    per.crossJoin(broadcast(tot))
+      .select((col("n_tokens") / col("__tot")).as("share"))
+      .agg(count(lit(1)).as("n_sources"),
+        round(sum(col("share") * col("share")), 6).as("hhi"),
+        round(lit(1.0) / sum(col("share") * col("share")), 6)
+          .as("effective_sources"),
+        round(max(col("share")), 6).as("top_share"))
+  }
+
   /** Weighted sampling WITHOUT replacement, `k` per group
     * (Efraimidis–Spirakis A-Res): each row draws a content-addressed
     * uniform `u` from md5(id ++ salt) and scores `key = ln(u) / w`;

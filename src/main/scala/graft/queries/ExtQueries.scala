@@ -648,6 +648,12 @@ object ExtQueries {
             .as("gap_us"))
     }),
 
+    // mixture-diversity one-liner: HHI over source token shares +
+    // effective source count — the before/after metric for balancing
+    "x68_source_concentration" -> ((s, d) =>
+      graft.ext.CorpusStats.sourceConcentration(Tables.documents(s, d),
+        "source", "text")),
+
     // Efraimidis–Spirakis weighted sample: 5 docs per source with
     // inclusion ∝ n_chars, content-addressed uniforms (reproducible,
     // oracle-replayed), TopKPerKey bounded heaps
@@ -1812,6 +1818,19 @@ object ExtQueries {
         |  ON p.event_type = 'purchase' AND r.event_type = 'error'
         | AND r.ts > p.ts
         | AND r.ts <= p.ts + INTERVAL 10 MINUTE""".stripMargin,
+    "x68_source_concentration" ->
+      """WITH per AS (SELECT source,
+        |               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |                 AS n_tokens
+        |             FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n_tokens) AS t FROM per),
+        |sh AS (SELECT n_tokens::DOUBLE / t AS share FROM per, tot)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |       round(sum(share * share), 6) AS hhi,
+        |       round(1.0::DOUBLE / sum(share * share), 6)
+        |         AS effective_sources,
+        |       round(max(share), 6) AS top_share
+        |FROM sh""".stripMargin,
     // same md5-uniform (+0.5 offset avoids ln(0)), same ln/w key,
     // rounded-before-rank with id tiebreak
     "x63_weighted_sample" ->

@@ -27,7 +27,8 @@ object Plans {
     "x56_mixture_weights" -> "single-row weight-sum normalizer",
     "x57_curriculum_deciles" -> "single-row corpus count for the decile cut",
     "x59_budget_select" -> "#partitions-row triangular offset join (globalCumSum)",
-    "x67_silent_keys" -> "single-row latest-window bound")
+    "x67_silent_keys" -> "single-row latest-window bound",
+    "x68_source_concentration" -> "single-row corpus token total")
 
   /** Sweep every declared query's physical plan for anti-pattern nodes.
     * Returns name → hits, where a hit is "CartesianProduct",

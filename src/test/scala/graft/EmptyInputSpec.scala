@@ -3,7 +3,7 @@ package graft
 /** Empty-input resilience: every declared query runs against zero-row
   * copies of all input tables without throwing — the shape of an empty
   * source partition, provider outage, or brand-new day at scale.
-  * Global aggregates (a1/a3/a7/k3) legitimately emit one null/zero row
+  * Global aggregates (a1/a3/a7/k3/x68) legitimately emit one null/zero row
   * on empty input (DuckDB's global-agg semantics — same shape the
   * oracle would produce); everything else must return zero rows. */
 class EmptyInputSpec extends SparkSpec {
@@ -12,7 +12,7 @@ class EmptyInputSpec extends SparkSpec {
     val dir = graft.tools.EmptyCheck.stageEmpty(spark, sf0001)
     val globalAggSingletons = Set(
       "a1_batch_from_to", "a3_watermark_max", "a7_count_compare",
-      "k3_envelope")
+      "k3_envelope", "x68_source_concentration")
     val failures = scala.collection.mutable.ListBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {

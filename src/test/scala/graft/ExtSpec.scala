@@ -801,6 +801,22 @@ class DedupSpec extends SparkSpec {
     assert(a == expected)
   }
 
+  test("source concentration: uniform shares give HHI = 1/n, a " +
+    "monopoly gives HHI = 1") {
+    import spark.implicits._
+    val uniform = Seq((1L, "a", "t t"), (2L, "b", "t t"), (3L, "c", "t t"),
+        (4L, "d", "t t")).toDF("doc_id", "source", "text")
+    val u = graft.ext.CorpusStats
+      .sourceConcentration(uniform, "source", "text").collect().head
+    assert((u.getLong(0), u.getDouble(1), u.getDouble(2), u.getDouble(3))
+      === ((4L, 0.25, 4.0, 0.25)))
+    val mono = Seq((1L, "a", "t t t t")).toDF("doc_id", "source", "text")
+    val m = graft.ext.CorpusStats
+      .sourceConcentration(mono, "source", "text").collect().head
+    assert((m.getLong(0), m.getDouble(1), m.getDouble(2), m.getDouble(3))
+      === ((1L, 1.0, 1.0, 1.0)))
+  }
+
   test("approx length stats track exact within sketch tolerance") {
     val docs = Tables.documents(spark, sf0001)
     val exact = graft.ext.CorpusStats.lengthStats(docs, "lang", "n_chars")
