@@ -648,6 +648,22 @@ object ExtQueries {
             .as("gap_us"))
     }),
 
+    // embedding-table QA: per-label vector counts, zero/degenerate
+    // vectors (they poison cosine math downstream), and mean L2 norm —
+    // the sanity gate before any ANN/semantic-dedup stage.  Per-row
+    // norms are sequential folds (deterministic); the per-label mean
+    // rounds at 6 (sum-of-doubles idiom).
+    "x69_embedding_quality" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val norm = sqrt(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      e.select(col("label"), norm.as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("nrm") === 0.0d, 1L).otherwise(0L)).as("n_zero"),
+          round(avg(col("nrm")), 6).as("mean_norm"))
+    }),
+
     // mixture-diversity one-liner: HHI over source token shares +
     // effective source count — the before/after metric for balancing
     "x68_source_concentration" -> ((s, d) =>
@@ -1818,6 +1834,18 @@ object ExtQueries {
         |  ON p.event_type = 'purchase' AND r.event_type = 'error'
         | AND r.ts > p.ts
         | AND r.ts <= p.ts + INTERVAL 10 MINUTE""".stripMargin,
+    // sequential per-row fold mirrors Spark's aggregate() exactly;
+    // the cross-row mean rounds at 6
+    "x69_embedding_quality" ->
+      """WITH n AS (SELECT label,
+        |             sqrt(list_sum(list_transform(embedding,
+        |               x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |           FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_zero,
+        |       round(avg(nrm), 6) AS mean_norm
+        |FROM n GROUP BY 1""".stripMargin,
     "x68_source_concentration" ->
       """WITH per AS (SELECT source,
         |               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
