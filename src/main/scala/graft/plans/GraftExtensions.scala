@@ -135,7 +135,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("hll_agg"),
       new ExpressionInfo(classOf[HllAgg].getName, "hll_agg"),
-      (exprs: Seq[Expression]) => HllAgg(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"hll_agg takes exactly 1 argument (the value to count " +
+            s"distinct), got ${exprs.length}")
+        HllAgg(exprs.head)
+      }))
     // pii_redact(text): the privacy scrub as a SQL function.  The
     // builder runs mid-analysis, so it must emit RESOLVED Catalyst
     // nodes — the RegExpReplace chain is built directly from the same

@@ -223,6 +223,12 @@ object HttpFixtureSource {
           case (DoubleType, JInt(i))    => i.toDouble
           case (DoubleType, JDouble(d)) => d
           case (BooleanType, JBool(b))  => b
+          // user-supplied schemas may type payload fields as timestamps
+          // ("2024-01-01 10:00:00" / ISO-8601 'T') — InternalRow wants
+          // epoch micros; aggregate pushdown DECLINES on this type
+          case (TimestampType, JString(s)) =>
+            val t = java.sql.Timestamp.valueOf(s.replace("T", " "))
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
           case (StringType, JString(s)) => s
           case (StringType, other)      => JsonMethods.compact(other)
           case (dt, other) =>
@@ -298,7 +304,7 @@ class FixtureScanBuilder(fullSchema: StructType, path: String,
   /** Parse a connector [[Aggregation]] into (groupBy col names,
     * (kind, col) specs) — only plain column references and the
     * aggregate kinds the fixture API can answer (COUNT(*) / COUNT /
-    * MIN / MAX, no DISTINCT). */
+    * MIN / MAX / SUM / AVG, no DISTINCT). */
   private def parseAgg(a: org.apache.spark.sql.connector.expressions
       .aggregate.Aggregation)
       : Option[(Seq[String], Seq[(String, String)])] = {
@@ -309,12 +315,35 @@ class FixtureScanBuilder(fullSchema: StructType, path: String,
         Some(r.fieldNames()(0))
       case _ => None
     }
+    // MIN/MAX only on types the driver-side rollup can order (the
+    // same set `aggregatedRows.lt` handles) — a user-supplied schema
+    // may carry timestamp/decimal/binary columns, and declining here
+    // makes Spark keep the aggregate instead of the scan throwing at
+    // planInputPartitions
+    def orderable(e: V2Expr): Option[String] = name(e).filter { c =>
+      fullSchema.fieldNames.contains(c) && (fullSchema(c).dataType match {
+        case LongType | IntegerType | DoubleType | BooleanType |
+             StringType => true
+        case _ => false
+      })
+    }
+    // SUM/AVG only on the numeric types the rollup can total exactly —
+    // AVG is answered directly (complete pushdown sees the original
+    // Avg; Spark only decomposes to SUM+COUNT for partial pushdown)
+    def numeric(e: V2Expr): Option[String] = name(e).filter { c =>
+      fullSchema.fieldNames.contains(c) && (fullSchema(c).dataType match {
+        case LongType | IntegerType | DoubleType => true
+        case _ => false
+      })
+    }
     val gb = a.groupByExpressions().toSeq.map(name)
     val fns = a.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(("count_star", ""))
       case c: Count if !c.isDistinct => name(c.column).map(("count", _))
-      case m: Min => name(m.column).map(("min", _))
-      case m: Max => name(m.column).map(("max", _))
+      case m: Min => orderable(m.column).map(("min", _))
+      case m: Max => orderable(m.column).map(("max", _))
+      case s: Sum if !s.isDistinct => numeric(s.column).map(("sum", _))
+      case av: Avg if !av.isDistinct => numeric(av.column).map(("avg", _))
       case _ => None
     }
     if (gb.forall(_.isDefined) && fns.forall(_.isDefined) && fns.nonEmpty)
@@ -408,6 +437,12 @@ class FixtureScan(fullSchema: StructType, required: StructType,
     StructType(gb.map(c => fullSchema(c)) ++ fns.map {
       case ("count_star", _) => StructField("count(*)", LongType, false)
       case ("count", c) => StructField(s"count($c)", LongType, false)
+      // Spark's result types: SUM widens integrals to LONG; AVG is
+      // DOUBLE for every non-decimal numeric input
+      case ("sum", c) => StructField(s"sum($c)",
+        if (fullSchema(c).dataType == DoubleType) DoubleType else LongType,
+        true)
+      case ("avg", c) => StructField(s"avg($c)", DoubleType, true)
       case (kind, c) =>
         StructField(s"$kind($c)", fullSchema(c).dataType, true)
     })
@@ -443,15 +478,43 @@ class FixtureScan(fullSchema: StructType, required: StructType,
       case (x: Int, y: Int) => x < y
       case (x: Double, y: Double) => x < y
       case (x: Boolean, y: Boolean) => !x && y
-      case (x: String, y: String) => x < y
+      // UTF8 binary ordering, matching Spark's — Java's UTF-16
+      // compareTo diverges on supplementary-plane characters
+      case (x: String, y: String) =>
+        UTF8String.fromString(x).compareTo(UTF8String.fromString(y)) < 0
       case _ => throw new IllegalArgumentException(
         s"unorderable agg input: $a / $b")
     }
     rows.groupBy(r => gbIdx.map(i => r(i)).toList).toArray
       .map { case (key, grp) =>
+      def num(v: Any): Double = v match {
+        case d: java.lang.Double => d.doubleValue
+        case l: java.lang.Long => l.doubleValue
+        case n: java.lang.Integer => n.doubleValue
+        case other => throw new IllegalArgumentException(
+          s"non-numeric agg input: $other")
+      }
       val out = fns.zip(fnIdx).map {
         case (("count_star", _), _) => grp.size.toLong
         case (("count", _), i) => grp.count(_(i) != null).toLong
+        case (("sum", c), i) =>
+          val vs = grp.map(_(i)).filter(_ != null)
+          if (vs.isEmpty) null
+          // branches annotated Any: Scala would otherwise harmonize
+          // the Long/Double match to Double, widening the Long sum
+          else fullSchema(c).dataType match {
+            case DoubleType => vs.map(num).sum: Any
+            case _ => (vs.map {
+              case l: java.lang.Long => l.longValue
+              case n: java.lang.Integer => n.longValue
+              case other => throw new IllegalArgumentException(
+                s"non-integral sum input: $other")
+            }.sum): Any
+          }
+        case (("avg", _), i) =>
+          val vs = grp.map(_(i)).filter(_ != null)
+          // Spark's Average: DOUBLE running sum / count for non-decimals
+          if (vs.isEmpty) null else vs.map(num).sum / vs.size
         case ((kind, _), i) =>
           val vs = grp.map(_(i)).filter(_ != null)
           if (vs.isEmpty) null

@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * exchange + linear pass at any scale:
   *
   *  - [[asOfJoin]] is the union-then-window formulation: tag both
-  *    sides, union, and carry the right payload forward with
-  *    `last(..., ignoreNulls)` over a running row frame.  One shuffle
+  *    sides, union, and carry the matched right row forward as ONE
+  *    struct with `last(..., ignoreNulls)` over a running row frame
+  *    (a single struct, not per-column carries, so a null payload in
+  *    the matched row stays null instead of backfilling from an older
+  *    row).  One shuffle
   *    on the join keys, one ordered scan per key — never a per-row
   *    range probe, never a BroadcastNestedLoopJoin, and no state blow-up
   *    when one left row matches a million-old right history (the frame
@@ -33,7 +36,8 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
-  private val Reserved = Seq("__asof_side", "__asof_ts", "__asof_tb")
+  private val Reserved =
+    Seq("__asof_side", "__asof_ts", "__asof_tb", "__asof_pack")
 
   /** Backward as-of join: for every `left` row, attach `payload`
     * columns from the `right` row with the greatest `rightTs <=
@@ -52,7 +56,7 @@ object Temporal {
     * state change" lookup; same plan, the window just orders descending.
     *
     * Scale shape: one exchange on `keys`, one sort, one running-frame
-    * window computing every payload column in a single Window operator.
+    * window carrying the matched row as a single struct column.
     * No join node at all — as-of over a 100 TB history costs the same
     * plan as over a day.
     */
@@ -75,19 +79,31 @@ object Temporal {
     val tbType = tiebreak.map(rType).getOrElse(
       org.apache.spark.sql.types.IntegerType)
 
-    // Both sides projected to one union schema: left's own columns,
-    // then the matched-ts + payload slots, then the window bookkeeping.
+    // The matched row travels as ONE struct, non-null exactly on right
+    // rows. A single last(ignoreNulls) over the struct then returns the
+    // matched row's values atomically — nulls in individual payload
+    // columns included. (Carrying each payload column independently
+    // would backfill a matched row's null payload from an OLDER right
+    // row, producing a chimera of two right rows.)
+    val packType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(
+        matchedTsAs, rType(rightTs)) +:
+        payload.map(c => org.apache.spark.sql.types.StructField(c, rType(c))))
+
     val leftCols = left.columns.toSeq
-    val l2 = payload.foldLeft(
-      left
-        .withColumn(matchedTsAs, lit(null).cast(rType(rightTs)))
-    )((df, c) => df.withColumn(c, lit(null).cast(rType(c))))
+    val l2 = left
+      .withColumn("__asof_pack", lit(null).cast(packType))
       .withColumn("__asof_side", lit(1))
       .withColumn("__asof_ts", col(leftTs))
       .withColumn("__asof_tb", lit(null).cast(tbType))
 
+    // Right rows with a null timestamp can never be "the most recent
+    // at-or-before" anything — drop them before the union (null sorts
+    // first and would otherwise leak payloads onto every left row).
     val r2base = right
-      .withColumn(matchedTsAs, col(rightTs))
+      .filter(col(rightTs).isNotNull)
+      .withColumn("__asof_pack", struct(
+        (col(rightTs).as(matchedTsAs) +: payload.map(col)): _*))
       .withColumn("__asof_side", lit(0))
       .withColumn("__asof_ts", col(rightTs))
       .withColumn("__asof_tb",
@@ -99,8 +115,7 @@ object Temporal {
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(lSchema(c).dataType)))
 
-    val unionCols =
-      leftCols ++ outCols ++ Reserved
+    val unionCols = leftCols ++ Reserved
     val unioned = l2.select(unionCols.map(col): _*)
       .unionByName(r2.select(unionCols.map(col): _*))
 
@@ -117,11 +132,12 @@ object Temporal {
       .orderBy(tsOrder, sideOrder, col("__asof_tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = outCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val carried = unioned.withColumn("__asof_pack",
+      last(col("__asof_pack"), ignoreNulls = true).over(w))
 
     carried.filter(col("__asof_side") === 1)
-      .select((leftCols ++ outCols).map(col): _*)
+      .select(leftCols.map(col) ++
+        outCols.map(c => col("__asof_pack").getField(c).as(c)): _*)
   }
 
   /** Bounded range join: inner-join pairs `(l, r)` on `keys` where

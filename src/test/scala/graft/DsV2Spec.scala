@@ -95,6 +95,58 @@ class DsV2Spec extends SparkSpec {
     assert(grouped == Seq((0L, 3L, Some(12.5)), (1L, 1L, None)))
   }
 
+  test("aggregate pushdown: SUM/AVG collapse at the source — AVG " +
+    "answered directly, not decomposed") {
+    val df = spark.read.format("graft-fixture").load(path)
+    // global sum+avg with a pushed filter underneath
+    val global = df.filter($"location_type" === 0)
+      .agg(sum($"pm25").as("s"), avg($"pm25").as("a"),
+        sum($"sensor_index").as("si"))
+    val plan = global.queryExecution.executedPlan
+    assert(!plan.toString.contains("HashAggregate"),
+      s"sum/avg should be fully pushed:\n$plan")
+    val desc = plan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get.scan.description()
+    assert(desc.contains("sum(pm25)") && desc.contains("avg(pm25)"), desc)
+    val row = global.as[(Double, Double, Long)].head()
+    assert(math.abs(row._1 - 22.9) < 1e-9)                 // 3.4+7.0+12.5
+    assert(math.abs(row._2 - 22.9 / 3) < 1e-9)
+    assert(row._3 == 123L + 456L + 999L)
+
+    // grouped avg: the type-1 group's only pm25 is null → AVG null
+    val grouped = df.groupBy($"location_type")
+      .agg(avg($"pm25").as("a"), sum($"pm25").as("s"))
+      .orderBy($"location_type")
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+    assert(grouped.map(_._1) == Seq(0L, 1L))
+    assert(grouped(1)._2.isEmpty && grouped(1)._3.isEmpty)
+    assert(math.abs(grouped(0)._2.get - 22.9 / 3) < 1e-9)
+  }
+
+  test("aggregate pushdown type-gates MIN/MAX and SUM: unsupported " +
+    "column types keep Spark's aggregate instead of throwing") {
+    // user-supplied schema with a timestamp column: the source cannot
+    // order timestamps driver-side, so it must DECLINE the pushdown
+    // (keeping Spark's aggregate), not accept it and throw at planning
+    val tmp = java.nio.file.Files.createTempFile("graft_ts_", ".jsonl")
+    java.nio.file.Files.write(tmp,
+      ("""{"sensor_index": 1, "seen": "2024-01-01 10:00:00"}""" + "\n" +
+       """{"sensor_index": 2, "seen": "2024-01-02 11:00:00"}""")
+        .getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sensor_index",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seen",
+        org.apache.spark.sql.types.TimestampType)))
+    val df = spark.read.format("graft-fixture").schema(schema)
+      .load(tmp.toString)
+    val q = df.agg(max($"seen").as("m"), sum($"sensor_index").as("s"))
+    assert(q.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "MAX(timestamp) must not be claimed by the source")
+    val row = q.as[(java.sql.Timestamp, Long)].head()
+    assert(row._1.toString.startsWith("2024-01-02") && row._2 == 3L)
+  }
+
   test("aggregate pushdown declines honestly: paged dirs and DISTINCT " +
     "fall back to Spark's aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("graft_aggp_").toString

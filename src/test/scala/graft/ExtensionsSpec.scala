@@ -235,6 +235,12 @@ class ExtensionsSpec extends SparkSpec {
     // linear-counting branch: tiny cardinality stays near-exact
     val small = est((1 to 30).map(i => s"s$i").toDF("v"))
     assert(math.abs(small - 30) < 4, s"small-range estimate $small for 30")
+    // arity errors name the function instead of dying mid-analysis
+    val e0 = intercept[Exception] { spark.sql("SELECT hll_agg() FROM __hllv") }
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT hll_agg(v, v) FROM __hllv") }
+    assert(e0.getMessage.contains("hll_agg"), e0.getMessage)
+    assert(e2.getMessage.contains("hll_agg"), e2.getMessage)
   }
 
   test("sketch probes ship as broadcasts, not plan literals: a " +

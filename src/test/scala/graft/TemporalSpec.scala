@@ -112,6 +112,48 @@ class TemporalSpec extends SparkSpec {
       103L -> 1030L, 104L -> 1040L, 105L -> 1050L))
   }
 
+  test("asOfJoin returns the matched row's payload nulls intact " +
+    "(no backfill from older rows)") {
+    // qid 2 has px = null; a trade matching qid 2 must see px = null,
+    // NOT px backfilled from the older qid 1 row
+    val r = Seq(
+      ("a", "2024-01-01 10:00:00", 1L, Some(10.0)),
+      ("a", "2024-01-01 10:05:00", 2L, None: Option[Double]))
+      .toDF("k", "ss", "qid", "px")
+      .select(col("k"), to_timestamp(col("ss")).as("qts"),
+        col("qid"), col("px"))
+    val l = Seq(("a", "2024-01-01 10:06:00", 100L)).toDF("k", "ss", "tid")
+      .select(col("k"), to_timestamp(col("ss")).as("tts"), col("tid"))
+    val row = Temporal.asOfJoin(l, r, keys = Seq("k"),
+      leftTs = "tts", rightTs = "qts", payload = Seq("qid", "px"),
+      tiebreak = Some("qid")).select("qid", "px").collect().head
+    assert(row.getLong(0) === 2L)
+    assert(row.isNullAt(1), "matched row's null px was backfilled")
+  }
+
+  test("asOfJoin ignores right rows with a null timestamp") {
+    // a null-ts right row sorts first and must not leak its payload
+    // onto left rows that have no real predecessor
+    val r = Seq(
+      ("a", None: Option[String], 9L, 99.0),
+      ("a", Some("2024-01-01 10:05:00"), 1L, 10.0))
+      .toDF("k", "ss", "qid", "px")
+      .select(col("k"), to_timestamp(col("ss")).as("qts"),
+        col("qid"), col("px"))
+    val l = Seq(
+      ("a", "2024-01-01 10:00:00", 100L),  // before every real quote
+      ("a", "2024-01-01 10:06:00", 101L))  // after qid 1
+      .toDF("k", "ss", "tid")
+      .select(col("k"), to_timestamp(col("ss")).as("tts"), col("tid"))
+    val out = Temporal.asOfJoin(l, r, keys = Seq("k"),
+      leftTs = "tts", rightTs = "qts", payload = Seq("qid"),
+      tiebreak = Some("qid"))
+      .select("tid", "qid").collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+    assert(out === Map(100L -> -1L, 101L -> 1L))
+  }
+
   test("asOfJoin rejects column collisions with its outputs") {
     val bad = trades.withColumn("qid", lit(0))
     intercept[IllegalArgumentException] {
