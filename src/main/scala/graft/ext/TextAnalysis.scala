@@ -16,13 +16,18 @@ object TextAnalysis {
     * `spark.graft.tokenizer`:
     *
     *  - `unicode` (default since round 8): real-corpus tokenization —
-    *    Unicode punctuation (`\p{P}`) is stripped to whitespace, then
-    *    the text splits on Unicode whitespace runs (`(?U)\s+`: NBSP,
-    *    em/en spaces, ideographic space, …).  Contractions split
-    *    ("don't" → "don t"); that is the standard cheap-tokenizer
-    *    trade.  All three steps are codegen'd `regexp_*`/`split`
-    *    expressions — no interpreted higher-order functions on this
-    *    hot path.
+    *    tokens are maximal runs of non-punctuation non-whitespace
+    *    (`(?U)[^\p{P}\s]+`), so Unicode punctuation breaks tokens and
+    *    Unicode whitespace (NBSP, em/en spaces, ideographic space, …)
+    *    separates them.  Contractions split ("don't" → "don t"); that
+    *    is the standard cheap-tokenizer trade.  ONE codegen'd
+    *    `regexp_extract_all` pass — round 8 ran two `regexp_replace`
+    *    passes plus a regex split, which taxed every token-path query
+    *    1.2–1.4×; extracting token runs folds the punctuation strip
+    *    and the edge trim into the single scan.  (Divergence from the
+    *    3-pass version: a text of ONLY punctuation/whitespace now
+    *    yields an empty array instead of a lone `""` token — the
+    *    empty token was an artifact, not a semantic.)
     *  - `simple`: split on the literal `sep` (single space) — the
     *    oracle-parity fallback.
     *
@@ -41,11 +46,9 @@ object TextAnalysis {
       try org.apache.spark.sql.SparkSession.active.conf
         .get("spark.graft.tokenizer", "unicode")
       catch { case _: IllegalStateException => "unicode" } // no session yet
-    if (mode == "unicode" && sep == " ") {
-      val noPunct = regexp_replace(text, "(?U)\\p{P}+", " ")
-      val trimmed = regexp_replace(noPunct, "(?U)(^\\s+|\\s+$)", "")
-      split(trimmed, "(?U)\\s+")
-    } else split(text, sep)
+    if (mode == "unicode" && sep == " ")
+      regexp_extract_all(text, lit("(?U)[^\\p{P}\\s]+"), lit(0))
+    else split(text, sep)
   }
 
   /** n-gram language-ID heuristic: marker-stopword hit counts per

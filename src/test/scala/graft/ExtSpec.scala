@@ -1240,6 +1240,9 @@ class TextAnalysisSpec extends SparkSpec {
     val byDefault = Seq(Tuple1("日本語　テスト, and more!")).toDF("t")
       .select(TextAnalysis.tokens($"t")).as[Seq[String]].head()
     assert(byDefault == Seq("日本語", "テスト", "and", "more"))
+    // punctuation-only / whitespace-only text → NO tokens (the fused
+    // single-pass tokenizer yields [], not a lone "" artifact)
+    assert(toksOf("unicode", "... !!  ") == Seq.empty)
   }
 
   test("PII redaction: typed placeholders, counts, ordering contract") {
