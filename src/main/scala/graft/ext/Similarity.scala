@@ -219,9 +219,21 @@ object Similarity {
     * scoring as [[bruteForceTopK]], so no scored-space shuffle either.
     * Recall vs exact is pinned by the test suite (JL: reduced cosine
     * concentrates around true cosine; misses need a pair whose reduced
-    * score drops below the candidate cut). */
+    * score drops below the candidate cut).
+    *
+    * `pinRerank` round-robin repartitions the survivor id-pairs before
+    * the full-dim rerank (the x55 discipline: survivors are 16-byte
+    * rows, so AQE — sizing stages by input bytes — can coalesce the
+    * expensive full-vector dot onto a handful of tasks).  Default OFF
+    * because it is a measured LOSS at test scale (3.09 s → 4.78 s
+    * min-of-3 at sf0.1: the candidate window's own q_id exchange
+    * already spreads the survivors, and the extra exchange + codegen
+    * stage is pure overhead when the rerank fits in milliseconds).
+    * Turn it on when queries×cand is large enough that rerank compute
+    * dominates an exchange — the corpus-scale serving regime. */
   def rpTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-             dim: Int = 64, rDim: Int = 16, cand: Int = 30): DataFrame = {
+             dim: Int = 64, rDim: Int = 16, cand: Int = 30,
+             pinRerank: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     import spark.implicits._
@@ -245,9 +257,13 @@ object Similarity {
       .toDF("q_id", "c_id", "rscore")
     val wc = Window.partitionBy(col("q_id"))
       .orderBy(col("rscore").desc, col("c_id").asc)
-    val topCand = heaped.withColumn("crank", row_number().over(wc))
+    val survivors = heaped.withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= cand)
       .select(col("q_id"), col("c_id"))
+    val topCand =
+      if (pinRerank)
+        survivors.repartition(spark.sessionState.conf.numShufflePartitions)
+      else survivors
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("c_id").asc)
     topCand.join(q, "q_id").join(c, "c_id")

@@ -967,6 +967,12 @@ class SimilaritySpec extends SparkSpec {
       cand = nCorpus)
     assert(full.select("q_id", "c_id").as[(Long, Long)]
       .collect().toSet == brute)
+    // pinRerank only changes the physical plan (extra exchange before
+    // the rerank), never the ranking
+    val pinned = Similarity.rpTopK(q, c, k = 10, dim = 64, rDim = 16,
+      cand = 30, pinRerank = true)
+    assert(pinned.select("q_id", "c_id").as[(Long, Long)]
+      .collect().toSet == rpPairs)
   }
 
   test("IVF ANN: exact scores, recall grows with nprobe, full probe = " +
