@@ -62,10 +62,28 @@ object Anomaly {
         col("z"))
   }
 
+  /** Flag (key, window) outliers in `events`.
+    *
+    * Baseline choice: by default stats come from the SAME window grid
+    * being probed (self-baselining).  That is correct for "unusual
+    * relative to this run" but has a blind spot a monitoring user may
+    * not expect: a key whose rate shifts PERMANENTLY from window 1
+    * shifts its own mean/variance with it and is never flagged (in the
+    * extreme, a constant new rate has zero variance and is filtered
+    * outright).  Pass `statsFrom = Some(history)` — an events
+    * DataFrame with the same schema, e.g. last month's corpus — to
+    * probe against a FROZEN baseline instead: stats come only from the
+    * history, so a persistent shift stays an outlier in every probed
+    * window.  Keys absent from the history drop out of the join (no
+    * baseline → no z-score), matching the self-baseline behavior for
+    * history-less keys. */
   def keyRateAnomalies(events: DataFrame, tsCol: String, keyCol: String,
-                       windowDur: String, minZ: Double): DataFrame = {
+                       windowDur: String, minZ: Double,
+                       statsFrom: Option[DataFrame] = None): DataFrame = {
     val counts = windowCounts(events, tsCol, keyCol, windowDur)
-    zScores(counts, keyStats(counts), minZ)
+    val stats = keyStats(statsFrom.fold(counts)(h =>
+      windowCounts(h, tsCol, keyCol, windowDur)))
+    zScores(counts, stats, minZ)
   }
 
   /** Silence detection — the half of the monitor [[zScores]] cannot

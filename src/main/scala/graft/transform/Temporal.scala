@@ -140,6 +140,82 @@ object Temporal {
         outCols.map(c => col("__asof_pack").getField(c).as(c)): _*)
   }
 
+  /** Tolerance-bounded backward as-of join, banded for skew: the
+    * answer of [[asOfJoin]] restricted to matches at most
+    * `toleranceSeconds` old (older-than-tolerance matches become
+    * null-payload rows, left-outer style).
+    *
+    * Why it exists: [[asOfJoin]]'s running window partitions by `keys`
+    * alone, so ONE pathological key (a monster provider, a default
+    * device id) serializes its entire history into one task — pinned
+    * by `SkewStressSpec`.  When the caller can bound the match age,
+    * this variant joins on `(keys, time-band)` instead: timestamps
+    * floor to tolerance-wide bands, right rows replicate onto
+    * `(band, band + 1)`, and every in-tolerance pair shares exactly
+    * one band key.  The monster key's work spreads over its time
+    * bands — the shuffle is keyed and AQE/salting-amenable like any
+    * equi-join — and the per-left-row "latest match" pick windows by
+    * the (unique) `leftIdCol`, which is skew-free by construction.
+    * Unbounded-lookback as-of cannot band this way (a match may be
+    * arbitrarily old); that is what [[asOfJoin]] remains for.
+    *
+    * Semantics pinned by test: equals `asOfJoin(...)` followed by
+    * nulling payloads where `leftTs − matched_ts > tolerance`
+    * (if the overall-latest match is out of tolerance, no in-tolerance
+    * match exists).  Ties on `rightTs` resolve to the greatest
+    * `tiebreak`, matching [[asOfJoin]].
+    */
+  def asOfJoinBanded(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftIdCol: String, leftTs: String, rightTs: String,
+                     payload: Seq[String], toleranceSeconds: Long,
+                     tiebreak: Option[String] = None,
+                     inclusive: Boolean = true,
+                     matchedTsAs: String = "matched_ts"): DataFrame = {
+    require(keys.nonEmpty, "asOfJoinBanded needs at least one key column")
+    require(toleranceSeconds > 0, "asOfJoinBanded needs a positive tolerance")
+    val outCols = matchedTsAs +: payload
+    val abReserved = Seq("__ab_b", "__ab_tb", "__ab_ok", "__ab_rn")
+    val clash = left.columns.toSeq.intersect(outCols) ++
+      (left.columns ++ right.columns).filter(abReserved.contains)
+    require(clash.isEmpty,
+      s"asOfJoinBanded reserved/output column collision: ${clash.mkString(", ")}")
+
+    val gapUs = toleranceSeconds * 1000000L
+    def bandOf(ts: String) = expr(s"unix_micros(`$ts`) div ${gapUs}L")
+    val leftCols = left.columns.toSeq
+    val l2 = left.withColumn("__ab_b", bandOf(leftTs))
+    // right side projected to exactly what the output needs (keys,
+    // match ts, payload, tiebreak) — no accidental column collisions
+    val tbCol = "__ab_tb"
+    val r2 = right
+      .filter(col(rightTs).isNotNull)
+      .select((keys.map(col) :+ col(rightTs).as(matchedTsAs)) ++
+        payload.map(col) ++
+        tiebreak.map(c => col(c).as(tbCol)).toSeq: _*)
+      .withColumn("__ab_b",
+        explode(array(expr(s"unix_micros(`$matchedTsAs`) div ${gapUs}L"),
+          expr(s"unix_micros(`$matchedTsAs`) div ${gapUs}L") + 1)))
+
+    val delta = unix_micros(col(leftTs)) - unix_micros(col(matchedTsAs))
+    val lower = if (inclusive) delta >= 0 else delta > 0
+    // out-of-range joined rows must not WIN the rank-1 pick, but the
+    // left row must still survive if nothing is in range — blank the
+    // right-side columns instead of filtering the row
+    val joined = l2.join(r2, keys :+ "__ab_b", "left_outer")
+      .withColumn("__ab_ok", lower && delta <= gapUs)
+    val blanked = (outCols :+ tbCol).foldLeft(joined)((df, c) =>
+      if (df.columns.contains(c))
+        df.withColumn(c, when(col("__ab_ok"), col(c)))
+      else df)
+    val ord = col(matchedTsAs).desc_nulls_last +:
+      tiebreak.map(_ => col(tbCol).desc_nulls_last).toSeq
+    val w = Window.partitionBy(col(leftIdCol)).orderBy(ord: _*)
+    blanked
+      .withColumn("__ab_rn", row_number().over(w))
+      .filter(col("__ab_rn") === 1)
+      .select((leftCols ++ outCols).map(col(_)): _*)
+  }
+
   /** Bounded range join: inner-join pairs `(l, r)` on `keys` where
     * `l.leftTs < r.rightTs <= l.leftTs + maxGapSeconds` (the lower
     * bound becomes inclusive with `strictLower = false`).

@@ -45,6 +45,35 @@ class AnomalySpec extends SparkSpec {
     assert(got.toSeq === Seq((2L, "2024-01-03", 2.0)))
   }
 
+  test("reference-window mode: a permanent rate shift stays flagged in " +
+    "every window, where self-baselining never flags it") {
+    // history: user 1 posts 1,1,1,9 per day → mean 3, var 12
+    val hist = (for (d <- 1 to 4; i <- 0 until (if (d == 4) 9 else 1))
+        yield (f"2024-01-0$d $i%02d:00:00", 1L))
+      .toDF("ss", "user_id")
+      .select(to_timestamp(col("ss")).as("ts"), col("user_id"))
+    // probe: the rate shifts permanently to 17/day for three days
+    val probe = (for (d <- 5 to 7; i <- 0 until 17)
+        yield (f"2024-01-0$d $i%02d:00:00", 1L))
+      .toDF("ss", "user_id")
+      .select(to_timestamp(col("ss")).as("ts"), col("user_id"))
+
+    // self-baselining: the shifted rate IS the baseline (constant →
+    // zero variance → filtered) — nothing flagged, the blind spot
+    assert(Anomaly.keyRateAnomalies(probe, "ts", "user_id",
+      "1 day", minZ = 2.0).count() === 0)
+
+    // frozen reference stats: z = (17 − 3)/sqrt(12) ≈ 4.04 in EVERY
+    // probed window — the shift never absorbs into its own baseline
+    val got = Anomaly.keyRateAnomalies(probe, "ts", "user_id",
+        "1 day", minZ = 2.0, statsFrom = Some(hist))
+      .select("n", "mean", "z").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length === 3, s"all three windows must flag, got ${got.toSeq}")
+    assert(got.forall { case (n, m, z) =>
+      n == 17L && m == 3.0 && math.abs(z - 4.041452) < 1e-6 }, got.toSeq)
+  }
+
   test("rate anomalies: lowering the threshold surfaces the mild days") {
     val got = Anomaly.keyRateAnomalies(fixture, "ts", "user_id",
         "1 day", minZ = 0.4)

@@ -503,6 +503,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaLoader == zs)
   }
 
+  test("tz grid index bounds per-point candidate counts at 231 zones " +
+    "(the join must never degrade toward a per-row full scan)") {
+    import graft.functions.GeoTz
+    val zs = GeoTz.denseWorldZones
+    val cells = GeoTz.zoneCells(spark, zs)
+    val perCell = cells.groupBy("__cx", "__cy")
+      .agg(count(lit(1)).as("n"))
+      .select("n").as[Long].collect()
+    val maxCand = perCell.max
+    val meanCand = perCell.sum.toDouble / perCell.length
+    info(f"grid cells=${perCell.length} max-candidates=$maxCand " +
+      f"mean=$meanCand%.2f zones=${zs.length}")
+    // a point probes exactly one cell, so per-cell polygon count IS the
+    // exact-test fanout per row.  Bounds chosen well above the measured
+    // dense-extract values (max 22, mean 4.13): a denser future extract
+    // that pushes a cell past 35 candidates (15% of the zone table)
+    // should fail here and prompt a finer grid, not silently run
+    // 231 ray-casts per point
+    assert(maxCand <= 35,
+      s"hottest grid cell carries $maxCand polygon candidates")
+    assert(meanCand <= 8.0, f"mean candidate fanout $meanCand%.2f too high")
+    // and the index actually prunes: total candidate volume across the
+    // grid stays far below cells x zones
+    assert(meanCand * 3 < zs.length)
+  }
+
   test("x18 packing and x17 IVF plans: every window is partitioned " +
     "(no global sort funnels)") {
     val packs = graft.ext.CorpusStats.packAssignments(

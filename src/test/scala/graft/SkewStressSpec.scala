@@ -184,4 +184,53 @@ class SkewStressSpec extends SparkSpec {
         s"only ${writesFour.size} tasks carried pair work")
     }
   }
+
+  test("as-of join mega-key: the window formulation serializes one " +
+    "task; the tolerance-banded variant spreads it over time bands") {
+    withMeasuredConf(16) {
+      import org.apache.spark.sql.functions._
+      // ONE monster key: 6000 left + 6000 right rows over ~16.6 hours;
+      // a 60 s tolerance cuts that history into ~1000 bands
+      val base = 1704067200L // 2024-01-01 00:00:00 UTC
+      val l = (0 until 6000).map(i => (base + i * 10L, "m", i.toLong))
+        .toDF("es", "k", "tid")
+        .select(timestamp_seconds(col("es")).as("tts"), col("k"), col("tid"))
+      val r = (0 until 6000).map(i => (base + i * 10L + 5L, "m", i.toLong))
+        .toDF("es", "k", "qid")
+        .select(timestamp_seconds(col("es")).as("qts"), col("k"), col("qid"))
+
+      def taskReads(body: => Unit): Seq[Long] = {
+        val stages = perTaskRecords(body)
+        // the skew-relevant stage is the one READING the most shuffle
+        // records (the per-key window / the banded join probe)
+        stages.maxBy(_._2.map(_._2).sum)._2.map(_._2).filter(_ > 0)
+      }
+
+      var nWin = 0L
+      val winReads = taskReads {
+        nWin = graft.transform.Temporal.asOfJoin(l, r, keys = Seq("k"),
+          leftTs = "tts", rightTs = "qts", payload = Seq("qid"))
+          .filter(col("qid").isNotNull).count()
+      }
+      var nBand = 0L
+      val bandReads = taskReads {
+        nBand = graft.transform.Temporal.asOfJoinBanded(l, r,
+          keys = Seq("k"), leftIdCol = "tid", leftTs = "tts",
+          rightTs = "qts", payload = Seq("qid"), toleranceSeconds = 60L)
+          .filter(col("qid").isNotNull).count()
+      }
+      // same matches: every left row but the first has a 5 s-old
+      // predecessor (right row i sits 5 s after left row i)
+      assert(nWin == 5999L && nBand == 5999L, s"$nWin / $nBand")
+      // window formulation: the single key hash-routes all 12 000
+      // union rows through one task
+      assert(winReads.max >= (winReads.sum * 0.9).toLong,
+        s"expected one pinned window task, got $winReads")
+      // banded: (k, band) keys spread the same rows across the grid
+      assert(bandReads.size >= 8,
+        s"only ${bandReads.size} tasks carried banded join rows")
+      assert(bandReads.max <= (bandReads.sum * 0.3).toLong,
+        s"banded spread too weak: max=${bandReads.max} of ${bandReads.sum}")
+    }
+  }
 }

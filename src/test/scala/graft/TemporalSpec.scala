@@ -162,6 +162,42 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoinBanded equals asOfJoin with payloads nulled past the " +
+    "tolerance, for both inclusive modes") {
+    for (inclusive <- Seq(true, false); tolS <- Seq(120L, 400L)) {
+      val banded = Temporal.asOfJoinBanded(trades, quotes, keys = Seq("k"),
+        leftIdCol = "tid", leftTs = "tts", rightTs = "qts",
+        payload = Seq("qid", "px"), toleranceSeconds = tolS,
+        tiebreak = Some("qid"), inclusive = inclusive, matchedTsAs = "mts")
+        .select("tid", "qid", "px").collect()
+        .map(r => r.getLong(0) -> (
+          (if (r.isNullAt(1)) -1L else r.getLong(1)),
+          (if (r.isNullAt(2)) -1.0 else r.getDouble(2)))).toMap
+      val expected = Temporal.asOfJoin(trades, quotes, keys = Seq("k"),
+        leftTs = "tts", rightTs = "qts", payload = Seq("qid", "px"),
+        tiebreak = Some("qid"), inclusive = inclusive, matchedTsAs = "mts")
+        .withColumn("__ok",
+          unix_micros(col("tts")) - unix_micros(col("mts")) <= tolS * 1000000L)
+        .select("tid", "qid", "px", "__ok").collect()
+        .map { r =>
+          val ok = !r.isNullAt(3) && r.getBoolean(3)
+          r.getLong(0) -> (
+            (if (!ok || r.isNullAt(1)) -1L else r.getLong(1)),
+            (if (!ok || r.isNullAt(2)) -1.0 else r.getDouble(2)))
+        }.toMap
+      assert(banded === expected, s"inclusive=$inclusive tol=$tolS")
+    }
+  }
+
+  test("asOfJoinBanded plans an equi-join on (keys, band), not a BNLJ") {
+    val plan = Temporal.asOfJoinBanded(trades, quotes, keys = Seq("k"),
+      leftIdCol = "tid", leftTs = "tts", rightTs = "qts",
+      payload = Seq("qid"), toleranceSeconds = 300L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"non-equi join planned:\n$plan")
+  }
+
   // ---- range join ---------------------------------------------------------
 
   private def evs(rows: (String, String, Long)*) =
