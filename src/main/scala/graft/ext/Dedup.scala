@@ -995,6 +995,18 @@ object Dedup {
       .withColumn("dup_frac", round(col("n_shared") / col("n_ngrams"), 4))
   }
 
+  /** docs(id, text) → (doc_id, array of eight 8-bit block values) —
+    * the 64-bit fingerprint behind [[simhashEditPairs64]], one
+    * codegen'd [[graft.plans.SimHashSig64]] kernel call per document
+    * (scan → project, no explode/aggregate/shuffle). */
+  def simhashFingerprints64(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    import graft.plans.SimHashSig64.simhashSig64
+    docs.select(col(idCol).as("doc_id"),
+        simhashSig64(TextAnalysis.tokens(col(textCol))).as("blocks"))
+      .filter(col("blocks").isNotNull)
+  }
+
   /** Edit-distance-verified near-dup pairs: SimHash-LSH blocking with a
     * guaranteed hamming radius, then an exact `levenshtein` check on
     * the candidate sliver — the character-level dup lens (template
@@ -1007,9 +1019,9 @@ object Dedup {
     * diffs are confined to the masked nibbles shares a key by
     * construction — the recall guarantee brute-force pairing gets
     * without the O(n²); `maskNibbles = 2` (default) catches all diffs
-    * spanning <= 2 nibbles, at 6 keys/doc.  A 64-bit fingerprint with
-    * 8-bit blocks is the drop-in widening for corpus-scale key
-    * cardinality; the pattern (and this code's shape) is identical.
+    * spanning <= 2 nibbles, at 6 keys/doc.  Past ~10⁶ docs the 16-bit
+    * key space saturates — use [[simhashEditPairs64]], the 8-bit-block
+    * widening of this exact pipeline, at corpus scale.
     *
     * Scale shape: the x3 skinny-candidate discipline — blocking join
     * carries (id, len) only, with the `|len_a - len_b| <= maxDist`
@@ -1036,6 +1048,57 @@ object Dedup {
       (col("simhash").bitwiseAND(lit(mask)) * masks.size + lit(idx))
         .cast("int")
     }
+    editVerify(docs, idCol, textCol, enc, keys, maxDist, salts)
+  }
+
+  /** 64-bit-fingerprint variant of [[simhashEditPairs]] for corpus
+    * scale — the widening the 16-bit scaladoc promises.  The 16-bit
+    * fingerprint has at most 2¹⁶ distinct values, so past ~10⁶ docs
+    * every masked key is a mega bucket and the candidate set stops
+    * being prunable (measured: 545 k candidates at sf0.1, key equality
+    * already implying the hamming bound).  Here the fingerprint is 64
+    * bits as eight 8-bit blocks ([[graft.plans.SimHashSig64]]); keys
+    * mask `maskBlocks` of the 8 blocks — `C(8, 4)` = 70 keys/doc at
+    * the default — leaving 32 unmasked bits per key, so bucket
+    * cardinality scales with the corpus instead of saturating.  Any
+    * pair whose fingerprint diffs are confined to the masked blocks
+    * shares a key by construction.  The default masks HALF the
+    * fingerprint, the same guarantee breadth as the 16-bit variant's
+    * 2-of-4 nibble default (measured equal recall on the corpus
+    * slice; 2-of-8 covers only a quarter and drops recall to 3/7
+    * there), while each key still pins 32 agreeing bits vs the 16-bit
+    * variant's 8.  More keys per doc (70 vs 6) is the deliberate
+    * price: at corpus scale the binding constraint is bucket size,
+    * not key volume — skinny (key, id, len) rows shuffle cheaply, but
+    * a saturated bucket enumerates pairs quadratically.
+    * Same length banding, salting, pinning, and banded-levenshtein
+    * verify — the pipeline after key construction is shared code. */
+  def simhashEditPairs64(docs: DataFrame, idCol: String, textCol: String,
+                         maxDist: Int, maskBlocks: Int = 4,
+                         salts: Int = 8): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
+    require(maskBlocks >= 1 && maskBlocks <= 4,
+      s"maskBlocks must be 1..4 (got $maskBlocks)")
+    require(salts >= 1, s"salts must be >= 1 (got $salts)")
+    val enc = simhashFingerprints64(docs, idCol, textCol)
+      .join(docs.select(col(idCol), length(col(textCol)).as("__len")),
+        idCol)
+    val combos = (0 until 8).combinations(maskBlocks).toSeq
+    val keys = combos.zipWithIndex.map { case (masked, idx) =>
+      val kept = (0 until 8).filterNot(masked.contains(_))
+      concat_ws(":",
+        lit(idx) +: kept.map(j => col("blocks").getItem(j)): _*)
+    }
+    editVerify(docs, idCol, textCol, enc, keys, maxDist, salts)
+  }
+
+  /** Shared tail of the SimHash edit-pair pipelines: length banding,
+    * salted candidate join, distinct, pinned banded-levenshtein
+    * verify.  `enc` = (idCol, fingerprint cols..., __len); `keys` =
+    * the per-doc blocking keys. */
+  private def editVerify(docs: DataFrame, idCol: String, textCol: String,
+                         enc: DataFrame, keys: Seq[Column], maxDist: Int,
+                         salts: Int): DataFrame = {
     // Length banding folds the `|la - lb| <= maxDist` levenshtein lower
     // bound INTO the join key (band width = maxDist; the probe side
     // explodes to bands ±1, so every in-range pair still meets exactly

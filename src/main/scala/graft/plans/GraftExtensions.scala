@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
       (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
     e.injectFunction((
+      new FunctionIdentifier("simhash_sig64"),
+      new ExpressionInfo(classOf[SimHashSig64].getName, "simhash_sig64"),
+      (exprs: Seq[Expression]) => SimHashSig64(exprs.head)))
+    e.injectFunction((
       new FunctionIdentifier("token_set_encode"),
       new ExpressionInfo(classOf[TokenSetEncode].getName,
         "token_set_encode"),

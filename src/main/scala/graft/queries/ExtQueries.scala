@@ -534,6 +534,13 @@ object ExtQueries {
       Dedup.simhashEditPairs(Tables.documents(s, d),
         "doc_id", "text", maxDist = 40)),
 
+    // same lens at corpus scale: 64-bit fingerprint (8×8-bit blocks),
+    // 4-of-8 block masking — 32 unmasked bits per key keeps the
+    // candidate set prunable past the 16-bit key-space saturation
+    "x55b_edit_neardup64" -> ((s, d) =>
+      Dedup.simhashEditPairs64(Tables.documents(s, d),
+        "doc_id", "text", maxDist = 40)),
+
     // curriculum decile table: total-order rank by entropy via the
     // distributed globalRank primitive (no corpus-wide window), decile
     // assignment from a broadcast single-row count, per-decile stats —
@@ -717,6 +724,28 @@ object ExtQueries {
        |  t -> CASE WHEN substr(md5(t), ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0
        |  THEN ${1 << b} ELSE 0 END""".stripMargin
   }.mkString(" + ")
+
+  /** Mirrors [[graft.plans.SimHashKernel.sig64]]: bit b votes +1 iff
+    * bit b%4 of hex digit b/4 of md5(token) is set; block j packs bits
+    * 8j..8j+7.  Emitted as a DuckDB list literal of 8 block values. */
+  private val simhash64Blocks: String = {
+    def vote(b: Int) =
+      s"CASE WHEN ((strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1) >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END"
+    def block(j: Int) = (8 * j until 8 * j + 8).map { b =>
+      s"CASE WHEN list_sum(list_transform(hs, h -> ${vote(b)})) > 0 THEN ${1 << (b - 8 * j)} ELSE 0 END"
+    }.mkString(" + ")
+    (0 until 8).map(block).mkString("[", ",\n ", "]")
+  }
+
+  /** Mirrors [[Dedup.simhashEditPairs64]]'s 70 mask keys: combo idx,
+    * then the 4 KEPT block values, ':'-joined (concat_ws parity). */
+  private val simhash64Keys: String =
+    (0 until 8).combinations(4).toSeq.zipWithIndex.map {
+      case (masked, idx) =>
+        val kept = (0 until 8).filterNot(masked.contains(_))
+        s"'$idx' || ':' || " +
+          kept.map(j => s"blocks[${j + 1}]").mkString(" || ':' || ")
+    }.mkString("[", ",\n ", "]")
 
   private val duckDot =
     "list_sum(list_transform(generate_series(1, 64), i -> q[i]::DOUBLE * c[i]::DOUBLE))"
@@ -1725,6 +1754,27 @@ object ExtQueries {
          |                (sh & 4080) * 6 + 2, (sh & 61455) * 6 + 3,
          |                (sh & 3855) * 6 + 4, (sh & 255) * 6 + 5])
          |          AS bk
+         |      FROM e),
+         |c AS (SELECT DISTINCT ka.doc_id AS a, kb.doc_id AS b
+         |      FROM k ka JOIN k kb ON ka.bk = kb.bk
+         |       AND ka.doc_id < kb.doc_id
+         |       AND abs(ka.len - kb.len) <= 40)
+         |SELECT c.a, c.b,
+         |       CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist
+         |FROM c
+         |JOIN documents da ON c.a = da.doc_id
+         |JOIN documents db ON c.b = db.doc_id
+         |WHERE levenshtein(da.text, db.text) <= 40""".stripMargin,
+    // 64-bit simhash replay (per-token md5 hex cached once per doc),
+    // 4-of-8 block-masked keys, same length bound + levenshtein verify
+    "x55b_edit_neardup64" ->
+      s"""$toksCte,
+         |hh AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs
+         |       FROM t),
+         |fp AS (SELECT doc_id, $simhash64Blocks AS blocks FROM hh),
+         |e AS (SELECT fp.doc_id, blocks, strlen(d.text) AS len
+         |      FROM fp JOIN documents d ON fp.doc_id = d.doc_id),
+         |k AS (SELECT doc_id, len, unnest($simhash64Keys) AS bk
          |      FROM e),
          |c AS (SELECT DISTINCT ka.doc_id AS a, kb.doc_id AS b
          |      FROM k ka JOIN k kb ON ka.bk = kb.bk
