@@ -49,9 +49,23 @@ object ExtQueries {
       Dedup.duplicateClusters(Tables.documents(s, d), "doc_id",
         sharedPairs(s, d)).localCheckpoint())
 
+  private val lshPairCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
+  /** The LSH-retrieved near-dup edge set (x3's pipeline), pinned once —
+    * the corpus-scale alternative to [[sharedPairs]]' exact quadratic-
+    * within-blocks ground truth. */
+  private def sharedLshPairs(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame =
+    lshPairCache.getOrElseUpdate((s, d),
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 1, k = 8, bandRows = 2, threshold = 0.8)
+        .select(col("a"), col("b")).localCheckpoint())
+
   /** Test hook: drop pinned cluster tables (e.g. between conf A/B runs). */
   private[graft] def clearClusterCache(): Unit = {
-    clusterCache.clear(); pairCache.clear()
+    clusterCache.clear(); pairCache.clear(); lshPairCache.clear()
   }
 
   val qs: Map[String, Q] = Map(
@@ -186,6 +200,15 @@ object ExtQueries {
     // Jaccard pairs (x4's edge set) — the transitive-closure step that
     // turns pairwise evidence into one keeper per cluster
     "x20_dup_clusters" -> ((s, d) => sharedClusters(s, d)),
+
+    // corpus-scale cluster path: same hash-min label propagation over
+    // the LSH-RETRIEVED pair set instead of the exact ground truth —
+    // x20's exact pair stage is quadratic within blocks by contract
+    // (it IS the oracle ground truth); this is what a 100 TB dedup
+    // actually runs, and the sf1 rehearsal measures it linear
+    "x20b_dup_clusters_lsh" -> ((s, d) =>
+      Dedup.duplicateClusters(Tables.documents(s, d), "doc_id",
+        sharedLshPairs(s, d))),
 
     // Gopher-style repetition signals: top-token / top-bigram fractions
     // and vocabulary diversity per document
@@ -771,12 +794,15 @@ object ExtQueries {
     * (md5 minhashes, md5 band keys, exact verification), so the DuckDB
     * oracle replays it exactly — n=1, k=8, bandRows=2, τ=0.8 matching
     * the x3 declaration. */
-  private val x3Sql: String = {
+  /** The x3 LSH-pair replay as a reusable CTE chain ending in
+    * `vp(a, b, jaccard)` — shared by x3 and the x20b cluster oracle.
+    * Must be the FIRST fragment after WITH RECURSIVE/WITH. */
+  private val x3PairsCte: String = {
     val sigCols = (0 until 8).map(i => s"${duckMinhash(i)} AS s$i").mkString(",\n         ")
     val bandSelects = (0 until 4).map { b =>
       s"SELECT doc_id, md5('$b' || '|' || s${2 * b} || ',' || s${2 * b + 1}) AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH sh AS (SELECT doc_id, string_split(text, ' ') AS sh FROM documents),
+    s"""sh AS (SELECT doc_id, string_split(text, ' ') AS sh FROM documents),
        |sig AS (SELECT doc_id,
        |         $sigCols
        |        FROM sh),
@@ -792,8 +818,8 @@ object ExtQueries {
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bsz x JOIN bsz y ON x.band_key = y.band_key
        |  WHERE x.doc_id < y.doc_id
-       |    AND least(x.sz, y.sz) / greatest(x.sz, y.sz) >= 0.8)
-       |SELECT a, b, jaccard FROM (
+       |    AND least(x.sz, y.sz) / greatest(x.sz, y.sz) >= 0.8),
+       |vp AS (SELECT a, b, jaccard FROM (
        |  SELECT a, b,
        |         len(list_filter(ea.toks, x -> list_contains(eb.toks, x)))
        |         / (ea.sz + eb.sz
@@ -801,8 +827,26 @@ object ExtQueries {
        |           AS jaccard
        |  FROM cands JOIN enc ea ON cands.a = ea.doc_id
        |             JOIN enc eb ON cands.b = eb.doc_id)
-       |WHERE jaccard >= 0.8""".stripMargin
+       |  WHERE jaccard >= 0.8)""".stripMargin
   }
+
+  private val x3Sql: String =
+    s"WITH $x3PairsCte\nSELECT a, b, jaccard FROM vp"
+
+  /** x20b: connected components over the LSH-retrieved pair set (the
+    * corpus-scale cluster path; x20 clusters the exact ground-truth
+    * pairs, quadratic within blocks by contract). */
+  private val x20bSql: String =
+    s"""WITH RECURSIVE $x3PairsCte,
+       |e2 AS (SELECT a AS s, b AS d FROM vp
+       |       UNION ALL SELECT b AS s, a AS d FROM vp),
+       |reach2(node, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e2.d, reach2.r FROM e2 JOIN reach2 ON e2.s = reach2.node),
+       |c2 AS (SELECT node AS doc_id, min(r) AS cluster_id
+       |       FROM reach2 GROUP BY 1)
+       |SELECT doc_id, cluster_id FROM c2""".stripMargin
 
   /** Random-hyperplane bucket signature in DuckDB: md5-derived plane
     * signs baked in as ±1.0 literal multipliers in the same left-fold
@@ -1327,6 +1371,7 @@ object ExtQueries {
         |FROM bg JOIN m USING (bi) GROUP BY 1""".stripMargin,
     "st4_ingest_neardup" -> st4Sql,
     "x20_dup_clusters" -> x20Sql,
+    "x20b_dup_clusters_lsh" -> x20bSql,
     "x25_cluster_keepers" -> x25Sql,
     "x26_stratified_sample" -> x26Sql,
     "x27_cluster_sigs" -> x27Sql,
