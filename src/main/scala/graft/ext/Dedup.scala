@@ -155,7 +155,13 @@ object Dedup {
     if (n == 1) {
       toks.select(col("doc_id"), explode(array_distinct(col("toks"))).as("sh"))
     } else {
-      val small = toks.filter(size(col("toks")) < n)
+      // whole-text fallback only for 1..n-1 tokens: a ZERO-token doc
+      // (the fused tokenizer yields [] for empty/punctuation-only
+      // text) has an empty shingle set and no signature — matching
+      // the MinHash/SimHash kernels' null-on-empty convention and the
+      // n = 1 branch (explode of [] emits nothing)
+      val small = toks
+        .filter(size(col("toks")) > 0 && size(col("toks")) < n)
         .select(col("doc_id"), array_join(col("toks"), " ").as("sh"))
       assembleNgrams(toks, n).unionByName(small)
     }
