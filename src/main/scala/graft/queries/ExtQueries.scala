@@ -519,6 +519,31 @@ object ExtQueries {
             .as("gap_us"))
     }),
 
+    // tolerance-bounded as-of via the BANDED formulation: same lookup
+    // as x52 but matches older than 1 hour come back null, and the
+    // plan is a (user, time-band) equi-join + per-purchase rank — the
+    // monster-key-safe shape (one key's history spreads over its
+    // bands instead of serializing into one window task)
+    "x71_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.transform.Temporal.asOfJoinBanded(
+        purchases, clicks, keys = Seq("user_id"), leftIdCol = "event_id",
+        leftTs = "ts", rightTs = "ts",
+        payload = Seq("click_id", "click_value"),
+        toleranceSeconds = 3600L, tiebreak = Some("click_id"),
+        matchedTsAs = "click_ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("click_id"), col("click_value"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"))
+    }),
+
     // bounded range join via bucket banding (equi-join the optimizer
     // can shuffle/skew-split — the inequality-join formulation would
     // plan as BNLJ): error events within one hour AFTER a purchase
@@ -1741,6 +1766,35 @@ object ExtQueries {
         |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    // same ASOF machinery as x52, then matches older than the 1-hour
+    // tolerance blank to NULL (the left row itself survives)
+    "x71_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |             event_type, value
+        |           FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM e
+        |      WHERE event_type = 'purchase'),
+        |c0 AS (SELECT user_id, ts, event_id AS click_id,
+        |              value AS click_value
+        |       FROM e WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts,
+        |             max(click_id) AS click_id,
+        |             max_by(click_value, click_id) AS click_value
+        |      FROM c0 GROUP BY 1, 2),
+        |a AS (SELECT p.event_id, p.user_id, p.ts, c.ts AS cts,
+        |             c.click_id, c.click_value
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT event_id, user_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |       CASE WHEN epoch_us(ts) - epoch_us(cts) <= 3600000000
+        |            THEN click_id END AS click_id,
+        |       CASE WHEN epoch_us(ts) - epoch_us(cts) <= 3600000000
+        |            THEN click_value END AS click_value,
+        |       CASE WHEN epoch_us(ts) - epoch_us(cts) <= 3600000000
+        |            THEN epoch_us(ts) - epoch_us(cts) END AS gap_us
+        |FROM a""".stripMargin,
     // the oracle states the range predicate directly; the engine's
     // banded equi-join must produce the identical pair set
     "x53_range_join" ->

@@ -266,7 +266,21 @@ object FnQueries {
         Tables.events(s, d), "ts", "user_id", "1 day")
         .select(col("k").as("user_id"),
           date_format(col("last_seen"), TS).as("last_seen"),
-          col("mean_n"))))
+          col("mean_n"))),
+
+    // reference-window mode: the second half of the corpus z-scored
+    // against a FROZEN first-half baseline — a permanent rate shift
+    // stays flagged in every probed window instead of absorbing into
+    // its own statistics (x60's self-baselining blind spot)
+    "x70_anomaly_refwindow" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      graft.ext.Anomaly.keyRateAnomalies(
+        ev.filter(col("ts") >= cut), "ts", "user_id", "1 day",
+        minZ = 1.5, statsFrom = Some(ev.filter(col("ts") < cut)))
+        .select(date_format(col("w"), TS).as("window_start"),
+          col("k").as("user_id"), col("n"), col("mean"), col("z"))
+    }))
 
   /** F16 polygon-lookup oracle: the zone dim inlines as VALUES from the
     * same [[graft.functions.GeoTz.zones]] constants, and the ray-cast
@@ -514,6 +528,30 @@ object FnQueries {
          |       round((n - mean) / sqrt(v), 6) AS z
          |FROM j WHERE v > 0
          |  AND abs(round((n - mean) / sqrt(v), 6)) >= 2""".stripMargin,
+    // frozen baseline: stats ONLY from pre-cutoff windows, probe only
+    // post-cutoff ones; same exact-integer-moment arithmetic as x60
+    "x70_anomaly_refwindow" ->
+      s"""WITH e AS (SELECT make_timestamp(
+         |             epoch_ns(ts) // 1000 // 86400000000 * 86400000000)
+         |             AS w, user_id
+         |           FROM events),
+         |c AS (SELECT w, user_id, count(*) AS n FROM e
+         |      WHERE w >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2),
+         |h AS (SELECT w, user_id, count(*) AS n FROM e
+         |      WHERE w < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2),
+         |s AS (SELECT user_id, count(*) AS kd, sum(n) AS s,
+         |             sum(n * n) AS ss
+         |      FROM h GROUP BY 1),
+         |j AS (SELECT c.w, c.user_id, c.n,
+         |        s.s::DOUBLE / s.kd AS mean,
+         |        s.ss::DOUBLE / s.kd
+         |          - (s.s::DOUBLE / s.kd) * (s.s::DOUBLE / s.kd) AS v
+         |      FROM c JOIN s ON c.user_id = s.user_id)
+         |SELECT strftime(w, '$DTS') AS window_start, user_id,
+         |       CAST(n AS BIGINT) AS n, round(mean, 6) AS mean,
+         |       round((n - mean) / sqrt(v), 6) AS z
+         |FROM j WHERE v > 0
+         |  AND abs(round((n - mean) / sqrt(v), 6)) >= 1.5""".stripMargin,
     "x67_silent_keys" ->
       s"""WITH e AS (SELECT make_timestamp(
          |             epoch_ns(ts) // 1000 // 86400000000 * 86400000000)
