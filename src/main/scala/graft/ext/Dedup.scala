@@ -1089,11 +1089,17 @@ object Dedup {
     val enc = simhashFingerprints64(docs, idCol, textCol)
       .join(docs.select(col(idCol), length(col(textCol)).as("__len")),
         idCol)
+    // Injective packed-long keys: combo index in the high bits, the
+    // kept block values byte-packed below (≤ 7 blocks × 8 bits + 7
+    // combo bits ≤ 63 bits).  Same doc partition as any injective
+    // encoding — a long shuffles/hashes at half the width of the
+    // equivalent "idx:b:b:b:b" string key.
     val combos = (0 until 8).combinations(maskBlocks).toSeq
     val keys = combos.zipWithIndex.map { case (masked, idx) =>
       val kept = (0 until 8).filterNot(masked.contains(_))
-      concat_ws(":",
-        lit(idx) +: kept.map(j => col("blocks").getItem(j)): _*)
+      kept.foldLeft(lit(idx.toLong)) { (acc, j) =>
+        acc * 256L + col("blocks").getItem(j)
+      }
     }
     editVerify(docs, idCol, textCol, enc, keys, maxDist, salts)
   }
