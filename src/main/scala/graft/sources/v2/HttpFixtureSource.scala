@@ -304,7 +304,7 @@ class FixtureScanBuilder(fullSchema: StructType, path: String,
   /** Parse a connector [[Aggregation]] into (groupBy col names,
     * (kind, col) specs) — only plain column references and the
     * aggregate kinds the fixture API can answer (COUNT(*) / COUNT /
-    * MIN / MAX / SUM / AVG, no DISTINCT). */
+    * COUNT DISTINCT / MIN / MAX / SUM / AVG). */
   private def parseAgg(a: org.apache.spark.sql.connector.expressions
       .aggregate.Aggregation)
       : Option[(Seq[String], Seq[(String, String)])] = {
@@ -340,6 +340,13 @@ class FixtureScanBuilder(fullSchema: StructType, path: String,
     val fns = a.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(("count_star", ""))
       case c: Count if !c.isDistinct => name(c.column).map(("count", _))
+      // exact under COMPLETE pushdown only: this source's driver-side
+      // fetch owns every row, so a per-group distinct is closed-form
+      // (a paged/partial source could never merge distincts from
+      // partial counts — pageFiles sources decline in
+      // supportCompletePushDown)
+      case c: Count if c.isDistinct =>
+        name(c.column).map(("count_distinct", _))
       case m: Min => orderable(m.column).map(("min", _))
       case m: Max => orderable(m.column).map(("max", _))
       case s: Sum if !s.isDistinct => numeric(s.column).map(("sum", _))
@@ -437,6 +444,8 @@ class FixtureScan(fullSchema: StructType, required: StructType,
     StructType(gb.map(c => fullSchema(c)) ++ fns.map {
       case ("count_star", _) => StructField("count(*)", LongType, false)
       case ("count", c) => StructField(s"count($c)", LongType, false)
+      case ("count_distinct", c) =>
+        StructField(s"count(DISTINCT $c)", LongType, false)
       // Spark's result types: SUM widens integrals to LONG; AVG is
       // DOUBLE for every non-decimal numeric input
       case ("sum", c) => StructField(s"sum($c)",
@@ -497,6 +506,8 @@ class FixtureScan(fullSchema: StructType, required: StructType,
       val out = fns.zip(fnIdx).map {
         case (("count_star", _), _) => grp.size.toLong
         case (("count", _), i) => grp.count(_(i) != null).toLong
+        case (("count_distinct", _), i) =>
+          grp.map(_(i)).filter(_ != null).distinct.size.toLong
         case (("sum", c), i) =>
           val vs = grp.map(_(i)).filter(_ != null)
           if (vs.isEmpty) null

@@ -147,8 +147,8 @@ class DsV2Spec extends SparkSpec {
     assert(row._1.toString.startsWith("2024-01-02") && row._2 == 3L)
   }
 
-  test("aggregate pushdown declines honestly: paged dirs and DISTINCT " +
-    "fall back to Spark's aggregate") {
+  test("aggregate pushdown declines honestly on paged dirs; " +
+    "COUNT(DISTINCT) pushes COMPLETE on the single-payload path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_aggp_").toString
     (0 until 2).foreach { p =>
       java.nio.file.Files.write(
@@ -162,12 +162,22 @@ class DsV2Spec extends SparkSpec {
       "paged directories must keep Spark's aggregate")
     assert(paged.as[Long].head() == 2L)
 
+    // single-payload path: the driver-side fetch owns every row, so a
+    // per-group distinct is closed-form and pushes COMPLETE
     val distinct = spark.read.format("graft-fixture").load(path)
       .agg(countDistinct($"location_type").as("n"))
-    assert(distinct.queryExecution.executedPlan.toString
+    assert(!distinct.queryExecution.executedPlan.toString
       .contains("HashAggregate"),
-      "COUNT(DISTINCT) must not be claimed by the source")
+      "COUNT(DISTINCT) should push complete on the single-payload path")
     assert(distinct.as[Long].head() == 2L)
+
+    // a paged dir could never merge partial distincts — still declined
+    val pagedDistinct = spark.read.format("graft-fixture").load(dir)
+      .agg(countDistinct($"pm25").as("n"))
+    assert(pagedDistinct.queryExecution.executedPlan.toString
+      .contains("HashAggregate"),
+      "paged COUNT(DISTINCT) must keep Spark's aggregate")
+    assert(pagedDistinct.as[Long].head() == 2L)
   }
 
   test("gzipped pages and the PageFetcher boundary") {
