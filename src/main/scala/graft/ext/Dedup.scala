@@ -436,6 +436,43 @@ object Dedup {
       .select(col("a"), col("b"), col("containment"))
   }
 
+  /** Corpus-scale containment pairs: the [[blockedContainmentPairs]]
+    * subset-duplication lens derived in CLOSED FORM over an
+    * already-verified Jaccard pair set, instead of a fresh quadratic
+    * self-join.  With distinct-token sizes |A|, |B| and J =
+    * |A∩B| / |A∪B|, the intersection is recoverable exactly:
+    * |A∩B| = J/(1+J)·(|A|+|B|), so containment = that / min(|A|,|B|)
+    * — no token sets move, the only new work is two doc-count-sized
+    * size joins onto the (a, b, jaccard) edges.  This makes
+    * containment FREE wherever an LSH pair set (x3's pipeline)
+    * already exists, which is the production shape: every other
+    * pairwise family got its sub-linear path this way
+    * (clusters→x20b, edit-dups→x55b).
+    *
+    * Recall caveat (stated, not hidden): a pair's retrievability is
+    * the RETRIEVER's — Jaccard-banded LSH under-retrieves extremely
+    * asymmetric pairs (containment 1.0 but J ≈ |A|/|B| below the
+    * band threshold).  [[blockedContainmentPairs]] remains the exact
+    * lens for full asymmetric recall within blocks; this is the
+    * corpus-scale score surface over the retrieved edge set.  Pairs
+    * referencing token-less docs cannot appear (such docs emit no
+    * signature upstream), mirroring the exact path's sz > 0 guard. */
+  def containmentFromJaccardPairs(docs: DataFrame, idCol: String,
+                                  textCol: String, pairs: DataFrame,
+                                  threshold: Double): DataFrame = {
+    val sz = encodeTokenSets(docs, idCol, textCol, None)
+      .filter(col("sz") > 0)
+      .select(col("id"), col("sz"))
+    pairs.select(col("a"), col("b"), col("jaccard"))
+      .join(sz.select(col("id").as("a"), col("sz").as("sa")), "a")
+      .join(sz.select(col("id").as("b"), col("sz").as("sb")), "b")
+      .withColumn("containment",
+        col("jaccard") / (lit(1.0) + col("jaccard"))
+          * (col("sa") + col("sb")) / least(col("sa"), col("sb")))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("containment"))
+  }
+
   /** Benchmark decontamination: training documents sharing ≥1 word
     * n-gram with an evaluation/benchmark set.  Both sides explode to
     * (doc, shingle) rows (`explodedShingles` — codegen'd, the

@@ -55,13 +55,14 @@ object ExtQueries {
 
   /** The LSH-retrieved near-dup edge set (x3's pipeline), pinned once —
     * the corpus-scale alternative to [[sharedPairs]]' exact quadratic-
-    * within-blocks ground truth. */
+    * within-blocks ground truth.  Keeps the verified `jaccard` score:
+    * x20b ignores it; x45b derives containment from it in closed form. */
   private def sharedLshPairs(s: org.apache.spark.sql.SparkSession,
                              d: String): org.apache.spark.sql.DataFrame =
     lshPairCache.getOrElseUpdate((s, d),
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
           n = 1, k = 8, bandRows = 2, threshold = 0.8)
-        .select(col("a"), col("b")).localCheckpoint())
+        .localCheckpoint())
 
   /** Test hook: drop pinned cluster tables (e.g. between conf A/B runs). */
   private[graft] def clearClusterCache(): Unit = {
@@ -443,6 +444,14 @@ object ExtQueries {
       Dedup.blockedContainmentPairs(Tables.documents(s, d), "doc_id",
         "text", "lang", threshold = 0.9)),
 
+    // corpus-scale containment: closed-form |A∩B| = J/(1+J)·(|A|+|B|)
+    // over the shared LSH-retrieved pair set — the sub-linear sibling
+    // of x45 (the x20b/x55b pattern applied to the last quadratic-only
+    // pairwise family); x45 stays the exact asymmetric-recall lens
+    "x45b_containment_lsh" -> ((s, d) =>
+      Dedup.containmentFromJaccardPairs(Tables.documents(s, d), "doc_id",
+        "text", sharedLshPairs(s, d), threshold = 0.9)),
+
     // exact heavy hitters via Count-Min prefilter (fixed-memory sketch
     // culls the stream in codegen; exact agg sees only candidates)
     "x46_heavy_hitters" -> ((s, d) =>
@@ -532,7 +541,7 @@ object ExtQueries {
         .select(col("user_id"), col("ts"),
           col("event_id").as("click_id"), col("value").as("click_value"))
       graft.transform.Temporal.asOfJoinBanded(
-        purchases, clicks, keys = Seq("user_id"), leftIdCol = "event_id",
+        purchases, clicks, keys = Seq("user_id"),
         leftTs = "ts", rightTs = "ts",
         payload = Seq("click_id", "click_value"),
         toleranceSeconds = 3600L, tiebreak = Some("click_id"),
@@ -1622,6 +1631,18 @@ object ExtQueries {
         |         / least(len(a.toks), len(b.toks)) AS containment
         |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |WHERE containment >= 0.9""".stripMargin,
+    // containment via the |A∩B| = J/(1+J)·(|A|+|B|) identity over the
+    // x3 pair CTE — arithmetic mirrored operation-for-operation so the
+    // IEEE doubles agree bit-for-bit with the Spark expression
+    "x45b_containment_lsh" ->
+      s"""WITH $x3PairsCte,
+         |cp AS (SELECT a, b,
+         |         jaccard / (1.0 + jaccard) * (ea.sz + eb.sz)
+         |           / least(ea.sz, eb.sz) AS containment
+         |       FROM vp JOIN enc ea ON vp.a = ea.doc_id
+         |               JOIN enc eb ON vp.b = eb.doc_id)
+         |SELECT a, b, containment FROM cp
+         |WHERE containment >= 0.9""".stripMargin,
     "x5_simhash" ->
       s"""$toksCte
          |SELECT doc_id, CAST($simhashBits AS INT) AS simhash FROM t""".stripMargin,

@@ -155,7 +155,9 @@ object Temporal {
     * one band key.  The monster key's work spreads over its time
     * bands — the shuffle is keyed and AQE/salting-amenable like any
     * equi-join — and the per-left-row "latest match" pick windows by
-    * the (unique) `leftIdCol`, which is skew-free by construction.
+    * a synthetic unique row id assigned before the join, which is
+    * skew-free by construction and safe under duplicate business
+    * keys (every left row keeps its own match, like [[asOfJoin]]).
     * Unbounded-lookback as-of cannot band this way (a match may be
     * arbitrarily old); that is what [[asOfJoin]] remains for.
     *
@@ -166,7 +168,7 @@ object Temporal {
     * `tiebreak`, matching [[asOfJoin]].
     */
   def asOfJoinBanded(left: DataFrame, right: DataFrame, keys: Seq[String],
-                     leftIdCol: String, leftTs: String, rightTs: String,
+                     leftTs: String, rightTs: String,
                      payload: Seq[String], toleranceSeconds: Long,
                      tiebreak: Option[String] = None,
                      inclusive: Boolean = true,
@@ -174,7 +176,7 @@ object Temporal {
     require(keys.nonEmpty, "asOfJoinBanded needs at least one key column")
     require(toleranceSeconds > 0, "asOfJoinBanded needs a positive tolerance")
     val outCols = matchedTsAs +: payload
-    val abReserved = Seq("__ab_b", "__ab_tb", "__ab_ok", "__ab_rn")
+    val abReserved = Seq("__ab_b", "__ab_tb", "__ab_ok", "__ab_rn", "__ab_rid")
     val clash = left.columns.toSeq.intersect(outCols) ++
       (left.columns ++ right.columns).filter(abReserved.contains)
     require(clash.isEmpty,
@@ -183,7 +185,12 @@ object Temporal {
     val gapUs = toleranceSeconds * 1000000L
     def bandOf(ts: String) = expr(s"unix_micros(`$ts`) div ${gapUs}L")
     val leftCols = left.columns.toSeq
-    val l2 = left.withColumn("__ab_b", bandOf(leftTs))
+    // unique per-left-row key for the rank window: assigned BEFORE the
+    // band join, so every joined candidate of a left row carries the
+    // same id and no two left rows share one — duplicate business keys
+    // can no longer collapse to a single output row
+    val l2 = left.withColumn("__ab_rid", monotonically_increasing_id())
+      .withColumn("__ab_b", bandOf(leftTs))
     // right side projected to exactly what the output needs (keys,
     // match ts, payload, tiebreak) — no accidental column collisions
     val tbCol = "__ab_tb"
@@ -209,7 +216,7 @@ object Temporal {
       else df)
     val ord = col(matchedTsAs).desc_nulls_last +:
       tiebreak.map(_ => col(tbCol).desc_nulls_last).toSeq
-    val w = Window.partitionBy(col(leftIdCol)).orderBy(ord: _*)
+    val w = Window.partitionBy(col("__ab_rid")).orderBy(ord: _*)
     blanked
       .withColumn("__ab_rn", row_number().over(w))
       .filter(col("__ab_rn") === 1)

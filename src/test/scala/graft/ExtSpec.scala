@@ -454,6 +454,34 @@ class DedupSpec extends SparkSpec {
     assert(jac.count() == 0)
   }
 
+  test("containmentFromJaccardPairs: the J/(1+J)·(|A|+|B|) identity " +
+    "reproduces the exact containment on every pair both paths score") {
+    val docs = Seq(
+      (1L, "en", "a b c d e f g h i j"),
+      (2L, "en", "a b c d e f g h"),     // J=8/10, containment 1.0
+      (3L, "en", "a b c d e f x y"),     // overlaps 1 and 2 partially
+      (4L, "en", "k l m n o p q r"),
+      (5L, "en", "k l m n o p q z")      // J=7/9 with 4
+    ).toDF("doc_id", "lang", "text")
+    // all-pairs Jaccard edges (threshold 0 keeps every pair) feed the
+    // closed-form derivation; the exact blocked self-join is the truth
+    val edges = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
+      "lang", threshold = 0.0)
+    val derived = Dedup.containmentFromJaccardPairs(docs, "doc_id",
+      "text", edges, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val exact = Dedup.blockedContainmentPairs(docs, "doc_id", "text",
+      "lang", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(derived.keySet == exact.keySet)
+    derived.foreach { case (k, c) =>
+      assert(math.abs(c - exact(k)) < 1e-12, s"pair $k: $c vs ${exact(k)}")
+    }
+    assert(derived((1L, 2L)) == 1.0) // the subset pair survives the lens
+  }
+
   test("globalRank: exact 1..N total-order ranks, independent of the " +
     "partition count, and no (single-task) Window in the physical plan") {
     val df = spark.range(0, 1000).toDF("id")

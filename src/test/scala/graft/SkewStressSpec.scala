@@ -215,7 +215,7 @@ class SkewStressSpec extends SparkSpec {
       var nBand = 0L
       val bandReads = taskReads {
         nBand = graft.transform.Temporal.asOfJoinBanded(l, r,
-          keys = Seq("k"), leftIdCol = "tid", leftTs = "tts",
+          keys = Seq("k"), leftTs = "tts",
           rightTs = "qts", payload = Seq("qid"), toleranceSeconds = 60L)
           .filter(col("qid").isNotNull).count()
       }

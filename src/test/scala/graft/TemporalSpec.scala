@@ -166,7 +166,7 @@ class TemporalSpec extends SparkSpec {
     "tolerance, for both inclusive modes") {
     for (inclusive <- Seq(true, false); tolS <- Seq(120L, 400L)) {
       val banded = Temporal.asOfJoinBanded(trades, quotes, keys = Seq("k"),
-        leftIdCol = "tid", leftTs = "tts", rightTs = "qts",
+        leftTs = "tts", rightTs = "qts",
         payload = Seq("qid", "px"), toleranceSeconds = tolS,
         tiebreak = Some("qid"), inclusive = inclusive, matchedTsAs = "mts")
         .select("tid", "qid", "px").collect()
@@ -189,9 +189,32 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoinBanded keeps every left row under fully duplicate " +
+    "business rows — no silent collapse") {
+    // two IDENTICAL left rows (same key, ts, everything): each must
+    // produce its own output row with the same match, like asOfJoin
+    val l = Seq(
+      ("a", "2024-01-01 10:01:30"),
+      ("a", "2024-01-01 10:01:30"),
+      ("a", "2024-01-01 10:05:00"))
+      .toDF("k", "ss")
+      .select(col("k"), to_timestamp(col("ss")).as("tts"))
+    val out = Temporal.asOfJoinBanded(l, quotes, keys = Seq("k"),
+      leftTs = "tts", rightTs = "qts", payload = Seq("qid"),
+      toleranceSeconds = 300L)
+      .select("tts", "qid").collect()
+      .map(r => (r.getTimestamp(0).toString,
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out.length == 3, s"left rows lost: ${out.mkString(", ")}")
+    assert(out.count(_._1 == "2024-01-01 10:01:30.0") == 2)
+    // both duplicates carry the identical (correct) match
+    assert(out.filter(_._1 == "2024-01-01 10:01:30.0").map(_._2).toSet
+      .size == 1)
+  }
+
   test("asOfJoinBanded plans an equi-join on (keys, band), not a BNLJ") {
     val plan = Temporal.asOfJoinBanded(trades, quotes, keys = Seq("k"),
-      leftIdCol = "tid", leftTs = "tts", rightTs = "qts",
+      leftTs = "tts", rightTs = "qts",
       payload = Seq("qid"), toleranceSeconds = 300L)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
