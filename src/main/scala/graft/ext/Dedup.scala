@@ -1094,6 +1094,50 @@ object Dedup {
     editVerify(docs, idCol, textCol, enc, keys, maxDist, salts)
   }
 
+  /** Measured 16-bit→64-bit switch point for [[simhashEditPairsAuto]].
+    * The sf1 rehearsal (PERF.md round 9) put the wall-clock crossover
+    * between 50 k and ~300 k docs depending on corpus density (the
+    * denser the corpus, the earlier 16-bit key-space saturation bites;
+    * on the degenerate vocab-31 corpus 64-bit already wins at 50 k,
+    * on vocab-1000 16-bit still wins there).  100 k is the midpoint
+    * of the measured window — past it the 16-bit candidate set grows
+    * quadratically (6 masks × 2⁸ key values saturate) while the
+    * 64-bit set stays prunable (32 unmasked bits per key). */
+  val EditDupCrossoverDefault: Long = 100000L
+
+  /** Conf key overriding the [[simhashEditPairsAuto]] switch point. */
+  val EditDupCrossoverConf: String = "spark.graft.editdup.crossoverDocs"
+
+  private[graft] def editDupUse64(nDocs: Long, crossover: Long): Boolean =
+    nDocs >= crossover
+
+  /** Width-dispatching edit near-dup pairs: picks the 16-bit
+    * ([[simhashEditPairs]]) or 64-bit ([[simhashEditPairs64]])
+    * fingerprint from the CORPUS SIZE, so callers no longer need to
+    * know the saturation regime to get the right plan — the same
+    * evidence-based-default pattern as `estCull`/`pinRerank`.  Below
+    * the crossover the 6-key 16-bit pipeline is cheaper (the 70-key
+    * 64-bit constant dominates); above it the 16-bit key space
+    * saturates and its candidate set grows quadratically, so the
+    * 64-bit widening wins and keeps winning.  The switch point is the
+    * MEASURED crossover ([[EditDupCrossoverDefault]]), overridable
+    * per-session via `spark.graft.editdup.crossoverDocs` for corpora
+    * whose density is known to shift it.  Both branches return the
+    * identical schema (a, b, edit_dist) and agree wherever both have
+    * recall; the count() that gates the dispatch is one column-pruned
+    * scan — noise against the pair join it sizes. */
+  def simhashEditPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+                           maxDist: Int, salts: Int = 8): DataFrame = {
+    val crossover = docs.sparkSession.conf
+      .getOption(EditDupCrossoverConf).map(_.toLong)
+      .getOrElse(EditDupCrossoverDefault)
+    require(crossover > 0, s"$EditDupCrossoverConf must be > 0")
+    if (editDupUse64(docs.select(col(idCol)).count(), crossover))
+      simhashEditPairs64(docs, idCol, textCol, maxDist, salts = salts)
+    else
+      simhashEditPairs(docs, idCol, textCol, maxDist, salts = salts)
+  }
+
   /** 64-bit-fingerprint variant of [[simhashEditPairs]] for corpus
     * scale — the widening the 16-bit scaladoc promises.  The 16-bit
     * fingerprint has at most 2¹⁶ distinct values, so past ~10⁶ docs

@@ -772,6 +772,38 @@ class DedupSpec extends SparkSpec {
     assert(narrow.subsetOf(blocked))
   }
 
+  test("simhashEditPairsAuto dispatches on corpus size at the measured " +
+    "crossover, conf-overridable, and both branches agree on the fixture") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 100)
+    // the pure gate pins the switch point exactly
+    assert(!graft.ext.Dedup.editDupUse64(99999L,
+      graft.ext.Dedup.EditDupCrossoverDefault))
+    assert(graft.ext.Dedup.editDupUse64(100000L,
+      graft.ext.Dedup.EditDupCrossoverDefault))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").as[(Long, Long)].collect().toSet
+    val conf = graft.ext.Dedup.EditDupCrossoverConf
+    try {
+      // 100 docs < crossover 10^5 → 16-bit plan (no 64-bit kernel)
+      spark.conf.unset(conf)
+      val auto16 = graft.ext.Dedup.simhashEditPairsAuto(docs, "doc_id",
+        "text", maxDist = 40)
+      assert(!auto16.queryExecution.analyzed.toString
+        .toLowerCase.contains("simhashsig64"))
+      assert(pairs(auto16) == pairs(graft.ext.Dedup.simhashEditPairs(
+        docs, "doc_id", "text", maxDist = 40)))
+      // crossover forced below the corpus → 64-bit plan
+      spark.conf.set(conf, "10")
+      val auto64 = graft.ext.Dedup.simhashEditPairsAuto(docs, "doc_id",
+        "text", maxDist = 40)
+      assert(auto64.queryExecution.analyzed.toString
+        .toLowerCase.contains("simhashsig64"))
+      assert(pairs(auto64) == pairs(graft.ext.Dedup.simhashEditPairs64(
+        docs, "doc_id", "text", maxDist = 40)))
+    } finally spark.conf.unset(conf)
+  }
+
   test("curriculum deciles partition the corpus into near-equal bands " +
     "ordered by score") {
     val q = graft.queries.ExtQueries.qs("x57_curriculum_deciles")
