@@ -27,6 +27,11 @@ import java.nio.file.{Files, Paths}
   * the stdout subset.  SPARK_GRAFT_BENCH_TOPK overrides (0 = full map).
   * Both totals are the sum of the ROUNDED per-query values so a
   * consumer cross-checking total vs entries sees an exact match.
+  *
+  * "spread" maps each reported query to [min, max] seconds across the
+  * N runs: noisy recordings (shared-box ambient load) identify
+  * themselves by a wide spread, so a per-round delta on untouched code
+  * can be adjudicated from the artifact alone (round-9 verdict #5).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -68,7 +73,7 @@ object Bench {
         // a failing query must not silently poison the total — it is
         // excluded from "queries" and reported in "failed" instead
         if (times.isEmpty) { failed += name; None }
-        else Some(name -> times.min)
+        else Some(name -> ((times.min, times.max)))
       }
     // default 30: the full-map line (~4.7 KB at 137 queries) overflows
     // the driver's stdout tail capture, which cuts the HEAD of the JSON
@@ -78,20 +83,27 @@ object Bench {
     val stdoutTopK = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOPK", "30").toInt
     def msBd(v: Double): BigDecimal =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val rounded = results.map { case (k, v) => k -> msBd(v) }
-    def qJson(m: Iterable[(String, BigDecimal)]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = rounded.values.foldLeft(BigDecimal(0))(_ + _)
-    val slowest = rounded.toSeq.sortBy(-_._2)
+    val rounded = results.map { case (k, (lo, hi)) => k -> ((msBd(lo), msBd(hi))) }
+    def qJson(m: Iterable[(String, (BigDecimal, BigDecimal))]): String =
+      m.map { case (k, (lo, _)) => s"\"" + k + "\":" + lo }.mkString("{", ",", "}")
+    // per-query [min, max] of the N runs: a wide spread marks an entry
+    // as ambient-load noise, a tight spread marks a delta as real —
+    // the round-9 verdict's burden-of-proof field for phantom
+    // regressions recorded on untouched code
+    def spreadJson(m: Iterable[(String, (BigDecimal, BigDecimal))]): String =
+      m.map { case (k, (lo, hi)) => s"\"" + k + "\":[" + lo + "," + hi + "]" }
+        .mkString("{", ",", "}")
+    val total = rounded.values.foldLeft(BigDecimal(0))(_ + _._1)
+    val slowest = rounded.toSeq.sortBy(-_._2._1)
       .take(if (stdoutTopK > 0) stdoutTopK else rounded.size)
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    def line(qs: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries_run":${rounded.size}$failedJson,"queries":$qs,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get(outFile), line(qJson(rounded)) + "\n")
+    def line(m: Iterable[(String, (BigDecimal, BigDecimal))]): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries_run":${rounded.size}$failedJson,"queries":${qJson(m)},"spread":${spreadJson(m)},"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outFile), line(rounded) + "\n")
     spark.stop() // stop FIRST: no executor/shutdown log can splice the line
-    println(line(qJson(slowest)))
+    println(line(slowest))
     System.out.flush()
   }
 }
