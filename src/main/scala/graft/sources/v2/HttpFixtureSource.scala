@@ -224,11 +224,21 @@ object HttpFixtureSource {
           case (DoubleType, JDouble(d)) => d
           case (BooleanType, JBool(b))  => b
           // user-supplied schemas may type payload fields as timestamps
-          // ("2024-01-01 10:00:00" / ISO-8601 'T') — InternalRow wants
-          // epoch micros; aggregate pushdown DECLINES on this type
+          // ("2024-01-01 10:00:00", ISO-8601 'T', trailing 'Z' or a
+          // ±hh:mm offset) — InternalRow wants epoch micros; aggregate
+          // pushdown DECLINES on this type.  Parsed with Spark's own
+          // session-timezone rules (zoneless strings read in the
+          // SESSION zone, zone-suffixed strings honor their zone), not
+          // Timestamp.valueOf, which reads the JVM-default zone and
+          // throws on any zone suffix
           case (TimestampType, JString(s)) =>
-            val t = java.sql.Timestamp.valueOf(s.replace("T", " "))
-            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+            org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .stringToTimestamp(UTF8String.fromString(s),
+                org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+                  org.apache.spark.sql.internal.SQLConf.get
+                    .sessionLocalTimeZone))
+              .getOrElse(throw new IllegalArgumentException(
+                s"unparseable timestamp '$s'"))
           case (StringType, JString(s)) => s
           case (StringType, other)      => JsonMethods.compact(other)
           case (dt, other) =>

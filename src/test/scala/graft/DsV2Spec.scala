@@ -147,6 +147,29 @@ class DsV2Spec extends SparkSpec {
     assert(row._1.toString.startsWith("2024-01-02") && row._2 == 3L)
   }
 
+  test("timestamp payload fields parse with session-timezone rules: " +
+    "zoneless strings read in the session zone, 'Z' and ±hh:mm offsets " +
+    "honor their zone") {
+    // session zone is UTC: all four spellings below are the same instant
+    val tmp = java.nio.file.Files.createTempFile("graft_tsz_", ".jsonl")
+    java.nio.file.Files.write(tmp,
+      ("""{"sensor_index": 1, "seen": "2024-01-01 10:00:00"}""" + "\n" +
+       """{"sensor_index": 2, "seen": "2024-01-01T10:00:00"}""" + "\n" +
+       """{"sensor_index": 3, "seen": "2024-01-01T10:00:00Z"}""" + "\n" +
+       """{"sensor_index": 4, "seen": "2024-01-01T12:00:00+02:00"}""")
+        .getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sensor_index",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seen",
+        org.apache.spark.sql.types.TimestampType)))
+    val seen = spark.read.format("graft-fixture").schema(schema)
+      .load(tmp.toString)
+      .select(unix_micros($"seen")).as[Long].collect().toSet
+    assert(seen == Set(1704103200000000L),
+      s"all four spellings must land on 2024-01-01T10:00:00Z: $seen")
+  }
+
   test("aggregate pushdown declines honestly on paged dirs; " +
     "COUNT(DISTINCT) pushes COMPLETE on the single-payload path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_aggp_").toString
