@@ -18,17 +18,30 @@ object Tables {
     if (name == "events") eventsImpl(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright.  Read it as a nano-count long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor to microseconds —
-    * Spark's native timestamp precision.  Sub-microsecond ordering is
-    * sacrificed; every consumer tie-breaks on `event_id`.
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects, so it's read as a nano-count long via
+    * `spark.sql.legacy.parquet.nanosAsLong` and floored to microseconds)
+    * and plain timestamp[us] (surfacing as TIMESTAMP_NTZ or TIMESTAMP).
+    * Branch on the schema actually read, not on an assumption about the
+    * file — the session zone is pinned to UTC everywhere, so casting NTZ
+    * to TIMESTAMP preserves the instant.  Sub-microsecond ordering in the
+    * nanos case is sacrificed; every consumer tie-breaks on `event_id`.
     */
   private def eventsImpl(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other (expected nanos-as-long, timestamp, or timestamp_ntz)")
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")

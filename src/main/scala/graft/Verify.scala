@@ -22,11 +22,14 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
-    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val run = SparkEntry.queries.filter(kv => selected(kv._1))
+    run.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +47,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that throws must leave a trace in the artifact dir, not just
+    // stderr — otherwise the correctness artifact silently shrinks and a
+    // broken third of the suite reads as a clean pass.  errors.json maps
+    // query name → first exception line; ran/failed counts let any
+    // consumer cross-check against the declared query map.
+    val errJson = failed.map { case (k, v) =>
+      s"${q(k)}: ${q(v.linesIterator.take(1).mkString.take(500))}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    println(s"[verify] declared=${SparkEntry.queries.size} selected=${run.size} " +
+      s"ok=${run.size - failed.size} failed=${failed.size}" +
+      (if (failed.nonEmpty) failed.keys.mkString(" [", ",", "]") else ""))
     spark.stop()
   }
 }

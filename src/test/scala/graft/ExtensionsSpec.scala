@@ -550,7 +550,29 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("PushNanosEquivFilter restores range pushdown on nano timestamps") {
-    val q = Tables.events(spark, sf0001)
+    // The driver's events files now ship µs timestamps, so the
+    // nanos-as-long generation this rule exists for is built as a
+    // fixture: a long `ts` in nanoseconds with sub-µs values straddling
+    // both bounds, exercising the micros(ns) ∈ [lo,hi] ⟺
+    // ns ∈ [lo·1000, hi·1000+999] identity row by row.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanofix")
+      .toString
+    def ns(s: String) =
+      java.time.Instant.parse(s).getEpochSecond * 1000000000L
+    val lo = ns("2024-01-03T00:00:00Z")
+    val hi = ns("2024-01-25T00:00:00Z")
+    Seq(
+      (1L, lo - 1),        // last ns of the prior µs: excluded
+      (2L, lo),            // exact lower bound
+      (3L, lo + 999),      // sub-µs jitter above the bound
+      (4L, (lo + hi) / 2), // interior
+      (5L, hi),            // exact upper bound
+      (6L, hi + 999),      // floors to the bound µs: included
+      (7L, hi + 1000))     // first ns of the next µs: excluded
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val q = Tables.events(spark, dir)
       .filter(col("ts").between(lit("2024-01-03 00:00:00"),
                                 lit("2024-01-25 00:00:00")))
       .select(col("event_id"))
@@ -561,14 +583,31 @@ class ExtensionsSpec extends SparkSpec {
       s"raw-nanos lower bound not pushed: $pushed")
     assert(pushed.contains("LessThanOrEqual(ts,"),
       s"raw-nanos upper bound not pushed: $pushed")
-    // and the rewrite changes no results: micros(ns) ∈ [lo,hi] ⟺
-    // ns ∈ [lo·1000, hi·1000+999], checked against the raw long column
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def ns(s: String) = java.time.Instant.parse(s).getEpochSecond * 1000000000L
+    assert(q.collect().map(_.getLong(0)).sorted
+      .sameElements(Array(2L, 3L, 4L, 5L, 6L)))
+  }
+
+  test("µs-timestamp events generation reads natively with pushed " +
+    "range bounds") {
+    val ev = Tables.events(spark, sf0001)
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      "events.ts must surface as TIMESTAMP regardless of generation")
+    val q = ev
+      .filter(col("ts").between(lit("2024-01-03 00:00:00"),
+                                lit("2024-01-25 00:00:00")))
+      .select(col("event_id"))
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(ts,") &&
+      pushed.contains("LessThanOrEqual(ts,"),
+      s"range bounds must push through the NTZ→LTZ cast: $pushed")
+    // semantics check against the raw NTZ read (UTC session zone)
     val expected = spark.read.parquet(s"$sf0001/events.parquet")
-      .filter(col("ts") >= ns("2024-01-03T00:00:00Z") &&
-        col("ts") <= ns("2024-01-25T00:00:00Z") + 999)
+      .filter(col("ts").between(lit("2024-01-03 00:00:00"),
+                                lit("2024-01-25 00:00:00")))
       .count()
-    assert(q.count() == expected)
+    assert(q.count() == expected && expected > 0)
   }
 }
