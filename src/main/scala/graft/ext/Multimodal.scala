@@ -213,4 +213,179 @@ object Multimodal {
       }
     }
   }
+
+  // ---------------------------------------------------------------- dHash
+
+  /** 64-bit difference hash over an 8-bit grayscale raster — the
+    * perceptual fingerprint that connects [[ImageIoCodec]] to the
+    * engine's hamming-LSH machinery (the image analogue of
+    * `SimHashSig64`'s text fingerprint).
+    *
+    * Box-downsample to a 9×8 (cols×rows) grid with EXACT integer box
+    * sums — cell (r,c) covers pixel rows `[r·h/8, (r+1)·h/8)` and cols
+    * `[c·w/9, (c+1)·w/9)` — then bit `r·8+c` is set iff cell (r,c+1) is
+    * brighter than cell (r,c).  The comparison cross-multiplies sums and
+    * counts (`s₂·n₁ > s₁·n₂`) instead of dividing, so the fingerprint is
+    * bit-exact across platforms — no float rounding, and cells of
+    * unequal pixel counts (w or h not divisible by 9/8) compare by true
+    * mean.  Robust to resize/re-encode/brightness shifts; a few-pixel
+    * edit flips at most a couple of bits. */
+  def dHash64(gray: Array[Byte], w: Int, h: Int): Long =
+    gridDHash(idx => gray(idx) & 0xff, w, h,
+      (r, c) => (r.toLong * h / 8, (r + 1).toLong * h / 8,
+        c.toLong * w / 9, (c + 1).toLong * w / 9),
+      rowStride = w)
+
+  /** Byte-grid dHash for payloads that are NOT decodable images (the
+    * FakeCodec passthrough): the flat byte array is cut into 72
+    * sequential cells (byte i → cell `i·72/N`) read as a row-major 8×9
+    * grid, then the same cross-multiplied brightness comparison as
+    * [[dHash64]].  Deterministic and — unlike the raster path — exactly
+    * expressible in ANSI SQL over the payload bytes, which is what lets
+    * the driver's DuckDB oracle verify the whole fingerprint→pairs
+    * pipeline end-to-end on the text-payload tables. */
+  def byteGridDHash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    val s = new Array[Long](72)
+    val c = new Array[Long](72)
+    var i = 0
+    while (i < n) {
+      val cell = (i.toLong * 72 / n).toInt
+      s(cell) += bytes(i) & 0xff
+      c(cell) += 1
+      i += 1
+    }
+    var fp = 0L
+    var r = 0
+    while (r < 8) {
+      var col = 0
+      while (col < 8) {
+        val a = r * 9 + col
+        if (s(a + 1) * c(a) > s(a) * c(a + 1)) fp |= 1L << (r * 8 + col)
+        col += 1
+      }
+      r += 1
+    }
+    fp
+  }
+
+  /** Shared 9×8-grid comparator behind [[dHash64]]. */
+  private def gridDHash(px: Int => Int, w: Int, h: Int,
+                        bounds: (Int, Int) => (Long, Long, Long, Long),
+                        rowStride: Int): Long = {
+    val s = new Array[Long](72)
+    val c = new Array[Long](72)
+    var r = 0
+    while (r < 8) {
+      var cc = 0
+      while (cc < 9) {
+        val (y0, y1, x0, x1) = bounds(r, cc)
+        var y = y0
+        var sum = 0L
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            sum += px((y * rowStride + x).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        s(r * 9 + cc) = sum
+        c(r * 9 + cc) = (y1 - y0) * (x1 - x0)
+        cc += 1
+      }
+      r += 1
+    }
+    var fp = 0L
+    r = 0
+    while (r < 8) {
+      var col = 0
+      while (col < 8) {
+        val a = r * 9 + col
+        if (s(a + 1) * c(a) > s(a) * c(a + 1)) fp |= 1L << (r * 8 + col)
+        col += 1
+      }
+      r += 1
+    }
+    fp
+  }
+
+  /** media rows → (media_id, fp): one 64-bit perceptual fingerprint per
+    * payload, real [[dHash64]] when the payload decodes as an image,
+    * [[byteGridDHash64]] passthrough otherwise.  Narrow mapPartitions —
+    * the blob is consumed here and only the 16-byte (id, fp) row
+    * continues downstream, the same blobs-never-shuffle contract as
+    * [[extractFeatures]]. */
+  def fingerprints(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val maxPixels = ImageIoCodec.maxPixelsFor(spark)
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val fp = ImageIoCodec.decode(r.payload, maxPixels) match {
+          case Some(d) => dHash64(d.gray, d.width, d.height)
+          case None    => byteGridDHash64(r.payload)
+        }
+        (r.media_id, fp)
+      }
+    }.toDF("media_id", "fp")
+  }
+
+  /** Perceptual near-duplicate pairs: dHash fingerprints → C(8,4)
+    * combo-key hamming LSH → exact `bit_count(xor)` verify.  The image
+    * dedup lens — re-encodes, thumbnails, and small crops/edits of the
+    * same picture land within a few fingerprint bits of each other.
+    *
+    * Blocking reuses the `simhashEditPairs64` key construction verbatim
+    * (eight 8-bit blocks, one injective packed-long key per way of
+    * masking `maskBlocks` of them): any pair whose fingerprint diffs
+    * are confined to the masked blocks shares a key, so recall is
+    * GUARANTEED for `maxDist <= maskBlocks` — 4-of-8 masking catches
+    * every pair within hamming 4 while each key still pins 32 agreeing
+    * bits, keeping bucket cardinality corpus-proportional instead of
+    * quadratic (the reason this is the 100 TB path and all-pairs
+    * `bit_count` is only the oracle).  Salted + AQE-exempt-pinned
+    * candidate join, `distinct`, then the exact hamming check on the
+    * candidate sliver — the x3/x55b verify discipline with
+    * `bit_count(fp_a XOR fp_b)` in place of banded levenshtein (a pure
+    * codegen'd long op; no texts re-attach, so the verify join carries
+    * 24-byte rows).  Output: (media_a, media_b, hamming). */
+  def nearDupPairs(spark: SparkSession, media: DataFrame,
+                   maxDist: Int = 4, maskBlocks: Int = 4,
+                   salts: Int = 8): DataFrame = {
+    require(maxDist >= 0 && maxDist <= maskBlocks,
+      s"maxDist must be in [0, maskBlocks=$maskBlocks] for lossless " +
+        s"recall (got $maxDist)")
+    require(maskBlocks >= 1 && maskBlocks <= 4,
+      s"maskBlocks must be 1..4 (got $maskBlocks)")
+    require(salts >= 1, s"salts must be >= 1 (got $salts)")
+    val fps = fingerprints(spark, media)
+    val combos = (0 until 8).combinations(maskBlocks).toSeq
+    val keys = combos.zipWithIndex.map { case (masked, idx) =>
+      val kept = (0 until 8).filterNot(masked.contains(_))
+      kept.foldLeft(lit(idx.toLong)) { (acc, j) =>
+        acc * 256L + shiftrightunsigned(col("fp"), 8 * j)
+          .bitwiseAND(lit(0xffL))
+      }
+    }
+    val blocked = fps.select(col("media_id"), col("fp"),
+      explode(array(keys: _*)).as("bk"))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val a = blocked.select(col("bk"), col("media_id").as("media_a"),
+        col("fp").as("fp_a"))
+      .withColumn("__salt", pmod(hash(col("media_a")), lit(salts)))
+      .repartition(parts, col("bk"), col("__salt"))
+    val b = blocked.select(col("bk"), col("media_id").as("media_b"),
+        col("fp").as("fp_b"))
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .repartition(parts, col("bk"), col("__salt"))
+    a.join(b, Seq("bk", "__salt"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"), col("fp_a"), col("fp_b"))
+      .distinct()
+      .repartition(parts)
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+  }
 }

@@ -598,6 +598,47 @@ object ExtQueries {
       Dedup.simhashEditPairs64(Tables.documents(s, d),
         "doc_id", "text", maxDist = 40)),
 
+    // perceptual (dHash) fingerprint per media payload — real 9×8
+    // box-downsample dHash when the payload decodes as an image, the
+    // SQL-expressible byte-grid form on the passthrough — surfaced as
+    // two 32-bit halves so the 64-bit value stays oracle-comparable
+    // (DuckDB BIGINT can't shift into bit 63)
+    "x72_media_fingerprint" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      Multimodal.fingerprints(s, media)
+        .select(col("media_id"),
+          shiftrightunsigned(col("fp"), 32).as("fp_hi"),
+          col("fp").bitwiseAND(lit(0xFFFFFFFFL)).as("fp_lo"))
+    }),
+
+    // image near-dup lens: plant three classes of single-char-edit
+    // copies (ids +10M), then dHash → C(8,4) hamming-LSH → exact
+    // bit_count verify finds them; recall is GUARANTEED for hamming
+    // <= 4 by the block-masking construction, so the banded plan's
+    // output equals the oracle's all-pairs scan exactly
+    "x73_image_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val m = pmod(col("doc_id"), lit(40))
+      val pert = docs.filter(m.isin(1, 2, 3))
+        .withColumn("text",
+          when(m === 1,
+            concat(upper(substring(col("text"), 1, 1)),
+              expr("substring(text, 2)")))
+          .when(m === 2, expr(
+            """CASE WHEN instr(text, 'e') > 0
+              |THEN concat(substring(text, 1, instr(text, 'e') - 1), 'o',
+              |            substring(text, instr(text, 'e') + 1))
+              |ELSE text END""".stripMargin))
+          .otherwise(expr(
+            """CASE WHEN instr(text, ' ') > 0
+              |THEN concat(substring(text, 1, instr(text, ' ') - 1), '-',
+              |            substring(text, instr(text, ' ') + 1))
+              |ELSE text END""".stripMargin)))
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      val media = Multimodal.mediaFromDocuments(docs.unionByName(pert))
+      Multimodal.nearDupPairs(s, media, maxDist = 4)
+    }),
+
     // curriculum decile table: total-order rank by entropy via the
     // distributed globalRank primitive (no corpus-wide window), decile
     // assignment from a broadcast single-row count, per-decile stats —
@@ -763,6 +804,52 @@ object ExtQueries {
 
   private val toksCte =
     "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)"
+
+  /** Mirrors [[Multimodal.byteGridDHash64]] over a `media(media_id,
+    * text)` CTE: UTF-8 byte k extracted from `hex(encode(text))` (DuckDB
+    * blobs aren't byte-indexable), byte i → cell `i·72/n`, row-major 8×9
+    * grid, bit = cross-multiplied mean comparison of adjacent cells
+    * (`s₂·c₁ > s₁·c₂` — exact integer math on both engines), packed into
+    * two 32-bit halves since BIGINT can't shift into bit 63.  A LEFT
+    * JOIN against all 72 cells keeps sub-72-byte payloads well-defined
+    * (absent cells count 0, matching the Scala arrays' zeros). */
+  private val dhashCte: String =
+    """bt AS (
+      |  SELECT media_id, octet_length(encode(text)) AS n,
+      |         hex(encode(text)) AS h
+      |  FROM media),
+      |bytes AS (
+      |  SELECT media_id, n, i,
+      |    16 * (strpos('0123456789ABCDEF', substr(h, 2 * i + 1, 1)) - 1)
+      |       + (strpos('0123456789ABCDEF', substr(h, 2 * i + 2, 1)) - 1)
+      |      AS v
+      |  FROM (SELECT media_id, n, h, unnest(range(n)) AS i FROM bt)),
+      |cells AS (
+      |  SELECT media_id, (i * 72) // n AS cell,
+      |         sum(v) AS s, count(*) AS c
+      |  FROM bytes GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g.media_id, g.cell,
+      |         coalesce(cells.s, 0) AS s, coalesce(cells.c, 0) AS c
+      |  FROM (SELECT media_id, unnest(range(72)) AS cell
+      |        FROM (SELECT DISTINCT media_id FROM media)) g
+      |  LEFT JOIN cells
+      |    ON cells.media_id = g.media_id AND cells.cell = g.cell),
+      |bits AS (
+      |  SELECT a.media_id, (a.cell // 9) * 8 + (a.cell % 9) AS idx,
+      |         CASE WHEN b2.s * a.c > a.s * b2.c THEN 1 ELSE 0 END AS bit
+      |  FROM grid a JOIN grid b2
+      |    ON b2.media_id = a.media_id AND b2.cell = a.cell + 1
+      |  WHERE a.cell % 9 < 8),
+      |fp AS (
+      |  SELECT media_id,
+      |    CAST(sum(CASE WHEN idx >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END)
+      |      AS BIGINT) AS fp_hi,
+      |    CAST(sum(CASE WHEN idx < 32
+      |      THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END)
+      |      AS BIGINT) AS fp_lo
+      |  FROM bits GROUP BY 1)""".stripMargin
 
   private val shinglesCte =
     s"""$toksCte,
@@ -1906,6 +1993,42 @@ object ExtQueries {
          |JOIN documents da ON c.a = da.doc_id
          |JOIN documents db ON c.b = db.doc_id
          |WHERE levenshtein(da.text, db.text) <= 40""".stripMargin,
+    // byte-grid dHash replay: UTF-8 bytes via hex() (DuckDB blobs
+    // aren't byte-indexable), 72 sequential cells, cross-multiplied
+    // mean comparison, bits summed into two 32-bit halves (BIGINT
+    // can't shift into bit 63)
+    "x72_media_fingerprint" ->
+      s"""WITH media AS (SELECT doc_id AS media_id, text FROM documents),
+         |$dhashCte
+         |SELECT media_id, fp_hi, fp_lo FROM fp""".stripMargin,
+    // planted single-char-edit copies (ids +10M) + all-pairs hamming
+    // over the same fingerprint chain — the banded plan's exact oracle
+    "x73_image_neardup" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |pert AS (
+         |  SELECT doc_id + 10000000 AS media_id,
+         |    CASE m
+         |      WHEN 1 THEN upper(substr(text, 1, 1)) || substr(text, 2)
+         |      WHEN 2 THEN CASE WHEN strpos(text, 'e') > 0
+         |        THEN substr(text, 1, strpos(text, 'e') - 1) || 'o' ||
+         |             substr(text, strpos(text, 'e') + 1)
+         |        ELSE text END
+         |      ELSE CASE WHEN strpos(text, ' ') > 0
+         |        THEN substr(text, 1, strpos(text, ' ') - 1) || '-' ||
+         |             substr(text, strpos(text, ' ') + 1)
+         |        ELSE text END
+         |    END AS text
+         |  FROM (SELECT doc_id, doc_id % 40 AS m, text FROM docs
+         |        WHERE doc_id % 40 IN (1, 2, 3))),
+         |media AS (SELECT doc_id AS media_id, text FROM docs
+         |          UNION ALL SELECT media_id, text FROM pert),
+         |$dhashCte
+         |SELECT a.media_id AS media_a, b.media_id AS media_b,
+         |       CAST(bit_count(xor(a.fp_hi, b.fp_hi)) +
+         |            bit_count(xor(a.fp_lo, b.fp_lo)) AS INT) AS hamming
+         |FROM fp a JOIN fp b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.fp_hi, b.fp_hi)) +
+         |      bit_count(xor(a.fp_lo, b.fp_lo)) <= 4""".stripMargin,
     // same entropy replay as x50, ranked with a unique tiebreak; the
     // decile formula floors over exact small-integer doubles
     "x57_curriculum_deciles" ->

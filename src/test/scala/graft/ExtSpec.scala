@@ -1743,4 +1743,101 @@ class MultimodalSpec extends SparkSpec {
       assert(got(id).mean_byte > 0)
     }
   }
+
+  /** Renders f(u,v) ∈ [0,1]² → [0,255] at the given resolution — the
+    * same continuous image sampled at any size, so resize robustness is
+    * testable without an image-scaling library. */
+  private def render(w: Int, h: Int)(f: (Double, Double) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val g = f((x + 0.5) / w, (y + 0.5) / h) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    bos.toByteArray
+  }
+
+  private def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash64 is perceptual: stable across format and resolution, " +
+    "local under small edits, far for different images") {
+    import Multimodal.ImageIoCodec
+    def fp(png: Array[Byte]): Long = {
+      val d = ImageIoCodec.decode(png).get
+      Multimodal.dHash64(d.gray, d.width, d.height)
+    }
+    // a photo-like scene: diagonal gradient + a bright blob
+    def scene(u: Double, v: Double): Int =
+      (u * 160 + v * 60 +
+        (if ((u - 0.3) * (u - 0.3) + (v - 0.4) * (v - 0.4) < 0.04) 80
+         else 0)).toInt.min(255)
+    val base = fp(render(63, 41)(scene))
+    // same scene, different resolution (and non-divisible grid sizes)
+    assert(ham(base, fp(render(126, 82)(scene))) <= 6,
+      "resize must move only a few bits")
+    assert(ham(base, fp(render(90, 60)(scene))) <= 6)
+    // brightness shift: dHash compares ADJACENT cells, so a uniform
+    // +40 offset leaves every comparison unchanged
+    assert(ham(base, fp(render(63, 41)((u, v) =>
+      (scene(u, v) + 40).min(255)))) <= 2)
+    // a small local edit (blob nudged slightly) stays near
+    def edited(u: Double, v: Double): Int =
+      (u * 160 + v * 60 +
+        (if ((u - 0.33) * (u - 0.33) + (v - 0.4) * (v - 0.4) < 0.04) 80
+         else 0)).toInt.min(255)
+    assert(ham(base, fp(render(63, 41)(edited))) <= 4)
+    // a genuinely different image is far
+    def other(u: Double, v: Double): Int =
+      (math.sin(u * 31) * 120 + math.cos(v * 23) * 120 + 10).toInt.max(0).min(255)
+    assert(ham(base, fp(render(63, 41)(other))) >= 16)
+  }
+
+  test("nearDupPairs finds planted image near-dups via the real decode " +
+    "path and nothing else; banded plan equals all-pairs") {
+    import Multimodal.MediaRow
+    // 12 distinct scenes + 3 perturbed copies (ids +100)
+    def scene(k: Int)(u: Double, v: Double): Int =
+      (math.sin(u * (7 + 3 * k)) * 110 + math.cos(v * (5 + 2 * k)) * 110 +
+        k * 9).toInt.max(0).min(255)
+    def tweak(k: Int)(u: Double, v: Double): Int =
+      (scene(k)(u, v) + (if ((u - 0.5).abs < 0.02 && (v - 0.5).abs < 0.02)
+        25 else 0)).min(255)
+    val originals = (0 until 12).map(k =>
+      MediaRow(k.toLong, "image", render(64, 48)(scene(k)), 0, 0, 0))
+    val copies = Seq(1, 4, 7).map(k =>
+      MediaRow(k + 100L, "image", render(64, 48)(tweak(k)), 0, 0, 0))
+    val media = (originals ++ copies).toDS().toDF()
+    val pairs = Multimodal.nearDupPairs(spark, media, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(Seq(1, 4, 7).forall(k => found.contains((k.toLong, k + 100L))),
+      s"planted near-dups must be recalled: $found")
+    // the banded candidate set loses nothing vs brute force at ham<=4
+    val fps = Multimodal.fingerprints(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      if ham(fps(a), fps(b)) <= 4
+    } yield (a, b)).toSet
+    assert(found == brute, s"banded=$found brute=$brute")
+    // guarantee precondition is enforced
+    intercept[IllegalArgumentException](
+      Multimodal.nearDupPairs(spark, media, maxDist = 5, maskBlocks = 4))
+  }
+
+  test("byteGridDHash64: payload-deterministic, single-byte edits are " +
+    "local, length changes re-grid") {
+    val text = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val b = text.getBytes("UTF-8")
+    val base = Multimodal.byteGridDHash64(b)
+    assert(base == Multimodal.byteGridDHash64(text.getBytes("UTF-8")))
+    // one in-place byte edit perturbs one cell → at most 2 bits
+    val edit = b.clone(); edit(10) = 'Z'.toByte
+    assert(ham(base, Multimodal.byteGridDHash64(edit)) <= 2)
+    // sub-72-byte payloads are well-defined (empty cells count 0)
+    assert(Multimodal.byteGridDHash64("tiny".getBytes("UTF-8")) ==
+      Multimodal.byteGridDHash64("tiny".getBytes("UTF-8")))
+  }
 }
