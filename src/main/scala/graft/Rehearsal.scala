@@ -1,0 +1,82 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Repeatable scale-rehearsal gate (round-9 verdict item #3, made a
+  * scripted artifact in round 11): times the ceiling queries at sf0.1
+  * and at an N× generated corpus (`tools/gen_sf1.py`), and emits
+  * `REHEARSAL.json` with per-query growth ratios so a regression in any
+  * production-path plan's scaling is caught by diffing one committed
+  * file instead of re-running hand commands.
+  *
+  * Usage: `runMain graft.Rehearsal <baseDir> <bigDir> <scale>`
+  * (driver wrapper: `tools/rehearsal.sh`, which generates `<bigDir>`
+  * first if absent).  Env:
+  * `SPARK_GRAFT_REHEARSAL_RUNS` timed runs per (query, dir), min taken
+  * (default 2 — one-off runs under ambient load triggered phantom
+  * verdicts in rounds 8/9, so the artifact carries the [min,max] spread
+  * the round-9 verdict asked the bench for);
+  * `SPARK_GRAFT_REHEARSAL_QUERIES` comma list overriding the ceiling
+  * set.
+  *
+  * The default set is every query the round-9 rehearsal identified as a
+  * scaling ceiling plus the round-11 perceptual near-dup lens: the
+  * point is growth SHAPE (sub-linear in data at bounded dup density),
+  * not absolute seconds, so the artifact records `growth = big/base`
+  * next to `scale` for direct comparison.
+  */
+object Rehearsal {
+  val defaultQueries: Seq[String] = Seq(
+    "x3_minhash_lsh_pairs", "st4_ingest_neardup", "x20b_dup_clusters_lsh",
+    "x55b_edit_neardup64", "x40_rp_ann", "x39_curriculum_rank",
+    "x73_image_neardup")
+
+  def main(args: Array[String]): Unit = {
+    val Array(baseDir, bigDir, scaleStr) = args.take(3)
+    val scale = scaleStr.toDouble
+    val runs = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_RUNS", "2").toInt
+    val queries = sys.env.get("SPARK_GRAFT_REHEARSAL_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(defaultQueries)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(name: String, dir: String): Seq[Double] = {
+      // one untimed warmup absorbs class-load/codegen/file-listing cost
+      SparkEntry.queries(name)(spark, dir).count()
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+    }
+
+    val rows = queries.map { name =>
+      val base = time(name, baseDir)
+      val big = time(name, bigDir)
+      val g = big.min / base.min
+      println(f"[rehearsal] $name%-24s base=${base.min}%.2fs " +
+        f"big=${big.min}%.2fs growth=$g%.1fx (scale=${scale}%.0fx)")
+      f"""  "$name": {"base_sec": ${base.min}%.3f, "big_sec": ${big.min}%.3f,
+         |    "base_spread": [${base.min}%.3f, ${base.max}%.3f],
+         |    "big_spread": [${big.min}%.3f, ${big.max}%.3f],
+         |    "growth": $g%.2f, "sublinear": ${g < scale}}""".stripMargin
+    }
+    val json =
+      s"""{
+         |  "base_dir": "$baseDir", "big_dir": "$bigDir",
+         |  "scale": $scale, "runs_per_point": $runs,
+         |  "queries": {
+         |${rows.mkString(",\n")}
+         |  }
+         |}
+         |""".stripMargin
+    Files.writeString(Paths.get("REHEARSAL.json"), json)
+    println(s"[rehearsal] wrote REHEARSAL.json (${queries.size} queries)")
+    spark.stop()
+  }
+}
