@@ -330,6 +330,71 @@ object Multimodal {
     }.toDF("media_id", "fp")
   }
 
+  /** media rows → (media_id, frame_hex): the decoded payload cut into
+    * `everyN`-byte frames, each carried as its uppercase-hex rendering.
+    * Hex (not raw bytes) is the canonical frame form so the frame hash
+    * `md5(frame_hex)` is a plain string md5 — computable identically by
+    * any SQL engine from `hex(payload)` substrings, which is what keeps
+    * [[frameSetNearDup]] end-to-end oracle-checkable. */
+  def frameHexes(spark: SparkSession, media: DataFrame,
+                 everyN: Int): DataFrame = {
+    import spark.implicits._
+    val maxPixels = ImageIoCodec.maxPixelsFor(spark)
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val decoded = ImageIoCodec.decode(r.payload, maxPixels).map(_.gray)
+          .getOrElse(FakeCodec.decode(r.payload))
+        FakeCodec.frameSample(decoded, everyN)
+          .map(f => (r.media_id, f.map("%02X".format(_)).mkString))
+      }
+    }.toDF("media_id", "frame_hex")
+  }
+
+  /** Frame-set near-duplicate pairs — the video/audio dedup lens:
+    * two media are near-dups when their sampled-frame SETS overlap
+    * (re-muxes, trims, and re-encode-stable segments share frames even
+    * when the containers differ).  Pipeline: frames → per-frame hash →
+    * per-media distinct set → inverted-index self-join on frame hash →
+    * Jaccard over set sizes.
+    *
+    * Scale shape: the pair join is an equi-join on the frame hash —
+    * high-cardinality by construction — so candidate enumeration is
+    * bounded by per-frame document frequency, not corpus².  The one
+    * degenerate case is a ubiquitous frame (intro cards, silence
+    * blocks): `dfCap` drops frames appearing in more media than that
+    * from PAIRING (they still count in set sizes, so the reported
+    * Jaccard is a deterministic lower bound — the stop-word treatment,
+    * replicated exactly by the oracle).  Output:
+    * (media_a, media_b, n_shared, jaccard). */
+  def frameSetNearDup(spark: SparkSession, media: DataFrame,
+                      everyN: Int = 64, minJaccard: Double = 0.4,
+                      dfCap: Long = 1000L): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1 (got $everyN)")
+    require(dfCap >= 2, s"dfCap must be >= 2 (got $dfCap)")
+    val fd = frameHexes(spark, media, everyN)
+      .select(col("media_id"), md5(col("frame_hex")).as("fh"))
+      .distinct()
+    val sizes = fd.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    val rare = fd.join(
+      fd.groupBy(col("fh")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= dfCap).select(col("fh")), "fh")
+    val shared = rare.select(col("fh"), col("media_id").as("media_a"))
+      .join(rare.select(col("fh"), col("media_id").as("media_b")), "fh")
+      .filter(col("media_a") < col("media_b"))
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val j = col("n_shared") /
+      (col("na") + col("nb") - col("n_shared"))
+    shared
+      .join(sizes.select(col("media_id").as("media_a"), col("nf").as("na")),
+        "media_a")
+      .join(sizes.select(col("media_id").as("media_b"), col("nf").as("nb")),
+        "media_b")
+      .filter(j >= minJaccard)
+      .select(col("media_a"), col("media_b"), col("n_shared"),
+        round(j, 4).as("jaccard"))
+  }
+
   /** Perceptual near-duplicate pairs: dHash fingerprints → C(8,4)
     * combo-key hamming LSH → exact `bit_count(xor)` verify.  The image
     * dedup lens — re-encodes, thumbnails, and small crops/edits of the

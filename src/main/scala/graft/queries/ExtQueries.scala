@@ -639,6 +639,20 @@ object ExtQueries {
       Multimodal.nearDupPairs(s, media, maxDist = 4)
     }),
 
+    // frame-set near-dup (the video/audio lens): plant truncated
+    // copies (ids +20M, first 4/5 of the payload) — their full frames
+    // all land in the original's frame set, so trimmed media surface
+    // with high Jaccard while unrelated media share nothing
+    "x74_frameset_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val pert = docs.filter(pmod(col("doc_id"), lit(30)) === 7)
+        .withColumn("text",
+          expr("substring(text, 1, CAST((4 * length(text)) DIV 5 AS INT))"))
+        .withColumn("doc_id", col("doc_id") + lit(20000000L))
+      val media = Multimodal.mediaFromDocuments(docs.unionByName(pert))
+      Multimodal.frameSetNearDup(s, media, everyN = 64, minJaccard = 0.4)
+    }),
+
     // curriculum decile table: total-order rank by entropy via the
     // distributed globalRank primitive (no corpus-wide window), decile
     // assignment from a broadcast single-row count, per-decile stats —
@@ -2029,6 +2043,41 @@ object ExtQueries {
          |FROM fp a JOIN fp b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.fp_hi, b.fp_hi)) +
          |      bit_count(xor(a.fp_lo, b.fp_lo)) <= 4""".stripMargin,
+    // frame-set replay: 64-byte frames = 128-hex-char substrings of
+    // hex(encode(text)), md5'd as plain strings — the exact frame
+    // hash the Scala side computes; dfCap <= 1000 never fires at this
+    // scale but is replicated so the semantics match at any scale
+    "x74_frameset_neardup" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |pert AS (
+        |  SELECT doc_id + 20000000 AS media_id,
+        |         substr(text, 1, (4 * length(text)) // 5) AS text
+        |  FROM docs WHERE doc_id % 30 = 7),
+        |media AS (SELECT doc_id AS media_id, text FROM docs
+        |          UNION ALL SELECT media_id, text FROM pert),
+        |hx AS (SELECT media_id, hex(encode(text)) AS h FROM media),
+        |fd AS (
+        |  SELECT DISTINCT media_id, md5(substr(h, 128 * k + 1, 128)) AS fh
+        |  FROM (SELECT media_id, h,
+        |          unnest(range((strlen(h) + 127) // 128)) AS k
+        |        FROM hx)),
+        |rare AS (
+        |  SELECT fd.media_id, fd.fh FROM fd
+        |  JOIN (SELECT fh FROM fd GROUP BY 1 HAVING count(*) <= 1000) r
+        |    ON r.fh = fd.fh),
+        |sizes AS (SELECT media_id, count(*) AS nf FROM fd GROUP BY 1),
+        |sh AS (
+        |  SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |         count(*) AS n_shared
+        |  FROM rare a JOIN rare b
+        |    ON a.fh = b.fh AND a.media_id < b.media_id
+        |  GROUP BY 1, 2)
+        |SELECT media_a, media_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |       round(n_shared / (sa.nf + sb.nf - n_shared), 4) AS jaccard
+        |FROM sh
+        |JOIN sizes sa ON sa.media_id = media_a
+        |JOIN sizes sb ON sb.media_id = media_b
+        |WHERE n_shared / (sa.nf + sb.nf - n_shared) >= 0.4""".stripMargin,
     // same entropy replay as x50, ranked with a unique tiebreak; the
     // decile formula floors over exact small-integer doubles
     "x57_curriculum_deciles" ->

@@ -1827,6 +1827,36 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.nearDupPairs(spark, media, maxDist = 5, maskBlocks = 4))
   }
 
+  test("frameSetNearDup: trimmed copies surface with high Jaccard, " +
+    "unrelated media don't, dfCap drops ubiquitous frames from pairing") {
+    import Multimodal.MediaRow
+    val rnd = new scala.util.Random(7)
+    def blob(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n); rnd.nextBytes(b); b
+    }
+    val full = blob(640) // 10 frames at everyN=64
+    val trimmed = full.take(512) // 8 frames, all shared → J = 8/10
+    val media = Seq(
+      MediaRow(1L, "video", full, 0, 0, 0),
+      MediaRow(2L, "video", trimmed, 0, 0, 0),
+      MediaRow(3L, "video", blob(640), 0, 0, 0)).toDS().toDF()
+    val pairs = Multimodal.frameSetNearDup(spark, media, everyN = 64)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(pairs.toSeq == Seq((1L, 2L, 8L, 0.8)), pairs.toSeq)
+    // a frame present in EVERY media (shared intro card) is dropped
+    // from pairing by dfCap, and set sizes still count it
+    val intro = blob(64)
+    val withIntro = Seq(
+      MediaRow(1L, "video", intro ++ full, 0, 0, 0),
+      MediaRow(2L, "video", intro ++ blob(640), 0, 0, 0),
+      MediaRow(3L, "video", intro ++ blob(640), 0, 0, 0)).toDS().toDF()
+    val capped = Multimodal.frameSetNearDup(spark, withIntro,
+      everyN = 64, minJaccard = 0.0, dfCap = 2)
+    assert(capped.count() == 0,
+      "pairs sharing only a dfCap-ubiquitous frame must not pair")
+  }
+
   test("byteGridDHash64: payload-deterministic, single-byte edits are " +
     "local, length changes re-grid") {
     val text = ("the quick brown fox jumps over the lazy dog " * 6).trim
