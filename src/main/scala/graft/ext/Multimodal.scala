@@ -374,22 +374,24 @@ object Multimodal {
     val fd = frameHexes(spark, media, everyN)
       .select(col("media_id"), md5(col("frame_hex")).as("fh"))
       .distinct()
-    val sizes = fd.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
-    val rare = fd.join(
+    // set size rides along on every frame row (8 bytes) so the pair
+    // join is self-contained — no post-join size lookups, two fewer
+    // corpus-sized shuffles than the sizes-table formulation
+    val sized = fd.join(
+      fd.groupBy(col("media_id")).agg(count(lit(1)).as("nf")), "media_id")
+    val rare = sized.join(
       fd.groupBy(col("fh")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= dfCap).select(col("fh")), "fh")
-    val shared = rare.select(col("fh"), col("media_id").as("media_a"))
-      .join(rare.select(col("fh"), col("media_id").as("media_b")), "fh")
+    val shared = rare.select(col("fh"), col("media_id").as("media_a"),
+        col("nf").as("na"))
+      .join(rare.select(col("fh"), col("media_id").as("media_b"),
+        col("nf").as("nb")), "fh")
       .filter(col("media_a") < col("media_b"))
-      .groupBy(col("media_a"), col("media_b"))
+      .groupBy(col("media_a"), col("media_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("n_shared"))
     val j = col("n_shared") /
       (col("na") + col("nb") - col("n_shared"))
     shared
-      .join(sizes.select(col("media_id").as("media_a"), col("nf").as("na")),
-        "media_a")
-      .join(sizes.select(col("media_id").as("media_b"), col("nf").as("nb")),
-        "media_b")
       .filter(j >= minJaccard)
       .select(col("media_a"), col("media_b"), col("n_shared"),
         round(j, 4).as("jaccard"))
