@@ -1185,10 +1185,51 @@ object Dedup {
     editVerify(docs, idCol, textCol, enc, keys, maxDist, salts)
   }
 
+  /** Fingerprint-duplication count at which salting engages.  Salting
+    * spreads ONE mega bucket's pair enumeration across tasks, but its
+    * price is replicating the probe side ×salts on EVERY bucket —
+    * measured on a 50 k-doc bounded-density corpus the ×8 replication
+    * was 4× the whole pipeline's cost (58 s vs 14 s, identical pairs)
+    * while the largest bucket held 3 docs.  Mega buckets in this family
+    * are driven by *identical fingerprints* (boilerplate corpora:
+    * near-identical token sets hash to the same SimHash), so the gate
+    * probes `max(count) over identical fingerprint groups` — one cheap
+    * aggregation over n skinny rows, the same evidence-based-default
+    * pattern as `estCull`/`pinRerank`/`simhashEditPairsAuto` — and
+    * keeps the caller's salts only when that exceeds the threshold.
+    * 1024 identical fingerprints ≈ 0.5 M enumerated pairs per shared
+    * key — the point where one task visibly outweighs its peers.
+    * Override per-session via [[SaltDupThresholdConf]] (set 0 to force
+    * salting for corpora whose skew hides in near-identical — not
+    * identical — fingerprints). */
+  val SaltDupThresholdDefault: Long = 1024L
+
+  /** Conf key overriding [[SaltDupThresholdDefault]]. */
+  val SaltDupThresholdConf: String = "spark.graft.saltDupThreshold"
+
+  /** The measured-skew salting gate: `salts` if the largest identical-
+    * fingerprint group in `enc` (grouped by `fpCols`) reaches the
+    * threshold, else 1. */
+  private[graft] def adaptiveSalts(enc: DataFrame, fpCols: Seq[Column],
+                                   salts: Int): Int =
+    if (salts <= 1) 1
+    else {
+      val threshold = enc.sparkSession.conf
+        .getOption(SaltDupThresholdConf).map(_.toLong)
+        .getOrElse(SaltDupThresholdDefault)
+      val maxDup = Option(
+        enc.groupBy(fpCols: _*).agg(count(lit(1)).as("__n"))
+          .agg(max(col("__n"))).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (maxDup >= threshold) salts else 1
+    }
+
   /** Shared tail of the SimHash edit-pair pipelines: length banding,
     * salted candidate join, distinct, pinned banded-levenshtein
     * verify.  `enc` = (idCol, fingerprint cols..., __len); `keys` =
-    * the per-doc blocking keys. */
+    * the per-doc blocking keys.  Salting is gated on MEASURED
+    * fingerprint skew ([[adaptiveSalts]]): on corpora without a mega
+    * bucket the probe-side ×salts replication is pure cost. */
   private def editVerify(docs: DataFrame, idCol: String, textCol: String,
                          enc: DataFrame, keys: Seq[Column], maxDist: Int,
                          salts: Int): DataFrame = {
@@ -1211,16 +1252,22 @@ object Dedup {
     // hashing `a` over `salts` sub-keys and replicating the probe side
     // spreads that bucket's pair enumeration over `salts` tasks with
     // the identical pair set (each pair still meets exactly once per
-    // shared mask key).  Skew-test-pinned alongside the LSH join.
+    // shared mask key).  Skew-test-pinned alongside the LSH join —
+    // and gated on MEASURED skew: without a mega bucket the probe-side
+    // replication is the dominant pipeline cost (58 → 14 s at 50 k
+    // docs, identical output).
+    val fpCols = enc.columns
+      .filterNot(c => c == idCol || c == "__len").map(col(_)).toSeq
+    val saltsEff = adaptiveSalts(enc, fpCols, salts)
     val a = blocked.select(col("bk"), col("__band"), col(idCol).as("a"),
         col("__len").as("la"))
-      .withColumn("__salt", pmod(hash(col("a")), lit(salts)))
+      .withColumn("__salt", pmod(hash(col("a")), lit(saltsEff)))
       .repartition(parts, col("bk"), col("__band"), col("__salt"))
     val b = blocked.select(col("bk"), col(idCol).as("b"),
         col("__len").as("lb"),
         explode(array(col("__band") - 1, col("__band"),
           col("__band") + 1)).as("__band"))
-      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltsEff - 1))))
       .repartition(parts, col("bk"), col("__band"), col("__salt"))
     val cand = a.join(b, Seq("bk", "__band", "__salt"))
       .filter(col("a") < col("b") &&

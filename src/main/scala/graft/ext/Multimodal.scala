@@ -425,7 +425,16 @@ object Multimodal {
     require(maskBlocks >= 1 && maskBlocks <= 4,
       s"maskBlocks must be 1..4 (got $maskBlocks)")
     require(salts >= 1, s"salts must be >= 1 (got $salts)")
-    val fps = fingerprints(spark, media)
+    // localCheckpoint cuts the lineage at the 16-byte (id, fp) rows so
+    // the skew probe and the two join sides never re-decode payloads —
+    // decode is the expensive stage here, unlike the text pipelines
+    // whose fingerprint recompute is cheap codegen
+    val fps = fingerprints(spark, media).localCheckpoint()
+    // measured-skew salting gate (Dedup.adaptiveSalts rationale): a
+    // re-upload farm puts thousands of IDENTICAL fingerprints in one
+    // bucket and needs the spread; a normal corpus doesn't, and the
+    // probe-side ×salts replication would be the dominant cost
+    val saltsEff = Dedup.adaptiveSalts(fps, Seq(col("fp")), salts)
     val combos = (0 until 8).combinations(maskBlocks).toSeq
     val keys = combos.zipWithIndex.map { case (masked, idx) =>
       val kept = (0 until 8).filterNot(masked.contains(_))
@@ -439,11 +448,11 @@ object Multimodal {
     val parts = spark.sessionState.conf.numShufflePartitions
     val a = blocked.select(col("bk"), col("media_id").as("media_a"),
         col("fp").as("fp_a"))
-      .withColumn("__salt", pmod(hash(col("media_a")), lit(salts)))
+      .withColumn("__salt", pmod(hash(col("media_a")), lit(saltsEff)))
       .repartition(parts, col("bk"), col("__salt"))
     val b = blocked.select(col("bk"), col("media_id").as("media_b"),
         col("fp").as("fp_b"))
-      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltsEff - 1))))
       .repartition(parts, col("bk"), col("__salt"))
     a.join(b, Seq("bk", "__salt"))
       .filter(col("media_a") < col("media_b"))

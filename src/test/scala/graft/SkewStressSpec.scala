@@ -105,12 +105,15 @@ class SkewStressSpec extends SparkSpec {
   test("salted SimHash edit-pair join spreads a mega fingerprint " +
     "bucket; unsalted pins one task") {
     withMeasuredConf(16) {
-      // 400 identical docs: one fingerprint, one length band — every
-      // mask key is the same mega bucket
+      // 1200 identical docs: one fingerprint, one length band — every
+      // mask key is the same mega bucket.  1200 ≥ the adaptiveSalts
+      // threshold (1024), so this is exactly the regime where the
+      // measured-skew gate KEEPS the caller's salts; a smaller clone
+      // farm would (correctly) run unsalted now.
       val boiler = (1 to 30).map(i => s"w$i").mkString(" ")
       val rnd = new scala.util.Random(7)
-      val corpus = ((1L to 400L).map((_, boiler)) ++
-        (401L to 450L).map(i =>
+      val corpus = ((1L to 1200L).map((_, boiler)) ++
+        (1201L to 1250L).map(i =>
           (i, (1 to 30).map(_ => s"t${rnd.nextInt(100000)}").mkString(" ")))
         ).toDF("doc_id", "text")
       def run(salts: Int): (Long, Seq[Long]) = {
@@ -124,12 +127,12 @@ class SkewStressSpec extends SparkSpec {
       }
       val (nSalted, salted) = run(16)
       val (nUnsalted, unsalted) = run(1)
-      // 400 identical docs → C(400,2) = 79800 zero-distance pairs
-      assert(nSalted == nUnsalted && nSalted >= 79800L,
+      // 1200 identical docs → C(1200,2) = 719400 zero-distance pairs
+      assert(nSalted == nUnsalted && nSalted >= 719400L,
         s"pair counts diverged or implausible: $nSalted vs $nUnsalted")
       // unsalted: the 6 mask keys give at most 6 copies of the mega
-      // bucket, so SOME task enumerates the full C(400,2) alone
-      assert(unsalted.max >= 79800L,
+      // bucket, so SOME task enumerates the full C(1200,2) alone
+      assert(unsalted.max >= 719400L,
         s"expected a full-bucket task, got spread $unsalted")
       assert(salted.size >= 8, s"only ${salted.size} tasks carried pairs")
       val sorted = salted.sorted
@@ -142,6 +145,25 @@ class SkewStressSpec extends SparkSpec {
         s"salting should cut the hottest task: " +
           s"${salted.max} vs ${unsalted.max}")
     }
+  }
+
+  test("adaptiveSalts gate: diverse fingerprints run unsalted, a clone " +
+    "farm keeps the caller's salts, conf override forces them") {
+    import org.apache.spark.sql.functions.col
+    val diverse = (1L to 200L)
+      .map(i => (i, i * 2654435761L)).toDF("id", "fp")
+    assert(graft.ext.Dedup.adaptiveSalts(diverse, Seq(col("fp")), 8) == 1)
+    val farm = ((1L to 1100L).map(i => (i, 42L)) ++
+      (1101L to 1150L).map(i => (i, i))).toDF("id", "fp")
+    assert(graft.ext.Dedup.adaptiveSalts(farm, Seq(col("fp")), 8) == 8)
+    // threshold 0 forces salting even without an identical-fp bucket
+    spark.conf.set(graft.ext.Dedup.SaltDupThresholdConf, "0")
+    try assert(
+      graft.ext.Dedup.adaptiveSalts(diverse, Seq(col("fp")), 8) == 8)
+    finally spark.conf.unset(graft.ext.Dedup.SaltDupThresholdConf)
+    // empty input stays well-defined
+    assert(graft.ext.Dedup.adaptiveSalts(
+      diverse.filter(col("id") < 0), Seq(col("fp")), 8) == 1)
   }
 
   test("block decomposition spreads a mega cosine bucket: blocks=4 " +
