@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
@@ -330,6 +330,72 @@ object Multimodal {
     }.toDF("media_id", "fp")
   }
 
+  /** Materialized perceptual-fingerprint index over an existing media
+    * corpus, for the ingest-gate loop: band table pre-partitioned by
+    * block key and pinned, so every micro-batch probe joins
+    * materialized data instead of re-decoding the corpus — the
+    * `Dedup.LshIndex` discipline for the image lens.  `maskBlocks` is
+    * baked in so a probe cannot silently mix band schemes. */
+  case class MediaFpIndex(blocked: DataFrame, maskBlocks: Int)
+
+  private def comboKeys(fpCol: Column, maskBlocks: Int): Seq[Column] =
+    (0 until 8).combinations(maskBlocks).toSeq.zipWithIndex.map {
+      case (masked, idx) =>
+        val kept = (0 until 8).filterNot(masked.contains(_))
+        kept.foldLeft(lit(idx.toLong)) { (acc, j) =>
+          acc * 256L + shiftrightunsigned(fpCol, 8 * j)
+            .bitwiseAND(lit(0xffL))
+        }
+    }
+
+  /** Index the existing corpus once for [[matchIndexed]]. */
+  def fpIndex(spark: SparkSession, existing: DataFrame,
+              maskBlocks: Int = 4): MediaFpIndex = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val fps = fingerprints(spark, existing)
+    val blocked = fps.select(col("media_id").as("ex_id"),
+        col("fp").as("fp_ex"),
+        explode(array(comboKeys(col("fp"), maskBlocks): _*)).as("bk"))
+      .repartition(parts, col("bk"))
+      .localCheckpoint()
+    MediaFpIndex(blocked, maskBlocks)
+  }
+
+  /** Ingest-time perceptual near-dup gate: each incoming media's BEST
+    * match (lowest hamming, id tiebreak) among indexed existing media
+    * within `maxDist` — the image/video twin of the st4 text gate, run
+    * per micro-batch under `foreachBatch` against a [[fpIndex]] built
+    * once.  Recall is exact for `maxDist <= maskBlocks` (the x73 block
+    * guarantee), so per-batch gating equals the all-at-once batch
+    * answer row for row.  Output: (media_id, match_id, hamming). */
+  def matchIndexed(index: MediaFpIndex, spark: SparkSession,
+                   incoming: DataFrame, maxDist: Int = 4): DataFrame = {
+    require(maxDist >= 0 && maxDist <= index.maskBlocks,
+      s"maxDist must be in [0, maskBlocks=${index.maskBlocks}] for " +
+        s"lossless recall (got $maxDist)")
+    val fpI = fingerprints(spark, incoming)
+    val blockedI = fpI.select(col("media_id"), col("fp").as("fp_in"),
+      explode(array(comboKeys(col("fp"), index.maskBlocks): _*)).as("bk"))
+    blockedI.join(index.blocked, "bk")
+      .select(col("media_id"), col("ex_id"), col("fp_in"), col("fp_ex"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("fp_in").bitwiseXOR(col("fp_ex"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .groupBy(col("media_id"))
+      .agg(min(struct(col("hamming").as("h"), col("ex_id").as("e")))
+        .as("m"))
+      .select(col("media_id"), col("m.e").as("match_id"),
+        col("m.h").as("hamming"))
+  }
+
+  /** One-shot form of [[matchIndexed]] (index built inline). */
+  def matchAgainst(spark: SparkSession, existing: DataFrame,
+                   incoming: DataFrame, maxDist: Int = 4,
+                   maskBlocks: Int = 4): DataFrame =
+    matchIndexed(fpIndex(spark, existing, maskBlocks), spark, incoming,
+      maxDist)
+
   /** media rows → (media_id, frame_hex): the decoded payload cut into
     * `everyN`-byte frames, each carried as its uppercase-hex rendering.
     * Hex (not raw bytes) is the canonical frame form so the frame hash
@@ -435,16 +501,8 @@ object Multimodal {
     // bucket and needs the spread; a normal corpus doesn't, and the
     // probe-side ×salts replication would be the dominant cost
     val saltsEff = Dedup.adaptiveSalts(fps, Seq(col("fp")), salts)
-    val combos = (0 until 8).combinations(maskBlocks).toSeq
-    val keys = combos.zipWithIndex.map { case (masked, idx) =>
-      val kept = (0 until 8).filterNot(masked.contains(_))
-      kept.foldLeft(lit(idx.toLong)) { (acc, j) =>
-        acc * 256L + shiftrightunsigned(col("fp"), 8 * j)
-          .bitwiseAND(lit(0xffL))
-      }
-    }
     val blocked = fps.select(col("media_id"), col("fp"),
-      explode(array(keys: _*)).as("bk"))
+      explode(array(comboKeys(col("fp"), maskBlocks): _*)).as("bk"))
     val parts = spark.sessionState.conf.numShufflePartitions
     val a = blocked.select(col("bk"), col("media_id").as("media_a"),
         col("fp").as("fp_a"))

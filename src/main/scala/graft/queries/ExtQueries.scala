@@ -639,6 +639,24 @@ object ExtQueries {
       Multimodal.nearDupPairs(s, media, maxDist = 4)
     }),
 
+    // §2.9 ingest-time perceptual near-dup gate (stream-static dHash
+    // hamming LSH; run per micro-batch under foreachBatch against a
+    // fingerprint index built once — streaming execution proven in
+    // StreamingSpec, batch-equivalent declared here): planted
+    // single-edit uploads (ids +30M) come back with their best
+    // existing match
+    "st9_media_ingest_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val incoming = docs.filter(pmod(col("doc_id"), lit(35)) === 1)
+        .withColumn("text",
+          concat(upper(substring(col("text"), 1, 1)),
+            expr("substring(text, 2)")))
+        .withColumn("doc_id", col("doc_id") + lit(30000000L))
+      Multimodal.matchAgainst(s,
+        Multimodal.mediaFromDocuments(docs),
+        Multimodal.mediaFromDocuments(incoming), maxDist = 4)
+    }),
+
     // frame-set near-dup (the video/audio lens): plant truncated
     // copies (ids +20M, first 4/5 of the payload) — their full frames
     // all land in the original's frame set, so trimmed media surface
@@ -2043,6 +2061,29 @@ object ExtQueries {
          |FROM fp a JOIN fp b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.fp_hi, b.fp_hi)) +
          |      bit_count(xor(a.fp_lo, b.fp_lo)) <= 4""".stripMargin,
+    // stream-gate replay: planted uploads against the full corpus,
+    // best match per incoming by (hamming, ex_id) — the banded gate's
+    // exact answer since maxDist <= maskBlocks
+    "st9_media_ingest_gate" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |inc AS (
+         |  SELECT doc_id + 30000000 AS media_id,
+         |         upper(substr(text, 1, 1)) || substr(text, 2) AS text
+         |  FROM docs WHERE doc_id % 35 = 1),
+         |media AS (SELECT doc_id AS media_id, text FROM docs
+         |          UNION ALL SELECT media_id, text FROM inc),
+         |$dhashCte,
+         |cand AS (
+         |  SELECT i.media_id AS in_id, e.media_id AS ex_id,
+         |         bit_count(xor(i.fp_hi, e.fp_hi)) +
+         |         bit_count(xor(i.fp_lo, e.fp_lo)) AS hamming
+         |  FROM fp i JOIN fp e
+         |    ON i.media_id >= 30000000 AND e.media_id < 30000000)
+         |SELECT in_id AS media_id, ex_id AS match_id,
+         |       CAST(hamming AS INT) AS hamming FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY in_id
+         |            ORDER BY hamming ASC, ex_id ASC) AS rk
+         |  FROM cand WHERE hamming <= 4) WHERE rk = 1""".stripMargin,
     // frame-set replay: 64-byte frames = 128-hex-char substrings of
     // hex(encode(text)), md5'd as plain strings — the exact frame
     // hash the Scala side computes; dfCap <= 1000 never fires at this

@@ -175,6 +175,44 @@ class StreamingSpec extends SparkSpec {
       "per-micro-batch gating must equal the all-at-once batch answer")
   }
 
+  test("streaming media ingest gate equals the batch answer " +
+    "(dHash fingerprint index built once, probed per micro-batch)") {
+    import graft.ext.Multimodal
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    val incoming = docs.filter($"doc_id" % 35 === 1)
+      .withColumn("text", concat(upper(substring($"text", 1, 1)),
+        expr("substring(text, 2)")))
+      .withColumn("doc_id", $"doc_id" + 30000000L)
+    val batchAnswer = Multimodal.matchAgainst(spark,
+        Multimodal.mediaFromDocuments(docs),
+        Multimodal.mediaFromDocuments(incoming), maxDist = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(batchAnswer.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mig_").toString
+    incoming.filter($"doc_id" % 2 === 0).write.mode("append").parquet(dir)
+    incoming.filter($"doc_id" % 2 =!= 0).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val flagged = scala.collection.mutable.Set[(Long, Long, Int)]()
+    val index = Multimodal.fpIndex(spark,
+      Multimodal.mediaFromDocuments(docs))
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        flagged ++= Multimodal
+          .matchIndexed(index, spark, Multimodal.mediaFromDocuments(df),
+            maxDist = 4)
+          .as[(Long, Long, Int)].collect()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(flagged.toSet == batchAnswer,
+      "per-micro-batch media gating must equal the batch answer")
+  }
+
   test("streaming Bloom decontamination gate equals the batch answer " +
     "(filter built once, probed per micro-batch)") {
     val docs = Tables.documents(spark, sf0001)
