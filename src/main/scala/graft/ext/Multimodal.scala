@@ -396,6 +396,50 @@ object Multimodal {
     matchIndexed(fpIndex(spark, existing, maskBlocks), spark, incoming,
       maxDist)
 
+  /** Grow a [[MediaFpIndex]] with a batch the gate just ACCEPTED — the
+    * incremental half of the media ingest loop (the `extendLshIndex`
+    * discipline): a re-upload of media accepted five minutes ago must
+    * be flagged, not just copies of the original corpus.  Only the new
+    * leg is fingerprinted and pinned; the union over already-
+    * materialized legs stays lazy, so cost is O(batch), not O(index).
+    * Compact periodically via [[saveFpIndex]]/[[loadFpIndex]]. */
+  def extendFpIndex(index: MediaFpIndex, spark: SparkSession,
+                    accepted: DataFrame): MediaFpIndex = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val leg = fingerprints(spark, accepted)
+      .select(col("media_id").as("ex_id"), col("fp").as("fp_ex"),
+        explode(array(comboKeys(col("fp"), index.maskBlocks): _*))
+          .as("bk"))
+      .repartition(parts, col("bk"))
+      .localCheckpoint()
+    MediaFpIndex(index.blocked.unionByName(leg), index.maskBlocks)
+  }
+
+  /** Persist a [[MediaFpIndex]] as a parquet table bucketed by block
+    * key — the probe join's locality survives a restart, and
+    * `maskBlocks` rides along in table properties so a reopened index
+    * cannot silently mix band schemes (the `saveLshIndex` contract). */
+  def saveFpIndex(index: MediaFpIndex, table: String,
+                  buckets: Int = 16): Unit = {
+    index.blocked.write.mode("overwrite")
+      .bucketBy(buckets, "bk").sortBy("bk")
+      .format("parquet").saveAsTable(table)
+    index.blocked.sparkSession.sql(
+      s"ALTER TABLE ${graft.ext.SqlIdent.quote(table)} SET TBLPROPERTIES " +
+        s"('graft.fp.maskBlocks'='${index.maskBlocks}')")
+  }
+
+  /** Reopen a bucketed [[MediaFpIndex]] written by [[saveFpIndex]]. */
+  def loadFpIndex(spark: SparkSession, table: String): MediaFpIndex = {
+    val props = spark.sql(
+      s"SHOW TBLPROPERTIES ${graft.ext.SqlIdent.quote(table)}").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val mb = props.getOrElse("graft.fp.maskBlocks", sys.error(
+      s"$table is not a graft media fingerprint index " +
+        "(missing graft.fp.maskBlocks)")).toInt
+    MediaFpIndex(spark.table(table), mb)
+  }
+
   /** media rows → (media_id, frame_hex): the decoded payload cut into
     * `everyN`-byte frames, each carried as its uppercase-hex rendering.
     * Hex (not raw bytes) is the canonical frame form so the frame hash

@@ -1857,6 +1857,41 @@ class MultimodalSpec extends SparkSpec {
       "pairs sharing only a dfCap-ubiquitous frame must not pair")
   }
 
+  test("media fp index lifecycle: extend flags re-uploads of accepted " +
+    "batches, save/load round-trips with the band scheme pinned") {
+    import Multimodal.MediaRow
+    def img(k: Int): Array[Byte] = render(64, 48) { (u, v) =>
+      (math.sin(u * (7 + 3 * k)) * 110 + math.cos(v * (5 + 2 * k)) * 110 +
+        k * 9).toInt.max(0).min(255)
+    }
+    val corpus = (0 until 6).map(k =>
+      MediaRow(k.toLong, "image", img(k), 0, 0, 0)).toDS().toDF()
+    // a different function family from the corpus scenes, so the fresh
+    // upload matches nothing until it is itself accepted
+    val novel = render(64, 48) { (u, v) =>
+      (u * 200 + v * 40 + (if (u > 0.7) 15 else -15)).toInt.max(0).min(255)
+    }
+    val batch1 = Seq(MediaRow(100L, "image", novel, 0, 0, 0)).toDS().toDF()
+    // a re-upload of batch1's image arrives later
+    val batch2 = Seq(MediaRow(200L, "image", novel, 0, 0, 0)).toDS().toDF()
+    val ix0 = Multimodal.fpIndex(spark, corpus)
+    assert(Multimodal.matchIndexed(ix0, spark, batch1).count() == 0)
+    val ix1 = Multimodal.extendFpIndex(ix0, spark, batch1)
+    val m = Multimodal.matchIndexed(ix1, spark, batch2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(m.toSeq == Seq((200L, 100L, 0)),
+      s"re-upload must match the accepted batch: ${m.toSeq}")
+    // persistence: bucketed table round-trip, same answer
+    spark.sql("DROP TABLE IF EXISTS fp_ix_test")
+    Multimodal.saveFpIndex(ix1, "fp_ix_test")
+    val reopened = Multimodal.loadFpIndex(spark, "fp_ix_test")
+    assert(reopened.maskBlocks == ix1.maskBlocks)
+    val m2 = Multimodal.matchIndexed(reopened, spark, batch2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(m2.toSeq == m.toSeq)
+    spark.sql("DROP TABLE IF EXISTS fp_ix_test")
+  }
+
   test("byteGridDHash64: payload-deterministic, single-byte edits are " +
     "local, length changes re-grid") {
     val text = ("the quick brown fox jumps over the lazy dog " * 6).trim
