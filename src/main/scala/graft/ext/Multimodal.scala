@@ -481,9 +481,16 @@ object Multimodal {
                       dfCap: Long = 1000L): DataFrame = {
     require(everyN >= 1, s"everyN must be >= 1 (got $everyN)")
     require(dfCap >= 2, s"dfCap must be >= 2 (got $dfCap)")
+    // localCheckpoint pins the skinny (media_id, frame_hash) rows ONCE:
+    // the set-size join, the df cap, and both legs of the pair join all
+    // reference this table, and without the pin each reference re-runs
+    // the decode→hex→md5→distinct chain (measured: 16 exchanges in the
+    // executed plan unpinned vs 10 pinned — the survivors are the
+    // pipeline's own groupBys/joins)
     val fd = frameHexes(spark, media, everyN)
       .select(col("media_id"), md5(col("frame_hex")).as("fh"))
       .distinct()
+      .localCheckpoint()
     // set size rides along on every frame row (8 bytes) so the pair
     // join is self-contained — no post-join size lookups, two fewer
     // corpus-sized shuffles than the sizes-table formulation
