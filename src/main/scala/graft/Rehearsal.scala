@@ -29,7 +29,7 @@ object Rehearsal {
   val defaultQueries: Seq[String] = Seq(
     "x3_minhash_lsh_pairs", "st4_ingest_neardup", "x20b_dup_clusters_lsh",
     "x55b_edit_neardup64", "x40_rp_ann", "x39_curriculum_rank",
-    "x73_image_neardup")
+    "x73_image_neardup", "x74_frameset_neardup", "st9_media_ingest_gate")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)
