@@ -295,6 +295,56 @@ class PropertySpec extends SparkSpec {
         assert(second.count() == 0)
     }
   }
+
+  test("dHash brightness invariance: a uniform shift never flips a bit " +
+    "(the cross-multiplied compare is exactly shift-invariant)") {
+    import graft.ext.Multimodal
+    // byte-grid form: (s₂+c·n₂)·n₁ > (s₁+c·n₁)·n₂ ⇔ s₂·n₁ > s₁·n₂ —
+    // the c·n₁·n₂ terms cancel, so the property is EXACT, not approximate
+    val gen = for {
+      n <- Gen.choose(1, 800)
+      bytes <- Gen.listOfN(n, Gen.choose(0, 200))
+      c <- Gen.choose(1, 55) // clip-free headroom
+    } yield (bytes.map(_.toByte).toArray, c)
+    samples(gen, 60).foreach { case (b, c) =>
+      val shifted = b.map(x => ((x & 0xff) + c).toByte)
+      assert(Multimodal.byteGridDHash64(b) ==
+        Multimodal.byteGridDHash64(shifted),
+        s"byte-grid fp moved under uniform +$c shift (n=${b.length})")
+    }
+    // raster form: same algebra over box sums of an arbitrary image
+    val rgen = for {
+      w <- Gen.choose(3, 40)
+      h <- Gen.choose(3, 40)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 200))
+      c <- Gen.choose(1, 55)
+    } yield (w, h, px.map(_.toByte).toArray, c)
+    samples(rgen, 40).foreach { case (w, h, gray, c) =>
+      val shifted = gray.map(x => ((x & 0xff) + c).toByte)
+      assert(Multimodal.dHash64(gray, w, h) ==
+        Multimodal.dHash64(shifted, w, h),
+        s"raster fp moved under uniform +$c shift (${w}x$h)")
+    }
+  }
+
+  test("dHash locality: one byte edit flips at most 2 bits; the combo " +
+    "keys then guarantee a shared blocking key") {
+    import graft.ext.Multimodal
+    val gen = for {
+      n <- Gen.choose(80, 600)
+      bytes <- Gen.listOfN(n, Gen.choose(0, 255))
+      pos <- Gen.choose(0, n - 1)
+      nv <- Gen.choose(0, 255)
+    } yield (bytes.map(_.toByte).toArray, pos, nv.toByte)
+    samples(gen, 60).foreach { case (b, pos, nv) =>
+      val edited = b.clone(); edited(pos) = nv
+      val d = java.lang.Long.bitCount(
+        Multimodal.byteGridDHash64(b) ^ Multimodal.byteGridDHash64(edited))
+      // one byte lands in one cell → only that cell's two adjacent
+      // comparisons can flip
+      assert(d <= 2, s"single-byte edit flipped $d bits (n=${b.length})")
+    }
+  }
 }
 
 /** Reference quirks — SURVEY §2.11 keep/fix decisions, pinned by test. */
@@ -337,4 +387,5 @@ class QuirksSpec extends SparkSpec {
       .select(Transform.normalizeTs($"t", Transform.EpochMillis).as("ts"))
     assert(epoch.union(iso).union(millis).distinct().count() == 1)
   }
+
 }
