@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.Locale
 
 /** Repeatable scale-rehearsal gate (round-9 verdict item #3, made a
   * scripted artifact in round 11): times the ceiling queries at sf0.1
@@ -55,21 +56,37 @@ object Rehearsal {
       }
     }
 
+    // Locale.ROOT formatting: the f-interpolator uses the JVM default
+    // locale, so under a comma-decimal locale "%.3f" would emit `1,234`
+    // and corrupt the JSON artifact.  Dir strings go through the same
+    // escape as Verify.scala's oracle dump — a quote or backslash in a
+    // path must not break the committed file.
+    def n(v: Double, digits: Int = 3): String =
+      String.format(Locale.ROOT, s"%.${digits}f", Double.box(v))
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val rows = queries.map { name =>
       val base = time(name, baseDir)
       val big = time(name, bigDir)
       val g = big.min / base.min
-      println(f"[rehearsal] $name%-24s base=${base.min}%.2fs " +
-        f"big=${big.min}%.2fs growth=$g%.1fx (scale=${scale}%.0fx)")
-      f"""  "$name": {"base_sec": ${base.min}%.3f, "big_sec": ${big.min}%.3f,
-         |    "base_spread": [${base.min}%.3f, ${base.max}%.3f],
-         |    "big_spread": [${big.min}%.3f, ${big.max}%.3f],
-         |    "growth": $g%.2f, "sublinear": ${g < scale}}""".stripMargin
+      println(s"[rehearsal] ${name.padTo(24, ' ')} base=${n(base.min, 2)}s " +
+        s"big=${n(big.min, 2)}s growth=${n(g, 1)}x (scale=${n(scale, 0)}x)")
+      s"""  "$name": {"base_sec": ${n(base.min)}, "big_sec": ${n(big.min)},
+         |    "base_spread": [${n(base.min)}, ${n(base.max)}],
+         |    "big_spread": [${n(big.min)}, ${n(big.max)}],
+         |    "growth": ${n(g, 2)}, "sublinear": ${g < scale}}""".stripMargin
     }
     val json =
       s"""{
-         |  "base_dir": "$baseDir", "big_dir": "$bigDir",
-         |  "scale": $scale, "runs_per_point": $runs,
+         |  "base_dir": ${q(baseDir)}, "big_dir": ${q(bigDir)},
+         |  "scale": ${n(scale, 2)}, "runs_per_point": $runs,
          |  "queries": {
          |${rows.mkString(",\n")}
          |  }

@@ -27,12 +27,33 @@ object Tables {
     * file — the session zone is pinned to UTC everywhere, so casting NTZ
     * to TIMESTAMP preserves the instant.  Sub-microsecond ordering in the
     * nanos case is sacrificed; every consumer tie-breaks on `event_id`.
-    */
+    *
+    * The legacy flag is NOT left set on the session: a library loader
+    * must not flip a session-wide SQL conf under its caller, who may
+    * read their own TIMESTAMP(NANOS) files expecting the default
+    * rejection.  A nanos file is detected by the plain read throwing
+    * PARQUET_TYPE_ILLEGAL; the flag is then set only around the EAGER
+    * schema-inference call (restored in `finally`), and the actual
+    * DataFrame is built with that schema passed EXPLICITLY — a
+    * user-supplied schema maps the nanos column to raw longs at scan
+    * time without any conf, so nothing about the returned (lazy) plan
+    * depends on session state at action time. */
   private def eventsImpl(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val path = s"$sfDir/events.parquet"
+    val raw =
+      try spark.read.parquet(path)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PARQUET_TYPE_ILLEGAL" =>
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          val prev = spark.conf.get(key)
+          val schema =
+            try { spark.conf.set(key, "true"); spark.read.parquet(path).schema }
+            finally spark.conf.set(key, prev)
+          spark.read.schema(schema).parquet(path)
+      }
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr(

@@ -1074,11 +1074,12 @@ object Dedup {
     * not O(len²), and whole-stage-codegens. */
   def simhashEditPairs(docs: DataFrame, idCol: String, textCol: String,
                        maxDist: Int, maskNibbles: Int = 2,
-                       salts: Int = 8): DataFrame = {
+                       salts: Int = SaltsAuto): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
     require(maskNibbles >= 1 && maskNibbles <= 2,
       s"maskNibbles must be 1 or 2 (got $maskNibbles)")
-    require(salts >= 1, s"salts must be >= 1 (got $salts)")
+    require(salts >= 1 || salts == SaltsAuto,
+      s"salts must be >= 1 or SaltsAuto (got $salts)")
     val enc = simhashFingerprints(docs, idCol, textCol)
       .join(docs.select(col(idCol), length(col(textCol)).as("__len")),
         idCol)
@@ -1127,7 +1128,8 @@ object Dedup {
     * recall; the count() that gates the dispatch is one column-pruned
     * scan — noise against the pair join it sizes. */
   def simhashEditPairsAuto(docs: DataFrame, idCol: String, textCol: String,
-                           maxDist: Int, salts: Int = 8): DataFrame = {
+                           maxDist: Int,
+                           salts: Int = SaltsAuto): DataFrame = {
     val crossover = docs.sparkSession.conf
       .getOption(EditDupCrossoverConf).map(_.toLong)
       .getOrElse(EditDupCrossoverDefault)
@@ -1162,11 +1164,12 @@ object Dedup {
     * verify — the pipeline after key construction is shared code. */
   def simhashEditPairs64(docs: DataFrame, idCol: String, textCol: String,
                          maxDist: Int, maskBlocks: Int = 4,
-                         salts: Int = 8): DataFrame = {
+                         salts: Int = SaltsAuto): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
     require(maskBlocks >= 1 && maskBlocks <= 4,
       s"maskBlocks must be 1..4 (got $maskBlocks)")
-    require(salts >= 1, s"salts must be >= 1 (got $salts)")
+    require(salts >= 1 || salts == SaltsAuto,
+      s"salts must be >= 1 or SaltsAuto (got $salts)")
     val enc = simhashFingerprints64(docs, idCol, textCol)
       .join(docs.select(col(idCol), length(col(textCol)).as("__len")),
         idCol)
@@ -1185,61 +1188,81 @@ object Dedup {
     editVerify(docs, idCol, textCol, enc, keys, maxDist, salts)
   }
 
-  /** Fingerprint-duplication count at which salting engages.  Salting
-    * spreads ONE mega bucket's pair enumeration across tasks, but its
-    * price is replicating the probe side ×salts on EVERY bucket —
-    * measured on a 50 k-doc bounded-density corpus the ×8 replication
-    * was 4× the whole pipeline's cost (58 s vs 14 s, identical pairs)
-    * while the largest bucket held 3 docs.  Mega buckets in this family
-    * are driven by *identical fingerprints* (boilerplate corpora:
-    * near-identical token sets hash to the same SimHash), so the gate
-    * probes `max(count) over identical fingerprint groups` — one cheap
-    * aggregation over n skinny rows, the same evidence-based-default
-    * pattern as `estCull`/`pinRerank`/`simhashEditPairsAuto` — and
-    * keeps the caller's salts only when that exceeds the threshold.
-    * 1024 identical fingerprints ≈ 0.5 M enumerated pairs per shared
-    * key — the point where one task visibly outweighs its peers.
-    * Override per-session via [[SaltDupThresholdConf]] (set 0 to force
-    * salting for corpora whose skew hides in near-identical — not
-    * identical — fingerprints). */
+  /** Sentinel `salts` value meaning "let the measured-skew gate
+    * decide" — the default on every salted pair pipeline.  An explicit
+    * `salts >= 1` is ALWAYS honored verbatim: the gate is an
+    * evidence-based default, not an override of the caller (a caller
+    * who measured their own corpus must not be second-guessed by a
+    * heuristic on the library's '100 TB path'). */
+  val SaltsAuto: Int = -1
+
+  /** Salts applied when [[SaltsAuto]] resolves to "salt": 8 spreads a
+    * mega bucket's pair enumeration over 8 tasks — the measured sweet
+    * spot before probe-side replication dominates. */
+  val SaltsAutoDefault: Int = 8
+
+  /** Blocking-bucket multiplicity at which auto salting engages.
+    * Salting spreads ONE mega bucket's pair enumeration across tasks,
+    * but its price is replicating the probe side ×salts on EVERY
+    * bucket — measured on a 50 k-doc bounded-density corpus the ×8
+    * replication was 4× the whole pipeline's cost (58 s vs 14 s,
+    * identical pairs) while the largest bucket held 3 docs.  The gate
+    * probes `max(count) over the ACTUAL blocking keys` of the skinny
+    * blocked table — the place mega buckets really form: a clone
+    * family of near-identical fingerprints (diffs confined to the
+    * masked blocks) collides on a shared mask key even when no two
+    * fingerprints are bit-identical, which an identical-fp probe would
+    * miss.  One cheap map-side-combined aggregation, the same
+    * evidence-based-default pattern as `estCull`/`pinRerank`/
+    * `simhashEditPairsAuto`.  1024 rows in one bucket ≈ 0.5 M
+    * enumerated pairs in one task — the point where it visibly
+    * outweighs its peers.  Override per-session via
+    * [[SaltDupThresholdConf]] (0 forces auto-salting on). */
   val SaltDupThresholdDefault: Long = 1024L
 
   /** Conf key overriding [[SaltDupThresholdDefault]]. */
   val SaltDupThresholdConf: String = "spark.graft.saltDupThreshold"
 
-  /** The measured-skew salting gate: `salts` if the largest identical-
-    * fingerprint group in `enc` (grouped by `fpCols`) reaches the
-    * threshold, else 1. */
-  private[graft] def adaptiveSalts(enc: DataFrame, fpCols: Seq[Column],
+  /** The measured-skew salting gate.  `salts == SaltsAuto`: probe the
+    * largest blocking bucket in `blocked` (grouped by `keyCols`, the
+    * join's real bucket key) and return [[SaltsAutoDefault]] if it
+    * reaches the threshold, else 1.  Any explicit `salts >= 1` is
+    * returned verbatim — the caller's measurement wins. */
+  private[graft] def adaptiveSalts(blocked: DataFrame, keyCols: Seq[Column],
                                    salts: Int): Int =
-    if (salts <= 1) 1
+    if (salts != SaltsAuto) salts
     else {
-      val threshold = enc.sparkSession.conf
+      val threshold = blocked.sparkSession.conf
         .getOption(SaltDupThresholdConf).map(_.toLong)
         .getOrElse(SaltDupThresholdDefault)
-      val maxDup = Option(
-        enc.groupBy(fpCols: _*).agg(count(lit(1)).as("__n"))
+      val maxBucket = Option(
+        blocked.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
           .agg(max(col("__n"))).first().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      if (maxDup >= threshold) salts else 1
+      if (maxBucket >= threshold) SaltsAutoDefault else 1
     }
 
   /** Shared tail of the SimHash edit-pair pipelines: length banding,
     * salted candidate join, distinct, pinned banded-levenshtein
     * verify.  `enc` = (idCol, fingerprint cols..., __len); `keys` =
     * the per-doc blocking keys.  Salting is gated on MEASURED
-    * fingerprint skew ([[adaptiveSalts]]): on corpora without a mega
+    * blocking-key skew ([[adaptiveSalts]]): on corpora without a mega
     * bucket the probe-side ×salts replication is pure cost. */
   private def editVerify(docs: DataFrame, idCol: String, textCol: String,
                          enc: DataFrame, keys: Seq[Column], maxDist: Int,
                          salts: Int): DataFrame = {
+    // Pin the fingerprint+length rows (the nearDupPairs fps pin): the
+    // skew probe below is an eager job, and without the pin it would
+    // compute the SimHash-kernel + length join once for the probe and
+    // again for each join leg.  n skinny rows — cheap to materialize.
+    val encP = enc.localCheckpoint()
     // Length banding folds the `|la - lb| <= maxDist` levenshtein lower
     // bound INTO the join key (band width = maxDist; the probe side
     // explodes to bands ±1, so every in-range pair still meets exactly
     // once) — identical output, bucket enumeration cut by the corpus'
     // length spread instead of filtered after the fact.
     val bw = math.max(maxDist, 1)
-    val blocked = enc.select(col(idCol), col("__len"),
+    val blocked = encP.select(col(idCol), col("__len"),
       floor(col("__len") / bw).as("__band"),
       explode(array(keys: _*)).as("bk"))
     // Pin the exploding join's width (the x3 discipline): AQE sizes
@@ -1248,17 +1271,17 @@ object Dedup {
     // 6.9 s at sf0.1.  User repartition counts are AQE-coalesce-exempt.
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     // Salting (the x3 pattern): a boilerplate-heavy corpus puts
-    // thousands of identical fingerprints in ONE (bk, band) bucket;
-    // hashing `a` over `salts` sub-keys and replicating the probe side
-    // spreads that bucket's pair enumeration over `salts` tasks with
-    // the identical pair set (each pair still meets exactly once per
-    // shared mask key).  Skew-test-pinned alongside the LSH join —
-    // and gated on MEASURED skew: without a mega bucket the probe-side
+    // thousands of near-identical fingerprints in ONE (bk, band)
+    // bucket; hashing `a` over `salts` sub-keys and replicating the
+    // probe side spreads that bucket's pair enumeration over `salts`
+    // tasks with the identical pair set (each pair still meets exactly
+    // once per shared mask key).  Skew-test-pinned alongside the LSH
+    // join — and auto-gated on MEASURED skew of the ACTUAL join
+    // bucket key (bk, band): without a mega bucket the probe-side
     // replication is the dominant pipeline cost (58 → 14 s at 50 k
     // docs, identical output).
-    val fpCols = enc.columns
-      .filterNot(c => c == idCol || c == "__len").map(col(_)).toSeq
-    val saltsEff = adaptiveSalts(enc, fpCols, salts)
+    val saltsEff =
+      adaptiveSalts(blocked, Seq(col("bk"), col("__band")), salts)
     val a = blocked.select(col("bk"), col("__band"), col(idCol).as("a"),
         col("__len").as("la"))
       .withColumn("__salt", pmod(hash(col("a")), lit(saltsEff)))

@@ -106,10 +106,9 @@ class SkewStressSpec extends SparkSpec {
     "bucket; unsalted pins one task") {
     withMeasuredConf(16) {
       // 1200 identical docs: one fingerprint, one length band — every
-      // mask key is the same mega bucket.  1200 ≥ the adaptiveSalts
-      // threshold (1024), so this is exactly the regime where the
-      // measured-skew gate KEEPS the caller's salts; a smaller clone
-      // farm would (correctly) run unsalted now.
+      // mask key is the same mega bucket.  Explicit salts values are
+      // honored verbatim (the gate only decides under SaltsAuto), so
+      // run(16) vs run(1) compares exactly the requested plans.
       val boiler = (1 to 30).map(i => s"w$i").mkString(" ")
       val rnd = new scala.util.Random(7)
       val corpus = ((1L to 1200L).map((_, boiler)) ++
@@ -147,23 +146,33 @@ class SkewStressSpec extends SparkSpec {
     }
   }
 
-  test("adaptiveSalts gate: diverse fingerprints run unsalted, a clone " +
-    "farm keeps the caller's salts, conf override forces them") {
+  test("adaptiveSalts gate: diverse keys run unsalted under SaltsAuto, " +
+    "a mega blocking bucket trips auto salts, explicit values are " +
+    "honored verbatim, conf override forces salting") {
     import org.apache.spark.sql.functions.col
+    import graft.ext.Dedup.{SaltsAuto, SaltsAutoDefault, adaptiveSalts}
     val diverse = (1L to 200L)
-      .map(i => (i, i * 2654435761L)).toDF("id", "fp")
-    assert(graft.ext.Dedup.adaptiveSalts(diverse, Seq(col("fp")), 8) == 1)
+      .map(i => (i, i * 2654435761L)).toDF("id", "bk")
+    assert(adaptiveSalts(diverse, Seq(col("bk")), SaltsAuto) == 1)
+    // a clone family colliding on ONE blocking key — the fingerprints
+    // behind it need not be identical, which is exactly why the probe
+    // runs on the blocking key, not identical-fp groups
     val farm = ((1L to 1100L).map(i => (i, 42L)) ++
-      (1101L to 1150L).map(i => (i, i))).toDF("id", "fp")
-    assert(graft.ext.Dedup.adaptiveSalts(farm, Seq(col("fp")), 8) == 8)
-    // threshold 0 forces salting even without an identical-fp bucket
+      (1101L to 1150L).map(i => (i, i))).toDF("id", "bk")
+    assert(adaptiveSalts(farm, Seq(col("bk")), SaltsAuto)
+      == SaltsAutoDefault)
+    // explicit values bypass the probe and are returned verbatim —
+    // a caller's own measurement is never second-guessed
+    assert(adaptiveSalts(diverse, Seq(col("bk")), 16) == 16)
+    assert(adaptiveSalts(farm, Seq(col("bk")), 1) == 1)
+    // threshold 0 forces auto salting even without a mega bucket
     spark.conf.set(graft.ext.Dedup.SaltDupThresholdConf, "0")
-    try assert(
-      graft.ext.Dedup.adaptiveSalts(diverse, Seq(col("fp")), 8) == 8)
+    try assert(adaptiveSalts(diverse, Seq(col("bk")), SaltsAuto)
+      == SaltsAutoDefault)
     finally spark.conf.unset(graft.ext.Dedup.SaltDupThresholdConf)
     // empty input stays well-defined
-    assert(graft.ext.Dedup.adaptiveSalts(
-      diverse.filter(col("id") < 0), Seq(col("fp")), 8) == 1)
+    assert(adaptiveSalts(
+      diverse.filter(col("id") < 0), Seq(col("bk")), SaltsAuto) == 1)
   }
 
   test("block decomposition spreads a mega cosine bucket: blocks=4 " +
