@@ -348,9 +348,16 @@ object Multimodal {
         }
     }
 
-  /** Index the existing corpus once for [[matchIndexed]]. */
+  /** Index the existing corpus once for [[matchIndexed]].  The
+    * maskBlocks bound is enforced HERE — the single entry point that
+    * bakes the blocking scheme into the index (and, via
+    * [[saveFpIndex]], into the persisted table's properties):
+    * maskBlocks=0 degenerates to exact-duplicate blocking and values
+    * past 4 explode the C(8,m) combination count. */
   def fpIndex(spark: SparkSession, existing: DataFrame,
               maskBlocks: Int = 4): MediaFpIndex = {
+    require(maskBlocks >= 1 && maskBlocks <= 4,
+      s"maskBlocks must be 1..4 (got $maskBlocks)")
     val parts = spark.sessionState.conf.numShufflePartitions
     val fps = fingerprints(spark, existing)
     val blocked = fps.select(col("media_id").as("ex_id"),
@@ -474,8 +481,20 @@ object Multimodal {
     * blocks): `dfCap` drops frames appearing in more media than that
     * from PAIRING (they still count in set sizes, so the reported
     * Jaccard is a deterministic lower bound — the stop-word treatment,
-    * replicated exactly by the oracle).  Output:
-    * (media_a, media_b, n_shared, jaccard). */
+    * replicated exactly by the oracle).
+    *
+    * The bias is SURFACED, not just documented: `capped_frames` =
+    * `least(nc_a, nc_b)` (each side's count of cap-dropped frames) is
+    * the most extra shared frames the cap could be hiding, and
+    * `jaccard_ub = (n_shared + capped) / (union - capped)` is the
+    * corresponding exact upper bound — a threshold tuner reads how
+    * loose the lower bound is per pair instead of guessing.  E.g. a
+    * pair reported at `jaccard = 0.38, jaccard_ub = 0.52` under a
+    * 0.4 threshold is a cap casualty worth re-checking with a higher
+    * `dfCap`; one at `0.38, 0.39` is a true reject.  When no frame
+    * hits the cap, `capped_frames = 0` and `jaccard_ub = jaccard`.
+    * Output: (media_a, media_b, n_shared, jaccard, capped_frames,
+    * jaccard_ub). */
   def frameSetNearDup(spark: SparkSession, media: DataFrame,
                       everyN: Int = 64, minJaccard: Double = 0.4,
                       dfCap: Long = 1000L): DataFrame = {
@@ -491,27 +510,39 @@ object Multimodal {
       .select(col("media_id"), md5(col("frame_hex")).as("fh"))
       .distinct()
       .localCheckpoint()
-    // set size rides along on every frame row (8 bytes) so the pair
-    // join is self-contained — no post-join size lookups, two fewer
-    // corpus-sized shuffles than the sizes-table formulation
-    val sized = fd.join(
-      fd.groupBy(col("media_id")).agg(count(lit(1)).as("nf")), "media_id")
-    val rare = sized.join(
-      fd.groupBy(col("fh")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= dfCap).select(col("fh")), "fh")
+    // per-frame document frequency attaches to every frame row once;
+    // set size AND capped-frame count then ride along on the frame
+    // rows (16 bytes) so the pair join is self-contained — no
+    // post-join size lookups, two fewer corpus-sized shuffles than
+    // the sizes-table formulation
+    val marked = fd.join(
+      fd.groupBy(col("fh")).agg(count(lit(1)).as("__df")), "fh")
+    val sized = marked.join(
+      marked.groupBy(col("media_id")).agg(count(lit(1)).as("nf"),
+        sum(when(col("__df") > dfCap, 1L).otherwise(0L)).as("nc")),
+      "media_id")
+    val rare = sized.filter(col("__df") <= dfCap)
     val shared = rare.select(col("fh"), col("media_id").as("media_a"),
-        col("nf").as("na"))
+        col("nf").as("na"), col("nc").as("nca"))
       .join(rare.select(col("fh"), col("media_id").as("media_b"),
-        col("nf").as("nb")), "fh")
+        col("nf").as("nb"), col("nc").as("ncb")), "fh")
       .filter(col("media_a") < col("media_b"))
-      .groupBy(col("media_a"), col("media_b"), col("na"), col("nb"))
+      .groupBy(col("media_a"), col("media_b"), col("na"), col("nb"),
+        col("nca"), col("ncb"))
       .agg(count(lit(1)).as("n_shared"))
+    val capped = least(col("nca"), col("ncb"))
     val j = col("n_shared") /
       (col("na") + col("nb") - col("n_shared"))
+    // true shared exceeds n_shared by at most least(nc_a, nc_b) — every
+    // hidden shared frame must live in BOTH sides' capped sets — and
+    // each one both adds to the intersection and shrinks the union
+    val jUb = (col("n_shared") + capped) /
+      (col("na") + col("nb") - col("n_shared") - capped)
     shared
       .filter(j >= minJaccard)
       .select(col("media_a"), col("media_b"), col("n_shared"),
-        round(j, 4).as("jaccard"))
+        round(j, 4).as("jaccard"), capped.as("capped_frames"),
+        round(jUb, 4).as("jaccard_ub"))
   }
 
   /** Perceptual near-duplicate pairs: dHash fingerprints → C(8,4)
@@ -535,25 +566,29 @@ object Multimodal {
     * 24-byte rows).  Output: (media_a, media_b, hamming). */
   def nearDupPairs(spark: SparkSession, media: DataFrame,
                    maxDist: Int = 4, maskBlocks: Int = 4,
-                   salts: Int = 8): DataFrame = {
+                   salts: Int = Dedup.SaltsAuto): DataFrame = {
     require(maxDist >= 0 && maxDist <= maskBlocks,
       s"maxDist must be in [0, maskBlocks=$maskBlocks] for lossless " +
         s"recall (got $maxDist)")
     require(maskBlocks >= 1 && maskBlocks <= 4,
       s"maskBlocks must be 1..4 (got $maskBlocks)")
-    require(salts >= 1, s"salts must be >= 1 (got $salts)")
+    require(salts >= 1 || salts == Dedup.SaltsAuto,
+      s"salts must be >= 1 or SaltsAuto (got $salts)")
     // localCheckpoint cuts the lineage at the 16-byte (id, fp) rows so
     // the skew probe and the two join sides never re-decode payloads —
     // decode is the expensive stage here, unlike the text pipelines
     // whose fingerprint recompute is cheap codegen
     val fps = fingerprints(spark, media).localCheckpoint()
-    // measured-skew salting gate (Dedup.adaptiveSalts rationale): a
-    // re-upload farm puts thousands of IDENTICAL fingerprints in one
-    // bucket and needs the spread; a normal corpus doesn't, and the
-    // probe-side ×salts replication would be the dominant cost
-    val saltsEff = Dedup.adaptiveSalts(fps, Seq(col("fp")), salts)
     val blocked = fps.select(col("media_id"), col("fp"),
       explode(array(comboKeys(col("fp"), maskBlocks): _*)).as("bk"))
+    // measured-skew salting gate (Dedup.adaptiveSalts rationale): a
+    // re-upload farm puts thousands of near-identical fingerprints in
+    // one mask-key bucket and needs the spread; a normal corpus
+    // doesn't, and the probe-side ×salts replication would be the
+    // dominant cost.  Probed on the ACTUAL blocking key, so clone
+    // families whose fps differ only in masked blocks still trip it;
+    // an explicit salts value bypasses the gate entirely.
+    val saltsEff = Dedup.adaptiveSalts(blocked, Seq(col("bk")), salts)
     val parts = spark.sessionState.conf.numShufflePartitions
     val a = blocked.select(col("bk"), col("media_id").as("media_a"),
         col("fp").as("fp_a"))

@@ -2102,11 +2102,14 @@ object ExtQueries {
         |  FROM (SELECT media_id, h,
         |          unnest(range((strlen(h) + 127) // 128)) AS k
         |        FROM hx)),
-        |rare AS (
-        |  SELECT fd.media_id, fd.fh FROM fd
-        |  JOIN (SELECT fh FROM fd GROUP BY 1 HAVING count(*) <= 1000) r
-        |    ON r.fh = fd.fh),
-        |sizes AS (SELECT media_id, count(*) AS nf FROM fd GROUP BY 1),
+        |dfc AS (SELECT fh, count(*) AS dfn FROM fd GROUP BY 1),
+        |m AS (SELECT fd.media_id, fd.fh, dfn
+        |      FROM fd JOIN dfc ON dfc.fh = fd.fh),
+        |sizes AS (
+        |  SELECT media_id, count(*) AS nf,
+        |         sum(CASE WHEN dfn > 1000 THEN 1 ELSE 0 END) AS nc
+        |  FROM m GROUP BY 1),
+        |rare AS (SELECT media_id, fh FROM m WHERE dfn <= 1000),
         |sh AS (
         |  SELECT a.media_id AS media_a, b.media_id AS media_b,
         |         count(*) AS n_shared
@@ -2114,7 +2117,11 @@ object ExtQueries {
         |    ON a.fh = b.fh AND a.media_id < b.media_id
         |  GROUP BY 1, 2)
         |SELECT media_a, media_b, CAST(n_shared AS BIGINT) AS n_shared,
-        |       round(n_shared / (sa.nf + sb.nf - n_shared), 4) AS jaccard
+        |       round(n_shared / (sa.nf + sb.nf - n_shared), 4) AS jaccard,
+        |       CAST(least(sa.nc, sb.nc) AS BIGINT) AS capped_frames,
+        |       round((n_shared + least(sa.nc, sb.nc)) /
+        |             (sa.nf + sb.nf - n_shared - least(sa.nc, sb.nc)), 4)
+        |         AS jaccard_ub
         |FROM sh
         |JOIN sizes sa ON sa.media_id = media_a
         |JOIN sizes sb ON sb.media_id = media_b

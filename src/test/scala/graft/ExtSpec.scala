@@ -1841,9 +1841,11 @@ class MultimodalSpec extends SparkSpec {
       MediaRow(2L, "video", trimmed, 0, 0, 0),
       MediaRow(3L, "video", blob(640), 0, 0, 0)).toDS().toDF()
     val pairs = Multimodal.frameSetNearDup(spark, media, everyN = 64)
-      .collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(pairs.toSeq == Seq((1L, 2L, 8L, 0.8)), pairs.toSeq)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    // nothing capped → capped_frames = 0 and the upper bound collapses
+    // onto the reported lower bound
+    assert(pairs.toSeq == Seq((1L, 2L, 8L, 0.8, 0L, 0.8)), pairs.toSeq)
     // a frame present in EVERY media (shared intro card) is dropped
     // from pairing by dfCap, and set sizes still count it
     val intro = blob(64)
@@ -1855,6 +1857,27 @@ class MultimodalSpec extends SparkSpec {
       everyN = 64, minJaccard = 0.0, dfCap = 2)
     assert(capped.count() == 0,
       "pairs sharing only a dfCap-ubiquitous frame must not pair")
+    // the cap bias is SURFACED: media 1/2 share the intro (capped,
+    // df=3 > dfCap=2) plus 8 rare frames of `full`.  Reported jaccard
+    // is the lower bound 8/(11+11-8); capped_frames = min(1,1) = 1 and
+    // jaccard_ub = 9/(22-8-1) = the true-overlap upper bound, which
+    // here is EXACT because the one capped frame is genuinely shared.
+    val withIntro2 = Seq(
+      MediaRow(1L, "video", intro ++ full, 0, 0, 0),
+      MediaRow(2L, "video", intro ++ trimmed ++ blob(128), 0, 0, 0),
+      MediaRow(3L, "video", intro ++ blob(640), 0, 0, 0)).toDS().toDF()
+    val surfaced = Multimodal.frameSetNearDup(spark, withIntro2,
+      everyN = 64, minJaccard = 0.3, dfCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    val trueJ = 9.0 / 13.0 // 9 shared incl. intro, union 13
+    assert(surfaced.toSeq == Seq((1L, 2L, 8L,
+      math.rint(8.0 / 14.0 * 1e4) / 1e4, 1L,
+      math.rint(9.0 / 13.0 * 1e4) / 1e4)), surfaced.toSeq)
+    // bounds are rounded to 4 decimals, so bracket up to rounding slack
+    assert(surfaced.head._4 <= trueJ + 5e-5 &&
+      trueJ <= surfaced.head._6 + 5e-5,
+      "reported bounds must bracket the true Jaccard")
   }
 
   test("media fp index lifecycle: extend flags re-uploads of accepted " +
