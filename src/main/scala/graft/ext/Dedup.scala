@@ -1038,6 +1038,74 @@ object Dedup {
       .withColumn("dup_frac", round(col("n_shared") / col("n_ngrams"), 4))
   }
 
+  /** Duplicated-SPAN localization — the surgical-removal companion to
+    * [[duplicatedNgramFraction]]: where x37 *scores* cross-document
+    * n-gram duplication per doc, this emits the actual offsets, so a
+    * pipeline can excise shared boilerplate from a document instead of
+    * dropping the whole document (cf. the exact-substring dedup run
+    * alongside MinHash in public crawl-pipeline recipes, e.g. the
+    * suffix-array pass of Lee et al. "Deduplicating Training Data
+    * Makes Language Models Better" — re-expressed here as a
+    * shingle-position inverted index + run merge, which Spark executes
+    * as joins/windows instead of a monolithic suffix array).
+    *
+    * Output: one row per MAXIMAL run of consecutive cross-doc-shared
+    * n-gram start positions —
+    * (doc_id, span_start, span_end, n_ngrams, n_docs_sharing), token
+    * offsets inclusive (span_end = last shared start + n − 1, the last
+    * token any shared n-gram in the run covers).  `n_docs_sharing` =
+    * the MINIMUM per-shingle doc count inside the run: at least 2 by
+    * construction, and an upper bound on how many docs share the whole
+    * run (exact when the run is one shingle).  Excising [span_start,
+    * span_end] from every doc removes every cross-doc-shared n-gram in
+    * the corpus (property-tested in DedupSpec): every shared n-gram's
+    * start lies in some span, and a span covers its run's full extent.
+    * Docs shorter than n contribute nothing — a span needs at least
+    * one full n-gram (deliberately NOT the whole-text fallback of the
+    * scoring lens: a sub-n doc has no excisable run).
+    *
+    * Scale shape (the x37 discipline plus one windowed merge): shingles
+    * assemble map-side with their start position, collapse to
+    * (doc_id, pos, md5) — the ONLY corpus-sized shuffle unit; the
+    * shared-shingle table is vocabulary-sized and df>1-filtered before
+    * the join back; the run merge is a per-document window (islands
+    * grouping: pos − row_number), which partitions by doc_id — bounded
+    * per-doc work, no corpus-wide ordering.  No document pair is ever
+    * formed and no text rides a shuffle. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    // positioned n-grams (narrow, the assembleNgrams zip idiom): pos =
+    // 0-based start token index, null-padded tails dropped
+    val zipped = arrays_zip((0 until n).map(j =>
+      slice(col("toks"), lit(j + 1), size(col("toks"))).as(s"t$j")): _*)
+    val positioned = toks
+      .select(col("doc_id"), posexplode(zipped).as(Seq("pos", "s")))
+      .filter(col(s"s.t${n - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", (0 until n).map(j => col(s"s.t$j")): _*))
+          .as("h"))
+    // inverted index, df > 1 only: per-doc-distinct before the global
+    // count so a doc repeating its own phrase doesn't inflate df
+    val shared = positioned.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    // islands: consecutive shared start positions share (pos − rank)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    positioned.join(shared, "h")
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_ngrams"),
+        min(col("n_docs")).as("n_docs_sharing"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_ngrams"), col("n_docs_sharing"))
+  }
+
   /** docs(id, text) → (doc_id, array of eight 8-bit block values) —
     * the 64-bit fingerprint behind [[simhashEditPairs64]], one
     * codegen'd [[graft.plans.SimHashSig64]] kernel call per document

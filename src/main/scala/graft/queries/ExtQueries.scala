@@ -374,6 +374,13 @@ object ExtQueries {
 
     // per-doc duplicated-n-gram fraction (RefinedWeb-style repeated-
     // substring signal: no pairwise comparison, one vocab-keyed agg)
+    // duplicated-span localization: maximal cross-doc duplicated
+    // 3-gram runs with inclusive token offsets — the excision
+    // companion to x37 (drop the span, keep the document)
+    "x75_dup_spans" -> ((s, d) =>
+      Dedup.duplicatedSpans(Tables.documents(s, d),
+        "doc_id", "text", n = 3)),
+
     "x37_dup_ngram_frac" -> ((s, d) =>
       Dedup.duplicatedNgramFraction(Tables.documents(s, d),
         "doc_id", "text", n = 3)),
@@ -1369,6 +1376,30 @@ object ExtQueries {
         |       CAST(length(text) - length(text_clean) AS DOUBLE)
         |         / length(text) AS removed_frac
         |FROM c""".stripMargin,
+    // positioned-shingle replay: pos = 0-based 3-gram start; islands
+    // run-merge via pos - row_number, min doc-count per run — the
+    // exact position algebra the Scala side executes
+    "x75_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks) - 2)) AS i
+        |            FROM t)),
+        |g AS (SELECT h, count(*) AS n_docs
+        |      FROM (SELECT DISTINCT doc_id, h FROM p) GROUP BY 1
+        |      HAVING count(*) >= 2),
+        |r AS (SELECT p.doc_id, p.pos, g.n_docs,
+        |        p.pos - row_number()
+        |          OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS grp
+        |      FROM p JOIN g USING (h))
+        |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+        |       CAST(max(pos) + 2 AS INT) AS span_end,
+        |       CAST(count(*) AS BIGINT) AS n_ngrams,
+        |       CAST(min(n_docs) AS BIGINT) AS n_docs_sharing
+        |FROM r GROUP BY doc_id, grp""".stripMargin,
+
     "x37_dup_ngram_frac" ->
       s"""$shinglesCte,
         |d AS (SELECT DISTINCT doc_id, md5(s) AS h

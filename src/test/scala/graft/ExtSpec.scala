@@ -1005,6 +1005,56 @@ class DedupSpec extends SparkSpec {
         Dedup.simhash16(TextAnalysis.tokens($"y.text")))).first().getInt(0)
     assert(hc == ham(fp(1L), fp(4L)))
   }
+
+  test("duplicatedSpans localizes maximal cross-doc duplicated runs " +
+    "with inclusive token offsets; self-repetition does not count") {
+    val boiler = "alpha beta gamma delta epsilon" // 5 tokens, 3 3-grams
+    val docs = Seq(
+      1L -> s"u1 u2 u3 $boiler u4 u5", // boiler at tokens 3..7
+      2L -> s"v1 $boiler v2 v3 v4 v5", // boiler at tokens 1..5
+      3L -> "w1 w2 w3 w4 w5 w6 w7 w8", // nothing shared
+      // a doc repeating ITS OWN phrase: df is per-doc-distinct, so no span
+      4L -> "r1 r2 r3 r1 r2 r3 r1 r2 r3 zz").toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 3, 7, 3L, 2L),
+      (2L, 1, 5, 3L, 2L)), got)
+  }
+
+  test("excising duplicatedSpans kills the corpus' duplicated-ngram " +
+    "fraction on planted boilerplate") {
+    // globally unique filler tokens per doc; shared boilerplate planted
+    // mid-document at varying offsets
+    val boiler = (1 to 6).map(i => s"bp$i").mkString(" ")
+    val raw = (1 to 10).map { i =>
+      val pre = (0 until 5 + (i * 3) % 7).map(j => s"d${i}p$j")
+      val post = (0 until 6).map(j => s"d${i}s$j")
+      val text =
+        if (i <= 7) (pre :+ boiler) ++ post
+        else pre ++ post // three docs without boilerplate
+      i.toLong -> text.mkString(" ")
+    }
+    val docs = raw.toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1)
+    assert(spans.keySet == (1L to 7L).toSet, spans.keySet)
+    // excise [span_start, span_end] token ranges per doc
+    val excised = raw.map { case (id, text) =>
+      val drop = spans.getOrElse(id, Array())
+        .flatMap { case (_, s, e) => s to e }.toSet
+      id -> text.split(" ").zipWithIndex
+        .collect { case (t, j) if !drop(j) => t }.mkString(" ")
+    }.toDF("doc_id", "text")
+    val worst = Dedup
+      .duplicatedNgramFraction(excised, "doc_id", "text", n = 3)
+      .agg(org.apache.spark.sql.functions.max("dup_frac"))
+      .first().getDouble(0)
+    assert(worst == 0.0,
+      s"excised corpus still has duplicated n-grams (max frac $worst)")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
