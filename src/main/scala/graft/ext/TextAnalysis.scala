@@ -140,6 +140,35 @@ object TextAnalysis {
   def bpeishCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpePattern), lit(0)))
 
+  /** Deterministic toy subword vocabulary for the oracle-checked
+    * vocab-apply path ([[vocabTokenStats]] / x76): 24 single letters
+    * (`q` and `z` deliberately absent so the UNK path is live on real
+    * text) + frequent English bigrams + a few whole merges.  Index =
+    * token id, the [[graft.plans.VocabEncode]] contract.  A deployment
+    * swaps in its trained vocab; every downstream number
+    * (token budgets, mixture weights, curriculum) then counts in REAL
+    * tokens — the hashedWeights pattern (QualityModel) applied to
+    * tokenization. */
+  val toyVocab: Seq[String] =
+    ("abcdefghijklmnoprstuvwxy".map(_.toString)) ++
+      Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+        "ti", "es", "or", "the", "and", "ing", "ion", "tion", "ent")
+
+  /** Exact per-document token stats under a frozen subword vocab:
+    * (doc_id, n_tokens, n_unk) via one [[graft.plans.VocabEncode]]
+    * kernel call per row (greedy longest-match; unknown chars count as
+    * UNK).  The companion to the regex proxy in x11 — same operator
+    * shape (scan → project, no shuffle), real denominator. */
+  def vocabTokenStats(docs: DataFrame, idCol: String, textCol: String,
+                      vocab: Seq[String]): DataFrame = {
+    val ids = graft.plans.VocabEncode.vocabEncode(col(textCol), vocab)
+    docs.select(col(idCol).as("doc_id"), ids.as("__ids"))
+      .select(col("doc_id"),
+        size(col("__ids")).cast("long").as("n_tokens"),
+        size(filter(col("__ids"), x => x === lit(-1)))
+          .cast("long").as("n_unk"))
+  }
+
   /** Document fingerprinting: md5 over whitespace-normalized lowercase
     * text — the exact-dedup key. */
   def normalized(text: Column): Column =

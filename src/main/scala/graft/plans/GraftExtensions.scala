@@ -73,6 +73,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenSetEncode].getName,
         "token_set_encode"),
       (exprs: Seq[Expression]) => TokenSetEncode(exprs.head)))
+    // vocab_encode(text, array('a','ab',…)): greedy longest-match
+    // subword encode; the vocab must fold to an array<string> constant
+    // (it is a dimension of the expression, not a per-row column)
+    e.injectFunction((
+      new FunctionIdentifier("vocab_encode"),
+      new ExpressionInfo(classOf[VocabEncode].getName, "vocab_encode"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case v if v.foldable &&
+            v.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+          val arr = v.eval()
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val vocab = (0 until arr.numElements())
+            .map(i => arr.getUTF8String(i).toString)
+          VocabEncode(exprs.head, vocab)
+        case other => throw new IllegalArgumentException(
+          "vocab_encode argument 2 must be a foldable array<string> " +
+            s"literal, got $other")
+      }))
     // the Bloom pair: bloom_agg(hash64, numBits, numHashes) builds
     // filter bytes; bloom_might_contain(filterBytes, hash64) probes
     // them (first argument must fold to a BINARY constant — the filter

@@ -162,6 +162,13 @@ object ExtQueries {
         TextAnalysis.nTokens(TextAnalysis.tokens(col("text"))).as("ws_tokens"),
         TextAnalysis.bpeishCount(col("text")).as("bpeish_tokens"))),
 
+    // exact token counts under a frozen subword vocab (the x11 regex
+    // proxy's real-denominator companion): greedy longest-match
+    // VocabEncode kernel, UNK = chars outside the toy vocab
+    "x76_vocab_tokens" -> ((s, d) =>
+      graft.ext.TextAnalysis.vocabTokenStats(Tables.documents(s, d),
+        "doc_id", "text", graft.ext.TextAnalysis.toyVocab)),
+
     // document fingerprint (normalized md5)
     "x12_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -840,6 +847,11 @@ object ExtQueries {
     }))
 
   // ---- oracle SQL ---------------------------------------------------------
+
+  /** The x76 vocab as a SQL VALUES list — generated from the single
+    * source of truth so kernel and oracle can never disagree. */
+  private val toyVocabValues: String =
+    graft.ext.TextAnalysis.toyVocab.map(t => s"('$t')").mkString(", ")
 
   private val toksCte =
     "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)"
@@ -1852,6 +1864,38 @@ object ExtQueries {
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    // greedy longest-match vocab apply, replayed as a recursive CTE:
+    // match lengths precompute per (distinct word, pos) against the
+    // SAME vocab literal the Scala kernel holds (generated from
+    // TextAnalysis.toyVocab — the two sides cannot drift), then the
+    // recursion walks each word left to right exactly like the trie
+    "x76_vocab_tokens" ->
+      s"""WITH RECURSIVE v(tok) AS (VALUES $toyVocabValues),
+        |w AS (SELECT doc_id, i AS wid, toks[i] AS word
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks))) AS i
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |                  FROM documents))),
+        |dw AS (SELECT DISTINCT word FROM w),
+        |mp AS (SELECT word, i AS pos,
+        |         max(CASE WHEN substr(word, CAST(i AS INT), len(tok)) = tok
+        |             THEN len(tok) END) AS mlen
+        |       FROM (SELECT word, unnest(generate_series(1, len(word))) AS i
+        |             FROM dw), v
+        |       GROUP BY 1, 2),
+        |enc AS (
+        |  SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n,
+        |         CAST(0 AS BIGINT) AS unk
+        |  FROM dw
+        |  UNION ALL
+        |  SELECT e.word, e.pos + coalesce(m.mlen, 1), e.n + 1,
+        |         e.unk + CASE WHEN m.mlen IS NULL THEN 1 ELSE 0 END
+        |  FROM enc e LEFT JOIN mp m ON m.word = e.word AND m.pos = e.pos
+        |  WHERE e.pos <= len(e.word)),
+        |f AS (SELECT word, n, unk FROM enc WHERE pos > len(word))
+        |SELECT doc_id, CAST(sum(f.n) AS BIGINT) AS n_tokens,
+        |       CAST(sum(f.unk) AS BIGINT) AS n_unk
+        |FROM w JOIN f USING (word) GROUP BY doc_id""".stripMargin,
     "x14_length_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       round(avg(n_chars), 2) AS mean_len,

@@ -1395,6 +1395,41 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("vocabEncode: greedy longest-match against a known encoding, " +
+    "UNK for unmatched chars, SQL registration agrees") {
+    import graft.plans.VocabEncode.vocabEncode
+    val vocab = Seq("a", "b", "c", "ab", "abc", "bc") // index = id
+    val got = Seq(Tuple1("abcab ba x abc")).toDF("t")
+      .select(vocabEncode($"t", vocab)).as[Seq[Int]].head()
+    // "abcab" → abc(4), ab(3); "ba" → b(1), a(0); "x" → UNK; "abc" → 4
+    assert(got == Seq(4, 3, 1, 0, -1, 4), got)
+    // empty text → empty ids; null → null
+    val edge = Seq(Tuple1(""), Tuple1(null: String)).toDF("t")
+      .select(vocabEncode($"t", vocab)).collect()
+    assert(edge(0).getSeq[Int](0) == Seq.empty && edge(1).isNullAt(0))
+    // SQL surface: vocab as a foldable array literal
+    val sql = spark.sql(
+      "SELECT vocab_encode('abcab', array('a','b','c','ab','abc','bc'))")
+      .as[Seq[Int]].head()
+    assert(sql == Seq(4, 3), sql)
+    intercept[Exception] { spark.sql(
+      "SELECT vocab_encode('x', array(t)) FROM (SELECT 'a' AS t)")
+      .collect() }
+  }
+
+  test("vocabTokenStats counts real-vocab tokens and UNKs per doc " +
+    "(mirrors the recursive-CTE oracle on hand-checked rows)") {
+    val docs = Seq(1L -> "the cat in the hat", 2L -> "qq zebra then")
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabTokenStats(docs, "doc_id", "text",
+      TextAnalysis.toyVocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // doc 1: the|c,at|in|the|h,at = 7 tokens, 0 unk
+    // doc 2: q,q | z,e,b,r,a | the,n = 9 tokens, 3 unk (q,q,z)
+    assert(got == Set((1L, 7L, 0L), (2L, 9L, 3L)), got)
+  }
+
   test("tokenizer modes: unicode equals simple on plain ASCII, and " +
     "handles NBSP / em-space / punctuation where simple can't") {
     def toksOf(mode: String, s: String): Seq[String] = {
