@@ -926,6 +926,78 @@ object Dedup {
     spark.table(table)
   }
 
+  /** Incremental cluster maintenance: fold a batch's new pairs into
+    * persisted labels WITHOUT recomputing connected components over
+    * the full historical pair set — the months-long-ingest companion
+    * to [[duplicateClusters]] (whose full recompute is the snapshot
+    * path) and the labels analog of `extendLshIndex`.
+    *
+    * Exactness by reduction: `saved` is CONVERGED min-label CC output
+    * (each cluster_id = min doc_id of its component — the
+    * [[duplicateClusters]]/[[loadClusters]] contract), so adding Δ
+    * edges can only union whole old components with each other and
+    * with new docs.  Build the REDUCED graph whose nodes are touched
+    * old component roots + new doc ids, with Δ's endpoints mapped
+    * through saved labels, run the same delta-iterated label
+    * propagation there, and the reduced min-label of a merged
+    * component equals min(old component mins ∪ new ids) = the global
+    * min a full recompute would assign.  `merge(saved, Δ) ≡
+    * recompute(oldPairs ∪ Δ)` row for row — the x77 oracle checks
+    * exactly this identity, and DedupSpec re-checks it against
+    * [[duplicateClusters]] on randomized splits.
+    *
+    * Scale shape — every per-round structure is O(Δ), the corpus never
+    * reshuffles: Δ's endpoint lookups LEFT-JOIN a `saved` table that
+    * is bucketed on doc_id when loaded via [[loadClusters]] (scan, no
+    * exchange on the corpus side — PlanAuditSpec asserts it); the
+    * label propagation runs on the Δ-sized reduced graph; and the
+    * final relabel joins the corpus-sized `saved` against a BROADCAST
+    * Δ-sized root→label map, so the one full pass over saved is a
+    * scan+project, not a shuffle.
+    *
+    * Contract: `newDocs` ids are disjoint from `saved` (an ingest
+    * batch is new by definition); `newPairs` endpoints lie in
+    * `saved ∪ newDocs`.  Output: (doc_id, cluster_id) for saved ∪ new
+    * docs — same schema as [[duplicateClusters]], ready for
+    * [[saveClusters]] compaction. */
+  def mergeClusters(saved: DataFrame, newDocs: DataFrame, idCol: String,
+                    newPairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val s = saved.select(col("doc_id").cast("long").as("doc_id"),
+      col("cluster_id").cast("long").as("cluster_id"))
+    val newIds = newDocs.select(col(idCol).cast("long").as("doc_id"))
+    val dp = newPairs.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    // Δ endpoints → saved component root (old docs) or self (new docs)
+    val mapped = dp
+      .join(s.select(col("doc_id").as("a"), col("cluster_id").as("__ca")),
+        Seq("a"), "left")
+      .join(s.select(col("doc_id").as("b"), col("cluster_id").as("__cb")),
+        Seq("b"), "left")
+      .select(coalesce(col("__ca"), col("a")).as("a"),
+        coalesce(col("__cb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    // reduced node set: every new doc (keeps true singletons) + every
+    // touched old root; label-propagate on this Δ-sized graph only
+    val reducedNodes = newIds
+      .unionByName(mapped.select(col("a").as("doc_id")))
+      .unionByName(mapped.select(col("b").as("doc_id")))
+      .distinct()
+    val reduced =
+      duplicateClusters(reducedNodes, "doc_id", mapped, maxIter)
+    val relabel = reduced.select(col("doc_id").as("__root"),
+      col("cluster_id").as("__nl"))
+    // corpus-sized leg: one scan of saved + a broadcast lookup — the
+    // only full pass, and it moves nothing on the network
+    val outOld = s
+      .join(broadcast(relabel), col("cluster_id") === col("__root"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("__nl"), col("cluster_id")).as("cluster_id"))
+    val outNew = reduced.join(newIds, "doc_id")
+      .select(col("doc_id"), col("cluster_id"))
+    outOld.unionByName(outNew)
+  }
+
   /** 16-bit SimHash from md5 nibbles: per bit position b, sum ±1 over
     * tokens by whether hex nibble b of md5(token) has its high bit set;
     * fingerprint bit b = (sum > 0).  Engine-portable ('8' ≤ nibble char

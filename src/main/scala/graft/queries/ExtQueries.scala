@@ -218,6 +218,24 @@ object ExtQueries {
       Dedup.duplicateClusters(Tables.documents(s, d), "doc_id",
         sharedLshPairs(s, d))),
 
+    // incremental cluster merge: labels computed on the OLD 4/5 of the
+    // corpus, then one batch (doc_id % 5 = 0) folded in via
+    // mergeClusters over only the delta pairs — the oracle is the
+    // FULL recompute over all pairs (x20b's SQL verbatim), so the
+    // hash-match IS the merge ≡ recompute identity
+    "x77_cluster_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isNew = pmod(col("doc_id"), lit(5)) === 0
+      val all = sharedLshPairs(s, d)
+      val oldPairs = all.filter(
+        pmod(col("a"), lit(5)) =!= 0 && pmod(col("b"), lit(5)) =!= 0)
+      val delta = all.filter(
+        pmod(col("a"), lit(5)) === 0 || pmod(col("b"), lit(5)) === 0)
+      val saved = Dedup.duplicateClusters(
+        docs.filter(!isNew), "doc_id", oldPairs)
+      Dedup.mergeClusters(saved, docs.filter(isNew), "doc_id", delta)
+    }),
+
     // Gopher-style repetition signals: top-token / top-bigram fractions
     // and vocabulary diversity per document
     "x21_repetition" -> ((s, d) =>
@@ -1568,6 +1586,10 @@ object ExtQueries {
     "st4_ingest_neardup" -> st4Sql,
     "x20_dup_clusters" -> x20Sql,
     "x20b_dup_clusters_lsh" -> x20bSql,
+    // merge(saved, Δ) must equal recompute over ALL pairs — the
+    // equivalence is the point, so the oracle is x20b's full-recompute
+    // SQL verbatim
+    "x77_cluster_merge" -> x20bSql,
     "x25_cluster_keepers" -> x25Sql,
     "x26_stratified_sample" -> x26Sql,
     "x27_cluster_sigs" -> x27Sql,

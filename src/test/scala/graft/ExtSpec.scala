@@ -1006,6 +1006,35 @@ class DedupSpec extends SparkSpec {
     assert(hc == ham(fp(1L), fp(4L)))
   }
 
+  test("mergeClusters(saved, delta) equals the full recompute on " +
+    "randomized graph splits") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val allPairs = (1 to 50)
+        .map(_ => (rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L))
+        .filter(p => p._1 != p._2).distinct
+      val docs = (1L to n.toLong).map(Tuple1(_)).toDF("doc_id")
+      val pairsDf = allPairs.toDF("a", "b")
+      def isNew(id: Long) = id % 4 == 1
+      val oldDocs = docs.filter(!col("doc_id").mod(4).equalTo(1))
+      val newDocs = docs.filter(col("doc_id").mod(4).equalTo(1))
+      val oldPairs = allPairs.filter(p => !isNew(p._1) && !isNew(p._2))
+        .toDF("a", "b")
+      val delta = allPairs.filter(p => isNew(p._1) || isNew(p._2))
+        .toDF("a", "b")
+      val saved = Dedup.duplicateClusters(oldDocs, "doc_id", oldPairs)
+      val merged =
+        Dedup.mergeClusters(saved, newDocs, "doc_id", delta)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = Dedup.duplicateClusters(docs, "doc_id", pairsDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(merged == full,
+        s"trial $trial: merge/recompute diverged: " +
+          s"${(merged diff full) ++ (full diff merged)}")
+    }
+  }
+
   test("duplicatedSpans localizes maximal cross-doc duplicated runs " +
     "with inclusive token offsets; self-repetition does not count") {
     val boiler = "alpha beta gamma delta epsilon" // 5 tokens, 3 3-grams

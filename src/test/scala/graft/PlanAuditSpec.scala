@@ -28,6 +28,48 @@ class PlanAuditSpec extends SparkSpec {
           .mkString(", ")}")
   }
 
+  test("mergeClusters over a bucketed saved table is O(delta)-shuffle: " +
+    "no Exchange ever sits above the corpus-side scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import spark.implicits._
+    val docs = (1L to 40L).map(Tuple1(_)).toDF("doc_id")
+    val oldDocs = docs.filter(col("doc_id") <= 30)
+    val newDocs = docs.filter(col("doc_id") > 30)
+    val oldPairs = Seq((1L, 2L), (5L, 6L), (10L, 11L)).toDF("a", "b")
+    val delta = Seq((31L, 1L), (32L, 33L)).toDF("a", "b")
+    val saved = graft.ext.Dedup.duplicateClusters(oldDocs, "doc_id", oldPairs)
+    dropTableFully("x77_saved_audit")
+    graft.ext.Dedup.saveClusters(saved, "x77_saved_audit")
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val merged = graft.ext.Dedup.mergeClusters(
+        graft.ext.Dedup.loadClusters(spark, "x77_saved_audit"),
+        newDocs, "doc_id", delta)
+      // correctness first: the merged labels match a full recompute
+      val full = graft.ext.Dedup.duplicateClusters(docs, "doc_id",
+        oldPairs.unionByName(delta))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(merged.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet == full)
+      // the O(delta) claim: every Exchange in the plan sits over
+      // delta-derived data — none may contain the bucketed corpus scan
+      val offending = merged.queryExecution.executedPlan.collect {
+        case e: Exchange if e.collectLeaves().exists {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table == "x77_saved_audit")
+          case _ => false
+        } => e
+      }
+      assert(offending.isEmpty,
+        s"corpus-side scan reshuffled:\n${offending.mkString("\n")}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", before)
+      dropTableFully("x77_saved_audit")
+    }
+  }
+
   test("the audit actually catches an injected cross join") {
     // sanity-check the detector itself on this session's conf: a bare
     // crossJoin must surface as CartesianProduct with AQE off
