@@ -442,6 +442,44 @@ object Similarity {
     IvfIndex(spark.table(assignedTable), spark.table(centTable), dim, nlist)
   }
 
+  /** Grow an [[IvfIndex]] with a batch of accepted vectors — the
+    * incremental half of the embedding ingest loop (the
+    * `extendFpIndex`/`extendLshIndex` discipline applied to the last
+    * build-once index family): assign the batch against the EXISTING
+    * centroids (one narrow pass vs the broadcast codebook — O(batch),
+    * never O(index)), pin only the new leg, and union lazily over the
+    * already-materialized legs.  The codebook deliberately does NOT
+    * drift: cell assignment stays deterministic and oracle-replayable,
+    * and a probe against the extended index equals a probe against a
+    * fresh [[ivfIndex]] of the union corpus whenever the fresh build
+    * would select the same centroids (SimilaritySpec pins it).
+    * Compact periodically via [[saveIvfIndex]]/[[loadIvfIndex]]. */
+  def extendIvfIndex(index: IvfIndex, accepted: DataFrame): IvfIndex = {
+    val c = withNorm(accepted, "c_id", "c")
+    val winner = assignCells(c, index.cent, index.dim)
+    val leg = c.join(winner, "c_id")
+      .select(col("cell"), col("c_id"), col("c"), col("c_norm"))
+      .localCheckpoint()
+    IvfIndex(index.assigned.unionByName(leg), index.cent,
+      index.dim, index.nlist)
+  }
+
+  /** Ingest-time embedding near-dup gate over a pinned [[IvfIndex]]:
+    * each incoming vector's BEST indexed match (rounded cosine desc,
+    * id asc) within its `nprobe` probed cells, kept when the score
+    * reaches `threshold` — the st4/st9 gate shape for the vector
+    * modality, run per micro-batch under `foreachBatch` against an
+    * index built once and grown with [[extendIvfIndex]] as batches are
+    * accepted.  The k=1 thresholded form of [[ivfTopKIndexed]], so
+    * determinism and oracle replay carry over unchanged.  Output:
+    * (vec_id, match_id, score). */
+  def ivfGate(index: IvfIndex, incoming: DataFrame, threshold: Double,
+              nprobe: Int = 4): DataFrame =
+    ivfTopKIndexed(index, incoming, k = 1, nprobe = nprobe)
+      .filter(col("score") >= threshold)
+      .select(col("q_id").as("vec_id"), col("c_id").as("match_id"),
+        col("score"))
+
   /** Probe a prebuilt [[IvfIndex]] with a query batch — the per-batch
     * half of ANN serving. */
   def ivfTopKIndexed(index: IvfIndex, queries: DataFrame, k: Int,

@@ -140,6 +140,23 @@ object ExtQueries {
         k = 10, dim = 64, nlist = 16, nprobe = 4)
     }),
 
+    // streaming embedding ingest gate (the st4/st9 shape for vectors):
+    // incoming = ×2-scaled copies of every 9th corpus vector (cosine
+    // is scale-invariant and ×2 is exact in both float and double, so
+    // the oracle replays the perturbation bit-for-bit); each probes
+    // its nprobe IVF cells against the pinned index and reports its
+    // best match at or above the threshold
+    "st10_embedding_ingest_gate" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val incoming = e
+        .filter(pmod(col("vec_id"), lit(9)) === 2)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x * lit(2.0f)))
+        .withColumn("vec_id", col("vec_id") + lit(40000000L))
+      Similarity.ivfGate(Similarity.ivfIndex(e, dim = 64, nlist = 16),
+        incoming, threshold = 0.9, nprobe = 4)
+    }),
+
     // embedding-cosine near-duplicate pairs, LSH-bucket-blocked (no
     // driver collect / broadcast; deterministic buckets → oracle
     // replays them; recall vs exact measured in SimilaritySpec)
@@ -1175,6 +1192,40 @@ object ExtQueries {
        |  FROM scored) WHERE rank <= 10""".stripMargin
   }
 
+  /** st10 replay: same IVF algebra as x17 (deterministic lowest-id
+    * codebook, nprobe=4), corpus = all embeddings, incoming = ×2-scaled
+    * copies (exact in float AND double — scaling by a power of two
+    * commutes with every FP op in the cosine), best match per incoming
+    * at threshold 0.9. */
+  private val st10Sql: String = {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    def cos(a: String, b: String): String =
+      s"round(${dot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}), 6)"
+    s"""WITH cs AS (SELECT vec_id AS c_id, embedding AS c FROM embeddings),
+       |cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+       |         ORDER BY vec_id ASC LIMIT 16),
+       |q AS (SELECT vec_id + 40000000 AS q_id,
+       |        list_transform(embedding, x -> x::DOUBLE * 2.0) AS q
+       |      FROM embeddings WHERE vec_id % 9 = 2),
+       |asg AS (SELECT cell, c_id, c FROM (
+       |  SELECT cent.cell, cs.c_id, cs.c,
+       |         row_number() OVER (PARTITION BY cs.c_id
+       |           ORDER BY ${cos("cs.c", "cent.cv")} DESC, cent.cell ASC) AS rk
+       |  FROM cs CROSS JOIN cent) WHERE rk = 1),
+       |pr AS (SELECT q_id, q, cell FROM (
+       |  SELECT q.q_id, q.q, cent.cell,
+       |         row_number() OVER (PARTITION BY q.q_id
+       |           ORDER BY ${cos("q.q", "cent.cv")} DESC, cent.cell ASC) AS rk
+       |  FROM q CROSS JOIN cent) WHERE rk <= 4),
+       |scored AS (SELECT q_id, c_id, ${cos("q", "c")} AS score
+       |           FROM pr JOIN asg USING (cell))
+       |SELECT q_id AS vec_id, c_id AS match_id, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score DESC, c_id ASC) AS rk FROM scored)
+       |WHERE rk = 1 AND score >= 0.9""".stripMargin
+  }
+
   /** Rounded cosine between two DuckDB list expressions — mirrors the
     * engine's 6-decimal HALF_UP scoring keys (shared by x22). */
   private def duckCos(a: String, b: String): String =
@@ -1663,6 +1714,7 @@ object ExtQueries {
     "x40_rp_ann" -> x40Sql,
     "x41_pq_ann" -> x41Sql,
     "x17_ann_ivf" -> x17Sql,
+    "st10_embedding_ingest_gate" -> st10Sql,
     "x1_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies

@@ -1419,6 +1419,49 @@ class SimilaritySpec extends SparkSpec {
     val scans = plan.collectLeaves().size
     assert(scans == 4, s"expected 4 relation scans, got $scans:\n$plan")
   }
+
+  test("IVF index lifecycle: extend flags re-uploads of accepted " +
+    "batches, extended probe equals a fresh rebuild, save/load " +
+    "round-trips") {
+    import graft.ext.Similarity
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 131.0 + i * 17.0) * 10).toFloat)
+    val corpus = (0L until 20L).map(id => (id, vec(id.toInt)))
+      .toDF("vec_id", "embedding")
+    // a (near-)basis vector: cosine vs any sin-profile corpus vector
+    // is |v_63|/|v| ≈ 0.1 — far below the 0.99 gate
+    val novel = Array.tabulate(64)(i => if (i == 63) 10f else 0f)
+    val b1 = Seq((100L, novel)).toDF("vec_id", "embedding")
+    val b2 = Seq((200L, novel)).toDF("vec_id", "embedding") // re-upload
+    val ix0 = Similarity.ivfIndex(corpus, dim = 64, nlist = 16)
+    assert(Similarity.ivfGate(ix0, b1, threshold = 0.99).count() == 0,
+      "a novel vector must pass the gate before acceptance")
+    val ix1 = Similarity.extendIvfIndex(ix0, b1)
+    def gate(ix: Similarity.IvfIndex, in: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfGate(ix, in, threshold = 0.99)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    assert(gate(ix1, b2) == Seq((200L, 100L, 1.0)),
+      "a re-upload of an accepted batch must be flagged")
+    // extension ≡ fresh rebuild whenever the fresh build selects the
+    // same centroids (ids 0..15 stay the 16 lowest; 100 doesn't)
+    val fresh = Similarity.ivfIndex(corpus.unionByName(b1),
+      dim = 64, nlist = 16)
+    val queries = (0 until 5).map(k => (300L + k, vec(500 + k)))
+      .toDF("vec_id", "embedding")
+    def probe(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopKIndexed(ix, queries, k = 5)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(probe(ix1) == probe(fresh),
+      "extended index must answer like a fresh build of the union")
+    // persistence: bucketed round-trip with the extension folded in
+    dropTableFully("ivf_asg_t"); dropTableFully("ivf_cent_t")
+    Similarity.saveIvfIndex(ix1, "ivf_asg_t", "ivf_cent_t")
+    val loaded = Similarity.loadIvfIndex(spark, "ivf_asg_t", "ivf_cent_t")
+    assert(gate(loaded, b2) == Seq((200L, 100L, 1.0)))
+    dropTableFully("ivf_asg_t"); dropTableFully("ivf_cent_t")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

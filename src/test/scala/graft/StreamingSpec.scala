@@ -213,6 +213,38 @@ class StreamingSpec extends SparkSpec {
       "per-micro-batch media gating must equal the batch answer")
   }
 
+  test("streaming embedding ingest gate equals the batch answer " +
+    "(IVF index built once, probed per micro-batch)") {
+    import graft.ext.Similarity
+    val e = Tables.embeddings(spark, sf0001)
+    val incoming = e.filter($"vec_id" % 9 === 2)
+      .withColumn("embedding", transform($"embedding", x => x * lit(2.0f)))
+      .withColumn("vec_id", $"vec_id" + 40000000L)
+    val index = Similarity.ivfIndex(e, dim = 64, nlist = 16)
+    val batchAnswer = Similarity
+      .ivfGate(index, incoming, threshold = 0.9, nprobe = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batchAnswer.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_eig_").toString
+    incoming.filter($"vec_id" % 2 === 0).write.mode("append").parquet(dir)
+    incoming.filter($"vec_id" % 2 =!= 0).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val flagged = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        flagged ++= Similarity.ivfGate(index, df, threshold = 0.9,
+          nprobe = 4).as[(Long, Long, Double)].collect()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(flagged.toSet == batchAnswer,
+      "per-micro-batch embedding gating must equal the batch answer")
+  }
+
   test("streaming Bloom decontamination gate equals the batch answer " +
     "(filter built once, probed per micro-batch)") {
     val docs = Tables.documents(spark, sf0001)
