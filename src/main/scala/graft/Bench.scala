@@ -32,6 +32,17 @@ import java.nio.file.{Files, Paths}
   * N runs: noisy recordings (shared-box ambient load) identify
   * themselves by a wide spread, so a per-round delta on untouched code
   * can be adjudicated from the artifact alone (round-9 verdict #5).
+  *
+  * Spread SELF-GATE (round-11 verdict #2): a wide spread is not just
+  * self-identifying, it is self-correcting — when a query's max/min
+  * exceeds SPARK_GRAFT_BENCH_SPREAD (default 2.0, min floored at
+  * 300 ms so sub-second queries don't churn), up to
+  * SPARK_GRAFT_BENCH_RERUNS (default 2) extra timed runs are folded
+  * into its min/max.  An ambient-load spike on one run is then usually
+  * beaten by a quiet rerun instead of surviving into the committed
+  * artifact as a phantom regression (BENCH_r11 recorded x55 at
+  * [7.38, 36.05] this way).  "reruns" in the JSON counts the extra
+  * runs taken so a noisy box still identifies itself.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -55,11 +66,14 @@ object Bench {
       .foreach(v => spark.conf.set("spark.graft.shingleAssembly", v))
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "2").toInt.max(0)
+    val spreadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD", "2.0").toDouble
     val failed = scala.collection.mutable.ListBuffer[String]()
+    var rerunsTaken = 0
     val results = SparkEntry.queries
       .filter(kv => only.forall(_.exists(kv._1.startsWith)))
       .flatMap { case (name, fn) =>
-        val times = (1 to runs).flatMap { _ =>
+        def once(): Option[Double] = {
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
@@ -69,6 +83,19 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               None
           }
+        }
+        var times = (1 to runs).flatMap(_ => once())
+        // spread self-gate: an ambient-load spike shows as max/min >
+        // spreadGate — take extra runs so a quiet run can beat it.
+        // (min >= 0.3 s: sub-second queries flip ratio on scheduler
+        // jitter alone and their absolute error is negligible.)
+        var extra = 0
+        while (times.nonEmpty && extra < maxReruns && times.min >= 0.3 &&
+               times.max / times.min > spreadGate) {
+          System.err.println(f"[bench] $name spread ${times.max / times.min}%.1fx" +
+            s" > $spreadGate — rerunning (${extra + 1}/$maxReruns)")
+          times = times ++ once()
+          extra += 1; rerunsTaken += 1
         }
         // a failing query must not silently poison the total — it is
         // excluded from "queries" and reported in "failed" instead
@@ -100,7 +127,7 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     def line(m: Iterable[(String, (BigDecimal, BigDecimal))]): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries_run":${rounded.size}$failedJson,"queries":${qJson(m)},"spread":${spreadJson(m)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"reruns":$rerunsTaken,"queries_run":${rounded.size}$failedJson,"queries":${qJson(m)},"spread":${spreadJson(m)},"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), line(rounded) + "\n")
     spark.stop() // stop FIRST: no executor/shutdown log can splice the line
     println(line(slowest))

@@ -30,7 +30,11 @@ object Rehearsal {
   val defaultQueries: Seq[String] = Seq(
     "x3_minhash_lsh_pairs", "st4_ingest_neardup", "x20b_dup_clusters_lsh",
     "x55b_edit_neardup64", "x40_rp_ann", "x39_curriculum_rank",
-    "x73_image_neardup", "x74_frameset_neardup", "st9_media_ingest_gate")
+    "x73_image_neardup", "x74_frameset_neardup", "st9_media_ingest_gate",
+    // round-12 additions (round-11 verdict #8): the containment family
+    // and the incremental cluster merge were the only production-path
+    // pairwise lenses not growth-gated
+    "x45b_containment_lsh", "x77_cluster_merge", "x75_dup_spans")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)

@@ -710,4 +710,47 @@ object CorpusStats {
           + lit(0.5) * (col("__klq_cov")
             + (lit(1.0) - col("__qcov")) * log(lit(2.0))), 6).as("js_div"))
   }
+
+  /** Deterministic training-shard assignment — the writer side of a
+    * training-data pipeline: every example gets a shard (which output
+    * file/worker it belongs to) and a stable position inside that shard
+    * (its serving order), both pure functions of the id, so any two
+    * runs — or two engines — shard a corpus identically, shards are
+    * balanced in expectation, and within-shard order is a fixed
+    * pseudo-random permutation (the "global shuffle" a trainer wants,
+    * without ever materializing a corpus-wide random sort).
+    *
+    * Hash = two LCG rounds mod the Mersenne prime 2³¹−1 — chosen over
+    * xxhash64 deliberately: every intermediate stays < 2⁶³ for ids
+    * < 2³², so the exact same integer algebra runs on any SQL engine
+    * (the oracle replays it verbatim) and under ANSI overflow checking.
+    * Ids ≥ 2³² would overflow round 1: pre-fold them (e.g.
+    * `id % 2^31` + a second disambiguating sort key) or swap in
+    * `xxhash64` where cross-engine replay is not required.
+    *
+    * Scale shape: the hash is map-side; the global position comes from
+    * [[globalRank]] (range-repartition + in-partition index + broadcast
+    * offsets — per-partition work is corpus/#partitions regardless of
+    * #shards, so one giant shard never pins a single task, the failure
+    * mode of `row_number() OVER (PARTITION BY shard)`); per-shard
+    * positions subtract a broadcast #shards-row min-rank table. */
+  def shardAssignments(df: DataFrame, idCol: String,
+                       nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    val p = 2147483647L // 2^31 - 1
+    val hashed = df.select(col(idCol).as("doc_id"))
+      .withColumn("__h1",
+        (col("doc_id") * lit(2654435761L) + lit(1013904223L)) % lit(p))
+      .withColumn("__h",
+        (col("__h1") * lit(1597334677L) + lit(12345L)) % lit(p))
+      .select(col("doc_id"), (col("__h") % lit(nShards.toLong))
+        .cast("int").as("shard"), col("__h"))
+    val ranked = globalRank(hashed,
+      Seq(col("shard").asc, col("__h").asc, col("doc_id").asc), "__gr")
+    val base = ranked.groupBy(col("shard"))
+      .agg(min(col("__gr")).as("__base"))
+    ranked.join(broadcast(base), "shard")
+      .select(col("doc_id"), col("shard"),
+        (col("__gr") - col("__base")).as("pos_in_shard"))
+  }
 }

@@ -1144,22 +1144,29 @@ object Dedup {
     * grouping: pos − row_number), which partitions by doc_id — bounded
     * per-doc work, no corpus-wide ordering.  No document pair is ever
     * formed and no text rides a shuffle. */
-  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3): DataFrame = {
-    require(n >= 1, s"n must be >= 1 (got $n)")
-    import org.apache.spark.sql.expressions.Window
+  /** (doc_id, pos, h): every n-gram start position with its md5 — the
+    * shared positioned-shingle assembly of [[duplicatedSpans]] and
+    * [[exciseDuplicatedSpans]] (narrow, the assembleNgrams zip idiom);
+    * pos = 0-based start token index, null-padded tails dropped. */
+  private def positionedShingles(docs: DataFrame, idCol: String,
+                                 textCol: String, n: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
-    // positioned n-grams (narrow, the assembleNgrams zip idiom): pos =
-    // 0-based start token index, null-padded tails dropped
     val zipped = arrays_zip((0 until n).map(j =>
       slice(col("toks"), lit(j + 1), size(col("toks"))).as(s"t$j")): _*)
-    val positioned = toks
+    toks
       .select(col("doc_id"), posexplode(zipped).as(Seq("pos", "s")))
       .filter(col(s"s.t${n - 1}").isNotNull)
       .select(col("doc_id"), col("pos"),
         md5(concat_ws(" ", (0 until n).map(j => col(s"s.t$j")): _*))
           .as("h"))
+  }
+
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    import org.apache.spark.sql.expressions.Window
+    val positioned = positionedShingles(docs, idCol, textCol, n)
     // inverted index, df > 1 only: per-doc-distinct before the global
     // count so a doc repeating its own phrase doesn't inflate df
     val shared = positioned.select(col("doc_id"), col("h")).distinct()
@@ -1176,6 +1183,118 @@ object Dedup {
         min(col("n_docs")).as("n_docs_sharing"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("n_ngrams"), col("n_docs_sharing"))
+  }
+
+  /** Span EXCISION — applies [[duplicatedSpans]]'s localization: rebuild
+    * each document's text with the cross-doc duplicated runs cut out,
+    * keeping each shared n-gram's text in exactly one place in the
+    * corpus (the Lee et al. "Deduplicating Training Data" retention
+    * rule, keep-one-occurrence, re-expressed at n-gram granularity):
+    * a shared shingle's OWNER is the minimum doc_id sharing it, and
+    * only non-owner occurrences are excised — so no phrase is deleted
+    * from the corpus outright, it just stops being repeated.
+    * `keepFirstOwner = false` switches to scrub-everywhere (every
+    * shared occurrence removed from every doc — the decontamination
+    * stance, and the mode whose output provably drops
+    * [[duplicatedNgramFraction]]'s cross-doc dup_frac to 0 on the
+    * cleaned corpus, property-tested in DedupSpec).
+    *
+    * Output: (doc_id, text_clean, n_tokens, n_removed) — one row per
+    * input doc; text_clean = surviving tokens rejoined with single
+    * spaces ('' when everything was excised), n_removed = tokens cut.
+    * Docs shorter than n are untouched (no full n-gram → no run).
+    *
+    * Scale shape (the x75 discipline, plus one skinny doc-keyed join):
+    * positioned shingles assemble map-side; the owner table is
+    * vocabulary-sized (one row per shared hash); excisable starts
+    * island-merge per doc into MAXIMAL spans (window partitioned by
+    * doc_id — bounded per-doc work) and come back as one small span
+    * array per doc via a doc_id equi-join; the final token filter is a
+    * higher-order `filter` + `exists` over that merged span array —
+    * per-token cost is #maximal-spans, not #covered-positions, and no
+    * text ever rides more than the one doc_id-keyed shuffle. */
+  def exciseDuplicatedSpans(docs: DataFrame, idCol: String,
+                            textCol: String, n: Int = 3,
+                            keepFirstOwner: Boolean = true): DataFrame = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    import org.apache.spark.sql.expressions.Window
+    val positioned = positionedShingles(docs, idCol, textCol, n)
+    // owner = min doc_id per shared hash (df computed per-doc-distinct,
+    // the x75 rule — a doc repeating its own phrase is not cross-doc)
+    val shared = positioned.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
+      .filter(col("n_docs") >= 2)
+    val excisable = positioned.join(shared, "h")
+      .filter(if (keepFirstOwner) col("doc_id") =!= col("owner")
+              else lit(true))
+    exciseStarts(docs, idCol, textCol, n, excisable)
+  }
+
+  /** Intra-document repeat excision — the SELF-repetition companion to
+    * [[exciseDuplicatedSpans]] (whose per-doc-distinct df ≥ 2 rule
+    * deliberately ignores a doc repeating its own phrase): within each
+    * document, every occurrence of an n-gram AFTER its first is
+    * excised, keeping the first start — the keep-first counterpart of
+    * the repeated-line/paragraph scrub the Gopher/RefinedWeb quality
+    * recipes run before cross-doc dedup ([[TextAnalysis.repetitionByDoc]]
+    * scores this axis; this operator removes it).  Overlapping repeat
+    * occurrences excise greedily by start position: "a a a a" at n=2
+    * keeps only the first token (positions 1..3 are all covered by some
+    * repeat start) — deterministic, and the documented price of
+    * n-gram-granular excision.
+    *
+    * Output: (doc_id, text_clean, n_tokens, n_removed), one row per doc.
+    *
+    * Scale shape: everything is per-document — repeat detection is a
+    * min-over-(doc, hash) window, the island merge a per-doc window, so
+    * partition width is one document's shingles; no cross-doc join at
+    * all (the corpus never meets itself). */
+  def exciseSelfRepeats(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    import org.apache.spark.sql.expressions.Window
+    val positioned = positionedShingles(docs, idCol, textCol, n)
+    val wf = Window.partitionBy(col("doc_id"), col("h"))
+    val repeats = positioned
+      .withColumn("__first", min(col("pos")).over(wf))
+      .filter(col("pos") > col("__first"))
+      .select(col("doc_id"), col("pos"))
+    exciseStarts(docs, idCol, textCol, n, repeats)
+  }
+
+  /** Shared excision tail of [[exciseDuplicatedSpans]] /
+    * [[exciseSelfRepeats]]: island-merge excisable n-gram START
+    * positions into maximal [lo, hi] token spans (pos − rank grouping,
+    * per-doc window), ship ONE merged span array per doc via a doc_id
+    * equi-join, and rebuild the text from the uncovered tokens with a
+    * higher-order filter + exists — per-token cost is #maximal-spans,
+    * not #covered-positions, and text never rides more than the one
+    * doc_id-keyed shuffle. */
+  private def exciseStarts(docs: DataFrame, idCol: String,
+                           textCol: String, n: Int,
+                           excisable: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = excisable
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).as("lo"), (max(col("pos")) + lit(n - 1)).as("hi"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("lo"), col("hi"))).as("spans"))
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("__spans", coalesce(col("spans"),
+        array().cast("array<struct<lo:int,hi:int>>")))
+      .withColumn("__kept", filter(col("toks"), (t, i) =>
+        !exists(col("__spans"),
+          sp => i >= sp("lo") && i <= sp("hi"))))
+      .select(col("doc_id"),
+        array_join(col("__kept"), " ").as("text_clean"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("__kept"))).cast("long")
+          .as("n_removed"))
   }
 
   /** docs(id, text) → (doc_id, array of eight 8-bit block values) —

@@ -423,6 +423,20 @@ object ExtQueries {
       Dedup.duplicatedSpans(Tables.documents(s, d),
         "doc_id", "text", n = 3)),
 
+    // span EXCISION: apply x75's localization — cut every non-owner
+    // occurrence of a cross-doc duplicated run out of the text, keeping
+    // each shared phrase in exactly one doc (min doc_id owner)
+    "x78_span_excision" -> ((s, d) =>
+      Dedup.exciseDuplicatedSpans(Tables.documents(s, d),
+        "doc_id", "text", n = 3)),
+
+    // intra-doc repeat excision: keep each 3-gram's first occurrence
+    // within a doc, cut the later ones (the self-repetition lens x75's
+    // cross-doc df rule deliberately ignores)
+    "x80_self_repeat_excision" -> ((s, d) =>
+      Dedup.exciseSelfRepeats(Tables.documents(s, d),
+        "doc_id", "text", n = 3)),
+
     "x37_dup_ngram_frac" -> ((s, d) =>
       Dedup.duplicatedNgramFraction(Tables.documents(s, d),
         "doc_id", "text", n = 3)),
@@ -440,6 +454,13 @@ object ExtQueries {
       graft.ext.CorpusStats.globalRank(
         Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
         Seq(col("n_chars").desc, col("doc_id").asc))),
+
+    // deterministic training-shard writer assignment: LCG-hash shard +
+    // stable pseudo-random within-shard position (global shuffle
+    // without a corpus-wide random sort; engine-portable integer hash)
+    "x79_shard_assign" -> ((s, d) =>
+      graft.ext.CorpusStats.shardAssignments(
+        Tables.documents(s, d), "doc_id", nShards = 8)),
 
     // compress-then-rerank ANN: JL sign-random-projection candidates
     // (16-dim), exact full-dim cosine rerank of the top-30 per query
@@ -1480,6 +1501,78 @@ object ExtQueries {
         |       CAST(count(*) AS BIGINT) AS n_ngrams,
         |       CAST(min(n_docs) AS BIGINT) AS n_docs_sharing
         |FROM r GROUP BY doc_id, grp""".stripMargin,
+    // excision replay: owner = min doc_id per shared hash; covered
+    // positions = excisable starts fanned out over the n-gram width;
+    // kept tokens anti-join the cover and re-join ordered by position
+    "x78_span_excision" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks) - 2)) AS i
+        |            FROM t)),
+        |g AS (SELECT h, count(*) AS n_docs, min(doc_id) AS owner
+        |      FROM (SELECT DISTINCT doc_id, h FROM p) GROUP BY 1
+        |      HAVING count(*) >= 2),
+        |e AS (SELECT p.doc_id, p.pos FROM p JOIN g USING (h)
+        |      WHERE p.doc_id <> g.owner),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS cp
+        |        FROM (SELECT doc_id, pos,
+        |                unnest(generate_series(0, 2)) AS j
+        |              FROM e)),
+        |tk AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks))) AS i
+        |             FROM t)),
+        |k AS (SELECT tk.doc_id, tk.pos, tk.tok
+        |      FROM tk LEFT JOIN cov
+        |        ON tk.doc_id = cov.doc_id AND tk.pos = cov.cp
+        |      WHERE cov.cp IS NULL),
+        |agg AS (SELECT doc_id,
+        |          string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+        |          count(*) AS n_kept
+        |        FROM k GROUP BY 1)
+        |SELECT t.doc_id, coalesce(agg.text_clean, '') AS text_clean,
+        |       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT)
+        |         AS n_removed
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // intra-doc replay: repeat = any start after the per-(doc, hash)
+    // minimum; same cover/anti-join/rebuild tail as x78
+    "x80_self_repeat_excision" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks) - 2)) AS i
+        |            FROM t)),
+        |r AS (SELECT doc_id, pos FROM (
+        |        SELECT doc_id, pos,
+        |               min(pos) OVER (PARTITION BY doc_id, h) AS f
+        |        FROM p) WHERE pos > f),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS cp
+        |        FROM (SELECT doc_id, pos,
+        |                unnest(generate_series(0, 2)) AS j
+        |              FROM r)),
+        |tk AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks))) AS i
+        |             FROM t)),
+        |k AS (SELECT tk.doc_id, tk.pos, tk.tok
+        |      FROM tk LEFT JOIN cov
+        |        ON tk.doc_id = cov.doc_id AND tk.pos = cov.cp
+        |      WHERE cov.cp IS NULL),
+        |agg AS (SELECT doc_id,
+        |          string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+        |          count(*) AS n_kept
+        |        FROM k GROUP BY 1)
+        |SELECT t.doc_id, coalesce(agg.text_clean, '') AS text_clean,
+        |       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT)
+        |         AS n_removed
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     "x37_dup_ngram_frac" ->
       s"""$shinglesCte,
@@ -1581,6 +1674,19 @@ object ExtQueries {
         |       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
         |            AS BIGINT) AS rank
         |FROM documents""".stripMargin,
+    // same two-round LCG mod 2^31-1; the oracle's window-per-shard is
+    // the semantic spec the globalRank + broadcast-offset plan equals
+    "x79_shard_assign" ->
+      """WITH h AS (SELECT doc_id,
+        |        (doc_id * 2654435761 + 1013904223) % 2147483647 AS h1
+        |      FROM documents),
+        |s AS (SELECT doc_id,
+        |        (h1 * 1597334677 + 12345) % 2147483647 AS hv
+        |      FROM h)
+        |SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY hv % 8
+        |              ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos_in_shard
+        |FROM s""".stripMargin,
     "x31_quality_model" ->
       """WITH w AS (SELECT g AS bucket,
         |    CAST(CAST('0x' || substr(md5(CAST(g AS VARCHAR) || 'graft-qm'), 1, 8)

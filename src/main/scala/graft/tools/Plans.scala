@@ -28,7 +28,9 @@ object Plans {
     "x57_curriculum_deciles" -> "single-row corpus count for the decile cut",
     "x59_budget_select" -> "#partitions-row triangular offset join (globalCumSum)",
     "x67_silent_keys" -> "single-row latest-window bound",
-    "x68_source_concentration" -> "single-row corpus token total")
+    "x68_source_concentration" -> "single-row corpus token total",
+    "st10_embedding_ingest_gate" -> "nlist-row centroid codebook (ivfGate probe)",
+    "x79_shard_assign" -> "#partitions-row triangular offset join (globalRank)")
 
   /** Sweep every declared query's physical plan for anti-pattern nodes.
     * Returns name → hits, where a hit is "CartesianProduct",

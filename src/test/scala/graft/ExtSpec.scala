@@ -503,6 +503,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("shardAssignments: deterministic, balanced-ish, dense 0..k-1 " +
+    "positions per shard, and no single-task Window in the plan") {
+    val df = spark.range(0, 1000).toDF("doc_id")
+    val got = graft.ext.CorpusStats.shardAssignments(df, "doc_id", 8)
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "shardAssignments must not plan a per-shard window")
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == 1000)
+    // pure function of the id: a re-run and a different partitioning
+    // agree exactly
+    val again = graft.ext.CorpusStats
+      .shardAssignments(df.repartition(7), "doc_id", 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSet == again.toSet)
+    // positions are dense 0..count-1 within every shard
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val pos = rs.map(_._3).sorted
+      assert(pos.sameElements(0L until rs.length.toLong),
+        s"shard $shard positions not dense: ${pos.take(5).mkString(",")}")
+    }
+    // LCG balance: no shard is pathologically loaded
+    val sizes = rows.groupBy(_._2).values.map(_.length)
+    assert(sizes.size == 8 && sizes.min > 60 && sizes.max < 190, sizes)
+    // within-shard order is the hash order, not id order (it shuffles)
+    val firstShard = rows.filter(_._2 == rows.head._2).sortBy(_._3).map(_._1)
+    assert(!firstShard.sameElements(firstShard.sorted), "order not shuffled")
+  }
+
   test("LSH pipeline finds the dup cluster and never fabricates pairs") {
     val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
       n = 1, k = 8, bandRows = 2, threshold = 0.8)
@@ -785,20 +814,26 @@ class DedupSpec extends SparkSpec {
       df.select("a", "b").as[(Long, Long)].collect().toSet
     val conf = graft.ext.Dedup.EditDupCrossoverConf
     try {
+      // The dispatched width is detected from the fingerprint column
+      // the plan carries ("blocks" = the 8-block 64-bit scheme, absent
+      // from the 16-bit path) — the kernel NAME is no longer visible
+      // in the analyzed plan because editVerify localCheckpoints the
+      // fingerprint table (the round-11 advice pin), which collapses
+      // the kernel call into a LogicalRDD.
+      def is64(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.analyzed.toString.contains("blocks#")
       // 100 docs < crossover 10^5 → 16-bit plan (no 64-bit kernel)
       spark.conf.unset(conf)
       val auto16 = graft.ext.Dedup.simhashEditPairsAuto(docs, "doc_id",
         "text", maxDist = 40)
-      assert(!auto16.queryExecution.analyzed.toString
-        .toLowerCase.contains("simhashsig64"))
+      assert(!is64(auto16))
       assert(pairs(auto16) == pairs(graft.ext.Dedup.simhashEditPairs(
         docs, "doc_id", "text", maxDist = 40)))
       // crossover forced below the corpus → 64-bit plan
       spark.conf.set(conf, "10")
       val auto64 = graft.ext.Dedup.simhashEditPairsAuto(docs, "doc_id",
         "text", maxDist = 40)
-      assert(auto64.queryExecution.analyzed.toString
-        .toLowerCase.contains("simhashsig64"))
+      assert(is64(auto64))
       assert(pairs(auto64) == pairs(graft.ext.Dedup.simhashEditPairs64(
         docs, "doc_id", "text", maxDist = 40)))
     } finally spark.conf.unset(conf)
@@ -1083,6 +1118,55 @@ class DedupSpec extends SparkSpec {
       .first().getDouble(0)
     assert(worst == 0.0,
       s"excised corpus still has duplicated n-grams (max frac $worst)")
+  }
+
+  test("exciseDuplicatedSpans keep-owner mode cuts non-owner occurrences " +
+    "and leaves the min-doc_id owner's text intact") {
+    val boiler = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      1L -> s"u1 u2 u3 $boiler u4 u5",
+      2L -> s"v1 $boiler v2 v3 v4 v5",
+      3L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      4L -> "r1 r2 r3 r1 r2 r3 r1 r2 r3 zz").toDF("doc_id", "text")
+    val got = Dedup.exciseDuplicatedSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((s"u1 u2 u3 $boiler u4 u5", 10L, 0L)), got(1L))
+    assert(got(2L) == (("v1 v2 v3 v4 v5", 10L, 5L)), got(2L))
+    assert(got(3L) == (("w1 w2 w3 w4 w5 w6 w7 w8", 8L, 0L)), got(3L))
+    // self-repetition is not cross-doc: untouched
+    assert(got(4L)._3 == 0L, got(4L))
+  }
+
+  test("exciseDuplicatedSpans scrub-everywhere mode drives cross-doc " +
+    "dup_frac to zero through the operator itself") {
+    val boiler = (1 to 6).map(i => s"bp$i").mkString(" ")
+    val raw = (1 to 10).map { i =>
+      val pre = (0 until 5 + (i * 3) % 7).map(j => s"d${i}p$j")
+      val post = (0 until 6).map(j => s"d${i}s$j")
+      val text =
+        if (i <= 7) (pre :+ boiler) ++ post
+        else pre ++ post
+      i.toLong -> text.mkString(" ")
+    }
+    val docs = raw.toDF("doc_id", "text")
+    val cleaned = Dedup.exciseDuplicatedSpans(docs, "doc_id", "text",
+      n = 3, keepFirstOwner = false)
+    assert(cleaned.count() == 10L)
+    val worst = Dedup
+      .duplicatedNgramFraction(
+        cleaned.select(col("doc_id"), col("text_clean").as("text")),
+        "doc_id", "text", n = 3)
+      .agg(org.apache.spark.sql.functions.max("dup_frac"))
+      .first().getDouble(0)
+    assert(worst == 0.0,
+      s"operator-excised corpus still has duplicated n-grams ($worst)")
+    // keep-owner mode never loses a phrase from the corpus: the planted
+    // boilerplate survives in exactly the owner (doc 1)
+    val kept = Dedup.exciseDuplicatedSpans(docs, "doc_id", "text", n = 3)
+      .filter(col("text_clean").contains(boiler))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), kept)
   }
 }
 
