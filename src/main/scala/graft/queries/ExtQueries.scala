@@ -186,6 +186,12 @@ object ExtQueries {
       graft.ext.TextAnalysis.vocabTokenStats(Tables.documents(s, d),
         "doc_id", "text", graft.ext.TextAnalysis.toyVocab)),
 
+    // BPE merge TRAINING (the learning half x76 applies): 8 rounds of
+    // highest-frequency pair merge over the word-count-collapsed
+    // corpus, deterministic tie-break — corpus is scanned exactly once
+    "x81_bpe_train" -> ((s, d) =>
+      graft.ext.Bpe.bpeTrain(Tables.documents(s, d), "text", merges = 8)),
+
     // document fingerprint (normalized md5)
     "x12_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -1247,6 +1253,42 @@ object ExtQueries {
        |WHERE rk = 1 AND score >= 0.9""".stripMargin
   }
 
+  /** x81 replay: 8 unrolled BPE rounds over the word-count table.
+    * Symbol streams use the engine's doubled-space string encoding, so
+    * each round is one `replace` (identical left-to-right non-overlap
+    * semantics in both engines — see [[graft.ext.Bpe]] scaladoc); the
+    * per-round argmax is ORDER BY (count desc, a, b) LIMIT 1. */
+  private val x81Sql: String = {
+    val rounds = 8
+    val sb = new StringBuilder
+    sb ++=
+      """WITH wc AS (SELECT tok AS word, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) GROUP BY 1),
+        |w0 AS (SELECT ' ' || array_to_string(
+        |         list_transform(generate_series(1, length(word)),
+        |           i -> word[i]), '  ') || ' ' AS s, cnt
+        |       FROM wc)""".stripMargin
+    for (r <- 0 until rounds) {
+      sb ++= s""",
+        |p$r AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS c FROM (
+        |  SELECT l, cnt, unnest(generate_series(1, len(l) - 1)) AS i
+        |  FROM (SELECT string_split(trim(s), '  ') AS l, cnt FROM w$r))
+        |  GROUP BY 1, 2),
+        |b$r AS (SELECT a, b, c FROM p$r
+        |        ORDER BY c DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+      if (r < rounds - 1) sb ++= s""",
+        |w${r + 1} AS (SELECT replace(w.s, ' ' || b.a || '  ' || b.b || ' ',
+        |           ' ' || b.a || b.b || ' ') AS s, w.cnt
+        |         FROM w$r w CROSS JOIN b$r b)""".stripMargin
+    }
+    sb ++= "\n" + (0 until rounds).map { r =>
+      s"SELECT CAST($r AS INT) AS round, a AS sym_a, b AS sym_b, " +
+        s"a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM b$r"
+    }.mkString("", "\nUNION ALL\n", "")
+    sb.result()
+  }
+
   /** Rounded cosine between two DuckDB list expressions — mirrors the
     * engine's 6-decimal HALF_UP scoring keys (shared by x22). */
   private def duckCos(a: String, b: String): String =
@@ -1821,6 +1863,7 @@ object ExtQueries {
     "x41_pq_ann" -> x41Sql,
     "x17_ann_ivf" -> x17Sql,
     "st10_embedding_ingest_gate" -> st10Sql,
+    "x81_bpe_train" -> x81Sql,
     "x1_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies

@@ -1860,6 +1860,71 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpeTrain learns the hand-computed merge sequence") {
+    // words: aaab ×3, ab ×1
+    // r0: (a,a)=6 beats (a,b)=4 → aa;  r1: (a,b)=4 beats (aa,a)=3 → ab;
+    // r2: only (aa,ab)=3 → aaab
+    val docs = Seq("aaab aaab aaab ab").toDF("text")
+    val got = graft.ext.Bpe.bpeTrain(docs, "text", merges = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0, "a", "a", "aa", 6L),
+      (1, "a", "b", "ab", 4L),
+      (2, "aa", "ab", "aaab", 3L)), got.toSeq)
+  }
+
+  /** Straightforward list-based reference BPE (count adjacent pairs
+    * with overlaps; greedy left-to-right merge) — the semantics the
+    * doubled-space replace encoding must reproduce. */
+  private def refTrain(words: Seq[(String, Long)],
+                       k: Int): Seq[(Int, String, String, String, Long)] = {
+    var ws = words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 0 until k) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      for ((syms, c) <- ws; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += c
+      val ((a, b), c) = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      out += ((r, a, b, a + b, c))
+      ws = ws.map { case (syms, cnt) =>
+        val buf = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            buf += (a + b); i += 2
+          } else { buf += syms(i); i += 1 }
+        }
+        (buf.result(), cnt)
+      }
+    }
+    out.result()
+  }
+
+  test("bpeTrain matches a list-based reference on seeded random corpora " +
+    "(the replace encoding IS greedy left-to-right merging)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val words = (1 to 40).map { _ =>
+        (1 to (1 + rnd.nextInt(6))).map(_ => "abc" (rnd.nextInt(3))).mkString
+      }.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val want = refTrain(words, k = 6)
+      val got = graft.ext.Bpe
+        .bpeTrainOnWords(words.toDF("word", "cnt"), merges = 6)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
