@@ -99,4 +99,39 @@ object Bpe {
     learned.result()
       .toDF("round", "sym_a", "sym_b", "merged", "pair_count")
   }
+
+  /** Apply a learned merge sequence and count the resulting subword
+    * tokens per document — the trained-tokenizer token meter (x76's
+    * vocab meter with merges learned from THIS corpus instead of a
+    * frozen vocab; every token-denominated knob — mixture weights,
+    * budget select, pack budgets — can now run on learned-BPE counts).
+    *
+    * Scale shape: the merge chain (a `merges`-step nested literal
+    * replace, fully codegen'd) runs over the DISTINCT-word table —
+    * vocabulary-sized — never over the corpus; per-doc counts come from
+    * one exploded (doc_id, word) pass joined to that broadcast
+    * word→n_syms dimension.  Merges are collected driver-side first
+    * (`merges` rows, the watermark-read class).
+    *
+    * Output: (doc_id, n_words, bpe_tokens). */
+  def bpeEncodeCounts(docs: DataFrame, idCol: String, textCol: String,
+                      merges: Int): DataFrame = {
+    val learned = bpeTrain(docs, textCol, merges)
+      .orderBy(col("round")).select(col("sym_a"), col("sym_b")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("word"))
+    val start = concat(lit(" "),
+      array_join(split(col("word"), ""), "  "), lit(" "))
+    val encoded = learned.foldLeft(start) { case (e, (a, b)) =>
+      call_function("replace", e, lit(s" $a  $b "), lit(s" ${a + b} "))
+    }
+    val wordSyms = words.select(col("word")).distinct()
+      .select(col("word"),
+        size(split(trim(encoded), "  ")).cast("long").as("__n_syms"))
+    words.join(broadcast(wordSyms), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__n_syms")).as("bpe_tokens"))
+  }
 }

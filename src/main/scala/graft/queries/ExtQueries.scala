@@ -192,6 +192,12 @@ object ExtQueries {
     "x81_bpe_train" -> ((s, d) =>
       graft.ext.Bpe.bpeTrain(Tables.documents(s, d), "text", merges = 8)),
 
+    // learned-BPE token meter: apply x81's merges (distinct-word encode
+    // via the codegen'd replace chain, broadcast word→count dim)
+    "x82_bpe_encode" -> ((s, d) =>
+      graft.ext.Bpe.bpeEncodeCounts(Tables.documents(s, d),
+        "doc_id", "text", merges = 8)),
+
     // document fingerprint (normalized md5)
     "x12_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -1253,13 +1259,15 @@ object ExtQueries {
        |WHERE rk = 1 AND score >= 0.9""".stripMargin
   }
 
-  /** x81 replay: 8 unrolled BPE rounds over the word-count table.
+  /** Shared x81/x82 CTE chain: word counts, char streams, and 8
+    * unrolled BPE rounds, each ending in its argmax pair `b{r}`.
     * Symbol streams use the engine's doubled-space string encoding, so
     * each round is one `replace` (identical left-to-right non-overlap
     * semantics in both engines — see [[graft.ext.Bpe]] scaladoc); the
     * per-round argmax is ORDER BY (count desc, a, b) LIMIT 1. */
-  private val x81Sql: String = {
-    val rounds = 8
+  private val bpeRounds = 8
+  private val bpeCtes: String = {
+    val rounds = bpeRounds
     val sb = new StringBuilder
     sb ++=
       """WITH wc AS (SELECT tok AS word, count(*) AS cnt
@@ -1282,11 +1290,35 @@ object ExtQueries {
         |           ' ' || b.a || b.b || ' ') AS s, w.cnt
         |         FROM w$r w CROSS JOIN b$r b)""".stripMargin
     }
-    sb ++= "\n" + (0 until rounds).map { r =>
+    sb.result()
+  }
+
+  private val x81Sql: String =
+    bpeCtes + "\n" + (0 until bpeRounds).map { r =>
       s"SELECT CAST($r AS INT) AS round, a AS sym_a, b AS sym_b, " +
         s"a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM b$r"
     }.mkString("", "\nUNION ALL\n", "")
-    sb.result()
+
+  /** x82 replay: encode every DISTINCT word through the learned merge
+    * chain (nested replace in round order over the b0..b7 singletons),
+    * then sum encoded-symbol counts per document. */
+  private val x82Sql: String = {
+    val start = "' ' || array_to_string(list_transform(" +
+      "generate_series(1, length(word)), i -> word[i]), '  ') || ' '"
+    val encoded = (0 until bpeRounds).foldLeft(start) { (e, r) =>
+      s"replace($e, ' ' || m$r.a || '  ' || m$r.b || ' ',\n" +
+        s"        ' ' || m$r.a || m$r.b || ' ')"
+    }
+    val joins = (0 until bpeRounds)
+      .map(r => s"CROSS JOIN b$r m$r").mkString(" ")
+    s"""$bpeCtes,
+       |enc AS (SELECT word, $encoded AS es FROM wc $joins),
+       |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |       FROM documents)
+       |SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(len(string_split(trim(e.es), '  '))) AS BIGINT)
+       |         AS bpe_tokens
+       |FROM tk JOIN enc e USING (word) GROUP BY 1""".stripMargin
   }
 
   /** Rounded cosine between two DuckDB list expressions — mirrors the
@@ -1864,6 +1896,7 @@ object ExtQueries {
     "x17_ann_ivf" -> x17Sql,
     "st10_embedding_ingest_gate" -> st10Sql,
     "x81_bpe_train" -> x81Sql,
+    "x82_bpe_encode" -> x82Sql,
     "x1_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies

@@ -1907,6 +1907,16 @@ class BpeSpec extends SparkSpec {
     out.result()
   }
 
+  test("bpeEncodeCounts meters documents with the learned merges") {
+    // merges learned: aa, ab, aaab (see the hand-computed test) →
+    // 'aaab' encodes to 1 symbol, 'ab' to 1 symbol
+    val docs = Seq((1L, "aaab aaab aaab ab")).toDF("doc_id", "text")
+    val got = graft.ext.Bpe
+      .bpeEncodeCounts(docs, "doc_id", "text", merges = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 4L, 4L)), got.toSeq)
+  }
+
   test("bpeTrain matches a list-based reference on seeded random corpora " +
     "(the replace encoding IS greedy left-to-right merging)") {
     val rnd = new scala.util.Random(7)
