@@ -109,4 +109,56 @@ object QualityModel {
   def lmScoreDocs(docs: DataFrame, idCol: String,
                   textCol: String): DataFrame =
     lmScoreWith(docs, idCol, textCol, bigramModel(docs, textCol))
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every raw document by how target-like its hashed-unigram profile
+    * is —  w(doc) = Σ_tok [log p̂_target(bucket(tok)) −
+    * log p̂_raw(bucket(tok))]  with add-1 smoothing over a `dim`-bucket
+    * hashed feature space.  Sampling ∝ exp(w) (or just taking the top
+    * slice by weight — [[CorpusStats.globalRank]] / budgetSelect
+    * compose directly) reweights the raw corpus toward the target
+    * domain; hashing makes the estimator a fixed-size table no matter
+    * the vocabulary.
+    *
+    * Scale shape (the [[scoreWith]] discipline): both distributions
+    * collapse to ≤ dim-row bucket-count tables (one pass each side,
+    * map-side partials); the log-ratio model is a dim-row broadcast
+    * dimension; scoring is explode → broadcast-hash-join → partial agg,
+    * so raw text crosses the network never and the corpus once as
+    * (id, sum, count) partials.  The token-total normalizers ride
+    * single-row broadcast cross joins (the x23 class).
+    *
+    * Output: (doc_id, n_tokens, weight) — weight rounded to 6 decimals,
+    * higher = more target-like. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, dim: Int = 1024): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2 (got $dim)")
+    val spark = raw.sparkSession
+    def bucketed(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % dim).as("bucket"))
+    val tCnt = bucketed(target).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__ct"))
+    val rCnt = bucketed(raw).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__cr"))
+    val tTot = tCnt.agg(sum(col("__ct")).as("__nt"))
+    val rTot = rCnt.agg(sum(col("__cr")).as("__nr"))
+    val model = spark.range(dim.toLong).select(col("id").as("bucket"))
+      .join(tCnt, Seq("bucket"), "left")
+      .join(rCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("bucket"),
+        (log((coalesce(col("__ct"), lit(0L)) + 1).cast("double")
+            / (col("__nt") + dim))
+          - log((coalesce(col("__cr"), lit(0L)) + 1).cast("double")
+            / (col("__nr") + dim))).as("__lr"))
+    bucketed(raw).join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__lr")), 6).as("weight"))
+  }
 }

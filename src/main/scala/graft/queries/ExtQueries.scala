@@ -198,6 +198,15 @@ object ExtQueries {
       graft.ext.Bpe.bpeEncodeCounts(Tables.documents(s, d),
         "doc_id", "text", merges = 8)),
 
+    // DSIR importance weights: every doc scored by how target-like
+    // (target = the en slice) its hashed-unigram profile is — the
+    // importance-resampling data-selection signal
+    "x83_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ext.QualityModel.dsirWeights(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text")
+    }),
+
     // document fingerprint (normalized md5)
     "x12_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -1897,6 +1906,32 @@ object ExtQueries {
     "st10_embedding_ingest_gate" -> st10Sql,
     "x81_bpe_train" -> x81Sql,
     "x82_bpe_encode" -> x82Sql,
+    // same md5-bucket algebra as x31; add-1 smoothing over 1024 buckets
+    "x83_dsir_weights" ->
+      """WITH tb AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT)
+        |         % 1024 AS bucket, count(*) AS ct
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE lang = 'en') GROUP BY 1),
+        |rb AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT)
+        |         % 1024 AS bucket, count(*) AS cr
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) GROUP BY 1),
+        |nt AS (SELECT sum(ct) AS nt FROM tb),
+        |nr AS (SELECT sum(cr) AS nr FROM rb),
+        |m AS (SELECT g AS bucket,
+        |        ln((coalesce(tb.ct, 0) + 1) / (nt.nt + 1024))
+        |          - ln((coalesce(rb.cr, 0) + 1) / (nr.nr + 1024)) AS lr
+        |      FROM generate_series(0, 1023) t(g)
+        |      LEFT JOIN tb ON tb.bucket = g
+        |      LEFT JOIN rb ON rb.bucket = g
+        |      CROSS JOIN nt CROSS JOIN nr),
+        |dk AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT)
+        |         % 1024 AS bucket
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(sum(m.lr), 6) AS weight
+        |FROM dk JOIN m USING (bucket) GROUP BY 1""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies

@@ -1697,6 +1697,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(alt != a.map { case (k, (s, _)) => k -> s })
   }
 
+  test("DSIR weights rank target-vocabulary docs above off-target docs " +
+    "and ride a broadcast model join") {
+    import graft.ext.QualityModel
+    // target vocabulary {t1..t4}, off-target {z1..z4}; raw corpus mixes
+    val target = Seq((100L, "t1 t2 t3 t4 t1 t2")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "t1 t2 t3 t4"),    // pure target vocab
+      (2L, "t1 t2 z1 z2"),    // half
+      (3L, "z1 z2 z3 z4"))    // pure off-target
+      .toDF("doc_id", "text")
+    val scored = QualityModel.dsirWeights(raw, target, "doc_id", "text")
+    val w = scored.collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(2L) && w(2L) > w(3L), w)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastQueryStage"), plan)
+  }
+
   test("bigram LM scoring: hand-computed probabilities, unseen floor " +
     "for cross-corpus scoring") {
     import graft.ext.QualityModel
