@@ -132,22 +132,32 @@ object QualityModel {
     * Output: (doc_id, n_tokens, weight) — weight rounded to 6 decimals,
     * higher = more target-like. */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
-                  textCol: String, dim: Int = 1024): DataFrame = {
+                  textCol: String, dim: Int = 1024): DataFrame =
+    dsirScoreWith(dsirModel(raw, target, textCol, dim), raw,
+      idCol, textCol, dim)
+
+  /** md5-hashed token bucket in [0, dim). */
+  private def dsirBucket(tok: org.apache.spark.sql.Column, dim: Int) =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % dim
+
+  /** The trained half of [[dsirWeights]]: the dim-row (bucket, __lr)
+    * log-ratio table.  Train once, persist/broadcast like any model
+    * dimension; the streaming ingest gate scores micro-batches against
+    * it without ever re-reading the reference corpora (the st5 gate
+    * pattern — pin with localCheckpoint or save as a table). */
+  def dsirModel(raw: DataFrame, target: DataFrame, textCol: String,
+                dim: Int = 1024): DataFrame = {
     require(dim >= 2, s"dim must be >= 2 (got $dim)")
     val spark = raw.sparkSession
-    def bucketed(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"),
-        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
-          % dim).as("bucket"))
-    val tCnt = bucketed(target).groupBy(col("bucket"))
-      .agg(count(lit(1)).as("__ct"))
-    val rCnt = bucketed(raw).groupBy(col("bucket"))
-      .agg(count(lit(1)).as("__cr"))
+    def counts(df: DataFrame, name: String): DataFrame = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(dsirBucket(col("tok"), dim).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(name))
+    val tCnt = counts(target, "__ct")
+    val rCnt = counts(raw, "__cr")
     val tTot = tCnt.agg(sum(col("__ct")).as("__nt"))
     val rTot = rCnt.agg(sum(col("__cr")).as("__nr"))
-    val model = spark.range(dim.toLong).select(col("id").as("bucket"))
+    spark.range(dim.toLong).select(col("id").as("bucket"))
       .join(tCnt, Seq("bucket"), "left")
       .join(rCnt, Seq("bucket"), "left")
       .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
@@ -156,9 +166,18 @@ object QualityModel {
             / (col("__nt") + dim))
           - log((coalesce(col("__cr"), lit(0L)) + 1).cast("double")
             / (col("__nr") + dim))).as("__lr"))
-    bucketed(raw).join(broadcast(model), Seq("bucket"))
+  }
+
+  /** Score a document batch against a trained [[dsirModel]] —
+    * explode → broadcast-model join → partial agg (the [[scoreWith]]
+    * shape; text never shuffles). */
+  def dsirScoreWith(model: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, dim: Int = 1024): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), dsirBucket(col("tok"), dim).as("bucket"))
+      .join(broadcast(model), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("__lr")), 6).as("weight"))
-  }
 }

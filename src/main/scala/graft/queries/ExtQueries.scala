@@ -207,6 +207,26 @@ object ExtQueries {
         docs.filter(col("lang") === "en"), "doc_id", "text")
     }),
 
+    // streaming domain-selection gate: DSIR model trained ONCE and
+    // pinned, incoming micro-batches scored against the broadcast
+    // model (three simulated batches — StreamingSpec drives the same
+    // gate under real foreachBatch); keep = target-like (weight above
+    // the tuning threshold)
+    "st11_dsir_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.ext.QualityModel
+        .dsirModel(docs, docs.filter(col("lang") === "en"), "text")
+        .localCheckpoint()
+      (0 until 3).map { b =>
+        graft.ext.QualityModel.dsirScoreWith(model,
+            docs.filter(pmod(col("doc_id"), lit(3)) === b),
+            "doc_id", "text")
+          .withColumn("batch_id", lit(b))
+      }.reduce(_ unionByName _)
+        .filter(col("weight") > -2.0)
+        .select(col("batch_id"), col("doc_id"), col("weight"))
+    }),
+
     // document fingerprint (normalized md5)
     "x12_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -1330,6 +1350,32 @@ object ExtQueries {
        |FROM tk JOIN enc e USING (word) GROUP BY 1""".stripMargin
   }
 
+  /** Shared x83/st11 DSIR replay: hashed-bucket counts for target (the
+    * en slice) and raw (all docs), add-1-smoothed log-ratio model `m`,
+    * and the per-(doc, token) bucket stream `dk`. */
+  private val dsirCtes: String =
+    """WITH tb AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT)
+      |         % 1024 AS bucket, count(*) AS ct
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |        FROM documents WHERE lang = 'en') GROUP BY 1),
+      |rb AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT)
+      |         % 1024 AS bucket, count(*) AS cr
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |        FROM documents) GROUP BY 1),
+      |nt AS (SELECT sum(ct) AS nt FROM tb),
+      |nr AS (SELECT sum(cr) AS nr FROM rb),
+      |m AS (SELECT g AS bucket,
+      |        ln((coalesce(tb.ct, 0) + 1) / (nt.nt + 1024))
+      |          - ln((coalesce(rb.cr, 0) + 1) / (nr.nr + 1024)) AS lr
+      |      FROM generate_series(0, 1023) t(g)
+      |      LEFT JOIN tb ON tb.bucket = g
+      |      LEFT JOIN rb ON rb.bucket = g
+      |      CROSS JOIN nt CROSS JOIN nr),
+      |dk AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT)
+      |         % 1024 AS bucket
+      |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents))""".stripMargin
+
   /** Rounded cosine between two DuckDB list expressions — mirrors the
     * engine's 6-decimal HALF_UP scoring keys (shared by x22). */
   private def duckCos(a: String, b: String): String =
@@ -1908,30 +1954,21 @@ object ExtQueries {
     "x82_bpe_encode" -> x82Sql,
     // same md5-bucket algebra as x31; add-1 smoothing over 1024 buckets
     "x83_dsir_weights" ->
-      """WITH tb AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT)
-        |         % 1024 AS bucket, count(*) AS ct
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
-        |        FROM documents WHERE lang = 'en') GROUP BY 1),
-        |rb AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT)
-        |         % 1024 AS bucket, count(*) AS cr
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
-        |        FROM documents) GROUP BY 1),
-        |nt AS (SELECT sum(ct) AS nt FROM tb),
-        |nr AS (SELECT sum(cr) AS nr FROM rb),
-        |m AS (SELECT g AS bucket,
-        |        ln((coalesce(tb.ct, 0) + 1) / (nt.nt + 1024))
-        |          - ln((coalesce(rb.cr, 0) + 1) / (nr.nr + 1024)) AS lr
-        |      FROM generate_series(0, 1023) t(g)
-        |      LEFT JOIN tb ON tb.bucket = g
-        |      LEFT JOIN rb ON rb.bucket = g
-        |      CROSS JOIN nt CROSS JOIN nr),
-        |dk AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT)
-        |         % 1024 AS bucket
-        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |             FROM documents))
+      s"""$dsirCtes
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |       round(sum(m.lr), 6) AS weight
         |FROM dk JOIN m USING (bucket) GROUP BY 1""".stripMargin,
+    // the three-batch gate replay partitions the same per-doc scores by
+    // doc_id % 3 and keeps the target-like slice (threshold -2.0: the
+    // synthetic corpus shares one vocabulary across langs, so weights
+    // sit near -2.5 with the en slice highest — the cut keeps the
+    // deterministic top slice rather than an empty gate)
+    "st11_dsir_gate" ->
+      s"""$dsirCtes
+        |SELECT CAST(doc_id % 3 AS INT) AS batch_id, doc_id,
+        |       round(sum(m.lr), 6) AS weight
+        |FROM dk JOIN m USING (bucket) GROUP BY doc_id
+        |HAVING round(sum(m.lr), 6) > -2.0""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies

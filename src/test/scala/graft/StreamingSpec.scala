@@ -279,6 +279,43 @@ class StreamingSpec extends SparkSpec {
       "per-micro-batch Bloom gating must equal the all-at-once answer")
   }
 
+  test("streaming DSIR gate equals the batch answer " +
+    "(model trained once, micro-batches scored against the pinned table)") {
+    import graft.ext.QualityModel
+    val docs = Tables.documents(spark, sf0001)
+    // threshold -2.0: the synthetic corpus shares one vocabulary, so
+    // weights sit near -2.5 — the cut keeps a nonempty top slice
+    val batchAnswer = QualityModel
+      .dsirWeights(docs, docs.filter($"lang" === "en"), "doc_id", "text")
+      .filter($"weight" > -2.0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchAnswer.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_").toString
+    docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+      .write.mode("append").parquet(dir)
+    docs.filter($"doc_id" % 2 =!= 0).select($"doc_id", $"text")
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    // the model trains ONCE from the reference corpora and is pinned
+    val model = QualityModel
+      .dsirModel(docs, docs.filter($"lang" === "en"), "text")
+      .localCheckpoint()
+    val kept = scala.collection.mutable.Set[Long]()
+    val q2 = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        kept ++= QualityModel.dsirScoreWith(model, df, "doc_id", "text")
+          .filter($"weight" > -2.0).select($"doc_id").as[Long].collect()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(kept.toSet == batchAnswer,
+      "per-micro-batch DSIR gating must equal the all-at-once answer")
+  }
+
   test("streaming session windows equal the batch answer " +
     "(watermarked session_window over a file stream)") {
     // append mode emits only watermark-CLOSED sessions, so a far-future
