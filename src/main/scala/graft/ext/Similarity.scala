@@ -864,6 +864,80 @@ object Similarity {
     spark.sql(s"ALTER TABLE ${SqlIdent.quote(codebookTable)} SET TBLPROPERTIES ($props)")
   }
 
+  /** Grow a [[PqIndex]] with a batch of accepted vectors — the
+    * [[extendIvfIndex]] discipline for the coded family (closes the
+    * last build-once index): encode the batch against the EXISTING
+    * codebook (broadcast m·k rows, skinny argmin rows, O(batch) work —
+    * never O(index)), pin only the new leg, union lazily over the
+    * already-materialized codes.  The codebook does not drift, so a
+    * probe against the extended index equals a probe against a fresh
+    * [[pqIndex]] of the union corpus whenever the fresh build would
+    * select the same codewords (SimilaritySpec pins it).  Compact
+    * periodically via [[savePqIndex]]/[[loadPqIndex]]. */
+  def extendPqIndex(index: PqIndex, accepted: DataFrame): PqIndex = {
+    val sub = index.dim / index.m
+    val leg = subRows(
+      accepted.select(col("vec_id").as("c_id"), col("embedding")),
+      "c_id", "embedding", index.dim, index.m)
+      .join(broadcast(index.codebook), "s")
+      .select(col("c_id"), col("s"),
+        struct(round(l2sqExpanded(col("sv"), col("cbv"), sub), 6).as("d"),
+          col("j").as("j")).as("dj"))
+      .groupBy(col("c_id"), col("s"))
+      .agg(min(col("dj")).getField("j").as("code"))
+      .localCheckpoint()
+    PqIndex(index.codes.unionByName(leg), index.codebook,
+      index.dim, index.m, index.k)
+  }
+
+  /** Scalar (per-dimension min-max) int8 quantization AUDIT — the
+    * storage-planning companion to the PQ family: before committing a
+    * 100 TB embedding store to 4×-smaller int8 (the standard
+    * vector-store compression step), measure what the corpus would
+    * actually lose.  Quantizes every element to `levels` uniform steps
+    * on its dimension's [min, max] span and reports per-vector
+    * reconstruction error.
+    *
+    * Scale shape: the span table is ONE skinny (pos, x) pass — 12-byte
+    * rows with map-side partial min/max, so the shuffle is
+    * #partitions × dim rows — packed into a single broadcast row of
+    * two dim-length arrays; the per-vector audit is then a map-side
+    * higher-order fold (quantize → dequantize → error), no second
+    * corpus shuffle.  All arithmetic is engine-portable: round()
+    * half-up on non-negative scaled values, sequential fold for the
+    * error sum (the x69 list_sum parity).
+    *
+    * Output: (vec_id, mse, max_abs_err) rounded to 6 decimals. */
+  def quantizationStats(emb: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding", dim: Int = 64,
+                        levels: Int = 256): DataFrame = {
+    require(levels >= 2, s"levels must be >= 2 (got $levels)")
+    val steps = lit((levels - 1).toDouble)
+    val dims = emb
+      .select(posexplode(toDouble(col(vecCol))).as(Seq("__p", "__x")))
+      .groupBy(col("__p"))
+      .agg(min(col("__x")).as("__mn"), max(col("__x")).as("__mx"))
+    val packed = dims
+      .agg(array_sort(collect_list(
+        struct(col("__p"), col("__mn"), col("__mx")))).as("__d"))
+      .select(transform(col("__d"), s => s("__mn")).as("__mns"),
+        transform(col("__d"), s => s("__mx")).as("__mxs"))
+    val errs = transform(sequence(lit(1), lit(dim)), i => {
+      val x = element_at(toDouble(col(vecCol)), i)
+      val mn = element_at(col("__mns"), i)
+      val mx = element_at(col("__mxs"), i)
+      val deq = when(mx === mn, mn).otherwise(
+        mn + round((x - mn) * steps / (mx - mn), 0) * (mx - mn) / steps)
+      x - deq
+    })
+    emb.crossJoin(broadcast(packed))
+      .select(col(idCol).as("vec_id"),
+        round(aggregate(errs, lit(0.0), (acc, e) => acc + e * e)
+          / dim, 6).as("mse"),
+        round(array_max(transform(errs, e => abs(e))), 6)
+          .as("max_abs_err"))
+  }
+
   /** Reopen a persisted [[PqIndex]], restoring (dim, m, k) from table
     * properties and refusing mismatched tables. */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,

@@ -164,6 +164,11 @@ object ExtQueries {
       Similarity.cosineNearDupPairsBucketed(Tables.embeddings(s, d),
         threshold = 0.4, dim = 64, planes = 4)),
 
+    // int8 scalar-quantization audit: per-dim min-max spans (one skinny
+    // pass, broadcast row), per-vector reconstruction error map-side
+    "x85_quantization_audit" -> ((s, d) =>
+      Similarity.quantizationStats(Tables.embeddings(s, d))),
+
     // language-ID heuristic (explode + codegen conditional sums)
     "x9_langid" -> ((s, d) =>
       TextAnalysis.langIdByDoc(Tables.documents(s, d), "doc_id", "text")),
@@ -1952,6 +1957,27 @@ object ExtQueries {
     "st10_embedding_ingest_gate" -> st10Sql,
     "x81_bpe_train" -> x81Sql,
     "x82_bpe_encode" -> x82Sql,
+    // sequential-fold list_sum parity (the x69 idiom); round() on
+    // non-negative scaled values is half-up in both engines
+    "x85_quantization_audit" ->
+      """WITH d AS (SELECT i AS pos, min(embedding[i]::DOUBLE) AS mn,
+        |                  max(embedding[i]::DOUBLE) AS mx
+        |  FROM (SELECT embedding, unnest(generate_series(1, 64)) AS i
+        |        FROM embeddings) GROUP BY 1),
+        |a AS (SELECT list(mn ORDER BY pos) AS mns,
+        |             list(mx ORDER BY pos) AS mxs FROM d),
+        |e AS (SELECT vec_id,
+        |  list_transform(generate_series(1, 64), i ->
+        |    embedding[i]::DOUBLE - (CASE WHEN mxs[i] = mns[i] THEN mns[i]
+        |      ELSE mns[i] + round((embedding[i]::DOUBLE - mns[i]) * 255
+        |             / (mxs[i] - mns[i])) * (mxs[i] - mns[i]) / 255
+        |      END)) AS errs
+        |  FROM embeddings CROSS JOIN a)
+        |SELECT vec_id,
+        |  round(list_sum(list_transform(errs, x -> x * x)) / 64, 6) AS mse,
+        |  round(list_max(list_transform(errs, x -> abs(x))), 6)
+        |    AS max_abs_err
+        |FROM e""".stripMargin,
     // same md5-bucket algebra as x31; add-1 smoothing over 1024 buckets
     "x83_dsir_weights" ->
       s"""$dsirCtes

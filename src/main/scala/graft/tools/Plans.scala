@@ -31,7 +31,8 @@ object Plans {
     "x68_source_concentration" -> "single-row corpus token total",
     "st10_embedding_ingest_gate" -> "nlist-row centroid codebook (ivfGate probe)",
     "x79_shard_assign" -> "#partitions-row triangular offset join (globalRank)",
-    "x83_dsir_weights" -> "single-row token-total normalizers")
+    "x83_dsir_weights" -> "single-row token-total normalizers",
+    "x85_quantization_audit" -> "single-row packed min/max span arrays")
 
   /** Sweep every declared query's physical plan for anti-pattern nodes.
     * Returns name → hits, where a hit is "CartesianProduct",

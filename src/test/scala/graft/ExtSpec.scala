@@ -1546,6 +1546,54 @@ class SimilaritySpec extends SparkSpec {
     assert(gate(loaded, b2) == Seq((200L, 100L, 1.0)))
     dropTableFully("ivf_asg_t"); dropTableFully("ivf_cent_t")
   }
+
+  test("quantizationStats: hand-computed spans, half-up grid snapping, " +
+    "exact zero error on representable values") {
+    import graft.ext.Similarity
+    // dims span [0,2] and [0,4]; levels=3 → grid {0,1,2} and {0,2,4}
+    val emb = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 2f)), (2L, Array(2f, 4f)),
+      (3L, Array(0.5f, 3f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizationStats(emb, dim = 2, levels = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(0L) == ((0.0, 0.0)) && got(1L) == ((0.0, 0.0)) &&
+      got(2L) == ((0.0, 0.0)), got)
+    // 0.5 scales to grid 0.5 → rounds UP to 1 → err −0.5; 3 scales to
+    // 1.5 → rounds UP to 2 → deq 4, err −1
+    assert(got(3L) == ((0.625, 1.0)), got(3L))
+  }
+
+  test("PQ index extension: batch encoded against the frozen codebook, " +
+    "extended probe equals a fresh rebuild, save/load keeps the leg") {
+    import graft.ext.Similarity
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 131.0 + i * 17.0) * 10).toFloat)
+    val corpus = (0L until 20L).map(id => (id, vec(id.toInt)))
+      .toDF("vec_id", "embedding")
+    val batch = (100L until 104L).map(id => (id, vec(id.toInt)))
+      .toDF("vec_id", "embedding")
+    val ix0 = Similarity.pqIndex(corpus, dim = 64, m = 8, k = 16)
+    val ix1 = Similarity.extendPqIndex(ix0, batch)
+    // codebook = the 16 lowest-id vectors' subvectors; union corpus
+    // selects the same ids 0..15, so extension ≡ fresh rebuild
+    val fresh = Similarity.pqIndex(corpus.unionByName(batch),
+      dim = 64, m = 8, k = 16)
+    val queries = (0 until 4).map(j => (300L + j, vec(700 + j)))
+      .toDF("vec_id", "embedding")
+    def probe(ix: Similarity.PqIndex) =
+      Similarity.pqTopKIndexed(ix, queries, topK = 5)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(probe(ix1) == probe(fresh),
+      "extended PQ index must answer like a fresh build of the union")
+    // the new leg survives bucketed persistence
+    dropTableFully("pq_codes_t"); dropTableFully("pq_cb_t")
+    Similarity.savePqIndex(ix1, "pq_codes_t", "pq_cb_t")
+    val loaded = Similarity.loadPqIndex(spark, "pq_codes_t", "pq_cb_t")
+    assert(probe(loaded) == probe(fresh))
+    dropTableFully("pq_codes_t"); dropTableFully("pq_cb_t")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
