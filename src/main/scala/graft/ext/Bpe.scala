@@ -37,9 +37,12 @@ import org.apache.spark.sql.functions._
   * every word is its own stream; add one by appending a sentinel to
   * `word` before calling if Sennrich-exact vocab is needed.
   *
-  * Ties break (count desc, sym_a asc, sym_b asc).  Runs EXACTLY
-  * `merges` rounds (no early stop) so a fixed-round oracle replays it;
-  * degenerate corpora where some round has no pairs at all fail fast.
+  * Ties break (count desc, sym_a asc, sym_b asc).  Runs `merges`
+  * rounds, stopping early when a round has no adjacent pairs left
+  * (single-symbol streams only, or an empty corpus) and returning the
+  * merges learned so far — the fixed-round unrolled oracle replays the
+  * stop exactly, because an empty round-r argmax empties every later
+  * round's CTE too.
   *
   * Output: (round, sym_a, sym_b, merged, pair_count) — `merges` rows,
   * round 0-based in learning order.
@@ -67,7 +70,8 @@ object Bpe {
         col("cnt"))
       .localCheckpoint()
     val learned = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (r <- 0 until merges) {
+    var exhausted = false
+    for (r <- 0 until merges if !exhausted) {
       // adjacent pairs from the doubled-space stream, weighted by cnt.
       // Single-symbol streams contribute none — and must be guarded
       // explicitly: Spark's sequence(1, 0) counts DOWN ([1, 0]), it is
@@ -84,16 +88,16 @@ object Bpe {
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
         .limit(1).collect() // ONE argmax row per round (see scaladoc)
-      require(best.nonEmpty,
-        s"bpeTrain: no adjacent pairs left at round $r (corpus too small " +
-          s"for $merges merges)")
-      val Row(a: String, b: String, c: Long) = best(0)
-      learned += ((r, a, b, a + b, c))
-      // literal (non-regex) replace — codegen'd StringReplace, same
-      // left-to-right non-overlapping semantics as the oracle's replace
-      cur = cur.withColumn("s", call_function("replace",
-          col("s"), lit(s" $a  $b "), lit(s" ${a + b} ")))
-        .localCheckpoint()
+      if (best.isEmpty) exhausted = true // no pairs left: stop learning
+      else {
+        val Row(a: String, b: String, c: Long) = best(0)
+        learned += ((r, a, b, a + b, c))
+        // literal (non-regex) replace — codegen'd StringReplace, same
+        // left-to-right non-overlap semantics as the oracle's replace
+        cur = cur.withColumn("s", call_function("replace",
+            col("s"), lit(s" $a  $b "), lit(s" ${a + b} ")))
+          .localCheckpoint()
+      }
     }
     import spark.implicits._
     learned.result()

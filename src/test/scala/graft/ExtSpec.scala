@@ -1974,6 +1974,16 @@ class BpeSpec extends SparkSpec {
     out.result()
   }
 
+  test("bpeTrain stops early when pairs run out; empty corpus learns " +
+    "nothing") {
+    val tiny = Seq("ab").toDF("text") // round 0 merges (a,b); then dry
+    val got = graft.ext.Bpe.bpeTrain(tiny, "text", merges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq((0, "ab", 1L)), got.toSeq)
+    val empty = Seq.empty[String].toDF("text")
+    assert(graft.ext.Bpe.bpeTrain(empty, "text", merges = 3).count() == 0)
+  }
+
   test("bpeEncodeCounts meters documents with the learned merges") {
     // merges learned: aa, ab, aaab (see the hand-computed test) →
     // 'aaab' encodes to 1 symbol, 'ab' to 1 symbol
