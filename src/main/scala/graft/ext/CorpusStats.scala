@@ -734,15 +734,20 @@ object CorpusStats {
     * #shards, so one giant shard never pins a single task, the failure
     * mode of `row_number() OVER (PARTITION BY shard)`); per-shard
     * positions subtract a broadcast #shards-row min-rank table. */
+  /** Two LCG rounds mod 2³¹−1 over an id column — the engine-portable
+    * integer mix behind [[shardAssignments]]/[[interleavedOrder]] (see
+    * the scaladoc there for the < 2³² id bound). */
+  private def lcgHash(id: Column): Column = {
+    val p = 2147483647L // 2^31 - 1
+    ((id * lit(2654435761L) + lit(1013904223L)) % lit(p)
+      * lit(1597334677L) + lit(12345L)) % lit(p)
+  }
+
   def shardAssignments(df: DataFrame, idCol: String,
                        nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
-    val p = 2147483647L // 2^31 - 1
     val hashed = df.select(col(idCol).as("doc_id"))
-      .withColumn("__h1",
-        (col("doc_id") * lit(2654435761L) + lit(1013904223L)) % lit(p))
-      .withColumn("__h",
-        (col("__h1") * lit(1597334677L) + lit(12345L)) % lit(p))
+      .withColumn("__h", lcgHash(col("doc_id")))
       .select(col("doc_id"), (col("__h") % lit(nShards.toLong))
         .cast("int").as("shard"), col("__h"))
     val ranked = globalRank(hashed,
@@ -752,5 +757,48 @@ object CorpusStats {
     ranked.join(broadcast(base), "shard")
       .select(col("doc_id"), col("shard"),
         (col("__gr") - col("__base")).as("pos_in_shard"))
+  }
+
+  /** Source-INTERLEAVED training order — [[shardAssignments]] plus the
+    * data-ORDER half a trainer wants: within every shard, one example
+    * from each source in turn (source-name order inside a round,
+    * pseudo-random order within each source's own stream), so
+    * consecutive examples almost never share a source and no source
+    * forms a correlated run — the "shuffle the mixture, not just the
+    * corpus" property that per-doc hashing alone does not give once
+    * sources have very different sizes.  When a source runs dry the
+    * remaining sources keep rotating.  Deterministic: a pure function
+    * of (id, source), identical across runs and engines.
+    *
+    * Scale shape: two [[globalRank]] passes (range repartition +
+    * broadcast offsets — never a per-shard or per-source window) and
+    * two tiny broadcast offset tables (#shards×#sources and #shards
+    * rows).  `round` = the rotation index (this doc is its source's
+    * round-th pick in this shard).
+    *
+    * Output: (doc_id, source, shard, round, pos_in_shard). */
+  def interleavedOrder(df: DataFrame, idCol: String, sourceCol: String,
+                       nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    val hashed = df.select(col(idCol).as("doc_id"),
+        col(sourceCol).as("source"))
+      .withColumn("__h", lcgHash(col("doc_id")))
+      .withColumn("shard", (col("__h") % lit(nShards.toLong)).cast("int"))
+    // round = rank within this source's stream in this shard
+    val r1 = globalRank(hashed, Seq(col("shard").asc, col("source").asc,
+      col("__h").asc, col("doc_id").asc), "__gr1")
+    val off1 = r1.groupBy(col("shard"), col("source"))
+      .agg(min(col("__gr1")).as("__b1"))
+    val rounds = r1.join(broadcast(off1), Seq("shard", "source"))
+      .withColumn("round", col("__gr1") - col("__b1"))
+      .select(col("doc_id"), col("source"), col("shard"),
+        col("round"), col("__h"))
+    // serving position = rotation order: (round, source) within shard
+    val r2 = globalRank(rounds, Seq(col("shard").asc, col("round").asc,
+      col("source").asc, col("doc_id").asc), "__gr2")
+    val off2 = r2.groupBy(col("shard")).agg(min(col("__gr2")).as("__b2"))
+    r2.join(broadcast(off2), "shard")
+      .select(col("doc_id"), col("source"), col("shard"), col("round"),
+        (col("__gr2") - col("__b2")).as("pos_in_shard"))
   }
 }

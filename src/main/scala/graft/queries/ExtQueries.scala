@@ -508,6 +508,13 @@ object ExtQueries {
       graft.ext.CorpusStats.shardAssignments(
         Tables.documents(s, d), "doc_id", nShards = 8)),
 
+    // source-interleaved serving order: within each shard, sources
+    // rotate round-robin (one pick per source per round) so no source
+    // forms a correlated run in the training stream
+    "x84_interleaved_order" -> ((s, d) =>
+      graft.ext.CorpusStats.interleavedOrder(
+        Tables.documents(s, d), "doc_id", "source", nShards = 8)),
+
     // compress-then-rerank ANN: JL sign-random-projection candidates
     // (16-dim), exact full-dim cosine rerank of the top-30 per query
     "x40_rp_ann" -> ((s, d) => {
@@ -1821,6 +1828,24 @@ object ExtQueries {
         |       CAST(row_number() OVER (PARTITION BY hv % 8
         |              ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos_in_shard
         |FROM s""".stripMargin,
+    // same hash; round = rank within (shard, source), serving order =
+    // (round, source) rotation within the shard
+    "x84_interleaved_order" ->
+      """WITH h AS (SELECT doc_id, source,
+        |        (doc_id * 2654435761 + 1013904223) % 2147483647 AS h1
+        |      FROM documents),
+        |s AS (SELECT doc_id, source,
+        |        (h1 * 1597334677 + 12345) % 2147483647 AS hv
+        |      FROM h),
+        |r AS (SELECT doc_id, source, CAST(hv % 8 AS INT) AS shard, hv,
+        |        row_number() OVER (PARTITION BY hv % 8, source
+        |          ORDER BY hv, doc_id) - 1 AS rnd
+        |      FROM s)
+        |SELECT doc_id, source, shard, CAST(rnd AS BIGINT) AS round,
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |              ORDER BY rnd, source, doc_id) - 1 AS BIGINT)
+        |         AS pos_in_shard
+        |FROM r""".stripMargin,
     "x31_quality_model" ->
       """WITH w AS (SELECT g AS bucket,
         |    CAST(CAST('0x' || substr(md5(CAST(g AS VARCHAR) || 'graft-qm'), 1, 8)

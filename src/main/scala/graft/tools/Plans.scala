@@ -32,7 +32,8 @@ object Plans {
     "st10_embedding_ingest_gate" -> "nlist-row centroid codebook (ivfGate probe)",
     "x79_shard_assign" -> "#partitions-row triangular offset join (globalRank)",
     "x83_dsir_weights" -> "single-row token-total normalizers",
-    "x85_quantization_audit" -> "single-row packed min/max span arrays")
+    "x85_quantization_audit" -> "single-row packed min/max span arrays",
+    "x84_interleaved_order" -> "#partitions-row triangular offset joins (globalRank x2)")
 
   /** Sweep every declared query's physical plan for anti-pattern nodes.
     * Returns name → hits, where a hit is "CartesianProduct",

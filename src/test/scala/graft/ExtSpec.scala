@@ -532,6 +532,36 @@ class DedupSpec extends SparkSpec {
     assert(!firstShard.sameElements(firstShard.sorted), "order not shuffled")
   }
 
+  test("interleavedOrder rotates sources round-robin within each shard " +
+    "and never plans a window") {
+    val df = spark.range(0, 600).toDF("doc_id")
+      .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(3))))
+    val got = graft.ext.CorpusStats
+      .interleavedOrder(df, "doc_id", "source", nShards = 4)
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"))
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length == 600)
+    rows.groupBy(_._3).foreach { case (shard, rs) =>
+      val ordered = rs.sortBy(_._5)
+      // dense serving positions
+      assert(ordered.map(_._5).sameElements(0L until rs.length.toLong))
+      // rounds are non-decreasing along the serving order, and within
+      // a round each source appears at most once, in source order
+      ordered.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 < b._4 || (a._4 == b._4 && a._2 < b._2),
+          s"shard $shard: rotation order broken at $a -> $b")
+      }
+      // while every source still has examples, consecutive picks
+      // never repeat a source (the interleaving property)
+      val minCount = ordered.groupBy(_._2).values.map(_.length).min
+      ordered.take(minCount * 3).sliding(2).foreach { case Array(a, b) =>
+        assert(a._2 != b._2, s"shard $shard: source run at $a -> $b")
+      }
+    }
+  }
+
   test("LSH pipeline finds the dup cluster and never fabricates pairs") {
     val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
       n = 1, k = 8, bandRows = 2, threshold = 0.8)
