@@ -337,7 +337,14 @@ object Similarity {
     * (cross-job persistence: [[saveIvfIndex]]). */
   def ivfIndex(corpus: DataFrame, dim: Int = 64,
                nlist: Int = 16): IvfIndex = {
-    val c = withNorm(corpus, "c_id", "c")
+    // pin (vector, norm) BEFORE assignCells' crossJoin: the HOF norm
+    // is CodegenFallback, and unpinned it collapses into the scoring
+    // projection — re-evaluated per (vector, cell) candidate row,
+    // nlist interpreted 64-element folds per corpus vector instead of
+    // one.  Neutral at sf0.1 (the build is job-overhead-bound there)
+    // but corpus×(nlist−1) avoided folds at scale; also matches
+    // ivfIndexRefined's existing pin.
+    val c = withNorm(corpus, "c_id", "c").localCheckpoint()
     // lowest-id selection is a distributed TakeOrdered (top-k), NOT a
     // global-sort window — stays scale-safe
     val cent = withNorm(corpus, "cell", "cv")
@@ -488,7 +495,12 @@ object Similarity {
     val dim = index.dim
     val cent = index.cent
     val assigned = index.assigned
-    val q = withNorm(queries, "q_id", "q")
+    // pin the query batch's (vector, norm): unpinned, the interpreted
+    // HOF norm + toDouble collapse into the per-candidate score
+    // projection and re-evaluate per (query, corpus-in-cell) row —
+    // #candidates interpreted 64-element folds instead of #queries.
+    // The batch side is queries-sized, so the pin is one tiny job.
+    val q = withNorm(queries, "q_id", "q").localCheckpoint()
     // query probes: nprobe nearest cells per query — same skinny
     // shape (a window, because nprobe > 1, but over 3-column rows;
     // query vectors join back after)
