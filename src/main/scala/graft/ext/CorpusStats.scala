@@ -192,6 +192,31 @@ object CorpusStats {
         (col("n_tokens") > budget).as("oversize"))
   }
 
+  /** The pack WRITER's manifest — [[packAssignments]] plus the numbers
+    * the serialization step actually needs: each document's token
+    * START OFFSET inside its context pack (where its tokens land in
+    * the concatenated window, hence where the attention-boundary /
+    * document-separator positions go) and the pack's total fill
+    * (budget − fill = the padding the trainer will burn).  Same greedy
+    * per-(stream, shard) packing, same windows-over-bounded-lanes
+    * scale shape: every window partitions by at least (stream, shard)
+    * — #streams×#shards parallel lanes, never a corpus-wide ordering.
+    *
+    * Output: packAssignments columns + (tok_offset, pack_fill). */
+  def packOffsets(docs: DataFrame, idCol: String, streamCol: String,
+                  textCol: String, budget: Int,
+                  shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lane = Seq(col(streamCol), col("shard"), col("pack_id"))
+    val wOff = Window.partitionBy(lane: _*).orderBy(col(idCol))
+    val wFill = Window.partitionBy(lane: _*)
+    packAssignments(docs, idCol, streamCol, textCol, budget, shards)
+      .withColumn("tok_offset",
+        (sum(col("n_tokens")).over(wOff) - col("n_tokens")).cast("int"))
+      .withColumn("pack_fill",
+        sum(col("n_tokens")).over(wFill).cast("int"))
+  }
+
   /** Source mixing stats: per-source document/token volume and corpus
     * token share — the input to data-mixture weighting (DoReMi-style
     * sampling ratios start from exactly these shares, and any

@@ -257,6 +257,12 @@ object ExtQueries {
       graft.ext.CorpusStats.packAssignments(Tables.documents(s, d),
         "doc_id", "lang", "text", budget = 2048, shards = 8)),
 
+    // the pack writer's manifest: x18 + within-pack token offsets
+    // (attention-boundary positions) and pack fill (padding waste)
+    "x86_pack_offsets" -> ((s, d) =>
+      graft.ext.CorpusStats.packOffsets(Tables.documents(s, d),
+        "doc_id", "lang", "text", budget = 2048, shards = 8)),
+
     // benchmark decontamination: train docs sharing a 5-gram with the
     // (deterministic) benchmark subset
     "x19_contaminated" -> ((s, d) => {
@@ -2311,6 +2317,23 @@ object ExtQueries {
         |FROM (SELECT *, SUM(n) OVER (PARTITION BY lang, shard
         |                             ORDER BY doc_id) AS cum
         |      FROM t)""".stripMargin,
+    // x18 + within-pack cumulative offsets and per-pack fill
+    "x86_pack_offsets" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS shard,
+        |             len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |p AS (SELECT doc_id, lang, shard, CAST(n AS INT) AS n_tokens,
+        |        CAST(floor((cum - n) / 2048.0) AS INT) AS pack_id,
+        |        n > 2048 AS oversize
+        |      FROM (SELECT *, SUM(n) OVER (PARTITION BY lang, shard
+        |                                   ORDER BY doc_id) AS cum
+        |            FROM t))
+        |SELECT doc_id, lang, shard, n_tokens, pack_id, oversize,
+        |       CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard, pack_id
+        |              ORDER BY doc_id) - n_tokens AS INT) AS tok_offset,
+        |       CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard, pack_id)
+        |            AS INT) AS pack_fill
+        |FROM p""".stripMargin,
     "x19_contaminated" -> contaminationSql,
     // per-batch regrouping of the same per-doc contamination verdicts
     "st5_bloom_gate" ->

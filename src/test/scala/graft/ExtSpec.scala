@@ -648,6 +648,28 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((1, false))) // cum-before = 13 → pack 1
   }
 
+  test("packOffsets: contiguous within-pack token offsets, fill equals " +
+    "member-token sum, first doc of every pack starts at 0") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = graft.ext.CorpusStats.packOffsets(
+      docs, "doc_id", "lang", "text", budget = 2048, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getInt(6), r.getInt(7)))
+    assert(rows.length == docs.count())
+    rows.groupBy(p => (p._2, p._3, p._5)).foreach { case (_, pk) =>
+      val sorted = pk.sortBy(_._1)
+      assert(sorted.head._6 == 0, s"first doc offset nonzero: ${sorted.head}")
+      // offsets are the running token total of preceding members
+      var cum = 0
+      sorted.foreach { d =>
+        assert(d._6 == cum, s"offset gap at $d (want $cum)")
+        cum += d._4
+      }
+      // fill = total member tokens, identical on every member row
+      assert(pk.forall(_._7 == cum), s"fill mismatch in pack $pk")
+    }
+  }
+
   test("chunk windows: counts, offsets and clipping match the contract") {
     import spark.implicits._
     val tiny = Seq(
