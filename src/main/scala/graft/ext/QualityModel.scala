@@ -168,6 +168,30 @@ object QualityModel {
             / (col("__nr") + dim))).as("__lr"))
   }
 
+  /** Persist a trained [[dsirModel]] as a table with its feature
+    * dimension in table properties — the ingest gate then scores
+    * months of micro-batches against a model trained once, across
+    * restarts (the saveLshIndex/saveIvfIndex discipline; no bucketing
+    * needed — the model is dim rows and always broadcasts). */
+  def saveDsirModel(model: DataFrame, table: String, dim: Int): Unit = {
+    model.write.mode("overwrite").format("parquet").saveAsTable(table)
+    model.sparkSession.sql(
+      s"ALTER TABLE ${SqlIdent.quote(table)} SET TBLPROPERTIES " +
+        s"('graft.dsir.dim'='$dim')")
+  }
+
+  /** Reopen a persisted DSIR model, restoring `dim` from the table
+    * properties and refusing non-model tables.  Returns (model, dim) —
+    * pass both to [[dsirScoreWith]]. */
+  def loadDsirModel(spark: SparkSession, table: String): (DataFrame, Int) = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${SqlIdent.quote(table)}")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dim = props.getOrElse("graft.dsir.dim", sys.error(
+      s"$table is not a graft DSIR model table (missing graft.dsir.dim)"))
+      .toInt
+    (spark.table(table), dim)
+  }
+
   /** Score a document batch against a trained [[dsirModel]] —
     * explode → broadcast-model join → partial agg (the [[scoreWith]]
     * shape; text never shuffles). */

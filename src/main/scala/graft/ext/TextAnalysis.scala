@@ -111,6 +111,38 @@ object TextAnalysis {
     agged.select(col(idCol), pred.as("lang_pred"))
   }
 
+  /** [[langIdByDoc]] plus the CONFIDENCE the bare argmax hides: how
+    * decisively the winning language won (margin = top hits − runner-up
+    * hits) and whether more than one language's markers fired at all
+    * (`mixed`) — the code-switching / concatenated-page signal that a
+    * hard label cannot carry.  Low-margin or mixed docs are the ones a
+    * pipeline routes to a heavier classifier or drops.  Same explode +
+    * codegen conditional-sum shape as langIdByDoc; the ranking is an
+    * array_sort over #languages values per row — constant work. */
+  def langIdMargin(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val ex = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("tok"))
+    val hitCols = langMarkers.map { case (l, m) =>
+      sum(when(col("tok").isin(m: _*), 1).otherwise(0)).as(s"h_$l")
+    }
+    val agged = ex.groupBy(col(idCol)).agg(hitCols.head, hitCols.tail: _*)
+    val best = greatest(langMarkers.map { case (l, _) => col(s"h_$l") }: _*)
+    val pred = langMarkers.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(best > 0 && col(s"h_$l") === best, l).otherwise(acc)
+    }
+    val sorted = array_sort(array(
+      langMarkers.map { case (l, _) => col(s"h_$l") }: _*))
+    val n = langMarkers.size
+    val top = element_at(sorted, n)
+    val second = element_at(sorted, n - 1)
+    agged.select(col(idCol), pred.as("lang_pred"),
+      top.cast("long").as("top_hits"),
+      second.cast("long").as("second_hits"),
+      (top - second).cast("long").as("margin"),
+      (second > 0).as("mixed"))
+  }
+
   /** Quality metrics over whole documents, explode + codegen'd
     * conditional sums (no interpreted HOF).  Column contract matches the
     * [[stopwordRatio]]/[[meanTokenLen]]/[[qualityOk]] expression forms:

@@ -173,6 +173,11 @@ object ExtQueries {
     "x9_langid" -> ((s, d) =>
       TextAnalysis.langIdByDoc(Tables.documents(s, d), "doc_id", "text")),
 
+    // language-ID confidence: win margin + mixed-language flag (the
+    // code-switching signal the hard x9 label cannot carry)
+    "x87_langid_margin" -> ((s, d) =>
+      TextAnalysis.langIdMargin(Tables.documents(s, d), "doc_id", "text")),
+
     // quality scoring (explode + codegen conditional sums)
     "x10_quality" -> ((s, d) =>
       TextAnalysis.qualityByDoc(Tables.documents(s, d), "doc_id", "text",
@@ -2229,6 +2234,19 @@ object ExtQueries {
       s"""$toksCte,
          |h AS (SELECT doc_id, $langHits FROM t)
          |SELECT doc_id, $langCase AS lang_pred FROM h""".stripMargin,
+    "x87_langid_margin" -> {
+      val hl = TextAnalysis.langMarkers.map { case (l, _) => s"h_$l" }
+        .mkString("list_sort([", ", ", "])")
+      val n = TextAnalysis.langMarkers.size
+      s"""$toksCte,
+         |h AS (SELECT doc_id, $langHits FROM t)
+         |SELECT doc_id, $langCase AS lang_pred,
+         |       CAST($hl[$n] AS BIGINT) AS top_hits,
+         |       CAST($hl[${n - 1}] AS BIGINT) AS second_hits,
+         |       CAST($hl[$n] - $hl[${n - 1}] AS BIGINT) AS margin,
+         |       $hl[${n - 1}] > 0 AS mixed
+         |FROM h""".stripMargin
+    },
     "x10_quality" ->
       s"""$toksCte
          |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,

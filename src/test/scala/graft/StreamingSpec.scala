@@ -314,6 +314,16 @@ class StreamingSpec extends SparkSpec {
     q2.awaitTermination()
     assert(kept.toSet == batchAnswer,
       "per-micro-batch DSIR gating must equal the all-at-once answer")
+    // persistence: the saved model scores identically across restarts
+    spark.sql("DROP TABLE IF EXISTS dsir_model_t")
+    QualityModel.saveDsirModel(model, "dsir_model_t", dim = 1024)
+    val (loaded, dim) = QualityModel.loadDsirModel(spark, "dsir_model_t")
+    assert(dim == 1024)
+    val reloadedKept = QualityModel
+      .dsirScoreWith(loaded, docs, "doc_id", "text", dim)
+      .filter($"weight" > -2.0).select($"doc_id").as[Long].collect().toSet
+    assert(reloadedKept == batchAnswer)
+    spark.sql("DROP TABLE IF EXISTS dsir_model_t")
   }
 
   test("streaming session windows equal the batch answer " +
