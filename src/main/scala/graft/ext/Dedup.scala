@@ -1263,6 +1263,39 @@ object Dedup {
     exciseStarts(docs, idCol, textCol, n, repeats)
   }
 
+  /** Span-level DECONTAMINATION — the surgical form of
+    * [[contaminatedDocs]]: instead of dropping every training document
+    * that shares an n-gram with the benchmark set (x19, which discards
+    * a whole document for one leaked sentence), excise exactly the
+    * token spans covered by benchmark n-grams and keep the rest — the
+    * remove-the-overlap treatment public eval-hygiene recipes apply
+    * when dropping is too lossy.  Every ORIGINAL overlapping n-gram is
+    * removed (the x78 cover guarantee; property-tested).  Caveat:
+    * cutting a span joins the tokens on either side of it, and that
+    * seam can in principle form a NEW benchmark n-gram that was not in
+    * the original text — rare, but a strict-zero-overlap pipeline
+    * should iterate this operator to a fixpoint (one extra pass almost
+    * always suffices) or verify with [[contaminatedDocs]] after.
+    *
+    * Output: (doc_id, text_clean, n_tokens, n_removed) — one row per
+    * TRAIN doc, untouched docs passed through.
+    *
+    * Scale shape: the benchmark shingle-hash set is df-side tiny
+    * (benchmarks are small by nature) so the position join
+    * broadcasts; everything else is the [[exciseStarts]] per-doc
+    * machinery — train text shuffles once. */
+  def exciseContaminated(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    val benchSh = positionedShingles(bench, idCol, textCol, n)
+      .select(col("h")).distinct()
+    val excisable = positionedShingles(train, idCol, textCol, n)
+      .join(benchSh, "h")
+      .select(col("doc_id"), col("pos"))
+    exciseStarts(train, idCol, textCol, n, excisable)
+  }
+
   /** Shared excision tail of [[exciseDuplicatedSpans]] /
     * [[exciseSelfRepeats]]: island-merge excisable n-gram START
     * positions into maximal [lo, hi] token spans (pos − rank grouping,

@@ -494,6 +494,16 @@ object ExtQueries {
       Dedup.exciseSelfRepeats(Tables.documents(s, d),
         "doc_id", "text", n = 3)),
 
+    // span-level decontamination: cut benchmark 5-grams out of train
+    // docs instead of dropping the whole doc (x19's surgical form)
+    "x88_decontam_excision" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.exciseContaminated(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
     "x37_dup_ngram_frac" -> ((s, d) =>
       Dedup.duplicatedNgramFraction(Tables.documents(s, d),
         "doc_id", "text", n = 3)),
@@ -2353,6 +2363,42 @@ object ExtQueries {
         |            AS INT) AS pack_fill
         |FROM p""".stripMargin,
     "x19_contaminated" -> contaminationSql,
+    // benchmark 5-gram cover over train positions, then the shared
+    // excision tail (anti-join + ordered string_agg rebuild)
+    "x88_decontam_excision" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |p5 AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |            || ' ' || toks[i+3] || ' ' || toks[i+4]) AS h
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks) - 4)) AS i
+        |            FROM t)),
+        |bh AS (SELECT DISTINCT h FROM p5 WHERE doc_id % 97 = 0),
+        |e AS (SELECT doc_id, pos FROM p5 JOIN bh USING (h)
+        |      WHERE doc_id % 97 <> 0),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS cp
+        |        FROM (SELECT doc_id, pos,
+        |                unnest(generate_series(0, 4)) AS j
+        |              FROM e)),
+        |tr AS (SELECT doc_id, toks FROM t WHERE doc_id % 97 <> 0),
+        |tk AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks))) AS i
+        |             FROM tr)),
+        |k AS (SELECT tk.doc_id, tk.pos, tk.tok
+        |      FROM tk LEFT JOIN cov
+        |        ON tk.doc_id = cov.doc_id AND tk.pos = cov.cp
+        |      WHERE cov.cp IS NULL),
+        |agg AS (SELECT doc_id,
+        |          string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+        |          count(*) AS n_kept
+        |        FROM k GROUP BY 1)
+        |SELECT tr.doc_id, coalesce(agg.text_clean, '') AS text_clean,
+        |       CAST(len(tr.toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(tr.toks) - coalesce(agg.n_kept, 0) AS BIGINT)
+        |         AS n_removed
+        |FROM tr LEFT JOIN agg USING (doc_id)""".stripMargin,
     // per-batch regrouping of the same per-doc contamination verdicts
     "st5_bloom_gate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

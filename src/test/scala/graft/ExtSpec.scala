@@ -1172,6 +1172,29 @@ class DedupSpec extends SparkSpec {
       s"excised corpus still has duplicated n-grams (max frac $worst)")
   }
 
+  test("exciseContaminated removes every original benchmark 5-gram " +
+    "from the train side and keeps clean text intact") {
+    val leak = "l1 l2 l3 l4 l5 l6" // 6 tokens → two 5-grams
+    val bench = Seq(100L -> s"b1 b2 $leak b3").toDF("doc_id", "text")
+    val train = Seq(
+      1L -> s"t1 t2 $leak t3 t4",  // leaked span mid-document
+      2L -> "c1 c2 c3 c4 c5 c6 c7" // clean
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup
+      .exciseContaminated(train, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("t1 t2 t3 t4", 10L, 6L)), got(1L))
+    assert(got(2L) == (("c1 c2 c3 c4 c5 c6 c7", 7L, 0L)), got(2L))
+    // the cleaned corpus carries no contamination (the cover property;
+    // seam tokens here are unique, so no seam-created overlap either)
+    val cleaned = got.toSeq.map { case (id, (t, _, _)) => (id, t) }
+      .toDF("doc_id", "text")
+    assert(graft.ext.Dedup
+      .contaminatedDocs(cleaned, bench, "doc_id", "text", n = 5)
+      .count() == 0)
+  }
+
   test("exciseDuplicatedSpans keep-owner mode cuts non-owner occurrences " +
     "and leaves the min-doc_id owner's text intact") {
     val boiler = "alpha beta gamma delta epsilon"
