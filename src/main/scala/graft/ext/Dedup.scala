@@ -1296,6 +1296,50 @@ object Dedup {
     exciseStarts(train, idCol, textCol, n, excisable)
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the
+    * MOSS local-fingerprinting algorithm): from every window of `w`
+    * consecutive k-gram hashes, keep the minimum (rightmost on ties),
+    * then dedupe — the selected ~2/(w+1) fraction of positions carries
+    * the GUARANTEE that any shared substring of length ≥ k + w − 1
+    * yields at least one shared selected fingerprint.  This is the
+    * standard index-shrinking step in front of exact-substring dedup:
+    * join selected fingerprints instead of every shingle and the
+    * inverted index drops ~w/2× with no recall loss above the
+    * guarantee threshold.
+    *
+    * Tie-break and window rule are pinned for engine replay: the
+    * per-window argmin key is the string `h ‖ '|' ‖ pad(10⁹−1−pos)`
+    * (lexicographic = hash asc, then position DESC — the rightmost
+    * minimal hash), evaluated over full windows only (first selection
+    * at the w-th k-gram; docs with fewer than w k-grams select
+    * nothing — winnowing is a long-document tool by construction).
+    *
+    * Scale shape: positioned shingles assemble map-side (the x75
+    * machinery); the sliding min is a per-doc window with a bounded
+    * ROWS frame — partition width is one document's shingles; the
+    * dedupe is per-doc-keyed.  Output: (doc_id, pos, h) selected rows. */
+  def winnowingFingerprints(docs: DataFrame, idCol: String,
+                            textCol: String, k: Int = 4,
+                            w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1 (got k=$k w=$w)")
+    import org.apache.spark.sql.expressions.Window
+    val positioned = positionedShingles(docs, idCol, textCol, k)
+    val key = concat(col("h"), lit("|"),
+      lpad((lit(999999999) - col("pos")).cast("string"), 9, "0"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    val rn = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    positioned
+      .withColumn("__mk", min(key).over(frame))
+      .withColumn("__rn", row_number().over(rn))
+      .filter(col("__rn") >= w)
+      .select(col("doc_id"),
+        (lit(999999999) - substring_index(col("__mk"), "|", -1)
+          .cast("int")).as("pos"),
+        substring_index(col("__mk"), "|", 1).as("h"))
+      .distinct()
+  }
+
   /** Shared excision tail of [[exciseDuplicatedSpans]] /
     * [[exciseSelfRepeats]]: island-merge excisable n-gram START
     * positions into maximal [lo, hi] token spans (pos − rank grouping,

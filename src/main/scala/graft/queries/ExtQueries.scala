@@ -494,6 +494,12 @@ object ExtQueries {
       Dedup.exciseSelfRepeats(Tables.documents(s, d),
         "doc_id", "text", n = 3)),
 
+    // winnowing fingerprint selection (MOSS): per-window rightmost-min
+    // 4-gram hashes — the ~2/(w+1)-density index for substring dedup
+    "x89_winnowing" -> ((s, d) =>
+      Dedup.winnowingFingerprints(Tables.documents(s, d),
+        "doc_id", "text", k = 4, w = 4)),
+
     // span-level decontamination: cut benchmark 5-grams out of train
     // docs instead of dropping the whole doc (x19's surgical form)
     "x88_decontam_excision" -> ((s, d) => {
@@ -2363,6 +2369,29 @@ object ExtQueries {
         |            AS INT) AS pack_fill
         |FROM p""".stripMargin,
     "x19_contaminated" -> contaminationSql,
+    // same argmin-key string algebra: hash || '|' || pad(1e9-1-pos),
+    // sliding ROWS frame of w=4, full windows only, distinct
+    "x89_winnowing" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |            || ' ' || toks[i+3]) AS h
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks) - 3)) AS i
+        |            FROM t)),
+        |sel AS (SELECT doc_id,
+        |          min(h || '|' || lpad(CAST(999999999 - pos AS VARCHAR),
+        |                               9, '0'))
+        |            OVER (PARTITION BY doc_id ORDER BY pos
+        |                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk,
+        |          row_number() OVER (PARTITION BY doc_id
+        |                             ORDER BY pos) AS rn
+        |        FROM p)
+        |SELECT DISTINCT doc_id,
+        |       999999999 - CAST(string_split(mk, '|')[2] AS INT) AS pos,
+        |       string_split(mk, '|')[1] AS h
+        |FROM sel WHERE rn >= 4""".stripMargin,
     // benchmark 5-gram cover over train positions, then the shared
     // excision tail (anti-join + ordered string_agg rebuild)
     "x88_decontam_excision" ->

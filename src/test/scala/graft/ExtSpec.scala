@@ -1172,6 +1172,35 @@ class DedupSpec extends SparkSpec {
       s"excised corpus still has duplicated n-grams (max frac $worst)")
   }
 
+  test("winnowing: every w-window holds a selection (the cover " +
+    "guarantee), shared runs share fingerprints, density stays ~2/(w+1)") {
+    val rnd = new scala.util.Random(11)
+    def words(n: Int, tag: String) =
+      (0 until n).map(_ => s"$tag${rnd.nextInt(50)}")
+    val shared = (0 until 12).map(i => s"run$i") // >= k+w-1 = 7 tokens
+    val d1 = (words(30, "a") ++ shared ++ words(20, "b")).mkString(" ")
+    val d2 = (words(5, "c") ++ shared ++ words(40, "d")).mkString(" ")
+    val docs = Seq(1L -> d1, 2L -> d2).toDF("doc_id", "text")
+    val sel = graft.ext.Dedup
+      .winnowingFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // cover: every window of 4 consecutive k-gram positions (full
+    // windows) contains at least one selected position
+    for ((id, text) <- Seq(1L -> d1, 2L -> d2)) {
+      val m = text.split(" ").length - 3 // #4-grams
+      val ps = sel.filter(_._1 == id).map(_._2).toSet
+      for (end <- 3 until m)
+        assert((end - 3 to end).exists(ps),
+          s"doc $id: window ending at $end has no selection")
+      // density: expected 2/(w+1) = 0.4; generous upper bound
+      assert(ps.size <= m * 0.7, s"doc $id: density ${ps.size.toDouble / m}")
+    }
+    // the 12-token shared run guarantees >= 1 shared fingerprint hash
+    val h1 = sel.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = sel.filter(_._1 == 2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty, "shared run must share a selected hash")
+  }
+
   test("exciseContaminated removes every original benchmark 5-gram " +
     "from the train side and keeps clean text intact") {
     val leak = "l1 l2 l3 l4 l5 l6" // 6 tokens → two 5-grams
