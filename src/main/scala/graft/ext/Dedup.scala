@@ -1340,6 +1340,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate near-dup pairs from [[winnowingFingerprints]] — the
+    * application half of winnowing: join documents on SELECTED
+    * fingerprints only (the ~2/(w+1) sliver instead of every shingle)
+    * and count shared selections per pair.  By the winnowing guarantee
+    * any pair sharing a substring of ≥ k + w − 1 tokens appears here;
+    * rank by `n_shared` and verify downstream (x3's verify stage or
+    * [[duplicatedSpans]] for offsets).
+    *
+    * Scale shape (the frameSetNearDup inverted-index idiom): the join
+    * key is the selected hash; per-doc-distinct selections keep a doc
+    * from matching itself through its own repeats; `dfCap` drops
+    * hashes selected by more than `dfCap` docs (corpus boilerplate —
+    * the stop-frame treatment) so no bucket enumerates quadratically;
+    * pair rows are skinny (a, b) longs. */
+  def winnowedDupCandidates(docs: DataFrame, idCol: String,
+                            textCol: String, k: Int = 4, w: Int = 4,
+                            minShared: Int = 2,
+                            dfCap: Int = 100): DataFrame = {
+    require(minShared >= 1 && dfCap >= 2,
+      s"need minShared >= 1 and dfCap >= 2 (got $minShared, $dfCap)")
+    val sel = winnowingFingerprints(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), col("h")).distinct()
+      .localCheckpoint() // both join legs + the df cap read this once
+    val df = sel.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap)
+    val keyed = sel.join(df, "h").select(col("h"), col("doc_id"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Shared excision tail of [[exciseDuplicatedSpans]] /
     * [[exciseSelfRepeats]]: island-merge excisable n-gram START
     * positions into maximal [lo, hi] token spans (pos − rank grouping,

@@ -500,6 +500,12 @@ object ExtQueries {
       Dedup.winnowingFingerprints(Tables.documents(s, d),
         "doc_id", "text", k = 4, w = 4)),
 
+    // winnowed candidate pairs: docs joined on SELECTED fingerprints
+    // only, df-capped inverted index, ranked by shared selections
+    "x90_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowedDupCandidates(Tables.documents(s, d),
+        "doc_id", "text", k = 4, w = 4, minShared = 2, dfCap = 100)),
+
     // span-level decontamination: cut benchmark 5-grams out of train
     // docs instead of dropping the whole doc (x19's surgical form)
     "x88_decontam_excision" -> ((s, d) => {
@@ -2392,6 +2398,32 @@ object ExtQueries {
         |       999999999 - CAST(string_split(mk, '|')[2] AS INT) AS pos,
         |       string_split(mk, '|')[1] AS h
         |FROM sel WHERE rn >= 4""".stripMargin,
+    // x89 selections → per-doc-distinct → df-capped self-join
+    "x90_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |            || ' ' || toks[i+3]) AS h
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks) - 3)) AS i
+        |            FROM t)),
+        |sel0 AS (SELECT doc_id,
+        |          min(h || '|' || lpad(CAST(999999999 - pos AS VARCHAR),
+        |                               9, '0'))
+        |            OVER (PARTITION BY doc_id ORDER BY pos
+        |                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk,
+        |          row_number() OVER (PARTITION BY doc_id
+        |                             ORDER BY pos) AS rn
+        |        FROM p),
+        |sel AS (SELECT DISTINCT doc_id, string_split(mk, '|')[1] AS h
+        |        FROM sel0 WHERE rn >= 4),
+        |keep AS (SELECT h FROM sel GROUP BY 1 HAVING count(*) <= 100),
+        |kk AS (SELECT sel.doc_id, sel.h FROM sel JOIN keep USING (h))
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM kk a JOIN kk b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // benchmark 5-gram cover over train positions, then the shared
     // excision tail (anti-join + ordered string_agg rebuild)
     "x88_decontam_excision" ->

@@ -1199,6 +1199,14 @@ class DedupSpec extends SparkSpec {
     val h1 = sel.filter(_._1 == 1L).map(_._3).toSet
     val h2 = sel.filter(_._1 == 2L).map(_._3).toSet
     assert((h1 & h2).nonEmpty, "shared run must share a selected hash")
+    // ... and the candidate-pair stage surfaces exactly that pair
+    val withClean = docs.unionByName(
+      Seq(3L -> words(60, "z").mkString(" ")).toDF("doc_id", "text"))
+    val pairs = graft.ext.Dedup
+      .winnowedDupCandidates(withClean, "doc_id", "text",
+        k = 4, w = 4, minShared = 1)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), pairs)
   }
 
   test("exciseContaminated removes every original benchmark 5-gram " +
