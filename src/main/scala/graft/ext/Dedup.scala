@@ -753,6 +753,40 @@ object Dedup {
         (col("n_shared") / col("n_shingles")).as("overlap_frac"))
   }
 
+  /** The BENCH-side exposure rollup — the inverse lens of
+    * [[contaminationOverlap]] (which scores each contaminated TRAIN
+    * doc): for every benchmark item, how compromised is it — how many
+    * training documents share any of its n-grams, and what fraction of
+    * its distinct n-grams leaks in the worst single training doc.  An
+    * eval-hygiene report reads THIS table to decide which benchmark
+    * rows to retire or re-split; the train-side lenses decide what to
+    * clean.  Bench items with zero leakage are included (n_train_docs
+    * = 0) so the report is complete.
+    *
+    * Scale shape: both sides collapse to per-doc-DISTINCT (doc, hash)
+    * rows; the join key is the shingle hash; aggregates are bench-sized.
+    * Output: (bench_id, n_shingles, n_train_docs, max_overlap). */
+  def benchExposure(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 5): DataFrame = {
+    val b = explodedShingles(bench, idCol, textCol, n)
+      .select(col("doc_id").as("bench_id"), col("sh")).distinct()
+    val bSize = b.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val t = explodedShingles(train, idCol, textCol, n)
+      .select(col("doc_id").as("train_id"), col("sh")).distinct()
+    val perPair = b.join(t, "sh")
+      .groupBy(col("bench_id"), col("train_id"))
+      .agg(count(lit(1)).as("__shared"))
+    val rollup = perPair.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        max(col("__shared")).as("__worst"))
+    bSize.join(rollup, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_shingles"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        round(coalesce(col("__worst"), lit(0L)) / col("n_shingles"), 4)
+          .as("max_overlap"))
+  }
+
   /** Connected components over a near-duplicate pair set →
     * (doc_id, cluster_id) for EVERY input document; cluster_id is the
     * smallest doc_id in the component (singletons keep their own id).

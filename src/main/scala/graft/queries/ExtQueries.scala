@@ -506,6 +506,16 @@ object ExtQueries {
       Dedup.winnowedDupCandidates(Tables.documents(s, d),
         "doc_id", "text", k = 4, w = 4, minShared = 2, dfCap = 100)),
 
+    // bench-side exposure report: per benchmark item, how many train
+    // docs leak its 5-grams and the worst single-doc overlap fraction
+    "x91_bench_exposure" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.benchExposure(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
     // span-level decontamination: cut benchmark 5-grams out of train
     // docs instead of dropping the whole doc (x19's surgical form)
     "x88_decontam_excision" -> ((s, d) => {
@@ -2424,6 +2434,33 @@ object ExtQueries {
         |       CAST(count(*) AS BIGINT) AS n_shared
         |FROM kk a JOIN kk b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // per-doc-distinct shingles both sides, hash-keyed join, bench-
+    // sized rollup with zero-leak bench rows preserved
+    "x91_bench_exposure" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |              ELSE list_transform(generate_series(1, len(toks) - 4),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                     || ' ' || toks[i+3] || ' ' || toks[i+4])
+        |         END AS sh FROM t),
+        |b AS (SELECT DISTINCT doc_id AS bench_id, unnest(sh) AS s
+        |      FROM sh WHERE doc_id % 97 = 0),
+        |bs AS (SELECT bench_id, count(*) AS n_shingles FROM b GROUP BY 1),
+        |tr AS (SELECT DISTINCT doc_id AS train_id, unnest(sh) AS s
+        |       FROM sh WHERE doc_id % 97 <> 0),
+        |pp AS (SELECT bench_id, train_id, count(*) AS shared
+        |       FROM b JOIN tr ON b.s = tr.s GROUP BY 1, 2),
+        |ru AS (SELECT bench_id, count(*) AS n_train_docs,
+        |              max(shared) AS worst
+        |       FROM pp GROUP BY 1)
+        |SELECT bs.bench_id, CAST(bs.n_shingles AS BIGINT) AS n_shingles,
+        |       CAST(coalesce(ru.n_train_docs, 0) AS BIGINT)
+        |         AS n_train_docs,
+        |       round(coalesce(ru.worst, 0) / bs.n_shingles, 4)
+        |         AS max_overlap
+        |FROM bs LEFT JOIN ru USING (bench_id)""".stripMargin,
     // benchmark 5-gram cover over train positions, then the shared
     // excision tail (anti-join + ordered string_agg rebuild)
     "x88_decontam_excision" ->

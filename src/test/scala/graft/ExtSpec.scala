@@ -1209,6 +1209,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), pairs)
   }
 
+  test("benchExposure rolls leakage up to the benchmark side, keeping " +
+    "clean bench items with zero counts") {
+    val bench = Seq(
+      100L -> "l1 l2 l3 l4 l5 l6", // 2 shingles, both leaked
+      200L -> "z1 z2 z3 z4 z5"     // 1 shingle, clean
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      1L -> "t1 l1 l2 l3 l4 l5 t2", // shares shingle 1
+      2L -> "l2 l3 l4 l5 l6 t3",    // shares shingle 2
+      3L -> "c1 c2 c3 c4 c5 c6"     // clean
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup
+      .benchExposure(train, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(100L) == ((2L, 2L, 0.5)), got(100L))
+    assert(got(200L) == ((1L, 0L, 0.0)), got(200L))
+  }
+
   test("exciseContaminated removes every original benchmark 5-gram " +
     "from the train side and keeps clean text intact") {
     val leak = "l1 l2 l3 l4 l5 l6" // 6 tokens → two 5-grams
