@@ -34,7 +34,14 @@ object Rehearsal {
     // round-12 additions (round-11 verdict #8): the containment family
     // and the incremental cluster merge were the only production-path
     // pairwise lenses not growth-gated
-    "x45b_containment_lsh", "x77_cluster_merge", "x75_dup_spans")
+    "x45b_containment_lsh", "x77_cluster_merge", "x75_dup_spans",
+    // round-12 operators with their own scaling ceilings: cross-doc
+    // excision (x75's apply side), BPE training (vocab-sized rounds —
+    // should grow with VOCABULARY, far below data scale), the
+    // double-globalRank interleave, the winnowing pair family, and the
+    // streaming DSIR gate
+    "x78_span_excision", "x81_bpe_train", "x84_interleaved_order",
+    "x90_winnow_pairs", "st11_dsir_gate")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)
