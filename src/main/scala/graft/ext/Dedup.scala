@@ -1407,6 +1407,106 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Materialized winnowing-fingerprint corpus index — the
+    * exact-substring sibling of [[LshIndex]] (near-dup) and the media
+    * fp index: selected (doc, hash) rows with the scheme parameters
+    * baked in.  `dfCap` was applied at BUILD time: hashes selected by
+    * more than dfCap corpus docs (boilerplate) are excluded from
+    * gating, the frameSetNearDup stop-frame treatment frozen into the
+    * index. */
+  case class WinnowIndex(sel: DataFrame, k: Int, w: Int, dfCap: Int)
+
+  /** Index the existing corpus ONCE for [[winnowMatchIndexed]] —
+    * the st4 build discipline: repartition by the probe join key
+    * BEFORE pinning so every micro-batch joins materialized,
+    * pre-partitioned data ([[saveWinnowIndex]] gets the same locality
+    * from bucketing). */
+  def winnowIndex(existing: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, w: Int = 4,
+                  dfCap: Int = 100): WinnowIndex = {
+    require(dfCap >= 2, s"dfCap must be >= 2 (got $dfCap)")
+    val parts = existing.sparkSession.sessionState.conf.numShufflePartitions
+    val sel0 = winnowingFingerprints(existing, idCol, textCol, k, w)
+      .select(col("doc_id").as("ex_id"), col("h")).distinct()
+    val keep = sel0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select(col("h"))
+    val sel = sel0.join(keep, "h")
+      .repartition(parts, col("h"))
+      .localCheckpoint()
+    WinnowIndex(sel, k, w, dfCap)
+  }
+
+  /** Grow a [[WinnowIndex]] with an accepted batch — O(batch), the
+    * extendLshIndex union-of-pinned-legs shape.  Extension legs are
+    * NOT re-capped against the global df (that would re-aggregate the
+    * corpus every batch); a boilerplate hash arriving via extensions
+    * only costs batch-bounded candidates until the next compaction
+    * ([[saveWinnowIndex]] → [[winnowIndex]] rebuild re-applies the
+    * cap). */
+  def extendWinnowIndex(index: WinnowIndex, accepted: DataFrame,
+                        idCol: String, textCol: String): WinnowIndex = {
+    val leg = winnowingFingerprints(accepted, idCol, textCol,
+        index.k, index.w)
+      .select(col("doc_id").as("ex_id"), col("h")).distinct()
+      .localCheckpoint()
+    WinnowIndex(index.sel.unionByName(leg), index.k, index.w, index.dfCap)
+  }
+
+  /** Persist / reopen a [[WinnowIndex]] as a bucketed table (scheme in
+    * table properties — the saveLshIndex discipline). */
+  def saveWinnowIndex(index: WinnowIndex, table: String,
+                      buckets: Int = 16): Unit = {
+    index.sel.write.mode("overwrite")
+      .bucketBy(buckets, "h").sortBy("h")
+      .format("parquet").saveAsTable(table)
+    index.sel.sparkSession.sql(
+      s"ALTER TABLE ${SqlIdent.quote(table)} SET TBLPROPERTIES " +
+        s"('graft.winnow.k'='${index.k}', 'graft.winnow.w'='${index.w}', " +
+        s"'graft.winnow.dfCap'='${index.dfCap}')")
+  }
+
+  def loadWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+                      table: String): WinnowIndex = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${SqlIdent.quote(table)}")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def prop(key: String): Int = props.getOrElse(key, sys.error(
+      s"$table is not a graft winnow index table (missing $key)")).toInt
+    WinnowIndex(spark.table(table), prop("graft.winnow.k"),
+      prop("graft.winnow.w"), prop("graft.winnow.dfCap"))
+  }
+
+  /** Ingest-time EXACT-SUBSTRING gate: flag each incoming document
+    * sharing ≥ `minShared` selected fingerprints with the indexed
+    * corpus — by the winnowing guarantee, any incoming doc that copies
+    * ≥ k + w − 1 consecutive tokens from an indexed doc shares at
+    * least one selection, so minShared = 1 catches every such copy and
+    * higher values trade recall for precision.  The st4 probe shape:
+    * batch spread first (one file must not serialize the probe), then
+    * an equi-join against the pinned index.
+    * Output: (in_id, ex_id, n_shared). */
+  def winnowMatchIndexed(index: WinnowIndex, incoming: DataFrame,
+                         idCol: String, textCol: String,
+                         minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1 (got $minShared)")
+    val parts = incoming.sparkSession.sessionState.conf.numShufflePartitions
+    val inSel = winnowingFingerprints(incoming.repartition(parts),
+        idCol, textCol, index.k, index.w)
+      .select(col("doc_id").as("in_id"), col("h")).distinct()
+    inSel.join(index.sel, "h")
+      .groupBy(col("in_id"), col("ex_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** One-shot form: index + gate ([[winnowIndex]] /
+    * [[winnowMatchIndexed]]). */
+  def winnowMatchAgainst(existing: DataFrame, incoming: DataFrame,
+                         idCol: String, textCol: String, k: Int = 4,
+                         w: Int = 4, minShared: Int = 2,
+                         dfCap: Int = 100): DataFrame =
+    winnowMatchIndexed(winnowIndex(existing, idCol, textCol, k, w, dfCap),
+      incoming, idCol, textCol, minShared)
+
   /** Shared excision tail of [[exciseDuplicatedSpans]] /
     * [[exciseSelfRepeats]]: island-merge excisable n-gram START
     * positions into maximal [lo, hi] token spans (pos − rank grouping,

@@ -506,6 +506,18 @@ object ExtQueries {
       Dedup.winnowedDupCandidates(Tables.documents(s, d),
         "doc_id", "text", k = 4, w = 4, minShared = 2, dfCap = 100)),
 
+    // streaming exact-substring gate: winnowing index built once from
+    // the existing corpus (df-capped at build), incoming batch probed
+    // on selected fingerprints — minShared=1 catches every >= k+w-1
+    // token copy by the winnowing guarantee
+    "st12_winnow_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.winnowMatchAgainst(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", k = 4, w = 4, minShared = 1, dfCap = 100)
+    }),
+
     // bench-side exposure report: per benchmark item, how many train
     // docs leak its 5-grams and the worst single-doc overlap fraction
     "x91_bench_exposure" -> ((s, d) => {
@@ -2408,6 +2420,33 @@ object ExtQueries {
         |       999999999 - CAST(string_split(mk, '|')[2] AS INT) AS pos,
         |       string_split(mk, '|')[1] AS h
         |FROM sel WHERE rn >= 4""".stripMargin,
+    // x89 selections split into existing (df-capped) and incoming
+    // sides, hash-keyed probe join
+    "st12_winnow_gate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |            || ' ' || toks[i+3]) AS h
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks) - 3)) AS i
+        |            FROM t)),
+        |sel0 AS (SELECT doc_id,
+        |          min(h || '|' || lpad(CAST(999999999 - pos AS VARCHAR),
+        |                               9, '0'))
+        |            OVER (PARTITION BY doc_id ORDER BY pos
+        |                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk,
+        |          row_number() OVER (PARTITION BY doc_id
+        |                             ORDER BY pos) AS rn
+        |        FROM p),
+        |sel AS (SELECT DISTINCT doc_id, string_split(mk, '|')[1] AS h
+        |        FROM sel0 WHERE rn >= 4),
+        |ex AS (SELECT doc_id AS ex_id, h FROM sel WHERE doc_id % 7 <> 0),
+        |keep AS (SELECT h FROM ex GROUP BY 1 HAVING count(*) <= 100),
+        |exk AS (SELECT ex.ex_id, ex.h FROM ex JOIN keep USING (h)),
+        |inc AS (SELECT doc_id AS in_id, h FROM sel WHERE doc_id % 7 = 0)
+        |SELECT inc.in_id, exk.ex_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM inc JOIN exk USING (h) GROUP BY 1, 2""".stripMargin,
     // x89 selections → per-doc-distinct → df-capped self-join
     "x90_winnow_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -326,6 +326,57 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS dsir_model_t")
   }
 
+  test("streaming winnow gate equals batch; extension flags re-uploads " +
+    "of accepted batches; save/load keeps the gate") {
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sf0001)
+    val existing = docs.filter($"doc_id" % 7 =!= 0)
+    val incoming = docs.filter($"doc_id" % 7 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"in_id", $"ex_id").as[(Long, Long)].collect().toSet
+    val batchAnswer = pairs(Dedup.winnowMatchAgainst(existing, incoming,
+      "doc_id", "text", minShared = 1))
+    assert(batchAnswer.nonEmpty)
+    // per-micro-batch probe over the pinned index ≡ all-at-once
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow_").toString
+    incoming.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+      .write.mode("append").parquet(dir)
+    incoming.filter($"doc_id" % 2 =!= 0).select($"doc_id", $"text")
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val ix0 = Dedup.winnowIndex(existing, "doc_id", "text")
+    val flagged = scala.collection.mutable.Set[(Long, Long)]()
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        flagged ++= pairs(Dedup.winnowMatchIndexed(ix0, df,
+          "doc_id", "text", minShared = 1))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(flagged.toSet == batchAnswer)
+    // a novel accepted doc folds in; its verbatim re-upload is flagged
+    val novel = Seq((1000L, (1 to 20).map(i => s"nv$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val reup = novel.withColumn("doc_id", lit(2000L))
+    assert(pairs(Dedup.winnowMatchIndexed(ix0, reup,
+      "doc_id", "text", minShared = 1)).isEmpty)
+    val ix1 = Dedup.extendWinnowIndex(ix0, novel, "doc_id", "text")
+    assert(pairs(Dedup.winnowMatchIndexed(ix1, reup,
+      "doc_id", "text", minShared = 1)) == Set((2000L, 1000L)))
+    // bucketed persistence round-trips the extended gate
+    spark.sql("DROP TABLE IF EXISTS winnow_ix_t")
+    Dedup.saveWinnowIndex(ix1, "winnow_ix_t")
+    val loaded = Dedup.loadWinnowIndex(spark, "winnow_ix_t")
+    assert((loaded.k, loaded.w, loaded.dfCap) == ((4, 4, 100)))
+    assert(pairs(Dedup.winnowMatchIndexed(loaded, reup,
+      "doc_id", "text", minShared = 1)) == Set((2000L, 1000L)))
+    spark.sql("DROP TABLE IF EXISTS winnow_ix_t")
+  }
+
   test("streaming session windows equal the batch answer " +
     "(watermarked session_window over a file stream)") {
     // append mode emits only watermark-CLOSED sessions, so a far-future
