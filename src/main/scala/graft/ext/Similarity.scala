@@ -950,6 +950,47 @@ object Similarity {
           .as("max_abs_err"))
   }
 
+  /** Embedding-distribution DRIFT between two corpus snapshots — the
+    * monitoring number a re-embedding or upstream-model change is
+    * caught by: per label (or any grouping), the cosine between the
+    * old and new snapshot CENTROIDS.  1.0 = same direction; a drop
+    * flags that the space moved and downstream ANN indexes /
+    * similarity thresholds need revalidation.
+    *
+    * Scale shape: each side collapses to (label, dim) partial sums —
+    * one skinny posexplode pass with map-side combine, the x85 span
+    * idiom — then #labels-row tables join and the cosine folds over
+    * the packed 64-element centroid arrays (HOFs off the hot path:
+    * they run on #labels rows, not the corpus).
+    *
+    * Output: (label, n_old, n_new, centroid_cos) rounded to 6. */
+  def centroidDrift(oldE: DataFrame, newE: DataFrame,
+                    labelCol: String = "label",
+                    vecCol: String = "embedding"): DataFrame = {
+    def side(df: DataFrame, n: String, c: String): DataFrame =
+      df.select(col(labelCol).as("label"),
+          posexplode(transform(col(vecCol), _.cast("double")))
+            .as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+        .groupBy(col("label"))
+        .agg(max(col("cnt")).as(n),
+          array_sort(collect_list(struct(col("pos"),
+            (col("s") / col("cnt")).as("m")))).as("__p"))
+        .select(col("label"), col(n),
+          transform(col("__p"), e => e("m")).as(c))
+    val o = side(oldE, "n_old", "__co")
+    val nw = side(newE, "n_new", "__cn")
+    def fold(v: Column): Column =
+      sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
+    val dot = aggregate(zip_with(col("__co"), col("__cn"), (a, b) => a * b),
+      lit(0.0), (a, x) => a + x)
+    o.join(nw, "label")
+      .select(col("label"), col("n_old"), col("n_new"),
+        round(dot / (fold(col("__co")) * fold(col("__cn"))), 6)
+          .as("centroid_cos"))
+  }
+
   /** Reopen a persisted [[PqIndex]], restoring (dim, m, k) from table
     * properties and refusing mismatched tables. */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,

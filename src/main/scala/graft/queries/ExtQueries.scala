@@ -169,6 +169,16 @@ object ExtQueries {
     "x85_quantization_audit" -> ((s, d) =>
       Similarity.quantizationStats(Tables.embeddings(s, d))),
 
+    // embedding snapshot drift: per-label centroid cosine between the
+    // old (even vec_id) and new (odd) halves — the re-embedding /
+    // upstream-model-change monitoring number
+    "x92_embedding_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.centroidDrift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1))
+    }),
+
     // language-ID heuristic (explode + codegen conditional sums)
     "x9_langid" -> ((s, d) =>
       TextAnalysis.langIdByDoc(Tables.documents(s, d), "doc_id", "text")),
@@ -2037,6 +2047,34 @@ object ExtQueries {
     "st10_embedding_ingest_gate" -> st10Sql,
     "x81_bpe_train" -> x81Sql,
     "x82_bpe_encode" -> x82Sql,
+    // per-(label, dim) mean sums each side, packed centroid lists,
+    // sequential-fold cosine (the x69 list_sum parity)
+    "x92_embedding_drift" ->
+      """WITH o AS (SELECT label, i AS pos,
+        |             sum(embedding[i]::DOUBLE) AS s, count(*) AS c
+        |           FROM (SELECT label, embedding,
+        |                   unnest(generate_series(1, 64)) AS i
+        |                 FROM embeddings WHERE vec_id % 2 = 0)
+        |           GROUP BY 1, 2),
+        |oc AS (SELECT label, max(c) AS n_old,
+        |              list(s / c ORDER BY pos) AS cv FROM o GROUP BY 1),
+        |n AS (SELECT label, i AS pos,
+        |             sum(embedding[i]::DOUBLE) AS s, count(*) AS c
+        |           FROM (SELECT label, embedding,
+        |                   unnest(generate_series(1, 64)) AS i
+        |                 FROM embeddings WHERE vec_id % 2 = 1)
+        |           GROUP BY 1, 2),
+        |nc AS (SELECT label, max(c) AS n_new,
+        |              list(s / c ORDER BY pos) AS cv FROM n GROUP BY 1)
+        |SELECT oc.label, CAST(oc.n_old AS BIGINT) AS n_old,
+        |       CAST(nc.n_new AS BIGINT) AS n_new,
+        |       round(list_sum(list_transform(generate_series(1, 64),
+        |               i -> oc.cv[i] * nc.cv[i]))
+        |         / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |               i -> oc.cv[i] * oc.cv[i])))
+        |            * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |               i -> nc.cv[i] * nc.cv[i])))), 6) AS centroid_cos
+        |FROM oc JOIN nc USING (label)""".stripMargin,
     // sequential-fold list_sum parity (the x69 idiom); round() on
     // non-negative scaled values is half-up in both engines
     "x85_quantization_audit" ->

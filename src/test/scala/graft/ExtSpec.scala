@@ -1678,6 +1678,29 @@ class SimilaritySpec extends SparkSpec {
     dropTableFully("ivf_asg_t"); dropTableFully("ivf_cent_t")
   }
 
+  test("centroidDrift: identical snapshots score 1.0, a rotated label " +
+    "scores low, counts ride along") {
+    import graft.ext.Similarity
+    val a = Seq(
+      (0L, 0, Array(1f, 0f, 0f)), (2L, 0, Array(1f, 0.2f, 0f)),
+      (4L, 1, Array(0f, 1f, 0f)), (6L, 1, Array(0f, 1f, 0.2f)))
+      .toDF("vec_id", "label", "embedding")
+    val m = Similarity.centroidDrift(a, a).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(m(0) == 1.0 && m(1) == 1.0, m)
+    // rotate label 1 to an orthogonal direction in the "new" snapshot
+    val b = Seq(
+      (1L, 0, Array(1f, 0.1f, 0f)),
+      (5L, 1, Array(1f, 0f, 0f)), (7L, 1, Array(1f, 0f, 0.1f)))
+      .toDF("vec_id", "label", "embedding")
+    val d = Similarity.centroidDrift(a, b).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(d(0)._3 > 0.99, d(0))
+    assert(d(1)._3 < 0.2, d(1)) // orthogonal-ish centroid
+    assert(d(1)._1 == 2L && d(1)._2 == 2L)
+  }
+
   test("quantizationStats: hand-computed spans, half-up grid snapping, " +
     "exact zero error on representable values") {
     import graft.ext.Similarity
