@@ -264,4 +264,32 @@ class SkewStressSpec extends SparkSpec {
         s"banded spread too weak: max=${bandReads.max} of ${bandReads.sum}")
     }
   }
+
+  test("winnowing df cap bounds a boilerplate mega-bucket: pair volume " +
+    "stays filler-sized instead of quadratic in the hot phrase") {
+    withMeasuredConf(16) {
+      // 600 docs share one boilerplate phrase (plus unique filler so
+      // each doc still selects its own fingerprints); uncapped, the
+      // shared selections alone would enumerate C(600,2) ≈ 180 k pairs
+      val rnd = new scala.util.Random(77)
+      val boiler = (1 to 10).map(i => s"bp$i").mkString(" ")
+      val docs = ((1L to 600L).map(i =>
+          (i, s"$boiler " + (1 to 10).map(_ => s"u${i}x${rnd.nextInt(9)}").mkString(" "))) ++
+        (601L to 650L).map(i =>
+          (i, (1 to 20).map(_ => s"f${rnd.nextInt(100000)}").mkString(" "))))
+        .toDF("doc_id", "text")
+      val capped = graft.ext.Dedup.winnowedDupCandidates(docs,
+        "doc_id", "text", k = 4, w = 4, minShared = 1, dfCap = 50)
+      val nCapped = capped.count()
+      // the boilerplate hashes (df = 600 > cap) are excluded, so pair
+      // volume collapses to the incidental filler collisions
+      assert(nCapped < 5000L,
+        s"df cap failed to bound the mega-bucket: $nCapped pairs")
+      // sanity: with a cap ABOVE the hot df, the quadratic pair set
+      // exists — proving the cap (not data accident) is the bound
+      val uncapped = graft.ext.Dedup.winnowedDupCandidates(docs,
+        "doc_id", "text", k = 4, w = 4, minShared = 1, dfCap = 1000)
+      assert(uncapped.count() >= 179700L, "expected the quadratic set")
+    }
+  }
 }
