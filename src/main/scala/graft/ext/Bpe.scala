@@ -104,6 +104,27 @@ object Bpe {
       .toDF("round", "sym_a", "sym_b", "merged", "pair_count")
   }
 
+  /** Flatten a learned merge table into the vocab [[
+    * TextAnalysis.vocabTokenStats]] / the VocabEncode kernel consume —
+    * the bridge from BPE TRAINING (x81) to greedy longest-match APPLY
+    * (x76): base characters observed in the corpus (sorted, so ids are
+    * stable) followed by the merged symbols in learning order.  Note
+    * the two apply modes differ by construction — VocabEncode is
+    * greedy longest-match (WordPiece-style) while [[bpeEncodeCounts]]
+    * replays merges in learned order (BPE-style); both are standard,
+    * and this vocab makes the trained symbols available to the former.
+    * Driver-side result (vocabulary-sized, the merge table is k rows). */
+  def mergeVocab(docs: DataFrame, textCol: String,
+                 merges: Int): Seq[String] = {
+    val merged = bpeTrain(docs, textCol, merges)
+      .orderBy(col("round")).select(col("merged")).collect()
+      .map(_.getString(0))
+    val chars = wordCounts(docs, textCol)
+      .select(explode(split(col("word"), "")).as("ch"))
+      .distinct().orderBy(col("ch")).collect().map(_.getString(0))
+    (chars ++ merged).distinct.toSeq
+  }
+
   /** Apply a learned merge sequence and count the resulting subword
     * tokens per document — the trained-tokenizer token meter (x76's
     * vocab meter with merges learned from THIS corpus instead of a

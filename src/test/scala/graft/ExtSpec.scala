@@ -2148,6 +2148,19 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 4L, 4L)), got.toSeq)
   }
 
+  test("mergeVocab feeds the learned symbols into the VocabEncode " +
+    "apply path: trained merges eliminate UNKs and shrink token counts") {
+    val docs = Seq((1L, "aaab aaab aaab ab")).toDF("doc_id", "text")
+    val vocab = graft.ext.Bpe.mergeVocab(docs, "text", merges = 3)
+    assert(vocab.startsWith(Seq("a", "b")), vocab)
+    assert(vocab.containsSlice(Seq("aa", "ab", "aaab")), vocab)
+    val stats = graft.ext.TextAnalysis
+      .vocabTokenStats(docs, "doc_id", "text", vocab)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    // greedy longest-match with 'aaab' and 'ab' in vocab: 4 tokens, 0 UNK
+    assert(stats == ((4L, 0L)), stats)
+  }
+
   test("bpeTrain matches a list-based reference on seeded random corpora " +
     "(the replace encoding IS greedy left-to-right merging)") {
     val rnd = new scala.util.Random(7)
