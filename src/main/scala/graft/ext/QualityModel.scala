@@ -204,4 +204,92 @@ object QualityModel {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("__lr")), 6).as("weight"))
+
+  /** TRAIN the linear quality classifier that [[scoreWith]] applies —
+    * full-batch gradient descent on hashed bag-of-words counts against
+    * a binary label, the fastText-recipe quality-filter trainer
+    * reduced to its Spark shape: per iteration the corpus-side work is
+    * one margin aggregation plus one gradient aggregation (both
+    * map-side-combinable over a pinned (doc, bucket, count) feature
+    * table), and the only driver-side state is the dim-double weight
+    * vector — the standard distributed-ML layout (gradients collapse
+    * to `dim` rows; the corpus never leaves the executors).
+    *
+    * Every arithmetic step is EXACT in IEEE double, so training is
+    * bit-reproducible across engines, partitionings, and summation
+    * orders — which is what makes a trained model oracle-checkable at
+    * all (the x81 BPE discipline, extended to real-valued learning):
+    *  - the activation is the HARD sigmoid clamp(z/4 + 1/2, 0, 1) —
+    *    no transcendentals, so no libm divergence;
+    *  - weights live on the 2⁻²⁰ dyadic grid (re-quantized after every
+    *    update, floor(w·2²⁰ + ½)/2²⁰) and are clamped to [-8, 8], so
+    *    every weight has ≤ 23 significand bits;
+    *  - feature values are integer counts, the learning rate is the
+    *    power of two 2^-lrShift (absorbing the 1/N of the usual mean
+    *    gradient), and every product/partial-sum therefore fits in 53
+    *    significand bits up to ~2³¹ token-weighted documents — float
+    *    addition over exactly-representable values with exactly-
+    *    representable partial sums is associative, so shuffle order
+    *    cannot change the result.  Beyond that corpus size training
+    *    still converges identically in distribution; only bit-level
+    *    oracle replay is forfeited (documented, not load-bearing).
+    *
+    * `label` is any boolean/0-1 Column over `docs` (e.g.
+    * `col("lang") === "en"`).  Returns the (bucket, w) table
+    * [[scoreWith]] consumes — buckets the corpus never touched keep
+    * w = 0.  Train once, persist like any model dimension. */
+  def trainQualityModel(docs: DataFrame, idCol: String, textCol: String,
+                        label: org.apache.spark.sql.Column,
+                        dim: Int = 64, iters: Int = 4,
+                        lrShift: Int = 15): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2 (got $dim)")
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    require(lrShift >= 0 && lrShift <= 40,
+      s"lrShift must be in [0, 40] (got $lrShift)")
+    val spark = docs.sparkSession
+    val base = docs.select(
+      col(idCol).as("__doc"),
+      label.cast("boolean").cast("int").cast("double").as("__y"),
+      col(textCol).as("__t"))
+    // Featurize ONCE; pin partitioned by doc so the per-iteration
+    // margin→gradient join never re-shuffles the feature table.
+    val xc = base
+      .select(col("__doc"), explode(TextAnalysis.tokens(col("__t")))
+        .as("tok"))
+      .select(col("__doc"), dsirBucket(col("tok"), dim).as("bucket"))
+      .groupBy(col("__doc"), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("__x"))
+      .repartition(col("__doc"))
+      .localCheckpoint()
+    val ys = base.select(col("__doc"), col("__y"))
+      .repartition(col("__doc")).localCheckpoint()
+    val lr = (1L << lrShift).toDouble
+    val q = (1L << 20).toDouble
+    var w = Array.fill(dim)(0.0)
+    for (_ <- 0 until iters) {
+      val wCol = element_at(array(w.map(lit(_)): _*),
+        (col("bucket") + 1).cast("int"))
+      val margins = xc
+        .select(col("__doc"), (wCol * col("__x")).as("__wx"))
+        .groupBy(col("__doc")).agg(sum(col("__wx")).as("__z"))
+        .select(col("__doc"),
+          greatest(lit(0.0), least(lit(1.0),
+            col("__z") * 0.25 + 0.5)).as("__p"))
+      val grad = margins.join(ys, "__doc").join(xc, "__doc")
+        .groupBy(col("bucket"))
+        .agg(sum((col("__p") - col("__y")) * col("__x")).as("__g"))
+        .collect()
+      val g = Array.fill(dim)(0.0)
+      grad.foreach(r => g(r.getLong(0).toInt) = r.getDouble(1))
+      w = Array.tabulate(dim) { b =>
+        val stepped = w(b) - g(b) / lr
+        val quant = math.floor(stepped * q + 0.5) / q
+        math.max(-8.0, math.min(8.0, quant))
+      }
+    }
+    import spark.implicits._
+    spark.createDataset(w.toSeq.zipWithIndex
+        .map { case (wt, b) => (b.toLong, wt) })
+      .toDF("bucket", "w")
+  }
 }

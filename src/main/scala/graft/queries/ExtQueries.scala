@@ -53,6 +53,17 @@ object ExtQueries {
     .empty[(org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]
 
+  /** The trained quality model (x95) is also the x96 apply-side input —
+    * train once per (session, dataset); the model is 64 rows. */
+  private val qmCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+  private def sharedTrainedQm(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame =
+    qmCache.getOrElseUpdate((s, d),
+      graft.ext.QualityModel.trainQualityModel(Tables.documents(s, d),
+        "doc_id", "text", col("lang") === "en").localCheckpoint())
+
   /** The LSH-retrieved near-dup edge set (x3's pipeline), pinned once —
     * the corpus-scale alternative to [[sharedPairs]]' exact quadratic-
     * within-blocks ground truth.  Keeps the verified `jaccard` score:
@@ -67,6 +78,7 @@ object ExtQueries {
   /** Test hook: drop pinned cluster tables (e.g. between conf A/B runs). */
   private[graft] def clearClusterCache(): Unit = {
     clusterCache.clear(); pairCache.clear(); lshPairCache.clear()
+    qmCache.clear()
   }
 
   val qs: Map[String, Q] = Map(
@@ -246,6 +258,20 @@ object ExtQueries {
         .filter(col("weight") > -2.0)
         .select(col("batch_id"), col("doc_id"), col("weight"))
     }),
+
+    // TRAINED quality classifier weights: hard-sigmoid logistic GD on
+    // hashed bag-of-words vs the lang='en' label — every arithmetic
+    // step dyadic-exact, so the learned model itself hash-matches the
+    // oracle's unrolled replay (the x81 discipline for real-valued
+    // learning)
+    "x95_quality_train" -> ((s, d) => sharedTrainedQm(s, d)),
+
+    // the trained model APPLIED through the unchanged scoreWith path —
+    // the train→apply bridge (mergeVocab idiom): mean trained-bucket
+    // weight per doc + keep decision
+    "x96_trained_quality" -> ((s, d) =>
+      graft.ext.QualityModel.scoreWith(Tables.documents(s, d),
+        "doc_id", "text", sharedTrainedQm(s, d), dim = 64)),
 
     // document fingerprint (normalized md5)
     "x12_fingerprint" -> ((s, d) =>
@@ -955,6 +981,20 @@ object ExtQueries {
           round(col("n_retained") / col("n_active"), 6))
     }),
 
+    // strict-ordered funnel: stage k at the earliest step-k event
+    // strictly after a stage-(k-1) completion; one shuffle by user,
+    // all cumulative windows share the sort (Behavior scaladoc)
+    "x93_funnel_steps" -> ((s, d) =>
+      graft.ext.Behavior.funnelSteps(Tables.events(s, d),
+        "user_id", "ts", "event_type", "event_id",
+        Seq("signup", "view", "click", "purchase"))),
+
+    // first-order Markov transition matrix of per-user event streams:
+    // lag over one (user, ts, id) sort, |types|^2-row aggregate
+    "x94_event_transitions" -> ((s, d) =>
+      graft.ext.Behavior.transitionMatrix(Tables.events(s, d),
+        "user_id", "ts", "event_type", "event_id")),
+
     // the NAIVE bounded time-range join, no keys, no manual banding —
     // written the way a user would; the BandTimeRangeJoin optimizer
     // rule turns it into a banded equi-join (the plan audit proves no
@@ -1452,6 +1492,59 @@ object ExtQueries {
       |         % 1024 AS bucket
       |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |             FROM documents))""".stripMargin
+
+  /** x95/x96 shared replay: unrolled hard-sigmoid logistic-GD rounds
+    * (the bpeCtes idiom for real-valued training — every step is
+    * dyadic-exact, see [[graft.ext.QualityModel.trainQualityModel]]'s
+    * scaladoc, so the weight tables hash-match bit-for-bit). */
+  private val qtrainRounds = 4
+  private val qtrainCtes: String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |xc AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) % 64
+        |           AS bucket,
+        |         count(*)::DOUBLE AS x
+        |       FROM tk GROUP BY 1, 2),
+        |yy AS (SELECT doc_id,
+        |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |       FROM documents),
+        |w0 AS (SELECT g AS bucket, 0.0 AS w
+        |       FROM generate_series(0, 63) t(g))""".stripMargin
+    for (r <- 0 until qtrainRounds) {
+      sb ++= s""",
+        |z$r AS (SELECT xc.doc_id, sum(w.w * xc.x) AS z
+        |        FROM xc JOIN w$r w USING (bucket) GROUP BY 1),
+        |p$r AS (SELECT doc_id,
+        |          greatest(0.0, least(1.0, z * 0.25 + 0.5)) AS p
+        |        FROM z$r),
+        |g$r AS (SELECT xc.bucket, sum((p.p - y.y) * xc.x) AS g
+        |        FROM xc JOIN p$r p USING (doc_id)
+        |        JOIN yy y USING (doc_id) GROUP BY 1),
+        |w${r + 1} AS (SELECT w.bucket,
+        |          greatest(-8.0, least(8.0,
+        |            floor((w.w - coalesce(g.g, 0.0) / 32768)
+        |                  * 1048576 + 0.5) / 1048576)) AS w
+        |        FROM w$r w LEFT JOIN g$r g USING (bucket))""".stripMargin
+    }
+    sb.result()
+  }
+
+  private val x95Sql: String = qtrainCtes +
+    s"\nSELECT CAST(bucket AS BIGINT) AS bucket, w FROM w$qtrainRounds"
+
+  private val x96Sql: String = qtrainCtes + s""",
+    |sc AS (SELECT doc_id,
+    |         CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) % 64
+    |           AS bucket
+    |       FROM tk),
+    |scored AS (SELECT s.doc_id,
+    |             round(sum(w.w) / count(*), 4) AS score
+    |           FROM sc s JOIN w$qtrainRounds w USING (bucket)
+    |           GROUP BY 1)
+    |SELECT doc_id, score, score > 0.0 AS keep FROM scored""".stripMargin
 
   /** Rounded cosine between two DuckDB list expressions — mirrors the
     * engine's 6-decimal HALF_UP scoring keys (shared by x22). */
@@ -2102,6 +2195,8 @@ object ExtQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |       round(sum(m.lr), 6) AS weight
         |FROM dk JOIN m USING (bucket) GROUP BY 1""".stripMargin,
+    "x95_quality_train" -> x95Sql,
+    "x96_trained_quality" -> x96Sql,
     // the three-batch gate replay partitions the same per-doc scores by
     // doc_id % 3 and keeps the target-like slice (threshold -2.0: the
     // synthetic corpus shares one vocabulary across langs, so weights
@@ -2929,6 +3024,77 @@ object ExtQueries {
         |             / count(*)::DOUBLE, 6) AS retention
         |FROM w LEFT JOIN n ON w.user_id = n.user_id AND w.wk = n.wk
         |GROUP BY 1""".stripMargin,
+    "x93_funnel_steps" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |             event_type
+        |           FROM events),
+        |l1 AS (SELECT *,
+        |         CASE WHEN event_type = 'signup' THEN ts END AS q0
+        |       FROM e),
+        |l2 AS (SELECT *,
+        |         min(q0) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS m0
+        |       FROM l1),
+        |l3 AS (SELECT *,
+        |         CASE WHEN event_type = 'view' AND m0 IS NOT NULL
+        |              THEN ts END AS q1
+        |       FROM l2),
+        |l4 AS (SELECT *,
+        |         min(q1) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS m1
+        |       FROM l3),
+        |l5 AS (SELECT *,
+        |         CASE WHEN event_type = 'click' AND m1 IS NOT NULL
+        |              THEN ts END AS q2
+        |       FROM l4),
+        |l6 AS (SELECT *,
+        |         min(q2) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS m2
+        |       FROM l5),
+        |l7 AS (SELECT *,
+        |         CASE WHEN event_type = 'purchase' AND m2 IS NOT NULL
+        |              THEN ts END AS q3
+        |       FROM l6),
+        |pu AS (SELECT user_id, min(q0) AS t0, min(q1) AS t1,
+        |              min(q2) AS t2, min(q3) AS t3
+        |       FROM l7 GROUP BY 1),
+        |c AS (SELECT count(*) AS n_users,
+        |        sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS n0,
+        |        sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS n1,
+        |        sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS n2,
+        |        sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS n3
+        |      FROM pu)
+        |SELECT CAST(s.step AS INT) AS step, s.event_type,
+        |       CAST(s.n AS BIGINT) AS n_users,
+        |       round(s.n / s.prev::DOUBLE, 4) AS conversion
+        |FROM c, LATERAL (VALUES
+        |  (0, 'signup',   c.n0, c.n_users),
+        |  (1, 'view',     c.n1, c.n0),
+        |  (2, 'click',    c.n2, c.n1),
+        |  (3, 'purchase', c.n3, c.n2)) s(step, event_type, n, prev)"""
+      .stripMargin,
+    "x94_event_transitions" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |             event_type
+        |           FROM events),
+        |lg AS (SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_type
+        |       FROM e),
+        |p AS (SELECT prev_type, event_type, count(*) AS n FROM lg
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT prev_type, sum(n) AS tot FROM p GROUP BY 1)
+        |SELECT p.prev_type, p.event_type, CAST(p.n AS BIGINT) AS n,
+        |       round(p.n / m.tot::DOUBLE, 4) AS p
+        |FROM p JOIN m USING (prev_type)""".stripMargin,
     "x64_range_join_auto" ->
       """WITH e AS (SELECT event_id,
         |             make_timestamp(epoch_ns(ts) // 1000) AS ts,
