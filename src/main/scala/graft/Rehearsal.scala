@@ -41,7 +41,11 @@ object Rehearsal {
     // double-globalRank interleave, the winnowing pair family, and the
     // streaming DSIR gate
     "x78_span_excision", "x81_bpe_train", "x84_interleaved_order",
-    "x90_winnow_pairs", "st11_dsir_gate")
+    "x90_winnow_pairs", "st11_dsir_gate",
+    // late-round-12 additions: GD training (iters × two corpus aggs —
+    // linear by construction, gate proves it) and the one-shuffle
+    // funnel over the events log
+    "x95_quality_train", "x93_funnel_steps")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)

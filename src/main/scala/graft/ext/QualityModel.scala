@@ -292,4 +292,28 @@ object QualityModel {
         .map { case (wt, b) => (b.toLong, wt) })
       .toDF("bucket", "w")
   }
+
+  /** Persist a trained [[trainQualityModel]] weight table with its
+    * feature dimension in table properties (the saveDsirModel
+    * discipline) — score months of batches against a model trained
+    * once, across restarts. */
+  def saveQualityModel(model: DataFrame, table: String, dim: Int): Unit = {
+    model.write.mode("overwrite").format("parquet").saveAsTable(table)
+    model.sparkSession.sql(
+      s"ALTER TABLE ${SqlIdent.quote(table)} SET TBLPROPERTIES " +
+        s"('graft.qm.dim'='$dim')")
+  }
+
+  /** Reopen a persisted quality model, restoring `dim` and refusing
+    * non-model tables.  Returns (model, dim) — pass both to
+    * [[scoreWith]]. */
+  def loadQualityModel(spark: SparkSession,
+                       table: String): (DataFrame, Int) = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${SqlIdent.quote(table)}")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dim = props.getOrElse("graft.qm.dim", sys.error(
+      s"$table is not a graft quality-model table (missing graft.qm.dim)"))
+      .toInt
+    (spark.table(table), dim)
+  }
 }

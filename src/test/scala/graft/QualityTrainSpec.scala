@@ -96,6 +96,27 @@ class QualityTrainSpec extends SparkSpec {
       s"expected separation, got good=${good.toSeq} bad=${bad.toSeq}")
   }
 
+  test("persisted model reloads with its dim and scores identically") {
+    val model = QualityModel.trainQualityModel(corpus, "doc_id", "text",
+      col("y"), dim = DIM, iters = 2)
+    spark.sql("DROP TABLE IF EXISTS qm_model_t")
+    QualityModel.saveQualityModel(model, "qm_model_t", dim = DIM)
+    val (loaded, dim) = QualityModel.loadQualityModel(spark, "qm_model_t")
+    assert(dim === DIM)
+    val a = QualityModel.scoreWith(corpus, "doc_id", "text", model, DIM)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = QualityModel.scoreWith(corpus, "doc_id", "text", loaded, dim)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+    spark.sql("DROP TABLE IF EXISTS qm_model_t")
+    // a non-model table is refused
+    corpus.limit(1).write.mode("overwrite").saveAsTable("qm_not_model")
+    intercept[RuntimeException] {
+      QualityModel.loadQualityModel(spark, "qm_not_model")
+    }
+    spark.sql("DROP TABLE IF EXISTS qm_not_model")
+  }
+
   test("trainer validates its parameters") {
     intercept[IllegalArgumentException] {
       QualityModel.trainQualityModel(corpus, "doc_id", "text", col("y"),
