@@ -61,12 +61,24 @@ object Rehearsal {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Queries whose declared form pins its whole result in a session
+    // cache would rehearse the CACHE, not the operator — time those
+    // through a direct, uncached call instead (the declared x95 entry
+    // trains once per (session, dataset) by design; here every timed
+    // run must retrain).
+    val uncached: Map[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "x95_quality_train" -> ((s, d) =>
+        graft.ext.QualityModel.trainQualityModel(Tables.documents(s, d),
+          "doc_id", "text",
+          org.apache.spark.sql.functions.col("lang") === "en")))
     def time(name: String, dir: String): Seq[Double] = {
+      val fn = uncached.getOrElse(name, SparkEntry.queries(name))
       // one untimed warmup absorbs class-load/codegen/file-listing cost
-      SparkEntry.queries(name)(spark, dir).count()
+      fn(spark, dir).count()
       (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).count()
+        fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
     }

@@ -23,9 +23,13 @@ object Behavior {
   /** Strict-ordered funnel: for each user, stage k is reached at the
     * EARLIEST event of `steps(k)` that occurs strictly after (in
     * (ts, tie) order) some completion of stage k-1.  Emits one row per
-    * step: (step, event_type, n_users, conversion) where `conversion`
-    * is n_users(step)/n_users(step-1) rounded to 4 decimals (step 0
-    * converts from the full user universe).
+    * step: (step, event_type, n_users, conversion, avg_sec_from_prev)
+    * where `conversion` is n_users(step)/n_users(step-1) rounded to 4
+    * decimals (step 0 converts from the full user universe) and
+    * `avg_sec_from_prev` is the mean seconds between a user's stage
+    * k-1 and stage k completions, over users reaching stage k (null
+    * for step 0; rounded to 2 decimals — gaps are summed as exact
+    * integer microseconds, so the mean is order-independent).
     *
     * "Strictly after" is sort-order-after — an event at the same
     * timestamp as the prior stage's completion counts only if its
@@ -66,17 +70,26 @@ object Behavior {
     val counts = perUser.agg(
       count(lit(1)).as("__n_users"),
       steps.indices.map(k =>
-        sum(when(col(s"__t$k").isNotNull, 1L).otherwise(0L)).as(s"__n$k")): _*)
+        sum(when(col(s"__t$k").isNotNull, 1L).otherwise(0L)).as(s"__n$k")) ++
+      (1 until steps.length).map(k =>
+        // t_k non-null implies t_{k-1} non-null (stage gating), so the
+        // mean is over exactly the users reaching stage k
+        round(avg(unix_micros(col(s"__t$k"))
+            - unix_micros(col(s"__t${k - 1}"))) / 1000000.0, 2)
+          .as(s"__g$k")): _*)
     val stacked = counts.select(expr(
       "stack(" + steps.length + ", " +
         steps.indices.map(k =>
           s"$k, '${steps(k)}', __n$k, " +
-            (if (k == 0) "__n_users" else s"__n${k - 1}")).mkString(", ") +
-        ") as (step, event_type, n_users, __prev)"))
+            (if (k == 0) "__n_users" else s"__n${k - 1}") + ", " +
+            (if (k == 0) "CAST(NULL AS DOUBLE)" else s"__g$k"))
+          .mkString(", ") +
+        ") as (step, event_type, n_users, __prev, avg_sec_from_prev)"))
     stacked.select(col("step").cast("int").as("step"), col("event_type"),
       col("n_users"),
       round(col("n_users").cast("double") / col("__prev"), 4)
-        .as("conversion"))
+        .as("conversion"),
+      col("avg_sec_from_prev"))
   }
 
   /** First-order transition matrix of the event log: counts of

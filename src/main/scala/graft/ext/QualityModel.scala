@@ -293,6 +293,25 @@ object QualityModel {
       .toDF("bucket", "w")
   }
 
+  /** The corpus's token-frequency-weighted mean score under a model —
+    * the natural CENTER of [[scoreWith]]'s mean-weight score on the
+    * corpus the model was trained on (class imbalance shifts raw
+    * scores off zero; "above corpus mean" is the centered keep rule a
+    * relative quality gate wants).  One explode → broadcast-join →
+    * global agg pass; the sum is over dyadic-grid weights, so it is
+    * exact (order-independent) up to ~2³² tokens and the returned
+    * scalar replays bit-identically in the oracle. */
+  def corpusMeanScore(docs: DataFrame, textCol: String,
+                      model: DataFrame, dim: Int): Double = {
+    val r = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(dsirBucket(col("tok"), dim).as("bucket"))
+      .join(broadcast(model), Seq("bucket"))
+      .agg((sum(col("w")) / count(lit(1))).as("tau"))
+      .head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0) // empty corpus → center 0
+  }
+
   /** Persist a trained [[trainQualityModel]] weight table with its
     * feature dimension in table properties (the saveDsirModel
     * discipline) — score months of batches against a model trained

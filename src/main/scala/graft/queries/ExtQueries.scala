@@ -273,6 +273,28 @@ object ExtQueries {
       graft.ext.QualityModel.scoreWith(Tables.documents(s, d),
         "doc_id", "text", sharedTrainedQm(s, d), dim = 64)),
 
+    // streaming quality gate over the TRAINED classifier (the st11
+    // pattern for the learned model): train once → pin → score each
+    // micro-batch through scoreWith → keep docs above the CORPUS MEAN
+    // score under the model (class imbalance centers raw mean-weight
+    // scores off zero on the shared-vocabulary corpus, so an absolute
+    // 0 cut gates everything; the token-weighted mean is the centered
+    // threshold, exact in both engines — corpusMeanScore scaladoc)
+    "st13_trained_qm_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = sharedTrainedQm(s, d)
+      val tau = graft.ext.QualityModel.corpusMeanScore(
+        docs, "text", model, dim = 64)
+      (0 until 3).map { b =>
+        graft.ext.QualityModel.scoreWith(
+            docs.filter(pmod(col("doc_id"), lit(3)) === b),
+            "doc_id", "text", model, dim = 64, threshold = tau)
+          .withColumn("batch_id", lit(b))
+      }.reduce(_ unionByName _)
+        .filter(col("keep"))
+        .select(col("batch_id"), col("doc_id"), col("score"))
+    }),
+
     // document fingerprint (normalized md5)
     "x12_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -2197,6 +2219,22 @@ object ExtQueries {
         |FROM dk JOIN m USING (bucket) GROUP BY 1""".stripMargin,
     "x95_quality_train" -> x95Sql,
     "x96_trained_quality" -> x96Sql,
+    // batch replay of the gate: same per-doc scores, partitioned by
+    // doc_id % 3, kept above the x96 threshold
+    "st13_trained_qm_gate" -> (qtrainCtes + s""",
+      |sc AS (SELECT doc_id,
+      |         CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) % 64
+      |           AS bucket
+      |       FROM tk),
+      |scored AS (SELECT s.doc_id,
+      |             round(sum(w.w) / count(*), 4) AS score
+      |           FROM sc s JOIN w$qtrainRounds w USING (bucket)
+      |           GROUP BY 1)
+      |SELECT CAST(doc_id % 3 AS INT) AS batch_id, doc_id, score
+      |FROM scored
+      |WHERE score > (SELECT sum(w.w) / count(*)
+      |               FROM sc s JOIN w$qtrainRounds w USING (bucket))"""
+      .stripMargin),
     // the three-batch gate replay partitions the same per-doc scores by
     // doc_id % 3 and keeps the target-like slice (threshold -2.0: the
     // synthetic corpus shares one vocabulary across langs, so weights
@@ -3069,16 +3107,23 @@ object ExtQueries {
         |        sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS n0,
         |        sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS n1,
         |        sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS n2,
-        |        sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS n3
+        |        sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS n3,
+        |        round(avg(epoch_us(t1) - epoch_us(t0)) / 1000000.0, 2)
+        |          AS g1,
+        |        round(avg(epoch_us(t2) - epoch_us(t1)) / 1000000.0, 2)
+        |          AS g2,
+        |        round(avg(epoch_us(t3) - epoch_us(t2)) / 1000000.0, 2)
+        |          AS g3
         |      FROM pu)
         |SELECT CAST(s.step AS INT) AS step, s.event_type,
         |       CAST(s.n AS BIGINT) AS n_users,
-        |       round(s.n / s.prev::DOUBLE, 4) AS conversion
+        |       round(s.n / s.prev::DOUBLE, 4) AS conversion,
+        |       s.g AS avg_sec_from_prev
         |FROM c, LATERAL (VALUES
-        |  (0, 'signup',   c.n0, c.n_users),
-        |  (1, 'view',     c.n1, c.n0),
-        |  (2, 'click',    c.n2, c.n1),
-        |  (3, 'purchase', c.n3, c.n2)) s(step, event_type, n, prev)"""
+        |  (0, 'signup',   c.n0, c.n_users, CAST(NULL AS DOUBLE)),
+        |  (1, 'view',     c.n1, c.n0, c.g1),
+        |  (2, 'click',    c.n2, c.n1, c.g2),
+        |  (3, 'purchase', c.n3, c.n2, c.g3)) s(step, event_type, n, prev, g)"""
       .stripMargin,
     "x94_event_transitions" ->
       """WITH e AS (SELECT event_id, user_id,

@@ -28,12 +28,12 @@ class BehaviorSpec extends SparkSpec {
         "event_id", Seq("signup", "view", "click", "purchase"))
       .orderBy("step")
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
-        r.getDouble(3)))
+        r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
     assert(got.toSeq === Seq(
-      (0, "signup", 5L, 0.8333),   // u1 u2 u3 u5 u6 of 6 users
-      (1, "view", 3L, 0.6),        // u1 u3 u5 (u6's view ties BEFORE)
-      (2, "click", 1L, 0.3333),    // u1
-      (3, "purchase", 1L, 1.0)))   // u1
+      (0, "signup", 5L, 0.8333, None),        // u1 u2 u3 u5 u6 of 6 users
+      (1, "view", 3L, 0.6, Some(6.67)),       // u1 u3 u5; gaps 10,10,0 s
+      (2, "click", 1L, 0.3333, Some(10.0)),   // u1; 20→30
+      (3, "purchase", 1L, 1.0, Some(10.0))))  // u1; 30→40
   }
 
   test("funnel rejects duplicate or empty step lists") {

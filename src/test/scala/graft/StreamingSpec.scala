@@ -326,6 +326,51 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS dsir_model_t")
   }
 
+  test("streaming trained-quality gate equals the batch answer, and " +
+    "the persisted model gates identically after a restart") {
+    import graft.ext.QualityModel
+    val docs = Tables.documents(spark, sf0001)
+    val model = QualityModel.trainQualityModel(docs, "doc_id", "text",
+      $"lang" === "en", dim = 64, iters = 4).localCheckpoint()
+    // centered cut: above the corpus-mean score (class imbalance moves
+    // raw mean-weight scores off zero on the shared-vocab corpus)
+    val tau = QualityModel.corpusMeanScore(docs, "text", model, 64)
+    val batchAnswer = QualityModel
+      .scoreWith(docs, "doc_id", "text", model, dim = 64, threshold = tau)
+      .filter($"keep").select($"doc_id").as[Long].collect().toSet
+    assert(batchAnswer.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qm_").toString
+    docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+      .write.mode("append").parquet(dir)
+    docs.filter($"doc_id" % 2 =!= 0).select($"doc_id", $"text")
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val kept = scala.collection.mutable.Set[Long]()
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        kept ++= QualityModel.scoreWith(df, "doc_id", "text", model, 64,
+            threshold = tau)
+          .filter($"keep").select($"doc_id").as[Long].collect()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(kept.toSet == batchAnswer,
+      "per-micro-batch trained-QM gating must equal the all-at-once answer")
+    // restart: the persisted model gates identically
+    spark.sql("DROP TABLE IF EXISTS qm_gate_t")
+    QualityModel.saveQualityModel(model, "qm_gate_t", dim = 64)
+    val (loaded, dim) = QualityModel.loadQualityModel(spark, "qm_gate_t")
+    val reloadedKept = QualityModel
+      .scoreWith(docs, "doc_id", "text", loaded, dim, threshold = tau)
+      .filter($"keep").select($"doc_id").as[Long].collect().toSet
+    assert(reloadedKept == batchAnswer)
+    spark.sql("DROP TABLE IF EXISTS qm_gate_t")
+  }
+
   test("streaming winnow gate equals batch; extension flags re-uploads " +
     "of accepted batches; save/load keeps the gate") {
     import graft.ext.Dedup
