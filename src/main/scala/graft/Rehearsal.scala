@@ -73,6 +73,17 @@ object Rehearsal {
           "doc_id", "text",
           org.apache.spark.sql.functions.col("lang") === "en")))
     def time(name: String, dir: String): Seq[Double] = {
+      // Clean slate per (query, dir): earlier queries' pinned
+      // localCheckpoint blocks otherwise accumulate across the run and
+      // push later queries into eviction/spill — measured: x90 at 11×
+      // as rehearsal query #16 vs 2.9× warm in a fresh session, same
+      // code.  Clearing BETWEEN queries (never between a query's own
+      // warmup and timed runs) keeps each query's intra-run cache
+      // semantics (x77 still times merge-against-pinned-pairs) while
+      // removing cross-query session history from the measurement.
+      graft.queries.ExtQueries.clearClusterCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val fn = uncached.getOrElse(name, SparkEntry.queries(name))
       // one untimed warmup absorbs class-load/codegen/file-listing cost
       fn(spark, dir).count()
