@@ -312,6 +312,39 @@ object QualityModel {
     if (r.isNullAt(0)) 0.0 else r.getDouble(0) // empty corpus → center 0
   }
 
+  /** Classification report for a trained model against a labeled
+    * corpus: confusion counts at the given threshold plus
+    * accuracy/precision/recall — the evaluate side of the
+    * train→persist→apply lifecycle (hold out a split with
+    * [[CorpusStats.splitColumn]] and point this at it).  One scoring
+    * pass ([[scoreWith]] shape) + a doc-keyed label join + a single
+    * global agg; nothing driver-side, nothing data-sized downstream.
+    * Ratios are exact BIGINT-count divisions rounded to 4 — replayable.
+    * Empty corpus → the global-agg one-null-row shape (the a1/k3
+    * class), same as the oracle's. */
+  def evaluateModel(docs: DataFrame, idCol: String, textCol: String,
+                    label: org.apache.spark.sql.Column,
+                    weights: DataFrame, dim: Int,
+                    threshold: Double = 0.0): DataFrame = {
+    val scored = scoreWith(docs, idCol, textCol, weights, dim,
+      threshold = threshold)
+    val labeled = docs.select(col(idCol),
+      label.cast("boolean").as("__y"))
+    val cell = (p: Boolean, y: Boolean) =>
+      sum(when(col("keep") === p && col("__y") === y, 1L).otherwise(0L))
+    scored.join(labeled, idCol)
+      .agg(cell(true, true).as("tp"), cell(true, false).as("fp"),
+        cell(false, false).as("tn"), cell(false, true).as("fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        round((col("tp") + col("tn")).cast("double")
+          / (col("tp") + col("fp") + col("tn") + col("fn")), 4)
+          .as("accuracy"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 4)
+          .as("precision"),
+        round(col("tp").cast("double") / (col("tp") + col("fn")), 4)
+          .as("recall"))
+  }
+
   /** Persist a trained [[trainQualityModel]] weight table with its
     * feature dimension in table properties (the saveDsirModel
     * discipline) — score months of batches against a model trained

@@ -14,7 +14,7 @@ class EmptyInputSpec extends SparkSpec {
     val dir = graft.tools.EmptyCheck.stageEmpty(spark, sf0001)
     val globalAggSingletons = Set(
       "a1_batch_from_to", "a3_watermark_max", "a7_count_compare",
-      "k3_envelope", "x68_source_concentration")
+      "k3_envelope", "x68_source_concentration", "x97_model_eval")
     // fixed-shape reports: row count is a function of the OPERATOR's
     // parameters, not the data — the oracle produces the same shape
     val fixedShape = Map(

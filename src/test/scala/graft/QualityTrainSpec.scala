@@ -117,6 +117,18 @@ class QualityTrainSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS qm_not_model")
   }
 
+  test("evaluateModel reports a perfect confusion matrix on the " +
+    "separable corpus") {
+    val model = QualityModel.trainQualityModel(corpus, "doc_id", "text",
+      col("y"), dim = DIM, iters = 4)
+    val r = QualityModel.evaluateModel(corpus, "doc_id", "text",
+      col("y"), model, DIM).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((10L, 0L, 10L, 0L)))
+    assert((r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      === ((1.0, 1.0, 1.0)))
+  }
+
   test("trainer validates its parameters") {
     intercept[IllegalArgumentException] {
       QualityModel.trainQualityModel(corpus, "doc_id", "text", col("y"),
