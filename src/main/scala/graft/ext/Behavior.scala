@@ -92,6 +92,44 @@ object Behavior {
       col("avg_sec_from_prev"))
   }
 
+  /** Concurrent-session occupancy: the sweep-line concurrency curve of
+    * gap-sessionized activity, aggregated per hour — (hour, n_starts,
+    * n_ends, max_concurrent).  "How many sessions were open at once"
+    * is the load/capacity number a 100 TB event log gets asked for,
+    * and the naive forms are both scale-broken: an interval self-join
+    * is O(n²), a global ORDER BY window is one task.  The sweep-line
+    * form is neither: sessions → ±1 boundary rows → ONE
+    * [[CorpusStats.globalCumSum]] (range-repartitioned prefix sums +
+    * broadcast per-partition offsets — no corpus-wide window) → tiny
+    * per-hour aggregate.
+    *
+    * Tie semantics: boundaries order by (ts, delta), so a session
+    * ending exactly when another starts closes first (touching
+    * sessions never double-count).  Sessions follow
+    * `session_window(ts, gap)` exactly (st6): end = last event + gap,
+    * end-exclusive.  `max_concurrent` is the max over the curve AT
+    * boundary points within the hour; an hour with no boundary events
+    * carries the previous level and emits no row (documented — the
+    * curve is piecewise constant between boundaries). */
+  def sessionOccupancy(events: DataFrame, userCol: String, tsCol: String,
+                       gap: String = "30 minutes"): DataFrame = {
+    val sessions = events
+      .groupBy(col(userCol), session_window(col(tsCol), gap).as("__w"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__w.start").as("__st"), col("__w.end").as("__en"))
+    val bounds = sessions.select(col("__st").as("ts"), lit(1L).as("delta"))
+      .unionByName(sessions.select(col("__en").as("ts"),
+        lit(-1L).as("delta")))
+    val curve = graft.ext.CorpusStats.globalCumSum(bounds,
+      Seq(col("ts"), col("delta")), "delta", cumName = "concurrent")
+    curve
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH").as("hour"))
+      .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_ends"),
+        max(col("concurrent")).as("max_concurrent"))
+  }
+
   /** First-order transition matrix of the event log: counts of
     * consecutive (prev_type → event_type) pairs within each user's
     * (ts, tie)-ordered stream, plus the row-normalized transition

@@ -511,44 +511,54 @@ object CorpusStats {
     * This is the budget-selection primitive: "take documents in
     * quality order until the token budget is spent" is one filter on
     * the inclusive running total ([[globalRank]] ranks, this one
-    * meters).  `valueCol` must be integral (summed as long); pass a
-    * unique tiebreak in `orderCols` or boundary rows land in
+    * meters) — and the sweep-line primitive: signed ±1 boundary deltas
+    * give interval concurrency ([[Behavior.sessionOccupancy]]).
+    * `valueCol` must be integral (summed as long) and MAY be negative:
+    * each partition's contribution to downstream offsets is the cum at
+    * its LAST row in order (for non-negative values that equals the
+    * max; for signed values it does not — tracked via an in-partition
+    * row index so ties in `orderCols` cannot mispick).  Pass a unique
+    * tiebreak in `orderCols` or boundary rows land in
     * partition-dependent order. */
   def globalCumSum(df: DataFrame, orderCols: Seq[Column], valueCol: String,
                    cumName: String = "cum", partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{IntegerType, LongType}
-    val reserved = Set("__pid", "__pcum", "__offset", cumName)
+    val reserved = Set("__pid", "__pcum", "__ridx", "__offset", cumName)
     val clash = df.columns.filter(reserved)
     require(clash.isEmpty,
       s"globalCumSum: input columns ${clash.mkString(", ")} collide with " +
-        s"reserved names (__pid, __pcum, __offset) or cumName=$cumName")
+        s"reserved names (__pid, __pcum, __ridx, __offset) or " +
+        s"cumName=$cumName")
     val n = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
     val valueIdx = df.schema.fieldIndex(valueCol)
     val schema = df.schema
       .add("__pid", IntegerType, nullable = false)
       .add("__pcum", LongType, nullable = false)
+      .add("__ridx", LongType, nullable = false)
     val summed = df.repartitionByRange(n, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var acc = 0L
+        var idx = 0L
         it.map { r =>
           acc += r.getAs[Number](valueIdx).longValue()
-          Row.fromSeq(r.toSeq :+ pid :+ acc)
+          idx += 1
+          Row.fromSeq(r.toSeq :+ pid :+ acc :+ idx)
         }
       }(Encoders.row(schema))
       .localCheckpoint() // totals derive from this; avoid a second sort
     val totals = summed.groupBy(col("__pid"))
-      .agg(max(col("__pcum")).as("__t"))
+      .agg(max_by(col("__pcum"), col("__ridx")).as("__t"))
     val offsets = totals.as("a")
       .join(totals.as("b"), col("b.__pid") < col("a.__pid"), "left")
       .groupBy(col("a.__pid").as("__pid"))
       .agg(coalesce(sum(col("b.__t")), lit(0L)).as("__offset"))
     summed.join(broadcast(offsets), "__pid")
       .withColumn(cumName, col("__offset") + col("__pcum"))
-      .drop("__pid", "__pcum", "__offset")
+      .drop("__pid", "__pcum", "__ridx", "__offset")
   }
 
   /** Vocabulary coverage: fix the vocabulary at the corpus' top

@@ -1042,6 +1042,13 @@ object ExtQueries {
       graft.ext.Behavior.transitionMatrix(Tables.events(s, d),
         "user_id", "ts", "event_type", "event_id")),
 
+    // sweep-line session occupancy: sessions → ±1 boundaries → ONE
+    // globalCumSum (no corpus-wide window, no interval self-join) →
+    // per-hour max concurrency
+    "x98_session_occupancy" -> ((s, d) =>
+      graft.ext.Behavior.sessionOccupancy(Tables.events(s, d),
+        "user_id", "ts")),
+
     // the NAIVE bounded time-range join, no keys, no manual banding —
     // written the way a user would; the BandTimeRangeJoin optimizer
     // rule turns it into a banded equi-join (the plan audit proves no
@@ -3177,6 +3184,33 @@ object ExtQueries {
         |  (2, 'click',    c.n2, c.n1, c.g2),
         |  (3, 'purchase', c.n3, c.n2, c.g3)) s(step, event_type, n, prev, g)"""
       .stripMargin,
+    "x98_session_occupancy" ->
+      """WITH e AS (SELECT user_id,
+        |             make_timestamp(epoch_ns(ts) // 1000) AS ts
+        |           FROM events),
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |        THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                               ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |sess AS (SELECT min(ts) AS st, max(ts) + INTERVAL 30 MINUTE AS en
+        |         FROM s GROUP BY user_id, sid),
+        |b AS (SELECT st AS ts, 1 AS delta FROM sess
+        |      UNION ALL SELECT en AS ts, -1 AS delta FROM sess),
+        |c AS (SELECT ts, delta,
+        |        sum(delta) OVER (ORDER BY ts, delta
+        |                         ROWS UNBOUNDED PRECEDING) AS concurrent
+        |      FROM b)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+        |       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_starts,
+        |       CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_ends,
+        |       CAST(max(concurrent) AS BIGINT) AS max_concurrent
+        |FROM c GROUP BY 1""".stripMargin,
     "x94_event_transitions" ->
       """WITH e AS (SELECT event_id, user_id,
         |             make_timestamp(epoch_ns(ts) // 1000) AS ts,

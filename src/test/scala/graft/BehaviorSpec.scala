@@ -73,6 +73,23 @@ class BehaviorSpec extends SparkSpec {
     assert(got.toSeq === Seq(("first", "second")))
   }
 
+  test("session occupancy: sweep-line concurrency with touch-tie " +
+    "close-before-open semantics") {
+    // u1 [00:00, 00:40), u2 [00:20, 00:50), u3 [00:40, 01:10) —
+    // u3 opens exactly as u1 closes: ends sort before starts at a tie,
+    // so concurrency peaks at 2, never 3
+    val events = ev(Seq(
+      (1L, 0L, 1, "a"), (1L, 600L, 2, "a"),
+      (2L, 1200L, 3, "a"),
+      (3L, 2400L, 4, "a")))
+    val got = Behavior.sessionOccupancy(events, "user_id", "ts")
+      .orderBy("hour").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("1970-01-01 00", 3L, 2L, 2L),
+      ("1970-01-01 01", 0L, 1L, 0L)))
+  }
+
   test("funnel plan shuffles the log once: a single user-exchange " +
     "feeds all cumulative windows") {
     val events = ev(Seq(

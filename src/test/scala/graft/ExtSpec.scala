@@ -952,6 +952,26 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
   }
 
+  test("globalCumSum handles SIGNED values: partition totals are the " +
+    "last-in-order cum, not the max (sweep-line regression)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // alternating +1/-1 deltas: with many partitions the max-cum within
+    // a partition exceeds its net total, which overstated offsets
+    val rows = (1L to 200L).map(i => (i, if (i % 2 == 1) 1L else -1L))
+    val df = rows.toDF("k", "v")
+    val got = graft.ext.CorpusStats.globalCumSum(
+        df.repartition(13), Seq(col("k")), "v", partitions = 8)
+      .select("k", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("cum", sum(col("v")).over(w))
+      .select("k", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("snapshot novelty: copies are not novel, fresh docs are") {
     import spark.implicits._
     // no underscores: the unicode tokenizer treats them as punctuation
