@@ -27,6 +27,7 @@ object Plans {
     "x56_mixture_weights" -> "single-row weight-sum normalizer",
     "x57_curriculum_deciles" -> "single-row corpus count for the decile cut",
     "x59_budget_select" -> "#partitions-row triangular offset join (globalCumSum)",
+    "x98_session_occupancy" -> "#partitions-row triangular offset join (globalCumSum)",
     "x67_silent_keys" -> "single-row latest-window bound",
     "x68_source_concentration" -> "single-row corpus token total",
     "st10_embedding_ingest_gate" -> "nlist-row centroid codebook (ivfGate probe)",
