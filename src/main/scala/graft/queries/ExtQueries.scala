@@ -93,9 +93,15 @@ object ExtQueries {
     .empty[(org.apache.spark.sql.SparkSession, String),
       graft.ext.Similarity.IvfIndex]
 
+  /** x97's train-split model + its train-corpus centered threshold. */
+  private val holdoutQmCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (org.apache.spark.sql.DataFrame, Double)]
+
   private[graft] def clearClusterCache(): Unit = {
     clusterCache.clear(); pairCache.clear(); lshPairCache.clear()
     qmCache.clear(); savedClusterCache.clear(); ivfIndexCache.clear()
+    holdoutQmCache.clear()
   }
 
   val qs: Map[String, Q] = Map(
@@ -315,16 +321,23 @@ object ExtQueries {
         .select(col("batch_id"), col("doc_id"), col("score"))
     }),
 
-    // classification report: the evaluate closer of the
-    // train→persist→apply lifecycle — confusion counts + metrics for
-    // the trained model at the centered cut, against the training label
+    // HELD-OUT classification report: the evaluate closer of the
+    // train→persist→apply lifecycle done honestly — the model trains
+    // on the md5 'train' split (x15's content-addressed split), the
+    // centered threshold comes from the train corpus, and the
+    // confusion matrix is measured on the held-out 20%
     "x97_model_eval" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val model = sharedTrainedQm(s, d)
-      val tau = graft.ext.QualityModel.corpusMeanScore(
-        docs, "text", model, dim = 64)
-      graft.ext.QualityModel.evaluateModel(docs, "doc_id", "text",
-        col("lang") === "en", model, dim = 64, threshold = tau)
+      val split = graft.ext.CorpusStats.splitColumn(col("doc_id"))
+      val (model, tau) = holdoutQmCache.getOrElseUpdate((s, d), {
+        val train = docs.filter(split === "train")
+        val m = graft.ext.QualityModel.trainQualityModel(train,
+          "doc_id", "text", col("lang") === "en").localCheckpoint()
+        (m, graft.ext.QualityModel.corpusMeanScore(train, "text", m, 64))
+      })
+      graft.ext.QualityModel.evaluateModel(docs.filter(split =!= "train"),
+        "doc_id", "text", col("lang") === "en", model, dim = 64,
+        threshold = tau)
     }),
 
     // document fingerprint (normalized md5)
@@ -1558,16 +1571,18 @@ object ExtQueries {
       |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |             FROM documents))""".stripMargin
 
-  /** x95/x96 shared replay: unrolled hard-sigmoid logistic-GD rounds
-    * (the bpeCtes idiom for real-valued training — every step is
+  /** x95/x96/st13/x97 shared replay: unrolled hard-sigmoid logistic-GD
+    * rounds (the bpeCtes idiom for real-valued training — every step is
     * dyadic-exact, see [[graft.ext.QualityModel.trainQualityModel]]'s
-    * scaladoc, so the weight tables hash-match bit-for-bit). */
+    * scaladoc, so the weight tables hash-match bit-for-bit).  `where`
+    * restricts the TRAINING corpus (x97 trains on the md5 train split
+    * and evaluates held-out). */
   private val qtrainRounds = 4
-  private val qtrainCtes: String = {
+  private def qtrainCtes(where: String): String = {
     val sb = new StringBuilder
     sb ++=
-      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |            FROM documents),
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents $where),
         |xc AS (SELECT doc_id,
         |         CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) % 64
         |           AS bucket,
@@ -1575,7 +1590,7 @@ object ExtQueries {
         |       FROM tk GROUP BY 1, 2),
         |yy AS (SELECT doc_id,
         |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-        |       FROM documents),
+        |       FROM documents $where),
         |w0 AS (SELECT g AS bucket, 0.0 AS w
         |       FROM generate_series(0, 63) t(g))""".stripMargin
     for (r <- 0 until qtrainRounds) {
@@ -1597,10 +1612,45 @@ object ExtQueries {
     sb.result()
   }
 
-  private val x95Sql: String = qtrainCtes +
+  private val x95Sql: String = qtrainCtes("") +
     s"\nSELECT CAST(bucket AS BIGINT) AS bucket, w FROM w$qtrainRounds"
 
-  private val x96Sql: String = qtrainCtes + s""",
+  /** The md5 train-split membership test (x15's split algebra). */
+  private val qSplitBucket = "CAST(CAST('0x' || substr(md5(" +
+    "CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) AS UBIGINT) % 100 AS INT)"
+
+  private val x97Sql: String = qtrainCtes(s"WHERE $qSplitBucket < 80") +
+    s""",
+    |tau AS (SELECT sum(w.w) / count(*) AS t
+    |        FROM (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT)
+    |                % 64 AS bucket FROM tk) s
+    |        JOIN w$qtrainRounds w USING (bucket)),
+    |hk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    |       FROM documents WHERE $qSplitBucket >= 80),
+    |sch AS (SELECT doc_id,
+    |          CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) % 64
+    |            AS bucket
+    |        FROM hk),
+    |scored AS (SELECT s.doc_id, round(sum(w.w) / count(*), 4) AS score
+    |           FROM sch s JOIN w$qtrainRounds w USING (bucket)
+    |           GROUP BY 1),
+    |j AS (SELECT s.score > tau.t AS keep, d.lang = 'en' AS y
+    |      FROM scored s JOIN documents d USING (doc_id) CROSS JOIN tau),
+    |cm AS (SELECT
+    |  sum(CASE WHEN keep AND y THEN 1 ELSE 0 END) AS tp,
+    |  sum(CASE WHEN keep AND NOT y THEN 1 ELSE 0 END) AS fp,
+    |  sum(CASE WHEN NOT keep AND NOT y THEN 1 ELSE 0 END) AS tn,
+    |  sum(CASE WHEN NOT keep AND y THEN 1 ELSE 0 END) AS fn
+    |  FROM j)
+    |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+    |       CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+    |       round((tp + tn) / (tp + fp + tn + fn)::DOUBLE, 4)
+    |         AS accuracy,
+    |       round(tp / (tp + fp)::DOUBLE, 4) AS precision,
+    |       round(tp / (tp + fn)::DOUBLE, 4) AS recall
+    |FROM cm""".stripMargin
+
+  private val x96Sql: String = qtrainCtes("") + s""",
     |sc AS (SELECT doc_id,
     |         CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) % 64
     |           AS bucket
@@ -2264,7 +2314,7 @@ object ExtQueries {
     "x96_trained_quality" -> x96Sql,
     // batch replay of the gate: same per-doc scores, partitioned by
     // doc_id % 3, kept above the x96 threshold
-    "st13_trained_qm_gate" -> (qtrainCtes + s""",
+    "st13_trained_qm_gate" -> (qtrainCtes("") + s""",
       |sc AS (SELECT doc_id,
       |         CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) % 64
       |           AS bucket
@@ -2278,33 +2328,7 @@ object ExtQueries {
       |WHERE score > (SELECT sum(w.w) / count(*)
       |               FROM sc s JOIN w$qtrainRounds w USING (bucket))"""
       .stripMargin),
-    "x97_model_eval" -> (qtrainCtes + s""",
-      |sc AS (SELECT doc_id,
-      |         CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) % 64
-      |           AS bucket
-      |       FROM tk),
-      |scored AS (SELECT s.doc_id,
-      |             round(sum(w.w) / count(*), 4) AS score
-      |           FROM sc s JOIN w$qtrainRounds w USING (bucket)
-      |           GROUP BY 1),
-      |j AS (SELECT s.score > (SELECT sum(w.w) / count(*)
-      |               FROM sc s2 JOIN w$qtrainRounds w USING (bucket))
-      |          AS keep,
-      |        d.lang = 'en' AS y
-      |      FROM scored s JOIN documents d USING (doc_id)),
-      |cm AS (SELECT
-      |  sum(CASE WHEN keep AND y THEN 1 ELSE 0 END) AS tp,
-      |  sum(CASE WHEN keep AND NOT y THEN 1 ELSE 0 END) AS fp,
-      |  sum(CASE WHEN NOT keep AND NOT y THEN 1 ELSE 0 END) AS tn,
-      |  sum(CASE WHEN NOT keep AND y THEN 1 ELSE 0 END) AS fn
-      |  FROM j)
-      |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
-      |       CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
-      |       round((tp + tn) / (tp + fp + tn + fn)::DOUBLE, 4)
-      |         AS accuracy,
-      |       round(tp / (tp + fp)::DOUBLE, 4) AS precision,
-      |       round(tp / (tp + fn)::DOUBLE, 4) AS recall
-      |FROM cm""".stripMargin),
+    "x97_model_eval" -> x97Sql,
     // the three-batch gate replay partitions the same per-doc scores by
     // doc_id % 3 and keeps the target-like slice (threshold -2.0: the
     // synthetic corpus shares one vocabulary across langs, so weights
