@@ -90,6 +90,15 @@ class BehaviorSpec extends SparkSpec {
       ("1970-01-01 01", 0L, 1L, 0L)))
   }
 
+  test("occupancy plan has no global Window: the sweep rides " +
+    "globalCumSum's range-partitioned prefix sums") {
+    val events = ev(Seq(
+      (1L, 0L, 1, "a"), (2L, 1200L, 2, "a")))
+    val plan = Behavior.sessionOccupancy(events, "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window("), s"unexpected window operator:\n$plan")
+  }
+
   test("funnel plan shuffles the log once: a single user-exchange " +
     "feeds all cumulative windows") {
     val events = ev(Seq(
