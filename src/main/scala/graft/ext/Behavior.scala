@@ -87,7 +87,10 @@ object Behavior {
         ") as (step, event_type, n_users, __prev, avg_sec_from_prev)"))
     stacked.select(col("step").cast("int").as("step"), col("event_type"),
       col("n_users"),
-      round(col("n_users").cast("double") / col("__prev"), 4)
+      // guard: an empty prior stage has no defined conversion (and
+      // ANSI mode would throw on the division)
+      when(col("__prev") > 0,
+        round(col("n_users").cast("double") / col("__prev"), 4))
         .as("conversion"),
       col("avg_sec_from_prev"))
   }

@@ -336,12 +336,17 @@ object QualityModel {
       .agg(cell(true, true).as("tp"), cell(true, false).as("fp"),
         cell(false, false).as("tn"), cell(false, true).as("fn"))
       .select(col("tp"), col("fp"), col("tn"), col("fn"),
-        round((col("tp") + col("tn")).cast("double")
-          / (col("tp") + col("fp") + col("tn") + col("fn")), 4)
+        // zero denominators (nothing kept / no positives) leave the
+        // ratio undefined rather than throwing under ANSI mode
+        when(col("tp") + col("fp") + col("tn") + col("fn") > 0,
+          round((col("tp") + col("tn")).cast("double")
+            / (col("tp") + col("fp") + col("tn") + col("fn")), 4))
           .as("accuracy"),
-        round(col("tp").cast("double") / (col("tp") + col("fp")), 4)
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 4))
           .as("precision"),
-        round(col("tp").cast("double") / (col("tp") + col("fn")), 4)
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 4))
           .as("recall"))
   }
 

@@ -1644,10 +1644,13 @@ object ExtQueries {
     |  FROM j)
     |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
     |       CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
-    |       round((tp + tn) / (tp + fp + tn + fn)::DOUBLE, 4)
-    |         AS accuracy,
-    |       round(tp / (tp + fp)::DOUBLE, 4) AS precision,
-    |       round(tp / (tp + fn)::DOUBLE, 4) AS recall
+    |       CASE WHEN tp + fp + tn + fn > 0
+    |            THEN round((tp + tn) / (tp + fp + tn + fn)::DOUBLE, 4)
+    |       END AS accuracy,
+    |       CASE WHEN tp + fp > 0
+    |            THEN round(tp / (tp + fp)::DOUBLE, 4) END AS precision,
+    |       CASE WHEN tp + fn > 0
+    |            THEN round(tp / (tp + fn)::DOUBLE, 4) END AS recall
     |FROM cm""".stripMargin
 
   private val x96Sql: String = qtrainCtes("") + s""",
@@ -3211,7 +3214,8 @@ object ExtQueries {
         |      FROM pu)
         |SELECT CAST(s.step AS INT) AS step, s.event_type,
         |       CAST(s.n AS BIGINT) AS n_users,
-        |       round(s.n / s.prev::DOUBLE, 4) AS conversion,
+        |       CASE WHEN s.prev > 0
+        |            THEN round(s.n / s.prev::DOUBLE, 4) END AS conversion,
         |       s.g AS avg_sec_from_prev
         |FROM c, LATERAL (VALUES
         |  (0, 'signup',   c.n0, c.n_users, CAST(NULL AS DOUBLE)),

@@ -17,6 +17,67 @@ class PropertySpec extends SparkSpec {
     (0 until n).flatMap(i =>
       g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("funnel invariants on random event logs: step counts are " +
+    "non-increasing, conversions in [0,1], and transition rows sum to 1") {
+    val gen = for {
+      n <- Gen.choose(5, 60)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 8L)
+        t <- Gen.choose(0L, 86400L)
+        e <- Gen.oneOf("a", "b", "c", "d")
+      } yield (u, t, e))
+    } yield rows
+    samples(gen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val events = rows.zipWithIndex
+        .map { case ((u, t, e), id) => (u, t, id, e) }
+        .toDF("user_id", "sec", "event_id", "event_type")
+        .select($"user_id", timestamp_seconds($"sec").as("ts"),
+          $"event_id", $"event_type")
+      val f = graft.ext.Behavior.funnelSteps(events, "user_id", "ts",
+          "event_type", "event_id", Seq("a", "b", "c"))
+        .orderBy("step")
+        .select($"n_users", $"conversion").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) 1.0 else r.getDouble(1)))
+      val counts = f.map(_._1)
+      assert(counts.sameElements(counts.sorted.reverse),
+        s"sample $i: steps must be non-increasing, got ${counts.toSeq}")
+      f.foreach { case (_, c) =>
+        assert(c.isNaN || (c >= 0.0 && c <= 1.0), s"sample $i: conv $c") }
+      val probs = graft.ext.Behavior.transitionMatrix(events, "user_id",
+          "ts", "event_type", "event_id")
+        .groupBy($"prev_type").agg(sum($"p").as("s"))
+        .select($"s").as[Double].collect()
+      probs.foreach(s => assert(math.abs(s - 1.0) < 0.01,
+        s"sample $i: row sum $s"))
+    }
+  }
+
+  test("occupancy invariants on random event logs: starts and ends " +
+    "balance to the session count and concurrency stays positive at " +
+    "every start") {
+    val gen = Gen.listOfN(40, for {
+      u <- Gen.choose(1L, 6L)
+      t <- Gen.choose(0L, 6L * 3600L)
+    } yield (u, t))
+    samples(gen, 6).zipWithIndex.foreach { case (rows, i) =>
+      val events = rows.zipWithIndex
+        .map { case ((u, t), id) => (u, t, id, "e") }
+        .toDF("user_id", "sec", "event_id", "event_type")
+        .select($"user_id", timestamp_seconds($"sec").as("ts"),
+          $"event_id", $"event_type")
+      val nSessions = events
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .count().count()
+      val occ = graft.ext.Behavior.sessionOccupancy(events, "user_id", "ts")
+        .select($"n_starts", $"n_ends", $"max_concurrent").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(occ.map(_._1).sum === nSessions, s"sample $i: starts")
+      assert(occ.map(_._2).sum === nSessions, s"sample $i: ends")
+      occ.filter(_._1 > 0).foreach { case (_, _, m) =>
+        assert(m >= 1, s"sample $i: an hour with a start must peak >= 1") }
+    }
+  }
+
   test("F1 normalization is linear: normalize(k·v) ≈ k·normalize(v)") {
     val gen = for {
       u <- Gen.oneOf("ppb", "ng/m³", "pp100ml", "pa", "µg/m³")
