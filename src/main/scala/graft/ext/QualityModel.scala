@@ -266,11 +266,16 @@ object QualityModel {
     val lr = (1L << lrShift).toDouble
     val q = (1L << 20).toDouble
     var w = Array.fill(dim)(0.0)
+    import spark.implicits._
     for (_ <- 0 until iters) {
-      val wCol = element_at(array(w.map(lit(_)): _*),
-        (col("bucket") + 1).cast("int"))
-      val margins = xc
-        .select(col("__doc"), (wCol * col("__x")).as("__wx"))
+      // the weight vector rides as a broadcast (bucket, w) dimension —
+      // NOT a literal array expression, which would put `dim` literals
+      // into the plan and break at real feature widths (2^18 buckets)
+      val wDf = broadcast(spark.createDataset(
+        w.toSeq.zipWithIndex.map { case (wt, b) => (b.toLong, wt) })
+        .toDF("bucket", "__w"))
+      val margins = xc.join(wDf, Seq("bucket"))
+        .select(col("__doc"), (col("__w") * col("__x")).as("__wx"))
         .groupBy(col("__doc")).agg(sum(col("__wx")).as("__z"))
         .select(col("__doc"),
           greatest(lit(0.0), least(lit(1.0),
