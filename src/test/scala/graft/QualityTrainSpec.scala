@@ -129,6 +129,15 @@ class QualityTrainSpec extends SparkSpec {
       === ((1.0, 1.0, 1.0)))
   }
 
+  test("trainer runs at wide feature dims (the broadcast-dimension " +
+    "form - an array-literal plan would not)") {
+    val w = QualityModel.trainQualityModel(corpus, "doc_id", "text",
+        col("y"), dim = 4096, iters = 1)
+      .collect()
+    assert(w.length === 4096)
+    assert(w.exists(_.getDouble(1) != 0.0), "training must move weights")
+  }
+
   test("trainer validates its parameters") {
     intercept[IllegalArgumentException] {
       QualityModel.trainQualityModel(corpus, "doc_id", "text", col("y"),
