@@ -629,53 +629,110 @@ object Similarity {
     * sequential greedy sweep: decisions depend only on (cell, pairwise
     * scores), never on visit order, so the operator is deterministic,
     * embarrassingly parallel per cell, and oracle-replayable.  Scale
-    * shape: one narrow corpus pass against the broadcast codebook for
-    * cell assignment, then cells shuffle as skinny (id, vec) rows and
-    * each cell scores inside its own task with the primitive-array
-    * kernel (same trade as [[cosineNearDupPairsBucketed]] — quadratic
-    * only within a cell; `nlist` tunes cell granularity so cells fit
-    * tasks at the target corpus size). */
+    * shape: the nlist-row codebook collects once (bounded) and
+    * broadcasts; cell assignment is a narrow mapPartitions kernel (no
+    * join, no argmax shuffle); cells shuffle as skinny (id, vec) rows
+    * and score with the primitive-array kernel.  Cells larger than
+    * `cellBlockTarget` rows block-decompose triangle-wise (the
+    * [[cosineNearDupPairsBucketed]] pattern) so a hot cell's O(cell²)
+    * spreads over nb(nb+1)/2 tasks at nb× row replication instead of
+    * pinning one executor — the guard costs one extra assignment pass
+    * for the per-cell sizes (≤ nlist agg rows). */
   def semanticPrune(corpus: DataFrame, tau: Double, dim: Int = 64,
-                    nlist: Int = 16): DataFrame = {
+                    nlist: Int = 16,
+                    cellBlockTarget: Int = 1 << 13): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val c = withNorm(corpus, "id", "v")
-    val cent = withNorm(corpus, "cell", "cv").orderBy(col("cell").asc)
-      .limit(nlist)
-    // skinny argmax assignment (same shape as [[ivfTopK]]): max_by over
-    // (id, cell, csim) rows collapses map-side; embeddings join back by
-    // id instead of riding an nlist-replicated shuffle
-    val winner = c.crossJoin(broadcast(cent))
-      .select(col("id"), col("cell"), round(
-        dotExpanded(col("v"), col("cv"), dim) /
-          (col("v_norm") * col("cv_norm")), 6).as("csim"))
-      .groupBy(col("id"))
-      .agg(max_by(col("cell"),
-        struct(col("csim"), (-col("cell")).as("nc"))).as("cell"))
-    val assigned = c.join(winner, "id")
-      .select(col("cell").cast("long").as("cell"),
-        col("id").cast("long").as("id"), col("v"))
-    val drops = assigned.as[(Long, Long, Array[Double])]
-      .groupByKey(_._1).flatMapGroups { (_, it) =>
-        val vecs = it.map { case (_, id, arr) =>
-          (id, arr, math.sqrt(blasDot(arr, arr)))
-        }.toArray.sortBy(_._1)
-        // ascending scan + break ⇒ dropped_by is the MIN qualifying id
-        Iterator.range(1, vecs.length).flatMap { j =>
-          val (bId, bv, nb) = vecs(j)
+    val vecs = corpus.select(col("vec_id").cast("long").as("id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Array[Double])]
+    // codebook: the nlist lowest-id vectors — bounded by construction
+    // (nlist rows × dim doubles), so collecting it is a TakeOrdered job
+    // and the assignment stage needs no join at all
+    val cb = vecs.orderBy(col("id").asc).limit(nlist).collect()
+      .sortBy(_._1)
+      .map { case (id, v) => (id, v, math.sqrt(blasDot(v, v))) }
+    val cbB = spark.sparkContext.broadcast(cb)
+    // one narrow kernel pass: argmax cell per vector, ascending-cell
+    // scan with strict > so ties keep the lowest cell id (the
+    // row_number(csim DESC, cell ASC) rule, kernel-side)
+    val assigned = vecs.mapPartitions { it =>
+      val cells = cbB.value
+      it.map { case (id, v) =>
+        val nv = math.sqrt(blasDot(v, v))
+        var best = Double.NegativeInfinity
+        var bestCell = -1L
+        var i = 0
+        while (i < cells.length) {
+          val (cid, cv, nc) = cells(i)
+          val raw = blasDot(v, cv) / (nv * nc)
+          if (!raw.isNaN) {
+            val s = BigDecimal(raw)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (s > best) { best = s; bestCell = cid }
+          }
+          i += 1
+        }
+        // all-NaN (zero vector): every csim ties, so the ascending
+        // tie-break lands on the lowest cell — same as the SQL
+        // row_number rule, where NaN sorts above every double
+        if (bestCell == -1L && cells.nonEmpty) bestCell = cells(0)._1
+        (bestCell, id, v)
+      }
+    }
+    // skew guard: per-cell sizes (a map-side-combinable agg collapsing
+    // to ≤ nlist rows) decide how many hash blocks each cell's pair
+    // space decomposes into, so a hot cell's O(cell²) spreads over
+    // nb(nb+1)/2 tasks instead of melting one executor — the
+    // [[cosineNearDupPairsBucketed]] triangle pattern, size-gated so
+    // the common small cell keeps the zero-replication single-group
+    // path.  Cost: one extra assignment pass for the sizes (at corpus
+    // scale, persist `corpus` upstream to pay the scan once).
+    val sizes = assigned.toDF("cell", "id", "v").groupBy("cell").count()
+      .as[(Long, Long)].collect().toMap
+    val szB = spark.sparkContext.broadcast(sizes)
+    val target = math.max(1, cellBlockTarget)
+    val grouped = assigned.flatMap { case (cell, id, v) =>
+      val m = szB.value.getOrElse(cell, 1L)
+      val nb = math.max(1L, (m + target - 1) / target).toInt
+      if (nb == 1) Iterator.single((cell, 0, 0, 0, id, v))
+      else {
+        val mine = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb
+        Iterator.range(0, nb).map { other =>
+          (cell, math.min(mine, other), math.max(mine, other), mine, id, v)
+        }
+      }
+    }
+    // per (cell, block-pair) kernel: ascending scan + break ⇒ the MIN
+    // qualifying lower id within the group; diagonal groups see every
+    // row once and emit keeps too, so the final shape is one skinny
+    // agg (min over groups restores the global min dropper) — no
+    // corpus-side join
+    val flagged = grouped.groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroups { (key, it) =>
+        val (cell, bi, bj) = key
+        val rows = it.map { case (_, _, _, blk, id, arr) =>
+          (blk, id, arr, math.sqrt(blasDot(arr, arr)))
+        }.toArray.sortBy(_._2)
+        Iterator.range(0, rows.length).flatMap { j =>
+          val (jb, bId, bv, nbr) = rows(j)
           var i = 0
           var hit = -1L
           while (i < j && hit < 0) {
-            val (aId, av, na) = vecs(i)
-            if (scoredPair(aId, av, na, bId, bv, nb, tau).isDefined) hit = aId
+            val (ib, aId, av, na) = rows(i)
+            if (math.min(ib, jb) == bi && math.max(ib, jb) == bj &&
+              scoredPair(aId, av, na, bId, bv, nbr, tau).isDefined) hit = aId
             i += 1
           }
-          if (hit >= 0) Some((bId, hit)) else None
+          if (hit >= 0) Iterator.single((bId, cell, hit))
+          else if (jb == bi && bi == bj) // diagonal owns the keep row
+            Iterator.single((bId, cell, -1L))
+          else Iterator.empty
         }
-      }.toDF("vec_id", "dropped_by")
-    assigned.select(col("id").as("vec_id"), col("cell"))
-      .join(drops, Seq("vec_id"), "left")
+      }.toDF("vec_id", "cell", "hit")
+    flagged.groupBy("vec_id")
+      .agg(first(col("cell")).as("cell"),
+        min(when(col("hit") >= 0, col("hit"))).as("dropped_by"))
       .select(col("vec_id"), col("cell"),
         col("dropped_by").isNotNull.as("dropped"), col("dropped_by"))
   }

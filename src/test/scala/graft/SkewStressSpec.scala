@@ -292,4 +292,73 @@ class SkewStressSpec extends SparkSpec {
       assert(uncapped.count() >= 179700L, "expected the quadratic set")
     }
   }
+
+  test("semanticPrune hot cell: block decomposition spreads the " +
+    "per-cell kernel, identical results") {
+    withMeasuredConf(64) {
+      // 800 vectors engineered into ONE cell: codebook = vecs 1..2
+      // (lowest ids); every other vector is a distinct basis direction
+      // plus a small pull toward centroid 1, so all land in cell 1 but
+      // stay mutually dissimilar (full quadratic scans, no early
+      // break).  Same-direction collisions (i % 28) dedup — fine, the
+      // point is the CELL is hot, not the pair output.
+      val dim = 32
+      def basis(k: Int, w: Double): Array[Float] = {
+        val a = Array.fill(dim)(0.0f); a(k) = w.toFloat; a
+      }
+      val rows = Seq((1L, basis(0, 1.0)), (2L, basis(1, 1.0))) ++
+        (3L to 800L).map { i =>
+          val a = basis((i % 28 + 4).toInt, 1.0)
+          a(0) = 0.2f
+          (i, a)
+        }
+      val corpus = rows.toDF("vec_id", "embedding")
+      def run(target: Int): (Set[(Long, Long, Boolean)], Seq[Long]) = {
+        var out = Set.empty[(Long, Long, Boolean)]
+        val stages = perTaskRecords {
+          out = graft.ext.Similarity
+            .semanticPrune(corpus, tau = 0.5, dim = dim, nlist = 2,
+              cellBlockTarget = target)
+            .select("vec_id", "cell", "dropped")
+            .as[(Long, Long, Boolean)].collect().toSet
+        }
+        // the kernel stage is the one with the largest SINGLE-TASK
+        // shuffle read (the grouped (cell, block-pair) rows) — total
+        // reads tie with the final flag agg, which reads the same row
+        // count spread thin
+        val kernel = stages.maxBy(_._2.map(_._2).max)._2.map(_._2)
+        (out, kernel.filter(_ > 0))
+      }
+      val (whole, readsWhole) = run(Int.MaxValue)
+      val (blocked, readsBlocked) = run(50)
+      assert(blocked == whole,
+        "block decomposition must change task layout only, never results")
+      assert(whole.count(_._2 == 1L) >= 798,
+        s"hot cell not hot: ${whole.count(_._2 == 1L)} of ${whole.size}")
+      // unguarded: the single cell key routes every row to one task
+      assert(readsWhole.max >= (readsWhole.sum * 0.9).toLong,
+        s"expected one pinned kernel task, got $readsWhole")
+      // guarded: nb = ceil(798/50) = 16 → 136 block-pair groups spread
+      // across tasks; no task holds more than ~half the cell even
+      // though rows replicate nb times
+      assert(readsBlocked.size >= 8,
+        s"only ${readsBlocked.size} tasks carried kernel rows")
+      // key-tuple hashing can co-locate a few groups per task, so the
+      // per-task bound is statistical — but no task may approach the
+      // full cell
+      assert(readsBlocked.max <= (readsWhole.max * 0.7).toLong,
+        s"hot-cell spread too weak: max=${readsBlocked.max} vs " +
+          s"pinned=${readsWhole.max}")
+      // the hard memory guarantee is per GROUP (one materialized array
+      // per block-pair): replay the block hash and bound every group
+      val nb = 16 // ceil(798 / 50)
+      val perBlock = (3L to 800L)
+        .groupBy(id => ((java.lang.Long.hashCode(id) & Int.MaxValue) % nb))
+        .view.mapValues(_.size).toMap.withDefaultValue(0)
+      val maxGroup = (for (bi <- 0 until nb; bj <- bi until nb) yield
+        if (bi == bj) perBlock(bi) else perBlock(bi) + perBlock(bj)).max
+      assert(maxGroup <= 150,
+        s"a block-pair group holds $maxGroup rows (> 3x target)")
+    }
+  }
 }
