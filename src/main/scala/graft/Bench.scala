@@ -19,6 +19,14 @@ import java.nio.file.{Files, Paths}
   * "runs" so rounds remain comparable.  (1→2 in round 3 for warm
   * numbers; 2→3 in round 8 for noise, per the round-7 verdict.)
   *
+  * Round 13 ("timing":"slate-v2" in the JSON): the session slate is
+  * cleared between queries (pinned caches + RDD blocks + a driver GC)
+  * and one untimed warmup precedes the timed runs, so a query's
+  * recording no longer depends on how many queries ran before it in
+  * the session — the r12 full-suite artifact carried x73 at 6.0 s and
+  * x22 at 4.4 s purely from accumulated session state (both ~2 s /
+  * ~0.7 s warm in a fresh session, byte-identical code).
+  *
   * Times are rounded to ms.  The STDOUT line carries the slowest-30
   * per-query map (round-8 verdict: the full 137-entry line overflowed
   * the driver's stdout tail capture, which drops the HEAD of the line —
@@ -66,7 +74,7 @@ object Bench {
       .foreach(v => spark.conf.set("spark.graft.shingleAssembly", v))
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "2").toInt.max(0)
+    val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "4").toInt.max(0)
     val spreadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD", "2.0").toDouble
     val failed = scala.collection.mutable.ListBuffer[String]()
     var rerunsTaken = 0
@@ -84,7 +92,25 @@ object Bench {
               None
           }
         }
-        var times = (1 to runs).flatMap(_ => once())
+        // Session slate per query (timing semantics "slate-v2", marked
+        // in the JSON): 174 queries' pinned localCheckpoint blocks and
+        // broadcasts otherwise accumulate through the session and tax
+        // later queries with GC — x73 recorded 6.0 s in the full-suite
+        // session vs 2.0 s warm in a fresh one, byte-identical code
+        // (the same interference Rehearsal.time clears between
+        // queries).  The clear runs BETWEEN queries only, and the
+        // untimed warmup after it re-populates each query's own pinned
+        // inputs (x77 labels, st10 index) plus JIT/codegen, so timed
+        // runs still measure the steady state the pin semantics
+        // declare.  driver-side System.gc(): local-mode executors share
+        // the driver JVM, so one full collection here drains the prior
+        // query's garbage instead of billing it to this query's runs.
+        graft.queries.ExtQueries.clearSessionSlate(spark)
+        System.gc()
+        val warm = once()
+        var times =
+          if (warm.isEmpty) Seq.empty[Double]
+          else (1 to runs).flatMap(_ => once())
         // spread self-gate: an ambient-load spike shows as max/min >
         // spreadGate — take extra runs so a quiet run can beat it.
         // (min >= 0.3 s: sub-second queries flip ratio on scheduler
@@ -126,8 +152,12 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    // "timing" marks measurement semantics so cross-round artifact
+    // diffs are not read as pure perf movement: "slate-v2" = per-query
+    // session-slate clear + untimed warmup before the timed runs
+    // (earlier rounds: no marker — shared session state, no warmup).
     def line(m: Iterable[(String, (BigDecimal, BigDecimal))]): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"reruns":$rerunsTaken,"queries_run":${rounded.size}$failedJson,"queries":${qJson(m)},"spread":${spreadJson(m)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"reruns":$rerunsTaken,"timing":"slate-v2","queries_run":${rounded.size}$failedJson,"queries":${qJson(m)},"spread":${spreadJson(m)},"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), line(rounded) + "\n")
     spark.stop() // stop FIRST: no executor/shutdown log can splice the line
     println(line(slowest))

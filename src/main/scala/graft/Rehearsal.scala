@@ -81,9 +81,7 @@ object Rehearsal {
       // warmup and timed runs) keeps each query's intra-run cache
       // semantics (x77 still times merge-against-pinned-pairs) while
       // removing cross-query session history from the measurement.
-      graft.queries.ExtQueries.clearClusterCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      graft.queries.ExtQueries.clearSessionSlate(spark)
       val fn = uncached.getOrElse(name, SparkEntry.queries(name))
       // one untimed warmup absorbs class-load/codegen/file-listing cost
       fn(spark, dir).count()

@@ -28,8 +28,11 @@ object Behavior {
     * decimals (step 0 converts from the full user universe) and
     * `avg_sec_from_prev` is the mean seconds between a user's stage
     * k-1 and stage k completions, over users reaching stage k (null
-    * for step 0; rounded to 2 decimals — gaps are summed as exact
-    * integer microseconds, so the mean is order-independent).
+    * for step 0; rounded to 2 decimals — gaps accumulate as integer
+    * microseconds inside a double partial sum, so the mean is exact
+    * and order-independent while the summed gaps stay under 2^53 µs,
+    * the double-mantissa bound — the same contract as
+    * trainQualityModel's dyadic grid).
     *
     * "Strictly after" is sort-order-after — an event at the same
     * timestamp as the prior stage's completion counts only if its
@@ -50,8 +53,11 @@ object Behavior {
                   steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
     require(steps.distinct == steps, s"steps must be distinct (got $steps)")
-    require(steps.forall(s => !s.contains("'")),
-      s"step names must not contain quotes (got $steps)")
+    // both quote AND backslash would corrupt the generated stack()
+    // literal below (Spark processes escape sequences in SQL string
+    // literals, so 'a\' parses wrong even with quotes rejected)
+    require(steps.forall(s => !s.contains("'") && !s.contains("\\")),
+      s"step names must not contain quotes or backslashes (got $steps)")
     val u = col(userCol); val ts = col(tsCol); val et = col(typeCol)
     val before = Window.partitionBy(u).orderBy(ts, col(tieCol))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -104,6 +104,84 @@ object Bpe {
       .toDF("round", "sym_a", "sym_b", "merged", "pair_count")
   }
 
+  /** Exact BPE training with ONE Spark job regardless of merge count:
+    * fold the corpus into the (word, cnt) table distributed, collect
+    * that vocabulary-sized table (Heaps-law small — it is the merge
+    * algorithm's entire working set), and run the sequential merge loop
+    * driver-side.  Bit-identical to [[bpeTrainOnWords]] (same doubled-
+    * space streams, same left-to-right non-overlapping replace, same
+    * (count desc, sym_a asc, sym_b asc) tie order with UTF-8 byte
+    * comparison matching Spark/DuckDB string sort) — BpeSpec pins the
+    * equivalence.
+    *
+    * This is the merge-count scale path: [[bpeTrainOnWords]] drives one
+    * Spark job per merge round (fine at the declared 8 rounds; 32k
+    * rounds = 32k job round-trips — its documented ceiling), while here
+    * rounds cost driver CPU only.  The trade is the collect: like
+    * [[Similarity.cosinePairsKernel]], the contract is enforced, not
+    * advisory — inputs past `maxCollectWords` are refused with a
+    * pointer to the per-round trainer instead of an eventual driver
+    * OOM.  (A 100 TB corpus folds to a word table many orders smaller;
+    * if even that exceeds the cap, prune the tail — rare words cannot
+    * win early merges — or accept per-round jobs.) */
+  def bpeTrainLocal(docs: DataFrame, textCol: String, merges: Int,
+                    maxCollectWords: Long = 10000000L): DataFrame =
+    bpeTrainLocalOnWords(wordCounts(docs, textCol), merges,
+      maxCollectWords)
+
+  /** Driver-side exact trainer over a precomputed (word, cnt) table —
+    * see [[bpeTrainLocal]]. */
+  def bpeTrainLocalOnWords(words: DataFrame, merges: Int,
+                           maxCollectWords: Long = 10000000L): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1 (got $merges)")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val capped = math.min(maxCollectWords, Int.MaxValue - 1L).toInt
+    val rows = words.select(col("word").cast("string"),
+        col("cnt").cast("long"))
+      .as[(String, Long)].limit(capped + 1).collect()
+    require(rows.length <= capped,
+      s"bpeTrainLocal collects the word table to the driver: input " +
+        s"exceeds maxCollectWords=$maxCollectWords. Use bpeTrainOnWords " +
+        "(one Spark job per merge round) for larger vocabularies.")
+    // doubled-space symbol streams, as in the distributed trainer
+    val streams = rows.map { case (w, c) =>
+      (" " + w.split("").mkString("  ") + " ", c)
+    }
+    // unsigned UTF-8 byte order = Spark's BinaryComparable string sort
+    def u8lt(x: String, y: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        x.getBytes("UTF-8"), y.getBytes("UTF-8")) < 0
+    val learned = Seq.newBuilder[(Int, String, String, String, Long)]
+    var cur = streams
+    var exhausted = false
+    for (r <- 0 until merges if !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      cur.foreach { case (s, c) =>
+        val syms = s.trim.split("  ")
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long,
+            Ordering.fromLessThan(u8lt), Ordering.fromLessThan(u8lt)))
+        learned += ((r, a, b, a + b, c))
+        cur = cur.map { case (s, cnt) =>
+          (s.replace(s" $a  $b ", s" ${a + b} "), cnt)
+        }
+      }
+    }
+    learned.result()
+      .toDF("round", "sym_a", "sym_b", "merged", "pair_count")
+  }
+
   /** Flatten a learned merge table into the vocab [[
     * TextAnalysis.vocabTokenStats]] / the VocabEncode kernel consume —
     * the bridge from BPE TRAINING (x81) to greedy longest-match APPLY

@@ -252,7 +252,17 @@ object QualityModel {
       label.cast("boolean").cast("int").cast("double").as("__y"),
       col(textCol).as("__t"))
     // Featurize ONCE; pin partitioned by doc so the per-iteration
-    // margin→gradient join never re-shuffles the feature table.
+    // margin→gradient join never re-shuffles the feature table.  The
+    // pinned block sets are released after the final iteration (the
+    // returned weight table is a driver-array LocalRelation with no
+    // lineage into them) — without that, every training call leaks two
+    // cached block sets for the session lifetime, the exact cross-call
+    // accumulation mode the rehearsal slate fix measured (x90 at 11×
+    // vs 2.9× from accumulated pinned blocks).  The ids are captured
+    // by diffing getPersistentRDDs around the checkpoint calls: the
+    // checkpoint RDD is not reachable through the public DataFrame
+    // API, and df.unpersist only consults the cacheManager.
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val xc = base
       .select(col("__doc"), explode(TextAnalysis.tokens(col("__t")))
         .as("tok"))
@@ -263,11 +273,13 @@ object QualityModel {
       .localCheckpoint()
     val ys = base.select(col("__doc"), col("__y"))
       .repartition(col("__doc")).localCheckpoint()
+    val pinnedHere = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !pinnedBefore.contains(id) }.values.toSeq
     val lr = (1L << lrShift).toDouble
     val q = (1L << 20).toDouble
     var w = Array.fill(dim)(0.0)
     import spark.implicits._
-    for (_ <- 0 until iters) {
+    try for (_ <- 0 until iters) {
       // the weight vector rides as a broadcast (bucket, w) dimension —
       // NOT a literal array expression, which would put `dim` literals
       // into the plan and break at real feature widths (2^18 buckets)
@@ -291,7 +303,7 @@ object QualityModel {
         val quant = math.floor(stepped * q + 0.5) / q
         math.max(-8.0, math.min(8.0, quant))
       }
-    }
+    } finally pinnedHere.foreach(_.unpersist(blocking = false))
     import spark.implicits._
     spark.createDataset(w.toSeq.zipWithIndex
         .map { case (wt, b) => (b.toLong, wt) })

@@ -104,6 +104,21 @@ object ExtQueries {
     holdoutQmCache.clear()
   }
 
+  /** Session-slate reset for measurement harnesses (Rehearsal, Bench):
+    * clears every module-level pinned cache AND unpersists every RDD
+    * block in the context.  The two moves are one invariant and MUST
+    * stay together: unpersisting a localCheckpointed DataFrame's
+    * blocks without dropping the cache entry that references it leaves
+    * a poisoned handle (truncated lineage cannot recompute), so any
+    * future session-level cache outside this object must register here
+    * before a harness may wipe RDD blocks. */
+  private[graft] def clearSessionSlate(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    clearClusterCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   val qs: Map[String, Q] = Map(
     // exact dedup: content-fingerprint groups, first-wins keeper
     "x1_dedup_exact" -> ((s, d) =>

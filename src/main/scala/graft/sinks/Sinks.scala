@@ -87,7 +87,9 @@ object Sinks {
     * subset (written iff non-empty). */
   def diffWriteStations(spark: SparkSession, stations: DataFrame,
                         keyCol: String, jsonCol: String, path: String,
-                        force: Boolean = false): DataFrame = {
+                        force: Boolean = false,
+                        verbose: Boolean = false,
+                        verboseLimit: Int = 50): DataFrame = {
     val incoming = stations
       .withColumn("__hash", md5(col(jsonCol)))
     val rpath = resolvePath(path)
@@ -96,9 +98,13 @@ object Sinks {
       else {
         // skinny build side (key + md5 only) but NO broadcast hint: let
         // AQE pick broadcast vs shuffled-hash from the runtime size —
-        // see the scale note in the object scaladoc.
-        val prev = spark.read.parquet(rpath)
-          .select(col(keyCol).as("__k"), md5(col(jsonCol)).as("__prev_hash"))
+        // see the scale note in the object scaladoc.  Under VERBOSE the
+        // previous rendered JSON rides along so the console diff can
+        // show the from-side without a second snapshot read.
+        val prevCols = col(keyCol).as("__k") +:
+          md5(col(jsonCol)).as("__prev_hash") +:
+          (if (verbose) Seq(col(jsonCol).as("__prev_json")) else Nil)
+        val prev = spark.read.parquet(rpath).select(prevCols: _*)
         incoming.join(prev,
             incoming(keyCol) === col("__k"), "left")
           .filter(col("__prev_hash").isNull ||
@@ -108,11 +114,127 @@ object Sinks {
     // materialize + cut lineage BEFORE overwriting the snapshot the
     // diff was computed against (self-overwrite hazard)
     val out = changed.drop("__hash").localCheckpoint()
-    if (!out.isEmpty) {
+    if (verbose) {
+      // VERBOSE parity (`providers.js:104-118`): per changed station,
+      // an Update block rendering the new and previous documents via
+      // [[prettyPrintStation]].  Console output is driver-side by
+      // nature, so it is bounded (`verboseLimit`) — the reference
+      // prints every station because its batches are per-provider
+      // small; at corpus scale use [[stationFieldDiffs]] for the
+      // data-plane form of the same information.
+      out.select(col(keyCol).cast("string"), col(jsonCol),
+          if (out.columns.contains("__prev_json")) col("__prev_json")
+          else lit(null).cast("string"))
+        .limit(verboseLimit).collect().foreach { r =>
+          val (key, now) = (r.getString(0), r.getString(1))
+          println("-------------------------\nUpdate " + key +
+            "\n----------------------> to:")
+          print(prettyPrintStation(now))
+          if (!r.isNullAt(2)) {
+            println("-----------------> from")
+            print(prettyPrintStation(r.getString(2)))
+          }
+          println(s"finished station: $key\n------------------------")
+        }
+    }
+    val outClean =
+      if (out.columns.contains("__prev_json")) out.drop("__prev_json")
+      else out
+    if (!outClean.isEmpty) {
       // full refreshed snapshot so the next diff sees current state
       incoming.drop("__hash").write.mode(SaveMode.Overwrite).parquet(rpath)
     }
-    out
+    outClean
+  }
+
+  /** VERBOSE parity renderer (`utils.js:146-170` prettyPrintStation):
+    * one `key: value` line per top-level field; `sensor_systems`
+    * renders as a "Sensor systems" section with `-- key: value` lines
+    * per system and `---- <sensor_id> - <parameter> <unit>` lines per
+    * sensor.  Scalar rendering follows the reference's JS template
+    * interpolation: arrays join on ",", nested objects print as
+    * "[object Object]", whole doubles drop the fraction. */
+  def prettyPrintStation(json: String): String = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import scala.jdk.CollectionConverters._
+    def scalar(v: JsonNode): String =
+      if (v == null || v.isNull) "null"
+      else if (v.isObject) "[object Object]"
+      else if (v.isArray) v.elements().asScala.map(scalar).mkString(",")
+      else if (v.isFloatingPointNumber && v.asDouble() ==
+        math.floor(v.asDouble()) && math.abs(v.asDouble()) < 1e15)
+        v.asDouble().toLong.toString
+      else v.asText()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    val sb = new StringBuilder
+    root.fields().asScala.foreach { e =>
+      if (e.getKey != "sensor_systems")
+        sb ++= s"${e.getKey}: ${scalar(e.getValue)}\n"
+      else {
+        sb ++= "Sensor systems\n"
+        e.getValue.elements().asScala.foreach { ss =>
+          ss.fields().asScala.foreach { f =>
+            if (f.getKey != "sensors")
+              sb ++= s"-- ${f.getKey}: ${scalar(f.getValue)}\n"
+            else f.getValue.elements().asScala.foreach { s =>
+              sb ++= s"---- ${scalar(s.get("sensor_id"))} - " +
+                s"${scalar(s.get("measurand_parameter"))} " +
+                s"${scalar(s.get("measurand_unit"))}\n"
+            }
+          }
+        }
+      }
+    }
+    sb.result()
+  }
+
+  /** Field-level diff of an incoming station batch against the current
+    * snapshot — the data-plane form of the reference's VERBOSE console
+    * diff, scale-safe where console printing is not: one row per
+    * (station, top-level field) whose value changed, with the from/to
+    * renderings (complex fields compare by their JSON text; a side
+    * missing the station yields nulls for that side).  Runs entirely
+    * as joins/projections over the parsed station schema — no collect,
+    * no UDF. */
+  def stationFieldDiffs(spark: SparkSession, stations: DataFrame,
+                        keyCol: String, jsonCol: String,
+                        path: String): DataFrame = {
+    val rpath = resolvePath(path)
+    val fieldDefs = Schemas.sensorNode.fields.filter(_.name != keyCol)
+    val fields = fieldDefs.map(_.name)
+    def parsed(df: DataFrame, side: String): DataFrame = {
+      val p = df.select(col(keyCol).as("__key"),
+        from_json(col(jsonCol), Schemas.sensorNode).as("__st"))
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      def render(f: org.apache.spark.sql.types.StructField) =
+        f.dataType match {
+          case _: StructType | _: ArrayType | _: MapType =>
+            to_json(col(s"__st.${f.name}"))
+          case _ => col(s"__st.${f.name}").cast("string")
+        }
+      p.select(col("__key"),
+        map(fieldDefs.flatMap(f => Seq(lit(f.name), render(f))): _*)
+          .as(side))
+    }
+    val inc = parsed(stations, "__to")
+    val prev =
+      if (!pathExists(spark, rpath))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          inc.withColumnRenamed("__to", "__from").schema)
+      else parsed(spark.read.parquet(rpath), "__from")
+    inc.join(prev, Seq("__key"), "full")
+      .select(col("__key").as(keyCol),
+        explode(map_from_arrays(
+          typedLit(fields),
+          array(fields.map(f =>
+            struct(element_at(col("__from"), f).as("from_value"),
+              element_at(col("__to"), f).as("to_value"))): _*))))
+      .filter(!col("value.from_value").eqNullSafe(col("value.to_value")))
+      .select(col(keyCol), col("key").as("field"),
+        col("value.from_value").as("from_value"),
+        col("value.to_value").as("to_value"))
   }
 
   /** K3 — v0.1 JSON envelope `{meta, measures, locations}`

@@ -2197,6 +2197,61 @@ class BpeSpec extends SparkSpec {
       assert(got == want, s"trial $trial: $got vs $want")
     }
   }
+
+  test("bpeTrainLocal == bpeTrainOnWords merge for merge (seeded random " +
+    "corpora) and matches the list reference at 64 merges") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val words = (1 to 50).map { _ =>
+        (1 to (1 + rnd.nextInt(7))).map(_ => "abcd" (rnd.nextInt(4))).mkString
+      }.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("round").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4))).toSeq
+      val dist = rowsOf(graft.ext.Bpe
+        .bpeTrainOnWords(words.toDF("word", "cnt"), merges = 10))
+      val local = rowsOf(graft.ext.Bpe
+        .bpeTrainLocalOnWords(words.toDF("word", "cnt"), merges = 10))
+      assert(local == dist, s"trial $trial: $local vs $dist")
+      // depth: 64 merges against the list-based reference (the
+      // distributed trainer at 64 rounds would cost 64 jobs — exactly
+      // the ceiling bpeTrainLocal exists to avoid)
+      val want64 = refTrain(words, k = 64)
+      val got64 = rowsOf(graft.ext.Bpe
+        .bpeTrainLocalOnWords(words.toDF("word", "cnt"), merges = 64))
+      assert(got64 == want64.take(got64.size) &&
+        (got64.size == 64 || got64.size == want64.size),
+        s"trial $trial 64-merge mismatch")
+    }
+  }
+
+  test("bpeTrainLocal trains 64 merges from the documents table in " +
+    "<= 8 Spark jobs; the collect cap is enforced") {
+    val docs = Tables.documents(spark, sf0001)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    val got = try {
+      val df = graft.ext.Bpe.bpeTrainLocal(docs, "text", merges = 64)
+      val rows = df.collect() // LocalRelation result: no corpus job
+      Thread.sleep(500)
+      rows
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(got.length == 64, s"expected 64 merges, got ${got.length}")
+    assert(jobs.get() <= 8,
+      s"driver-side training must not iterate Spark jobs per merge " +
+        s"round: ${jobs.get()} jobs for 64 merges")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ext.Bpe.bpeTrainLocal(docs, "text", merges = 4,
+        maxCollectWords = 10)
+    }
+    assert(ex.getMessage.contains("bpeTrainOnWords"), ex.getMessage)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

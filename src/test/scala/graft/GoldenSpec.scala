@@ -137,4 +137,57 @@ class GoldenSpec extends SparkSpec {
     assert(Sinks.diffWriteStations(spark, st, "sensor_node_id", "json",
       s"$out/st").count() == 0)
   }
+
+  test("VERBOSE diff parity: prettyPrintStation renders the reference " +
+    "line format; a changed station prints its to/from blocks and " +
+    "surfaces a field-level diff row") {
+    import spark.implicits._
+    val v1 = """{"sensor_node_id":"n1","sensor_node_site_name":"Site A",""" +
+      """"sensor_node_source_name":"purpleair",""" +
+      """"sensor_node_geometry":[10.5,20.0],"sensor_systems":[""" +
+      """{"sensor_system_id":"ss1","sensors":[{"sensor_id":"s1",""" +
+      """"measurand_parameter":"pm25","measurand_unit":"ug/m3"}]}]}"""
+    val v2 = v1.replace("Site A", "Site B")
+    // utils.js:146-170 rendering: key: value lines, the Sensor systems
+    // section with -- and ---- prefixes, JS scalar rendering (arrays
+    // join on ",", whole doubles drop the fraction)
+    assert(Sinks.prettyPrintStation(v1) ==
+      """sensor_node_id: n1
+        |sensor_node_site_name: Site A
+        |sensor_node_source_name: purpleair
+        |sensor_node_geometry: 10.5,20
+        |Sensor systems
+        |-- sensor_system_id: ss1
+        |---- s1 - pm25 ug/m3
+        |""".stripMargin)
+    val out = java.nio.file.Files.createTempDirectory("graft_gvd_").toString
+    val first = Seq(("n1", v1)).toDF("sensor_node_id", "json")
+    assert(Sinks.diffWriteStations(spark, first, "sensor_node_id",
+      "json", s"$out/st").count() == 1)
+    // providers.js:104-118: the changed station prints an Update block
+    // with the new document then the previous one
+    val bos = new java.io.ByteArrayOutputStream()
+    val second = Seq(("n1", v2)).toDF("sensor_node_id", "json")
+    val changed = Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+      Sinks.diffWriteStations(spark, second, "sensor_node_id", "json",
+        s"$out/st", verbose = true)
+    }
+    assert(changed.count() == 1)
+    assert(changed.columns.toSeq == Seq("sensor_node_id", "json"))
+    val printed = bos.toString("UTF-8")
+    assert(printed.contains("Update n1"), printed)
+    assert(printed.indexOf("Site B") < printed.indexOf("Site A"),
+      "to-block (new) must print before from-block (previous)")
+    assert(printed.contains("-----------------> from"), printed)
+    assert(printed.contains("finished station: n1"), printed)
+    // data-plane form: exactly the changed field, from/to rendered
+    val third = Seq(("n1", v1.replace("Site A", "Site C")))
+      .toDF("sensor_node_id", "json")
+    val diffs = Sinks.stationFieldDiffs(spark, third, "sensor_node_id",
+        "json", s"$out/st")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3)))
+    assert(diffs.toSeq == Seq(
+      ("n1", "sensor_node_site_name", "Site B", "Site C")), diffs.toSeq)
+  }
 }
