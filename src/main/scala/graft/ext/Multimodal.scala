@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * frame-sample stages.
   *
   * The decode step is REAL for images ([[ImageIoCodec]]: PNG/BMP/GIF/
-  * JPEG via the JDK's `javax.imageio`, zero new dependencies) and
-  * STUBBED for audio/video (no codec libraries in this environment):
-  * payloads whose magic bytes don't sniff as a supported image fall
-  * back to [[FakeCodec]], which derives deterministic pseudo-features
-  * from the raw bytes so the Spark-side plumbing — schema, batching,
-  * partitioning, the typed `mapPartitions` boundary — stays exercisable
-  * on the driver's text-payload tables.
+  * JPEG via the JDK's `javax.imageio`, zero new dependencies —
+  * including MULTI-frame animated GIF via [[ImageIoCodec.decodeFrames]],
+  * so the frame-dedup lens runs on actual decoded frames).  Audio/video
+  * codecs route through the [[OpaqueCodec]] extension point; the
+  * default [[FakeCodec]] is a deterministic passthrough (no codec
+  * libraries in this environment) so the Spark-side plumbing — schema,
+  * batching, partitioning, the typed `mapPartitions` boundary — stays
+  * exercisable on the driver's text-payload tables.
   *
   * Scale design: media blobs never shuffle.  All per-media stages are
   * narrow `mapPartitions`; only the (small) extracted-feature rows flow
@@ -35,13 +36,34 @@ object Multimodal {
                            content_md5: String, mean_byte: Double,
                            frames_sampled: Int, width: Int, height: Int)
 
-  /** Deterministic stand-in for an audio/video decoder (no codec libs
-    * in this environment); also the non-image passthrough. */
-  object FakeCodec {
+  /** The audio/video extension point: payloads [[ImageIoCodec]] cannot
+    * read route through this interface.  `decode` yields the canonical
+    * byte stream (decoded samples for a real codec), `frameSample` cuts
+    * it into frame-sized units.  Every frame/feature stage is
+    * codec-agnostic — the Spark-side plumbing (schema, typed
+    * mapPartitions boundary, byte-based partitioning) does not change
+    * when a real codec is installed. */
+  trait OpaqueCodec extends Serializable {
+    def decode(payload: Array[Byte]): Array[Byte]
+    def frameSample(payload: Array[Byte], everyN: Int): Seq[Array[Byte]]
+  }
+
+  /** Default [[OpaqueCodec]]: deterministic passthrough (no a/v codec
+    * libraries in this environment) — the payload bytes ARE the
+    * canonical stream, frames are fixed-size byte chops.  This is the
+    * engine's ONLY stub, and its surface is exactly this object. */
+  object FakeCodec extends OpaqueCodec {
     def decode(payload: Array[Byte]): Array[Byte] = payload // stub: a/v codec
     def frameSample(payload: Array[Byte], everyN: Int): Seq[Array[Byte]] =
       payload.grouped(math.max(1, everyN)).toSeq
   }
+
+  /** Process-wide installed [[OpaqueCodec]] (e.g. an ffmpeg binding).
+    * Captured driver-side at plan build and serialized into task
+    * closures, so install BEFORE declaring the query; on a real
+    * cluster, install from an executor plugin or rely on the closure
+    * capture (the codec must be Serializable). */
+  @volatile var opaqueCodec: OpaqueCodec = FakeCodec
 
   /** Real image decoder on the JDK's `javax.imageio` — no new
     * dependencies.  Output is row-major 8-bit grayscale (BT.601 luma),
@@ -129,24 +151,80 @@ object Multimodal {
               }
             } finally if (iis != null) iis.close()
           } catch { case scala.util.control.NonFatal(_) => None }
-        img.map { bi =>
-          val w = bi.getWidth
-          val h = bi.getHeight
-          val out = new Array[Byte](w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = bi.getRGB(x, y)
-              val lum = (((rgb >> 16) & 0xff) * 299 +
-                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-              out(y * w + x) = lum.toByte
-              x += 1
-            }
-            y += 1
-          }
-          DecodedImage(w, h, out)
+        img.map(toGray)
+      }
+
+    /** BT.601 luma conversion to the canonical row-major grayscale
+      * form — shared by the single-image and multi-frame decoders. */
+    private def toGray(bi: java.awt.image.BufferedImage): DecodedImage = {
+      val w = bi.getWidth
+      val h = bi.getHeight
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = bi.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 +
+            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          out(y * w + x) = lum.toByte
+          x += 1
         }
+        y += 1
+      }
+      DecodedImage(w, h, out)
+    }
+
+    /** Real multi-frame decode: every frame the payload's ImageIO
+      * reader exposes (animated GIF being the JDK-native case), each in
+      * the canonical grayscale form.  The pixel cap is a TOTAL budget
+      * across frames — a 10k-frame animation is as much an allocation
+      * bomb as one oversize raster — probed per frame from headers
+      * before any raster decodes.  None on non-images, corrupt bytes,
+      * or budget overrun (same fall-through contract as [[decode]]). */
+    def decodeFrames(payload: Array[Byte],
+                     maxPixels: Long = defaultMaxPixels
+                    ): Option[Seq[DecodedImage]] =
+      sniff(payload).flatMap { fmt =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) None
+            else {
+              val reader = readers.next()
+              try {
+                // seekForwardOnly = false: getNumImages(true) must scan
+                reader.setInput(iis, false, true)
+                val n = reader.getNumImages(true)
+                if (n <= 0) None
+                else {
+                  var budget = maxPixels
+                  var ok = true
+                  val out = Seq.newBuilder[DecodedImage]
+                  var i = 0
+                  while (i < n && ok) {
+                    val w = reader.getWidth(i).toLong
+                    val h = reader.getHeight(i).toLong
+                    if (w <= 0 || h <= 0 || w * h > budget) {
+                      ok = false
+                      oversizeRejected.incrementAndGet()
+                      log.warn(s"dropping $fmt media to passthrough: " +
+                        s"frame $i of $n at ${w}x$h exceeds the " +
+                        s"remaining pixel budget $budget of $maxPixels")
+                    } else {
+                      budget -= w * h
+                      out += toGray(reader.read(i))
+                    }
+                    i += 1
+                  }
+                  if (ok) Some(out.result()) else None
+                }
+              } finally reader.dispose()
+            }
+          } finally if (iis != null) iis.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
       }
   }
 
@@ -172,12 +250,13 @@ object Multimodal {
                    everyN: Int = 256): Dataset[MediaFrame] = {
     import spark.implicits._
     val maxPixels = ImageIoCodec.maxPixelsFor(spark)
+    val codec = opaqueCodec
     media.as[MediaRow].mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { r =>
         val decoded = ImageIoCodec.decode(r.payload, maxPixels).map(_.gray)
-          .getOrElse(FakeCodec.decode(r.payload))
-        FakeCodec.frameSample(decoded, everyN)
+          .getOrElse(codec.decode(r.payload))
+        codec.frameSample(decoded, everyN)
           .zipWithIndex.map { case (frame, i) =>
             md.reset()
             MediaFrame(r.media_id, i, frame,
@@ -195,14 +274,15 @@ object Multimodal {
                       frameEvery: Int = 256): Dataset[MediaFeatures] = {
     import spark.implicits._
     val maxPixels = ImageIoCodec.maxPixelsFor(spark)
+    val codec = opaqueCodec
     media.as[MediaRow].mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val (decoded, w, h) = ImageIoCodec.decode(r.payload, maxPixels) match {
           case Some(d) => (d.gray, d.width, d.height)
-          case None => (FakeCodec.decode(r.payload), r.width, r.height)
+          case None => (codec.decode(r.payload), r.width, r.height)
         }
-        val frames = FakeCodec.frameSample(decoded, frameEvery)
+        val frames = codec.frameSample(decoded, frameEvery)
         md.reset()
         val hash = md.digest(decoded).map("%02x".format(_)).mkString
         val mean =
@@ -447,22 +527,40 @@ object Multimodal {
     MediaFpIndex(spark.table(table), mb)
   }
 
-  /** media rows → (media_id, frame_hex): the decoded payload cut into
-    * `everyN`-byte frames, each carried as its uppercase-hex rendering.
+  /** media rows → (media_id, frame_hex), each frame carried as its
+    * uppercase-hex rendering.  Payloads that decode as MULTI-frame
+    * media (animated GIF via the JDK reader; anything a real installed
+    * [[OpaqueCodec]] exposes) contribute one row per ACTUAL decoded
+    * frame — trims and re-muxes of the same animation then share frame
+    * hashes by construction.  Single-frame images chop their canonical
+    * grayscale raster, and passthrough payloads chop their raw bytes,
+    * into `everyN`-byte pseudo-frames.
+    *
     * Hex (not raw bytes) is the canonical frame form so the frame hash
     * `md5(frame_hex)` is a plain string md5 — computable identically by
-    * any SQL engine from `hex(payload)` substrings, which is what keeps
-    * [[frameSetNearDup]] end-to-end oracle-checkable. */
+    * any SQL engine from `hex(payload)` substrings on the passthrough
+    * path, which is what keeps [[frameSetNearDup]] end-to-end
+    * oracle-checkable on the driver's text-payload tables (real decoded
+    * media is covered by MultimodalSpec instead — no SQL engine can
+    * replay a codec). */
   def frameHexes(spark: SparkSession, media: DataFrame,
                  everyN: Int): DataFrame = {
     import spark.implicits._
     val maxPixels = ImageIoCodec.maxPixelsFor(spark)
+    val codec = opaqueCodec
     media.as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
-        val decoded = ImageIoCodec.decode(r.payload, maxPixels).map(_.gray)
-          .getOrElse(FakeCodec.decode(r.payload))
-        FakeCodec.frameSample(decoded, everyN)
-          .map(f => (r.media_id, f.map("%02X".format(_)).mkString))
+        def hex(b: Array[Byte]) = b.map("%02X".format(_)).mkString
+        ImageIoCodec.decodeFrames(r.payload, maxPixels) match {
+          case Some(frames) if frames.lengthCompare(1) > 0 =>
+            frames.map(f => (r.media_id, hex(f.gray)))
+          case Some(single) =>
+            codec.frameSample(single.head.gray, everyN)
+              .map(f => (r.media_id, hex(f)))
+          case None =>
+            codec.frameSample(codec.decode(r.payload), everyN)
+              .map(f => (r.media_id, hex(f)))
+        }
       }
     }.toDF("media_id", "frame_hex")
   }

@@ -2515,6 +2515,87 @@ class MultimodalSpec extends SparkSpec {
       "reported bounds must bracket the true Jaccard")
   }
 
+  test("frameSetNearDup on REAL multi-frame media: animated GIFs decode " +
+    "to per-frame rows via ImageIO, a trimmed animation pairs with its " +
+    "original, an unrelated one does not") {
+    import Multimodal.MediaRow
+    def frame(k: Int): java.awt.image.BufferedImage = {
+      // 8x8, row (k % 8) white on black; frames past 8 add a white
+      // column so every k yields a distinct pattern
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 8) img.setRGB(x, k % 8, 0xffffff)
+      if (k >= 8) for (y <- 0 until 8) img.setRGB(7, y, 0xffffff)
+      img
+    }
+    def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(
+        new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val fullFrames = (0 until 10).map(frame)
+    val full = animatedGif(fullFrames)
+    val trimmed = animatedGif(fullFrames.take(8)) // re-muxed trim
+    // k = 10..15: white-column variants of rows 2..7 — disjoint from
+    // full's frame set (rows 0..7 plain, rows 0..1 with column)
+    val other = animatedGif((10 until 16).map(frame))
+    // real decode: 10 actual animation frames, not byte chops of the
+    // container — and each frame is the 64-byte 8x8 grayscale raster
+    val fx = Multimodal.frameHexes(spark,
+      Seq(MediaRow(1L, "video", full, 0, 0, 0)).toDS().toDF(), everyN = 64)
+      .collect().map(_.getString(1))
+    assert(fx.length == 10, s"expected 10 real frames, got ${fx.length}")
+    assert(fx.forall(_.length == 128), "frame = 8x8 gray raster hex")
+    assert(fx.distinct.length == 10, "distinct patterns, distinct frames")
+    val media = Seq(
+      MediaRow(1L, "video", full, 0, 0, 0),
+      MediaRow(2L, "video", trimmed, 0, 0, 0),
+      MediaRow(3L, "video", other, 0, 0, 0)).toDS().toDF()
+    val pairs = Multimodal.frameSetNearDup(spark, media, everyN = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // frame SETS: trim shares its 8 frames with the 10-frame original
+    assert(pairs.toSeq == Seq((1L, 2L, 8L, 0.8)), pairs.toSeq)
+  }
+
+  test("decodeFrames guards: total pixel budget rejects a frame bomb " +
+    "to the passthrough; single-frame images keep chop semantics") {
+    import Multimodal.MediaRow
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val oneFrame = bos.toByteArray
+    // single-frame GIF: decodeFrames sees one frame; frameHexes chops
+    // the 64-byte raster at everyN = 16 → 4 pseudo-frames (unchanged
+    // single-image semantics)
+    assert(Multimodal.ImageIoCodec.decodeFrames(oneFrame).get.size == 1)
+    val chopped = Multimodal.frameHexes(spark,
+      Seq(MediaRow(1L, "image", oneFrame, 0, 0, 0)).toDS().toDF(),
+      everyN = 16).count()
+    assert(chopped == 4, s"expected 4 chopped pseudo-frames, got $chopped")
+    // budget: 64 px/frame, cap at 100 px total → second frame overruns
+    assert(Multimodal.ImageIoCodec.decodeFrames(oneFrame,
+      maxPixels = 100).isDefined)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos2)
+    writer.setOutput(ios); writer.prepareWriteSequence(null)
+    (0 until 3).foreach(_ => writer.writeToSequence(
+      new javax.imageio.IIOImage(img, null, null), null))
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    assert(Multimodal.ImageIoCodec.decodeFrames(bos2.toByteArray,
+      maxPixels = 100).isEmpty, "3x64 px must overrun a 100 px budget")
+  }
+
   test("media fp index lifecycle: extend flags re-uploads of accepted " +
     "batches, save/load round-trips with the band scheme pinned") {
     import Multimodal.MediaRow
