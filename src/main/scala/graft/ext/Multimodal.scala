@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   * The decode step is REAL for images ([[ImageIoCodec]]: PNG/BMP/GIF/
   * JPEG via the JDK's `javax.imageio`, zero new dependencies —
   * including MULTI-frame animated GIF via [[ImageIoCodec.decodeFrames]],
-  * so the frame-dedup lens runs on actual decoded frames).  Audio/video
-  * codecs route through the [[OpaqueCodec]] extension point; the
-  * default [[FakeCodec]] is a deterministic passthrough (no codec
-  * libraries in this environment) so the Spark-side plumbing — schema,
-  * batching, partitioning, the typed `mapPartitions` boundary — stays
-  * exercisable on the driver's text-payload tables.
+  * so the frame-dedup lens runs on actual decoded frames) and for
+  * uncompressed AUDIO containers ([[WavAudioCodec]]: WAV/AIFF/AU via
+  * the JDK's `javax.sound.sampled`, with a perceptual energy-envelope
+  * fingerprint feeding the same hamming-LSH dedup machinery as the
+  * image lens).  Compressed a/v codecs route through the
+  * [[OpaqueCodec]] extension point; the default [[FakeCodec]] is a
+  * deterministic passthrough (no codec libraries in this environment)
+  * so the Spark-side plumbing — schema, batching, partitioning, the
+  * typed `mapPartitions` boundary — stays exercisable on the driver's
+  * text-payload tables.
   *
   * Scale design: media blobs never shuffle.  All per-media stages are
   * narrow `mapPartitions`; only the (small) extracted-feature rows flow
@@ -36,24 +40,28 @@ object Multimodal {
                            content_md5: String, mean_byte: Double,
                            frames_sampled: Int, width: Int, height: Int)
 
-  /** The audio/video extension point: payloads [[ImageIoCodec]] cannot
-    * read route through this interface.  `decode` yields the canonical
-    * byte stream (decoded samples for a real codec), `frameSample` cuts
-    * it into frame-sized units.  Every frame/feature stage is
-    * codec-agnostic — the Spark-side plumbing (schema, typed
-    * mapPartitions boundary, byte-based partitioning) does not change
-    * when a real codec is installed. */
+  /** The compressed-codec extension point: payloads neither
+    * [[ImageIoCodec]] nor [[WavAudioCodec]] can read route through
+    * this interface.  `decode` yields the canonical byte stream
+    * (decoded samples for a real codec), `frameSample` cuts it into
+    * frame-sized units.  Every frame/feature stage is codec-agnostic —
+    * the Spark-side plumbing (schema, typed mapPartitions boundary,
+    * byte-based partitioning) does not change when a real codec is
+    * installed. */
   trait OpaqueCodec extends Serializable {
     def decode(payload: Array[Byte]): Array[Byte]
     def frameSample(payload: Array[Byte], everyN: Int): Seq[Array[Byte]]
   }
 
-  /** Default [[OpaqueCodec]]: deterministic passthrough (no a/v codec
-    * libraries in this environment) — the payload bytes ARE the
-    * canonical stream, frames are fixed-size byte chops.  This is the
-    * engine's ONLY stub, and its surface is exactly this object. */
+  /** Default [[OpaqueCodec]]: deterministic passthrough (no COMPRESSED
+    * codec libraries in this environment; WAV/AIFF/AU audio and
+    * PNG/BMP/GIF/JPEG images decode for real before reaching here) —
+    * the payload bytes ARE the canonical stream, frames are fixed-size
+    * byte chops.  This is the engine's ONLY stub, and its surface is
+    * exactly this object. */
   object FakeCodec extends OpaqueCodec {
-    def decode(payload: Array[Byte]): Array[Byte] = payload // stub: a/v codec
+    def decode(payload: Array[Byte]): Array[Byte] = payload // stub: mp3/h264
+
     def frameSample(payload: Array[Byte], everyN: Int): Seq[Array[Byte]] =
       payload.grouped(math.max(1, everyN)).toSeq
   }
@@ -250,11 +258,14 @@ object Multimodal {
                    everyN: Int = 256): Dataset[MediaFrame] = {
     import spark.implicits._
     val maxPixels = ImageIoCodec.maxPixelsFor(spark)
+    val maxFrames = WavAudioCodec.maxFramesFor(spark)
     val codec = opaqueCodec
     media.as[MediaRow].mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { r =>
         val decoded = ImageIoCodec.decode(r.payload, maxPixels).map(_.gray)
+          .orElse(WavAudioCodec.decode(r.payload, maxFrames)
+            .map(WavAudioCodec.canonicalBytes))
           .getOrElse(codec.decode(r.payload))
         codec.frameSample(decoded, everyN)
           .zipWithIndex.map { case (frame, i) =>
@@ -274,13 +285,18 @@ object Multimodal {
                       frameEvery: Int = 256): Dataset[MediaFeatures] = {
     import spark.implicits._
     val maxPixels = ImageIoCodec.maxPixelsFor(spark)
+    val maxFrames = WavAudioCodec.maxFramesFor(spark)
     val codec = opaqueCodec
     media.as[MediaRow].mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val (decoded, w, h) = ImageIoCodec.decode(r.payload, maxPixels) match {
           case Some(d) => (d.gray, d.width, d.height)
-          case None => (codec.decode(r.payload), r.width, r.height)
+          case None => WavAudioCodec.decode(r.payload, maxFrames) match {
+            case Some(a) =>
+              (WavAudioCodec.canonicalBytes(a), r.width, r.height)
+            case None => (codec.decode(r.payload), r.width, r.height)
+          }
         }
         val frames = codec.frameSample(decoded, frameEvery)
         md.reset()
@@ -399,11 +415,15 @@ object Multimodal {
   def fingerprints(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     val maxPixels = ImageIoCodec.maxPixelsFor(spark)
+    val maxFrames = WavAudioCodec.maxFramesFor(spark)
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
         val fp = ImageIoCodec.decode(r.payload, maxPixels) match {
           case Some(d) => dHash64(d.gray, d.width, d.height)
-          case None    => byteGridDHash64(r.payload)
+          case None => WavAudioCodec.decode(r.payload, maxFrames) match {
+            case Some(a) => WavAudioCodec.aHash64(a.mono)
+            case None    => byteGridDHash64(r.payload)
+          }
         }
         (r.media_id, fp)
       }
@@ -418,7 +438,7 @@ object Multimodal {
     * baked in so a probe cannot silently mix band schemes. */
   case class MediaFpIndex(blocked: DataFrame, maskBlocks: Int)
 
-  private def comboKeys(fpCol: Column, maskBlocks: Int): Seq[Column] =
+  private[graft] def comboKeys(fpCol: Column, maskBlocks: Int): Seq[Column] =
     (0 until 8).combinations(maskBlocks).toSeq.zipWithIndex.map {
       case (masked, idx) =>
         val kept = (0 until 8).filterNot(masked.contains(_))
@@ -426,6 +446,35 @@ object Multimodal {
           acc * 256L + shiftrightunsigned(fpCol, 8 * j)
             .bitwiseAND(lit(0xffL))
         }
+    }
+
+  /** Pigeonhole-halves blocking: 12 keys per fingerprint instead of
+    * C(8,4)=70, recall-guaranteed for hamming <= 4.  Argument: a pair
+    * within hamming 4 puts at most 2 of its diff bits in SOME 32-bit
+    * half (min(a,b) <= 2 when a+b <= 4); within that half's four 8-bit
+    * blocks the <= 2 diff bits occupy at most 2 blocks, so one of the
+    * C(4,2)=6 two-block masks of that half covers them and the pair
+    * shares that key.  2 halves x 6 masks = 12 keys, each pinning the
+    * half's two UNMASKED blocks (16 bits) plus the (half, mask) id.
+    *
+    * Trade-off vs [[comboKeys]] (the A/B the round-12 verdict asked
+    * for, recorded in PERF.md): 5.8x less candidate-stage fanout, but
+    * each key pins 16 agreeing bits instead of 32 — expected bucket
+    * mass grows as n/2^16 instead of n/2^32, so past ~10^5 distinct
+    * fingerprints per key family the candidate join goes quadratic
+    * while combo8 buckets stay O(1).  combo8 therefore remains the
+    * 100 TB default; halved12 is the small-corpus economy. */
+  private[graft] def halvedKeys(fpCol: Column): Seq[Column] =
+    for {
+      half <- 0 to 1
+      (masked, idx) <- (0 until 4).combinations(2).toSeq.zipWithIndex
+    } yield {
+      val kept = (0 until 4).filterNot(masked.contains(_))
+        .map(_ + half * 4)
+      kept.foldLeft(lit((half * 6 + idx).toLong)) { (acc, j) =>
+        acc * 256L + shiftrightunsigned(fpCol, 8 * j)
+          .bitwiseAND(lit(0xffL))
+      }
     }
 
   /** Index the existing corpus once for [[matchIndexed]].  The
@@ -547,6 +596,7 @@ object Multimodal {
                  everyN: Int): DataFrame = {
     import spark.implicits._
     val maxPixels = ImageIoCodec.maxPixelsFor(spark)
+    val maxFrames = WavAudioCodec.maxFramesFor(spark)
     val codec = opaqueCodec
     media.as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
@@ -558,7 +608,14 @@ object Multimodal {
             codec.frameSample(single.head.gray, everyN)
               .map(f => (r.media_id, hex(f)))
           case None =>
-            codec.frameSample(codec.decode(r.payload), everyN)
+            // audio: frames are sample windows of the DECODED signal,
+            // so the same clip in a different container layout shares
+            // frame hashes (spec-pinned); non-media falls through to
+            // the SQL-replayable byte-chop passthrough
+            val canonical = WavAudioCodec.decode(r.payload, maxFrames)
+              .map(WavAudioCodec.canonicalBytes)
+              .getOrElse(codec.decode(r.payload))
+            codec.frameSample(canonical, everyN)
               .map(f => (r.media_id, hex(f)))
         }
       }
@@ -661,10 +718,17 @@ object Multimodal {
     * candidate sliver — the x3/x55b verify discipline with
     * `bit_count(fp_a XOR fp_b)` in place of banded levenshtein (a pure
     * codegen'd long op; no texts re-attach, so the verify join carries
-    * 24-byte rows).  Output: (media_a, media_b, hamming). */
+    * 24-byte rows).  Output: (media_a, media_b, hamming).
+    *
+    * `scheme = "halved12"` swaps in the [[halvedKeys]] pigeonhole
+    * blocking (12 keys, 16 pinned bits — recall still guaranteed for
+    * maxDist <= 4); results are IDENTICAL under both schemes because
+    * the exact verify filters the same superset, only the candidate
+    * volume differs.  See the PERF.md A/B for when each wins. */
   def nearDupPairs(spark: SparkSession, media: DataFrame,
                    maxDist: Int = 4, maskBlocks: Int = 4,
-                   salts: Int = Dedup.SaltsAuto): DataFrame = {
+                   salts: Int = Dedup.SaltsAuto,
+                   scheme: String = "combo8"): DataFrame = {
     require(maxDist >= 0 && maxDist <= maskBlocks,
       s"maxDist must be in [0, maskBlocks=$maskBlocks] for lossless " +
         s"recall (got $maxDist)")
@@ -672,13 +736,21 @@ object Multimodal {
       s"maskBlocks must be 1..4 (got $maskBlocks)")
     require(salts >= 1 || salts == Dedup.SaltsAuto,
       s"salts must be >= 1 or SaltsAuto (got $salts)")
+    require(scheme == "combo8" || scheme == "halved12",
+      s"scheme must be combo8 or halved12 (got $scheme)")
+    // halved12's pigeonhole argument needs both pieces of hamming <= 4;
+    // recall past that is the combo-mask family's territory
+    require(scheme == "combo8" || maxDist <= 4,
+      s"halved12 guarantees recall only for maxDist <= 4 (got $maxDist)")
     // localCheckpoint cuts the lineage at the 16-byte (id, fp) rows so
     // the skew probe and the two join sides never re-decode payloads —
     // decode is the expensive stage here, unlike the text pipelines
     // whose fingerprint recompute is cheap codegen
     val fps = fingerprints(spark, media).localCheckpoint()
+    val keys = if (scheme == "halved12") halvedKeys(col("fp"))
+               else comboKeys(col("fp"), maskBlocks)
     val blocked = fps.select(col("media_id"), col("fp"),
-      explode(array(comboKeys(col("fp"), maskBlocks): _*)).as("bk"))
+      explode(array(keys: _*)).as("bk"))
     // measured-skew salting gate (Dedup.adaptiveSalts rationale): a
     // re-upload farm puts thousands of near-identical fingerprints in
     // one mask-key bucket and needs the spread; a normal corpus

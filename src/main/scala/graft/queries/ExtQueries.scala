@@ -1122,6 +1122,25 @@ object ExtQueries {
           round(avg(col("nrm")), 6).as("mean_norm"))
     }),
 
+    // energy-envelope fingerprint (the audio aHash kernel in its
+    // declarative form) over the embedding table: 9 windows → 8 delta
+    // bits per vector, plus the envelope-duplicate family size.  Pure
+    // higher-order array functions — zero shuffle until the (tiny)
+    // family-count agg, so the fingerprint pass is map-only at 100 TB
+    "x99_envelope_fp" -> ((s, d) => {
+      // >= 9 dims keeps every one of the 9 windows non-empty (an empty
+      // window would 0/0 under ANSI); the driver's vectors are dim-64
+      val fps = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) >= 9)
+        .select(col("vec_id"),
+          graft.ext.WavAudioCodec.envelopeFp(col("embedding"))
+            .as("envelope_fp"))
+      val fams = fps.groupBy(col("envelope_fp"))
+        .agg(count(lit(1)).as("family_n"))
+      fps.join(broadcast(fams), Seq("envelope_fp"))
+        .select(col("vec_id"), col("envelope_fp"), col("family_n"))
+    }),
+
     // mixture-diversity one-liner: HHI over source token shares +
     // effective source count — the before/after metric for balancing
     "x68_source_concentration" -> ((s, d) =>
@@ -3303,6 +3322,32 @@ object ExtQueries {
         |         AS n_zero,
         |       round(avg(nrm), 6) AS mean_norm
         |FROM n GROUP BY 1""".stripMargin,
+    // windowed mean-square energies from unnest(range(n)) (the x74
+    // index idiom), 8 rise/fall bits via lead(), family sizes joined
+    // back — integer output, so float summation order cannot surface
+    "x99_envelope_fp" ->
+      """WITH ex AS (
+        |  SELECT vec_id, k, CAST(embedding[k + 1] AS DOUBLE) AS v, n
+        |  FROM (SELECT vec_id, embedding, len(embedding) AS n,
+        |          unnest(range(len(embedding))) AS k
+        |        FROM embeddings WHERE len(embedding) >= 9)),
+        |en AS (
+        |  SELECT vec_id, CAST(floor(k * 9.0 / n) AS INT) AS win,
+        |         sum(v * v) / count(*) AS e
+        |  FROM ex GROUP BY 1, 2),
+        |d AS (
+        |  SELECT vec_id, win, e,
+        |         lead(e) OVER (PARTITION BY vec_id ORDER BY win) AS nxt
+        |  FROM en),
+        |fp AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN nxt > e THEN 1 << win ELSE 0 END)
+        |              AS BIGINT) AS envelope_fp
+        |  FROM d WHERE nxt IS NOT NULL GROUP BY 1),
+        |fam AS (SELECT envelope_fp, CAST(count(*) AS BIGINT) AS family_n
+        |        FROM fp GROUP BY 1)
+        |SELECT fp.vec_id, fp.envelope_fp, fam.family_n
+        |FROM fp JOIN fam USING (envelope_fp)""".stripMargin,
     "x68_source_concentration" ->
       """WITH per AS (SELECT source,
         |               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
