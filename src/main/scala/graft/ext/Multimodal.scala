@@ -724,7 +724,10 @@ object Multimodal {
     * blocking (12 keys, 16 pinned bits — recall still guaranteed for
     * maxDist <= 4); results are IDENTICAL under both schemes because
     * the exact verify filters the same superset, only the candidate
-    * volume differs.  See the PERF.md A/B for when each wins. */
+    * volume differs.  `scheme = "auto"` gates on the measured
+    * fingerprint count (`spark.graft.imageBandAutoThreshold`, default
+    * 100k): halved12 under it, combo8 at scale.  See the PERF.md A/B
+    * for the measured crossover reasoning. */
   def nearDupPairs(spark: SparkSession, media: DataFrame,
                    maxDist: Int = 4, maskBlocks: Int = 4,
                    salts: Int = Dedup.SaltsAuto,
@@ -736,18 +739,32 @@ object Multimodal {
       s"maskBlocks must be 1..4 (got $maskBlocks)")
     require(salts >= 1 || salts == Dedup.SaltsAuto,
       s"salts must be >= 1 or SaltsAuto (got $salts)")
-    require(scheme == "combo8" || scheme == "halved12",
-      s"scheme must be combo8 or halved12 (got $scheme)")
+    require(Set("combo8", "halved12", "auto").contains(scheme),
+      s"scheme must be combo8, halved12, or auto (got $scheme)")
     // halved12's pigeonhole argument needs both pieces of hamming <= 4;
     // recall past that is the combo-mask family's territory
-    require(scheme == "combo8" || maxDist <= 4,
+    require(scheme != "halved12" || maxDist <= 4,
       s"halved12 guarantees recall only for maxDist <= 4 (got $maxDist)")
     // localCheckpoint cuts the lineage at the 16-byte (id, fp) rows so
     // the skew probe and the two join sides never re-decode payloads —
     // decode is the expensive stage here, unlike the text pipelines
     // whose fingerprint recompute is cheap codegen
     val fps = fingerprints(spark, media).localCheckpoint()
-    val keys = if (scheme == "halved12") halvedKeys(col("fp"))
+    // "auto": pick the blocking scheme by measured corpus size — the
+    // count is a metadata-cheap action on the already-checkpointed
+    // 16-byte rows.  Below the threshold the 70-key fanout IS the cost
+    // (sf0.1 A/B in PERF.md: 2.10 s -> 1.27 s, identical output) and
+    // 16-bit keys are nowhere near saturation; above it, halved12's
+    // per-key bucket mass grows as n/2^16 and the candidate join goes
+    // quadratic while combo8's 32-bit keys stay O(1)-per-bucket — so
+    // the big-data side of the gate is the 100 TB-safe default.
+    val schemeEff =
+      if (scheme == "auto") {
+        val thr = spark.conf
+          .get("spark.graft.imageBandAutoThreshold", "100000").toLong
+        if (maxDist <= 4 && fps.count() <= thr) "halved12" else "combo8"
+      } else scheme
+    val keys = if (schemeEff == "halved12") halvedKeys(col("fp"))
                else comboKeys(col("fp"), maskBlocks)
     val blocked = fps.select(col("media_id"), col("fp"),
       explode(array(keys: _*)).as("bk"))

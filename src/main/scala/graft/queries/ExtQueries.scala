@@ -936,7 +936,10 @@ object ExtQueries {
               |ELSE text END""".stripMargin)))
         .withColumn("doc_id", col("doc_id") + lit(10000000L))
       val media = Multimodal.mediaFromDocuments(docs.unionByName(pert))
-      Multimodal.nearDupPairs(s, media, maxDist = 4)
+      // blocking-scheme knob (PERF.md A/B): auto picks halved12 below
+      // the saturation threshold, combo8 above — identical output
+      Multimodal.nearDupPairs(s, media, maxDist = 4,
+        scheme = s.conf.get("spark.graft.imageBandScheme", "auto"))
     }),
 
     // §2.9 ingest-time perceptual near-dup gate (stream-static dHash
