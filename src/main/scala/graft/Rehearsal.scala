@@ -18,7 +18,9 @@ import java.util.Locale
   * verdicts in rounds 8/9, so the artifact carries the [min,max] spread
   * the round-9 verdict asked the bench for);
   * `SPARK_GRAFT_REHEARSAL_QUERIES` comma list overriding the ceiling
-  * set.
+  * set; `SPARK_GRAFT_REHEARSAL_OUT` overrides the artifact path
+  * (default REHEARSAL.json — e.g. the 100x probe writes
+  * REHEARSAL_100X.json so it cannot clobber the committed 10x gate).
   *
   * The default set is every query the round-9 rehearsal identified as a
   * scaling ceiling plus the round-11 perceptual near-dup lens: the
@@ -45,7 +47,15 @@ object Rehearsal {
     // late-round-12 additions: GD training (iters × two corpus aggs —
     // linear by construction, gate proves it) and the one-shuffle
     // funnel over the events log
-    "x95_quality_train", "x93_funnel_steps")
+    "x95_quality_train", "x93_funnel_steps",
+    // round-13 (round-12 verdict #6): the remaining top-10 bench
+    // queries plus the flat-cost entries whose 100 TB behavior is
+    // invisible at sf0.1 (x43's full-corpus profile, x10's per-doc
+    // scoring), the rebuilt semantic prune, the winnowing gate, and
+    // the new zero-shuffle envelope fingerprint
+    "x22_semantic_prune", "st10_embedding_ingest_gate",
+    "x55_edit_neardup", "st12_winnow_gate", "x10_quality",
+    "x43_dataset_card", "x99_envelope_fp")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)
@@ -128,8 +138,10 @@ object Rehearsal {
          |  }
          |}
          |""".stripMargin
-    Files.writeString(Paths.get("REHEARSAL.json"), json)
-    println(s"[rehearsal] wrote REHEARSAL.json (${queries.size} queries)")
+    val out = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_OUT",
+      "REHEARSAL.json")
+    Files.writeString(Paths.get(out), json)
+    println(s"[rehearsal] wrote $out (${queries.size} queries)")
     spark.stop()
   }
 }

@@ -152,15 +152,24 @@ object WavAudioCodec {
     * 8-bit fingerprint), window of element i = floor(i·W/n), energy =
     * mean of x², bit w = energy(w+1) > energy(w).
     *
-    * Scale shape: ZERO shuffle and zero explode — the whole chain is
-    * higher-order array functions (`transform`/`filter`/`aggregate`)
-    * evaluated per row inside the scan's projection, so fingerprinting
-    * a 100 TB embedding table is a map-only pass.  This is also the
-    * SQL-replayable cross-check of the JVM audio kernel: the x99
-    * oracle recomputes it in DuckDB from `unnest(range(n))`, and
-    * AudioCodecSpec pins the Catalyst result against a plain-Scala
-    * reference of the same formula. */
-  def envelopeFp(emb: Column, W: Int = 9): Column = {
+    * Scale shape: ZERO shuffle and zero explode — fingerprinting a
+    * 100 TB embedding table is a map-only pass.  The physical form is
+    * [[graft.plans.EnvelopeFpExpr]], a native codegen expression (the
+    * round-13 rehearsal measured the pretty HOF composition below at
+    * ~8 ms/row — higher-order functions are CodegenFallback, so every
+    * lambda step runs interpreted; the kernel is ~1000× off that).
+    * This is also the SQL-replayable cross-check of the JVM audio
+    * kernel: the x99 oracle recomputes it in DuckDB from
+    * `unnest(range(n))`, and AudioCodecSpec pins expression = HOF =
+    * plain-Scala bit-for-bit. */
+  def envelopeFp(emb: Column, W: Int = 9): Column =
+    graft.plans.EnvelopeFp.envelopeFp(emb, W)
+
+  /** The declarative HOF form of [[envelopeFp]] — semantically
+    * identical (parity-pinned), kept as the executable specification
+    * the codegen kernel is tested against.  Not the production path:
+    * interpreted lambda evaluation makes it ~8 ms/row. */
+  private[graft] def envelopeFpHof(emb: Column, W: Int = 9): Column = {
     val n = size(emb)
     val en = transform(sequence(lit(0), lit(W - 1)), w => {
       val vs = filter(emb, (_, i) =>
