@@ -1156,6 +1156,16 @@ object ExtQueries {
         .select(col("vec_id"), col("envelope_fp"), col("family_n"))
     }),
 
+    // deterministic Lloyd's k-means over the embedding corpus: k=8
+    // lowest-id seeds, 2 iterations, dyadic-exact centroid sums
+    // (VectorLongSumAgg) so the oracle replays every centroid
+    // bit-for-bit; per-cluster size, exact micro-unit inertia,
+    // majority label + purity — the SemDeDup-style curation
+    // clustering report as a first-class operator
+    "x100_kmeans" -> ((s, d) =>
+      graft.ext.Clustering.kmeans(Tables.embeddings(s, d),
+        k = 8, dim = 64, iters = 2)),
+
     // mixture-diversity one-liner: HHI over source token shares +
     // effective source count — the before/after metric for balancing
     "x68_source_concentration" -> ((s, d) =>
@@ -1820,6 +1830,64 @@ object ExtQueries {
       |             AS UBIGINT) AS DOUBLE) / 4294967296.0
       |      < CAST(tgt.t AS DOUBLE) / CAST(cnt.n AS DOUBLE)""".stripMargin
 
+  /** x100 oracle: Lloyd's k-means unrolled — every step is on the
+    * shared deterministic grid (cosines rounded to 6, centroid sums as
+    * dyadic-quantized BIGINTs), so both engines walk the exact same
+    * centroid sequence.  `iter` emits one assignment + quantized
+    * centroid-update CTE pair; zero-norm centroids drop like empty
+    * cells (the Spark side's filter). */
+  private val x100Sql: String = {
+    def iter(n: Int): String =
+      s"""a$n AS (SELECT vec_id, cell FROM (
+         |  SELECT v.vec_id, c.cell,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |           ORDER BY ${duckCos("v.v", "c.cv")} DESC, c.cell ASC)
+         |           AS rk
+         |  FROM vn v CROSS JOIN c${n - 1} c) WHERE rk = 1),
+         |u$n AS (SELECT a.cell, d.i AS dim,
+         |               sum(v.vq[d.i]) AS s, count(*) AS n
+         |        FROM a$n a JOIN vn v USING (vec_id),
+         |             generate_series(1, 64) AS d(i)
+         |        GROUP BY 1, 2),
+         |c$n AS (SELECT cell, cv FROM (
+         |  SELECT cell,
+         |         list((CAST(s AS DOUBLE) / n) / 1048576 ORDER BY dim)
+         |           AS cv
+         |  FROM u$n GROUP BY cell)
+         |  WHERE sqrt(list_sum(list_transform(cv, x -> x * x))) > 0)"""
+        .stripMargin
+    s"""WITH vn AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> x::DOUBLE) AS v,
+       |         list_transform(embedding,
+       |           x -> CAST(round(x::DOUBLE * 1048576) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cell, v AS cv FROM vn
+       |       ORDER BY vec_id ASC LIMIT 8),
+       |${iter(1)},
+       |${iter(2)},
+       |af AS (SELECT vec_id, cell, csim FROM (
+       |  SELECT v.vec_id, c.cell, ${duckCos("v.v", "c.cv")} AS csim,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${duckCos("v.v", "c.cv")} DESC, c.cell ASC)
+       |           AS rk
+       |  FROM vn v CROSS JOIN c2 c) WHERE rk = 1),
+       |bl AS (SELECT a.cell, v.label, count(*) AS cnt,
+       |              sum(1000000 - CAST(round(a.csim * 1000000) AS BIGINT))
+       |                AS im
+       |       FROM af a JOIN vn v USING (vec_id) GROUP BY 1, 2),
+       |tl AS (SELECT cell, label AS top_label, cnt AS top_cnt FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cell
+       |            ORDER BY cnt DESC, label ASC) AS rk
+       |  FROM bl) WHERE rk = 1),
+       |agg AS (SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_vecs,
+       |               CAST(sum(im) AS BIGINT) AS inertia_micro
+       |        FROM bl GROUP BY 1)
+       |SELECT agg.cell, agg.n_vecs, agg.inertia_micro, tl.top_label,
+       |       round(tl.top_cnt::DOUBLE / agg.n_vecs, 6) AS purity
+       |FROM agg JOIN tl USING (cell)""".stripMargin
+  }
+
   private val x22Sql: String =
     s"""WITH v AS (SELECT vec_id, embedding AS ev FROM embeddings),
        |cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
@@ -2252,6 +2320,7 @@ object ExtQueries {
         |         AS hapax_ratio
         |FROM dt JOIN df USING (tok) GROUP BY 1""".stripMargin,
     "x22_semantic_prune" -> x22Sql,
+    "x100_kmeans" -> x100Sql,
     "x21_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),

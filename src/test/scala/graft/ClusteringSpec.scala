@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Clustering
+
+/** Deterministic k-means (x100): partition totals, exact replay under
+  * repartitioning (the dyadic-grid claim), and pinned-block hygiene. */
+class ClusteringSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sf0001)
+
+  test("kmeans partitions the corpus and reports sane stats") {
+    val total = emb.count()
+    val out = Clustering.kmeans(emb, k = 8, dim = 64, iters = 2)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("inertia_micro") >= 0L)
+      val p = r.getAs[Double]("purity")
+      assert(p > 0.0 && p <= 1.0)
+    }
+    // cells are named by their seed vector — the k lowest ids
+    val seeds = emb.orderBy(col("vec_id")).limit(8)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(rows.map(_.getAs[Long]("cell")).toSet.subsetOf(seeds))
+  }
+
+  test("kmeans replays bit-identically under repartitioning") {
+    val a = Clustering.kmeans(emb, k = 8, dim = 64, iters = 2)
+      .collect().map(_.toString).sorted
+    val b = Clustering.kmeans(emb.repartition(7), k = 8, dim = 64,
+        iters = 2)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("kmeans releases every block it pins") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Clustering.kmeans(emb, k = 4, dim = 64, iters = 1).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked pinned RDDs: $leaked")
+  }
+}
