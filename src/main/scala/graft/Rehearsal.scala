@@ -55,7 +55,10 @@ object Rehearsal {
     // the new zero-shuffle envelope fingerprint
     "x22_semantic_prune", "st10_embedding_ingest_gate",
     "x55_edit_neardup", "st12_winnow_gate", "x10_quality",
-    "x43_dataset_card", "x99_envelope_fp")
+    "x43_dataset_card", "x99_envelope_fp",
+    // round-13: k-means is iters × (corpus pass + k-row agg) — linear
+    // by construction, the gate proves it
+    "x100_kmeans")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)

@@ -1166,6 +1166,13 @@ object ExtQueries {
       graft.ext.Clustering.kmeans(Tables.embeddings(s, d),
         k = 8, dim = 64, iters = 2)),
 
+    // per-cluster prototype selection: the 10 most central members of
+    // each k-means cell (TopKPerKey bounded heaps — no corpus window),
+    // the keep-the-representatives half of cluster-then-thin curation
+    "x101_cluster_prototypes" -> ((s, d) =>
+      graft.ext.Clustering.clusterPrototypes(Tables.embeddings(s, d),
+        k = 8, dim = 64, iters = 2, perCell = 10)),
+
     // mixture-diversity one-liner: HHI over source token shares +
     // effective source count — the before/after metric for balancing
     "x68_source_concentration" -> ((s, d) =>
@@ -1836,7 +1843,7 @@ object ExtQueries {
     * centroid sequence.  `iter` emits one assignment + quantized
     * centroid-update CTE pair; zero-norm centroids drop like empty
     * cells (the Spark side's filter). */
-  private val x100Sql: String = {
+  private val x100Cte: String = {
     def iter(n: Int): String =
       s"""a$n AS (SELECT vec_id, cell FROM (
          |  SELECT v.vec_id, c.cell,
@@ -1871,7 +1878,11 @@ object ExtQueries {
        |         row_number() OVER (PARTITION BY v.vec_id
        |           ORDER BY ${duckCos("v.v", "c.cv")} DESC, c.cell ASC)
        |           AS rk
-       |  FROM vn v CROSS JOIN c2 c) WHERE rk = 1),
+       |  FROM vn v CROSS JOIN c2 c) WHERE rk = 1)""".stripMargin
+  }
+
+  private val x100Sql: String =
+    s"""$x100Cte,
        |bl AS (SELECT a.cell, v.label, count(*) AS cnt,
        |              sum(1000000 - CAST(round(a.csim * 1000000) AS BIGINT))
        |                AS im
@@ -1886,7 +1897,13 @@ object ExtQueries {
        |SELECT agg.cell, agg.n_vecs, agg.inertia_micro, tl.top_label,
        |       round(tl.top_cnt::DOUBLE / agg.n_vecs, 6) AS purity
        |FROM agg JOIN tl USING (cell)""".stripMargin
-  }
+
+  private val x101Sql: String =
+    s"""$x100Cte
+       |SELECT vec_id, cell, csim FROM (
+       |  SELECT af.*, row_number() OVER (PARTITION BY cell
+       |            ORDER BY csim DESC, vec_id ASC) AS pk
+       |  FROM af) WHERE pk <= 10""".stripMargin
 
   private val x22Sql: String =
     s"""WITH v AS (SELECT vec_id, embedding AS ev FROM embeddings),
@@ -2321,6 +2338,7 @@ object ExtQueries {
         |FROM dt JOIN df USING (tok) GROUP BY 1""".stripMargin,
     "x22_semantic_prune" -> x22Sql,
     "x100_kmeans" -> x100Sql,
+    "x101_cluster_prototypes" -> x101Sql,
     "x21_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),

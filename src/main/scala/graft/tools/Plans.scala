@@ -33,7 +33,9 @@ object Plans {
     "x79_shard_assign" -> "#partitions-row triangular offset join (globalRank)",
     "x83_dsir_weights" -> "single-row token-total normalizers",
     "x85_quantization_audit" -> "single-row packed min/max span arrays",
-    "x84_interleaved_order" -> "#partitions-row triangular offset joins (globalRank x2)")
+    "x84_interleaved_order" -> "#partitions-row triangular offset joins (globalRank x2)",
+    "x100_kmeans" -> "k-row centroid codebook (kmeansAssign)",
+    "x101_cluster_prototypes" -> "k-row centroid codebook (kmeansAssign)")
 
   /** Sweep every declared query's physical plan for anti-pattern nodes.
     * Returns name → hits, where a hit is "CartesianProduct",

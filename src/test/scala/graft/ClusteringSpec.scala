@@ -35,6 +35,21 @@ class ClusteringSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("clusterPrototypes equals the window-rank reference") {
+    import org.apache.spark.sql.expressions.Window
+    val cent = Clustering.kmeansCentroids(emb, k = 8, dim = 64, iters = 2)
+    val a = Clustering.kmeansAssign(emb, cent, dim = 64)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("csim").desc, col("vec_id").asc)
+    val ref = a.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10).drop("rk")
+      .collect().map(_.toString).sorted
+    val got = Clustering.clusterPrototypes(emb, k = 8, dim = 64,
+        iters = 2, perCell = 10)
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(ref))
+  }
+
   test("kmeans releases every block it pins") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Clustering.kmeans(emb, k = 4, dim = 64, iters = 1).collect()
