@@ -98,10 +98,19 @@ object ExtQueries {
     .empty[(org.apache.spark.sql.SparkSession, String),
       (org.apache.spark.sql.DataFrame, Double)]
 
+  /** st14's k-means codebook — the route gate's build-once artifact
+    * (x100's training), cached per (session, dataset) so the gate
+    * query times routing, not training.  A k-row LocalRelation of
+    * driver rows, so slate wipes of RDD blocks cannot poison it —
+    * cleared here anyway so every measurement starts cold. */
+  private val kmeansCentCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
   private[graft] def clearClusterCache(): Unit = {
     clusterCache.clear(); pairCache.clear(); lshPairCache.clear()
     qmCache.clear(); savedClusterCache.clear(); ivfIndexCache.clear()
-    holdoutQmCache.clear()
+    holdoutQmCache.clear(); kmeansCentCache.clear()
   }
 
   /** Session-slate reset for measurement harnesses (Rehearsal, Bench):
@@ -1173,6 +1182,28 @@ object ExtQueries {
       graft.ext.Clustering.clusterPrototypes(Tables.embeddings(s, d),
         k = 8, dim = 64, iters = 2, perCell = 10)),
 
+    // streaming cluster-route gate (the st10 fixed-batch discipline
+    // applied to the x100 codebook): a deterministic first-200
+    // incoming micro-batch, x2-scaled — cosine-invariant and exact in
+    // both float and double, so the oracle replays it bit-for-bit —
+    // routes to its nearest pinned centroid; csim under tau flags the
+    // vector as novel (out-of-distribution) before ingest.  O(batch)
+    // against a broadcast k-row codebook, never O(corpus)
+    "st14_cluster_route_gate" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = kmeansCentCache.getOrElseUpdate((s, d),
+        graft.ext.Clustering.kmeansCentroids(e, k = 8, dim = 64,
+          iters = 2))
+      val incoming = e
+        .filter(pmod(col("vec_id"), lit(9)) === 2)
+        .orderBy(col("vec_id").asc).limit(200)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x * lit(2.0f)))
+        .withColumn("vec_id", col("vec_id") + lit(40000000L))
+      graft.ext.Clustering.kmeansAssign(incoming, cent, dim = 64)
+        .withColumn("novel", col("csim") < 0.15)
+    }),
+
     // mixture-diversity one-liner: HHI over source token shares +
     // effective source count — the before/after metric for balancing
     "x68_source_concentration" -> ((s, d) =>
@@ -1905,6 +1936,25 @@ object ExtQueries {
        |            ORDER BY csim DESC, vec_id ASC) AS pk
        |  FROM af) WHERE pk <= 10""".stripMargin
 
+  /** st14 oracle: the x100 centroid walk (c2 = trained codebook), then
+    * a fresh assignment of the scaled fixed batch — ×2 is exact in
+    * float and double and cosine is scale-invariant, so csim matches
+    * the unscaled corpus values bit-for-bit. */
+  private val st14Sql: String =
+    s"""$x100Cte,
+       |inc AS (SELECT vec_id + 40000000 AS vec_id,
+       |               list_transform(embedding, x -> (x * 2)::DOUBLE)
+       |                 AS v
+       |        FROM (SELECT vec_id, embedding FROM embeddings
+       |              WHERE vec_id % 9 = 2
+       |              ORDER BY vec_id ASC LIMIT 200))
+       |SELECT vec_id, cell, csim, csim < 0.15 AS novel FROM (
+       |  SELECT i.vec_id, c.cell, ${duckCos("i.v", "c.cv")} AS csim,
+       |         row_number() OVER (PARTITION BY i.vec_id
+       |           ORDER BY ${duckCos("i.v", "c.cv")} DESC, c.cell ASC)
+       |           AS rk
+       |  FROM inc i CROSS JOIN c2 c) WHERE rk = 1""".stripMargin
+
   private val x22Sql: String =
     s"""WITH v AS (SELECT vec_id, embedding AS ev FROM embeddings),
        |cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
@@ -2339,6 +2389,7 @@ object ExtQueries {
     "x22_semantic_prune" -> x22Sql,
     "x100_kmeans" -> x100Sql,
     "x101_cluster_prototypes" -> x101Sql,
+    "st14_cluster_route_gate" -> st14Sql,
     "x21_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),

@@ -35,7 +35,8 @@ object Plans {
     "x85_quantization_audit" -> "single-row packed min/max span arrays",
     "x84_interleaved_order" -> "#partitions-row triangular offset joins (globalRank x2)",
     "x100_kmeans" -> "k-row centroid codebook (kmeansAssign)",
-    "x101_cluster_prototypes" -> "k-row centroid codebook (kmeansAssign)")
+    "x101_cluster_prototypes" -> "k-row centroid codebook (kmeansAssign)",
+    "st14_cluster_route_gate" -> "k-row centroid codebook (kmeansAssign)")
 
   /** Sweep every declared query's physical plan for anti-pattern nodes.
     * Returns name → hits, where a hit is "CartesianProduct",

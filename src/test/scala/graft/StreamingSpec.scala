@@ -822,6 +822,38 @@ class QueriesSpec extends SparkSpec {
     assert(empties.isEmpty, s"queries with empty results: $empties")
   }
 
+  test("streaming cluster-route gate equals the batch answer " +
+    "(k-means codebook trained once, routed per micro-batch)") {
+    import graft.ext.Clustering
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf0001)
+    val incoming = e.filter($"vec_id" % 9 === 2)
+      .withColumn("embedding", transform($"embedding", x => x * lit(2.0f)))
+      .withColumn("vec_id", $"vec_id" + 40000000L)
+    val cent = Clustering.kmeansCentroids(e, k = 8, dim = 64, iters = 2)
+    val batchAnswer = Clustering.kmeansAssign(incoming, cent, dim = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batchAnswer.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmr_").toString
+    incoming.filter($"vec_id" % 2 === 0).write.mode("append").parquet(dir)
+    incoming.filter($"vec_id" % 2 =!= 0).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val routed = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        routed ++= Clustering.kmeansAssign(df, cent, dim = 64)
+          .as[(Long, Long, Double)].collect()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(routed.toSet == batchAnswer,
+      "per-micro-batch routing must equal the batch answer")
+  }
+
   test("every oracle key has a matching query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracle SQL without query: $dangling")
