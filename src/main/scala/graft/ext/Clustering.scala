@@ -1,7 +1,10 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.plans.{Codebook, NearestCell}
 
 /** Deterministic distributed k-means (Lloyd's) over an embedding
   * column — the clustering primitive SemDeDup-style curation pipelines
@@ -17,26 +20,30 @@ import org.apache.spark.sql.functions._
   *
   *  - init: centroids = the k lowest-id vectors (distributed top-k,
   *    not a global sort);
-  *  - assign: cosine argmax against the broadcast codebook, rounded to
-  *    6 decimals, ties to the lowest cell — the skinny
-  *    max_by-aggregate shape of `Similarity.assignCells` (vectors
-  *    never ride a replicated shuffle);
-  *  - update: components quantized to the 2^20 dyadic grid and summed
-  *    as LONGS ([[graft.plans.VectorLongSumAgg]], map-side combining)
-  *    — exact and order-independent, the
-  *    [[QualityModel.trainQualityModel]] discipline — then divided
-  *    back once per centroid component.
+  *  - assign: cosine argmax via the [[graft.plans.NearestCellExpr]]
+  *    codegen kernel (rounded to 6 decimals, ties to the lowest cell)
+  *    — a MAP-ONLY pass: the k-per-row candidate space never
+  *    materializes and no join of any kind enters the plan;
+  *  - update: components quantized half-up to the 2^20 dyadic grid
+  *    (floor(x·S + 0.5) — grid-identical in both engines, pure double
+  *    arithmetic in codegen) and summed as LONGS
+  *    ([[graft.plans.VectorLongSumAgg]], map-side combining) — exact
+  *    and order-independent, the [[QualityModel.trainQualityModel]]
+  *    discipline; the k summed rows collect to the driver, where the
+  *    divide-back to double centroids is the same IEEE expression both
+  *    engines evaluate.
   *
-  * Scale shape: each training iteration is one narrow corpus pass
-  * against a broadcast k-row codebook plus a k-row aggregate (map-side
-  * partial combine on both), so the exchanged bytes per iteration are
-  * O(partitions × k × dim), independent of corpus size.  Training is
-  * eager by nature (the loop), so [[kmeansCentroids]] collects the
-  * k-row codebook into a LocalRelation and releases every block it
-  * pinned before returning — downstream consumers ([[kmeans]]'s
-  * report, [[clusterPrototypes]]) are then ordinary LAZY plans over
-  * the corpus with zero session-lifetime cache footprint (the
-  * round-12 rehearsal lesson). */
+  * Scale shape: each training iteration is one map-only corpus pass
+  * whose ONLY exchange is the k-row partial-sum aggregate (map-side
+  * combine ⇒ O(partitions × k × dim) bytes) — the corpus itself never
+  * crosses the network.  The first formulation of this operator
+  * (crossJoin(broadcast) → max_by → re-join the quantized vectors by
+  * id) measured 3 fat corpus-row exchanges of ~17 s each on the 100×
+  * rehearsal corpus; this one has zero.  Training is eager by nature
+  * (the loop), so [[kmeansCentroids]] releases every block it pinned
+  * before returning; downstream consumers ([[kmeans]]'s report,
+  * [[clusterPrototypes]], [[kmeansAssign]] routing) are ordinary LAZY
+  * map-only plans with zero session-lifetime cache footprint. */
 object Clustering {
 
   /** 2^20 — the dyadic quantization grid for exact centroid sums. */
@@ -44,116 +51,145 @@ object Clustering {
 
   private def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Left-fold L2 norm via higher-order functions (matches DuckDB's
-    * in-order list_sum) — CodegenFallback, so only used on PINNED
-    * inputs where it runs once per row (the ivfIndex discipline). */
-  private def foldNorm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+  /** Ascending-order L2 norm of a driver-side vector — the same fold
+    * order as the kernel, Catalyst's expanded sum, and DuckDB's
+    * list_sum, so norms are bit-identical everywhere. */
+  private def normOf(a: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  }
 
-  /** Fixed-dimension expanded forms — whole-stage-codegen friendly,
-    * same left-fold summation order as the HOFs and DuckDB's
-    * list_sum, so results are bit-identical (the Similarity
-    * discipline). */
-  private def dotExpanded(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
-  private def normExpanded(a: Column, dim: Int): Column =
-    sqrt((1 to dim).map(i => element_at(a, i) * element_at(a, i))
-      .reduce(_ + _))
+  private def mkCodebook(cents: Seq[(Long, Array[Double])]): Codebook = {
+    val sorted = cents.sortBy(_._1)
+    Codebook(sorted.map(_._1).toArray, sorted.map(_._2).toArray,
+      sorted.map(c => normOf(c._2)).toArray)
+  }
+
+  /** None on an empty codebook frame — the empty-corpus / all-cells-
+    * degenerate shape every consumer must pass through as zero rows
+    * (the EmptyInputSpec contract), mirroring what the old
+    * crossJoin-with-empty formulation did implicitly. */
+  private def codebookOf(centroids: DataFrame): Option[Codebook] = {
+    val rows = centroids.select(col("cell"), col("cv")).collect()
+    if (rows.isEmpty) None
+    else Some(mkCodebook(rows.toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))))
+  }
+
+  private val centSchema = StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("cv", ArrayType(DoubleType, containsNull = false),
+      nullable = false),
+    StructField("cv_norm", DoubleType, nullable = false)))
+
+  private def centFrame(spark: org.apache.spark.sql.SparkSession,
+                        cents: Seq[(Long, Array[Double])]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      cents.sortBy(_._1)
+        .map { case (cell, cv) => Row(cell, cv.toSeq, normOf(cv)) }.asJava,
+      centSchema)
+  }
 
   /** Train the codebook: `iters` Lloyd's iterations from the k
     * lowest-id seeds.  Returns a k-row LocalRelation
-    * (cell, cv: array<double>, cv_norm) — the collected report of an
-    * eager loop, so every pinned intermediate is released before
-    * returning (getPersistentRDDs diff: checkpoint RDDs are not
-    * reachable through the public DataFrame API). */
+    * (cell, cv: array<double>, cv_norm); every pinned intermediate is
+    * released before returning (getPersistentRDDs diff: checkpoint
+    * RDDs are not reachable through the public DataFrame API). */
   def kmeansCentroids(embeddings: DataFrame, k: Int = 8, dim: Int = 64,
                       iters: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     import graft.plans.VectorLongSumAgg.vectorLongSum
     val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
-    // pinned (v, v_norm, vq): the HOF norm is CodegenFallback and
-    // unpinned would collapse into the per-candidate scoring
-    // projection — k interpreted folds per corpus vector
+    // (v, vq) pinned once: iterations re-read prepared rows instead of
+    // re-scanning parquet and re-quantizing.  floor(x·S + 0.5) is the
+    // half-up grid as pure double arithmetic — Spark's round() on
+    // doubles detours through BigDecimal (measured 6.6 s vs 2.8 s for
+    // this 64-element prep on a 200k-vector corpus).
     val v = embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("v_norm", foldNorm(col("v")))
-      .withColumn("vq",
-        transform(col("v"), x => round(x * QuantScale).cast("long")))
-      .localCheckpoint()
-
-    // corpus→cell cosine argmax; scoring rows stay skinny and the
-    // k-per-vector candidates collapse map-side before exchange
-    def assign(cent: DataFrame): DataFrame =
-      v.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cell"),
-          round(dotExpanded(col("v"), col("cv"), dim) /
-            (col("v_norm") * col("cv_norm")), 6).as("csim"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cell"),
-          struct(col("csim"), (-col("cell")).as("nc"))).as("cell"))
-
-    var cent = v.orderBy(col("vec_id").asc).limit(k)
-      .select(col("vec_id").as("cell"), col("v").as("cv"),
-        col("v_norm").as("cv_norm"))
+      .withColumn("vq", array((1 to dim).map(i =>
+        floor(element_at(col("v"), i) * QuantScale + 0.5d).cast("long")): _*))
       .localCheckpoint()
     try {
-      for (_ <- 1 to iters) {
-        cent = v.join(assign(cent), "vec_id")
+      var cents = v.orderBy(col("vec_id").asc).limit(k) // distributed top-k
+        .select(col("vec_id"), col("v")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      var it = 0
+      while (it < iters && cents.nonEmpty) {
+        val cb = mkCodebook(cents)
+        // ONE map-only pass + k-row aggregate; k rows to the driver
+        val sums = v.select(
+            NearestCell.nearestCell(col("v"), cb)("cell").as("cell"),
+            col("vq"))
           .groupBy(col("cell"))
           .agg(vectorLongSum(col("vq")).as("s"), count(lit(1)).as("n"))
-          .select(col("cell"), transform(col("s"),
-            x => (x.cast("double") / col("n")) / QuantScale).as("cv"))
-          .withColumn("cv_norm", foldNorm(col("cv")))
+          .collect()
+        cents = sums.toSeq.flatMap { r =>
+          val cell = r.getLong(0)
+          val s = r.getSeq[Long](1)
+          val n = r.getLong(2)
+          // (long → double) / long / long: the exact IEEE steps the
+          // oracle's (CAST(s AS DOUBLE) / n) / 1048576 evaluates
+          val cv = s.map(x => (x.toDouble / n) / QuantScale).toArray
           // empty cells vanish from the groupBy; a degenerate
-          // zero-vector centroid (mean of opposing members) would null
-          // every cosine against it — drop it like an empty cell
-          .filter(col("cv_norm") > 0)
-          .localCheckpoint() // k rows; HOF norm is fine off the hot path
+          // zero-vector centroid (mean of opposing members) would
+          // poison every cosine against it — drop it like an empty cell
+          if (normOf(cv) > 0) Some((cell, cv)) else None
+        }
+        it += 1
       }
-      val out = cent.select(col("cell"), col("cv"), col("cv_norm"))
-      val rows = out.collect() // k rows — the codebook, not the corpus
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(rows.toSeq.asJava, out.schema)
+      centFrame(spark, cents) // zero rows on an empty/degenerate corpus
     } finally spark.sparkContext.getPersistentRDDs
       .filter { case (id, _) => !pinnedBefore.contains(id) }
       .values.foreach(_.unpersist(blocking = false))
   }
 
-  /** Lazy corpus→cell assignment against a (broadcast) codebook:
-    * (vec_id, cell, csim).  Norms use the EXPANDED codegen form, not
-    * the HOF fold, so the whole pass — scan, score, max_by partials —
-    * stays inside whole-stage codegen with zero pinned state; the two
-    * forms share the left-fold summation order, so values are
-    * bit-identical. */
+  /** Lazy corpus→cell assignment against a codebook:
+    * (vec_id, cell, csim).  One NearestCellExpr evaluation per row
+    * inside whole-stage codegen — scan → project, nothing else. */
   def kmeansAssign(embeddings: DataFrame, centroids: DataFrame,
-                   dim: Int = 64): DataFrame =
-    embeddings
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("cell"),
-        round(dotExpanded(col("v"), col("cv"), dim) /
-          (normExpanded(col("v"), dim) * col("cv_norm")), 6).as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cell"), col("csim")),
-        struct(col("csim"), (-col("cell")).as("nc"))).as("w"))
-      .select(col("vec_id"), col("w.cell").as("cell"),
-        col("w.csim").as("csim"))
+                   dim: Int = 64): DataFrame = codebookOf(centroids) match {
+    case Some(cb) =>
+      embeddings
+        .select(col("vec_id"),
+          NearestCell.nearestCell(toDouble(col("embedding")), cb).as("w"))
+        .select(col("vec_id"), col("w.cell").as("cell"),
+          col("w.csim").as("csim"))
+    case None => // no cells: nothing routes (the crossJoin-empty shape)
+      embeddings.select(col("vec_id"), lit(0L).as("cell"),
+        lit(0.0d).as("csim")).where(lit(false))
+  }
 
   /** Lloyd's k-means report over `embeddings(vec_id, embedding,
     * label)`: one row per surviving cluster —
     * (cell, n_vecs, inertia_micro, top_label, purity).  Training is
-    * eager ([[kmeansCentroids]]); the report itself is a lazy
-    * aggregate over [[kmeansAssign]]. */
+    * eager ([[kmeansCentroids]]); the report is a lazy map-only pass +
+    * two k-bounded aggregates (no join: label and assignment come off
+    * the same scan row). */
   def kmeans(embeddings: DataFrame, k: Int = 8, dim: Int = 64,
              iters: Int = 2): DataFrame = {
     val cent = kmeansCentroids(embeddings, k, dim, iters)
-    val byLab = embeddings.select(col("vec_id"), col("label"))
-      .join(kmeansAssign(embeddings, cent, dim), "vec_id")
-      .select(col("cell"), col("label"),
+    val cb = codebookOf(cent) match {
+      case Some(c) => c
+      case None => // empty corpus: an empty report, not a throw
+        return embeddings.sparkSession.createDataFrame(
+          new java.util.ArrayList[Row](), StructType(Seq(
+            StructField("cell", LongType),
+            StructField("n_vecs", LongType),
+            StructField("inertia_micro", LongType),
+            StructField("top_label", IntegerType),
+            StructField("purity", DoubleType))))
+    }
+    val byLab = embeddings
+      .select(col("label"),
+        NearestCell.nearestCell(toDouble(col("embedding")), cb).as("w"))
+      .select(col("w.cell").as("cell"), col("label"),
         // inertia accumulates as exact integer micro-units: csim is
         // already on the 1e-6 grid, so round(csim·1e6) recovers the
         // exact integer and the sum is order-independent
-        (lit(1000000L) - round(col("csim") * 1000000L).cast("long"))
+        (lit(1000000L) - round(col("w.csim") * 1000000L).cast("long"))
           .as("micro"))
       .groupBy(col("cell"), col("label"))
       .agg(count(lit(1)).as("cnt"), sum(col("micro")).as("im"))

@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** A collected k-means/IVF codebook: cell ids, centroid vectors, and
+  * their precomputed L2 norms, sorted by cell id (ascending) so the
+  * kernel's first-wins argmax tie-break IS the lowest-cell rule.  K×dim
+  * doubles — rides the expression as one task-serialized reference
+  * object (never k·dim plan literals: the x95 width lesson). */
+case class Codebook(cells: Array[Long], vecs: Array[Array[Double]],
+                    norms: Array[Double]) {
+  require(cells.length == vecs.length && cells.length == norms.length &&
+    cells.nonEmpty, "codebook arrays must align and be non-empty")
+  require((1 until cells.length).forall(i => cells(i - 1) < cells(i)),
+    "codebook must be sorted by cell id (argmax tie-break contract)")
+}
+
+/** Nearest-centroid assignment as a native codegen expression:
+  * array<double> → struct(cell: bigint, csim: double) — the cosine
+  * argmax against a broadcast-sized codebook in ONE tight JVM loop per
+  * row (the [[EnvelopeFpExpr]] static-kernel discipline).
+  *
+  * This replaces the crossJoin(broadcast(cent)) → per-candidate
+  * projection → max_by aggregate formulation: same answer, but the
+  * k-per-row candidate space never materializes, no
+  * BroadcastNestedLoopJoin enters the plan, and — decisive at scale —
+  * assignment becomes a MAP-ONLY pass, so a Lloyd's iteration's only
+  * exchange is the k-row partial-sum aggregate (measured on the 100×
+  * rehearsal corpus: the fat-row exchanges the join formulation forced
+  * were 3 of its 4 dominant stages, ~17 s each).
+  *
+  * Bit-parity contract (pinned by ClusteringSpec): dot and norm
+  * accumulate in ascending element order (the shared left-fold /
+  * DuckDB list_sum order); csim = round-half-up to 6 decimals via
+  * BigDecimal — exactly Spark's `round(x, 6)`; candidate comparison
+  * uses SQL ordering semantics (`==` short-circuit, then
+  * Double.compare: NaN greatest, NaN == NaN, ±0.0 equal) with ties
+  * keeping the lowest cell.  Elements must be non-null (the prepared
+  * corpus contract). */
+case class NearestCellExpr(child: Expression, cb: Codebook)
+    extends UnaryExpression {
+
+  override def dataType: DataType = NearestCell.outType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"NearestCellExpr expects array<double>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCellKernel.assign(v.asInstanceOf[ArrayData], cb)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", cb, classOf[Codebook].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.NearestCellKernel.assign($c, $cbRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCellExpr = copy(child = newChild)
+}
+
+object NearestCell {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  val outType: StructType = StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("csim", DoubleType, nullable = false)))
+
+  /** Column-API entry point. */
+  def nearestCell(vec: Column, cb: Codebook): Column =
+    ColumnBridge.column(NearestCellExpr(ColumnBridge.expression(vec), cb))
+}
+
+/** The per-row JVM kernel behind [[NearestCellExpr]] — a plain static
+  * method so generated code calls it directly. */
+object NearestCellKernel {
+
+  /** Spark's `round(x, 6)` on doubles: BigDecimal half-up (NaN/Inf
+    * pass through — BigDecimal.valueOf would throw). */
+  def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** SQL ordering for doubles (SQLOrderingUtil semantics): primitive
+    * equality first (±0.0 equal), then Double.compare (NaN greatest,
+    * NaN equal to itself). */
+  private def cmp(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  def assign(arr: ArrayData, cb: Codebook): InternalRow = {
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = arr.getDouble(i); s += x * x; i += 1 }
+    val vn = math.sqrt(s)
+    var bestCell = 0L
+    var bestCsim = 0.0
+    var first = true
+    var j = 0
+    while (j < cb.cells.length) {
+      val cv = cb.vecs(j)
+      val m = if (n < cv.length) n else cv.length
+      var d = 0.0
+      var t = 0
+      while (t < m) { d += arr.getDouble(t) * cv(t); t += 1 }
+      val csim = round6(d / (vn * cb.norms(j)))
+      // ascending-cell iteration + strictly-greater replacement =
+      // ties keep the lowest cell (the max_by(csim, -cell) rule)
+      if (first || cmp(csim, bestCsim) > 0) {
+        bestCell = cb.cells(j); bestCsim = csim; first = false
+      }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](bestCell, bestCsim))
+  }
+}

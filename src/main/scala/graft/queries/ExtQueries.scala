@@ -1898,7 +1898,8 @@ object ExtQueries {
        |  SELECT vec_id, label,
        |         list_transform(embedding, x -> x::DOUBLE) AS v,
        |         list_transform(embedding,
-       |           x -> CAST(round(x::DOUBLE * 1048576) AS BIGINT)) AS vq
+       |           x -> CAST(floor(x::DOUBLE * 1048576 + 0.5) AS BIGINT))
+       |           AS vq
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS cell, v AS cv FROM vn
        |       ORDER BY vec_id ASC LIMIT 8),

@@ -33,10 +33,10 @@ object Plans {
     "x79_shard_assign" -> "#partitions-row triangular offset join (globalRank)",
     "x83_dsir_weights" -> "single-row token-total normalizers",
     "x85_quantization_audit" -> "single-row packed min/max span arrays",
-    "x84_interleaved_order" -> "#partitions-row triangular offset joins (globalRank x2)",
-    "x100_kmeans" -> "k-row centroid codebook (kmeansAssign)",
-    "x101_cluster_prototypes" -> "k-row centroid codebook (kmeansAssign)",
-    "st14_cluster_route_gate" -> "k-row centroid codebook (kmeansAssign)")
+    "x84_interleaved_order" -> "#partitions-row triangular offset joins (globalRank x2)")
+  // x100/x101/st14 are deliberately absent: the NearestCellExpr kernel
+  // keeps the whole clustering family join-free — map-only assignment
+  // against a task-serialized codebook, k-row aggregates.
 
   /** Sweep every declared query's physical plan for anti-pattern nodes.
     * Returns name → hits, where a hit is "CartesianProduct",
