@@ -51,31 +51,11 @@ object Clustering {
 
   private def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Ascending-order L2 norm of a driver-side vector — the same fold
-    * order as the kernel, Catalyst's expanded sum, and DuckDB's
-    * list_sum, so norms are bit-identical everywhere. */
-  private def normOf(a: Array[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i) * a(i); i += 1 }
-    math.sqrt(s)
-  }
-
-  private def mkCodebook(cents: Seq[(Long, Array[Double])]): Codebook = {
-    val sorted = cents.sortBy(_._1)
-    Codebook(sorted.map(_._1).toArray, sorted.map(_._2).toArray,
-      sorted.map(c => normOf(c._2)).toArray)
-  }
-
-  /** None on an empty codebook frame — the empty-corpus / all-cells-
-    * degenerate shape every consumer must pass through as zero rows
-    * (the EmptyInputSpec contract), mirroring what the old
-    * crossJoin-with-empty formulation did implicitly. */
-  private def codebookOf(centroids: DataFrame): Option[Codebook] = {
-    val rows = centroids.select(col("cell"), col("cv")).collect()
-    if (rows.isEmpty) None
-    else Some(mkCodebook(rows.toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))))
-  }
+  private def normOf(a: Array[Double]): Double = Codebook.normOf(a)
+  private def mkCodebook(cents: Seq[(Long, Array[Double])]): Codebook =
+    Codebook.of(cents)
+  private def codebookOf(centroids: DataFrame): Option[Codebook] =
+    Codebook.fromFrame(centroids, "cell", "cv")
 
   private val centSchema = StructType(Seq(
     StructField("cell", LongType, nullable = false),

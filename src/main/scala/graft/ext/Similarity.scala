@@ -337,48 +337,46 @@ object Similarity {
     * (cross-job persistence: [[saveIvfIndex]]). */
   def ivfIndex(corpus: DataFrame, dim: Int = 64,
                nlist: Int = 16): IvfIndex = {
-    // pin (vector, norm) BEFORE assignCells' crossJoin: the HOF norm
-    // is CodegenFallback, and unpinned it collapses into the scoring
-    // projection — re-evaluated per (vector, cell) candidate row,
-    // nlist interpreted 64-element folds per corpus vector instead of
-    // one.  Neutral at sf0.1 (the build is job-overhead-bound there)
-    // but corpus×(nlist−1) avoided folds at scale; also matches
-    // ivfIndexRefined's existing pin.
+    // pin (vector, norm) once: probes re-rank against these rows
     val c = withNorm(corpus, "c_id", "c").localCheckpoint()
     // lowest-id selection is a distributed TakeOrdered (top-k), NOT a
     // global-sort window — stays scale-safe
     val cent = withNorm(corpus, "cell", "cv")
       .orderBy(col("cell").asc).limit(nlist)
       .localCheckpoint()
-    val winner = assignCells(c, cent, dim)
-    val assigned = c.join(winner, "c_id")
-      .select(col("cell"), col("c_id"), col("c"), col("c_norm"))
-      .localCheckpoint()
-    IvfIndex(assigned, cent, dim, nlist)
+    IvfIndex(assignedFrame(c, cent), cent, dim, nlist)
   }
 
-  /** corpus→cell argmax.  Scoring rows stay SKINNY (c_id, cell, csim):
-    * the argmax runs as a max_by hash aggregate — the nlist-per-vector
-    * candidates collapse map-side (partial agg) before any exchange,
-    * and the corpus VECTORS never ride a replicated shuffle; they
-    * attach once, by id, after the winner is known.  (A per-id window
-    * here would shuffle nlist copies of every embedding — the dominant
-    * network cost at corpus scale.)  (csim, -cell) is unique per
-    * candidate, so max_by is deterministic: highest similarity, then
-    * lowest cell id. */
-  private def assignCells(c: DataFrame, cent: DataFrame,
-                          dim: Int): DataFrame =
-    c.crossJoin(broadcast(cent))
-      .select(col("c_id"), col("cell"), round(
-        dotExpanded(col("c"), col("cv"), dim) /
-          (col("c_norm") * col("cv_norm")), 6).as("csim"))
-      .groupBy(col("c_id"))
-      .agg(max_by(col("cell"),
-        struct(col("csim"), (-col("cell")).as("nc"))).as("cell"))
+  /** corpus→cell argmax via the [[graft.plans.NearestCellExpr]]
+    * codegen kernel (the Clustering discipline, round 13): one
+    * map-only projection against the task-serialized codebook.  The
+    * earlier crossJoin(broadcast) → skinny max_by → re-join-vectors-
+    * by-id formulation kept the SCORING rows skinny but still re-
+    * joined the FAT vector rows to attach the winner — measured on the
+    * 100× rehearsal corpus (200k × dim-64), those fat-row exchanges
+    * were the dominant stages (~17 s each).  Here the assigned layout
+    * comes straight off the corpus scan: argmax ties keep the lowest
+    * cell (the max_by(csim, -cell) rule, kernel-side), csim on the
+    * shared round-6 grid, so cell assignment is bit-identical to the
+    * SQL oracle's row_number replay.  An empty codebook (empty corpus)
+    * degrades to zero rows, the crossJoin-with-empty shape. */
+  private def assignedFrame(c: DataFrame, cent: DataFrame): DataFrame = {
+    import graft.plans.{Codebook, NearestCell}
+    Codebook.fromFrame(cent, "cell", "cv") match {
+      case Some(cb) =>
+        c.select(NearestCell.nearestCell(col("c"), cb)("cell").as("cell"),
+            col("c_id"), col("c"), col("c_norm"))
+          .localCheckpoint()
+      case None =>
+        c.select(lit(0L).as("cell"), col("c_id"), col("c"), col("c_norm"))
+          .where(lit(false)).localCheckpoint()
+    }
+  }
 
   /** [[ivfIndex]] with Lloyd's k-means refinement of the codebook —
-    * what production IVF training does.  Each iteration is one skinny
-    * `assignCells` pass plus a centroid update via the
+    * what production IVF training does.  Each iteration is one
+    * map-only kernel-assignment pass (winner + vector off the same
+    * scan row) feeding a centroid update via the
     * [[graft.plans.VectorAvgAgg]] custom aggregate (map-side-combining
     * elementwise mean — the posexplode formulation would shuffle
     * dim× the corpus row count).  Empty cells drop out (standard
@@ -394,24 +392,27 @@ object Similarity {
     var cent = withNorm(corpus, "cell", "cv")
       .orderBy(col("cell").asc).limit(nlist)
       .localCheckpoint()
+    import graft.plans.{Codebook, NearestCell}
     for (_ <- 1 to iters) {
-      val w = assignCells(c, cent, dim)
-      cent = c.join(w, "c_id")
-        .groupBy(col("cell"))
-        .agg(vectorAvg(col("c")).as("cv"))
-        .withColumn("cv_norm", sqrt(aggregate(
-          transform(col("cv"), x => x * x), lit(0.0), (acc, x) => acc + x)))
-        // a degenerate zero-vector centroid (mean of opposing members)
-        // would null every similarity against it — drop it like an
-        // empty cell
-        .filter(col("cv_norm") > 0)
-        .localCheckpoint() // nlist rows; HOF norm is fine off the hot path
+      // kernel winner + centroid mean off the same scan row — a
+      // Lloyd's iteration's only exchange is the nlist-row partial agg
+      cent = Codebook.fromFrame(cent, "cell", "cv") match {
+        case None => cent // empty corpus: keep the (empty) codebook
+        case Some(cb) => c
+          .select(NearestCell.nearestCell(col("c"), cb)("cell").as("cell"),
+            col("c"))
+          .groupBy(col("cell"))
+          .agg(vectorAvg(col("c")).as("cv"))
+          .withColumn("cv_norm", sqrt(aggregate(
+            transform(col("cv"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+          // a degenerate zero-vector centroid (mean of opposing members)
+          // would null every similarity against it — drop it like an
+          // empty cell
+          .filter(col("cv_norm") > 0)
+          .localCheckpoint() // nlist rows; HOF norm is fine off the hot path
+      }
     }
-    val winner = assignCells(c, cent, dim)
-    val assigned = c.join(winner, "c_id")
-      .select(col("cell"), col("c_id"), col("c"), col("c_norm"))
-      .localCheckpoint()
-    IvfIndex(assigned, cent, dim, nlist)
+    IvfIndex(assignedFrame(c, cent), cent, dim, nlist)
   }
 
   /** Persist an [[IvfIndex]] as tables — assignment BUCKETED by cell so
@@ -462,11 +463,7 @@ object Similarity {
     * would select the same centroids (SimilaritySpec pins it).
     * Compact periodically via [[saveIvfIndex]]/[[loadIvfIndex]]. */
   def extendIvfIndex(index: IvfIndex, accepted: DataFrame): IvfIndex = {
-    val c = withNorm(accepted, "c_id", "c")
-    val winner = assignCells(c, index.cent, index.dim)
-    val leg = c.join(winner, "c_id")
-      .select(col("cell"), col("c_id"), col("c"), col("c_norm"))
-      .localCheckpoint()
+    val leg = assignedFrame(withNorm(accepted, "c_id", "c"), index.cent)
     IvfIndex(index.assigned.unionByName(leg), index.cent,
       index.dim, index.nlist)
   }

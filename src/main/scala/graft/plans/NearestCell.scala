@@ -21,6 +21,39 @@ case class Codebook(cells: Array[Long], vecs: Array[Array[Double]],
     "codebook must be sorted by cell id (argmax tie-break contract)")
 }
 
+object Codebook {
+
+  /** Ascending-order L2 norm — the shared fold order of the kernel,
+    * Catalyst's expanded sum, the HOF fold, and DuckDB's list_sum, so
+    * norms are bit-identical everywhere. */
+  def normOf(a: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Build from (cell, vector) pairs — sorts by cell (the tie-break
+    * contract) and computes norms. */
+  def of(cents: Seq[(Long, Array[Double])]): Codebook = {
+    val sorted = cents.sortBy(_._1)
+    Codebook(sorted.map(_._1).toArray, sorted.map(_._2).toArray,
+      sorted.map(c => normOf(c._2)).toArray)
+  }
+
+  /** Collect a (small, bounded-by-construction) centroid frame into a
+    * codebook; None on an empty frame — the empty-corpus degenerate
+    * every consumer must pass through as zero rows rather than a
+    * throw. */
+  def fromFrame(cent: org.apache.spark.sql.DataFrame, cellCol: String,
+                vecCol: String): Option[Codebook] = {
+    import org.apache.spark.sql.functions.col
+    val rows = cent.select(col(cellCol), col(vecCol)).collect()
+    if (rows.isEmpty) None
+    else Some(of(rows.toSeq.map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray))))
+  }
+}
+
 /** Nearest-centroid assignment as a native codegen expression:
   * array<double> → struct(cell: bigint, csim: double) — the cosine
   * argmax against a broadcast-sized codebook in ONE tight JVM loop per
