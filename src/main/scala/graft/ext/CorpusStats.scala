@@ -599,7 +599,7 @@ object CorpusStats {
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val cms = toks
       .agg(CountMinAgg.cmsAgg(xxhash64(col("tok")), depth, width))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     toks.filter(CmsEstimate.cmsEstimate(CmsEstimate.broadcastCms(cms),
         depth, width, xxhash64(col("tok"))) >= minFreq)
       .groupBy(col("tok"))

@@ -533,7 +533,7 @@ object Dedup {
       .select(col("sh")).distinct().localCheckpoint()
     val bloomBytes = b
       .agg(BloomFilterAgg.bloomAgg(xxhash64(col("sh")), numBits, numHashes))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     // broadcast ONCE at gate build: every micro-batch probe reuses the
     // per-executor copy instead of re-shipping filter bytes per batch
     BloomGate(bloomBytes, b, n, numBits, numHashes,

@@ -133,7 +133,7 @@ object Streams {
       return keyed.agg(CountMinAgg.cmsAgg(h, depth, width).as("cms"))
     val cms = probeSketch.getOrElse(
       keyed.agg(CountMinAgg.cmsAgg(h, depth, width))
-        .head.getAs[Array[Byte]](0))
+        .head().getAs[Array[Byte]](0))
     keyed.filter(CmsEstimate.cmsEstimate(CmsEstimate.broadcastCms(cms),
         depth, width, h) >= minFreq)
       .groupBy(col("w"), col("k"))

@@ -50,6 +50,29 @@ class ClusteringSpec extends SparkSpec {
     assert(got.sameElements(ref))
   }
 
+  test("the clustering family plans are join-free (kernel assignment)") {
+    // the NearestCellExpr contract: assignment is a map-only
+    // projection, so NO join node of any kind may enter these plans —
+    // a re-join of the corpus by id is the fat-exchange regression the
+    // 100x probe measured at ~17 s/stage
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cent = Clustering.kmeansCentroids(emb, k = 4, dim = 64,
+        iters = 1)
+      val plans = Seq(
+        "assign" -> Clustering.kmeansAssign(emb, cent, dim = 64),
+        "report" -> Clustering.kmeans(emb, k = 4, dim = 64, iters = 1),
+        "protos" -> Clustering.clusterPrototypes(emb, k = 4, dim = 64,
+          iters = 1, perCell = 3))
+      for ((tag, df) <- plans) {
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+          s"$tag plan contains a join:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
   test("kmeans releases every block it pins") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Clustering.kmeans(emb, k = 4, dim = 64, iters = 1).collect()
