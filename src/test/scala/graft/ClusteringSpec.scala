@@ -73,6 +73,25 @@ class ClusteringSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", before)
   }
 
+  test("codebook save/load round-trips routing; loader refuses " +
+    "non-codebook tables") {
+    val cent = Clustering.kmeansCentroids(emb, k = 4, dim = 64, iters = 1)
+    val direct = Clustering.kmeansAssign(emb, cent, dim = 64)
+      .collect().map(_.toString).sorted
+    dropTableFully("g_km_cb")
+    Clustering.saveCentroids(cent, "g_km_cb")
+    val loaded = Clustering.loadCentroids(spark, "g_km_cb")
+    val via = Clustering.kmeansAssign(emb, loaded, dim = 64)
+      .collect().map(_.toString).sorted
+    assert(via.sameElements(direct))
+    dropTableFully("g_km_not")
+    emb.limit(1).write.saveAsTable("g_km_not")
+    val e = intercept[IllegalArgumentException](
+      Clustering.loadCentroids(spark, "g_km_not"))
+    assert(e.getMessage.contains("not a graft k-means codebook"))
+    dropTableFully("g_km_cb"); dropTableFully("g_km_not")
+  }
+
   test("kmeans releases every block it pins") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Clustering.kmeans(emb, k = 4, dim = 64, iters = 1).collect()

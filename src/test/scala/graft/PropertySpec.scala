@@ -406,6 +406,67 @@ class PropertySpec extends SparkSpec {
       assert(d <= 2, s"single-byte edit flipped $d bits (n=${b.length})")
     }
   }
+
+  test("NearestCellExpr equals the declarative crossJoin + max_by form " +
+    "on random corpora (near-tie cosines); zero vectors take the " +
+    "lowest cell where ANSI would throw") {
+    import graft.plans.{Codebook, NearestCell}
+    val dim = 8
+    // small-integer components on a coarse grid force frequent exact
+    // cosine ties at 6 decimals.  Vectors are kept non-zero: under
+    // ANSI mode (the Spark 4 default) the DECLARATIVE form throws
+    // DIVIDE_BY_ZERO on a zero-norm vector, where the kernel (like
+    // DuckDB's NULL division and semanticPrune's mapPartitions twin)
+    // degrades to the lowest cell — the kernel is strictly more
+    // graceful, pinned separately below
+    val nonZeroVec = Gen.listOfN(dim, Gen.choose(-2, 2).map(_.toDouble))
+      .retryUntil(_.exists(_ != 0.0))
+    val gen = for {
+      n <- Gen.choose(6, 40)
+      k <- Gen.choose(1, 5)
+      rows <- Gen.listOfN(n, nonZeroVec)
+    } yield (k, rows)
+    samples(gen, 12).zipWithIndex.foreach { case ((k, rows), i) =>
+      val emb = rows.zipWithIndex
+        .map { case (v, id) => (id.toLong, v) }
+        .toDF("vec_id", "v")
+      val cent = emb.orderBy($"vec_id").limit(k)
+        .select($"vec_id".as("cell"), $"v".as("cv"))
+      val cb = Codebook.fromFrame(cent, "cell", "cv").get
+      val kernel = emb
+        .select($"vec_id", NearestCell.nearestCell($"v", cb).as("w"))
+        .select($"vec_id", $"w.cell", $"w.csim")
+        .collect().map(_.toString).sorted
+      val centN = cent.withColumn("cv_norm",
+        sqrt(aggregate(transform($"cv", x => x * x), lit(0.0),
+          (acc, x) => acc + x)))
+      val declarative = emb
+        .withColumn("v_norm", sqrt(aggregate(transform($"v", x => x * x),
+          lit(0.0), (acc, x) => acc + x)))
+        .crossJoin(broadcast(centN))
+        .select($"vec_id", $"cell", round(
+          (1 to dim).map(j => element_at($"v", j) * element_at($"cv", j))
+            .reduce(_ + _) / ($"v_norm" * $"cv_norm"), 6).as("csim"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"cell", $"csim"),
+          struct($"csim", (-$"cell").as("nc"))).as("w"))
+        .select($"vec_id", $"w.cell", $"w.csim")
+        .collect().map(_.toString).sorted
+      assert(kernel.sameElements(declarative),
+        s"sample $i (k=$k): kernel and declarative argmax diverge\n" +
+          s"kernel: ${kernel.take(5).mkString("; ")}\n" +
+          s"decl:   ${declarative.take(5).mkString("; ")}")
+    }
+    // zero-norm input: every cosine is NaN, all candidates tie, and
+    // the ascending-cell first-wins rule lands on the lowest cell —
+    // where the ANSI declarative form would throw
+    val zcb = graft.plans.Codebook.of(Seq(
+      3L -> Array(1.0, 0.0), 7L -> Array(0.0, 1.0)))
+    val z = Seq((0L, Seq(0.0, 0.0))).toDF("vec_id", "v")
+      .select(NearestCell.nearestCell($"v", zcb).as("w"))
+      .select($"w.cell", $"w.csim").head()
+    assert(z.getLong(0) == 3L && z.getDouble(1).isNaN)
+  }
 }
 
 /** Reference quirks — SURVEY §2.11 keep/fix decisions, pinned by test. */
