@@ -726,8 +726,13 @@ object Multimodal {
     * the exact verify filters the same superset, only the candidate
     * volume differs.  `scheme = "auto"` gates on the measured
     * fingerprint count (`spark.graft.imageBandAutoThreshold`, default
-    * 100k): halved12 under it, combo8 at scale.  See the PERF.md A/B
-    * for the measured crossover reasoning. */
+    * 2M): halved12 under it, combo8 at scale.  The default was
+    * re-calibrated by MEASUREMENT in round 13: at 650k fingerprints
+    * halved12 still beats combo8 8.6x (23.8 s vs 205 s, identical
+    * 4.14M output pairs) — the random-fp crossover model (~600k)
+    * badly underestimated how much the 70-key explode's key-row
+    * SHUFFLE costs relative to halved12's extra cheap codegen
+    * hamming verifies.  See the PERF.md A/Bs. */
   def nearDupPairs(spark: SparkSession, media: DataFrame,
                    maxDist: Int = 4, maskBlocks: Int = 4,
                    salts: Int = Dedup.SaltsAuto,
@@ -753,15 +758,19 @@ object Multimodal {
     // "auto": pick the blocking scheme by measured corpus size — the
     // count is a metadata-cheap action on the already-checkpointed
     // 16-byte rows.  Below the threshold the 70-key fanout IS the cost
-    // (sf0.1 A/B in PERF.md: 2.10 s -> 1.27 s, identical output) and
-    // 16-bit keys are nowhere near saturation; above it, halved12's
-    // per-key bucket mass grows as n/2^16 and the candidate join goes
-    // quadratic while combo8's 32-bit keys stay O(1)-per-bucket — so
-    // the big-data side of the gate is the 100 TB-safe default.
+    // (measured: 2.10 s -> 1.27 s at 6.5k fps, 205 s -> 23.8 s at
+    // 650k fps, identical output both times); above it, halved12's
+    // per-key bucket mass grows as n/2^16 and its quadratic candidate
+    // verify eventually overtakes combo8's near-O(1)-per-bucket
+    // 32-bit keys — but the verify is cheap codegen (xor+bit_count on
+    // 24-byte rows) while combo8's cost is a 70x key-row SHUFFLE, so
+    // the measured crossover sits far above the random-fp model's
+    // ~600k estimate.  2M is conservative from the 650k measurement's
+    // 8.6x margin; combo8 remains the unbounded-scale default.
     val schemeEff =
       if (scheme == "auto") {
         val thr = spark.conf
-          .get("spark.graft.imageBandAutoThreshold", "100000").toLong
+          .get("spark.graft.imageBandAutoThreshold", "2000000").toLong
         if (maxDist <= 4 && fps.count() <= thr) "halved12" else "combo8"
       } else scheme
     val keys = if (schemeEff == "halved12") halvedKeys(col("fp"))
