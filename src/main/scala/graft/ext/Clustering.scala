@@ -129,8 +129,9 @@ object Clustering {
   /** Lazy corpus→cell assignment against a codebook:
     * (vec_id, cell, csim).  One NearestCellExpr evaluation per row
     * inside whole-stage codegen — scan → project, nothing else. */
-  def kmeansAssign(embeddings: DataFrame, centroids: DataFrame,
-                   dim: Int = 64): DataFrame = codebookOf(centroids) match {
+  def kmeansAssign(embeddings: DataFrame,
+                   centroids: DataFrame): DataFrame =
+    codebookOf(centroids) match {
     case Some(cb) =>
       embeddings
         .select(col("vec_id"),
@@ -220,7 +221,7 @@ object Clustering {
                         perCell: Int = 10): DataFrame = {
     val cent = kmeansCentroids(embeddings, k, dim, iters)
     graft.plans.TopKPerKey.topKPerKey(
-      kmeansAssign(embeddings, cent, dim),
+      kmeansAssign(embeddings, cent),
       Seq(col("cell")), Seq(col("csim").desc, col("vec_id").asc), perCell)
   }
 }

@@ -1200,7 +1200,7 @@ object ExtQueries {
         .withColumn("embedding",
           transform(col("embedding"), x => x * lit(2.0f)))
         .withColumn("vec_id", col("vec_id") + lit(40000000L))
-      graft.ext.Clustering.kmeansAssign(incoming, cent, dim = 64)
+      graft.ext.Clustering.kmeansAssign(incoming, cent)
         .withColumn("novel", col("csim") < 0.15)
     }),
 

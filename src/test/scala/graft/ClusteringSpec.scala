@@ -38,7 +38,7 @@ class ClusteringSpec extends SparkSpec {
   test("clusterPrototypes equals the window-rank reference") {
     import org.apache.spark.sql.expressions.Window
     val cent = Clustering.kmeansCentroids(emb, k = 8, dim = 64, iters = 2)
-    val a = Clustering.kmeansAssign(emb, cent, dim = 64)
+    val a = Clustering.kmeansAssign(emb, cent)
     val w = Window.partitionBy(col("cell"))
       .orderBy(col("csim").desc, col("vec_id").asc)
     val ref = a.withColumn("rk", row_number().over(w))
@@ -61,7 +61,7 @@ class ClusteringSpec extends SparkSpec {
       val cent = Clustering.kmeansCentroids(emb, k = 4, dim = 64,
         iters = 1)
       val plans = Seq(
-        "assign" -> Clustering.kmeansAssign(emb, cent, dim = 64),
+        "assign" -> Clustering.kmeansAssign(emb, cent),
         "report" -> Clustering.kmeans(emb, k = 4, dim = 64, iters = 1),
         "protos" -> Clustering.clusterPrototypes(emb, k = 4, dim = 64,
           iters = 1, perCell = 3))
@@ -76,12 +76,12 @@ class ClusteringSpec extends SparkSpec {
   test("codebook save/load round-trips routing; loader refuses " +
     "non-codebook tables") {
     val cent = Clustering.kmeansCentroids(emb, k = 4, dim = 64, iters = 1)
-    val direct = Clustering.kmeansAssign(emb, cent, dim = 64)
+    val direct = Clustering.kmeansAssign(emb, cent)
       .collect().map(_.toString).sorted
     dropTableFully("g_km_cb")
     Clustering.saveCentroids(cent, "g_km_cb")
     val loaded = Clustering.loadCentroids(spark, "g_km_cb")
-    val via = Clustering.kmeansAssign(emb, loaded, dim = 64)
+    val via = Clustering.kmeansAssign(emb, loaded)
       .collect().map(_.toString).sorted
     assert(via.sameElements(direct))
     dropTableFully("g_km_not")

@@ -831,7 +831,7 @@ class QueriesSpec extends SparkSpec {
       .withColumn("embedding", transform($"embedding", x => x * lit(2.0f)))
       .withColumn("vec_id", $"vec_id" + 40000000L)
     val cent = Clustering.kmeansCentroids(e, k = 8, dim = 64, iters = 2)
-    val batchAnswer = Clustering.kmeansAssign(incoming, cent, dim = 64)
+    val batchAnswer = Clustering.kmeansAssign(incoming, cent)
       .as[(Long, Long, Double)].collect().toSet
     assert(batchAnswer.nonEmpty)
     val dir = java.nio.file.Files.createTempDirectory("graft_kmr_").toString
@@ -843,7 +843,7 @@ class QueriesSpec extends SparkSpec {
     val routed = scala.collection.mutable.Set[(Long, Long, Double)]()
     val q = stream.writeStream
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        routed ++= Clustering.kmeansAssign(df, cent, dim = 64)
+        routed ++= Clustering.kmeansAssign(df, cent)
           .as[(Long, Long, Double)].collect()
         ()
       }
