@@ -81,7 +81,6 @@ object Clustering {
                       iters: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     import graft.plans.VectorLongSumAgg.vectorLongSum
-    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     // (v, vq) pinned once: iterations re-read prepared rows instead of
     // re-scanning parquet and re-quantizing.  floor(x·S + 0.5) is the
     // half-up grid as pure double arithmetic — Spark's round() on
@@ -121,9 +120,17 @@ object Clustering {
         it += 1
       }
       centFrame(spark, cents) // zero rows on an empty/degenerate corpus
-    } finally spark.sparkContext.getPersistentRDDs
-      .filter { case (id, _) => !pinnedBefore.contains(id) }
-      .values.foreach(_.unpersist(blocking = false))
+    } finally {
+      // Unpersist exactly the checkpoint THIS call created (its RDD id
+      // off v's own LogicalRDD) — a global persistent-RDD-set diff
+      // would also evict blocks pinned concurrently by another
+      // job/thread on the same session (e.g. a streaming query).
+      val mine = org.apache.spark.sql.graftbridge.ColumnBridge
+        .pinnedRddIds(v).toSet
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => mine.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Lazy corpus→cell assignment against a codebook:
@@ -148,7 +155,17 @@ object Clustering {
     * (cell, n_vecs, inertia_micro, top_label, purity).  Training is
     * eager ([[kmeansCentroids]]); the report is a lazy map-only pass +
     * two k-bounded aggregates (no join: label and assignment come off
-    * the same scan row). */
+    * the same scan row).
+    *
+    * Corpus contract: embeddings must be NON-ZERO-NORM.  The kernel
+    * itself degrades a zero vector gracefully (csim = NaN, lowest
+    * cell — pinned in PropertySpec), but this REPORT quantizes csim
+    * via `round(csim·1e6).cast(long)`, which throws CAST_INVALID_INPUT
+    * on NaN under ANSI mode — the same failure DuckDB's
+    * `CAST(round(...) AS BIGINT)` raises on that row, so the contract
+    * is symmetric with the oracle rather than silently divergent.
+    * Pre-filter degenerate vectors if the corpus may contain them
+    * (ClusteringSpec pins the throw). */
   def kmeans(embeddings: DataFrame, k: Int = 8, dim: Int = 64,
              iters: Int = 2): DataFrame = {
     val cent = kmeansCentroids(embeddings, k, dim, iters)

@@ -813,6 +813,14 @@ object Dedup {
     * cut per round with a LAZY localCheckpoint whose materialization
     * job is the changed-row count — so the convergence probe and the
     * checkpoint are ONE driver action per round, not two. */
+  /** Delta rows at or under this broadcast to the label-propagation
+    * round's edge scan instead of shuffle-joining (16-byte rows →
+    * ≤ ~8 MB broadcast).  The first sweep always shuffle-joins (the
+    * delta is the whole node set); `changed` then shrinks
+    * geometrically on near-dup graphs, so every later round gets the
+    * map-side shape. */
+  val DeltaBroadcastRows: Long = 500000L
+
   def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                         maxIter: Int = 25): DataFrame = {
     val nodes = docs.select(col(idCol).cast("long").as("node"))
@@ -821,42 +829,88 @@ object Dedup {
     // only the (shrinking) delta side shuffles — the edge table, the
     // biggest relation in the loop, crosses the network once, not
     // once per round
-    val edges = pairs.select(col("a").cast("long").as("s"),
-        col("b").cast("long").as("d"))
-      .unionByName(pairs.select(col("b").cast("long").as("s"),
-        col("a").cast("long").as("d")))
+    // One pass over pairs, not a two-leg union: explode emits both
+    // directions from a single scan of the (often checkpointed) pair
+    // table, halving the read side of the operator's dominant stage —
+    // the one-time 2|pairs|-row materialization below.
+    val edges = pairs.select(explode(array(
+        struct(col("a").cast("long").as("s"), col("b").cast("long").as("d")),
+        struct(col("b").cast("long").as("s"), col("a").cast("long").as("d"))
+      )).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
       .repartition(col("s"))
       .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("lbl"))
       .repartition(col("node"))
       .localCheckpoint()
     var delta = labels // round 0: every initial label is news
+    // Per-round checkpoint hygiene: once round r's checkpoint is
+    // materialized (by its changed-row count), round r-1's blocks are
+    // unreachable from any live handle — release them immediately.
+    // Without this the loop pins rounds × n label rows, which at the
+    // 100× corpus is exactly the GC/eviction churn the round-13 bench
+    // spread traced to this operator (10 s of task GC inside a 1.4 s
+    // checkpoint stage).  The finally releases the edge table and, on
+    // the non-convergence throw, the last round too — the RETURNED
+    // frame's own checkpoint is the one thing left pinned.
+    import org.apache.spark.sql.graftbridge.ColumnBridge.unpersistPinned
+    val spark = docs.sparkSession
+    var prevCp = labels
+    var deltaRows = -1L // unknown for round 1 (= node count, unmeasured)
     var iter = 0
     var converged = delta.isEmpty // only true here for an empty corpus
-    while (iter < maxIter && !converged) {
-      val nbrMin = edges.join(delta, col("s") === col("node"))
-        .groupBy(col("d")).agg(min(col("lbl")).as("nbl"))
-        .withColumnRenamed("d", "node")
-      // lazy checkpoint: the changed-row count below runs the round's
-      // one job, materializing the checkpoint AND answering convergence
-      val joined = labels.as("l")
-        .join(nbrMin.as("m"), Seq("node"), "left")
-        .select(col("node"), col("l.lbl").as("old"),
-          least(col("l.lbl"), coalesce(col("m.nbl"), col("l.lbl")))
-            .as("lbl"))
-        .localCheckpoint(eager = false)
-      val changed = joined.filter(col("lbl") < col("old")).count()
-      labels = joined.select(col("node"), col("lbl"))
-      delta = joined.filter(col("lbl") < col("old"))
-        .select(col("node"), col("lbl"))
-      converged = changed == 0
-      iter += 1
+    try {
+      while (iter < maxIter && !converged) {
+        // Messages = edges ⋈ delta.  From round 2 on, `changed` (the
+        // previous round's exact delta row count) is known — when it
+        // fits a broadcast (the geometric-shrink regime every near-dup
+        // graph enters after the first sweep), ship delta to the edge
+        // blocks instead of shuffle-joining: the 2|E| edge table is
+        // never sorted or re-shuffled, the round becomes edge-scan +
+        // map-side-combined min aggregate, and the labels leg reuses
+        // its checkpoint partitioning in the join below (zero shuffle
+        // for the corpus-sized side — the 100 TB shape).  Round 1
+        // (delta = every node) keeps the shuffle join.
+        val dside =
+          if (deltaRows >= 0 && deltaRows <= DeltaBroadcastRows)
+            broadcast(delta)
+          else delta
+        val nbrMin = edges.join(dside, col("s") === col("node"))
+          .groupBy(col("d")).agg(min(col("lbl")).as("nbl"))
+          .withColumnRenamed("d", "node")
+        // lazy checkpoint: the changed-row count below runs the round's
+        // one job, materializing the checkpoint AND answering
+        // convergence.  (Round-14 A/Bs, both REVERTED: path halving —
+        // the measured graph converges in 4-5 rounds and the halving
+        // self-join doubles the expensive edges×delta leg; and a
+        // union-then-min single-aggregate round — fewer local stages,
+        // but it re-shuffles the n-row labels leg every round where
+        // this join reuses the labels checkpoint partitioning.)
+        val joined = labels.as("l")
+          .join(nbrMin.as("m"), Seq("node"), "left")
+          .select(col("node"), col("l.lbl").as("old"),
+            least(col("l.lbl"), coalesce(col("m.nbl"), col("l.lbl")))
+              .as("lbl"))
+          .localCheckpoint(eager = false)
+        val changed = joined.filter(col("lbl") < col("old")).count()
+        unpersistPinned(spark, prevCp)
+        prevCp = joined
+        labels = joined.select(col("node"), col("lbl"))
+        delta = joined.filter(col("lbl") < col("old"))
+          .select(col("node"), col("lbl"))
+        deltaRows = changed
+        converged = changed == 0
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"duplicateClusters did not converge in $maxIter rounds — the " +
+            "pair graph has a longer path than expected; raise maxIter")
+      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    } finally {
+      unpersistPinned(spark, edges)
+      if (!converged) unpersistPinned(spark, prevCp)
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"duplicateClusters did not converge in $maxIter rounds — the " +
-          "pair graph has a longer path than expected; raise maxIter")
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
   /** Canonical-document selection per duplicate cluster — the DECISION
@@ -1664,31 +1718,121 @@ object Dedup {
     * not key volume — skinny (key, id, len) rows shuffle cheaply, but
     * a saturated bucket enumerates pairs quadratically.
     * Same length banding, salting, pinning, and banded-levenshtein
-    * verify — the pipeline after key construction is shared code. */
+    * verify — the pipeline after key construction is shared code.
+    *
+    * `scheme` picks the key construction (the x73 two-scheme move):
+    * `"combo70"` = the C(8,4) keys above; `"halved12"` = 12
+    * pigeonhole-halves keys plus an in-join [[blockDiffCount]] filter
+    * that restores EXACT candidate-set equality with combo70 (both
+    * compute the same predicate, "≤ maskBlocks of 8 blocks differ"),
+    * 5.8× less key fanout at the price of 16-bit instead of 32-bit
+    * buckets; `"auto"` (default) gates on measured corpus size
+    * ([[EditDup64SchemeThresholdDefault]]).  Output is identical
+    * under all three (DedupSpec pins it). */
+  /** Measured scheme switch point for [[simhashEditPairs64]]'s `auto`:
+    * below it the halved-12 pigeonhole keys win (5.8× less key-row
+    * fanout; each key pins 16 bits, so buckets stay thin while
+    * n/2¹⁶ ≪ bucket budget), above it the C(8,4)=70 combo keys win
+    * (32 pinned bits keep buckets O(1) as the corpus grows while
+    * halved-12's candidate-verify volume grows ~n²/2¹⁶).  Calibrated
+    * from the round-14 fixed-density 100× A/B (PERF.md): at 500 k docs
+    * halved12 still beat combo70, so the default sits above that
+    * measured point; override per-session via
+    * [[EditDup64SchemeThresholdConf]] for corpora whose density is
+    * known to shift it. */
+  val EditDup64SchemeThresholdDefault: Long = 1000000L
+
+  /** Conf key overriding [[EditDup64SchemeThresholdDefault]]. */
+  val EditDup64SchemeThresholdConf: String =
+    "spark.graft.editdup64.halvedThresholdDocs"
+
+  /** blocks(8 × 8-bit) → one packed 64-bit long — the skinny form a
+    * fingerprint rides a candidate join in (8 bytes vs an 8-element
+    * array header). */
+  private def packBlocks(blocks: Column): Column =
+    // shift/or, not *256+: block 0 >= 128 sets the sign bit, which is
+    // fine for an opaque key but ARITHMETIC_OVERFLOW under ANSI math
+    (0 until 8).foldLeft(lit(0L)) { (acc, j) =>
+      shiftleft(acc, 8).bitwiseOR(blocks.getItem(j).cast("long"))
+    }
+
+  /** Number of differing 8-bit blocks between two packed fingerprints
+    * — the exact candidate predicate of C(8,m) block-mask blocking
+    * ("shares an m-masked key" ⟺ "≤ m blocks differ"), as a codegen'd
+    * column over the xor. */
+  private[graft] def blockDiffCount(fa: Column, fb: Column): Column = {
+    val x = fa.bitwiseXOR(fb)
+    (0 until 8).map(j =>
+      when(shiftrightunsigned(x, 8 * j).bitwiseAND(lit(0xffL)) =!= lit(0L),
+        lit(1)).otherwise(lit(0))).reduce(_ + _)
+  }
+
   def simhashEditPairs64(docs: DataFrame, idCol: String, textCol: String,
                          maxDist: Int, maskBlocks: Int = 4,
-                         salts: Int = SaltsAuto): DataFrame = {
+                         salts: Int = SaltsAuto,
+                         scheme: String = "auto"): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
     require(maskBlocks >= 1 && maskBlocks <= 4,
       s"maskBlocks must be 1..4 (got $maskBlocks)")
     require(salts >= 1 || salts == SaltsAuto,
       s"salts must be >= 1 or SaltsAuto (got $salts)")
+    require(Set("combo70", "halved12", "auto").contains(scheme),
+      s"scheme must be combo70, halved12, or auto (got $scheme)")
+    val spark = docs.sparkSession
     val enc = simhashFingerprints64(docs, idCol, textCol)
       .join(docs.select(col(idCol), length(col(textCol)).as("__len")),
         idCol)
-    // Injective packed-long keys: combo index in the high bits, the
-    // kept block values byte-packed below (≤ 7 blocks × 8 bits + 7
-    // combo bits ≤ 63 bits).  Same doc partition as any injective
-    // encoding — a long shuffles/hashes at half the width of the
-    // equivalent "idx:b:b:b:b" string key.
-    val combos = (0 until 8).combinations(maskBlocks).toSeq
-    val keys = combos.zipWithIndex.map { case (masked, idx) =>
-      val kept = (0 until 8).filterNot(masked.contains(_))
-      kept.foldLeft(lit(idx.toLong)) { (acc, j) =>
-        acc * 256L + col("blocks").getItem(j)
+    // "auto": the x73 size-gated dispatch — halved12's 12-key economy
+    // under the measured threshold, combo70's O(1)-bucket discipline
+    // at unbounded scale.  The gating count is one column-pruned scan
+    // (the simhashEditPairsAuto pattern).
+    val schemeEff =
+      if (scheme == "auto") {
+        val thr = spark.conf.getOption(EditDup64SchemeThresholdConf)
+          .map(_.toLong).getOrElse(EditDup64SchemeThresholdDefault)
+        if (docs.select(col(idCol)).count() <= thr) "halved12" else "combo70"
+      } else scheme
+    if (schemeEff == "halved12") {
+      // Pigeonhole halves over BLOCKS (the x73 halvedKeys argument
+      // with "bits" replaced by "blocks", which only widens it): a
+      // pair differing in <= 4 of the 8 blocks puts <= 2 diff blocks
+      // in SOME 4-block half; one of that half's C(4,2)=6 two-block
+      // masks covers them, so the pair agrees on the other two kept
+      // blocks and shares that key.  12 keys/doc vs combo70's 70 —
+      // but each key pins 16 bits instead of 32, so candidates are a
+      // SUPERSET of combo70's; the in-join blockDiffCount filter
+      // (<= maskBlocks, EXACTLY combo70's key-sharing predicate)
+      // restores set equality, which is what keeps the declared query
+      // equal to the 4-of-8 oracle under either scheme.
+      val keys = for {
+        half <- 0 to 1
+        (masked, idx) <- (0 until 4).combinations(2).toSeq.zipWithIndex
+      } yield {
+        val kept = (0 until 4).filterNot(masked.contains(_))
+          .map(_ + half * 4)
+        kept.foldLeft(lit((half * 6 + idx).toLong)) { (acc, j) =>
+          acc * 256L + col("blocks").getItem(j)
+        }
       }
+      editVerify(docs, idCol, textCol,
+        enc.withColumn("__fp", packBlocks(col("blocks"))), keys, maxDist,
+        salts, fpCol = Some("__fp"),
+        fpFilter = Some((fa, fb) => blockDiffCount(fa, fb) <= maskBlocks))
+    } else {
+      // Injective packed-long keys: combo index in the high bits, the
+      // kept block values byte-packed below (≤ 7 blocks × 8 bits + 7
+      // combo bits ≤ 63 bits).  Same doc partition as any injective
+      // encoding — a long shuffles/hashes at half the width of the
+      // equivalent "idx:b:b:b:b" string key.
+      val combos = (0 until 8).combinations(maskBlocks).toSeq
+      val keys = combos.zipWithIndex.map { case (masked, idx) =>
+        val kept = (0 until 8).filterNot(masked.contains(_))
+        kept.foldLeft(lit(idx.toLong)) { (acc, j) =>
+          acc * 256L + col("blocks").getItem(j)
+        }
+      }
+      editVerify(docs, idCol, textCol, enc, keys, maxDist, salts)
     }
-    editVerify(docs, idCol, textCol, enc, keys, maxDist, salts)
   }
 
   /** Sentinel `salts` value meaning "let the measured-skew gate
@@ -1753,7 +1897,13 @@ object Dedup {
     * bucket the probe-side ×salts replication is pure cost. */
   private def editVerify(docs: DataFrame, idCol: String, textCol: String,
                          enc: DataFrame, keys: Seq[Column], maxDist: Int,
-                         salts: Int): DataFrame = {
+                         salts: Int,
+                         fpCol: Option[String] = None,
+                         fpFilter: Option[(Column, Column) => Column] =
+                           None): DataFrame = {
+    require(fpCol.isDefined == fpFilter.isDefined,
+      "fpCol and fpFilter come together (carry the fingerprint only " +
+        "when a pair predicate consumes it)")
     // Pin the fingerprint+length rows (the nearDupPairs fps pin): the
     // skew probe below is an eager job, and without the pin it would
     // compute the SimHash-kernel + length join once for the probe and
@@ -1765,9 +1915,10 @@ object Dedup {
     // once) — identical output, bucket enumeration cut by the corpus'
     // length spread instead of filtered after the fact.
     val bw = math.max(maxDist, 1)
-    val blocked = encP.select(col(idCol), col("__len"),
+    val carry = fpCol.toSeq.map(col)
+    val blocked = encP.select(Seq(col(idCol), col("__len"),
       floor(col("__len") / bw).as("__band"),
-      explode(array(keys: _*)).as("bk"))
+      explode(array(keys: _*)).as("bk")) ++ carry: _*)
     // Pin the exploding join's width (the x3 discipline): AQE sizes
     // stages by INPUT bytes, and these key rows are skinny — left
     // alone the pair enumeration + verify coalesced onto 4 tasks for
@@ -1785,19 +1936,25 @@ object Dedup {
     // docs, identical output).
     val saltsEff =
       adaptiveSalts(blocked, Seq(col("bk"), col("__band")), salts)
-    val a = blocked.select(col("bk"), col("__band"), col(idCol).as("a"),
-        col("__len").as("la"))
+    val fpA = fpCol.toSeq.map(c => col(c).as("__fpa"))
+    val fpB = fpCol.toSeq.map(c => col(c).as("__fpb"))
+    val a = blocked.select(Seq(col("bk"), col("__band"),
+        col(idCol).as("a"), col("__len").as("la")) ++ fpA: _*)
       .withColumn("__salt", pmod(hash(col("a")), lit(saltsEff)))
       .repartition(parts, col("bk"), col("__band"), col("__salt"))
-    val b = blocked.select(col("bk"), col(idCol).as("b"),
+    val b = blocked.select(Seq(col("bk"), col(idCol).as("b"),
         col("__len").as("lb"),
         explode(array(col("__band") - 1, col("__band"),
-          col("__band") + 1)).as("__band"))
+          col("__band") + 1)).as("__band")) ++ fpB: _*)
       .withColumn("__salt", explode(sequence(lit(0), lit(saltsEff - 1))))
       .repartition(parts, col("bk"), col("__band"), col("__salt"))
     val cand = a.join(b, Seq("bk", "__band", "__salt"))
       .filter(col("a") < col("b") &&
-        abs(col("la") - col("lb")) <= maxDist)
+        abs(col("la") - col("lb")) <= maxDist &&
+        // the coarse-scheme equality restore: IN-join, before the
+        // distinct, so superset candidates never reach the verify
+        fpFilter.map(f => f(col("__fpa"), col("__fpb")))
+          .getOrElse(lit(true)))
       .select(col("a"), col("b")).distinct()
       // candidates are 16-byte rows: AQE would coalesce the verify to a
       // handful of tasks.  Round-robin re-pin — a (a, b)-hash pin would

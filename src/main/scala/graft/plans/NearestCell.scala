@@ -19,6 +19,34 @@ case class Codebook(cells: Array[Long], vecs: Array[Array[Double]],
     cells.nonEmpty, "codebook arrays must align and be non-empty")
   require((1 until cells.length).forall(i => cells(i - 1) < cells(i)),
     "codebook must be sorted by cell id (argmax tie-break contract)")
+  require(vecs.forall(_.length == vecs(0).length),
+    "codebook centroids must share one dimension")
+
+  /** The codebook's (uniform) centroid dimension — the kernel rejects
+    * input vectors of any other length, so a ragged corpus fails
+    * loudly instead of producing silently truncated cosines. */
+  val dim: Int = vecs(0).length
+
+  // Case-class equality on raw arrays is reference equality, which
+  // defeats Catalyst canonicalization / common-subexpression
+  // elimination for two NearestCellExpr instances built from the same
+  // centroids (e.g. assign + report over one codebook).  Structural
+  // equality restores semanticEquals there.
+  override def equals(other: Any): Boolean = other match {
+    case o: Codebook =>
+      java.util.Arrays.equals(cells, o.cells) &&
+        java.util.Arrays.equals(norms, o.norms) &&
+        vecs.length == o.vecs.length &&
+        vecs.indices.forall(i => java.util.Arrays.equals(vecs(i), o.vecs(i)))
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    var h = java.util.Arrays.hashCode(cells)
+    h = 31 * h + java.util.Arrays.hashCode(norms)
+    vecs.foreach(v => h = 31 * h + java.util.Arrays.hashCode(v))
+    h
+  }
 }
 
 object Codebook {
@@ -132,6 +160,11 @@ object NearestCellKernel {
 
   def assign(arr: ArrayData, cb: Codebook): InternalRow = {
     val n = arr.numElements()
+    // Dimension check once per row: a ragged/wrong-dimension vector
+    // must throw (like the expanded-sum ANSI formulation would), not
+    // silently truncate the dot product against a full-length norm.
+    if (n != cb.dim) throw new IllegalArgumentException(
+      s"NearestCell: input vector has $n elements, codebook dim ${cb.dim}")
     var s = 0.0
     var i = 0
     while (i < n) { val x = arr.getDouble(i); s += x * x; i += 1 }
@@ -142,10 +175,9 @@ object NearestCellKernel {
     var j = 0
     while (j < cb.cells.length) {
       val cv = cb.vecs(j)
-      val m = if (n < cv.length) n else cv.length
       var d = 0.0
       var t = 0
-      while (t < m) { d += arr.getDouble(t) * cv(t); t += 1 }
+      while (t < n) { d += arr.getDouble(t) * cv(t); t += 1 }
       val csim = round6(d / (vn * cb.norms(j)))
       // ascending-cell iteration + strictly-greater replacement =
       // ties keep the lowest cell (the max_by(csim, -cell) rule)

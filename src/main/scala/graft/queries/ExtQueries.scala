@@ -16,6 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object ExtQueries {
 
+  /** Central registry of every module-level (session, dataset)-keyed
+    * cache: harness slate wipes (`clearSessionSlate`) unpersist EVERY
+    * RDD block in the context, which poisons any cache handle they do
+    * not also drop (a truncated-lineage checkpoint cannot recompute).
+    * The two moves stay one invariant by CONSTRUCTION: caches can only
+    * be created through [[sessionCache]], which registers their
+    * clear() here — CacheRegistrySpec reflects over this object and
+    * fails if a TrieMap field ever bypasses the factory. */
+  private[graft] val cacheRegistry =
+    new java.util.concurrent.CopyOnWriteArrayList[
+      scala.collection.concurrent.TrieMap[_, _]]()
+
+  private def sessionCache[V]()
+      : scala.collection.concurrent.TrieMap[
+        (org.apache.spark.sql.SparkSession, String), V] = {
+    val m = scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), V]
+    cacheRegistry.add(m)
+    m
+  }
+
   private def docToks = array_distinct(TextAnalysis.tokens(col("text")))
 
   /** The cluster family (x20/x25/x27) shares ONE pair-generation +
@@ -27,12 +48,8 @@ object ExtQueries {
     * [[Dedup.saveClusters]]/[[Dedup.loadClusters]] (the bench/verify
     * mains are single-session, so the in-session pin is the right
     * form here). */
-  private val clusterCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]
-  private val pairCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]
+  private val clusterCache = sessionCache[org.apache.spark.sql.DataFrame]()
+  private val pairCache = sessionCache[org.apache.spark.sql.DataFrame]()
 
   /** The exact near-dup edge set, pinned once per (session, dataset) —
     * shared by the cluster family AND the cross-source matrix. */
@@ -49,15 +66,11 @@ object ExtQueries {
       Dedup.duplicateClusters(Tables.documents(s, d), "doc_id",
         sharedPairs(s, d)).localCheckpoint())
 
-  private val lshPairCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]
+  private val lshPairCache = sessionCache[org.apache.spark.sql.DataFrame]()
 
   /** The trained quality model (x95) is also the x96 apply-side input —
     * train once per (session, dataset); the model is 64 rows. */
-  private val qmCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]
+  private val qmCache = sessionCache[org.apache.spark.sql.DataFrame]()
   private def sharedTrainedQm(s: org.apache.spark.sql.SparkSession,
                               d: String): org.apache.spark.sql.DataFrame =
     qmCache.getOrElseUpdate((s, d),
@@ -81,46 +94,41 @@ object ExtQueries {
     * re-deriving them per bench run would time cluster-building, not
     * the merge.  Pinned once per (session, dataset), like the labels
     * they stand in for. */
-  private val savedClusterCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]
+  private val savedClusterCache = sessionCache[org.apache.spark.sql.DataFrame]()
 
   /** st10's corpus IVF index — the build-once artifact the gate exists
     * to amortize (production persists it via saveIvfIndex); pinned per
     * (session, dataset) so the gate query times gating, not index
     * construction. */
-  private val ivfIndexCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
-      graft.ext.Similarity.IvfIndex]
+  private val ivfIndexCache = sessionCache[graft.ext.Similarity.IvfIndex]()
 
   /** x97's train-split model + its train-corpus centered threshold. */
-  private val holdoutQmCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
-      (org.apache.spark.sql.DataFrame, Double)]
+  private val holdoutQmCache = sessionCache[(org.apache.spark.sql.DataFrame, Double)]()
 
   /** st14's k-means codebook — the route gate's build-once artifact
     * (x100's training), cached per (session, dataset) so the gate
     * query times routing, not training.  A k-row LocalRelation of
     * driver rows, so slate wipes of RDD blocks cannot poison it —
     * cleared here anyway so every measurement starts cold. */
-  private val kmeansCentCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]
+  private val kmeansCentCache = sessionCache[org.apache.spark.sql.DataFrame]()
 
+  /** Drop every registered cache — ONE choke point over
+    * [[cacheRegistry]], so a cache added tomorrow is covered the day
+    * it is created instead of depending on someone remembering to
+    * extend a hand-written clear list (the round-13 advice's residual
+    * concern). */
   private[graft] def clearClusterCache(): Unit = {
-    clusterCache.clear(); pairCache.clear(); lshPairCache.clear()
-    qmCache.clear(); savedClusterCache.clear(); ivfIndexCache.clear()
-    holdoutQmCache.clear(); kmeansCentCache.clear()
+    cacheRegistry.forEach(_.clear())
   }
 
   /** Session-slate reset for measurement harnesses (Rehearsal, Bench):
-    * clears every module-level pinned cache AND unpersists every RDD
-    * block in the context.  The two moves are one invariant and MUST
-    * stay together: unpersisting a localCheckpointed DataFrame's
-    * blocks without dropping the cache entry that references it leaves
-    * a poisoned handle (truncated lineage cannot recompute), so any
-    * future session-level cache outside this object must register here
-    * before a harness may wipe RDD blocks. */
+    * clears every registered cache AND unpersists every RDD block in
+    * the context.  The two moves are one invariant and MUST stay
+    * together: unpersisting a localCheckpointed DataFrame's blocks
+    * without dropping the cache entry that references it leaves a
+    * poisoned handle (truncated lineage cannot recompute).  The
+    * [[sessionCache]] factory makes the pairing structural; caches
+    * outside this object are rejected by CacheRegistrySpec. */
   private[graft] def clearSessionSlate(
       spark: org.apache.spark.sql.SparkSession): Unit = {
     clearClusterCache()
@@ -913,11 +921,15 @@ object ExtQueries {
         "doc_id", "text", maxDist = 40)),
 
     // same lens at corpus scale: 64-bit fingerprint (8×8-bit blocks),
-    // 4-of-8 block masking — 32 unmasked bits per key keeps the
-    // candidate set prunable past the 16-bit key-space saturation
+    // 4-of-8 block-mask candidate predicate.  Blocking scheme is the
+    // size-gated auto dispatch (halved-12 pigeonhole keys + exact
+    // block-diff restore under the threshold, C(8,4)=70 combo keys at
+    // unbounded scale) — identical output either way, so the 4-of-8
+    // oracle below replays both
     "x55b_edit_neardup64" -> ((s, d) =>
       Dedup.simhashEditPairs64(Tables.documents(s, d),
-        "doc_id", "text", maxDist = 40)),
+        "doc_id", "text", maxDist = 40,
+        scheme = s.conf.get("spark.graft.editdup64.scheme", "auto"))),
 
     // perceptual (dHash) fingerprint per media payload — real 9×8
     // box-downsample dHash when the payload decodes as an image, the

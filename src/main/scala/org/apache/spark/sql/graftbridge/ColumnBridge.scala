@@ -31,4 +31,27 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The RDD ids a checkpointed/cached DataFrame itself pins (the
+    * `LogicalRDD` that `localCheckpoint()` leaves in the analyzed
+    * plan).  Lets a caller unpersist exactly the blocks it created —
+    * diffing the session-global persistent-RDD set instead would
+    * evict blocks pinned concurrently by another job or streaming
+    * query on the same SparkSession. */
+  def pinnedRddIds(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+
+  /** Release exactly the blocks `df`'s own checkpoint pins (async).
+    * The targeted form of "unpersist what I created" — iterative
+    * operators that checkpoint per round use it to keep live blocks
+    * at O(current round), not O(rounds). */
+  def unpersistPinned(spark: org.apache.spark.sql.SparkSession,
+                      df: org.apache.spark.sql.DataFrame): Unit = {
+    val ids = pinnedRddIds(df).toSet
+    spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => ids.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
 }

@@ -98,4 +98,79 @@ class ClusteringSpec extends SparkSpec {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"leaked pinned RDDs: $leaked")
   }
+
+  test("kmeansCentroids leaves a concurrently pinned block alone") {
+    // The finally block must unpersist ONLY the checkpoint it created;
+    // a session-global diff would evict this bystander's blocks too.
+    import spark.implicits._
+    val bystander = Seq(1L, 2L, 3L).toDF("x").localCheckpoint()
+    val pinned = org.apache.spark.sql.graftbridge.ColumnBridge
+      .pinnedRddIds(bystander).toSet
+    assert(pinned.nonEmpty)
+    Clustering.kmeansCentroids(emb, k = 4, dim = 64, iters = 1).collect()
+    val alive = spark.sparkContext.getPersistentRDDs.keySet
+    assert(pinned.subsetOf(alive),
+      s"kmeansCentroids evicted a concurrent pin: ${pinned -- alive}")
+    assert(bystander.count() == 3)
+    pinned.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(blocking = false)))
+  }
+
+  test("ragged input vectors fail loudly, not with truncated cosines") {
+    import graft.plans.{Codebook, NearestCell}
+    import spark.implicits._
+    val cb = Codebook.of(Seq(0L -> Array(1.0, 0.0, 0.0),
+      1L -> Array(0.0, 1.0, 0.0)))
+    val bad = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "v")
+      .select(NearestCell.nearestCell($"v", cb))
+    val e = intercept[Exception](bad.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("codebook dim")),
+      s"expected a dimension-mismatch error, got: $e")
+    // ragged CODEBOOKS are rejected at construction
+    val c = intercept[IllegalArgumentException](
+      Codebook.of(Seq(0L -> Array(1.0), 1L -> Array(1.0, 2.0))))
+    assert(c.getMessage.contains("share one dimension"))
+  }
+
+  test("codebook equality is structural (expression canonicalization)") {
+    import graft.plans.{Codebook, NearestCellExpr}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def mk() = Codebook.of(Seq(0L -> Array(1.0, 2.0), 5L -> Array(3.0, 4.0)))
+    assert(mk() == mk() && mk().hashCode == mk().hashCode)
+    val child = Literal.create(Seq(1.0, 0.0),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false))
+    val e1 = NearestCellExpr(child, mk())
+    val e2 = NearestCellExpr(child, mk())
+    assert(e1 == e2 && e1.semanticEquals(e2),
+      "two NearestCellExpr over structurally equal codebooks must " +
+        "canonicalize equal (CSE / exchange reuse)")
+  }
+
+  test("zero-norm corpus vector: graceful NaN at assignment, the " +
+    "documented ANSI throw at the x100 report (oracle-symmetric)") {
+    import spark.implicits._
+    val base = emb.limit(20)
+    val zero = Seq((999999L,
+      Seq.fill(64)(0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val corpus = base.unionByName(zero)
+    // assignment alone stays graceful: NaN csim, lowest cell
+    val cent = Clustering.kmeansCentroids(base, k = 2, dim = 64, iters = 1)
+    val z = Clustering.kmeansAssign(corpus, cent)
+      .filter($"vec_id" === 999999L).head()
+    assert(z.getAs[Double]("csim").isNaN)
+    // the report quantizes csim and must throw under ANSI — the same
+    // row fails DuckDB's CAST(round(...) AS BIGINT) identically
+    val e = intercept[Exception](
+      Clustering.kmeans(corpus, k = 2, dim = 64, iters = 1).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("CAST_INVALID_INPUT") ||
+      m.contains("cannot be cast") || m.contains("NaN")),
+      s"expected the documented ANSI cast failure, got: $e")
+  }
 }

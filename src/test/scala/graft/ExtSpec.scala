@@ -853,6 +853,37 @@ class DedupSpec extends SparkSpec {
     assert(narrow.subsetOf(blocked))
   }
 
+  test("edit-neardup64 halved12 and combo70 schemes return identical " +
+    "pairs (the block-diff restore is exact), auto gates on size") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    def pairs(scheme: String, mask: Int = 4) =
+      graft.ext.Dedup.simhashEditPairs64(docs, "doc_id", "text",
+          maxDist = 40, maskBlocks = mask, scheme = scheme)
+        .select("a", "b", "edit_dist").as[(Long, Long, Int)]
+        .collect().toSet
+    val h = pairs("halved12")
+    val c = pairs("combo70")
+    assert(h == c, s"schemes diverge: only-halved=${(h -- c).take(3)} " +
+      s"only-combo=${(c -- h).take(3)}")
+    assert(h.nonEmpty)
+    // equality holds at narrower masks too (halved12 candidates are a
+    // superset for any maskBlocks <= 4; the in-join filter trims to
+    // the same predicate)
+    assert(pairs("halved12", mask = 2) == pairs("combo70", mask = 2))
+    // auto = halved12 under the threshold, combo70 above (forced via
+    // the conf; output identical either way so only the PLAN differs —
+    // assert the dispatch through the blocked key count is overkill,
+    // the scheme equality above is the semantic pin)
+    val conf = graft.ext.Dedup.EditDup64SchemeThresholdConf
+    try {
+      spark.conf.set(conf, "1")
+      assert(pairs("auto") == c)
+      spark.conf.set(conf, "1000000")
+      assert(pairs("auto") == c)
+    } finally spark.conf.unset(conf)
+  }
+
   test("simhashEditPairsAuto dispatches on corpus size at the measured " +
     "crossover, conf-overridable, and both branches agree on the fixture") {
     import spark.implicits._
