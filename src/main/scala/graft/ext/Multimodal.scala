@@ -14,11 +14,16 @@ import org.apache.spark.sql.functions._
   * uncompressed AUDIO containers ([[WavAudioCodec]]: WAV/AIFF/AU via
   * the JDK's `javax.sound.sampled`, with a perceptual energy-envelope
   * fingerprint feeding the same hamming-LSH dedup machinery as the
-  * image lens).  Compressed a/v codecs route through the
-  * [[OpaqueCodec]] extension point; the default [[FakeCodec]] is a
-  * deterministic passthrough (no codec libraries in this environment)
-  * so the Spark-side plumbing — schema, batching, partitioning, the
-  * typed `mapPartitions` boundary — stays exercisable on the driver's
+  * image lens).  COMPRESSED media decode for real in two public
+  * formats with zero new dependencies — IMA-ADPCM audio in WAV
+  * containers and Motion-JPEG video in AVI containers
+  * ([[CompressedCodec]], discovered via a `java.util.ServiceLoader`
+  * SPI so a deployment can drop in an ffmpeg-bound MP3/AAC/H.264
+  * codec without code changes).  Payloads no installed codec claims
+  * route through the [[OpaqueCodec]] extension point; the default
+  * [[FakeCodec]] is a deterministic passthrough so the Spark-side
+  * plumbing — schema, batching, partitioning, the typed
+  * `mapPartitions` boundary — stays exercisable on the driver's
   * text-payload tables.
   *
   * Scale design: media blobs never shuffle.  All per-media stages are
@@ -53,12 +58,15 @@ object Multimodal {
     def frameSample(payload: Array[Byte], everyN: Int): Seq[Array[Byte]]
   }
 
-  /** Default [[OpaqueCodec]]: deterministic passthrough (no COMPRESSED
-    * codec libraries in this environment; WAV/AIFF/AU audio and
-    * PNG/BMP/GIF/JPEG images decode for real before reaching here) —
-    * the payload bytes ARE the canonical stream, frames are fixed-size
-    * byte chops.  This is the engine's ONLY stub, and its surface is
-    * exactly this object. */
+  /** Default [[OpaqueCodec]]: deterministic passthrough for payloads
+    * nothing upstream claims (PNG/BMP/GIF/JPEG images, WAV/AIFF/AU
+    * audio, IMA-ADPCM and MJPEG compressed media all decode for REAL
+    * before reaching here) — the payload bytes ARE the canonical
+    * stream, frames are fixed-size byte chops.  This is the engine's
+    * ONLY stub surface, and it now covers only codecs with no
+    * pure-JVM decoder (MP3/AAC/H.264…), for which the
+    * [[CompressedCodec]] ServiceLoader SPI is the installation
+    * point. */
   object FakeCodec extends OpaqueCodec {
     def decode(payload: Array[Byte]): Array[Byte] = payload // stub: mp3/h264
 
@@ -163,8 +171,10 @@ object Multimodal {
       }
 
     /** BT.601 luma conversion to the canonical row-major grayscale
-      * form — shared by the single-image and multi-frame decoders. */
-    private def toGray(bi: java.awt.image.BufferedImage): DecodedImage = {
+      * form — shared by the single-image and multi-frame decoders (and
+      * by compressed-container codecs whose frames decode to
+      * BufferedImages, e.g. [[MjpegAviCodec]]). */
+    private[ext] def toGray(bi: java.awt.image.BufferedImage): DecodedImage = {
       val w = bi.getWidth
       val h = bi.getHeight
       val out = new Array[Byte](w * h)
@@ -260,12 +270,15 @@ object Multimodal {
     val maxPixels = ImageIoCodec.maxPixelsFor(spark)
     val maxFrames = WavAudioCodec.maxFramesFor(spark)
     val codec = opaqueCodec
+    val compressed = CompressedCodecs.installed
     media.as[MediaRow].mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { r =>
         val decoded = ImageIoCodec.decode(r.payload, maxPixels).map(_.gray)
           .orElse(WavAudioCodec.decode(r.payload, maxFrames)
             .map(WavAudioCodec.canonicalBytes))
+          .orElse(compressed.find(_.sniff(r.payload))
+            .flatMap(_.decode(r.payload)))
           .getOrElse(codec.decode(r.payload))
         codec.frameSample(decoded, everyN)
           .zipWithIndex.map { case (frame, i) =>
@@ -287,6 +300,7 @@ object Multimodal {
     val maxPixels = ImageIoCodec.maxPixelsFor(spark)
     val maxFrames = WavAudioCodec.maxFramesFor(spark)
     val codec = opaqueCodec
+    val compressed = CompressedCodecs.installed
     media.as[MediaRow].mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
@@ -295,7 +309,16 @@ object Multimodal {
           case None => WavAudioCodec.decode(r.payload, maxFrames) match {
             case Some(a) =>
               (WavAudioCodec.canonicalBytes(a), r.width, r.height)
-            case None => (codec.decode(r.payload), r.width, r.height)
+            case None => compressed.find(_.sniff(r.payload))
+              .flatMap(cc => cc.decode(r.payload).map { bytes =>
+                // visual codecs report decoded first-frame dimensions,
+                // like the still-image path; audio passes meta through
+                cc.decodeImage(r.payload) match {
+                  case Some(img) => (bytes, img.width, img.height)
+                  case None => (bytes, r.width, r.height)
+                }
+              })
+              .getOrElse((codec.decode(r.payload), r.width, r.height))
           }
         }
         val frames = codec.frameSample(decoded, frameEvery)
@@ -416,13 +439,28 @@ object Multimodal {
     import spark.implicits._
     val maxPixels = ImageIoCodec.maxPixelsFor(spark)
     val maxFrames = WavAudioCodec.maxFramesFor(spark)
+    val compressed = CompressedCodecs.installed
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
         val fp = ImageIoCodec.decode(r.payload, maxPixels) match {
           case Some(d) => dHash64(d.gray, d.width, d.height)
           case None => WavAudioCodec.decode(r.payload, maxFrames) match {
             case Some(a) => WavAudioCodec.aHash64(a.mono)
-            case None    => byteGridDHash64(r.payload)
+            case None => compressed.find(_.sniff(r.payload)) match {
+              // compressed visual → first-frame dHash (the still-image
+              // convention); compressed audio → envelope aHash on the
+              // canonical mono signal — BOTH land in the same 64-bit
+              // hamming space as their uncompressed twins, so an MJPEG
+              // re-mux of a GIF or an ADPCM re-encode of a PCM clip
+              // buckets next to the original (spec-pinned)
+              case Some(cc) =>
+                cc.decodeImage(r.payload)
+                  .map(d => dHash64(d.gray, d.width, d.height))
+                  .orElse(cc.decodeAudio(r.payload)
+                    .map(a => WavAudioCodec.aHash64(a.mono)))
+                  .getOrElse(byteGridDHash64(r.payload))
+              case None => byteGridDHash64(r.payload)
+            }
           }
         }
         (r.media_id, fp)
@@ -598,6 +636,7 @@ object Multimodal {
     val maxPixels = ImageIoCodec.maxPixelsFor(spark)
     val maxFrames = WavAudioCodec.maxFramesFor(spark)
     val codec = opaqueCodec
+    val compressed = CompressedCodecs.installed
     media.as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
         def hex(b: Array[Byte]) = b.map("%02X".format(_)).mkString
@@ -608,15 +647,26 @@ object Multimodal {
             codec.frameSample(single.head.gray, everyN)
               .map(f => (r.media_id, hex(f)))
           case None =>
-            // audio: frames are sample windows of the DECODED signal,
-            // so the same clip in a different container layout shares
-            // frame hashes (spec-pinned); non-media falls through to
-            // the SQL-replayable byte-chop passthrough
-            val canonical = WavAudioCodec.decode(r.payload, maxFrames)
-              .map(WavAudioCodec.canonicalBytes)
-              .getOrElse(codec.decode(r.payload))
-            codec.frameSample(canonical, everyN)
-              .map(f => (r.media_id, hex(f)))
+            // compressed video exposes REAL frame structure (each
+            // MJPEG frame in the canonical grayscale form — identical
+            // hashes to the same frames in an animated GIF); audio
+            // frames are sample windows of the DECODED signal, so the
+            // same clip in a different container layout shares frame
+            // hashes (spec-pinned); non-media falls through to the
+            // SQL-replayable byte-chop passthrough
+            compressed.find(_.sniff(r.payload))
+              .flatMap(_.decodeFrames(r.payload)) match {
+              case Some(realFrames) if realFrames.nonEmpty =>
+                realFrames.map(f => (r.media_id, hex(f)))
+              case _ =>
+                val canonical = WavAudioCodec.decode(r.payload, maxFrames)
+                  .map(WavAudioCodec.canonicalBytes)
+                  .orElse(compressed.find(_.sniff(r.payload))
+                    .flatMap(_.decode(r.payload)))
+                  .getOrElse(codec.decode(r.payload))
+                codec.frameSample(canonical, everyN)
+                  .map(f => (r.media_id, hex(f)))
+            }
         }
       }
     }.toDF("media_id", "frame_hex")

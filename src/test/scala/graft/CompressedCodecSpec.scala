@@ -1,0 +1,312 @@
+package graft
+
+import graft.ext.{CompressedCodecs, ImaAdpcmWavCodec, MjpegAviCodec,
+  Multimodal, WavAudioCodec}
+import org.apache.spark.sql.functions._
+
+/** Real compressed-media decode (round-13 verdict #4): IMA-ADPCM audio
+  * (WAV fmt 0x11 — a genuine 4:1 lossy codec the JDK cannot decode)
+  * and Motion-JPEG video (AVI) against from-scratch test encoders, the
+  * ServiceLoader SPI wiring, and the Spark-side dispatch through the
+  * Multimodal stages.
+  */
+class CompressedCodecSpec extends SparkSpec {
+
+  // ------------------------------------------------------ test encoders
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def riffWav(fmt: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def chunk(id: String, body: Array[Byte]): Unit = {
+      out.write(id.getBytes("US-ASCII")); out.write(le32(body.length))
+      out.write(body); if (body.length % 2 == 1) out.write(0)
+    }
+    val inner = new java.io.ByteArrayOutputStream()
+    inner.write("WAVE".getBytes("US-ASCII"))
+    val tmp = new java.io.ByteArrayOutputStream()
+    out.reset()
+    chunk("fmt ", fmt); tmp.write(out.toByteArray); out.reset()
+    chunk("data", data); tmp.write(out.toByteArray); out.reset()
+    inner.write(tmp.toByteArray)
+    val whole = new java.io.ByteArrayOutputStream()
+    whole.write("RIFF".getBytes("US-ASCII"))
+    whole.write(le32(inner.size()))
+    whole.write(inner.toByteArray)
+    whole.toByteArray
+  }
+
+  /** Plain 16-bit PCM WAV (the uncompressed twin). */
+  private def pcmWav(mono: Array[Short], rate: Int): Array[Byte] = {
+    val fmt = le16(1) ++ le16(1) ++ le32(rate) ++ le32(rate * 2L) ++
+      le16(2) ++ le16(16)
+    val data = new Array[Byte](mono.length * 2)
+    mono.indices.foreach { i =>
+      data(2 * i) = (mono(i) & 0xff).toByte
+      data(2 * i + 1) = ((mono(i) >> 8) & 0xff).toByte
+    }
+    riffWav(fmt, data)
+  }
+
+  /** From-scratch IMA-ADPCM encoder (the decoder's mirror): blocks of
+    * `spb` samples per channel, 4-byte channel-interleaved nibble
+    * words, low nibble first.  spb ≡ 1 (mod 8) keeps every word
+    * full. */
+  private def imaWav(ch: Array[Array[Short]], rate: Int,
+                     spb: Int = 505): Array[Byte] = {
+    import graft.ext.ImaAdpcmWavCodec.{IndexTable, StepTable}
+    val channels = ch.length
+    val n = ch(0).length
+    val blockAlign = 4 * channels + (spb - 1) / 2 * channels
+    val pred = new Array[Int](channels)
+    val idx = new Array[Int](channels)
+    def enc(c: Int, x: Int): Int = {
+      val st = StepTable(idx(c))
+      var diff = x - pred(c)
+      var nib = 0
+      if (diff < 0) { nib = 8; diff = -diff }
+      if (diff >= st) { nib |= 4; diff -= st }
+      if (diff >= (st >> 1)) { nib |= 2; diff -= st >> 1 }
+      if (diff >= (st >> 2)) { nib |= 1 }
+      // decoder-identical reconstruction
+      var d2 = st >> 3
+      if ((nib & 1) != 0) d2 += st >> 2
+      if ((nib & 2) != 0) d2 += st >> 1
+      if ((nib & 4) != 0) d2 += st
+      if ((nib & 8) != 0) d2 = -d2
+      pred(c) = math.min(32767, math.max(-32768, pred(c) + d2))
+      idx(c) = math.min(88, math.max(0, idx(c) + IndexTable(nib)))
+      nib
+    }
+    val data = new java.io.ByteArrayOutputStream()
+    var s0 = 0
+    while (s0 < n) {
+      val take = math.min(spb, n - s0)
+      (0 until channels).foreach { c =>
+        pred(c) = ch(c)(s0).toInt
+        data.write(le16(pred(c) & 0xffff)); data.write(idx(c)); data.write(0)
+      }
+      var s = 1
+      while (s < spb) {
+        (0 until channels).foreach { c =>
+          val w = new Array[Byte](4)
+          (0 until 8).foreach { k =>
+            val sample =
+              if (s + k < take) ch(c)(s0 + s + k).toInt
+              else ch(c)(s0 + take - 1).toInt // pad with the last sample
+            val nib = enc(c, sample)
+            if ((k & 1) == 0) w(k >> 1) = (nib & 0x0f).toByte
+            else w(k >> 1) = (w(k >> 1) | (nib << 4)).toByte
+          }
+          data.write(w)
+        }
+        s += 8
+      }
+      s0 += spb
+    }
+    val fmt = le16(0x11) ++ le16(channels) ++ le32(rate) ++
+      le32(rate.toLong * blockAlign / spb) ++ le16(blockAlign) ++
+      le16(4) ++ le16(2) ++ le16(spb)
+    riffWav(fmt, data.toByteArray)
+  }
+
+  /** Minimal MJPEG AVI: RIFF 'AVI ' + LIST movi with one 00dc chunk
+    * per JPEG frame. */
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write("movi".getBytes("US-ASCII"))
+    frames.foreach { f =>
+      movi.write("00dc".getBytes("US-ASCII")); movi.write(le32(f.length))
+      movi.write(f); if (f.length % 2 == 1) movi.write(0)
+    }
+    val inner = new java.io.ByteArrayOutputStream()
+    inner.write("AVI ".getBytes("US-ASCII"))
+    inner.write("LIST".getBytes("US-ASCII"))
+    inner.write(le32(movi.size()))
+    inner.write(movi.toByteArray)
+    val whole = new java.io.ByteArrayOutputStream()
+    whole.write("RIFF".getBytes("US-ASCII"))
+    whole.write(le32(inner.size()))
+    whole.write(inner.toByteArray)
+    whole.toByteArray
+  }
+
+  private def jpegBytes(seed: Int, w: Int = 64, h: Int = 48): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val v = (x * 4 + y * 3 + seed * 40) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Amplitude-modulated test tone: the slow AM gives the energy
+    * envelope a decisive rise/fall shape (a steady sine makes every
+    * adjacent-window comparison a near-tie, which no lossy codec—or
+    * even resampling—could preserve bit-stably). */
+  private def sine(n: Int, rate: Int, hz: Double, amp: Double,
+                   phase: Double = 0.0): Array[Short] =
+    Array.tabulate(n) { i =>
+      val t = i.toDouble / rate
+      val am = 0.55 + 0.45 * math.sin(2 * math.Pi * 2.1 * t)
+      (amp * am * 32767 * (math.sin(2 * math.Pi * hz * t + phase) +
+        0.4 * math.sin(2 * math.Pi * hz * 2.7 * t))
+        / 1.4).toShort
+    }
+
+  // ---------------------------------------------------------- discovery
+
+  test("ServiceLoader discovers the built-in compressed codecs") {
+    val names = CompressedCodecs.installed.map(_.name)
+    assert(names.contains("ima-adpcm-wav") && names.contains("mjpeg-avi"),
+      s"installed: $names")
+  }
+
+  // --------------------------------------------------------- IMA ADPCM
+
+  test("IMA-ADPCM round-trip: sniff, decode, small reconstruction " +
+    "error, and a fingerprint that matches the PCM twin") {
+    val rate = 8000
+    val mono = sine(16000, rate, 220.0, 0.6)
+    val adpcm = imaWav(Array(mono), rate)
+    val codec = new ImaAdpcmWavCodec
+    assert(codec.sniff(adpcm))
+    // the JDK itself cannot read fmt 0x11 — that fall-through is why
+    // the compressed chain exists
+    assert(WavAudioCodec.decode(adpcm).isEmpty)
+    val got = codec.decodeAudio(adpcm).get
+    assert(got.sampleRate == rate && got.mono.length >= mono.length)
+    // lossy but close: relative RMS error under 5% on a smooth signal
+    var se = 0.0; var ref = 0.0
+    mono.indices.foreach { i =>
+      val d = got.mono(i) - mono(i); se += d.toDouble * d; ref += mono(i).toDouble * mono(i)
+    }
+    val rel = math.sqrt(se / ref)
+    assert(rel < 0.05, s"ADPCM relative RMS error $rel")
+    // perceptual fingerprint: the lossy re-encode flips at most a few
+    // near-tie envelope bits — within the hamming-LSH dedup radius
+    // (maxDist=4), which is exactly the bucket-next-to-the-original
+    // contract; bit equality would demand losslessness from a lossy
+    // codec
+    val pcm = WavAudioCodec.decode(pcmWav(mono, rate)).get
+    val ham = java.lang.Long.bitCount(
+      WavAudioCodec.aHash64(got.mono.take(mono.length)) ^
+        WavAudioCodec.aHash64(pcm.mono))
+    assert(ham <= 4,
+      s"ADPCM re-encode drifted $ham envelope bits from the PCM twin")
+  }
+
+  test("IMA-ADPCM stereo decodes channel-averaged, like the PCM path") {
+    val rate = 8000
+    val l = sine(8080, rate, 220.0, 0.5)
+    val r = sine(8080, rate, 220.0, 0.5, phase = 0.2)
+    val got = new ImaAdpcmWavCodec().decodeAudio(
+      imaWav(Array(l, r), rate)).get
+    assert(got.channels == 2)
+    var se = 0.0; var ref = 0.0
+    l.indices.foreach { i =>
+      val avg = ((l(i).toInt + r(i).toInt) / 2)
+      val d = got.mono(i) - avg; se += d.toDouble * d; ref += avg.toDouble * avg
+    }
+    assert(math.sqrt(se / ref) < 0.05)
+  }
+
+  test("IMA-ADPCM hostility: PCM WAV, text, truncated payloads all " +
+    "degrade, never throw") {
+    val codec = new ImaAdpcmWavCodec
+    val pcm = pcmWav(sine(4000, 8000, 300.0, 0.5), 8000)
+    assert(!codec.sniff(pcm))
+    assert(!codec.sniff("RIFFxxxxWAVE but not really".getBytes))
+    val adpcm = imaWav(Array(sine(4040, 8000, 300.0, 0.5)), 8000)
+    assert(codec.decodeAudio(adpcm.take(40)).isEmpty)
+    // corrupt fmt: claim 3 channels
+    val bad = adpcm.clone(); bad(22) = 3
+    assert(codec.decodeAudio(bad).isEmpty)
+  }
+
+  // -------------------------------------------------------- MJPEG AVI
+
+  test("MJPEG AVI: frames decode to the canonical grayscale form; the " +
+    "first-frame dHash equals the standalone JPEG's") {
+    val jpegs = Seq(jpegBytes(0), jpegBytes(1), jpegBytes(2))
+    val avi = mjpegAvi(jpegs)
+    val codec = new MjpegAviCodec
+    assert(codec.sniff(avi))
+    assert(!codec.sniff(jpegs.head))
+    assert(Multimodal.ImageIoCodec.sniff(avi).isEmpty,
+      "AVI must not be claimed by the still-image codec")
+    val frames = codec.decodeFrames(avi).get
+    assert(frames.size == 3)
+    val still = Multimodal.ImageIoCodec.decode(jpegs.head).get
+    assert(frames.head.sameElements(still.gray),
+      "AVI frame 0 and the standalone JPEG must share the canonical raster")
+    val img = codec.decodeImage(avi).get
+    assert(img.width == 64 && img.height == 48)
+    assert(Multimodal.dHash64(img.gray, img.width, img.height) ==
+      Multimodal.dHash64(still.gray, still.width, still.height))
+    // truncated/corrupt containers degrade
+    assert(codec.decodeFrames(avi.take(30)).isEmpty)
+    assert(codec.decodeFrames(mjpegAvi(Seq("nope".getBytes))).isEmpty)
+  }
+
+  // ------------------------------------------------- Spark-side wiring
+
+  test("Multimodal stages dispatch compressed payloads end-to-end " +
+    "(features, fingerprints, frame lens)") {
+    import spark.implicits._
+    val rate = 8000
+    val mono = sine(16160, rate, 220.0, 0.6)
+    val adpcm = imaWav(Array(mono), rate)
+    val jpegs = Seq(jpegBytes(0), jpegBytes(1), jpegBytes(2))
+    val avi = mjpegAvi(jpegs)
+    val trimmedAvi = mjpegAvi(jpegs.take(2)) // a trimmed re-mux copy
+    val media = Seq(
+      (1L, "audio", adpcm, 0, 0, rate),
+      (2L, "video", avi, 0, 0, 0),
+      (3L, "video", trimmedAvi, 0, 0, 0),
+      (4L, "text", "just some text payload".getBytes, 0, 0, 0))
+      .toDF("media_id", "modality", "payload", "width", "height",
+        "sample_rate")
+    val feats = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.media_id -> f).toMap
+    // audio: canonical stream is 2 bytes per decoded sample
+    assert(feats(1L).n_bytes >= mono.length * 2L)
+    // video: decoded stream is the concatenated 64x48 rasters, and the
+    // reported dims are the decoded first frame's
+    assert(feats(2L).n_bytes == 3L * 64 * 48)
+    assert(feats(2L).width == 64 && feats(2L).height == 48)
+    assert(feats(4L).n_bytes == "just some text payload".length.toLong)
+
+    // perceptual fingerprints: ADPCM clip == PCM clip; AVI == its own
+    // first frame as a plain JPEG
+    val pcmMedia = Seq(
+      (11L, "audio", pcmWav(mono, rate), 0, 0, rate),
+      (12L, "image", jpegs.head, 0, 0, 0))
+      .toDF("media_id", "modality", "payload", "width", "height",
+        "sample_rate")
+    val fps = Multimodal.fingerprints(spark, media.unionByName(pcmMedia))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(11L)) <= 4,
+      "ADPCM and PCM encodings of one clip must bucket together " +
+        "(hamming <= the dedup radius)")
+    assert(fps(2L) == fps(12L),
+      "MJPEG first frame and the standalone JPEG must share the dHash")
+
+    // frame lens: the trimmed AVI's frame set is a strict subset
+    val hexes = Multimodal.frameHexes(spark, media, everyN = 64)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(hexes(2L).size == 3 && hexes(3L).size == 2)
+    assert(hexes(3L).subsetOf(hexes(2L)),
+      "a trimmed MJPEG copy must share its frames with the original")
+  }
+}
