@@ -11,7 +11,11 @@ the target dir (default /tmp/graft_sf1).  events.ts is written as
 parquet TIMESTAMP(NANOS) to exercise the same graft.Tables.events
 nano-floor path as the driver's files.
 
-Usage: python3 tools/gen_sf1.py [outdir] [scale] [vocab]
+Usage: python3 tools/gen_sf1.py [outdir] [scale] [vocab] [tables]
+  tables: comma list of {documents,embeddings,events} (default all) —
+  e.g. "documents" for the x73 blocking-crossover A/B corpora, where
+  only the media lens runs and events at scale 400 would be 40M
+  useless rows.
   scale 10 (default) = 50k docs / 20k embeddings / 1M events.
   vocab 31 (default) mirrors the driver corpus EXACTLY — including its
   degenerate near-dup density: with 31 words and 10-100 tokens/doc,
@@ -120,7 +124,13 @@ def gen_events():
 if __name__ == "__main__":
     import os
     os.makedirs(OUT, exist_ok=True)
-    gen_documents()
-    gen_embeddings()
-    gen_events()
-    print(f"wrote {OUT}: docs={N_DOCS} vecs={N_VECS} events={N_EVENTS}")
+    tables = (sys.argv[4].split(",") if len(sys.argv) > 4
+              else ["documents", "embeddings", "events"])
+    if "documents" in tables:
+        gen_documents()
+    if "embeddings" in tables:
+        gen_embeddings()
+    if "events" in tables:
+        gen_events()
+    print(f"wrote {OUT} tables={tables}: docs={N_DOCS} vecs={N_VECS} "
+          f"events={N_EVENTS}")
