@@ -58,7 +58,11 @@ object Rehearsal {
     "x43_dataset_card", "x99_envelope_fp",
     // round-13: k-means is iters × (corpus pass + k-row agg) — linear
     // by construction, the gate proves it
-    "x100_kmeans")
+    "x100_kmeans",
+    // round-14: the rest of the clustering family (prototype heaps +
+    // route gate) — probed at 100x this round, kept in the 10x gate so
+    // a future regression in the kernel/TopKPerKey path is caught here
+    "x101_cluster_prototypes", "st14_cluster_route_gate")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)

@@ -840,8 +840,14 @@ object Dedup {
       .select(col("e.s").as("s"), col("e.d").as("d"))
       .repartition(col("s"))
       .localCheckpoint()
+    // No fixed repartition on labels: the first round's join shuffles
+    // the n-row label table once either way, and letting AQE size that
+    // exchange (instead of pinning numShufflePartitions tasks) means
+    // every later round — whose joined checkpoint inherits the join's
+    // partitioning — runs with task counts matched to n.  At sf0.1
+    // that is the difference between 32-task and 4-task round stages
+    // on 5000 rows; at corpus scale AQE sizes upward identically.
     var labels = nodes.select(col("node"), col("node").as("lbl"))
-      .repartition(col("node"))
       .localCheckpoint()
     var delta = labels // round 0: every initial label is news
     // Per-round checkpoint hygiene: once round r's checkpoint is

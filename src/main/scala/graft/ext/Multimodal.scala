@@ -809,14 +809,16 @@ object Multimodal {
     // count is a metadata-cheap action on the already-checkpointed
     // 16-byte rows.  Below the threshold the 70-key fanout IS the cost
     // (measured: 2.10 s -> 1.27 s at 6.5k fps, 205 s -> 23.8 s at
-    // 650k fps, identical output both times); above it, halved12's
-    // per-key bucket mass grows as n/2^16 and its quadratic candidate
-    // verify eventually overtakes combo8's near-O(1)-per-bucket
-    // 32-bit keys — but the verify is cheap codegen (xor+bit_count on
-    // 24-byte rows) while combo8's cost is a 70x key-row SHUFFLE, so
-    // the measured crossover sits far above the random-fp model's
-    // ~600k estimate.  2M is conservative from the 650k measurement's
-    // 8.6x margin; combo8 remains the unbounded-scale default.
+    // 650k fps, 751 s -> 78 s at 2.15M fps — identical output each
+    // time); above it, halved12's per-key bucket mass grows as n/2^16
+    // and its quadratic candidate verify eventually overtakes combo8's
+    // near-O(1)-per-bucket 32-bit keys — but the verify is cheap
+    // codegen (xor+bit_count on 24-byte rows) while combo8's cost is a
+    // 70x key-row SHUFFLE, so the measured crossover sits far above
+    // the random-fp model's ~600k estimate.  The 2M default is now
+    // MEASURED AT ITS OWN BOUNDARY (round-14 A/B at 2.15M: halved12's
+    // margin 9.7x, i.e. not shrinking between 650k and 2.15M); combo8
+    // remains the unbounded-scale default.
     val schemeEff =
       if (scheme == "auto") {
         val thr = spark.conf
