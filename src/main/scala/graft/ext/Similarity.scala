@@ -37,7 +37,7 @@ object Similarity {
     * summation order matches the left-fold of [[dot]] so results are
     * bit-identical. */
   private def dotExpanded(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+    graft.plans.VecKernels.vecDot(a, b, dim)
 
   private def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
@@ -45,8 +45,8 @@ object Similarity {
     * map-side, before any pairwise work. */
   private def withNorm(df: DataFrame, idc: String, vc: String): DataFrame =
     df.select(col("vec_id").as(idc), toDouble(col("embedding")).as(vc))
-      .withColumn(s"${vc}_norm", sqrt(aggregate(
-        transform(col(vc), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .withColumn(s"${vc}_norm",
+        sqrt(graft.plans.VecKernels.vecSumSq(col(vc))))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors.  Ranking key = (round(cos,6) desc, id asc).
@@ -111,13 +111,18 @@ object Similarity {
   }
 
   /** Random-hyperplane signature: bit h = sign of <v, plane_h>. */
-  def hyperplaneSig(v: Column, dim: Int, planes: Int): Column =
-    concat((0 until planes).map { h =>
-      val proj = (0 until dim).map { i =>
-        element_at(v, i + 1).cast("double") * planeSign(h, i)
-      }.reduce(_ + _)
-      when(proj >= 0, "1").otherwise("0")
-    }: _*)
+  def hyperplaneSig(v: Column, dim: Int, planes: Int): Column = {
+    // one kernel projection (ascending-order dots, bit-identical to
+    // the expanded tree this replaces) + a planes-element bit map —
+    // the HOF lambda runs interpreted but over `planes` elements, not
+    // the corpus dimension
+    val proj = graft.plans.VecKernels.rpProject(toDouble(v),
+      graft.plans.SignMatrix((0 until planes).map { h =>
+        (0 until dim).map(i => planeSign(h, i)).toArray
+      }.toArray))
+    array_join(transform(proj,
+      x => when(x >= 0, "1").otherwise("0")), "")
+  }
 
   /** LSH-bucketed ANN: bucket both sides by hyperplane signature,
     * equi-join on bucket, exact cosine re-rank within bucket.  Misses
@@ -202,11 +207,17 @@ object Similarity {
     * projection — no stored matrix, no shuffle, bit-identical across
     * engines (the DuckDB oracle bakes the same literals). */
   def rpReduce(v: Column, dim: Int, rDim: Int, seed: Int = 101): Column =
-    array((0 until rDim).map { r =>
-      (0 until dim).map { i =>
-        element_at(v, i + 1).cast("double") * planeSign(seed + r, i)
-      }.reduce(_ + _)
-    }: _*)
+    graft.plans.VecKernels.rpProject(toDouble(v),
+      signMatrix(seed, dim, rDim))
+
+  /** The driver-side ±1 JL matrix behind [[rpReduce]] — one
+    * [[graft.plans.SignMatrix]] reference object instead of rDim×dim
+    * plan literals (structural equality keeps Catalyst CSE working
+    * across two projections from the same seed). */
+  def signMatrix(seed: Int, dim: Int, rDim: Int): graft.plans.SignMatrix =
+    graft.plans.SignMatrix((0 until rDim).map { r =>
+      (0 until dim).map(i => planeSign(seed + r, i)).toArray
+    }.toArray)
 
   /** Compress-then-rerank ANN: candidates ranked by cosine in the
     * [[rpReduce]]d space (rDim ≪ dim), then the top `cand` per query
@@ -240,7 +251,8 @@ object Similarity {
     // norms via the expanded (codegen'd) dot — the `aggregate` HOF
     // evaluates interpreted per row, which would put a lambda in the
     // hot projection
-    def rnorm(rv: Column): Column = sqrt(dotExpanded(rv, rv, rDim))
+    def rnorm(rv: Column): Column =
+      sqrt(graft.plans.VecKernels.vecSumSq(rv))
     val q = withNorm(queries, "q_id", "q")
     val c = withNorm(corpus, "c_id", "c")
     val qr = q.select(col("q_id"), rpReduce(col("q"), dim, rDim).as("rq"))

@@ -258,6 +258,49 @@ class CompressedCodecSpec extends SparkSpec {
     assert(codec.decodeFrames(mjpegAvi(Seq("nope".getBytes))).isEmpty)
   }
 
+  // ------------------------------------------------------------ fuzzing
+
+  test("hostile-bytes fuzz: no codec path ever throws — random bytes, " +
+    "bit-flipped valid payloads, truncations, and header-boundary cuts") {
+    val rng = new scala.util.Random(42)
+    val codecs = CompressedCodecs.installed
+    val validA = imaWav(Array(sine(4040, 8000, 300.0, 0.5)), 8000)
+    val validV = mjpegAvi(Seq(jpegBytes(0), jpegBytes(1)))
+    def exercise(p: Array[Byte]): Unit = {
+      codecs.foreach { c =>
+        if (c.sniff(p)) { c.decode(p); c.decodeFrames(p)
+          c.decodeImage(p); c.decodeAudio(p) }
+      }
+      Multimodal.ImageIoCodec.decode(p)
+      WavAudioCodec.decode(p)
+      ()
+    }
+    // pure noise, sometimes dressed in magic prefixes
+    (0 until 60).foreach { i =>
+      val n = rng.nextInt(4000)
+      val p = new Array[Byte](n); rng.nextBytes(p)
+      if (i % 3 == 0 && n >= 12) {
+        "RIFF".getBytes.copyToArray(p, 0)
+        (if (i % 2 == 0) "WAVE" else "AVI ").getBytes.copyToArray(p, 8)
+      }
+      exercise(p)
+    }
+    // bit flips and truncations of genuinely valid payloads — the
+    // nastiest corpus: passes the sniff, corrupt inside
+    Seq(validA, validV).foreach { v =>
+      (0 until 40).foreach { _ =>
+        val p = v.clone()
+        (0 until 1 + rng.nextInt(8)).foreach { _ =>
+          val at = rng.nextInt(p.length)
+          p(at) = (p(at) ^ (1 << rng.nextInt(8))).toByte
+        }
+        exercise(p)
+      }
+      (0 until 40).foreach(i =>
+        exercise(v.take(math.max(1, v.length * i / 40))))
+    }
+  }
+
   // ------------------------------------------------- Spark-side wiring
 
   test("Multimodal stages dispatch compressed payloads end-to-end " +

@@ -467,6 +467,56 @@ class PropertySpec extends SparkSpec {
       .select($"w.cell", $"w.csim").head()
     assert(z.getLong(0) == 3L && z.getDouble(1).isNaN)
   }
+
+  test("VecKernels equal their declarative twins bit-for-bit: expanded " +
+    "dot, HOF sum-of-squares, and the rDim x dim projection tree") {
+    import graft.plans.{SignMatrix, VecKernels}
+    val dim = 8
+    val vec = Gen.listOfN(dim, Gen.choose(-1000, 1000).map(_ / 97.0))
+    val gen = for {
+      n <- Gen.choose(3, 20)
+      rows <- Gen.listOfN(n, vec)
+    } yield rows
+    samples(gen, 10).zipWithIndex.foreach { case (rows, s) =>
+      val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v, v.reverse) }
+        .toDF("id", "a", "b")
+      val signs = SignMatrix((0 until 3).map(r =>
+        (0 until dim).map(i =>
+          graft.ext.Similarity.planeSign(900 + r, i)).toArray).toArray)
+      val got = df.select($"id",
+          VecKernels.vecDot($"a", $"b", dim).as("d"),
+          VecKernels.vecSumSq($"a").as("ss"),
+          VecKernels.rpProject($"a", signs).as("rp"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getSeq[Double](3))).sortBy(_._1)
+      val want = df.select($"id",
+          (1 to dim).map(i => element_at($"a", i) * element_at($"b", i))
+            .reduce(_ + _).as("d"),
+          aggregate(transform($"a", x => x * x), lit(0.0),
+            (acc, x) => acc + x).as("ss"),
+          array((0 until 3).map { r =>
+            (0 until dim).map(i => element_at($"a", i + 1) *
+              graft.ext.Similarity.planeSign(900 + r, i)).reduce(_ + _)
+          }: _*).as("rp"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getSeq[Double](3))).sortBy(_._1)
+      // exact comparison — same IEEE op order is the contract
+      assert(got.sameElements(want), s"sample $s: kernel != declarative")
+    }
+    // dimension hostility: short vectors throw, like ANSI element_at
+    val short = Seq((1L, Seq(1.0, 2.0))).toDF("id", "a")
+    val e = intercept[Exception](
+      short.select(VecKernels.vecDot($"a", $"a", 8)).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("VecDot")))
+    // structural equality: same seed => canonically equal expressions
+    val s1 = graft.ext.Similarity.signMatrix(101, dim, 4)
+    val s2 = graft.ext.Similarity.signMatrix(101, dim, 4)
+    assert(s1 == s2 && s1.hashCode == s2.hashCode)
+  }
+
 }
 
 /** Reference quirks — SURVEY §2.11 keep/fix decisions, pinned by test. */
