@@ -62,7 +62,11 @@ object Rehearsal {
     // round-14: the rest of the clustering family (prototype heaps +
     // route gate) — probed at 100x this round, kept in the 10x gate so
     // a future regression in the kernel/TopKPerKey path is caught here
-    "x101_cluster_prototypes", "st14_cluster_route_gate")
+    "x101_cluster_prototypes", "st14_cluster_route_gate",
+    // round-14 web-provenance family: the two members that shuffle
+    // (URL keep-best groupBy; paragraph-hash df + join) — the map-side
+    // members (x102/x104/x106) ride the scan and have no ceiling
+    "x103_url_dedup", "x105_paragraph_dedup")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)

@@ -1975,4 +1975,43 @@ object Dedup {
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select(col("a"), col("b"), col("edit_dist"))
   }
+
+  /** Structural-unit dedup signal: per-document DUPLICATE-PARAGRAPH
+    * fraction (the MassiveText/Gopher repetition rule operating on
+    * paragraphs instead of n-grams — a paragraph is "duplicated" when
+    * its exact text occurs in more than one distinct document, the
+    * signature of injected boilerplate: cookie banners, subscribe
+    * blocks, copyright footers).  Documents whose duplicated fraction
+    * exceeds `maxDupFrac` are flagged for drop.
+    *
+    * Scale shape: paragraphs explode map-side and immediately reduce
+    * to (md5, doc_id) — the TEXT never rides a shuffle.  One groupBy
+    * on the 16-byte hash builds the document-frequency table, one
+    * hash-join back (both partial-aggregated / AQE-planned), one
+    * groupBy on doc_id for the verdict.  No pairwise comparison
+    * anywhere — cost is O(paragraphs), not O(docs²).  The join-back is
+    * the one skewed stage on a real crawl (a boilerplate paragraph's
+    * hash joins back to a large fraction of the corpus): the build
+    * side is ONE row per hash, so AQE skew-join splitting shreds the
+    * hot stream partition across tasks — the same discipline the LSH
+    * band join documents above. */
+  def paragraphDupStats(docs: DataFrame, idCol: String, textCol: String,
+                        sep: String = "\n\n",
+                        maxDupFrac: Double = 0.5): DataFrame = {
+    val paras = docs
+      .select(col(idCol),
+        explode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as("__p"))
+      .filter(length(trim(col("__p"))) > 0)
+      .select(col(idCol), md5(col("__p").cast("binary")).as("__h"))
+    val df = paras.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    paras.join(df, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_dup_paras"))
+      .withColumn("dup_frac",
+        round(col("n_dup_paras").cast("double") / col("n_paras"), 6))
+      .withColumn("keep", col("dup_frac") <= maxDupFrac)
+  }
 }

@@ -60,4 +60,37 @@ object TextClean {
         (col("n_chars_raw") - col("n_chars_clean")).cast("double")
           / col("n_chars_raw"))
   }
+
+  /** C4's line-level keep rule: a retained line has at least
+    * [[c4MinWords]] words, ends in terminal punctuation, and carries
+    * none of the boilerplate markers ("javascript" / "cookie" /
+    * "lorem ipsum" — case-insensitive). */
+  val c4MinWords = 5
+
+  /** Lowercased substrings that disqualify a line (C4 §2.2). */
+  val c4BadMarkers: Seq[String] = Seq("javascript", "cookie", "lorem ipsum")
+
+  /** True iff `line` survives the C4 line rules. */
+  def c4KeepLine(line: Column): Column = {
+    val t = trim(line)
+    val lc = lower(t)
+    (size(split(t, " +")) >= c4MinWords) &&
+      t.rlike("[.!?\"]$") &&
+      c4BadMarkers.map(m => !lc.contains(m)).reduce(_ && _)
+  }
+
+  /** C4 line-level cleanup: split on newlines, keep only lines passing
+    * [[c4KeepLine]], re-join, and flag documents left with no content.
+    * Pure array higher-order functions over one row — shuffle-free,
+    * fuses with the scan and the [[stripHtml]] pass at any scale. */
+  def c4LineFilter(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => c4KeepLine(l))
+    docs.select(col(idCol),
+        size(lines).as("n_lines"),
+        size(kept).as("n_lines_kept"),
+        array_join(kept, "\n").as("text_clean"))
+      .withColumn("keep_doc", col("n_lines_kept") >= 1)
+  }
 }

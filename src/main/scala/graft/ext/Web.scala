@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-provenance operators — the URL hygiene pass of a web-scale
+  * training corpus (CommonCrawl-family pipelines dedup BY URL before
+  * they dedup by content, and filter whole domains by blocklist, so
+  * canonical URLs and registered hosts are first-class columns).
+  *
+  * Everything here is a pure `Column` chain over codegen'd `regexp_*`
+  * / string functions: canonicalization runs map-side at scan speed,
+  * and the only shuffles are the groupBys a URL/domain rollup
+  * genuinely requires (partial-aggregated on the map side).  Patterns
+  * stay inside the RE2-compatible subset with no group references in
+  * replacement strings, so the exact same algebra runs on Spark and
+  * the DuckDB oracle.
+  *
+  * Canonicalization contract (applied in this order):
+  *   1. drop the fragment (`#...`)
+  *   2. lowercase scheme and host (never path/query — those are
+  *      case-significant on most origins)
+  *   3. strip a leading `www.` host label
+  *   4. strip the scheme's DEFAULT port only (`:80` for http, `:443`
+  *      for https — a non-default `:8080` survives)
+  *   5. drop tracking query params (`utm_*`, `fbclid`, `gclid`) and
+  *      heal the separators
+  *   6. collapse trailing `/` runs on the path; an empty path prints
+  *      as `/` so `http://h` and `http://h/` share one canonical form
+  */
+object Web {
+
+  /** Tracking params dropped by rule 5.  `(^|&)` (instead of a
+    * lookbehind) eats the separating `&` with the param, so the
+    * remaining list needs no re-join; a leading `&` left when the
+    * FIRST param matched is healed in [[urlQuery]]. */
+  private val trackingRe = "(^|&)(utm_[a-z]+|fbclid|gclid)=[^&]*"
+
+  /** Lowercased scheme, `""` when `url` has none. */
+  def urlScheme(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Canonical host: lowercased authority, `www.` and the scheme
+    * default port stripped (rules 2–4). */
+  def urlHost(url: Column): Column = {
+    val hp = lower(regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1))
+    val noWww = regexp_replace(hp, "^www\\.", "")
+    when(urlScheme(url) === "http", regexp_replace(noWww, ":80$", ""))
+      .when(urlScheme(url) === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+  }
+
+  /** Canonical path: trailing-slash runs collapsed, root printed as
+    * `/` (rule 6). */
+  def urlPath(url: Column): Column = {
+    val p = regexp_extract(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val np = regexp_replace(p, "/+$", "")
+    when(np === "", lit("/")).otherwise(np)
+  }
+
+  /** Canonical query: tracking params dropped, separators healed
+    * (rule 5); `""` when nothing survives. */
+  def urlQuery(url: Column): Column = {
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    regexp_replace(regexp_replace(q, trackingRe, ""), "^&", "")
+  }
+
+  /** The full canonical form — rules 1–6 over one URL column. */
+  def canonicalUrl(url: Column): Column =
+    concat(urlScheme(url), lit("://"), urlHost(url), urlPath(url),
+      when(urlQuery(url) === "", lit(""))
+        .otherwise(concat(lit("?"), urlQuery(url))))
+
+  /** Per-document URL canonicalization report: raw URL, its canonical
+    * form, and the canonical host.  One narrow projection — fuses into
+    * the scan stage with zero shuffle at any scale. */
+  def urlReport(docs: DataFrame, idCol: String,
+                urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    docs.select(col(idCol), u.as("url_raw"),
+      canonicalUrl(u).as("url_canon"), urlHost(u).as("host"))
+  }
+
+  /** URL-level dedup, keep-best: one keeper per canonical URL — the
+    * longest document (raw char count), ties to the lowest id — plus
+    * the family size.  The CommonCrawl "same page fetched N times /
+    * mirrored with tracking junk" rule: canonicalize, then keep the
+    * best capture.
+    *
+    * One hash aggregation keyed by the canonical URL (map-side
+    * partial `max_by` makes the shuffle carry one row per distinct
+    * URL per map partition, not one per document — the only shape
+    * that survives 100 TB). */
+  def urlDedupKeepBest(docs: DataFrame, idCol: String, urlCol: String,
+                       weightCol: String): DataFrame =
+    docs
+      .select(canonicalUrl(col(urlCol)).as("url_canon"),
+        col(idCol).cast("long").as("id"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(col("url_canon"))
+      .agg(
+        max_by(col("id"), struct(col("w"), (-col("id")).as("ni")))
+          .as("keeper_id"),
+        max(col("w")).as("keeper_chars"),
+        count(lit(1)).as("n_dups"))
+
+  /** Per-domain rollup with blocklist: doc count, char mass, and
+    * distinct-source count per canonical host, minus blocked domains.
+    * The blocklist joins as a BROADCAST anti-join — real blocklists
+    * run ~10^6 hosts, far under the broadcast threshold, so the
+    * corpus never shuffles for the filter; the rollup itself is one
+    * partial-aggregated groupBy on the host. */
+  def domainReport(docs: DataFrame, urlCol: String, textWeight: Column,
+                   sourceCol: String, blockedHosts: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val block = blockedHosts.toDF("host")
+    docs
+      .select(urlHost(col(urlCol)).as("host"), textWeight.as("w"),
+        col(sourceCol).as("src"))
+      .join(broadcast(block), Seq("host"), "left_anti")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_chars"),
+        countDistinct(col("src")).as("n_sources"))
+  }
+}

@@ -136,7 +136,115 @@ object ExtQueries {
       .foreach(_.unpersist(blocking = false))
   }
 
+  /** Deterministic messy-URL injection for the web-provenance family
+    * (x102–x104): the synthetic corpus has no URL column, so — the x30
+    * PII pattern — each doc gets a URL derived from `doc_id` that
+    * exercises every canonicalization rule: mixed-case scheme/host,
+    * `www.` labels, default (`:80`/`:443`) and non-default (`:8080`)
+    * ports, trailing slashes, `utm_*` tracking params in first and
+    * last position, and fragments.  The path/query id is doc_id % 50,
+    * so canonical URLs COLLIDE (≈10 docs per URL at sf0.01) and the
+    * keep-best dedup has real families to resolve.  [[duckUrl]] is the
+    * same expression in DuckDB SQL — the two must stay in lockstep. */
+  private def synthUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      when(id % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+      when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Site"), (id % 5).cast("string"), lit(".Example.COM"),
+      when(id % 2 === 0, lit(":80"))
+        .when(id % 11 === 0, lit(":8080"))
+        .when(id % 7 === 0, lit(":443"))
+        .otherwise(lit("")),
+      lit("/Articles/"), (id % 50).cast("string"),
+      when(id % 6 === 0, lit("/")).otherwise(lit("")),
+      when(id % 3 === 0,
+        concat(lit("?utm_source=feed&id="), (id % 50).cast("string")))
+        .when(id % 3 === 1,
+          concat(lit("?id="), (id % 50).cast("string"),
+            lit("&utm_campaign=x")))
+        .otherwise(lit("")),
+      when(id % 5 === 0, lit("#section2")).otherwise(lit("")))
+  }
+
   val qs: Map[String, Q] = Map(
+    // URL canonicalization: scheme/host lowering, www + default-port
+    // strip, tracking-param drop, fragment drop — the provenance
+    // hygiene pass of a crawl pipeline, pure map-side regexp algebra
+    "x102_url_canon" -> ((s, d) =>
+      graft.ext.Web.urlReport(
+        Tables.documents(s, d).withColumn("url", synthUrl),
+        "doc_id", "url")),
+
+    // URL-level keep-best dedup: one keeper per canonical URL (longest
+    // capture, ties to lowest id) — the dedup crawls run BEFORE any
+    // content pass, one partial-aggregated groupBy on the canonical key
+    "x103_url_dedup" -> ((s, d) =>
+      graft.ext.Web.urlDedupKeepBest(
+        Tables.documents(s, d).withColumn("url", synthUrl),
+        "doc_id", "url", "n_chars")),
+
+    // per-domain rollup behind a broadcast anti-join blocklist: doc
+    // count / char mass / source spread per canonical host
+    "x104_domain_stats" -> ((s, d) =>
+      graft.ext.Web.domainReport(
+        Tables.documents(s, d).withColumn("url", synthUrl),
+        "url", col("n_chars"), "source",
+        Seq("site0.example.com", "site3.example.com"))),
+
+    // duplicate-paragraph fraction (MassiveText repetition rule at the
+    // paragraph grain): boilerplate paragraphs injected on id-mod
+    // lattices so cross-doc duplicated units genuinely exist; text
+    // never rides a shuffle — only 16-byte paragraph hashes do
+    "x105_paragraph_dedup" -> ((s, d) => {
+      val injected = Tables.documents(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\n\nsubscribe to our newsletter for weekly updates"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            lit("\n\nall rights reserved copyright notice"))
+            .otherwise(lit(""))))
+      Dedup.paragraphDupStats(injected, "doc_id", "text")
+    }),
+
+    // C4 line-level cleanup: junk lines (no terminal punctuation,
+    // under 5 words, javascript/cookie boilerplate) dropped per doc;
+    // docs left empty are flagged.  id % 13 docs are ALL junk so the
+    // drop verdict is exercised, not just the line filter
+    "x106_c4_lines" -> ((s, d) => {
+      val injected = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 13 === 0,
+          lit("Enable JavaScript to view this site.\nclick here"))
+        .otherwise(concat(col("text"), lit("."),
+          when(col("doc_id") % 2 === 0,
+            lit("\nEnable JavaScript to view this site."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("\nclick here"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nWe use cookies to improve your experience on our site."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nThis additional paragraph provides genuinely useful " +
+              "information for readers."))
+            .otherwise(lit("")))))
+      graft.ext.TextClean.c4LineFilter(injected, "doc_id", "text")
+    }),
+
+    // metadata-filtered ANN (pre-filter semantics): the label
+    // predicate culls the corpus BEFORE index build and probe, so the
+    // index contains only eligible vectors — the filtered-vector-
+    // search contract (post-filtering top-k instead would under-fill
+    // k); same deterministic IVF algebra as x17
+    "x107_filtered_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") < 8),
+        e.filter(col("vec_id") >= 8 && col("label") % 3 === 0),
+        k = 10, dim = 64, nlist = 16, nprobe = 4)
+    }),
+
     // exact dedup: content-fingerprint groups, first-wins keeper
     "x1_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")),
@@ -1529,7 +1637,15 @@ object ExtQueries {
   /** IVF oracle: replays centroid selection (lowest-id LIMIT),
     * cell assignment argmax, nprobe probing, and in-cell re-rank with
     * the same rounding/tiebreak keys (nlist=16, nprobe=4, k=10). */
-  private val x17Sql: String = {
+  private val x17Sql: String = ivfSql("vec_id >= 8")
+
+  /** The deterministic-IVF oracle (lowest-id codebook, nprobe=4),
+    * parametrized by the candidate-set predicate so the filtered-ANN
+    * variant (x107) replays the exact same algebra over a culled
+    * corpus — pre-filter semantics: the predicate applies BEFORE
+    * centroid selection and assignment, exactly like the Spark side
+    * builds its index from the filtered DataFrame. */
+  private def ivfSql(candWhere: String): String = {
     def dot(a: String, b: String): String =
       s"list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
     def cos(a: String, b: String): String =
@@ -1537,9 +1653,9 @@ object ExtQueries {
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings
        |           WHERE vec_id < 8),
        |cs AS (SELECT vec_id AS c_id, embedding AS c FROM embeddings
-       |       WHERE vec_id >= 8),
+       |       WHERE $candWhere),
        |cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
-       |         WHERE vec_id >= 8 ORDER BY vec_id ASC LIMIT 16),
+       |         WHERE $candWhere ORDER BY vec_id ASC LIMIT 16),
        |asg AS (SELECT cell, c_id, c FROM (
        |  SELECT cent.cell, cs.c_id, cs.c,
        |         row_number() OVER (PARTITION BY cs.c_id
@@ -2044,7 +2160,135 @@ object ExtQueries {
       |be AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0)
       |SELECT DISTINCT tr.doc_id FROM tr JOIN be ON tr.s = be.s""".stripMargin
 
+  /** [[synthUrl]] in DuckDB SQL — must stay in lockstep with the
+    * Spark-side injection. */
+  private val duckUrl: String =
+    """CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END
+      | || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+      | || 'Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM'
+      | || CASE WHEN doc_id % 2 = 0 THEN ':80'
+      |         WHEN doc_id % 11 = 0 THEN ':8080'
+      |         WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
+      | || '/Articles/' || CAST(doc_id % 50 AS VARCHAR)
+      | || CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
+      | || CASE WHEN doc_id % 3 = 0
+      |         THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+      |         WHEN doc_id % 3 = 1
+      |         THEN '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=x'
+      |         ELSE '' END
+      | || CASE WHEN doc_id % 5 = 0 THEN '#section2' ELSE '' END"""
+      .stripMargin.replace("\n", "")
+
+  /** Mirrors [[graft.ext.Web]]'s canonicalization rules 1–6 as a CTE
+    * chain ending in `uc(doc_id, n_chars, source, url, host,
+    * url_canon)`, shared by the x102/x103/x104 oracles. */
+  private val duckUrlCanonCte: String =
+    s"""WITH inj AS (SELECT doc_id, n_chars, source, $duckUrl AS url
+       |             FROM documents),
+       |c AS (SELECT doc_id, n_chars, source, url,
+       |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+       |    AS scheme,
+       |  regexp_replace(
+       |    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+       |    '^www\\.', '') AS hp,
+       |  regexp_replace(
+       |    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+       |    '/+$$', '') AS p,
+       |  regexp_replace(regexp_replace(
+       |    regexp_extract(url, '\\?([^#]*)', 1),
+       |    '(^|&)(utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+       |    '^&', '') AS q
+       |  FROM inj),
+       |h AS (SELECT doc_id, n_chars, source, url, scheme, q,
+       |  CASE WHEN scheme = 'http' THEN regexp_replace(hp, ':80$$', '')
+       |       WHEN scheme = 'https' THEN regexp_replace(hp, ':443$$', '')
+       |       ELSE hp END AS host,
+       |  CASE WHEN p = '' THEN '/' ELSE p END AS pathc
+       |  FROM c),
+       |uc AS (SELECT doc_id, n_chars, source, url, host,
+       |  scheme || '://' || host || pathc ||
+       |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_canon
+       |  FROM h)""".stripMargin
+
   val sql: Map[String, String] = Map(
+    // NOTE: the shared CTE is already stripMargin'd — concatenate the
+    // tail instead of re-stripping (a second stripMargin would eat the
+    // leading `|` of any continuation line starting with `||`)
+    "x102_url_canon" -> (duckUrlCanonCte +
+      "\nSELECT doc_id, url AS url_raw, url_canon, host FROM uc"),
+    "x103_url_dedup" -> (duckUrlCanonCte + "," +
+      """
+        |r AS (SELECT url_canon, doc_id,
+        |        row_number() OVER (PARTITION BY url_canon
+        |          ORDER BY n_chars DESC, doc_id ASC) AS rk,
+        |        max(n_chars) OVER (PARTITION BY url_canon) AS mx,
+        |        count(*) OVER (PARTITION BY url_canon) AS cnt
+        |      FROM uc)
+        |SELECT url_canon, doc_id AS keeper_id,
+        |       CAST(mx AS BIGINT) AS keeper_chars,
+        |       CAST(cnt AS BIGINT) AS n_dups
+        |FROM r WHERE rk = 1""".stripMargin),
+    "x104_domain_stats" -> (duckUrlCanonCte +
+      """
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM uc
+        |WHERE host NOT IN ('site0.example.com', 'site3.example.com')
+        |GROUP BY 1""".stripMargin),
+    "x105_paragraph_dedup" ->
+      """WITH inj AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10)
+        |       || 'subscribe to our newsletter for weekly updates'
+        |     ELSE '' END
+        |  || CASE WHEN doc_id % 4 = 0 THEN chr(10) || chr(10)
+        |       || 'all rights reserved copyright notice'
+        |     ELSE '' END AS text FROM documents),
+        |p AS (SELECT doc_id,
+        |        unnest(string_split(text, chr(10) || chr(10))) AS para
+        |      FROM inj),
+        |pc AS (SELECT doc_id, md5(para) AS h FROM p
+        |       WHERE length(trim(para)) > 0),
+        |df AS (SELECT h, count(DISTINCT doc_id) AS df FROM pc GROUP BY 1),
+        |agg AS (SELECT doc_id, count(*) AS n_paras,
+        |          sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_dup
+        |        FROM pc JOIN df USING (h) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_paras AS BIGINT) AS n_paras,
+        |  CAST(n_dup AS BIGINT) AS n_dup_paras,
+        |  round(CAST(n_dup AS DOUBLE) / n_paras, 6) AS dup_frac,
+        |  round(CAST(n_dup AS DOUBLE) / n_paras, 6) <= 0.5 AS keep
+        |FROM agg""".stripMargin,
+    "x106_c4_lines" ->
+      """WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+        |    THEN 'Enable JavaScript to view this site.' || chr(10)
+        |         || 'click here'
+        |    ELSE text || '.'
+        |      || CASE WHEN doc_id % 2 = 0 THEN chr(10)
+        |           || 'Enable JavaScript to view this site.' ELSE '' END
+        |      || CASE WHEN doc_id % 3 = 0 THEN chr(10)
+        |           || 'click here' ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0 THEN chr(10)
+        |           || 'We use cookies to improve your experience on our site.'
+        |         ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0 THEN chr(10)
+        |           || 'This additional paragraph provides genuinely useful information for readers.'
+        |         ELSE '' END
+        |    END AS text FROM documents),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM inj),
+        |k AS (SELECT doc_id, lines,
+        |        list_filter(lines, x ->
+        |          len(string_split_regex(trim(x), ' +')) >= 5
+        |          AND regexp_matches(trim(x), '[.!?"]$')
+        |          AND NOT contains(lower(trim(x)), 'javascript')
+        |          AND NOT contains(lower(trim(x)), 'cookie')
+        |          AND NOT contains(lower(trim(x)), 'lorem ipsum')) AS kept
+        |      FROM l)
+        |SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+        |  CAST(len(kept) AS INT) AS n_lines_kept,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+        |  len(kept) >= 1 AS keep_doc
+        |FROM k""".stripMargin,
+    "x107_filtered_ann" -> ivfSql("vec_id >= 8 AND label % 3 = 0"),
     "x30_pii_redact" ->
       """WITH inj AS (SELECT doc_id, text || CASE
         |    WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)

@@ -15,6 +15,8 @@ object Plans {
     "x6_ann_topk" -> "broadcast query set (8 rows)",
     "x40_rp_ann" -> "broadcast query set (8 rows)",
     "x17_ann_ivf" -> "nlist-row centroid codebook",
+    "x107_filtered_ann" ->
+      "nlist-row centroid codebook (x17 shape, pre-filtered corpus)",
     "x23_source_mix" -> "single-row corpus total",
     "x26_stratified_sample" -> "single-row per-stratum target table",
     "x28_curation_pipeline" -> "single-row corpus total (via x23 shape)",

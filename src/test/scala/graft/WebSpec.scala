@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextClean, Web}
+
+/** Web-provenance family: URL canonicalization algebra, keep-best URL
+  * dedup, domain blocklist rollup — plus the structural-unit text
+  * passes that ship alongside them (paragraph-dup fraction, C4 line
+  * filter) and pre-filter ANN semantics. */
+class WebSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canonOf(url: String): String =
+    Seq(url).toDF("u").select(Web.canonicalUrl(col("u"))).head.getString(0)
+
+  test("canonicalUrl applies every rule: fragment, case, www, " +
+    "default ports, tracking params, trailing slash") {
+    // rule 1+2: fragment dropped, scheme/host lowered, path case kept
+    assert(canonOf("HTTP://EXAMPLE.com/Path#frag") ===
+      "http://example.com/Path")
+    // rule 3: www label stripped
+    assert(canonOf("https://www.example.com/a") === "https://example.com/a")
+    // rule 4: default port stripped per scheme; non-default survives
+    assert(canonOf("http://example.com:80/a") === "http://example.com/a")
+    assert(canonOf("https://example.com:443/a") === "https://example.com/a")
+    assert(canonOf("http://example.com:8080/a") ===
+      "http://example.com:8080/a")
+    // :443 is NOT http's default — it must survive on http
+    assert(canonOf("http://example.com:443/a") === "http://example.com:443/a")
+    // rule 5: tracking params drop from first/middle/last position
+    assert(canonOf("http://e.com/a?utm_source=x&id=1") ===
+      "http://e.com/a?id=1")
+    assert(canonOf("http://e.com/a?id=1&utm_campaign=y") ===
+      "http://e.com/a?id=1")
+    assert(canonOf("http://e.com/a?p=1&gclid=g&q=2") ===
+      "http://e.com/a?p=1&q=2")
+    // all params tracking → query gone entirely
+    assert(canonOf("http://e.com/a?utm_a=1&fbclid=2") === "http://e.com/a")
+    // rule 6: trailing slash runs collapse; bare root prints as /
+    assert(canonOf("http://e.com/a/") === "http://e.com/a")
+    assert(canonOf("http://e.com") === "http://e.com/")
+    assert(canonOf("http://e.com/") === "http://e.com/")
+  }
+
+  test("urlDedupKeepBest keeps the longest capture, ties to lowest id") {
+    val docs = Seq(
+      (1L, "http://a.com/x", 100L),
+      (2L, "https://WWW.A.com:443/x".replace("a.com", "a.com"), 50L),
+      (3L, "http://www.a.com/x?utm_source=z", 100L),
+      (4L, "http://b.com/y", 10L)
+    ).toDF("doc_id", "url", "n_chars")
+    val out = Web.urlDedupKeepBest(docs, "doc_id", "url", "n_chars")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // docs 1 and 3 share http://a.com/x (100 chars each) → keeper 1;
+    // doc 2 canonicalizes to https://a.com/x — a DIFFERENT url (scheme)
+    assert(out("http://a.com/x") === ((1L, 100L, 2L)))
+    assert(out("https://a.com/x") === ((2L, 50L, 1L)))
+    assert(out("http://b.com/y") === ((4L, 10L, 1L)))
+  }
+
+  test("domainReport rolls up per canonical host and drops blocked " +
+    "domains via broadcast anti-join") {
+    val docs = Seq(
+      (1L, "http://www.good.com/a", 10L, "s1"),
+      (2L, "https://good.com:443/b", 20L, "s2"),
+      (3L, "http://evil.com/c", 30L, "s1")
+    ).toDF("doc_id", "url", "n_chars", "source")
+    val out = Web.domainReport(docs, "url", col("n_chars"), "source",
+        Seq("evil.com"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(("good.com", 2L, 30L, 2L)))
+    // and the blocklist join is a broadcast, not a shuffle
+    val plan = Web.domainReport(docs, "url", col("n_chars"), "source",
+      Seq("evil.com")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
+
+  test("paragraphDupStats: cross-doc duplicated paragraphs raise " +
+    "dup_frac; unique docs keep") {
+    val boiler = "subscribe now"
+    val docs = Seq(
+      (1L, s"alpha body one\n\n$boiler"),
+      (2L, s"beta body two\n\n$boiler"),
+      (3L, "gamma body three"),
+      (4L, s"$boiler")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDupStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) === ((2L, 1L, 0.5, true)))
+    assert(out(2L) === ((2L, 1L, 0.5, true)))
+    assert(out(3L) === ((1L, 0L, 0.0, true)))
+    assert(out(4L) === ((1L, 1L, 1.0, false))) // all boilerplate → drop
+  }
+
+  test("c4LineFilter keeps ≥5-word terminal-punctuated lines and " +
+    "drops javascript/cookie/short lines; empty docs flagged") {
+    val docs = Seq(
+      (1L, "This sentence has enough words to keep.\nclick here\n" +
+        "Enable JavaScript to continue viewing.\n" +
+        "We use cookies on this site always.\n" +
+        "Another genuinely useful line survives here!"),
+      (2L, "short\nno punct at all")
+    ).toDF("doc_id", "text")
+    val out = TextClean.c4LineFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L)._1 === 5)
+    assert(out(1L)._2 === 2)
+    assert(out(1L)._3 ===
+      "This sentence has enough words to keep.\n" +
+        "Another genuinely useful line survives here!")
+    assert(out(1L)._4 === true)
+    assert(out(2L) === ((2, 0, "", false)))
+  }
+
+  test("filtered ANN is PRE-filter: every hit satisfies the predicate " +
+    "and matches brute-force top-k over the filtered corpus") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 8)
+    val cand = e.filter(col("vec_id") >= 8 && col("label") % 3 === 0)
+    val eligible = cand.select("vec_id").as[Long].collect().toSet
+    val ivf = graft.ext.Similarity.ivfTopK(q, cand, k = 10, dim = 64,
+        nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    assert(ivf.forall { case (_, c) => eligible.contains(c) })
+    // nprobe = nlist probes every cell — IVF degenerates to exhaustive
+    // search with exact re-rank, so it must EQUAL brute-force top-k
+    // over the same filtered corpus (shared score grid + tie rule)
+    val exhaustive = graft.ext.Similarity.ivfTopK(q, cand, k = 10,
+        dim = 64, nlist = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.ext.Similarity.bruteForceTopK(q, cand, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exhaustive === exact)
+  }
+}
