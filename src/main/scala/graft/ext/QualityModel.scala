@@ -367,6 +367,48 @@ object QualityModel {
           .as("recall"))
   }
 
+  /** Operating-point selection for a trained classifier: the confusion
+    * matrix and precision/recall/F1 at a GRID of thresholds
+    * `center + k·delta, k ∈ [-steps, steps]` — the sweep a pipeline
+    * runs once to pick its gate cut, produced in ONE corpus pass.
+    *
+    * Scale shape: docs are scored once ([[scoreWith]]); the grid rides
+    * an `explode` over a (2·steps+1)-element array literal — a bounded
+    * map-side fanout of skinny (score, label) rows, never a join — and
+    * the per-threshold cells are one partial-aggregated groupBy on the
+    * tiny threshold key.  Threshold values are computed as
+    * `round(center + k·delta, 6)` in COLUMN arithmetic so the SQL
+    * oracle replays them bit-for-bit from its own recomputed center. */
+  def thresholdSweep(docs: DataFrame, idCol: String, textCol: String,
+                     label: org.apache.spark.sql.Column,
+                     weights: DataFrame, dim: Int, center: Double,
+                     steps: Int = 4, delta: Double = 0.005): DataFrame = {
+    val scored = scoreWith(docs, idCol, textCol, weights, dim)
+    val labeled = docs.select(col(idCol), label.cast("boolean").as("__y"))
+    val grid = array((-steps to steps).map(k =>
+      round(lit(center) + lit(k * delta), 6)): _*)
+    val cell = (p: Boolean, y: Boolean) =>
+      sum(when((col("score") > col("threshold")) === p &&
+        col("__y") === y, 1L).otherwise(0L))
+    scored.join(labeled, idCol)
+      .select(col("score"), col("__y"), explode(grid).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(cell(true, true).as("tp"), cell(true, false).as("fp"),
+        cell(false, false).as("tn"), cell(false, true).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("tn"),
+        col("fn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 4))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 4))
+          .as("recall"),
+        when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          round(col("tp").cast("double") * 2
+            / (col("tp") * 2 + col("fp") + col("fn")), 4))
+          .as("f1"))
+  }
+
   /** Persist a trained [[trainQualityModel]] weight table with its
     * feature dimension in table properties (the saveDsirModel
     * discipline) — score months of batches against a model trained

@@ -123,4 +123,50 @@ object Web {
       .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_chars"),
         countDistinct(col("src")).as("n_sources"))
   }
+
+  /** Robots-style per-domain path exclusion: a doc is blocked when any
+    * (host, path-prefix) disallow rule matches its canonical host and
+    * the canonical path starts with the rule's prefix — the
+    * crawl-compliance pass (robots.txt `Disallow:` semantics reduced
+    * to their corpus-side filter).
+    *
+    * The rule table broadcasts (equi-join on host; prefix test rides
+    * the join condition's residual), so the corpus never shuffles; a
+    * host with several rules fans each of its docs out only
+    * rules-per-host ways before the per-doc verdict re-collapses —
+    * bounded by the rule table, not the corpus. */
+  def robotsReport(docs: DataFrame, idCol: String, urlCol: String,
+                   disallow: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rules = disallow.toDF("host", "path_prefix")
+    docs
+      .select(col(idCol), urlHost(col(urlCol)).as("host"),
+        urlPath(col(urlCol)).as("path"))
+      .join(broadcast(rules), Seq("host"), "left")
+      .withColumn("hit",
+        when(col("path_prefix").isNull, lit(false))
+          .otherwise(col("path").startsWith(col("path_prefix"))))
+      .groupBy(col(idCol), col("host"), col("path"))
+      .agg(max(col("hit")).as("blocked"))
+  }
+
+  /** URL-keyword spam scoring (the RefinedWeb/UT1-family URL filter):
+    * weighted soft-term hits over the lowercased canonical host+path,
+    * plus a hard-term instant block.  `score` sums the weights of the
+    * distinct soft terms present; `blocked` is hard-hit OR score at or
+    * above `threshold`.  Pure map-side string algebra — fuses into the
+    * scan with the canonicalization pass at any scale. */
+  def urlSpamScore(url: Column, softTerms: Seq[(String, Double)],
+                   hardTerms: Seq[String], threshold: Double): Column = {
+    val hp = lower(concat(urlHost(url), urlPath(url)))
+    val score = softTerms
+      .map { case (t, w) =>
+        when(hp.contains(t), lit(w)).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    val hard = hardTerms.map(t => hp.contains(t))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    struct(round(score, 6).as("score"),
+      (hard || round(score, 6) >= threshold).as("blocked"))
+  }
 }

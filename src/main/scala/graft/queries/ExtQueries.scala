@@ -245,6 +245,57 @@ object ExtQueries {
         k = 10, dim = 64, nlist = 16, nprobe = 4)
     }),
 
+    // robots-style (host, path-prefix) disallow rules: per-doc blocked
+    // verdict via a broadcast rule join — crawl-compliance filtering
+    "x108_robots_rules" -> ((s, d) =>
+      graft.ext.Web.robotsReport(
+        Tables.documents(s, d).withColumn("url", synthUrl),
+        "doc_id", "url",
+        Seq(("site1.example.com", "/Articles/1"),
+          ("site2.example.com", "/Articles/2"),
+          ("site4.example.com", "/Articles/4")))),
+
+    // operating-point selection for the held-out trained classifier:
+    // confusion cells + precision/recall/F1 at a 9-point threshold
+    // grid around the train-corpus mean score, one corpus pass (the
+    // x97 model/tau cache reused — training happens once per session)
+    "x109_threshold_sweep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val split = graft.ext.CorpusStats.splitColumn(col("doc_id"))
+      val (model, tau) = holdoutQmCache.getOrElseUpdate((s, d), {
+        val train = docs.filter(split === "train")
+        val m = graft.ext.QualityModel.trainQualityModel(train,
+          "doc_id", "text", col("lang") === "en").localCheckpoint()
+        (m, graft.ext.QualityModel.corpusMeanScore(train, "text", m, 64))
+      })
+      graft.ext.QualityModel.thresholdSweep(docs.filter(split =!= "train"),
+        "doc_id", "text", col("lang") === "en", model, dim = 64,
+        center = tau)
+    }),
+
+    // URL-keyword spam filter (RefinedWeb/UT1 family): weighted soft
+    // terms + hard-block terms over the canonical host+path; spammy
+    // hosts/segments injected on id-mod lattices
+    "x110_url_spam" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = concat(lit("https://"),
+        when(id % 17 === 0, lit("free-casino.example.net"))
+          .otherwise(concat(lit("site"), (id % 5).cast("string"),
+            lit(".example.com"))),
+        lit("/page/"), (id % 50).cast("string"),
+        when(id % 13 === 0, lit("/free-download-click"))
+          .otherwise(lit("")),
+        when(id % 29 === 0, lit("/download")).otherwise(lit("")),
+        when(id % 23 === 0, lit("/adult-content")).otherwise(lit("")))
+      val w = graft.ext.Web.urlSpamScore(col("url"),
+        softTerms = Seq("free" -> 0.5, "download" -> 0.4,
+          "click" -> 0.3, "casino" -> 0.8),
+        hardTerms = Seq("adult"), threshold = 1.0)
+      Tables.documents(s, d).withColumn("url", url)
+        .select(col("doc_id"), w.getField("score").as("spam_score"),
+          w.getField("blocked").as("blocked"))
+    }),
+
     // exact dedup: content-fingerprint groups, first-wins keeper
     "x1_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")),
@@ -1849,6 +1900,50 @@ object ExtQueries {
   private val qSplitBucket = "CAST(CAST('0x' || substr(md5(" +
     "CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) AS UBIGINT) % 100 AS INT)"
 
+  /** x109: the x97 replay chain, but the confusion matrix sweeps a
+    * 9-point threshold grid `round(tau + k·0.005, 6), k ∈ [-4, 4]`
+    * instead of the single tau cut.  Grid values are exact: the model
+    * weights live on the 2⁻²⁰ dyadic grid so tau (a dyadic sum over a
+    * long count) is order-independent and engine-identical. */
+  private val x109Sql: String =
+    qtrainCtes(s"WHERE $qSplitBucket < 80") + s""",
+    |tau AS (SELECT sum(w.w) / count(*) AS t
+    |        FROM (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT)
+    |                % 64 AS bucket FROM tk) s
+    |        JOIN w$qtrainRounds w USING (bucket)),
+    |hk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    |       FROM documents WHERE $qSplitBucket >= 80),
+    |sch AS (SELECT doc_id,
+    |          CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) % 64
+    |            AS bucket
+    |        FROM hk),
+    |scored AS (SELECT s.doc_id, round(sum(w.w) / count(*), 4) AS score
+    |           FROM sch s JOIN w$qtrainRounds w USING (bucket)
+    |           GROUP BY 1),
+    |g AS (SELECT round(tau.t + k * 0.005::DOUBLE, 6) AS threshold
+    |      FROM tau CROSS JOIN
+    |        (SELECT unnest(generate_series(-4, 4)) AS k) ks),
+    |j AS (SELECT s.score, d.lang = 'en' AS y
+    |      FROM scored s JOIN documents d USING (doc_id)),
+    |cm AS (SELECT threshold,
+    |  sum(CASE WHEN score > threshold AND y THEN 1 ELSE 0 END) AS tp,
+    |  sum(CASE WHEN score > threshold AND NOT y THEN 1 ELSE 0 END) AS fp,
+    |  sum(CASE WHEN NOT (score > threshold) AND NOT y THEN 1 ELSE 0 END)
+    |    AS tn,
+    |  sum(CASE WHEN NOT (score > threshold) AND y THEN 1 ELSE 0 END)
+    |    AS fn
+    |  FROM j CROSS JOIN g GROUP BY 1)
+    |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+    |       CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+    |       CASE WHEN tp + fp > 0
+    |            THEN round(tp / (tp + fp)::DOUBLE, 4) END AS precision,
+    |       CASE WHEN tp + fn > 0
+    |            THEN round(tp / (tp + fn)::DOUBLE, 4) END AS recall,
+    |       CASE WHEN tp * 2 + fp + fn > 0
+    |            THEN round(tp * 2 / (tp * 2 + fp + fn)::DOUBLE, 4)
+    |       END AS f1
+    |FROM cm""".stripMargin
+
   private val x97Sql: String = qtrainCtes(s"WHERE $qSplitBucket < 80") +
     s""",
     |tau AS (SELECT sum(w.w) / count(*) AS t
@@ -2205,7 +2300,7 @@ object ExtQueries {
        |       ELSE hp END AS host,
        |  CASE WHEN p = '' THEN '/' ELSE p END AS pathc
        |  FROM c),
-       |uc AS (SELECT doc_id, n_chars, source, url, host,
+       |uc AS (SELECT doc_id, n_chars, source, url, host, pathc,
        |  scheme || '://' || host || pathc ||
        |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_canon
        |  FROM h)""".stripMargin
@@ -2289,6 +2384,54 @@ object ExtQueries {
         |  len(kept) >= 1 AS keep_doc
         |FROM k""".stripMargin,
     "x107_filtered_ann" -> ivfSql("vec_id >= 8 AND label % 3 = 0"),
+    "x108_robots_rules" -> (duckUrlCanonCte + "," +
+      """
+        |r AS (SELECT * FROM (VALUES
+        |        ('site1.example.com', '/Articles/1'),
+        |        ('site2.example.com', '/Articles/2'),
+        |        ('site4.example.com', '/Articles/4'))
+        |      AS t(host, path_prefix)),
+        |j AS (SELECT uc.doc_id, uc.host, uc.pathc AS path,
+        |        CASE WHEN r.path_prefix IS NULL THEN false
+        |             ELSE starts_with(uc.pathc, r.path_prefix) END AS hit
+        |      FROM uc LEFT JOIN r USING (host))
+        |SELECT doc_id, host, path, max(hit) AS blocked
+        |FROM j GROUP BY 1, 2, 3""".stripMargin),
+    "x109_threshold_sweep" -> x109Sql,
+    "x110_url_spam" ->
+      """WITH inj AS (SELECT doc_id, 'https://'
+        |  || CASE WHEN doc_id % 17 = 0 THEN 'free-casino.example.net'
+        |     ELSE 'site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+        |     END
+        |  || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |  || CASE WHEN doc_id % 13 = 0 THEN '/free-download-click'
+        |     ELSE '' END
+        |  || CASE WHEN doc_id % 29 = 0 THEN '/download' ELSE '' END
+        |  || CASE WHEN doc_id % 23 = 0 THEN '/adult-content' ELSE '' END
+        |    AS url FROM documents),
+        |hp AS (SELECT doc_id, lower(
+        |    regexp_replace(
+        |      lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+        |      '^www\.', '')
+        |    || CASE WHEN regexp_replace(regexp_extract(url,
+        |           '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '/+$', '') = ''
+        |         THEN '/'
+        |         ELSE regexp_replace(regexp_extract(url,
+        |           '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '/+$', '') END)
+        |    AS hp FROM inj),
+        |sc AS (SELECT doc_id, hp, round(
+        |    CASE WHEN contains(hp, 'free') THEN 0.5::DOUBLE
+        |         ELSE 0.0::DOUBLE END
+        |    + CASE WHEN contains(hp, 'download') THEN 0.4::DOUBLE
+        |        ELSE 0.0::DOUBLE END
+        |    + CASE WHEN contains(hp, 'click') THEN 0.3::DOUBLE
+        |        ELSE 0.0::DOUBLE END
+        |    + CASE WHEN contains(hp, 'casino') THEN 0.8::DOUBLE
+        |        ELSE 0.0::DOUBLE END,
+        |    6) AS spam_score FROM hp)
+        |SELECT doc_id, spam_score,
+        |       contains(hp, 'adult') OR spam_score >= 1.0 AS blocked
+        |FROM sc""".stripMargin,
     "x30_pii_redact" ->
       """WITH inj AS (SELECT doc_id, text || CASE
         |    WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)

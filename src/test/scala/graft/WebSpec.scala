@@ -119,6 +119,61 @@ class WebSpec extends SparkSpec {
     assert(out(2L) === ((2, 0, "", false)))
   }
 
+  test("robotsReport blocks on (host, path-prefix) match only — " +
+    "prefix semantics, per-doc verdict over multiple rules") {
+    val docs = Seq(
+      (1L, "http://a.com/Articles/12"), // prefix /Articles/1 matches
+      (2L, "http://a.com/Articles/2"),  // different prefix → allowed
+      (3L, "http://b.com/Articles/12"), // other host → allowed
+      (4L, "http://a.com/Other/1")      // other path → allowed
+    ).toDF("doc_id", "url")
+    val out = Web.robotsReport(docs, "doc_id", "url",
+        Seq(("a.com", "/Articles/1"), ("a.com", "/Private")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("urlSpamScore: soft weights sum once per distinct term, hard " +
+    "terms block instantly, threshold gates the soft sum") {
+    def score(url: String): (Double, Boolean) = {
+      val w = Web.urlSpamScore(col("u"),
+        Seq("free" -> 0.5, "download" -> 0.4, "click" -> 0.3),
+        Seq("adult"), threshold = 1.0)
+      val r = Seq(url).toDF("u")
+        .select(w.getField("score"), w.getField("blocked")).head
+      (r.getDouble(0), r.getBoolean(1))
+    }
+    assert(score("https://ok.com/page") === ((0.0, false)))
+    assert(score("https://ok.com/download") === ((0.4, false)))
+    assert(score("https://ok.com/free-download-click") === ((1.2, true)))
+    // hard term blocks regardless of soft score
+    assert(score("https://ok.com/adult") === ((0.0, true)))
+    // terms matched in host count too; case-insensitive
+    assert(score("https://FREE-download.com/x") === ((0.9, false)))
+  }
+
+  test("thresholdSweep: cells partition the corpus at every " +
+    "threshold, and tp/fp are non-increasing in the threshold") {
+    val docs = Tables.documents(spark, sf0001)
+    val model = graft.ext.QualityModel.trainQualityModel(docs,
+      "doc_id", "text", col("lang") === "en")
+    val tau = graft.ext.QualityModel.corpusMeanScore(docs, "text",
+      model, 64)
+    val n = docs.count()
+    val rows = graft.ext.QualityModel.thresholdSweep(docs, "doc_id",
+        "text", col("lang") === "en", model, dim = 64, center = tau)
+      .orderBy(col("threshold"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length === 9)
+    rows.foreach { case (_, tp, fp, tn, fn) =>
+      assert(tp + fp + tn + fn === n) }
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2, "tp must not grow as the threshold rises")
+      assert(hi._3 <= lo._3, "fp must not grow as the threshold rises")
+    }
+  }
+
   test("filtered ANN is PRE-filter: every hit satisfies the predicate " +
     "and matches brute-force top-k over the filtered corpus") {
     val e = Tables.embeddings(spark, sf0001)
