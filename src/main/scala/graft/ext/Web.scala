@@ -151,6 +151,76 @@ object Web {
       .agg(max(col("hit")).as("blocked"))
   }
 
+  /** A pinned set of already-seen canonical URLs — the state of the
+    * ingest-time URL dedup gate ([[urlNoveltyGate]]). */
+  case class UrlIndex(urls: DataFrame)
+
+  /** Build the seen-URL set ONCE for [[urlNoveltyGate]]: distinct
+    * canonical URLs, hash-partitioned on the key and pinned, so every
+    * later micro-batch probe joins against a pre-partitioned side and
+    * only the batch shuffles (the lshIndex placement discipline). */
+  def urlIndex(corpus: DataFrame, urlCol: String): UrlIndex = {
+    val parts =
+      corpus.sparkSession.sessionState.conf.numShufflePartitions
+    UrlIndex(corpus
+      .select(canonicalUrl(col(urlCol)).as("url_canon")).distinct()
+      .repartition(parts, col("url_canon"))
+      .localCheckpoint())
+  }
+
+  /** Grow a [[UrlIndex]] with a batch the gate just accepted — the
+    * incremental half of the ingest loop, O(batch) not O(index): only
+    * the batch's genuinely new URLs are checkpointed; the union over
+    * the already-pinned legs stays lazy.  Compact by persisting
+    * ([[saveUrlIndex]]/[[loadUrlIndex]]) at a convenient cadence. */
+  def extendUrlIndex(index: UrlIndex, batch: DataFrame,
+                     urlCol: String): UrlIndex = {
+    val fresh = batch
+      .select(canonicalUrl(col(urlCol)).as("url_canon")).distinct()
+      .join(index.urls, Seq("url_canon"), "left_anti")
+      .localCheckpoint()
+    UrlIndex(index.urls.unionByName(fresh))
+  }
+
+  /** Persist a [[UrlIndex]] BUCKETED by the canonical URL, with a
+    * marker property so non-index tables are refused on load — the
+    * cross-restart form: later probes read the corpus-sized side
+    * pre-partitioned off the scan and never shuffle it again. */
+  def saveUrlIndex(index: UrlIndex, table: String,
+                   buckets: Int = 16): Unit = {
+    index.urls.write.mode("overwrite")
+      .bucketBy(buckets, "url_canon").sortBy("url_canon")
+      .format("parquet").saveAsTable(table)
+    index.urls.sparkSession.sql(
+      s"ALTER TABLE ${SqlIdent.quote(table)} SET TBLPROPERTIES " +
+        "('graft.seenset'='1')")
+  }
+
+  /** Reopen a persisted [[UrlIndex]], refusing tables without the
+    * [[saveUrlIndex]] marker. */
+  def loadUrlIndex(spark: org.apache.spark.sql.SparkSession,
+                   table: String): UrlIndex = {
+    val props = spark
+      .sql(s"SHOW TBLPROPERTIES ${SqlIdent.quote(table)}").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("graft.seenset").contains("1"),
+      s"$table is not a graft URL index table")
+    UrlIndex(spark.table(table))
+  }
+
+  /** Ingest-time URL dedup gate: each incoming doc's canonical URL is
+    * probed against the seen set; unseen → `novel = true` (fetch it),
+    * seen → skip.  One equi-join per micro-batch on the pre-partitioned
+    * index — the batch side is the only thing that ever shuffles. */
+  def urlNoveltyGate(index: UrlIndex, incoming: DataFrame, idCol: String,
+                     urlCol: String): DataFrame =
+    incoming
+      .select(col(idCol), canonicalUrl(col(urlCol)).as("url_canon"))
+      .join(index.urls.withColumn("__seen", lit(true)),
+        Seq("url_canon"), "left")
+      .select(col(idCol), col("url_canon"),
+        col("__seen").isNull.as("novel"))
+
   /** URL-keyword spam scoring (the RefinedWeb/UT1-family URL filter):
     * weighted soft-term hits over the lowercased canonical host+path,
     * plus a hard-term instant block.  `score` sums the weights of the

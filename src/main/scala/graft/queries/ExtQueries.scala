@@ -296,6 +296,19 @@ object ExtQueries {
           w.getField("blocked").as("blocked"))
     }),
 
+    // streaming URL-dedup gate (the st4 ingest discipline at the URL
+    // grain): incoming docs probe their canonical URL against the
+    // pinned seen-set; unseen -> fetch, seen -> skip.  Batch replay
+    // declared here; micro-batch==batch + extend/persist lifecycle
+    // proven in WebSpec
+    "st15_url_novelty_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("url", synthUrl)
+      graft.ext.Web.urlNoveltyGate(
+        graft.ext.Web.urlIndex(
+          docs.filter(col("doc_id") % 7 =!= 0), "url"),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "url")
+    }),
+
     // exact dedup: content-fingerprint groups, first-wins keeper
     "x1_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")),
@@ -2398,6 +2411,12 @@ object ExtQueries {
         |SELECT doc_id, host, path, max(hit) AS blocked
         |FROM j GROUP BY 1, 2, 3""".stripMargin),
     "x109_threshold_sweep" -> x109Sql,
+    "st15_url_novelty_gate" -> (duckUrlCanonCte + "," +
+      """
+        |seen AS (SELECT DISTINCT url_canon FROM uc WHERE doc_id % 7 <> 0)
+        |SELECT uc.doc_id, uc.url_canon, seen.url_canon IS NULL AS novel
+        |FROM uc LEFT JOIN seen ON uc.url_canon = seen.url_canon
+        |WHERE uc.doc_id % 7 = 0""".stripMargin),
     "x110_url_spam" ->
       """WITH inj AS (SELECT doc_id, 'https://'
         |  || CASE WHEN doc_id % 17 = 0 THEN 'free-casino.example.net'

@@ -174,6 +174,63 @@ class WebSpec extends SparkSpec {
     }
   }
 
+  test("streaming URL novelty gate equals the batch answer, extend is " +
+    "O(batch)-equivalent to a fresh build, persistence round-trips") {
+    import graft.ext.Web
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("url", concat(lit("http://h"),
+        // %21 ids (all incoming) get a UNIQUE host → guaranteed novel;
+        // the rest share a (mod 40, mod 25) lattice → mostly seen
+        when(col("doc_id") % 21 === 0, col("doc_id"))
+          .otherwise(col("doc_id") % 40).cast("string"),
+        lit(".com/p/"), (col("doc_id") % 25).cast("string")))
+    val existing = docs.filter(col("doc_id") % 7 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 7 === 0)
+    val index = Web.urlIndex(existing, "url")
+    val batchAnswer = Web.urlNoveltyGate(index, incoming, "doc_id", "url")
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(batchAnswer.exists(_._3) && batchAnswer.exists(!_._3),
+      "fixture must exercise both novel and seen outcomes")
+    // micro-batched delivery through foreachBatch == one-shot batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_url_").toString
+    incoming.filter(col("doc_id") % 2 === 0).select("doc_id", "url")
+      .write.mode("append").parquet(dir)
+    incoming.filter(col("doc_id") % 2 =!= 0).select("doc_id", "url")
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val seen = scala.collection.mutable.Set[(Long, String, Boolean)]()
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= Web.urlNoveltyGate(index, df, "doc_id", "url")
+          .as[(Long, String, Boolean)].collect()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(seen.toSet === batchAnswer)
+    // extend with an accepted batch ≡ fresh build over the union
+    val extended = Web.extendUrlIndex(index, incoming, "url")
+    val fresh = Web.urlIndex(docs, "url")
+    assert(extended.urls.as[String].collect().toSet ===
+      fresh.urls.as[String].collect().toSet)
+    // persistence: bucketed save/load round-trip; non-index refused
+    dropTableFully("g_url_idx")
+    Web.saveUrlIndex(extended, "g_url_idx")
+    val reopened = Web.loadUrlIndex(spark, "g_url_idx")
+    assert(reopened.urls.as[String].collect().toSet ===
+      extended.urls.as[String].collect().toSet)
+    dropTableFully("g_not_url_idx")
+    docs.select("doc_id").limit(2).write
+      .format("parquet").saveAsTable("g_not_url_idx")
+    intercept[IllegalArgumentException] {
+      Web.loadUrlIndex(spark, "g_not_url_idx")
+    }
+    ()
+  }
+
   test("filtered ANN is PRE-filter: every hit satisfies the predicate " +
     "and matches brute-force top-k over the filtered corpus") {
     val e = Tables.embeddings(spark, sf0001)
