@@ -468,6 +468,40 @@ class PropertySpec extends SparkSpec {
     assert(z.getLong(0) == 3L && z.getDouble(1).isNaN)
   }
 
+  test("URL canonicalization is idempotent and never leaves tracking " +
+    "params, fragments, www labels, or default ports behind") {
+    import graft.ext.Web
+    val gen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "Http")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("Example.com", "a.b.example.NET", "x-y.org")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/a/b/c/", "/p//")
+      params <- Gen.someOf(Seq("utm_source=x", "id=7", "fbclid=z",
+        "q=Beta", "gclid=1", "utm_campaign=Y"))
+      frag <- Gen.oneOf("", "#f", "#Sec2")
+    } yield s"$scheme://$www$host$port$path" +
+      (if (params.isEmpty) "" else params.mkString("?", "&", "")) + frag
+    val urls = samples(gen, 60)
+    val out = urls.toDF("u")
+      .select(col("u"), Web.canonicalUrl(col("u")).as("c1"),
+        Web.canonicalUrl(Web.canonicalUrl(col("u"))).as("c2"))
+      .collect()
+    out.foreach { r =>
+      val (u, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(c1 === c2, s"canonicalization must be idempotent for $u")
+      assert(!c1.contains("#"), s"fragment survived: $u -> $c1")
+      assert(!c1.toLowerCase.contains("utm_") && !c1.contains("fbclid")
+        && !c1.contains("gclid"), s"tracking param survived: $u -> $c1")
+      assert(!c1.contains("://www."), s"www survived: $u -> $c1")
+      assert(!(c1.startsWith("http://") && c1.contains(":80/")) &&
+        !(c1.startsWith("https://") && c1.contains(":443/")),
+        s"default port survived: $u -> $c1")
+      assert(!c1.contains("?&") && !c1.endsWith("?") && !c1.endsWith("&"),
+        s"unhealed separator: $u -> $c1")
+    }
+  }
+
   test("VecKernels equal their declarative twins bit-for-bit: expanded " +
     "dot, HOF sum-of-squares, and the rDim x dim projection tree") {
     import graft.plans.{SignMatrix, VecKernels}
