@@ -80,6 +80,44 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("score"), col("rank"))
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * anchor vector, the k most cosine-similar corpus vectors whose
+    * LABEL DIFFERS (similar-looking but wrong-class examples, the ones
+    * a contrastive/triplet objective learns most from).  Ranking key =
+    * (round(cos,6) desc, id asc), the [[bruteForceTopK]] contract.
+    *
+    * Same scale shape as [[bruteForceTopK]]: the anchor batch
+    * broadcasts against the corpus scan, the label-mismatch predicate
+    * culls INSIDE the scoring stage (before any state), and
+    * per-partition bounded heaps mean only partitions×anchors×k
+    * survivors reach the final ranking window. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int,
+                    dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = anchors.sparkSession
+    import spark.implicits._
+    val q = anchors.select(col("vec_id").as("q_id"),
+        col("label").as("q_label"), toDouble(col("embedding")).as("q"))
+      .withColumn("q_norm", sqrt(graft.plans.VecKernels.vecSumSq(col("q"))))
+    val c = corpus.select(col("vec_id").as("c_id"),
+        col("label").as("c_label"), toDouble(col("embedding")).as("c"))
+      .withColumn("c_norm", sqrt(graft.plans.VecKernels.vecSumSq(col("c"))))
+    val scored = q.crossJoin(c)
+      .filter(col("q_label") =!= col("c_label"))
+      .withColumn("score", round(
+        graft.plans.VecKernels.vecDot(col("q"), col("c"), dim) /
+          (col("q_norm") * col("c_norm")), 6))
+      .select(col("q_id"), col("c_id"), col("score"))
+      .as[(Long, Long, Double)]
+    val reduced = scored.mapPartitions(Similarity.partitionTopK(_, k))
+      .toDF("q_id", "c_id", "score")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id").asc)
+    reduced.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("score"), col("rank"))
+  }
+
   /** Per-partition bounded top-k per query id, under the global ranking
     * order (score desc, c_id asc).  Object-level for closure hygiene. */
   private def partitionTopK(it: Iterator[(Long, Long, Double)],

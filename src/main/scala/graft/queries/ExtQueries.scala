@@ -296,6 +296,15 @@ object ExtQueries {
           w.getField("blocked").as("blocked"))
     }),
 
+    // hard-negative mining (contrastive-training data op): for each
+    // anchor, the 10 most-similar corpus vectors of a DIFFERENT label
+    "x111_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.hardNegatives(
+        e.filter(col("vec_id") < 8), e.filter(col("vec_id") >= 8),
+        k = 10)
+    }),
+
     // streaming URL-dedup gate (the st4 ingest discipline at the URL
     // grain): incoming docs probe their canonical URL against the
     // pinned seen-set; unseen -> fetch, seen -> skip.  Batch replay
@@ -3137,6 +3146,20 @@ object ExtQueries {
          |         round($duckDot / (${duckNorm("q")} * ${duckNorm("c")}), 6)
          |           AS score
          |  FROM q CROSS JOIN cs)
+         |SELECT q_id, c_id, score, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |                               ORDER BY score DESC, c_id ASC) AS rank
+         |  FROM scored) WHERE rank <= 10""".stripMargin,
+    "x111_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS ql, embedding AS q
+         |           FROM embeddings WHERE vec_id < 8),
+         |cs AS (SELECT vec_id AS c_id, label AS cl, embedding AS c
+         |       FROM embeddings WHERE vec_id >= 8),
+         |scored AS (
+         |  SELECT q_id, c_id,
+         |         round($duckDot / (${duckNorm("q")} * ${duckNorm("c")}), 6)
+         |           AS score
+         |  FROM q CROSS JOIN cs WHERE ql <> cl)
          |SELECT q_id, c_id, score, CAST(rank AS INT) AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |                               ORDER BY score DESC, c_id ASC) AS rank

@@ -13,6 +13,7 @@ object Plans {
     * justification written next to its name. */
   val bnljAllowlist: Map[String, String] = Map(
     "x6_ann_topk" -> "broadcast query set (8 rows)",
+    "x111_hard_negatives" -> "broadcast anchor set (8 rows)",
     "x40_rp_ann" -> "broadcast query set (8 rows)",
     "x17_ann_ivf" -> "nlist-row centroid codebook",
     "x107_filtered_ann" ->

@@ -231,6 +231,33 @@ class WebSpec extends SparkSpec {
     ()
   }
 
+  test("hardNegatives returns only different-label vectors and equals " +
+    "brute-force top-k over the label-mismatched candidate set") {
+    val e = Tables.embeddings(spark, sf0001)
+    val anchors = e.filter(col("vec_id") < 8)
+    val corpus = e.filter(col("vec_id") >= 8)
+    val labels = e.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val hn = graft.ext.Similarity.hardNegatives(anchors, corpus, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(hn.nonEmpty)
+    hn.foreach { case (qId, cId, _) =>
+      assert(labels(qId) !== labels(cId),
+        s"hard negative $cId shares anchor $qId's label") }
+    // per-anchor equivalence to brute-force over that anchor's own
+    // mismatched candidates (the anchor-dependent predicate is the
+    // difference from x107's fixed pre-filter)
+    anchors.select(col("vec_id"), col("label")).as[(Long, Int)]
+      .collect().foreach { case (qId, ql) =>
+        val mine = hn.filter(_._1 == qId).map(_._2).toSet
+        val exact = graft.ext.Similarity.bruteForceTopK(
+            anchors.filter(col("vec_id") === qId),
+            corpus.filter(col("label") =!= ql), k = 10)
+          .collect().map(_.getLong(1)).toSet
+        assert(mine === exact, s"anchor $qId")
+      }
+  }
+
   test("filtered ANN is PRE-filter: every hit satisfies the predicate " +
     "and matches brute-force top-k over the filtered corpus") {
     val e = Tables.embeddings(spark, sf0001)
