@@ -71,6 +71,38 @@ object Web {
       when(urlQuery(url) === "", lit(""))
         .otherwise(concat(lit("?"), urlQuery(url))))
 
+  /** [[canonicalUrl]] as a RESOLVED Catalyst expression tree, for the
+    * `url_canonicalize(url)` SQL registration: function builders run
+    * mid-analysis, so a Column→Expression bridge would smuggle in
+    * unresolved nodes the analyzer no longer visits (the pii_redact
+    * lesson).  Must stay rule-for-rule identical to the Column chain —
+    * PropertySpec pins SQL == DataFrame over the generator space. */
+  private[graft] def canonicalUrlExpr(
+      u: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def l(s: String) = Literal(s)
+    val scheme =
+      Lower(RegExpExtract(u, l("^([A-Za-z][A-Za-z0-9+.-]*)://"), Literal(1)))
+    val noWww = RegExpReplace(
+      Lower(RegExpExtract(u, l("^[^:/?#]+://([^/?#]*)"), Literal(1))),
+      l("^www\\."), l(""))
+    val host = CaseWhen(Seq(
+      (EqualTo(scheme, l("http")), RegExpReplace(noWww, l(":80$"), l(""))),
+      (EqualTo(scheme, l("https")),
+        RegExpReplace(noWww, l(":443$"), l("")))), Some(noWww))
+    val np = RegExpReplace(
+      RegExpExtract(u, l("^[^:/?#]+://[^/?#]*([^?#]*)"), Literal(1)),
+      l("/+$"), l(""))
+    val pathc = CaseWhen(Seq((EqualTo(np, l("")), l("/"))), Some(np))
+    val q = RegExpReplace(RegExpReplace(
+      RegExpExtract(u, l("\\?([^#]*)"), Literal(1)),
+      l(trackingRe), l("")), l("^&"), l(""))
+    Concat(Seq(scheme, l("://"), host, pathc,
+      CaseWhen(Seq((EqualTo(q, l("")), l(""))),
+        Some(Concat(Seq(l("?"), q))))))
+  }
+
   /** Per-document URL canonicalization report: raw URL, its canonical
     * form, and the canonical host.  One narrow projection — fuses into
     * the scan stage with zero shuffle at any scale. */

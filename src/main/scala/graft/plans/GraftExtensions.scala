@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, TimestampT
   *     ys)`, `minhash_union(sig)`, `minhash_sig(toks, n, k)`,
   *     `simhash_sig(toks)`, `token_set_encode(toks)`, `pii_redact(text)`,
   *     `bloom_agg(hash64, numBits, numHashes)`,
-  *     `bloom_might_contain(filter, hash64)`.
+  *     `bloom_might_contain(filter, hash64)`, `url_canonicalize(url)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -177,6 +177,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case (acc, (_, re, tok)) =>
             RegExpReplace(acc, Literal(re), Literal(tok))
         }))
+    // url_canonicalize(url): the Web canonicalization rules as a SQL
+    // function — same resolved-node discipline as pii_redact; the
+    // expression twin lives next to the Column chain in ext.Web and
+    // PropertySpec pins the two bit-for-bit.
+    e.injectFunction((
+      new FunctionIdentifier("url_canonicalize"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "url_canonicalize"),
+      (exprs: Seq[Expression]) => graft.ext.Web.canonicalUrlExpr(exprs.head)))
   }
 }
 

@@ -485,8 +485,13 @@ class PropertySpec extends SparkSpec {
     val urls = samples(gen, 60)
     val out = urls.toDF("u")
       .select(col("u"), Web.canonicalUrl(col("u")).as("c1"),
-        Web.canonicalUrl(Web.canonicalUrl(col("u"))).as("c2"))
+        Web.canonicalUrl(Web.canonicalUrl(col("u"))).as("c2"),
+        expr("url_canonicalize(u)").as("sqlc"))
       .collect()
+    // the SQL registration's resolved-node twin must match the Column
+    // chain bit-for-bit on every sample
+    out.foreach(r => assert(r.getString(1) === r.getString(3),
+      s"url_canonicalize(SQL) diverged from canonicalUrl: ${r.getString(0)}"))
     out.foreach { r =>
       val (u, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
       assert(c1 === c2, s"canonicalization must be idempotent for $u")
