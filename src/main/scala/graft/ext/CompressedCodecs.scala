@@ -14,6 +14,10 @@ package graft.ext
   *    grayscale form as still images, so the frame-dedup and
   *    perceptual-hash lenses treat compressed video and animated GIF
   *    identically.
+  *  - [[Mp3FrameCodec]]: MPEG-1 Layer III frame-stream TRIAGE — real
+  *    header parsing (frame walk, bitrate/rate tables, ID3v2 skip)
+  *    powering the [[CompressedCodec.probe]] metadata pass; PCM
+  *    synthesis stays the declared extension point.
   *
   * Discovery is a `java.util.ServiceLoader` SPI over
   * [[CompressedCodec]] (`META-INF/services/graft.ext.CompressedCodec`)
@@ -59,6 +63,13 @@ abstract class CompressedCodec extends Serializable {
     * the payload is auditory. */
   def decodeAudio(payload: Array[Byte])
       : Option[WavAudioCodec.DecodedAudio] = None
+
+  /** Cheap structural metadata WITHOUT decoding — the triage pass a
+    * corpus pipeline runs before committing decode cycles (frame
+    * count, sample rate, bitrate ⇒ duration and cost estimates).
+    * None = this codec offers no probe (or the payload is corrupt). */
+  def probe(payload: Array[Byte]): Option[CompressedCodecs.MediaProbe] =
+    None
 }
 
 object CompressedCodecs {
@@ -75,6 +86,12 @@ object CompressedCodecs {
   /** First installed codec claiming the payload. */
   def find(payload: Array[Byte]): Option[CompressedCodec] =
     installed.find(_.sniff(payload))
+
+  /** Structural metadata from a [[CompressedCodec.probe]]: enough to
+    * estimate duration (`n_samples / sample_rate`) and decode cost
+    * without touching a single coefficient. */
+  case class MediaProbe(codec: String, nFrames: Long, sampleRate: Int,
+                        bitrateKbps: Int, nSamples: Long)
 }
 
 // ------------------------------------------------------------------ RIFF
@@ -322,4 +339,123 @@ class MjpegAviCodec extends CompressedCodec {
       }
       Some(out.result())
     } catch { case scala.util.control.NonFatal(_) => None }
+}
+
+// -------------------------------------------------------- MP3 (frames)
+
+/** MPEG-1 Layer III frame-stream walker — the TRIAGE half of MP3
+  * support: real header parsing (frame sync, version/layer gates,
+  * public bitrate/sample-rate tables, padding-aware frame lengths,
+  * ID3v2 tag skipping with synchsafe sizes) walks the whole stream and
+  * reports frame count / sample rate / bitrate / total samples, which
+  * is what a corpus pipeline needs to histogram durations and budget
+  * decode cycles BEFORE committing them.  Hostile bytes degrade: a
+  * stream is counted up to its last complete, consistent frame and
+  * never throws.
+  *
+  * PCM synthesis (huffman + IMDCT) deliberately stays behind the
+  * [[CompressedCodec.decode]] = None fall-through — the documented
+  * extension point; the probe is complete and real.
+  */
+class Mp3FrameCodec extends CompressedCodec {
+  import Mp3FrameCodec._
+
+  override def name: String = "mp3-frames"
+
+  override def sniff(p: Array[Byte]): Boolean = {
+    val off = id3End(p)
+    headerAt(p, off).isDefined
+  }
+
+  /** PCM synthesis is the declared extension point — no decode. */
+  override def decode(p: Array[Byte]): Option[Array[Byte]] = None
+  override def decodeFrames(p: Array[Byte]): Option[Seq[Array[Byte]]] =
+    None
+
+  override def probe(p: Array[Byte])
+      : Option[CompressedCodecs.MediaProbe] =
+    try {
+      var off = id3End(p)
+      var frames = 0L
+      var sr = -1
+      var kbps = -1
+      var ok = true
+      while (ok) headerAt(p, off) match {
+        case Some((br, s, len)) if sr == -1 || s == sr =>
+          if (sr == -1) { sr = s; kbps = br }
+          frames += 1
+          off += len
+        case _ => ok = false
+      }
+      if (frames == 0) None
+      else Some(CompressedCodecs.MediaProbe(name, frames, sr, kbps,
+        frames * SamplesPerFrame))
+    } catch { case scala.util.control.NonFatal(_) => None }
+}
+
+object Mp3FrameCodec {
+  /** MPEG-1 Layer III bitrate table (kbps), index 1–14 (0 = free,
+    * 15 = invalid — both rejected). */
+  val BitrateKbps: Array[Int] = Array(0, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 160, 192, 224, 256, 320, 0)
+
+  /** MPEG-1 sample-rate table, index 0–2 (3 = invalid). */
+  val SampleRates: Array[Int] = Array(44100, 48000, 32000)
+
+  /** Layer III samples per frame (MPEG-1). */
+  val SamplesPerFrame = 1152
+
+  /** Parse a frame header at `off`: Some((bitrateKbps, sampleRate,
+    * frameLength)) iff a complete, valid MPEG-1 L3 frame starts there
+    * and fits inside the payload. */
+  def headerAt(p: Array[Byte], off: Int): Option[(Int, Int, Int)] = {
+    if (off < 0 || off + 4 > p.length) return None
+    val b1 = p(off) & 0xff; val b2 = p(off + 1) & 0xff
+    val b3 = p(off + 2) & 0xff
+    // sync (11 set bits), version = MPEG-1 (11), layer = III (01)
+    if (b1 != 0xff || (b2 & 0xf8) != 0xf8 || (b2 & 0x06) != 0x02)
+      return None
+    val brIdx = (b3 >> 4) & 0xf
+    val srIdx = (b3 >> 2) & 0x3
+    val padding = (b3 >> 1) & 0x1
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val kbps = BitrateKbps(brIdx)
+    val sr = SampleRates(srIdx)
+    val len = 144000 * kbps / sr + padding
+    if (off + len > p.length) None else Some((kbps, sr, len))
+  }
+
+  /** Skip an ID3v2 tag if present: 'ID3' + version(2) + flags +
+    * 4-byte SYNCHSAFE size (7 bits per byte), tag body follows. */
+  def id3End(p: Array[Byte]): Int = {
+    if (p.length < 10 || p(0) != 'I' || p(1) != 'D' || p(2) != '3')
+      return 0
+    val size = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
+      ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
+    val end = 10 + size
+    if (end <= p.length) end else 0
+  }
+
+  /** Deterministic synthetic MP3 frame stream (silent payloads): the
+    * test/injection constructor the probe must invert exactly.  Kept
+    * next to the parser so the header layout has one source of truth
+    * for WRITING and an independent table-driven path for READING. */
+  def syntheticStream(brIdx: Int, srIdx: Int, frames: Int,
+                      id3: Boolean): Array[Byte] = {
+    require(brIdx >= 1 && brIdx <= 14 && srIdx >= 0 && srIdx <= 2)
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3) {
+      out.write(Array[Byte]('I', 'D', '3', 4, 0, 0))
+      out.write(Array[Byte](0, 0, 0, 12)) // synchsafe size 12
+      out.write(new Array[Byte](12))
+    }
+    val len = 144000 * BitrateKbps(brIdx) / SampleRates(srIdx)
+    (0 until frames).foreach { _ =>
+      out.write(0xff); out.write(0xfb) // MPEG-1, Layer III, no CRC
+      out.write((brIdx << 4) | (srIdx << 2)) // no padding
+      out.write(0xc0) // mono
+      out.write(new Array[Byte](len - 4))
+    }
+    out.toByteArray
+  }
 }

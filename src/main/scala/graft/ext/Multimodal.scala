@@ -254,6 +254,26 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"))
 
+  /** Structural media TRIAGE stage: probe each payload's metadata
+    * (frame count, sample rate, bitrate, total samples) through the
+    * [[CompressedCodecs]] SPI WITHOUT decoding a coefficient — the
+    * pass a corpus pipeline runs to histogram durations and budget
+    * decode cycles before committing them.  Narrow typed
+    * mapPartitions, payloads never leave the stage; unprobeable rows
+    * drop (they go to the decode path's own dispatch instead). */
+  def probeMedia(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val compressed = CompressedCodecs.installed
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        compressed.find(_.sniff(r.payload)).flatMap(_.probe(r.payload))
+          .map(pr => (r.media_id, pr.codec, pr.nFrames, pr.sampleRate,
+            pr.bitrateKbps, pr.nSamples))
+      }
+    }.toDF("media_id", "codec", "n_frames", "sample_rate",
+      "bitrate_kbps", "n_samples")
+  }
+
   /** One sampled frame, addressable for downstream per-frame work
     * (embedding, OCR, …). */
   case class MediaFrame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte],

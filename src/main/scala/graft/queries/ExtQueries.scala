@@ -296,6 +296,24 @@ object ExtQueries {
           w.getField("blocked").as("blocked"))
     }),
 
+    // compressed-media triage: deterministic MP3 frame streams built
+    // from the doc_id lattice (the x30 injection pattern, binary
+    // grain), probed back through the codec SPI's header walk — the
+    // oracle recomputes every reported field closed-form from doc_id,
+    // so the parser must invert the constructor exactly
+    "x112_media_probe" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val payload = graft.ext.Mp3FrameCodec.syntheticStream(
+            (10 + id % 5).toInt, (id % 3).toInt, (3 + id % 4).toInt,
+            id % 2 == 0)
+          (id, "audio", payload, 0, 0, 0)
+        }).toDF("media_id", "modality", "payload", "width", "height",
+          "sample_rate")
+      graft.ext.Multimodal.probeMedia(s, media)
+    }),
+
     // hard-negative mining (contrastive-training data op): for each
     // anchor, the 10 most-similar corpus vectors of a DIFFERENT label
     "x111_hard_negatives" -> ((s, d) => {
@@ -3150,6 +3168,16 @@ object ExtQueries {
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |                               ORDER BY score DESC, c_id ASC) AS rank
          |  FROM scored) WHERE rank <= 10""".stripMargin,
+    "x112_media_probe" ->
+      """SELECT doc_id AS media_id, 'mp3-frames' AS codec,
+        |  CAST(3 + doc_id % 4 AS BIGINT) AS n_frames,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |       ELSE 32000 END AS INT) AS sample_rate,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 160 WHEN 1 THEN 192
+        |       WHEN 2 THEN 224 WHEN 3 THEN 256 ELSE 320 END AS INT)
+        |    AS bitrate_kbps,
+        |  CAST((3 + doc_id % 4) * 1152 AS BIGINT) AS n_samples
+        |FROM documents""".stripMargin,
     "x111_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS q_id, label AS ql, embedding AS q
          |           FROM embeddings WHERE vec_id < 8),

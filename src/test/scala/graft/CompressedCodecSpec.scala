@@ -167,8 +167,65 @@ class CompressedCodecSpec extends SparkSpec {
 
   test("ServiceLoader discovers the built-in compressed codecs") {
     val names = CompressedCodecs.installed.map(_.name)
-    assert(names.contains("ima-adpcm-wav") && names.contains("mjpeg-avi"),
-      s"installed: $names")
+    assert(names.contains("ima-adpcm-wav") && names.contains("mjpeg-avi")
+      && names.contains("mp3-frames"), s"installed: $names")
+  }
+
+  test("MP3 frame probe inverts the synthetic constructor: frames, " +
+    "rate, bitrate, samples — with and without ID3v2 tags") {
+    import graft.ext.Mp3FrameCodec
+    val codec = new Mp3FrameCodec
+    for (br <- Seq(1, 9, 14); sr <- 0 to 2; frames <- Seq(1, 4, 7);
+         id3 <- Seq(false, true)) {
+      val p = Mp3FrameCodec.syntheticStream(br, sr, frames, id3)
+      assert(codec.sniff(p), s"sniff failed br=$br sr=$sr id3=$id3")
+      val pr = codec.probe(p).get
+      assert(pr.codec === "mp3-frames")
+      assert(pr.nFrames === frames.toLong)
+      assert(pr.sampleRate === Mp3FrameCodec.SampleRates(sr))
+      assert(pr.bitrateKbps === Mp3FrameCodec.BitrateKbps(br))
+      assert(pr.nSamples === frames.toLong * 1152)
+    }
+    // decode stays the declared extension point (triage only)
+    val p = Mp3FrameCodec.syntheticStream(9, 0, 3, id3 = false)
+    assert(codec.decode(p).isEmpty && codec.decodeFrames(p).isEmpty)
+  }
+
+  test("MP3 probe hostility: truncation counts only complete frames, " +
+    "mid-stream rate changes stop the walk, garbage never sniffs, " +
+    "nothing throws") {
+    import graft.ext.Mp3FrameCodec
+    val codec = new Mp3FrameCodec
+    val valid = Mp3FrameCodec.syntheticStream(9, 0, 5, id3 = true)
+    // 40-point truncation sweep: probe returns Some(k<=5) or None,
+    // never throws; frame count is monotone in the cut point
+    var last = 0L
+    (1 to 40).foreach { i =>
+      val cut = valid.take(math.max(1, valid.length * i / 40))
+      val n = codec.probe(cut).map(_.nFrames).getOrElse(0L)
+      assert(n >= last && n <= 5, s"cut $i: $n after $last")
+      last = n
+    }
+    assert(last === 5L)
+    // a frame with a DIFFERENT sample rate mid-stream ends the count
+    // at the consistent prefix (VBR bitrate would be fine; rate not)
+    val a = Mp3FrameCodec.syntheticStream(9, 0, 3, id3 = false)
+    val b = Mp3FrameCodec.syntheticStream(9, 1, 2, id3 = false)
+    val mixed = a ++ b
+    assert(codec.probe(mixed).get.nFrames === 3L)
+    // garbage and bit-flipped headers degrade, never throw
+    val rng = new scala.util.Random(7)
+    (0 until 40).foreach { _ =>
+      val p = new Array[Byte](rng.nextInt(2000)); rng.nextBytes(p)
+      codec.sniff(p); codec.probe(p); ()
+    }
+    (0 until 40).foreach { _ =>
+      val p = valid.clone()
+      val at = rng.nextInt(p.length)
+      p(at) = (p(at) ^ (1 << rng.nextInt(8))).toByte
+      if (codec.sniff(p)) codec.probe(p)
+      ()
+    }
   }
 
   // --------------------------------------------------------- IMA ADPCM
