@@ -372,24 +372,39 @@ class Mp3FrameCodec extends CompressedCodec {
   override def decodeFrames(p: Array[Byte]): Option[Seq[Array[Byte]]] =
     None
 
+  /** `bitrateKbps` is the STREAM AVERAGE — total frame bytes × 8 over
+    * the stream duration — so the field is meaningful for VBR streams
+    * (whose frames legitimately mix bitrates), not just a copy of the
+    * first frame's table entry.  For CBR the average rounds back to
+    * the table value exactly (frame length is the floor of
+    * 144·kbps/rate, and the floor error never reaches the rounding
+    * radius at MPEG-1 rates), which is what keeps the x112 closed-form
+    * oracle valid.  Sample-rate changes still end the walk — a rate
+    * switch is a different stream, not VBR. */
   override def probe(p: Array[Byte])
       : Option[CompressedCodecs.MediaProbe] =
     try {
       var off = id3End(p)
       var frames = 0L
       var sr = -1
-      var kbps = -1
+      var bytes = 0L
       var ok = true
       while (ok) headerAt(p, off) match {
-        case Some((br, s, len)) if sr == -1 || s == sr =>
-          if (sr == -1) { sr = s; kbps = br }
+        case Some((_, s, len)) if sr == -1 || s == sr =>
+          if (sr == -1) sr = s
           frames += 1
+          bytes += len
           off += len
         case _ => ok = false
       }
       if (frames == 0) None
-      else Some(CompressedCodecs.MediaProbe(name, frames, sr, kbps,
-        frames * SamplesPerFrame))
+      else {
+        val kbps = math.round(
+          bytes * 8.0 * sr / (frames * SamplesPerFrame.toDouble) / 1000.0)
+          .toInt
+        Some(CompressedCodecs.MediaProbe(name, frames, sr, kbps,
+          frames * SamplesPerFrame))
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
 }
 
@@ -426,13 +441,18 @@ object Mp3FrameCodec {
   }
 
   /** Skip an ID3v2 tag if present: 'ID3' + version(2) + flags +
-    * 4-byte SYNCHSAFE size (7 bits per byte), tag body follows. */
+    * 4-byte SYNCHSAFE size (7 bits per byte), tag body follows.  The
+    * synchsafe size EXCLUDES the 10-byte header and, when the footer
+    * flag (bit 4 of the flags byte) is set, the 10-byte footer — both
+    * are added here so the frame walk never lands on footer bytes
+    * (which would degrade a valid tagged file to unprobeable). */
   def id3End(p: Array[Byte]): Int = {
     if (p.length < 10 || p(0) != 'I' || p(1) != 'D' || p(2) != '3')
       return 0
     val size = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
       ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
-    val end = 10 + size
+    val footer = if ((p(5) & 0x10) != 0) 10 else 0
+    val end = 10 + size + footer
     if (end <= p.length) end else 0
   }
 

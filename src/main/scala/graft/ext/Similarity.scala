@@ -57,12 +57,25 @@ object Similarity {
     * query, and only partitions×queries×k survivors reach the final
     * ranking window — the global top-k is always a subset of the
     * per-partition top-k, so results are identical to ranking the full
-    * q×corpus space. */
+    * q×corpus space.
+    *
+    * That contract holds only while the QUERY side is batch-sized:
+    * the cross join scores queries×corpus rows, so a corpus-sized
+    * query set is an unbounded quadratic.  Refused past `maxQueries`
+    * (counted with an early-exit `limit`, never a full scan) — the
+    * same guard contract as [[cosineNearDupPairs]]; use [[ivfTopK]]
+    * for large query sets, or raise the cap deliberately. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                     dim: Int = 64): DataFrame = {
+                     dim: Int = 64, maxQueries: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     import spark.implicits._
+    val nq = queries.limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"bruteForceTopK broadcasts the query side against a corpus " +
+        s"scan: > $maxQueries query vectors makes the cross join an " +
+        "unbounded quadratic. Use ivfTopK for large query sets, or " +
+        "raise maxQueries for a deliberate ground-truth run.")
     val q = withNorm(queries, "q_id", "q")
     val c = withNorm(corpus, "c_id", "c")
     val scored = q.crossJoin(c)
@@ -90,12 +103,22 @@ object Similarity {
     * broadcasts against the corpus scan, the label-mismatch predicate
     * culls INSIDE the scoring stage (before any state), and
     * per-partition bounded heaps mean only partitions×anchors×k
-    * survivors reach the final ranking window. */
+    * survivors reach the final ranking window.  And the same guard:
+    * the cross join is anchors×corpus, so a corpus-sized anchor set is
+    * refused past `maxAnchors` (early-exit `limit` count) — mine hard
+    * negatives for a large anchor set through [[ivfTopK]] per label
+    * stratum, or raise the cap deliberately. */
   def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int,
-                    dim: Int = 64): DataFrame = {
+                    dim: Int = 64, maxAnchors: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = anchors.sparkSession
     import spark.implicits._
+    val na = anchors.limit(maxAnchors + 1).count()
+    require(na <= maxAnchors,
+      s"hardNegatives broadcasts the anchor side against a corpus " +
+        s"scan: > $maxAnchors anchors makes the cross join an " +
+        "unbounded quadratic. Mine large anchor sets via ivfTopK per " +
+        "label stratum, or raise maxAnchors for a deliberate run.")
     val q = anchors.select(col("vec_id").as("q_id"),
         col("label").as("q_label"), toDouble(col("embedding")).as("q"))
       .withColumn("q_norm", sqrt(graft.plans.VecKernels.vecSumSq(col("q"))))

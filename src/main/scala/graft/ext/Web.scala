@@ -27,14 +27,24 @@ import org.apache.spark.sql.functions._
   *      heal the separators
   *   6. collapse trailing `/` runs on the path; an empty path prints
   *      as `/` so `http://h` and `http://h/` share one canonical form
+  *
+  * Malformed input contract: a URL with NO scheme (relative links,
+  * garbage bytes, `""`) canonicalizes to NULL — every extraction
+  * regex returns `""` there, so a non-null result would be the
+  * constant `":///"` and the dedup/novelty operators would silently
+  * merge every malformed URL into one family.  NULL is non-joinable
+  * (SQL join semantics) and explicitly passed through or filtered by
+  * each consumer below.
   */
 object Web {
 
   /** Tracking params dropped by rule 5.  `(^|&)` (instead of a
     * lookbehind) eats the separating `&` with the param, so the
     * remaining list needs no re-join; a leading `&` left when the
-    * FIRST param matched is healed in [[urlQuery]]. */
-  private val trackingRe = "(^|&)(utm_[a-z]+|fbclid|gclid)=[^&]*"
+    * FIRST param matched is healed in [[urlQuery]].  The param NAME
+    * matches case-insensitively (`UTM_SOURCE=` / `Fbclid=` are the
+    * same trackers); param VALUES keep rule 2's case-preservation. */
+  private val trackingRe = "(^|&)(?i:utm_[a-z]+|fbclid|gclid)=[^&]*"
 
   /** Lowercased scheme, `""` when `url` has none. */
   def urlScheme(url: Column): Column =
@@ -65,11 +75,15 @@ object Web {
     regexp_replace(regexp_replace(q, trackingRe, ""), "^&", "")
   }
 
-  /** The full canonical form — rules 1–6 over one URL column. */
+  /** The full canonical form — rules 1–6 over one URL column; NULL
+    * when the URL carries no scheme (the malformed-input contract in
+    * the object scaladoc). */
   def canonicalUrl(url: Column): Column =
-    concat(urlScheme(url), lit("://"), urlHost(url), urlPath(url),
-      when(urlQuery(url) === "", lit(""))
-        .otherwise(concat(lit("?"), urlQuery(url))))
+    when(urlScheme(url) === "", lit(null).cast("string"))
+      .otherwise(
+        concat(urlScheme(url), lit("://"), urlHost(url), urlPath(url),
+          when(urlQuery(url) === "", lit(""))
+            .otherwise(concat(lit("?"), urlQuery(url)))))
 
   /** [[canonicalUrl]] as a RESOLVED Catalyst expression tree, for the
     * `url_canonicalize(url)` SQL registration: function builders run
@@ -98,9 +112,11 @@ object Web {
     val q = RegExpReplace(RegExpReplace(
       RegExpExtract(u, l("\\?([^#]*)"), Literal(1)),
       l(trackingRe), l("")), l("^&"), l(""))
-    Concat(Seq(scheme, l("://"), host, pathc,
-      CaseWhen(Seq((EqualTo(q, l("")), l(""))),
-        Some(Concat(Seq(l("?"), q))))))
+    CaseWhen(Seq((EqualTo(scheme, l("")),
+      Literal(null, org.apache.spark.sql.types.StringType))),
+      Some(Concat(Seq(scheme, l("://"), host, pathc,
+        CaseWhen(Seq((EqualTo(q, l("")), l(""))),
+          Some(Concat(Seq(l("?"), q))))))))
   }
 
   /** Per-document URL canonicalization report: raw URL, its canonical
@@ -122,19 +138,53 @@ object Web {
     * One hash aggregation keyed by the canonical URL (map-side
     * partial `max_by` makes the shuffle carry one row per distinct
     * URL per map partition, not one per document — the only shape
-    * that survives 100 TB). */
+    * that survives 100 TB).
+    *
+    * Malformed URLs (NULL canonical form) pass through as singleton
+    * families — each keeps its own doc with `url_canon = NULL`,
+    * `n_dups = 1` — instead of all grouping under one NULL key and
+    * silently dropping every malformed capture but one.  The
+    * pass-through rides the SAME single aggregate: NULL keys get a
+    * per-doc surrogate group key (NUL-prefixed `"\\u0000#<id>"` — a
+    * canonical URL always starts with its scheme letter, never NUL,
+    * so surrogates cannot collide with real keys) unwrapped back to
+    * NULL on output.
+    *
+    * `idCol`/`weightCol` must be integral — a string UUID id would
+    * cast to NULL and silently break the `max_by` ordering, so
+    * non-integral columns are refused at plan build (pre-project a
+    * surrogate key, e.g. `xxhash64(uuid)`, for string-keyed corpora). */
   def urlDedupKeepBest(docs: DataFrame, idCol: String, urlCol: String,
-                       weightCol: String): DataFrame =
+                       weightCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    Seq(idCol -> "idCol", weightCol -> "weightCol").foreach {
+      case (c, role) =>
+        val t = docs.schema(c).dataType
+        require(integral.contains(t),
+          s"urlDedupKeepBest needs an integral $role: '$c' is " +
+            s"${t.simpleString}, which would cast to NULL and silently " +
+            "corrupt the keep-best ordering. Pre-project a surrogate " +
+            "key (e.g. xxhash64 of the natural key) instead.")
+    }
+    val key = coalesce(col("url_canon"),
+      concat(lit("\u0000#"), col("id").cast("string")))
     docs
       .select(canonicalUrl(col(urlCol)).as("url_canon"),
         col(idCol).cast("long").as("id"),
         col(weightCol).cast("long").as("w"))
-      .groupBy(col("url_canon"))
+      .groupBy(key.as("__k"))
       .agg(
         max_by(col("id"), struct(col("w"), (-col("id")).as("ni")))
           .as("keeper_id"),
         max(col("w")).as("keeper_chars"),
         count(lit(1)).as("n_dups"))
+      .select(
+        when(col("__k").startsWith("\u0000#"), lit(null).cast("string"))
+          .otherwise(col("__k")).as("url_canon"),
+        col("keeper_id"), col("keeper_chars"), col("n_dups"))
+  }
 
   /** Per-domain rollup with blocklist: doc count, char mass, and
     * distinct-source count per canonical host, minus blocked domains.
@@ -162,40 +212,60 @@ object Web {
     * crawl-compliance pass (robots.txt `Disallow:` semantics reduced
     * to their corpus-side filter).
     *
-    * The rule table broadcasts (equi-join on host; prefix test rides
-    * the join condition's residual), so the corpus never shuffles; a
-    * host with several rules fans each of its docs out only
-    * rules-per-host ways before the per-doc verdict re-collapses —
-    * bounded by the rule table, not the corpus. */
+    * MAP-ONLY at any scale: the rule table collapses DRIVER-side to
+    * one `host → array(path_prefix)` row per host (it arrived as a
+    * driver Seq — grouping it costs nothing), broadcasts, and the
+    * verdict is `exists(prefixes, startswith)` evaluated on the
+    * broadcast-join row.  The corpus neither shuffles nor fans out
+    * nor re-aggregates — robots filtering runs over the FULL crawl
+    * before anything else prunes it, so a corpus-keyed aggregate here
+    * (the round-14 shape) would be the single most expensive exchange
+    * in the pipeline.  PlanAuditSpec pins the aggregate-free plan. */
   def robotsReport(docs: DataFrame, idCol: String, urlCol: String,
                    disallow: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val rules = disallow.toDF("host", "path_prefix")
+    val rules = disallow.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toSeq
+      .toDF("host", "prefixes")
     docs
       .select(col(idCol), urlHost(col(urlCol)).as("host"),
         urlPath(col(urlCol)).as("path"))
       .join(broadcast(rules), Seq("host"), "left")
-      .withColumn("hit",
-        when(col("path_prefix").isNull, lit(false))
-          .otherwise(col("path").startsWith(col("path_prefix"))))
-      .groupBy(col(idCol), col("host"), col("path"))
-      .agg(max(col("hit")).as("blocked"))
+      .select(col(idCol), col("host"), col("path"),
+        coalesce(
+          exists(col("prefixes"), p => col("path").startsWith(p)),
+          lit(false)).as("blocked"))
   }
 
   /** A pinned set of already-seen canonical URLs — the state of the
-    * ingest-time URL dedup gate ([[urlNoveltyGate]]). */
-  case class UrlIndex(urls: DataFrame)
+    * ingest-time URL dedup gate ([[urlNoveltyGate]]).  `legs` counts
+    * the pinned union legs accumulated by [[extendUrlIndex]] since the
+    * last compaction — a long-running gate extends once per accepted
+    * micro-batch, and an unbounded union chain means an
+    * O(batches)-deep plan that every probe re-analyzes. */
+  case class UrlIndex(urls: DataFrame, legs: Int = 1)
+
+  /** Leg count at which [[extendUrlIndex]] auto-compacts: the union
+    * re-checkpoints into ONE pinned leg (an O(index) copy paid once
+    * every `CompactLegs` batches → amortized O(index/CompactLegs) per
+    * batch), so probe-plan depth is bounded by a constant no matter
+    * how long the gate runs. */
+  val CompactLegs: Int = 16
 
   /** Build the seen-URL set ONCE for [[urlNoveltyGate]]: distinct
     * canonical URLs, hash-partitioned on the key and pinned, so every
     * later micro-batch probe joins against a pre-partitioned side and
-    * only the batch shuffles (the lshIndex placement discipline). */
+    * only the batch shuffles (the lshIndex placement discipline).
+    * Malformed URLs (NULL canonical form) never enter the seen set —
+    * NULL is not a probe key, so indexing it would only widen the
+    * pinned table. */
   def urlIndex(corpus: DataFrame, urlCol: String): UrlIndex = {
     val parts =
       corpus.sparkSession.sessionState.conf.numShufflePartitions
     UrlIndex(corpus
-      .select(canonicalUrl(col(urlCol)).as("url_canon")).distinct()
+      .select(canonicalUrl(col(urlCol)).as("url_canon"))
+      .filter(col("url_canon").isNotNull).distinct()
       .repartition(parts, col("url_canon"))
       .localCheckpoint())
   }
@@ -203,15 +273,25 @@ object Web {
   /** Grow a [[UrlIndex]] with a batch the gate just accepted — the
     * incremental half of the ingest loop, O(batch) not O(index): only
     * the batch's genuinely new URLs are checkpointed; the union over
-    * the already-pinned legs stays lazy.  Compact by persisting
-    * ([[saveUrlIndex]]/[[loadUrlIndex]]) at a convenient cadence. */
+    * the already-pinned legs stays lazy.  Every [[CompactLegs]]
+    * extensions the chain auto-compacts (re-checkpointed into one
+    * hash-partitioned leg), bounding probe-plan depth for gates that
+    * run for months; persist ([[saveUrlIndex]]/[[loadUrlIndex]]) for
+    * the cross-restart form. */
   def extendUrlIndex(index: UrlIndex, batch: DataFrame,
                      urlCol: String): UrlIndex = {
     val fresh = batch
-      .select(canonicalUrl(col(urlCol)).as("url_canon")).distinct()
+      .select(canonicalUrl(col(urlCol)).as("url_canon"))
+      .filter(col("url_canon").isNotNull).distinct()
       .join(index.urls, Seq("url_canon"), "left_anti")
       .localCheckpoint()
-    UrlIndex(index.urls.unionByName(fresh))
+    val grown = index.urls.unionByName(fresh)
+    if (index.legs + 1 >= CompactLegs) {
+      val parts =
+        batch.sparkSession.sessionState.conf.numShufflePartitions
+      UrlIndex(grown.repartition(parts, col("url_canon"))
+        .localCheckpoint(), legs = 1)
+    } else UrlIndex(grown, index.legs + 1)
   }
 
   /** Persist a [[UrlIndex]] BUCKETED by the canonical URL, with a
@@ -243,7 +323,10 @@ object Web {
   /** Ingest-time URL dedup gate: each incoming doc's canonical URL is
     * probed against the seen set; unseen → `novel = true` (fetch it),
     * seen → skip.  One equi-join per micro-batch on the pre-partitioned
-    * index — the batch side is the only thing that ever shuffles. */
+    * index — the batch side is the only thing that ever shuffles.
+    * Malformed URLs (NULL canonical form) report `novel = true` by
+    * SQL join semantics (NULL keys never match) — the conservative
+    * verdict: an unparseable URL is never silently skipped. */
   def urlNoveltyGate(index: UrlIndex, incoming: DataFrame, idCol: String,
                      urlCol: String): DataFrame =
     incoming

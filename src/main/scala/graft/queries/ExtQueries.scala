@@ -2331,7 +2331,7 @@ object ExtQueries {
        |    '/+$$', '') AS p,
        |  regexp_replace(regexp_replace(
        |    regexp_extract(url, '\\?([^#]*)', 1),
-       |    '(^|&)(utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+       |    '(^|&)(?i:utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
        |    '^&', '') AS q
        |  FROM inj),
        |h AS (SELECT doc_id, n_chars, source, url, scheme, q,
@@ -2341,8 +2341,10 @@ object ExtQueries {
        |  CASE WHEN p = '' THEN '/' ELSE p END AS pathc
        |  FROM c),
        |uc AS (SELECT doc_id, n_chars, source, url, host, pathc,
-       |  scheme || '://' || host || pathc ||
-       |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_canon
+       |  CASE WHEN scheme = '' THEN NULL
+       |       ELSE scheme || '://' || host || pathc ||
+       |         CASE WHEN q = '' THEN '' ELSE '?' || q END
+       |  END AS url_canon
        |  FROM h)""".stripMargin
 
   val sql: Map[String, String] = Map(

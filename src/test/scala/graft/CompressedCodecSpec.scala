@@ -191,6 +191,44 @@ class CompressedCodecSpec extends SparkSpec {
     assert(codec.decode(p).isEmpty && codec.decodeFrames(p).isEmpty)
   }
 
+  test("MP3 probe reports the STREAM-AVERAGE bitrate on VBR streams " +
+    "(all frames counted, bitrate no longer first-frame-only)") {
+    import graft.ext.Mp3FrameCodec
+    val codec = new Mp3FrameCodec
+    // 3 frames at 128 kbps + 2 at 320 kbps, same sample rate: a VBR
+    // stream whose true average is NOT either frame's table entry
+    val a = Mp3FrameCodec.syntheticStream(9, 0, 3, id3 = false)
+    val b = Mp3FrameCodec.syntheticStream(14, 0, 2, id3 = false)
+    val pr = codec.probe(a ++ b).get
+    assert(pr.nFrames === 5L)
+    assert(pr.nSamples === 5L * 1152)
+    val sr = Mp3FrameCodec.SampleRates(0)
+    val expected = math.round(
+      (a.length + b.length) * 8.0 * sr / (5 * 1152.0) / 1000.0).toInt
+    assert(pr.bitrateKbps === expected,
+      s"VBR average: got ${pr.bitrateKbps}, want $expected")
+    assert(pr.bitrateKbps > 128 && pr.bitrateKbps < 320)
+  }
+
+  test("ID3v2 footer flag adds 10 bytes to the tag skip — tagged " +
+    "files with footers stay probeable") {
+    import graft.ext.Mp3FrameCodec
+    val frames = Mp3FrameCodec.syntheticStream(9, 0, 4, id3 = false)
+    val out = new java.io.ByteArrayOutputStream()
+    // ID3v2.4 header with the footer flag (0x10) and synchsafe size 12
+    out.write(Array[Byte]('I', 'D', '3', 4, 0, 0x10))
+    out.write(Array[Byte](0, 0, 0, 12))
+    out.write(new Array[Byte](12)) // tag body
+    out.write(Array[Byte]('3', 'D', 'I', 4, 0, 0x10)) // footer (10 bytes)
+    out.write(Array[Byte](0, 0, 0, 12))
+    out.write(frames)
+    val codec = new Mp3FrameCodec
+    val pr = codec.probe(out.toByteArray)
+    assert(pr.isDefined, "footer bytes must not land the frame walk")
+    assert(pr.get.nFrames === 4L)
+    assert(pr.get.bitrateKbps === Mp3FrameCodec.BitrateKbps(9))
+  }
+
   test("MP3 probe hostility: truncation counts only complete frames, " +
     "mid-stream rate changes stop the walk, garbage never sniffs, " +
     "nothing throws") {

@@ -70,6 +70,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("robotsReport is map-only: no shuffle exchange, no aggregate — " +
+    "the rule table broadcasts pre-collapsed to host → prefixes") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    val docs = Seq((1L, "http://a.com/Articles/12"),
+      (2L, "http://b.com/x")).toDF("doc_id", "url")
+    val report = graft.ext.Web.robotsReport(docs, "doc_id", "url",
+      Seq(("a.com", "/Articles/1"), ("a.com", "/Private"),
+        ("b.com", "/y")))
+    val plan = report.queryExecution.executedPlan
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"robotsReport must not shuffle the corpus:\n${shuffles.mkString("\n")}")
+    val aggs = plan.collect { case a: BaseAggregateExec => a }
+    assert(aggs.isEmpty,
+      s"robotsReport must not re-aggregate the corpus:\n${aggs.mkString("\n")}")
+    // and it still answers: multi-rule host verdicts fold via exists()
+    val out = report.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out === Map(1L -> true, 2L -> false))
+  }
+
   test("the audit actually catches an injected cross join") {
     // sanity-check the detector itself on this session's conf: a bare
     // crossJoin must surface as CartesianProduct with AQE off

@@ -478,7 +478,8 @@ class PropertySpec extends SparkSpec {
       port <- Gen.oneOf("", ":80", ":443", ":8080")
       path <- Gen.oneOf("", "/", "/A/b", "/a/b/c/", "/p//")
       params <- Gen.someOf(Seq("utm_source=x", "id=7", "fbclid=z",
-        "q=Beta", "gclid=1", "utm_campaign=Y"))
+        "q=Beta", "gclid=1", "utm_campaign=Y", "UTM_SOURCE=mx",
+        "Fbclid=W", "GCLID=k"))
       frag <- Gen.oneOf("", "#f", "#Sec2")
     } yield s"$scheme://$www$host$port$path" +
       (if (params.isEmpty) "" else params.mkString("?", "&", "")) + frag

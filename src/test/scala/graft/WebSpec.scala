@@ -42,6 +42,80 @@ class WebSpec extends SparkSpec {
     assert(canonOf("http://e.com/") === "http://e.com/")
   }
 
+  test("malformed URLs canonicalize to NULL, never the constant ':///'") {
+    // scheme-less, relative, and garbage URLs all have no scheme —
+    // a non-null result would merge them into one dedup family
+    Seq("example.com/path", "/relative/only", "", "not a url at all",
+      "://missing.scheme", "mailto.broken").foreach { u =>
+      val r = Seq(u).toDF("u")
+        .select(Web.canonicalUrl(col("u"))).head
+      assert(r.isNullAt(0), s"'$u' must canonicalize to NULL")
+    }
+    // and NULL in → NULL out (idempotence over the malformed branch)
+    val rn = Seq(Option.empty[String]).toDF("u")
+      .select(Web.canonicalUrl(col("u"))).head
+    assert(rn.isNullAt(0))
+  }
+
+  test("tracking params drop case-insensitively on the NAME, values " +
+    "keep their case") {
+    assert(canonOf("http://e.com/a?UTM_SOURCE=x&id=1") ===
+      "http://e.com/a?id=1")
+    assert(canonOf("http://e.com/a?id=1&Fbclid=Zz") === "http://e.com/a?id=1")
+    assert(canonOf("http://e.com/a?GCLID=g&Utm_Campaign=Y") ===
+      "http://e.com/a")
+    // a non-tracking param VALUE keeps its case untouched
+    assert(canonOf("http://e.com/a?q=MixedCase") ===
+      "http://e.com/a?q=MixedCase")
+  }
+
+  test("urlDedupKeepBest passes malformed (NULL-canonical) docs " +
+    "through as singleton families instead of merging them") {
+    val docs = Seq(
+      (1L, "http://a.com/x", 100L),
+      (2L, "relative/one", 50L),   // malformed: no scheme
+      (3L, "garbage", 70L),        // malformed: no scheme
+      (4L, "http://www.a.com/x", 40L)
+    ).toDF("doc_id", "url", "n_chars")
+    val out = Web.urlDedupKeepBest(docs, "doc_id", "url", "n_chars")
+      .collect().map(r => ((if (r.isNullAt(0)) null else r.getString(0)),
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+    // docs 1+4 merge under the canonical URL; 2 and 3 each survive
+    assert(out.toSet === Set(
+      ("http://a.com/x", 1L, 100L, 2L),
+      (null, 2L, 50L, 1L),
+      (null, 3L, 70L, 1L)))
+  }
+
+  test("urlDedupKeepBest refuses non-integral id/weight columns at " +
+    "plan build (a UUID id would cast to NULL and corrupt max_by)") {
+    val docs = Seq(("u-1", "http://a.com/x", 10L))
+      .toDF("doc_id", "url", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      Web.urlDedupKeepBest(docs, "doc_id", "url", "n_chars")
+    }
+    assert(e.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      Web.urlDedupKeepBest(
+        Seq((1L, "http://a.com/x", 1.5)).toDF("doc_id", "url", "w"),
+        "doc_id", "url", "w")
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
+  test("urlNoveltyGate reports malformed (NULL-canonical) incoming " +
+    "URLs as novel — never silently skipped") {
+    val existing = Seq((1L, "http://a.com/x")).toDF("doc_id", "url")
+    val incoming = Seq((2L, "http://a.com/x"), (3L, "not a url"))
+      .toDF("doc_id", "url")
+    val index = Web.urlIndex(existing, "url")
+    val out = Web.urlNoveltyGate(index, incoming, "doc_id", "url")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(2L -> false, 3L -> true))
+    // and the index itself never holds a NULL key
+    assert(index.urls.filter(col("url_canon").isNull).count() === 0)
+  }
+
   test("urlDedupKeepBest keeps the longest capture, ties to lowest id") {
     val docs = Seq(
       (1L, "http://a.com/x", 100L),
@@ -228,6 +302,53 @@ class WebSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Web.loadUrlIndex(spark, "g_not_url_idx")
     }
+    ()
+  }
+
+  test("a long-running gate's UrlIndex auto-compacts: 100+ extends " +
+    "keep plan depth bounded and novelty verdicts unchanged") {
+    val mkBatch = (i: Int) => Seq(
+      (i * 10L, s"http://h$i.com/p/0"),
+      (i * 10L + 1, s"http://h${i % 7}.com/p/1"), // mostly re-seen
+      (i * 10L + 2, s"http://h$i.com/p/2")
+    ).toDF("doc_id", "url")
+    var index = Web.urlIndex(mkBatch(0), "url")
+    (1 to 110).foreach { i => index = Web.extendUrlIndex(index, mkBatch(i), "url") }
+    // bounded depth: the union chain never exceeds the compaction
+    // threshold in pinned legs (leaves of the analyzed plan)
+    val leaves = index.urls.queryExecution.analyzed.collectLeaves().size
+    assert(leaves <= Web.CompactLegs,
+      s"UrlIndex plan depth unbounded: $leaves legs after 110 extends")
+    // verdicts equal a fresh one-shot build over the same corpus
+    val all = (0 to 110).map(mkBatch).reduce(_ unionByName _)
+    val fresh = Web.urlIndex(all, "url")
+    val probe = Seq((900L, "http://h3.com/p/1"), (901L, "http://new.com/x"))
+      .toDF("doc_id", "url")
+    val viaExtended = Web.urlNoveltyGate(index, probe, "doc_id", "url")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val viaFresh = Web.urlNoveltyGate(fresh, probe, "doc_id", "url")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(viaExtended === viaFresh)
+    assert(viaExtended === Map(900L -> false, 901L -> true))
+    // and the two indexes hold the same key set
+    assert(index.urls.as[String].collect().toSet ===
+      fresh.urls.as[String].collect().toSet)
+  }
+
+  test("bruteForceTopK and hardNegatives refuse corpus-sized " +
+    "query/anchor sets, naming ivfTopK as the scale path") {
+    val e = Tables.embeddings(spark, sf0001)
+    val eBig = e // any df over the cap triggers the guard
+    val g1 = intercept[IllegalArgumentException] {
+      graft.ext.Similarity.bruteForceTopK(eBig, e, k = 5, dim = 64,
+        maxQueries = 3)
+    }
+    assert(g1.getMessage.contains("ivfTopK"))
+    val g2 = intercept[IllegalArgumentException] {
+      graft.ext.Similarity.hardNegatives(eBig, e, k = 5, dim = 64,
+        maxAnchors = 3)
+    }
+    assert(g2.getMessage.contains("ivfTopK"))
     ()
   }
 
