@@ -17,7 +17,14 @@ package graft.ext
   *  - [[Mp3FrameCodec]]: MPEG-1 Layer III frame-stream TRIAGE — real
   *    header parsing (frame walk, bitrate/rate tables, ID3v2 skip)
   *    powering the [[CompressedCodec.probe]] metadata pass; PCM
-  *    synthesis stays the declared extension point.
+  *    synthesis stays the declared extension point (the L3 normative
+  *    tables — ISO 11172-3 B.3 synthesis window, B.7 Huffman codes —
+  *    have no closed form; see [[FlacCodec]]'s scaladoc for why the
+  *    PCM milestone ships there instead).
+  *  - [[FlacCodec]]: FLAC (RFC 9639) — the REAL compressed-audio PCM
+  *    path: full from-scratch decode (all subframe types, Rice
+  *    partitions, stereo decorrelation, CRC-8/16 + MD5 seals),
+  *    verified LOSSLESSLY against its own from-scratch encoder.
   *
   * Discovery is a `java.util.ServiceLoader` SPI over
   * [[CompressedCodec]] (`META-INF/services/graft.ext.CompressedCodec`)

@@ -274,6 +274,48 @@ object Multimodal {
       "bitrate_kbps", "n_samples")
   }
 
+  /** Audio DECODE stage: each payload decodes to the canonical mono
+    * stream (JDK containers via [[WavAudioCodec]], compressed formats
+    * via the [[CompressedCodecs]] SPI's `decodeAudio` — IMA-ADPCM,
+    * FLAC, jar-dropped codecs) and reports exact integer statistics
+    * over the decoded PCM: sample count, sum, min, max.  The oracle
+    * surface for lossless paths — a FLAC payload's stats must equal
+    * the closed form of the signal its encoder was fed, to the last
+    * sample.  Narrow typed mapPartitions: payloads and PCM never
+    * leave the stage; undecodable rows drop (they belong to the
+    * passthrough lens, not the audio one). */
+  def audioStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val maxFrames = WavAudioCodec.maxFramesFor(spark)
+    val compressed = CompressedCodecs.installed
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        WavAudioCodec.decode(r.payload, maxFrames)
+          .orElse(compressed.find(_.sniff(r.payload))
+            .flatMap(_.decodeAudio(r.payload)))
+          .flatMap { a =>
+            if (a.mono.isEmpty) None
+            else {
+              var s = 0L
+              var mn = Int.MaxValue
+              var mx = Int.MinValue
+              var i = 0
+              while (i < a.mono.length) {
+                val v = a.mono(i).toInt
+                s += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              Some((r.media_id, a.sampleRate, a.mono.length.toLong,
+                s, mn, mx))
+            }
+          }
+      }
+    }.toDF("media_id", "sample_rate", "n_samples", "pcm_sum",
+      "pcm_min", "pcm_max")
+  }
+
   /** One sampled frame, addressable for downstream per-frame work
     * (embedding, OCR, …). */
   case class MediaFrame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte],

@@ -314,6 +314,31 @@ object ExtQueries {
       graft.ext.Multimodal.probeMedia(s, media)
     }),
 
+    // compressed-audio PCM decode (FLAC, lossless): deterministic FLAC
+    // streams built from the doc_id lattice — waveform, rate, length,
+    // and subframe strategy all closed-form in doc_id — decoded back
+    // through the codec SPI to exact integer PCM statistics.  The
+    // oracle recomputes sum/min/max of the ENCODER'S INPUT signal:
+    // lossless means the decoded stats must match to the last sample
+    "x113_flac_audio" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (1024 + 512 * (id % 4)).toInt
+          val a = (2 + id % 5).toInt
+          val b = (id % 7).toInt
+          val sr = Seq(32000, 44100, 48000)((id % 3).toInt)
+          val wave = Array.tabulate(n)(t => ((t * a + b) % 2001) - 1000)
+          val payload = graft.ext.FlacCodec.syntheticStream(sr,
+            Array(wave), blockSize = 1024,
+            fixedOrder = (id % 3).toInt,
+            partitionOrder = if (id % 2 == 0) 0 else 2)
+          (id, "audio", payload, 0, 0, 0)
+        }).toDF("media_id", "modality", "payload", "width", "height",
+          "sample_rate")
+      graft.ext.Multimodal.audioStats(s, media)
+    }),
+
     // hard-negative mining (contrastive-training data op): for each
     // anchor, the 10 most-similar corpus vectors of a DIFFERENT label
     "x111_hard_negatives" -> ((s, d) => {
@@ -3180,6 +3205,26 @@ object ExtQueries {
         |    AS bitrate_kbps,
         |  CAST((3 + doc_id % 4) * 1152 AS BIGINT) AS n_samples
         |FROM documents""".stripMargin,
+    // the decoded-PCM stats must equal the closed form of the signal
+    // the FLAC encoder was fed — the lossless contract as an oracle
+    // row (range join replays t = 0..n-1 per doc; 2560 = max n)
+    "x113_flac_audio" ->
+      """WITH params AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 32000 WHEN 1 THEN 44100
+        |         ELSE 48000 END AS sr,
+        |    1024 + 512 * (doc_id % 4) AS n,
+        |    2 + (doc_id % 5) AS a,
+        |    doc_id % 7 AS b
+        |  FROM documents),
+        |g AS (SELECT t FROM range(0, 2560) r(t)),
+        |v AS (SELECT p.doc_id, p.sr, p.n,
+        |        ((g.t * p.a + p.b) % 2001) - 1000 AS v
+        |      FROM params p JOIN g ON g.t < p.n)
+        |SELECT doc_id AS media_id, CAST(sr AS INT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS pcm_sum,
+        |  CAST(min(v) AS INT) AS pcm_min, CAST(max(v) AS INT) AS pcm_max
+        |FROM v GROUP BY 1, 2, 3""".stripMargin,
     "x111_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS q_id, label AS ql, embedding AS q
          |           FROM embeddings WHERE vec_id < 8),

@@ -447,4 +447,150 @@ class CompressedCodecSpec extends SparkSpec {
     assert(hexes(3L).subsetOf(hexes(2L)),
       "a trimmed MJPEG copy must share its frames with the original")
   }
+
+  // -------------------------------------------------------------- FLAC
+
+  /** Deterministic pseudo-random 16-bit signal (seeded, no
+    * Math.random) with full-range excursions — the worst case for a
+    * fixed predictor, so residual paths get real work. */
+  private def flacSignal(n: Int, seed: Int): Array[Int] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(n)(rng.nextInt(65536) - 32768)
+  }
+
+  test("ServiceLoader discovers the FLAC codec alongside the others") {
+    assert(CompressedCodecs.installed.map(_.name).contains("flac"))
+  }
+
+  test("FLAC is LOSSLESS through every subframe strategy: encode ->" +
+    " decode reproduces the signal bit-exactly (CRC- and MD5-sealed)") {
+    import graft.ext.FlacCodec
+    val codec = new FlacCodec
+    val s = flacSignal(3000, 11) // 3000 = 2 full 1024-blocks + short last
+    for (order <- Seq(-1, 0, 1, 2, 3, 4); po <- Seq(0, 2)) {
+      val p = FlacCodec.syntheticStream(44100, Array(s),
+        blockSize = 1024, fixedOrder = order, partitionOrder = po)
+      assert(codec.sniff(p), s"sniff order=$order po=$po")
+      val d = codec.decodeAudio(p).getOrElse(
+        fail(s"decode failed order=$order po=$po"))
+      assert(d.sampleRate === 44100 && d.channels === 1)
+      assert(d.mono.length === s.length)
+      assert(d.mono.map(_.toInt).sameElements(s),
+        s"lossless violated at order=$order po=$po")
+    }
+  }
+
+  test("FLAC stereo: all four channel assignments reconstruct the " +
+    "same signal (decoded mono = truncating channel average)") {
+    import graft.ext.FlacCodec
+    val codec = new FlacCodec
+    val l = flacSignal(2500, 21)
+    val r = flacSignal(2500, 22)
+    val expect = l.indices.map { i =>
+      ((l(i).toLong + r(i)) / 2).toShort }.toArray
+    for (mode <- Seq("independent", "left-side", "right-side",
+      "mid-side")) {
+      val p = FlacCodec.syntheticStream(32000, Array(l, r),
+        blockSize = 512, fixedOrder = 2, assignment = mode)
+      val d = codec.decodeAudio(p).getOrElse(fail(s"decode failed $mode"))
+      assert(d.channels === 2 && d.sampleRate === 32000)
+      assert(d.mono.sameElements(expect), s"assignment $mode diverged")
+    }
+  }
+
+  test("FLAC constant blocks encode CONSTANT subframes and decode " +
+    "exactly; probe reads STREAMINFO without touching a residual") {
+    import graft.ext.FlacCodec
+    val codec = new FlacCodec
+    val s = Array.fill(2048)(-12345)
+    val p = FlacCodec.syntheticStream(48000, Array(s), blockSize = 1024)
+    val d = codec.decodeAudio(p).get
+    assert(d.mono.forall(_ === -12345))
+    val pr = codec.probe(p).get
+    assert(pr.codec === "flac")
+    assert(pr.sampleRate === 48000)
+    assert(pr.nSamples === 2048L)
+    assert(pr.nFrames === 2L)
+    assert(pr.bitrateKbps ===
+      math.round(p.length * 8.0 * 48000 / 2048.0 / 1000.0).toInt)
+  }
+
+  test("a FLAC master and its WAV export decode to the SAME mono " +
+    "stream and the SAME envelope fingerprint - exactly, not within " +
+    "a radius, because the codec is lossless") {
+    import graft.ext.FlacCodec
+    val s = flacSignal(8000, 33)
+    val flac = FlacCodec.syntheticStream(8000, Array(s),
+      blockSize = 2048, fixedOrder = 2)
+    val viaFlac = new FlacCodec().decodeAudio(flac).get
+    // the same PCM as a WAV container, through the JDK path
+    val shorts = s.map(_.toShort)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val raw = new Array[Byte](shorts.length * 2)
+    shorts.indices.foreach { i =>
+      raw(2 * i) = (shorts(i) & 0xff).toByte
+      raw(2 * i + 1) = ((shorts(i) >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, shorts.length),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val viaWav = WavAudioCodec.decode(bos.toByteArray).get
+    assert(viaFlac.mono.sameElements(viaWav.mono),
+      "FLAC and WAV decode of the same PCM diverged")
+    assert(WavAudioCodec.aHash64(viaFlac.mono) ===
+      WavAudioCodec.aHash64(viaWav.mono))
+  }
+
+  test("FLAC hostility: truncations and bit flips degrade to None " +
+    "(CRC/MD5 catch corruption), random bytes never sniff, nothing " +
+    "throws, and the header-enforced sample budget rejects early") {
+    import graft.ext.FlacCodec
+    val codec = new FlacCodec
+    val s = flacSignal(2200, 44)
+    val valid = FlacCodec.syntheticStream(44100, Array(s),
+      blockSize = 512, fixedOrder = 1)
+    assert(codec.decodeAudio(valid).isDefined)
+    // truncation sweep: every cut decodes to None (lossless = all or
+    // nothing), never throws
+    (1 until 30).foreach { i =>
+      val cut = valid.take(math.max(1, valid.length * i / 30))
+      assert(codec.decodeAudio(cut).isEmpty, s"cut $i decoded")
+    }
+    // bit flips anywhere in frame data must fail a CRC -> None; flips
+    // in metadata may survive parse but must never throw
+    val rng = new scala.util.Random(9)
+    (0 until 60).foreach { _ =>
+      val p = valid.clone()
+      val at = rng.nextInt(p.length)
+      p(at) = (p(at) ^ (1 << rng.nextInt(8))).toByte
+      if (codec.sniff(p)) { codec.decodeAudio(p); codec.probe(p) }
+      ()
+    }
+    // a flip INSIDE frame payload bytes (past metadata: magic 4 +
+    // header 4 + streaminfo 34 = byte 42+) must be caught
+    (42 until valid.length by 97).foreach { at =>
+      val p = valid.clone()
+      p(at) = (p(at) ^ 0x10).toByte
+      assert(codec.decodeAudio(p).isEmpty, s"flip at $at not caught")
+    }
+    // random bytes never sniff
+    (0 until 40).foreach { _ =>
+      val p = new Array[Byte](rng.nextInt(500)); rng.nextBytes(p)
+      if (codec.sniff(p)) { codec.decodeAudio(p); codec.probe(p) }
+      ()
+    }
+    // header-enforced budget: a STREAMINFO claiming more samples than
+    // the budget is rejected before any buffer allocates
+    val before = WavAudioCodec.oversizeRejected.get()
+    val big = valid.clone()
+    // totalSamples is the low 36 bits of streaminfo bytes 21..26
+    // (offset 4+4+13=21): force a huge count
+    big(22) = 0x7f.toByte // well past defaultMaxFrames
+    assert(codec.decodeAudio(big).isEmpty)
+    assert(WavAudioCodec.oversizeRejected.get() > before)
+  }
 }
