@@ -78,14 +78,46 @@ object Bench {
     val spreadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD", "2.0").toDouble
     val failed = scala.collection.mutable.ListBuffer[String]()
     var rerunsTaken = 0
+    // In-run attribution (round-14 verdict #1): every timed run records
+    // its per-stage wall/GC under a listener, and any query whose FINAL
+    // spread still exceeds the gate ships its worst run's evidence in
+    // the artifact ("spread_profile") — so a driver-box outlier is
+    // attributed from data captured DURING the bad run (stage skew? GC?
+    // driver-side gap?), never re-derived afterwards on a box that may
+    // no longer misbehave.
+    case class StageRec(ms: Long, tasks: Int, gcMs: Long, name: String)
+    case class RunProf(wall: Double, stages: Seq[StageRec]) {
+      def gcMs: Long = stages.map(_.gcMs).sum
+      def stageMs: Long = stages.map(_.ms).sum
+    }
+    val liveStages =
+      new java.util.concurrent.ConcurrentLinkedQueue[StageRec]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val ms = (for (a <- i.completionTime; b <- i.submissionTime)
+          yield a - b).getOrElse(-1L)
+        liveStages.add(StageRec(ms, i.numTasks,
+          i.taskMetrics.jvmGCTime, i.name.split(" at ").head))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val spreadProfiles =
+      scala.collection.mutable.LinkedHashMap.empty[String, RunProf]
     val results = SparkEntry.queries
       .filter(kv => only.forall(_.exists(kv._1.startsWith)))
       .flatMap { case (name, fn) =>
+        val runProfs = scala.collection.mutable.ListBuffer[RunProf]()
         def once(): Option[Double] = {
+          liveStages.clear()
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
-            Some((System.nanoTime() - t0) / 1e9)
+            val wall = (System.nanoTime() - t0) / 1e9
+            import scala.jdk.CollectionConverters._
+            runProfs += RunProf(wall, liveStages.asScala.toSeq)
+            Some(wall)
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -105,7 +137,11 @@ object Bench {
         // declare.  driver-side System.gc(): local-mode executors share
         // the driver JVM, so one full collection here drains the prior
         // query's garbage instead of billing it to this query's runs.
-        graft.queries.ExtQueries.clearSessionSlate(spark)
+        // blocking = true: the block-manager removals run INSIDE the
+        // untimed gap instead of racing the next query's timed runs
+        // (async removal contends with task execution — one candidate
+        // mechanism for the r14 lshPairs driver-box spread)
+        graft.queries.ExtQueries.clearSessionSlate(spark, blocking = true)
         System.gc()
         val warm = once()
         var times =
@@ -126,7 +162,14 @@ object Bench {
         // a failing query must not silently poison the total — it is
         // excluded from "queries" and reported in "failed" instead
         if (times.isEmpty) { failed += name; None }
-        else Some(name -> ((times.min, times.max)))
+        else {
+          // spread survived the reruns → ship the worst run's stage
+          // evidence in the artifact
+          if (times.min >= 0.3 && times.max / times.min > spreadGate &&
+            runProfs.nonEmpty)
+            spreadProfiles(name) = runProfs.maxBy(_.wall)
+          Some(name -> ((times.min, times.max)))
+        }
       }
     // default 30: the full-map line (~4.7 KB at 137 queries) overflows
     // the driver's stdout tail capture, which cuts the HEAD of the JSON
@@ -156,11 +199,26 @@ object Bench {
     // diffs are not read as pure perf movement: "slate-v2" = per-query
     // session-slate clear + untimed warmup before the timed runs
     // (earlier rounds: no marker — shared session state, no warmup).
-    def line(m: Iterable[(String, (BigDecimal, BigDecimal))]): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"reruns":$rerunsTaken,"timing":"slate-v2","queries_run":${rounded.size}$failedJson,"queries":${qJson(m)},"spread":${spreadJson(m)},"sf":"$sfDir"}"""
-    Files.writeString(Paths.get(outFile), line(rounded) + "\n")
+    // worst-run stage evidence for queries whose spread survived the
+    // reruns — top-5 stages by wall, total GC, and the driver-side gap
+    // (wall − sum of stage wall): enough to tell a skewed/GC-bound
+    // stage from scheduler/driver interference.  FILE artifact only
+    // (the stdout tail capture drops long-line heads).
+    def profJson: String =
+      if (spreadProfiles.isEmpty) ""
+      else ""","spread_profile":""" + spreadProfiles.map { case (k, p) =>
+        val top = p.stages.sortBy(-_.ms).take(5).map(s =>
+          s"""[${s.ms},${s.tasks},${s.gcMs},"${s.name}"]""")
+          .mkString("[", ",", "]")
+        s""""$k":{"worst_s":${msBd(p.wall)},"gc_ms":${p.gcMs},""" +
+          s""""stage_ms":${p.stageMs},"stages":$top}"""
+      }.mkString("{", ",", "}")
+    def line(m: Iterable[(String, (BigDecimal, BigDecimal))],
+             prof: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"reruns":$rerunsTaken,"timing":"slate-v2","queries_run":${rounded.size}$failedJson,"queries":${qJson(m)},"spread":${spreadJson(m)}$prof,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outFile), line(rounded, profJson) + "\n")
     spark.stop() // stop FIRST: no executor/shutdown log can splice the line
-    println(line(slowest))
+    println(line(slowest, ""))
     System.out.flush()
   }
 }

@@ -2004,8 +2004,27 @@ object Dedup {
           java.util.regex.Pattern.quote(sep))).as("__p"))
       .filter(length(trim(col("__p"))) > 0)
       .select(col(idCol), md5(col("__p").cast("binary")).as("__h"))
-    val df = paras.groupBy(col("__h"))
+    // Aggregating on the hash SPLIT IN HALVES (re-concatenated after)
+    // is what makes the join-back's AQE skew handling REAL, not just
+    // documented: OptimizeSkewedJoin fires only when both join legs
+    // end in plain EnsureRequirements shuffles, and aggregating on
+    // `__h` directly leaves the aggregate between the df leg's
+    // exchange and the join — a boilerplate paragraph's partition
+    // (one hash in 30 %+ of docs) then rides ONE reducer no matter
+    // what the skew confs say.  Grouping by (half1, half2) produces
+    // the IDENTICAL groups but an output partitioning the join cannot
+    // reuse, so EnsureRequirements adds its own (splittable) exchange
+    // on the df leg and the hot paras partition splits at runtime —
+    // measured in SkewStressSpec (13.9 k-row serial task → ≤ 4.2 k
+    // with the split; a user `repartition` instead is NOT splittable:
+    // AQE must honor REPARTITION_BY_COL verbatim).  Cost: one extra
+    // shuffle of the 40-byte-row distinct-hash table — the cheapest
+    // leg of the query, bought deliberately for the split.
+    val df = paras
+      .groupBy(substring(col("__h"), 1, 16).as("__h1"),
+        substring(col("__h"), 17, 16).as("__h2"))
       .agg(countDistinct(col(idCol)).as("__df"))
+      .select(concat(col("__h1"), col("__h2")).as("__h"), col("__df"))
     paras.join(df, Seq("__h"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_paras"),

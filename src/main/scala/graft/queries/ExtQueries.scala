@@ -128,12 +128,20 @@ object ExtQueries {
     * without dropping the cache entry that references it leaves a
     * poisoned handle (truncated lineage cannot recompute).  The
     * [[sessionCache]] factory makes the pairing structural; caches
-    * outside this object are rejected by CacheRegistrySpec. */
+    * outside this object are rejected by CacheRegistrySpec.
+    *
+    * `blocking = true` makes the block removal SYNCHRONOUS: a timing
+    * harness that clears between queries must charge the cleanup to
+    * the untimed gap, not let async removals race the next query's
+    * timed runs (the block-manager removal pool contends with task
+    * execution — a candidate mechanism for the r14 driver-box spread
+    * on the checkpoint-heavy lshPairs family). */
   private[graft] def clearSessionSlate(
-      spark: org.apache.spark.sql.SparkSession): Unit = {
+      spark: org.apache.spark.sql.SparkSession,
+      blocking: Boolean = false): Unit = {
     clearClusterCache()
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = blocking))
   }
 
   /** Deterministic messy-URL injection for the web-provenance family

@@ -361,4 +361,67 @@ class SkewStressSpec extends SparkSpec {
         s"a block-pair group holds $maxGroup rows (> 3x target)")
     }
   }
+
+  test("x105 join-back under a TRUE boilerplate paragraph (one hash " +
+    "in 40% of docs): AQE skew-join splits the hot partition and the " +
+    "answer stays exact") {
+    import graft.ext.Dedup
+    val n = 30000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("unique body paragraph "), col("id").cast("string"),
+        when(col("id") % 5 < 2,
+          lit("\n\nsubscribe to our newsletter for weekly updates"))
+          .otherwise(lit(""))).as("text"))
+    // correctness under the skew, default session conf: boilerplate
+    // docs carry 2 paras / 1 dup, the rest 1 / 0
+    val out = Dedup.paragraphDupStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out.size === n)
+    out.foreach { case (id, (np, nd)) =>
+      if (id % 5 < 2) assert((np, nd) === ((2L, 1L)), s"doc $id")
+      else assert((np, nd) === ((1L, 0L)), s"doc $id")
+    }
+    // skew mechanics: the join-back shuffles (paras x df) on __h, and
+    // 1200 rows of one md5 land in ONE reduce partition.  Disable the
+    // broadcast escape (at corpus scale the df side is corpus-sized,
+    // so the shuffled join IS the 100 TB shape) and scale the AQE skew
+    // thresholds down to test size: the split must engage and no task
+    // may read the hot key serially.
+    val keep = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      val byStage = perTaskRecords {
+        Dedup.paragraphDupStats(docs, "doc_id", "text").count()
+        ()
+      }
+      val hot = n / 5 * 2 // rows of the boilerplate hash hitting the join
+      // the stage READING the most shuffle records is the join-back;
+      // with the split engaged its max task reads well under the hot
+      // key's full row count (serial = one task reads all ~1200)
+      val joinStage = byStage.maxBy(_._2.map(_._2).sum)._2
+      val maxRead = joinStage.map(_._2).max
+      assert(joinStage.map(_._2).sum >= hot,
+        s"join-back stage not found: ${byStage.view.mapValues(_.size).toMap}")
+      assert(maxRead < hot / 2,
+        s"hot hash not split: one task read $maxRead of ~$hot skewed rows")
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }
