@@ -37,4 +37,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A long-lived local-mode Spark driver accumulates weak/soft refs
+  // (one per RDD/broadcast/accumulator) by the million across a
+  // 190-query bench session; G1's reference processing is serial by
+  // default and shows up as GC-bound stages on the allocation-heavy
+  // pair pipelines (PERF.md round 15: x20b mean 3.51 -> 2.95 s over a
+  // 20-rep A/B with this flag, storms attributed via spread_profile).
+  "-XX:+ParallelRefProcEnabled",
 )
