@@ -347,6 +347,31 @@ object ExtQueries {
       graft.ext.Multimodal.audioStats(s, media)
     }),
 
+    // WARC crawl-container parsing (ISO 28500): deterministic WARC
+    // files built from the doc_id lattice — record count, types, URIs,
+    // payloads, and per-record gzip membership all closed-form in
+    // doc_id — walked back to one row per record.  The oracle
+    // recomputes every field including the payload md5, so the parser
+    // must invert the writer byte-for-byte through both layouts
+    "x114_warc_records" -> ((s, d) => {
+      import s.implicits._
+      val files = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val recs = (0 until (1 + id % 3).toInt).map { j =>
+            (Seq("response", "request", "metadata")(j % 3),
+              s"http://site${id % 5}.example.com/doc/$id/$j",
+              s"2026-08-0${1 + j}T00:00:00Z",
+              (s"content-$id-$j-" + "x" * ((id + j) % 50).toInt)
+                .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          }
+          (id, graft.ext.Warc.syntheticWarc(recs, gzip = id % 2 == 0))
+        }).toDF("file_id", "payload")
+      graft.ext.Warc.records(s, files, "file_id", "payload")
+        .select(col("file_id"), col("rec_index"), col("warc_type"),
+          col("target_uri"), col("warc_date"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+    }),
+
     // hard-negative mining (contrastive-training data op): for each
     // anchor, the 10 most-similar corpus vectors of a DIFFERENT label
     "x111_hard_negatives" -> ((s, d) => {
@@ -3233,6 +3258,30 @@ object ExtQueries {
         |  CAST(sum(v) AS BIGINT) AS pcm_sum,
         |  CAST(min(v) AS INT) AS pcm_min, CAST(max(v) AS INT) AS pcm_max
         |FROM v GROUP BY 1, 2, 3""".stripMargin,
+    // every field recomputed closed-form from doc_id, payload included
+    // (md5 over the identical ASCII string) — the WARC walk must
+    // invert the writer exactly, through plain AND gzip layouts
+    "x114_warc_records" ->
+      """WITH recs AS (SELECT doc_id, t AS j
+        |  FROM documents, range(0, 3) r(t)
+        |  WHERE t < 1 + doc_id % 3)
+        |SELECT doc_id AS file_id, CAST(j AS INT) AS rec_index,
+        |  CASE j % 3 WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+        |       ELSE 'metadata' END AS warc_type,
+        |  'http://site' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '.example.com/doc/' || CAST(doc_id AS VARCHAR) || '/'
+        |    || CAST(j AS VARCHAR) AS target_uri,
+        |  '2026-08-0' || CAST(1 + j AS VARCHAR) || 'T00:00:00Z'
+        |    AS warc_date,
+        |  CAST(length('content-' || CAST(doc_id AS VARCHAR) || '-'
+        |    || CAST(j AS VARCHAR) || '-'
+        |    || repeat('x', CAST((doc_id + j) % 50 AS INT))) AS BIGINT)
+        |    AS content_length,
+        |  md5('content-' || CAST(doc_id AS VARCHAR) || '-'
+        |    || CAST(j AS VARCHAR) || '-'
+        |    || repeat('x', CAST((doc_id + j) % 50 AS INT)))
+        |    AS payload_md5
+        |FROM recs""".stripMargin,
     "x111_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS q_id, label AS ql, embedding AS q
          |           FROM embeddings WHERE vec_id < 8),
