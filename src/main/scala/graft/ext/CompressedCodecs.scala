@@ -25,6 +25,10 @@ package graft.ext
   *    path: full from-scratch decode (all subframe types, Rice
   *    partitions, stereo decorrelation, CRC-8/16 + MD5 seals),
   *    verified LOSSLESSLY against its own from-scratch encoder.
+  *  - [[Mp4Codec]]: MP4/ISOBMFF box-tree TRIAGE (ISO 14496-12) — the
+  *    video-container counterpart of the MP3 walker: duration, audio
+  *    rate/samples, video frame count, media bitrate from the moov
+  *    tree alone; coded-sample decode stays the extension point.
   *
   * Discovery is a `java.util.ServiceLoader` SPI over
   * [[CompressedCodec]] (`META-INF/services/graft.ext.CompressedCodec`)

@@ -372,6 +372,58 @@ object ExtQueries {
           md5(col("payload")).as("payload_md5"))
     }),
 
+    // end-to-end crawl ingestion: raw WARC bytes → response records →
+    // HTML boilerplate strip → canonical URL, composed entirely from
+    // library operators (Warc.records ∘ stripHtml ∘ canonicalUrl) in
+    // ONE narrow plan — no shuffle until a downstream dedup wants one.
+    // The oracle states the EXPECTED canonical URL and cleaned text in
+    // closed form (not a regex-twin replay), so the whole composition
+    // is checked against an independent derivation
+    "x115_crawl_ingest" -> ((s, d) => {
+      import s.implicits._
+      val files = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val recs = (0 until (1 + id % 3).toInt).map { j =>
+            val html = s"<html><head><title>Doc $id/$j</title>" +
+              "<script>var x = 1 < 2;</script></head><body><p>" +
+              s"crawl body $id $j " + "w" * ((id + j) % 20).toInt +
+              " &amp; tail</p><a href=\"/next\">more</a></body></html>"
+            (if (j == 0) "response" else "request",
+              s"HTTP://WWW.Site${id % 5}.Example.COM:80/Doc/$id/$j" +
+                s"?utm_source=crawl&ref=$j#frag",
+              s"2026-08-0${1 + j}T00:00:00Z",
+              html.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          }
+          (id, graft.ext.Warc.syntheticWarc(recs, gzip = id % 2 == 1))
+        }).toDF("file_id", "payload")
+      graft.ext.Warc.records(s, files, "file_id", "payload")
+        .filter(col("warc_type") === "response")
+        .select(col("file_id"), col("rec_index"),
+          graft.ext.Web.canonicalUrl(col("target_uri")).as("url_canon"),
+          graft.ext.TextClean.stripHtml(col("payload").cast("string"))
+            .as("text_clean"))
+        .withColumn("n_chars_clean", length(col("text_clean")))
+    }),
+
+    // MP4/ISOBMFF triage: deterministic minimal MP4s (ftyp/moov box
+    // trees with audio + optional video tracks and an mdat) probed
+    // back through the codec SPI's box walk — the video-container
+    // counterpart of x112, every reported field closed-form in doc_id
+    "x116_mp4_probe" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val sr = Seq(8000, 16000, 32000)((id % 3).toInt)
+          val nAudio = sr.toLong * (1 + id % 3) / 4
+          val payload = graft.ext.Mp4Codec.syntheticMp4(sr, nAudio,
+            3 + id % 5, if (id % 2 == 0) Some(10 + id % 7) else None,
+            (200 + id % 100).toInt)
+          (id, "video", payload, 0, 0, 0)
+        }).toDF("media_id", "modality", "payload", "width", "height",
+          "sample_rate")
+      graft.ext.Multimodal.probeMedia(s, media)
+    }),
+
     // hard-negative mining (contrastive-training data op): for each
     // anchor, the 10 most-similar corpus vectors of a DIFFERENT label
     "x111_hard_negatives" -> ((s, d) => {
@@ -3282,6 +3334,40 @@ object ExtQueries {
         |    || repeat('x', CAST((doc_id + j) % 50 AS INT)))
         |    AS payload_md5
         |FROM recs""".stripMargin,
+    // the whole WARC → strip → canonicalize composition checked
+    // against an INDEPENDENT closed-form derivation of what the
+    // canonical URL and cleaned text must come out as (only j = 0
+    // records are responses; requests are chaff proving the filter)
+    "x115_crawl_ingest" ->
+      """WITH expect AS (SELECT doc_id,
+        |  'http://site' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '.example.com/Doc/' || CAST(doc_id AS VARCHAR)
+        |    || '/0?ref=0' AS url_canon,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || '/0 crawl body '
+        |    || CAST(doc_id AS VARCHAR) || ' 0 '
+        |    || CASE WHEN doc_id % 20 = 0 THEN ''
+        |            ELSE repeat('w', CAST(doc_id % 20 AS INT)) || ' '
+        |       END
+        |    || '& tail more' AS text_clean
+        |  FROM documents)
+        |SELECT doc_id AS file_id, CAST(0 AS INT) AS rec_index,
+        |  url_canon, text_clean,
+        |  CAST(length(text_clean) AS INT) AS n_chars_clean
+        |FROM expect""".stripMargin,
+    // mdat×8 over the audio duration: the sr term cancels
+    // (nAudio = sr·(1+id%3)/4), leaving mdat·32/(1+id%3)/1000 — no
+    // half-way rounding ties exist in the lattice (parity argument)
+    "x116_mp4_probe" ->
+      """SELECT doc_id AS media_id, 'mp4-boxes' AS codec,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 10 + doc_id % 7
+        |       ELSE 3 + doc_id % 5 END AS BIGINT) AS n_frames,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       ELSE 32000 END AS INT) AS sample_rate,
+        |  CAST(round((200 + doc_id % 100) * 32.0
+        |    / (1 + doc_id % 3) / 1000.0) AS INT) AS bitrate_kbps,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2000 WHEN 1 THEN 8000
+        |       ELSE 24000 END AS BIGINT) AS n_samples
+        |FROM documents""".stripMargin,
     "x111_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS q_id, label AS ql, embedding AS q
          |           FROM embeddings WHERE vec_id < 8),

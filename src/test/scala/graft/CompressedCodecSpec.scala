@@ -593,4 +593,59 @@ class CompressedCodecSpec extends SparkSpec {
     assert(codec.decodeAudio(big).isEmpty)
     assert(WavAudioCodec.oversizeRejected.get() > before)
   }
+
+  // ---------------------------------------------------------- MP4 boxes
+
+  test("MP4 box probe inverts the synthetic constructor: audio rate/" +
+    "samples, video frame count, media bitrate over audio duration") {
+    import graft.ext.Mp4Codec
+    val codec = new Mp4Codec
+    for (sr <- Seq(8000, 16000, 32000); chunks <- Seq(3L, 9L);
+         video <- Seq(None, Some(25L)); mdat <- Seq(0, 300)) {
+      val nAudio = sr.toLong / 2 // half a second
+      val p = Mp4Codec.syntheticMp4(sr, nAudio, chunks, video, mdat)
+      assert(codec.sniff(p), s"sniff sr=$sr video=$video")
+      val pr = codec.probe(p).get
+      assert(pr.codec === "mp4-boxes")
+      assert(pr.sampleRate === sr)
+      assert(pr.nSamples === nAudio)
+      assert(pr.nFrames === video.getOrElse(chunks))
+      assert(pr.bitrateKbps ===
+        math.round(mdat * 8.0 * sr / nAudio.toDouble / 1000.0).toInt)
+    }
+    // decode stays the declared extension point (triage only)
+    val p = Mp4Codec.syntheticMp4(8000, 4000L, 4L, None, 100)
+    val codec2 = new Mp4Codec
+    assert(codec2.decode(p).isEmpty && codec2.decodeFrames(p).isEmpty)
+  }
+
+  test("MP4 probe hostility: truncations and lying box sizes degrade " +
+    "(never throw, never allocate per declared size), garbage never " +
+    "sniffs, ServiceLoader carries the codec") {
+    import graft.ext.Mp4Codec
+    assert(CompressedCodecs.installed.map(_.name).contains("mp4-boxes"))
+    val codec = new Mp4Codec
+    val valid = Mp4Codec.syntheticMp4(16000, 8000L, 8L, Some(30L), 200)
+    assert(codec.probe(valid).isDefined)
+    (1 until 30).foreach { i =>
+      val cut = valid.take(math.max(1, valid.length * i / 30))
+      codec.probe(cut) // Some or None — must not throw
+      ()
+    }
+    val rng = new scala.util.Random(17)
+    (0 until 80).foreach { _ =>
+      val p = valid.clone()
+      val at = rng.nextInt(p.length)
+      p(at) = (p(at) ^ (1 << rng.nextInt(8))).toByte
+      if (codec.sniff(p)) { codec.probe(p); () }
+    }
+    // a box claiming 2 GB must end the walk, not allocate
+    val lying = valid.clone()
+    lying(0) = 0x7f.toByte // first box size -> huge
+    codec.probe(lying)
+    (0 until 40).foreach { _ =>
+      val p = new Array[Byte](rng.nextInt(400)); rng.nextBytes(p)
+      if (codec.sniff(p)) { codec.probe(p); () }
+    }
+  }
 }
