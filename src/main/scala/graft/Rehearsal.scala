@@ -66,7 +66,11 @@ object Rehearsal {
     // round-14 web-provenance family: the two members that shuffle
     // (URL keep-best groupBy; paragraph-hash df + join) — the map-side
     // members (x102/x104/x106) ride the scan and have no ceiling
-    "x103_url_dedup", "x105_paragraph_dedup")
+    "x103_url_dedup", "x105_paragraph_dedup",
+    // round-15: the media/container decode lenses — per-payload
+    // mapPartitions, linear by construction, the gate proves it (and
+    // x105 re-gated above after its skew-split plan change)
+    "x113_flac_audio", "x114_warc_records")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)

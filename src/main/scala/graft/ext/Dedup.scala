@@ -580,9 +580,11 @@ object Dedup {
 
   /** Materialized LSH corpus index: band table + encoded token sets,
     * with the signature parameters baked in so a match call cannot
-    * silently mix incompatible band schemes. */
+    * silently mix incompatible band schemes.  `legs` counts the pinned
+    * union legs accumulated since the last compaction (the
+    * [[Indexes]] discipline). */
   case class LshIndex(bands: DataFrame, enc: DataFrame,
-                      n: Int, k: Int, bandRows: Int)
+                      n: Int, k: Int, bandRows: Int, legs: Int = 1)
 
   /** Index the existing corpus ONCE for [[lshMatchIndexed]]:
     * localCheckpoint pins both tables so every subsequent micro-batch
@@ -625,9 +627,11 @@ object Dedup {
     * re-pinned.  Cost is O(batch), NOT O(index): only the new legs are
     * checkpointed and the union over already-materialized legs stays
     * lazy — re-checkpointing the union would copy the whole index
-    * every micro-batch.  The union plan grows by one node per
-    * extension; compact periodically by persisting
-    * ([[saveLshIndex]]/[[loadLshIndex]]) at a convenient cadence. */
+    * every micro-batch.  Every [[Indexes.CompactLegs]] extensions the
+    * chain auto-compacts (both tables re-checkpointed as one leg,
+    * re-partitioned by their probe keys), bounding probe-plan depth
+    * for gates that run for months; persist
+    * ([[saveLshIndex]]/[[loadLshIndex]]) for the cross-restart form. */
   def extendLshIndex(index: LshIndex, accepted: DataFrame,
                      idCol: String, textCol: String): LshIndex = {
     val enc = encodeTokenSets(accepted, idCol, textCol, None)
@@ -640,9 +644,17 @@ object Dedup {
       .select(col("band_key"), col("doc_id").as("ex_id"))
       .join(enc.select(col("ex_id"), col("se")), "ex_id")
       .localCheckpoint()
-    LshIndex(index.bands.unionByName(bands),
-      index.enc.unionByName(enc),
-      index.n, index.k, index.bandRows)
+    val gBands = index.bands.unionByName(bands)
+    val gEnc = index.enc.unionByName(enc)
+    if (index.legs + 1 >= Indexes.CompactLegs) {
+      val parts =
+        accepted.sparkSession.sessionState.conf.numShufflePartitions
+      LshIndex(
+        gBands.repartition(parts, col("band_key")).localCheckpoint(),
+        gEnc.repartition(parts, col("ex_id")).localCheckpoint(),
+        index.n, index.k, index.bandRows, legs = 1)
+    } else LshIndex(gBands, gEnc, index.n, index.k, index.bandRows,
+      index.legs + 1)
   }
 
   /** Persist an [[LshIndex]] as BUCKETED tables — the cross-job form
@@ -1473,8 +1485,10 @@ object Dedup {
     * baked in.  `dfCap` was applied at BUILD time: hashes selected by
     * more than dfCap corpus docs (boilerplate) are excluded from
     * gating, the frameSetNearDup stop-frame treatment frozen into the
-    * index. */
-  case class WinnowIndex(sel: DataFrame, k: Int, w: Int, dfCap: Int)
+    * index.  `legs` counts pinned union legs since the last compaction
+    * (the [[Indexes]] discipline). */
+  case class WinnowIndex(sel: DataFrame, k: Int, w: Int, dfCap: Int,
+                         legs: Int = 1)
 
   /** Index the existing corpus ONCE for [[winnowMatchIndexed]] —
     * the st4 build discipline: repartition by the probe join key
@@ -1509,7 +1523,14 @@ object Dedup {
         index.k, index.w)
       .select(col("doc_id").as("ex_id"), col("h")).distinct()
       .localCheckpoint()
-    WinnowIndex(index.sel.unionByName(leg), index.k, index.w, index.dfCap)
+    val grown = index.sel.unionByName(leg)
+    if (index.legs + 1 >= Indexes.CompactLegs) {
+      val parts =
+        accepted.sparkSession.sessionState.conf.numShufflePartitions
+      WinnowIndex(grown.repartition(parts, col("h")).localCheckpoint(),
+        index.k, index.w, index.dfCap, legs = 1)
+    } else WinnowIndex(grown, index.k, index.w, index.dfCap,
+      index.legs + 1)
   }
 
   /** Persist / reopen a [[WinnowIndex]] as a bucketed table (scheme in

@@ -535,8 +535,11 @@ object Multimodal {
     * block key and pinned, so every micro-batch probe joins
     * materialized data instead of re-decoding the corpus — the
     * `Dedup.LshIndex` discipline for the image lens.  `maskBlocks` is
-    * baked in so a probe cannot silently mix band schemes. */
-  case class MediaFpIndex(blocked: DataFrame, maskBlocks: Int)
+    * baked in so a probe cannot silently mix band schemes; `legs`
+    * counts pinned union legs since the last compaction (the
+    * [[Indexes]] discipline). */
+  case class MediaFpIndex(blocked: DataFrame, maskBlocks: Int,
+                          legs: Int = 1)
 
   private[graft] def comboKeys(fpCol: Column, maskBlocks: Int): Seq[Column] =
     (0 until 8).combinations(maskBlocks).toSeq.zipWithIndex.map {
@@ -648,7 +651,11 @@ object Multimodal {
           .as("bk"))
       .repartition(parts, col("bk"))
       .localCheckpoint()
-    MediaFpIndex(index.blocked.unionByName(leg), index.maskBlocks)
+    val grown = index.blocked.unionByName(leg)
+    if (index.legs + 1 >= Indexes.CompactLegs)
+      MediaFpIndex(grown.repartition(parts, col("bk")).localCheckpoint(),
+        index.maskBlocks, legs = 1)
+    else MediaFpIndex(grown, index.maskBlocks, index.legs + 1)
   }
 
   /** Persist a [[MediaFpIndex]] as a parquet table bucketed by block

@@ -250,8 +250,9 @@ object Web {
     * re-checkpoints into ONE pinned leg (an O(index) copy paid once
     * every `CompactLegs` batches → amortized O(index/CompactLegs) per
     * batch), so probe-plan depth is bounded by a constant no matter
-    * how long the gate runs. */
-  val CompactLegs: Int = 16
+    * how long the gate runs — the [[Indexes]] discipline, shared by
+    * every incremental ingest-gate index. */
+  val CompactLegs: Int = Indexes.CompactLegs
 
   /** Build the seen-URL set ONCE for [[urlNoveltyGate]]: distinct
     * canonical URLs, hash-partitioned on the key and pinned, so every

@@ -2675,4 +2675,52 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.byteGridDHash64("tiny".getBytes("UTF-8")) ==
       Multimodal.byteGridDHash64("tiny".getBytes("UTF-8")))
   }
+
+  test("every incremental ingest-gate index auto-compacts its union " +
+    "chain (the Indexes discipline): 20+ extends keep plan depth " +
+    "bounded and the key sets equal a fresh build") {
+    import graft.ext.{Dedup, Indexes, Multimodal}
+    def leaves(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collectLeaves().size
+    def docBatch(i: Int) = (0 until 3).map { j =>
+      (i * 10L + j, s"batch $i doc $j tok${i % 9} tok${j} " +
+        s"alpha beta gamma delta run$i word$j")
+    }.toDF("doc_id", "text")
+    // LSH index: bands AND enc both stay bounded
+    var lsh = Dedup.lshIndex(docBatch(0), "doc_id", "text",
+      n = 2, k = 8, bandRows = 4)
+    (1 to 20).foreach { i =>
+      lsh = Dedup.extendLshIndex(lsh, docBatch(i), "doc_id", "text") }
+    assert(leaves(lsh.bands) <= Indexes.CompactLegs,
+      s"lsh bands depth ${leaves(lsh.bands)}")
+    assert(leaves(lsh.enc) <= Indexes.CompactLegs)
+    val lshFresh = Dedup.lshIndex(
+      (0 to 20).map(docBatch).reduce(_ unionByName _),
+      "doc_id", "text", n = 2, k = 8, bandRows = 4)
+    assert(lsh.bands.select("band_key", "ex_id").collect().map(_.toString)
+      .sorted.toSeq ===
+      lshFresh.bands.select("band_key", "ex_id").collect()
+        .map(_.toString).sorted.toSeq)
+    // winnow index
+    var win = Dedup.winnowIndex(docBatch(0), "doc_id", "text",
+      k = 3, w = 4)
+    (1 to 20).foreach { i =>
+      win = Dedup.extendWinnowIndex(win, docBatch(i), "doc_id", "text") }
+    assert(leaves(win.sel) <= Indexes.CompactLegs,
+      s"winnow depth ${leaves(win.sel)}")
+    // media fp index
+    def mediaBatch(i: Int) = Multimodal.mediaFromDocuments(docBatch(i))
+    var fp = Multimodal.fpIndex(spark, mediaBatch(0))
+    (1 to 20).foreach { i =>
+      fp = Multimodal.extendFpIndex(fp, spark, mediaBatch(i)) }
+    assert(leaves(fp.blocked) <= Indexes.CompactLegs,
+      s"fp depth ${leaves(fp.blocked)}")
+    val fpFresh = Multimodal.fpIndex(spark,
+      Multimodal.mediaFromDocuments(
+        (0 to 20).map(docBatch).reduce(_ unionByName _)))
+    assert(fp.blocked.select("ex_id").distinct().collect().map(_.getLong(0))
+      .sorted.toSeq ===
+      fpFresh.blocked.select("ex_id").distinct().collect()
+        .map(_.getLong(0)).sorted.toSeq)
+  }
 }
