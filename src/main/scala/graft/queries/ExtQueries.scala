@@ -330,7 +330,15 @@ object ExtQueries {
     // lossless means the decoded stats must match to the last sample
     "x113_flac_audio" -> ((s, d) => {
       import s.implicits._
+      // repartition BEFORE synthesis/decode: the id column arrives in
+      // 1-2 parquet splits, and FLAC encode+decode is the rare
+      // genuinely compute-bound stage — without the spread it
+      // serializes on the file count instead of the cores (2.4 s → and
+      // the 32-way spread is exactly what a many-file 100 TB corpus
+      // provides for free)
+      val parts = s.sessionState.conf.numShufflePartitions
       val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(parts)
         .mapPartitions(_.map { id =>
           val n = (1024 + 512 * (id % 4)).toInt
           val a = (2 + id % 5).toInt
