@@ -207,8 +207,16 @@ object Bench {
     def profJson: String =
       if (spreadProfiles.isEmpty) ""
       else ""","spread_profile":""" + spreadProfiles.map { case (k, p) =>
+        // stage names are code locations but not under our control —
+        // escape them or one odd character invalidates the artifact
+        def esc(s: String): String = s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }
         val top = p.stages.sortBy(-_.ms).take(5).map(s =>
-          s"""[${s.ms},${s.tasks},${s.gcMs},"${s.name}"]""")
+          s"""[${s.ms},${s.tasks},${s.gcMs},"${esc(s.name)}"]""")
           .mkString("[", ",", "]")
         s""""$k":{"worst_s":${msBd(p.wall)},"gc_ms":${p.gcMs},""" +
           s""""stage_ms":${p.stageMs},"stages":$top}"""

@@ -363,7 +363,12 @@ object ExtQueries {
     // must invert the writer byte-for-byte through both layouts
     "x114_warc_records" -> ((s, d) => {
       import s.implicits._
+      // repartition before synthesis/parse: compute-bound per file,
+      // and the id column arrives in O(parquet-splits) partitions (the
+      // x113 lesson — a many-file real crawl spreads for free)
+      val parts = s.sessionState.conf.numShufflePartitions
       val files = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(parts)
         .mapPartitions(_.map { id =>
           val recs = (0 until (1 + id % 3).toInt).map { j =>
             (Seq("response", "request", "metadata")(j % 3),
@@ -389,7 +394,9 @@ object ExtQueries {
     // is checked against an independent derivation
     "x115_crawl_ingest" -> ((s, d) => {
       import s.implicits._
+      val parts = s.sessionState.conf.numShufflePartitions
       val files = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(parts) // the x113/x114 synthesis spread
         .mapPartitions(_.map { id =>
           val recs = (0 until (1 + id % 3).toInt).map { j =>
             val html = s"<html><head><title>Doc $id/$j</title>" +
@@ -419,7 +426,9 @@ object ExtQueries {
     // counterpart of x112, every reported field closed-form in doc_id
     "x116_mp4_probe" -> ((s, d) => {
       import s.implicits._
+      val parts = s.sessionState.conf.numShufflePartitions
       val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(parts) // the x113/x114 synthesis spread
         .mapPartitions(_.map { id =>
           val sr = Seq(8000, 16000, 32000)((id % 3).toInt)
           val nAudio = sr.toLong * (1 + id % 3) / 4
@@ -430,6 +439,40 @@ object ExtQueries {
         }).toDF("media_id", "modality", "payload", "width", "height",
           "sample_rate")
       graft.ext.Multimodal.probeMedia(s, media)
+    }),
+
+    // streaming crawl-frontier gate: WARC files stream in, response
+    // records' canonical URLs probe the pinned seen-set — fetch only
+    // what the frontier has not seen (Warc.records ∘ urlNoveltyGate,
+    // the st15 discipline fed by the container reader instead of a
+    // URL column).  URIs collide on an (id%5, id%40) lattice so both
+    // verdicts are exercised; batch replay declared here, the
+    // foreachBatch micro-batch==batch lifecycle proven in WarcSpec
+    "st16_warc_frontier_gate" -> ((s, d) => {
+      import s.implicits._
+      val parts = s.sessionState.conf.numShufflePartitions
+      val files = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(parts)
+        .mapPartitions(_.map { id =>
+          val recs = Seq(
+            ("response",
+              s"HTTP://WWW.Site${id % 5}.Example.COM/p/${id % 40}" +
+                "?utm_source=warc",
+              "2026-08-01T00:00:00Z",
+              s"body $id".getBytes(
+                java.nio.charset.StandardCharsets.US_ASCII)),
+            ("metadata", "", "2026-08-01T00:00:00Z",
+              "meta".getBytes(
+                java.nio.charset.StandardCharsets.US_ASCII)))
+          (id, graft.ext.Warc.syntheticWarc(recs, gzip = id % 2 == 0))
+        }).toDF("file_id", "payload")
+      val docs = graft.ext.Warc.records(s, files, "file_id", "payload")
+        .filter(col("warc_type") === "response")
+        .select(col("file_id").as("doc_id"), col("target_uri").as("url"))
+      graft.ext.Web.urlNoveltyGate(
+        graft.ext.Web.urlIndex(
+          docs.filter(col("doc_id") % 7 =!= 0), "url"),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "url")
     }),
 
     // hard-negative mining (contrastive-training data op): for each
@@ -3376,6 +3419,20 @@ object ExtQueries {
         |  CAST(CASE doc_id % 3 WHEN 0 THEN 2000 WHEN 1 THEN 8000
         |       ELSE 24000 END AS BIGINT) AS n_samples
         |FROM documents""".stripMargin,
+    // the canonical URL is closed-form ((id%5, id%40) lattice after
+    // scheme/host lowering + www/utm drops), so the whole
+    // WARC→canonicalize→novelty composition checks against an
+    // independent derivation
+    "st16_warc_frontier_gate" ->
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS s, doc_id % 40 AS m
+        |           FROM documents),
+        |seen AS (SELECT DISTINCT s, m FROM d WHERE doc_id % 7 <> 0)
+        |SELECT d.doc_id,
+        |  'http://site' || CAST(d.s AS VARCHAR) || '.example.com/p/'
+        |    || CAST(d.m AS VARCHAR) AS url_canon,
+        |  seen.s IS NULL AS novel
+        |FROM d LEFT JOIN seen ON d.s = seen.s AND d.m = seen.m
+        |WHERE d.doc_id % 7 = 0""".stripMargin,
     "x111_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS q_id, label AS ql, embedding AS q
          |           FROM embeddings WHERE vec_id < 8),
