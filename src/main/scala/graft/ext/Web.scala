@@ -238,6 +238,79 @@ object Web {
           lit(false)).as("blocked"))
   }
 
+  /** [[robotsReport]] over a RULES DATAFRAME — the composition shape
+    * for rules that came out of [[robotsRules]] (parse → filter): the
+    * rule table aggregates to one `host → array(prefix)` row per host
+    * and joins WITHOUT a broadcast hint, so AQE broadcasts it while it
+    * fits (the common case — no corpus shuffle) and falls back to a
+    * host-keyed shuffle join only when the crawl's host count
+    * genuinely outgrows the broadcast budget. */
+  def robotsReport(docs: DataFrame, idCol: String, urlCol: String,
+                   rules: DataFrame): DataFrame = {
+    val byHost = rules
+      .groupBy(col("host"))
+      .agg(collect_list(col("path_prefix")).as("prefixes"))
+    docs
+      .select(col(idCol), urlHost(col(urlCol)).as("host"),
+        urlPath(col(urlCol)).as("path"))
+      .join(byHost, Seq("host"), "left")
+      .select(col(idCol), col("host"), col("path"),
+        coalesce(
+          exists(col("prefixes"), p => col("path").startsWith(p)),
+          lit(false)).as("blocked"))
+  }
+
+  /** robots.txt parsing — the other half of crawl compliance
+    * ([[robotsReport]] consumes (host, prefix) rules; this produces
+    * them from the fetched `robots.txt` TEXT).  Declared subset of
+    * RFC 9309: `User-agent:` / `Disallow:` directives (keys
+    * case-insensitive), full-line `#` comments, CRLF tolerance, and
+    * GROUP semantics done properly — a consecutive RUN of User-agent
+    * lines opens one group, every Disallow under it belongs to ALL of
+    * those agents, and a group applies when it names `agent` exactly
+    * or `*`.  Empty Disallow values (the "allow everything" idiom)
+    * yield no rule.  `Allow:`/`Crawl-delay:` and wildcard-in-path are
+    * outside the declared subset (the corpus-side filter consumes
+    * PREFIXES; a deployment needing full RFC matching plugs its rules
+    * in at [[robotsReport]]).
+    *
+    * Declarative, not sequential: lines `posexplode`, group ids are a
+    * running count of group STARTS (a window over (host, line pos)),
+    * agents and rules join on (host, group).  One shuffle keyed by
+    * host — robots files are one per host and small, so the window
+    * partitions are bounded by the file, never the corpus. */
+  def robotsRules(robots: DataFrame, hostCol: String, txtCol: String,
+                  agent: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(txtCol), "\r?\n")).as(Seq("pos", "line")))
+      .withColumn("line", trim(col("line")))
+      .filter(!col("line").startsWith("#"))
+      .withColumn("ua",
+        when(lower(col("line")).rlike("^user-agent\\s*:"),
+          trim(regexp_replace(col("line"),
+            "(?i)^user-agent\\s*:", ""))))
+      .withColumn("dis",
+        when(lower(col("line")).rlike("^disallow\\s*:"),
+          trim(regexp_replace(col("line"), "(?i)^disallow\\s*:", ""))))
+    val w = Window.partitionBy(col("host")).orderBy(col("pos"))
+    val grouped = lines
+      .withColumn("grp_start",
+        (col("ua").isNotNull &&
+          coalesce(lag(col("ua").isNotNull, 1).over(w), lit(false))
+            === false).cast("int"))
+      .withColumn("grp", sum(col("grp_start")).over(w))
+    val matched = grouped
+      .filter(col("ua").isNotNull &&
+        (col("ua") === agent || col("ua") === "*"))
+      .select(col("host"), col("grp")).distinct()
+    grouped
+      .filter(col("dis").isNotNull && col("dis") =!= "")
+      .join(matched, Seq("host", "grp"), "left_semi")
+      .select(col("host"), col("dis").as("path_prefix"))
+  }
+
   /** A pinned set of already-seen canonical URLs — the state of the
     * ingest-time URL dedup gate ([[urlNoveltyGate]]).  `legs` counts
     * the pinned union legs accumulated by [[extendUrlIndex]] since the

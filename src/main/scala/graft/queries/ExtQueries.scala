@@ -475,6 +475,28 @@ object ExtQueries {
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "url")
     }),
 
+    // robots.txt parsing (RFC 9309 subset): per-host policy texts —
+    // multi-agent groups, comments, CRLF, empty-Disallow idiom, a
+    // non-matching bot group — parsed to the (host, prefix) rules
+    // x108 consumes.  The oracle derives the expected rule set
+    // independently from the injection lattice
+    "x117_robots_parse" -> ((s, d) => {
+      val id = col("doc_id")
+      val txt = concat(
+        lit("# crawl policy\r\nUser-agent: evilbot\nDisallow: /\n\n"),
+        when(id % 4 === 0, lit("User-agent: graftbot\n"))
+          .otherwise(lit("")),
+        lit("User-agent: *\nDISALLOW: /private/"), (id % 7).cast("string"),
+        lit("\n"),
+        when(id % 3 === 0, lit("Disallow: /tmp\n")).otherwise(lit("")),
+        lit("Disallow:\n"))
+      graft.ext.Web.robotsRules(
+        Tables.documents(s, d)
+          .select(concat(lit("h"), id.cast("string"),
+            lit(".example.com")).as("host"), txt.as("txt")),
+        "host", "txt", agent = "graftbot")
+    }),
+
     // hard-negative mining (contrastive-training data op): for each
     // anchor, the 10 most-similar corpus vectors of a DIFFERENT label
     "x111_hard_negatives" -> ((s, d) => {
@@ -3433,6 +3455,18 @@ object ExtQueries {
         |  seen.s IS NULL AS novel
         |FROM d LEFT JOIN seen ON d.s = seen.s AND d.m = seen.m
         |WHERE d.doc_id % 7 = 0""".stripMargin,
+    // expected rules derived independently: the '*' group always
+    // matches (and when id%4=0 the graftbot line joins the same
+    // group run — same rules either way); the evilbot group and the
+    // empty Disallow never contribute
+    "x117_robots_parse" ->
+      """SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+        |       '/private/' || CAST(doc_id % 7 AS VARCHAR) AS path_prefix
+        |FROM documents
+        |UNION ALL
+        |SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com',
+        |       '/tmp'
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     "x111_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS q_id, label AS ql, embedding AS q
          |           FROM embeddings WHERE vec_id < 8),

@@ -400,4 +400,65 @@ class WebSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exhaustive === exact)
   }
+
+  test("robotsRules parses RFC-9309-subset grammar: multi-agent " +
+    "groups, blank-line group breaks, comments inside runs, CRLF, " +
+    "case-insensitive keys, empty-Disallow idiom") {
+    def rules(txt: String, agent: String): Set[String] =
+      Web.robotsRules(Seq(("h.com", txt)).toDF("host", "txt"),
+          "host", "txt", agent)
+        .collect().map(_.getString(1)).toSet
+    val txt =
+      "# policy\r\n" +
+      "User-agent: evilbot\n" +
+      "Disallow: /\n" +
+      "\n" +
+      "User-agent: alpha\n" +
+      "# comment inside the run must NOT break the group\n" +
+      "USER-AGENT: beta\n" +
+      "disallow: /a\n" +
+      "Disallow:\n" +          // empty = allow-all idiom, no rule
+      "Disallow: /b\n" +
+      "\n" +
+      "User-agent: gamma\n" +
+      "Disallow: /g\n"
+    // both agents of the shared run get BOTH rules
+    assert(rules(txt, "alpha") === Set("/a", "/b"))
+    assert(rules(txt, "beta") === Set("/a", "/b"))
+    // gamma's group is its own (the blank line broke the run)
+    assert(rules(txt, "gamma") === Set("/g"))
+    // an unknown agent matches nothing here (no * group)
+    assert(rules(txt, "nobody") === Set.empty[String])
+    // a * group applies to everyone
+    assert(rules("User-agent: *\nDisallow: /x\n", "anyone") ===
+      Set("/x"))
+    // blank line between UA lines separates groups (RFC group break)
+    assert(rules("User-agent: a\n\nUser-agent: b\nDisallow: /y\n",
+      "a") === Set.empty[String])
+    assert(rules("User-agent: a\n\nUser-agent: b\nDisallow: /y\n",
+      "b") === Set("/y"))
+  }
+
+  test("parse -> filter composition: robotsRules output drives the " +
+    "DataFrame robotsReport and verdicts equal the Seq-based form") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /Articles/1\nDisallow: /Private\n"),
+      ("b.com", "User-agent: evilbot\nDisallow: /\n") // no * group
+    ).toDF("host", "txt")
+    val rules = Web.robotsRules(robots, "host", "txt")
+    val docs = Seq(
+      (1L, "http://a.com/Articles/12"),
+      (2L, "http://a.com/Articles/2"),
+      (3L, "http://b.com/Articles/12"),
+      (4L, "http://a.com/Private/x")
+    ).toDF("doc_id", "url")
+    val viaDf = Web.robotsReport(docs, "doc_id", "url", rules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(viaDf === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true))
+    val viaSeq = Web.robotsReport(docs, "doc_id", "url",
+        Seq(("a.com", "/Articles/1"), ("a.com", "/Private")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(viaDf === viaSeq)
+  }
 }
