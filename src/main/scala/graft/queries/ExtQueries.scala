@@ -497,6 +497,47 @@ object ExtQueries {
         "host", "txt", agent = "graftbot")
     }),
 
+    // decode-budget router — what the triage probes EXIST for: a
+    // mixed-media corpus (MP3 / FLAC / MP4 by id lattice) probes
+    // structurally, each payload routes decode/defer/skip on its
+    // sample count, and the per-(codec, verdict) rollup is the decode
+    // budget a pipeline commits to BEFORE spending a decode cycle
+    "x118_decode_budget" -> ((s, d) => {
+      import s.implicits._
+      val parts = s.sessionState.conf.numShufflePartitions
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(parts)
+        .mapPartitions(_.map { id =>
+          val payload = (id % 3) match {
+            case 0 =>
+              graft.ext.Mp3FrameCodec.syntheticStream(
+                (10 + id % 5).toInt, (id % 2).toInt, (3 + id % 4).toInt,
+                id3 = false)
+            case 1 =>
+              val n = (1024 + 512 * (id % 4)).toInt
+              graft.ext.FlacCodec.syntheticStream(44100,
+                Array(Array.tabulate(n)(t => (t * 3 % 1601) - 800)),
+                blockSize = 1024)
+            case _ =>
+              val sr = Seq(8000, 16000, 32000)(((id % 9) / 3).toInt)
+              graft.ext.Mp4Codec.syntheticMp4(sr,
+                sr.toLong * (1 + id % 4) / 4, 3 + id % 5,
+                if (id % 2 == 0) Some(10 + id % 7) else None,
+                (200 + id % 100).toInt)
+          }
+          (id, "media", payload, 0, 0, 0)
+        }).toDF("media_id", "modality", "payload", "width", "height",
+          "sample_rate")
+      graft.ext.Multimodal.probeMedia(s, media)
+        .withColumn("verdict",
+          when(col("n_samples") <= 4000, lit("decode"))
+            .when(col("n_samples") <= 8000, lit("defer"))
+            .otherwise(lit("skip")))
+        .groupBy(col("codec"), col("verdict"))
+        .agg(count(lit(1)).as("n_payloads"),
+          sum(col("n_samples")).as("total_samples"))
+    }),
+
     // hard-negative mining (contrastive-training data op): for each
     // anchor, the 10 most-similar corpus vectors of a DIFFERENT label
     "x111_hard_negatives" -> ((s, d) => {
@@ -3467,6 +3508,28 @@ object ExtQueries {
         |SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com',
         |       '/tmp'
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    // each family's sample count recomputed closed-form (MP3
+    // frames×1152, FLAC streaminfo total, MP4 audio mdhd duration),
+    // then the same threshold router and rollup
+    "x118_decode_budget" ->
+      """WITH probe AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'mp3-frames'
+        |         WHEN 1 THEN 'flac' ELSE 'mp4-boxes' END AS codec,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN (3 + doc_id % 4) * 1152
+        |      WHEN 1 THEN 1024 + 512 * (doc_id % 4)
+        |      ELSE (CASE (doc_id % 9) // 3 WHEN 0 THEN 2000
+        |            WHEN 1 THEN 4000 ELSE 8000 END) * (1 + doc_id % 4)
+        |    END AS n_samples
+        |  FROM documents),
+        |v AS (SELECT codec,
+        |        CASE WHEN n_samples <= 4000 THEN 'decode'
+        |             WHEN n_samples <= 8000 THEN 'defer'
+        |             ELSE 'skip' END AS verdict, n_samples
+        |      FROM probe)
+        |SELECT codec, verdict, CAST(count(*) AS BIGINT) AS n_payloads,
+        |       CAST(sum(n_samples) AS BIGINT) AS total_samples
+        |FROM v GROUP BY 1, 2""".stripMargin,
     "x111_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS q_id, label AS ql, embedding AS q
          |           FROM embeddings WHERE vec_id < 8),
