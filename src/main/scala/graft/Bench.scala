@@ -144,6 +144,10 @@ object Bench {
         graft.queries.ExtQueries.clearSessionSlate(spark, blocking = true)
         System.gc()
         val warm = once()
+        // the untimed warmup's profile must not masquerade as a timed
+        // run's evidence (cold JIT/codegen would dominate any real
+        // attribution) — spread_profile carries TIMED runs only
+        runProfs.clear()
         var times =
           if (warm.isEmpty) Seq.empty[Double]
           else (1 to runs).flatMap(_ => once())
