@@ -70,7 +70,12 @@ object Rehearsal {
     // round-15: the media/container decode lenses — per-payload
     // mapPartitions, linear by construction, the gate proves it (and
     // x105 re-gated above after its skew-split plan change)
-    "x113_flac_audio", "x114_warc_records")
+    "x113_flac_audio", "x114_warc_records",
+    // round-15 compositions: crawl ingestion (parse∘strip∘canonical),
+    // robots parsing (per-host window), the WARC frontier gate, and
+    // the mixed-media budget rollup
+    "x115_crawl_ingest", "x117_robots_parse", "st16_warc_frontier_gate",
+    "x118_decode_budget")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)
