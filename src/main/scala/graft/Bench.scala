@@ -51,6 +51,34 @@ import java.nio.file.{Files, Paths}
   * artifact as a phantom regression (BENCH_r11 recorded x55 at
   * [7.38, 36.05] this way).  "reruns" in the JSON counts the extra
   * runs taken so a noisy box still identifies itself.
+  *
+  * REGRESSION SELF-GATE (round-15 verdict #1): the intra-run spread
+  * gate is blind by construction to a UNIFORM elevation — r15's x20b
+  * ran 11.6 s min-of-3 (prior artifact: 2.74 s) with every run equally
+  * slow, so the spread ratio (1.56×) never tripped and the one query
+  * the round needed evidence for shipped none.  The bench now reads
+  * the PRIOR committed artifact at startup (SPARK_GRAFT_BENCH_PRIOR,
+  * default: the output path's existing content) and, when a query's
+  * min exceeds the prior min by SPARK_GRAFT_BENCH_REGRESS (default
+  * 2.0×, same 300 ms floor), it (a) takes the same rerun budget —
+  * a box-wide ambient elevation gets quiet-run chances — and (b) if
+  * the regression survives, ships the MIN run's stage+GC evidence as
+  * "regression_profile" (for a uniform regression the fastest run IS
+  * the representative one; the worst run is what "spread_profile"
+  * already covers).  `prior_s` rides along so the artifact is
+  * self-contained.
+  *
+  * Attribution hygiene (round-15 ADVICE): listener events are
+  * delivered ASYNCHRONOUSLY, so a run's final stage-completed events
+  * can arrive after the snapshot (and after a per-run clear would have
+  * dropped them).  Stages are therefore bucketed to runs by their
+  * SUBMISSION TIME against each run's wall-clock window, the event
+  * queue is cleared once per QUERY (not per run), and the snapshot
+  * waits for the bus to quiesce (queue size stable for 100 ms, capped
+  * at 2 s) — a late event can no longer be dropped or billed to the
+  * wrong run.  Stage names resolve to the first `graft.` frame of the
+  * stage's call-site details (the raw `name` field is usually the
+  * useless `$anonfun$withThreadLocalCaptured$2` lambda).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,6 +86,29 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // Prior committed artifact for the regression self-gate: read BEFORE
+    // this run overwrites outFile.  A missing/unparseable prior simply
+    // disables the gate (first run on a fresh box).
+    val priorFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", outFile)
+    val priorMins: Map[String, Double] = {
+      val p = Paths.get(priorFile)
+      if (!Files.exists(p)) Map.empty
+      else {
+        val raw = Files.readString(p)
+        val qsec = raw.indexOf("\"queries\":{")
+        // a prior recorded at a different scale factor would mis-gate
+        // every query (smaller sf → no trip; larger sf → all trip)
+        val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(raw)
+          .forall(_.group(1) == sfDir)
+        if (qsec < 0 || !sfOk) Map.empty
+        else {
+          val body = raw.substring(qsec + "\"queries\":{".length,
+            raw.indexOf('}', qsec))
+          "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -76,6 +127,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "4").toInt.max(0)
     val spreadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD", "2.0").toDouble
+    val regressGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REGRESS", "2.0").toDouble
     val failed = scala.collection.mutable.ListBuffer[String]()
     var rerunsTaken = 0
     // In-run attribution (round-14 verdict #1): every timed run records
@@ -85,7 +137,8 @@ object Bench {
     // attributed from data captured DURING the bad run (stage skew? GC?
     // driver-side gap?), never re-derived afterwards on a box that may
     // no longer misbehave.
-    case class StageRec(ms: Long, tasks: Int, gcMs: Long, name: String)
+    case class StageRec(ms: Long, tasks: Int, gcMs: Long, name: String,
+                        submitMs: Long)
     case class RunProf(wall: Double, stages: Seq[StageRec]) {
       def gcMs: Long = stages.map(_.gcMs).sum
       def stageMs: Long = stages.map(_.ms).sum
@@ -98,25 +151,47 @@ object Bench {
         val i = s.stageInfo
         val ms = (for (a <- i.completionTime; b <- i.submissionTime)
           yield a - b).getOrElse(-1L)
-        liveStages.add(StageRec(ms, i.numTasks,
-          i.taskMetrics.jvmGCTime, i.name.split(" at ").head))
+        // the raw stage name is the call-site's innermost frame — for
+        // SQL-executed stages that is an anonymous Spark lambda; the
+        // first graft. frame in `details` names the operator instead
+        val name = i.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("graft.Bench"))
+          .map(_.trim.stripPrefix("at "))
+          .getOrElse(i.name.split(" at ").head)
+        liveStages.add(StageRec(ms, i.numTasks, i.taskMetrics.jvmGCTime,
+          name, i.submissionTime.getOrElse(-1L)))
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // wait until no new stage event has arrived for 100 ms (cap 2 s):
+    // listener delivery is async and a run's tail events would
+    // otherwise be dropped or misattributed (round-15 ADVICE)
+    def quiesce(): Unit = {
+      val deadline = System.nanoTime() + 2000L * 1000000L
+      var last = -1
+      var stable = liveStages.size
+      while (System.nanoTime() < deadline && { last = stable
+        Thread.sleep(100); stable = liveStages.size; stable != last }) ()
+    }
     val spreadProfiles =
       scala.collection.mutable.LinkedHashMap.empty[String, RunProf]
+    val regressProfiles =
+      scala.collection.mutable.LinkedHashMap.empty[String, (RunProf, Double)]
     val results = SparkEntry.queries
       .filter(kv => only.forall(_.exists(kv._1.startsWith)))
       .flatMap { case (name, fn) =>
-        val runProfs = scala.collection.mutable.ListBuffer[RunProf]()
-        def once(): Option[Double] = {
-          liveStages.clear()
+        // (wall seconds, [startMs, endMs] wall-clock window) per timed
+        // run — stages attach to runs by submission-time ∈ window, so
+        // late-delivered events land in the right run
+        val runWins =
+          scala.collection.mutable.ListBuffer[(Double, Long, Long)]()
+        def once(timed: Boolean): Option[Double] = {
+          val w0 = System.currentTimeMillis()
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
             val wall = (System.nanoTime() - t0) / 1e9
-            import scala.jdk.CollectionConverters._
-            runProfs += RunProf(wall, liveStages.asScala.toSeq)
+            if (timed) runWins += ((wall, w0, System.currentTimeMillis()))
             Some(wall)
           } catch {
             case e: Throwable =>
@@ -143,35 +218,55 @@ object Bench {
         // mechanism for the r14 lshPairs driver-box spread)
         graft.queries.ExtQueries.clearSessionSlate(spark, blocking = true)
         System.gc()
-        val warm = once()
-        // the untimed warmup's profile must not masquerade as a timed
-        // run's evidence (cold JIT/codegen would dominate any real
-        // attribution) — spread_profile carries TIMED runs only
-        runProfs.clear()
+        // event queue clears once per QUERY, before the warmup: stages
+        // are bucketed to runs by submission time, so the untimed
+        // warmup's stages (cold JIT/codegen) fall outside every timed
+        // window and can never masquerade as a timed run's evidence
+        liveStages.clear()
+        val warm = once(timed = false)
         var times =
           if (warm.isEmpty) Seq.empty[Double]
-          else (1 to runs).flatMap(_ => once())
-        // spread self-gate: an ambient-load spike shows as max/min >
-        // spreadGate — take extra runs so a quiet run can beat it.
-        // (min >= 0.3 s: sub-second queries flip ratio on scheduler
-        // jitter alone and their absolute error is negligible.)
+          else (1 to runs).flatMap(_ => once(timed = true))
+        // self-gates: an ambient-load spike shows as max/min >
+        // spreadGate; a box-wide elevation shows as min > regressGate ×
+        // the prior committed artifact's min.  Both take extra runs so
+        // a quiet run can beat them.  (min >= 0.3 s: sub-second queries
+        // flip ratio on scheduler jitter alone and their absolute error
+        // is negligible.)
+        val prior = priorMins.get(name)
+        def spreadBad = times.nonEmpty && times.min >= 0.3 &&
+          times.max / times.min > spreadGate
+        def regressBad = times.nonEmpty && times.min >= 0.3 &&
+          prior.exists(p => times.min > regressGate * p)
         var extra = 0
-        while (times.nonEmpty && extra < maxReruns && times.min >= 0.3 &&
-               times.max / times.min > spreadGate) {
-          System.err.println(f"[bench] $name spread ${times.max / times.min}%.1fx" +
-            s" > $spreadGate — rerunning (${extra + 1}/$maxReruns)")
-          times = times ++ once()
+        while (extra < maxReruns && (spreadBad || regressBad)) {
+          val why =
+            if (spreadBad) f"spread ${times.max / times.min}%.1fx"
+            else f"min ${times.min}%.2fs > ${regressGate}x prior ${prior.get}%.2fs"
+          System.err.println(
+            s"[bench] $name $why — rerunning (${extra + 1}/$maxReruns)")
+          times = times ++ once(timed = true)
           extra += 1; rerunsTaken += 1
         }
         // a failing query must not silently poison the total — it is
         // excluded from "queries" and reported in "failed" instead
         if (times.isEmpty) { failed += name; None }
         else {
-          // spread survived the reruns → ship the worst run's stage
-          // evidence in the artifact
-          if (times.min >= 0.3 && times.max / times.min > spreadGate &&
-            runProfs.nonEmpty)
-            spreadProfiles(name) = runProfs.maxBy(_.wall)
+          if (spreadBad || regressBad) {
+            // gate survived the reruns → ship stage evidence captured
+            // DURING the offending runs.  Drain after a quiesce so the
+            // async bus cannot drop tail events (round-15 ADVICE).
+            quiesce()
+            import scala.jdk.CollectionConverters._
+            val evs = liveStages.asScala.toSeq
+            def prof(win: (Double, Long, Long)): RunProf =
+              RunProf(win._1, evs.filter(s =>
+                s.submitMs >= win._2 && s.submitMs <= win._3))
+            if (spreadBad)
+              spreadProfiles(name) = prof(runWins.maxBy(_._1))
+            if (regressBad)
+              regressProfiles(name) = (prof(runWins.minBy(_._1)), prior.get)
+          }
           Some(name -> ((times.min, times.max)))
         }
       }
@@ -199,32 +294,39 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    // stage names are code locations but not under our control —
+    // escape them or one odd character invalidates the artifact
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    // top-5 stages by wall, total GC, and the driver-side gap (wall −
+    // sum of stage wall): enough to tell a skewed/GC-bound stage from
+    // scheduler/driver interference.  FILE artifact only (the stdout
+    // tail capture drops long-line heads).
+    def profBody(p: RunProf, wallKey: String, extraKv: String): String = {
+      val top = p.stages.sortBy(-_.ms).take(5).map(s =>
+        s"""[${s.ms},${s.tasks},${s.gcMs},"${esc(s.name)}"]""")
+        .mkString("[", ",", "]")
+      s"""{"$wallKey":${msBd(p.wall)},$extraKv"gc_ms":${p.gcMs},""" +
+        s""""stage_ms":${p.stageMs},"stages":$top}"""
+    }
     // "timing" marks measurement semantics so cross-round artifact
     // diffs are not read as pure perf movement: "slate-v2" = per-query
     // session-slate clear + untimed warmup before the timed runs
     // (earlier rounds: no marker — shared session state, no warmup).
-    // worst-run stage evidence for queries whose spread survived the
-    // reruns — top-5 stages by wall, total GC, and the driver-side gap
-    // (wall − sum of stage wall): enough to tell a skewed/GC-bound
-    // stage from scheduler/driver interference.  FILE artifact only
-    // (the stdout tail capture drops long-line heads).
     def profJson: String =
-      if (spreadProfiles.isEmpty) ""
-      else ""","spread_profile":""" + spreadProfiles.map { case (k, p) =>
-        // stage names are code locations but not under our control —
-        // escape them or one odd character invalidates the artifact
-        def esc(s: String): String = s.flatMap {
-          case '"' => "\\\""
-          case '\\' => "\\\\"
-          case c if c < ' ' => f"\\u${c.toInt}%04x"
-          case c => c.toString
-        }
-        val top = p.stages.sortBy(-_.ms).take(5).map(s =>
-          s"""[${s.ms},${s.tasks},${s.gcMs},"${esc(s.name)}"]""")
-          .mkString("[", ",", "]")
-        s""""$k":{"worst_s":${msBd(p.wall)},"gc_ms":${p.gcMs},""" +
-          s""""stage_ms":${p.stageMs},"stages":$top}"""
-      }.mkString("{", ",", "}")
+      (if (spreadProfiles.isEmpty) ""
+       else ""","spread_profile":""" + spreadProfiles.map { case (k, p) =>
+         s""""$k":${profBody(p, "worst_s", "")}"""
+       }.mkString("{", ",", "}")) +
+      (if (regressProfiles.isEmpty) ""
+       else ""","regression_profile":""" + regressProfiles.map {
+         case (k, (p, prior)) =>
+           s""""$k":${profBody(p, "min_s", s""""prior_s":$prior,""")}"""
+       }.mkString("{", ",", "}"))
     def line(m: Iterable[(String, (BigDecimal, BigDecimal))],
              prof: String): String =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"reruns":$rerunsTaken,"timing":"slate-v2","queries_run":${rounded.size}$failedJson,"queries":${qJson(m)},"spread":${spreadJson(m)}$prof,"sf":"$sfDir"}"""

@@ -60,6 +60,16 @@ abstract class CompressedCodec extends Serializable {
     * task never dies on hostile bytes. */
   def decode(payload: Array[Byte]): Option[Array[Byte]]
 
+  /** [[decode]] under an explicit output-size budget (mono frames for
+    * audio codecs).  Default DELEGATES to the unbudgeted form so
+    * jar-dropped third-party codecs keep working, but in-repo audio
+    * codecs override it — the session-configured frame budget
+    * ([[WavAudioCodec.maxFramesFor]]) must bind on EVERY decode path,
+    * not only the JDK WAV one (round-15 ADVICE: a job that lowers the
+    * budget was unprotected on FLAC/ADPCM payloads). */
+  def decode(payload: Array[Byte], maxFrames: Long): Option[Array[Byte]] =
+    decode(payload)
+
   /** Decoded frames in canonical form, when the format has real frame
     * structure (video); None = no frame structure (audio) — the
     * caller chops [[decode]]'s stream instead. */
@@ -74,6 +84,11 @@ abstract class CompressedCodec extends Serializable {
     * the payload is auditory. */
   def decodeAudio(payload: Array[Byte])
       : Option[WavAudioCodec.DecodedAudio] = None
+
+  /** [[decodeAudio]] under an explicit mono-frame budget — see the
+    * budgeted [[decode]] overload for the contract. */
+  def decodeAudio(payload: Array[Byte], maxFrames: Long)
+      : Option[WavAudioCodec.DecodedAudio] = decodeAudio(payload)
 
   /** Cheap structural metadata WITHOUT decoding — the triage pass a
     * corpus pipeline runs before committing decode cycles (frame
@@ -170,10 +185,17 @@ class ImaAdpcmWavCodec extends CompressedCodec {
   override def decode(p: Array[Byte]): Option[Array[Byte]] =
     decodeAudio(p).map(WavAudioCodec.canonicalBytes)
 
+  override def decode(p: Array[Byte], maxFrames: Long): Option[Array[Byte]] =
+    decodeAudio(p, maxFrames).map(WavAudioCodec.canonicalBytes)
+
   override def decodeFrames(p: Array[Byte]): Option[Seq[Array[Byte]]] =
     None // audio: no frame structure; callers chop the canonical stream
 
   override def decodeAudio(p: Array[Byte])
+      : Option[WavAudioCodec.DecodedAudio] =
+    decodeAudio(p, WavAudioCodec.defaultMaxFrames)
+
+  override def decodeAudio(p: Array[Byte], maxFrames: Long)
       : Option[WavAudioCodec.DecodedAudio] =
     try {
       if (!isRiff(p, "WAVE")) return None
@@ -199,7 +221,7 @@ class ImaAdpcmWavCodec extends CompressedCodec {
           if (spb <= 0 || spb > spbComputed) return None
           val nBlocks = dLen / blockAlign
           val totalFrames = nBlocks.toLong * spb
-          if (totalFrames > WavAudioCodec.defaultMaxFrames) {
+          if (totalFrames > maxFrames) {
             WavAudioCodec.oversizeRejected.incrementAndGet()
             return None
           }

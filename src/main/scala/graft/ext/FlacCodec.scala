@@ -61,12 +61,19 @@ class FlacCodec extends CompressedCodec {
   override def decode(p: Array[Byte]): Option[Array[Byte]] =
     decodeAudio(p).map(WavAudioCodec.canonicalBytes)
 
+  override def decode(p: Array[Byte], maxFrames: Long): Option[Array[Byte]] =
+    decodeAudio(p, maxFrames).map(WavAudioCodec.canonicalBytes)
+
   override def decodeFrames(p: Array[Byte]): Option[Seq[Array[Byte]]] =
     None // audio: callers chop the canonical stream
 
   override def decodeAudio(p: Array[Byte])
       : Option[WavAudioCodec.DecodedAudio] =
-    try decodePcm(p, WavAudioCodec.defaultMaxFrames)
+    decodeAudio(p, WavAudioCodec.defaultMaxFrames)
+
+  override def decodeAudio(p: Array[Byte], maxFrames: Long)
+      : Option[WavAudioCodec.DecodedAudio] =
+    try decodePcm(p, maxFrames)
     catch { case scala.util.control.NonFatal(_) => None }
 
   /** STREAMINFO-only triage: exact sample count and rate without
@@ -537,7 +544,11 @@ object FlacCodec {
     require(sampleRate > 0 && sampleRate <= 65535,
       "encoder emits the 16-bit Hz rate code: rate must be <= 65535")
     require(fixedOrder >= -1 && fixedOrder <= 4, "fixedOrder in -1..4")
-    require(blockSize >= 1 && blockSize <= 65536, "blockSize in 1..65536")
+    // 65535, not 65536: STREAMINFO's min/max block-size fields are
+    // 16-bit (RFC 9639 §8.2) — writeBits(65536, 16) would silently
+    // truncate the declared block size to 0, an out-of-spec stream
+    // (round-15 ADVICE)
+    require(blockSize >= 1 && blockSize <= 65535, "blockSize in 1..65535")
     val modes = Set("independent", "left-side", "right-side", "mid-side")
     require(modes.contains(assignment), s"assignment in $modes")
     require(nCh == 2 || assignment == "independent",

@@ -292,7 +292,7 @@ object Multimodal {
       rows.flatMap { r =>
         WavAudioCodec.decode(r.payload, maxFrames)
           .orElse(compressed.find(_.sniff(r.payload))
-            .flatMap(_.decodeAudio(r.payload)))
+            .flatMap(_.decodeAudio(r.payload, maxFrames)))
           .flatMap { a =>
             if (a.mono.isEmpty) None
             else {
@@ -340,7 +340,7 @@ object Multimodal {
           .orElse(WavAudioCodec.decode(r.payload, maxFrames)
             .map(WavAudioCodec.canonicalBytes))
           .orElse(compressed.find(_.sniff(r.payload))
-            .flatMap(_.decode(r.payload)))
+            .flatMap(_.decode(r.payload, maxFrames)))
           .getOrElse(codec.decode(r.payload))
         codec.frameSample(decoded, everyN)
           .zipWithIndex.map { case (frame, i) =>
@@ -372,7 +372,7 @@ object Multimodal {
             case Some(a) =>
               (WavAudioCodec.canonicalBytes(a), r.width, r.height)
             case None => compressed.find(_.sniff(r.payload))
-              .flatMap(cc => cc.decode(r.payload).map { bytes =>
+              .flatMap(cc => cc.decode(r.payload, maxFrames).map { bytes =>
                 // visual codecs report decoded first-frame dimensions,
                 // like the still-image path; audio passes meta through
                 cc.decodeImage(r.payload) match {
@@ -518,7 +518,7 @@ object Multimodal {
               case Some(cc) =>
                 cc.decodeImage(r.payload)
                   .map(d => dHash64(d.gray, d.width, d.height))
-                  .orElse(cc.decodeAudio(r.payload)
+                  .orElse(cc.decodeAudio(r.payload, maxFrames)
                     .map(a => WavAudioCodec.aHash64(a.mono)))
                   .getOrElse(byteGridDHash64(r.payload))
               case None => byteGridDHash64(r.payload)
@@ -731,7 +731,7 @@ object Multimodal {
                 val canonical = WavAudioCodec.decode(r.payload, maxFrames)
                   .map(WavAudioCodec.canonicalBytes)
                   .orElse(compressed.find(_.sniff(r.payload))
-                    .flatMap(_.decode(r.payload)))
+                    .flatMap(_.decode(r.payload, maxFrames)))
                   .getOrElse(codec.decode(r.payload))
                 codec.frameSample(canonical, everyN)
                   .map(f => (r.media_id, hex(f)))

@@ -168,8 +168,17 @@ object Web {
             "corrupt the keep-best ordering. Pre-project a surrogate " +
             "key (e.g. xxhash64 of the natural key) instead.")
     }
+    // Surrogate chain (round-15 ADVICE): `concat` is NULL when `id` is
+    // NULL, which would collapse every NULL-id malformed row into one
+    // NULL-keyed family — the exact failure the surrogate exists to
+    // prevent.  NULL-id rows fall through to a per-row unique key
+    // (monotonically_increasing_id — nondeterministic across runs, but
+    // each such row is its own singleton family either way, and its
+    // keeper_id is NULL by construction, so no output value depends on
+    // the surrogate's spelling).
     val key = coalesce(col("url_canon"),
-      concat(lit("\u0000#"), col("id").cast("string")))
+      concat(lit("\u0000#"), col("id").cast("string")),
+      concat(lit("\u0000?"), monotonically_increasing_id().cast("string")))
     docs
       .select(canonicalUrl(col(urlCol)).as("url_canon"),
         col(idCol).cast("long").as("id"),
@@ -181,7 +190,7 @@ object Web {
         max(col("w")).as("keeper_chars"),
         count(lit(1)).as("n_dups"))
       .select(
-        when(col("__k").startsWith("\u0000#"), lit(null).cast("string"))
+        when(col("__k").startsWith("\u0000"), lit(null).cast("string"))
           .otherwise(col("__k")).as("url_canon"),
         col("keeper_id"), col("keeper_chars"), col("n_dups"))
   }
