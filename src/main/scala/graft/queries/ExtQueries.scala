@@ -477,9 +477,11 @@ object ExtQueries {
 
     // robots.txt parsing (RFC 9309 subset): per-host policy texts —
     // multi-agent groups, comments, CRLF, empty-Disallow idiom, a
-    // non-matching bot group — parsed to the (host, prefix) rules
-    // x108 consumes.  The oracle derives the expected rule set
-    // independently from the injection lattice
+    // non-matching bot group, Allow overrides, a wildcard/anchored
+    // pattern, and a Crawl-delay line (surfaced by robotsIgnored, not
+    // a rule) — parsed to the (host, pattern, allow) rules x108/x119
+    // consume.  The oracle derives the expected rule set independently
+    // from the injection lattice
     "x117_robots_parse" -> ((s, d) => {
       val id = col("doc_id")
       val txt = concat(
@@ -488,13 +490,49 @@ object ExtQueries {
           .otherwise(lit("")),
         lit("User-agent: *\nDISALLOW: /private/"), (id % 7).cast("string"),
         lit("\n"),
+        lit("Allow: /private/"), (id % 7).cast("string"), lit("/pub\n"),
         when(id % 3 === 0, lit("Disallow: /tmp\n")).otherwise(lit("")),
-        lit("Disallow:\n"))
+        when(id % 5 === 0, lit("Disallow: /*.zip$\n")).otherwise(lit("")),
+        lit("Crawl-delay: 5\n"),
+        lit("Disallow:\nAllow:\n"))
       graft.ext.Web.robotsRules(
         Tables.documents(s, d)
           .select(concat(lit("h"), id.cast("string"),
             lit(".example.com")).as("host"), txt.as("txt")),
         "host", "txt", agent = "graftbot")
+    }),
+
+    // parse → resolve composition: robots.txt texts with Allow
+    // overrides, a wildcard+anchored Disallow, an equal-length
+    // Allow/Disallow tie, and a host with NO matching group, resolved
+    // over real doc paths by RFC 9309 longest-match — the full
+    // crawl-compliance verdict a fetch frontier consults.  Every leg
+    // of the lattice exercises one precedence branch; the oracle
+    // recomputes the verdicts closed-form
+    "x119_robots_verdict" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("http://site"), (id % 3).cast("string"),
+          lit(".example.com"),
+          when(id % 5 === 0, lit("/a/x"))
+            .when(id % 5 === 1, lit("/a/pub/x"))
+            .when(id % 5 === 2, lit("/b/file.zip"))
+            .when(id % 5 === 3, lit("/tt/z"))
+            .otherwise(lit("/ok"))).as("url"))
+      val policy =
+        "User-agent: *\nDisallow: /a\nAllow: /a/pub\n" +
+          "Disallow: /*.zip$\nDisallow: /tt\nAllow: /tt\n"
+      val robots = Tables.documents(s, d)
+        .select((id % 3).as("h")).distinct()
+        .select(concat(lit("site"), col("h").cast("string"),
+          lit(".example.com")).as("host"),
+          // site2 publishes a policy with no matching group — every
+          // path on it must verdict allowed
+          when(col("h") === 2,
+            lit("User-agent: evilbot\nDisallow: /\n"))
+            .otherwise(lit(policy)).as("txt"))
+      graft.ext.Web.robotsReport(docs, "doc_id", "url",
+        graft.ext.Web.robotsRules(robots, "host", "txt"))
     }),
 
     // decode-budget router — what the triage probes EXIST for: a
@@ -3498,16 +3536,41 @@ object ExtQueries {
         |WHERE d.doc_id % 7 = 0""".stripMargin,
     // expected rules derived independently: the '*' group always
     // matches (and when id%4=0 the graftbot line joins the same
-    // group run — same rules either way); the evilbot group and the
-    // empty Disallow never contribute
+    // group run — same rules either way); the evilbot group, the
+    // empty Disallow/Allow, and the Crawl-delay line never contribute
     "x117_robots_parse" ->
       """SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
-        |       '/private/' || CAST(doc_id % 7 AS VARCHAR) AS path_prefix
+        |       '/private/' || CAST(doc_id % 7 AS VARCHAR) AS path_prefix,
+        |       FALSE AS allow
         |FROM documents
         |UNION ALL
         |SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com',
-        |       '/tmp'
-        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+        |       '/private/' || CAST(doc_id % 7 AS VARCHAR) || '/pub',
+        |       TRUE
+        |FROM documents
+        |UNION ALL
+        |SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com',
+        |       '/tmp', FALSE
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com',
+        |       '/*.zip$', FALSE
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    // verdicts recomputed closed-form from the path/policy lattice:
+    // /a/x → Disallow /a (longest match, blocked); /a/pub/x → the
+    // len-6 Allow outranks the len-2 Disallow (rescued); /b/file.zip →
+    // the anchored wildcard /*.zip$ (blocked); /tt/z → equal-length
+    // Allow/Disallow tie resolves least-restrictive (allowed); /ok →
+    // no rule matches (allowed); site2's policy has no '*' group so
+    // every path on it is allowed
+    "x119_robots_verdict" ->
+      """SELECT doc_id,
+        |  'site' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' AS host,
+        |  CASE doc_id % 5 WHEN 0 THEN '/a/x' WHEN 1 THEN '/a/pub/x'
+        |       WHEN 2 THEN '/b/file.zip' WHEN 3 THEN '/tt/z'
+        |       ELSE '/ok' END AS path,
+        |  (doc_id % 3 <> 2 AND doc_id % 5 IN (0, 2)) AS blocked
+        |FROM documents""".stripMargin,
     // each family's sample count recomputed closed-form (MP3
     // frames×1152, FLAC streaminfo total, MP4 audio mdhd duration),
     // then the same threshold router and rollup

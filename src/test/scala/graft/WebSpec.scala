@@ -461,4 +461,78 @@ class WebSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(viaDf === viaSeq)
   }
+
+  test("robotsRules parses Allow directives (allow=true), drops " +
+    "empty Allow, and never emits Crawl-delay/Sitemap as rules") {
+    val txt =
+      "User-agent: *\n" +
+      "Disallow: /a\n" +
+      "ALLOW: /a/pub\n" +
+      "Allow:\n" +            // empty Allow: no rule (mirror of empty Disallow)
+      "Crawl-delay: 5\n" +
+      "Sitemap: http://h.com/sm.xml\n"
+    val rules = Web.robotsRules(Seq(("h.com", txt)).toDF("host", "txt"),
+        "host", "txt")
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(rules === Set("/a" -> false, "/a/pub" -> true))
+  }
+
+  test("RFC 9309 longest-match: an Allow rescues a Disallow-prefixed " +
+    "path, wildcard/$ patterns match, equal-length ties resolve to " +
+    "Allow, and regex metacharacters in patterns stay literal") {
+    val robots = Seq(("h.com",
+      "User-agent: *\n" +
+      "Disallow: /a\n" +
+      "Allow: /a/pub\n" +
+      "Disallow: /*.zip$\n" +
+      "Disallow: /tt\n" +
+      "Allow: /tt\n" +
+      "Disallow: /q+x\n"   // '+' is literal in RFC patterns, not regex
+    )).toDF("host", "txt")
+    val rules = Web.robotsRules(robots, "host", "txt")
+    val docs = Seq(
+      (1L, "http://h.com/a/x"),        // Disallow /a → blocked
+      (2L, "http://h.com/a/pub/x"),    // Allow /a/pub (len 6) rescues
+      (3L, "http://h.com/b/file.zip"), // anchored wildcard → blocked
+      (4L, "http://h.com/b/file.zipX"),// $ anchor: .zipX does NOT match
+      (5L, "http://h.com/tt/z"),       // tie /tt vs /tt → Allow wins
+      (6L, "http://h.com/ok"),         // no rule matches → allowed
+      (7L, "http://h.com/q+x/y"),      // literal '+' matches itself
+      (8L, "http://h.com/qqx/y")       // and ONLY itself (no regex q+)
+    ).toDF("doc_id", "url")
+    val got = Web.robotsReport(docs, "doc_id", "url", rules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> false, 6L -> false, 7L -> true, 8L -> false))
+  }
+
+  test("a rules frame without an allow column keeps the historical " +
+    "all-Disallow reading") {
+    val rules = Seq(("h.com", "/a")).toDF("host", "path_prefix")
+    val docs = Seq((1L, "http://h.com/a/x"), (2L, "http://h.com/b"))
+      .toDF("doc_id", "url")
+    val got = Web.robotsReport(docs, "doc_id", "url", rules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got === Map(1L -> true, 2L -> false))
+  }
+
+  test("robotsIgnored surfaces the directives the parser does not " +
+    "consume, per (host, lowercased key), and nothing else") {
+    val robots = Seq(
+      ("h.com",
+        "# comment\n" +
+        "User-agent: *\nDisallow: /a\nAllow: /b\n" +
+        "Crawl-delay: 5\nCRAWL-DELAY: 10\n" +
+        "Sitemap: http://h.com/sm.xml\n" +
+        "garbage line without colon\n"),
+      ("i.com", "User-agent: *\nDisallow: /\n")
+    ).toDF("host", "txt")
+    val got = Web.robotsIgnored(robots, "host", "txt")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      ("h.com", "crawl-delay") -> 2L,
+      ("h.com", "sitemap") -> 1L,
+      ("h.com", "<no-colon>") -> 1L))
+  }
 }
