@@ -605,15 +605,15 @@ object Dedup {
     // corpus scale the scan already carries many tasks and this
     // exchange is AQE-coalesced noise.
     val ex = existing.repartition(parts)
-    // enc pins HASH-PARTITIONED on ex_id: the verify join of every
-    // probe ([[lshMatchIndexed]]: `.join(index.enc, "ex_id")`) and the
-    // bands-leg join below then reuse the checkpoint's partitioning —
-    // the corpus-sized token table crosses the network once at build,
-    // never per batch (the disk form gets the same from bucketBy).
+    // enc pins with the spread partitioning (NOT re-hashed on ex_id:
+    // a round-16 A/B measured the extra enc-sized exchange at +0.27 s
+    // per build vs +0.15 s for the spread alone, and the in-session
+    // probe joins are batch-bounded either way — the disk-persisted
+    // form gets durable ex_id locality from [[saveLshIndex]]'s
+    // bucketBy, which is where month-scale probe amortization lives).
     val enc = encodeTokenSets(ex, idCol, textCol, None)
       .select(col("id").as("ex_id"), col("toks").as("te"),
         col("sz").as("se"))
-      .repartition(parts, col("ex_id"))
       .localCheckpoint()
     // band rows carry sz (one extra int) so the size-ratio prefilter
     // can run INSIDE the band join, before the candidate distinct —
