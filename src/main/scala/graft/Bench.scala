@@ -126,6 +126,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "4").toInt.max(0)
+    // Global rerun budget across the whole suite: with BOTH self-gates
+    // armed (spread + regression-vs-prior), a box-wide ambient
+    // elevation could otherwise trip rerun loops on most of the ~200
+    // queries and multiply the bench's wall clock; past the cap the
+    // gates stop rerunning but still ship their profiles — evidence is
+    // never capped, only retries.  (r15 took 12 reruns total; 60 is
+    // ample for real noise and bounds the adversarial case.)
+    val rerunCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_CAP", "60").toInt
     val spreadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD", "2.0").toDouble
     val regressGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REGRESS", "2.0").toDouble
     val failed = scala.collection.mutable.ListBuffer[String]()
@@ -239,7 +247,8 @@ object Bench {
         def regressBad = times.nonEmpty && times.min >= 0.3 &&
           prior.exists(p => times.min > regressGate * p)
         var extra = 0
-        while (extra < maxReruns && (spreadBad || regressBad)) {
+        while (extra < maxReruns && rerunsTaken < rerunCap &&
+               (spreadBad || regressBad)) {
           val why =
             if (spreadBad) f"spread ${times.max / times.min}%.1fx"
             else f"min ${times.min}%.2fs > ${regressGate}x prior ${prior.get}%.2fs"

@@ -20,7 +20,17 @@ import java.util.Locale
   * `SPARK_GRAFT_REHEARSAL_QUERIES` comma list overriding the ceiling
   * set; `SPARK_GRAFT_REHEARSAL_OUT` overrides the artifact path
   * (default REHEARSAL.json — e.g. the 100x probe writes
-  * REHEARSAL_100X.json so it cannot clobber the committed 10x gate).
+  * REHEARSAL_100X.json so it cannot clobber the committed 10x gate);
+  * `SPARK_GRAFT_REHEARSAL_HISTORY` (round-16, the r15 verdict's #6):
+  * run the first N declared queries once (name order, base dir,
+  * slate-cleared after) BEFORE the gated measurements, so the gate
+  * can be taken in the driver's failure mode — "197 queries of
+  * session history, then the loop" — instead of on a quiet slate.
+  * The history leaves no pinned blocks (the slate clear between
+  * queries removes those); what it leaves is the JVM-level residue a
+  * fresh session lacks: JIT/code-cache state, old-gen occupancy and
+  * fragmentation, accumulated weak/soft references.  The artifact
+  * records `"history": N`.
   *
   * The default set is every query the round-9 rehearsal identified as a
   * scaling ceiling plus the round-11 perceptual near-dup lens: the
@@ -84,12 +94,30 @@ object Rehearsal {
     val queries = sys.env.get("SPARK_GRAFT_REHEARSAL_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(defaultQueries)
+    val history =
+      sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_HISTORY", "0").toInt
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // Session-history warm-up: replay the suite ONCE before any gated
+    // measurement (same slate-v2 semantics as the bench — pinned
+    // blocks cleared between queries, JVM residue kept).  A query that
+    // fails on the rehearsal corpus (e.g. a fixture-lattice query the
+    // generated tables don't carry) is skipped — history is load, not
+    // a correctness pass.
+    if (history > 0) {
+      val names = SparkEntry.queries.keys.toSeq.sorted.take(history)
+      names.foreach { name =>
+        graft.queries.ExtQueries.clearSessionSlate(spark)
+        try SparkEntry.queries(name)(spark, args(0)).count()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      println(s"[rehearsal] ran ${names.size} history queries")
+    }
 
     // Queries whose declared form pins its whole result in a session
     // cache would rehearse the CACHE, not the operator — time those
@@ -153,6 +181,7 @@ object Rehearsal {
       s"""{
          |  "base_dir": ${q(baseDir)}, "big_dir": ${q(bigDir)},
          |  "scale": ${n(scale, 2)}, "runs_per_point": $runs,
+         |  "history": $history,
          |  "queries": {
          |${rows.mkString(",\n")}
          |  }
