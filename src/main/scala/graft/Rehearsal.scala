@@ -85,7 +85,11 @@ object Rehearsal {
     // robots parsing (per-host window), the WARC frontier gate, and
     // the mixed-media budget rollup
     "x115_crawl_ingest", "x117_robots_parse", "st16_warc_frontier_gate",
-    "x118_decode_budget")
+    "x118_decode_budget",
+    // round-16: RFC 9309 longest-match resolution (per-host sorted
+    // rules, broadcast) and the frontier fetch decision (novelty ∧
+    // robots) — the compositions that consult the rules at corpus rate
+    "x119_robots_verdict", "st17_frontier_policy_gate")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)

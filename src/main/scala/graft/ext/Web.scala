@@ -521,6 +521,34 @@ object Web {
       .select(col(idCol), col("url_canon"),
         col("__seen").isNull.as("novel"))
 
+  /** The crawl-frontier FETCH DECISION — the composition a frontier
+    * consults before spending a fetch cycle: a candidate URL is
+    * fetched when it is NOVEL (its canonical form is not in the
+    * seen-set index) AND its canonical path is ALLOWED by its host's
+    * robots policy (RFC 9309 longest-match over parsed rules — the
+    * [[robotsRules]]→[[robotsReport]] pair).  Output one row per
+    * candidate: (id, url_canon, novel, blocked, fetch = novel ∧
+    * ¬blocked).
+    *
+    * Scale shape: the novelty leg is one equi-join against the
+    * pre-partitioned pinned index (batch side shuffles, index does
+    * not — the [[urlNoveltyGate]] contract); the policy leg is the
+    * broadcast rules join (map-only on the candidate side); the two
+    * verdicts re-join on the batch-bounded id.  Nothing corpus-sized
+    * moves.  Malformed URLs (NULL canonical) report `novel = true`
+    * (never silently skipped) and `blocked = false` (no host to match
+    * — NULL host joins no rules), so they surface as `fetch = true`
+    * and fail at fetch time where the error is observable. */
+  def frontierGate(index: UrlIndex, rules: DataFrame, incoming: DataFrame,
+                   idCol: String, urlCol: String): DataFrame = {
+    val novelty = urlNoveltyGate(index, incoming, idCol, urlCol)
+    val policy = robotsReport(incoming, idCol, urlCol, rules)
+      .select(col(idCol), col("blocked"))
+    novelty.join(policy, Seq(idCol))
+      .select(col(idCol), col("url_canon"), col("novel"), col("blocked"),
+        (col("novel") && !col("blocked")).as("fetch"))
+  }
+
   /** URL-keyword spam scoring (the RefinedWeb/UT1-family URL filter):
     * weighted soft-term hits over the lowercased canonical host+path,
     * plus a hard-term instant block.  `score` sums the weights of the

@@ -475,6 +475,43 @@ object ExtQueries {
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "url")
     }),
 
+    // §2.9 crawl-frontier FETCH DECISION gate: novelty (seen-set
+    // probe) ∧ robots-allowed (RFC 9309 longest-match over parsed
+    // rules) — the full per-candidate verdict a frontier consults
+    // before spending a fetch.  Hosts/paths ride the x119 precedence
+    // lattice (rescue/anchor/tie/no-group branches) and a (h, p, q)
+    // collision lattice leaves a handful of genuinely novel
+    // candidates; batch replay declared here, the foreachBatch
+    // micro-batch ≡ batch lifecycle proven in WebSpec
+    "st17_frontier_policy_gate" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = concat(lit("http://site"), (id % 3).cast("string"),
+        lit(".example.com"),
+        when(id % 5 === 0, lit("/a/x"))
+          .when(id % 5 === 1, lit("/a/pub/x"))
+          .when(id % 5 === 2, lit("/b/file.zip"))
+          .when(id % 5 === 3, lit("/tt/z"))
+          .otherwise(lit("/ok")),
+        lit("?id="), (id % 40).cast("string"))
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        url.as("url"))
+      val policy =
+        "User-agent: *\nDisallow: /a\nAllow: /a/pub\n" +
+          "Disallow: /*.zip$\nDisallow: /tt\nAllow: /tt\n"
+      val robots = Tables.documents(s, d)
+        .select((id % 3).as("h")).distinct()
+        .select(concat(lit("site"), col("h").cast("string"),
+          lit(".example.com")).as("host"),
+          when(col("h") === 2,
+            lit("User-agent: evilbot\nDisallow: /\n"))
+            .otherwise(lit(policy)).as("txt"))
+      graft.ext.Web.frontierGate(
+        graft.ext.Web.urlIndex(
+          docs.filter(col("doc_id") % 7 =!= 0), "url"),
+        graft.ext.Web.robotsRules(robots, "host", "txt"),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "url")
+    }),
+
     // robots.txt parsing (RFC 9309 subset): per-host policy texts —
     // multi-agent groups, comments, CRLF, empty-Disallow idiom, a
     // non-matching bot group, Allow overrides, a wildcard/anchored
@@ -3556,6 +3593,28 @@ object ExtQueries {
         |SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com',
         |       '/*.zip$', FALSE
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    // novelty re-derived via the same seen-CTE reduction as st16 (a
+    // candidate is novel iff NO non-incoming doc shares its (host,
+    // path, query) canonical combo); blocked re-derived closed-form
+    // from the x119 precedence lattice; fetch = novel AND NOT blocked
+    "st17_frontier_policy_gate" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS h, doc_id % 5 AS p,
+        |                  doc_id % 40 AS q
+        |           FROM documents),
+        |seen AS (SELECT DISTINCT h, p, q FROM d WHERE doc_id % 7 <> 0),
+        |inc AS (SELECT * FROM d WHERE doc_id % 7 = 0)
+        |SELECT inc.doc_id,
+        |  'http://site' || CAST(inc.h AS VARCHAR) || '.example.com' ||
+        |  CASE inc.p WHEN 0 THEN '/a/x' WHEN 1 THEN '/a/pub/x'
+        |       WHEN 2 THEN '/b/file.zip' WHEN 3 THEN '/tt/z'
+        |       ELSE '/ok' END || '?id=' || CAST(inc.q AS VARCHAR)
+        |    AS url_canon,
+        |  seen.h IS NULL AS novel,
+        |  (inc.h <> 2 AND inc.p IN (0, 2)) AS blocked,
+        |  (seen.h IS NULL AND NOT (inc.h <> 2 AND inc.p IN (0, 2)))
+        |    AS fetch
+        |FROM inc LEFT JOIN seen
+        |  ON inc.h = seen.h AND inc.p = seen.p AND inc.q = seen.q""".stripMargin,
     // verdicts recomputed closed-form from the path/policy lattice:
     // /a/x → Disallow /a (longest match, blocked); /a/pub/x → the
     // len-6 Allow outranks the len-2 Disallow (rescued); /b/file.zip →

@@ -535,4 +535,51 @@ class WebSpec extends SparkSpec {
       ("h.com", "sitemap") -> 1L,
       ("h.com", "<no-colon>") -> 1L))
   }
+
+  test("frontierGate: fetch = novel AND robots-allowed, all four " +
+    "quadrants exercised, micro-batched foreachBatch equals the " +
+    "one-shot batch answer") {
+    import graft.ext.Web
+    val robots = Seq(("h.com",
+      "User-agent: *\nDisallow: /priv\nAllow: /priv/pub\n"))
+      .toDF("host", "txt")
+    val rules = Web.robotsRules(robots, "host", "txt")
+    val seen = Seq((100L, "http://h.com/old"), (101L, "http://h.com/priv/x"))
+      .toDF("doc_id", "url")
+    val index = Web.urlIndex(seen, "url")
+    val incoming = Seq(
+      (1L, "http://h.com/new"),        // novel + allowed  → fetch
+      (2L, "http://h.com/old"),        // seen + allowed   → skip
+      (3L, "http://h.com/priv/y"),     // novel + blocked  → skip
+      (4L, "http://h.com/priv/x"),     // seen + blocked   → skip
+      (5L, "http://h.com/priv/pub/z")  // novel + Allow-rescued → fetch
+    ).toDF("doc_id", "url")
+    val batch = Web.frontierGate(index, rules, incoming, "doc_id", "url")
+      .select("doc_id", "novel", "blocked", "fetch")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSet
+    assert(batch === Set(
+      (1L, true, false, true), (2L, false, false, false),
+      (3L, true, true, false), (4L, false, true, false),
+      (5L, true, false, true)))
+    // micro-batched delivery through foreachBatch == one-shot batch
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_frontier_").toString
+    incoming.filter(col("doc_id") <= 2).write.mode("append").parquet(dir)
+    incoming.filter(col("doc_id") > 2).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val got = scala.collection.mutable.Set[(Long, Boolean, Boolean, Boolean)]()
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= Web.frontierGate(index, rules, df, "doc_id", "url")
+          .select("doc_id", "novel", "blocked", "fetch")
+          .as[(Long, Boolean, Boolean, Boolean)].collect()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got.toSet === batch)
+  }
 }
