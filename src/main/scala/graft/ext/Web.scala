@@ -282,7 +282,25 @@ object Web {
     * `$` → anchor, other regex metacharacters escaped), so the corpus
     * hot path pays a regex only where the grammar demands one. */
   def robotsReport(docs: DataFrame, idCol: String, urlCol: String,
-                   rules: DataFrame): DataFrame = {
+                   rules: DataFrame): DataFrame =
+    docs
+      .select(col(idCol), urlHost(col(urlCol)).as("host"),
+        urlPath(col(urlCol)).as("path"))
+      .join(rulesByHost(rules), Seq("host"), "left")
+      .select(col(idCol), col("host"), col("path"),
+        robotsVerdict(col("path"), col("rules")).as("blocked"))
+
+  /** One `host → sorted+compiled rule array` row per host — the rule
+    * side [[robotsReport]] and [[frontierGate]] join against.  Struct
+    * field order IS the precedence order: array_sort orders by
+    * (len asc, allow asc), reverse flips to (len desc, allow=true
+    * first on ties) — the RFC's longest-match / least-restrictive
+    * rule, baked into the array ONCE per host at aggregation time.
+    * Patterns pre-compile here, on the rule side: the regex
+    * translation escapes every metacharacter except `*` (the RFC
+    * wildcard), maps `*` → `.*`, and anchors with `^` + optional `$`
+    * exactly as §2.2.3 specifies. */
+  private def rulesByHost(rules: DataFrame): DataFrame = {
     val withAllow =
       if (rules.columns.contains("allow")) rules
       else rules.withColumn("allow", lit(false))
@@ -291,41 +309,37 @@ object Web {
     val body = when(anchored, expr(
       "substring(path_prefix, 1, length(path_prefix) - 1)"))
       .otherwise(pat)
-    // escape every regex metacharacter except `*` (the RFC wildcard),
-    // then translate `*` → `.*`; `^` + optional `$` anchor the match
-    // to path start / end exactly as §2.2.3 specifies
     val esc = regexp_replace(body,
       "([\\\\.\\[\\]\\{\\}\\(\\)\\^\\$\\|\\+\\?])", "\\\\$1")
     val re = concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
       when(anchored, lit("$")).otherwise(lit("")))
     val wild = pat.contains("*") || anchored
-    // struct field order IS the precedence order: array_sort orders by
-    // (len asc, allow asc), reverse flips to (len desc, allow=true
-    // first on ties) — the RFC's longest-match / least-restrictive
-    // rule, baked into the array ONCE per host at aggregation time
-    val prepared = withAllow.select(col("host"),
-      struct(length(pat).as("len"), col("allow").as("allow"),
-        wild.as("wild"), pat.as("pat"), re.as("re")).as("rule"))
-    val byHost = prepared.groupBy(col("host"))
+    withAllow
+      .select(col("host"),
+        struct(length(pat).as("len"), col("allow").as("allow"),
+          wild.as("wild"), pat.as("pat"), re.as("re")).as("rule"))
+      .groupBy(col("host"))
       .agg(reverse(array_sort(collect_list(col("rule")))).as("rules"))
-    val path = col("path")
+  }
+
+  /** The RFC 9309 §2.2.2 blocked-verdict over a [[rulesByHost]] array:
+    * the first matching rule in (length desc, allow-first) precedence
+    * order decides — the accumulator latches `NOT allow` at the first
+    * match and ignores every later rule; NULL accumulator (no match,
+    * or no rules for the host) → allowed.  Wildcard-free rules (the
+    * overwhelming majority of real robots.txt) match via `startswith`;
+    * only wildcard/anchored rules pay their pre-compiled regex. */
+  private def robotsVerdict(path: Column, rulesArr: Column): Column = {
     def matches(r: Column): Column =
       when(r.getField("wild"), regexp_like(path, r.getField("re")))
         .otherwise(path.startsWith(r.getField("pat")))
-    // first matching rule in precedence order decides: the accumulator
-    // latches the verdict (NOT allow) at the first match and ignores
-    // every later rule; NULL accumulator = undecided → allowed
-    val verdict = aggregate(col("rules"),
-      lit(null).cast("boolean"),
-      (acc, r) => when(acc.isNotNull, acc)
-        .when(matches(r), !r.getField("allow")),
-      acc => coalesce(acc, lit(false)))
-    docs
-      .select(col(idCol), urlHost(col(urlCol)).as("host"),
-        urlPath(col(urlCol)).as("path"))
-      .join(byHost, Seq("host"), "left")
-      .select(col(idCol), col("host"), col("path"),
-        coalesce(verdict, lit(false)).as("blocked"))
+    coalesce(
+      aggregate(rulesArr,
+        lit(null).cast("boolean"),
+        (acc, r) => when(acc.isNotNull, acc)
+          .when(matches(r), !r.getField("allow")),
+        acc => acc),
+      lit(false))
   }
 
   /** robots.txt parsing — the other half of crawl compliance
@@ -530,23 +544,28 @@ object Web {
     * candidate: (id, url_canon, novel, blocked, fetch = novel ∧
     * ¬blocked).
     *
-    * Scale shape: the novelty leg is one equi-join against the
-    * pre-partitioned pinned index (batch side shuffles, index does
-    * not — the [[urlNoveltyGate]] contract); the policy leg is the
-    * broadcast rules join (map-only on the candidate side); the two
-    * verdicts re-join on the batch-bounded id.  Nothing corpus-sized
-    * moves.  Malformed URLs (NULL canonical) report `novel = true`
-    * (never silently skipped) and `blocked = false` (no host to match
-    * — NULL host joins no rules), so they surface as `fetch = true`
-    * and fail at fetch time where the error is observable. */
+    * Scale shape — ONE pass over the candidate batch: canonicalize
+    * once, equi-join the pre-partitioned pinned index on the canonical
+    * URL (batch side shuffles, index does not — the [[urlNoveltyGate]]
+    * contract), then the rules join on host (AQE broadcasts while the
+    * rule table fits — map-side, no second batch shuffle).  Nothing
+    * corpus-sized moves and the batch is never scanned twice.
+    * Malformed URLs (NULL canonical) report `novel = true` (never
+    * silently skipped) and `blocked = false` (their `""` host matches
+    * no rules), so they surface as `fetch = true` and fail at fetch
+    * time where the error is observable. */
   def frontierGate(index: UrlIndex, rules: DataFrame, incoming: DataFrame,
                    idCol: String, urlCol: String): DataFrame = {
-    val novelty = urlNoveltyGate(index, incoming, idCol, urlCol)
-    val policy = robotsReport(incoming, idCol, urlCol, rules)
-      .select(col(idCol), col("blocked"))
-    novelty.join(policy, Seq(idCol))
-      .select(col(idCol), col("url_canon"), col("novel"), col("blocked"),
-        (col("novel") && !col("blocked")).as("fetch"))
+    val novel = col("__seen").isNull
+    val blocked = robotsVerdict(col("path"), col("rules"))
+    incoming
+      .select(col(idCol), canonicalUrl(col(urlCol)).as("url_canon"),
+        urlHost(col(urlCol)).as("host"), urlPath(col(urlCol)).as("path"))
+      .join(index.urls.withColumn("__seen", lit(true)),
+        Seq("url_canon"), "left")
+      .join(rulesByHost(rules), Seq("host"), "left")
+      .select(col(idCol), col("url_canon"), novel.as("novel"),
+        blocked.as("blocked"), (novel && !blocked).as("fetch"))
   }
 
   /** URL-keyword spam scoring (the RefinedWeb/UT1-family URL filter):
