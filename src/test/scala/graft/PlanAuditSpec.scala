@@ -92,6 +92,64 @@ class PlanAuditSpec extends SparkSpec {
     assert(out === Map(1L -> true, 2L -> false))
   }
 
+  test("frontierGate is one linear pass: the candidate batch scans " +
+    "once, exactly one batch-side shuffle (the index probe key), and " +
+    "the rules join broadcasts") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    val robots = Seq(("h.com", "User-agent: *\nDisallow: /a\n"))
+      .toDF("host", "txt")
+    val rules = graft.ext.Web.robotsRules(robots, "host", "txt")
+    val seen = Seq((100L, "http://h.com/old")).toDF("doc_id", "url")
+    val index = graft.ext.Web.urlIndex(seen, "url")
+    val incoming = Seq((1L, "http://h.com/new"), (2L, "http://h.com/a/x"))
+      .toDF("doc_id", "url")
+    val gate = graft.ext.Web.frontierGate(index, rules, incoming,
+      "doc_id", "url")
+    // the candidate relation must appear exactly once in the plan —
+    // the pre-round-16 shape scanned it once per verdict leg and
+    // re-joined on id.  Audit LEAVES of the OPTIMIZED LOGICAL plan
+    // (the physical plan is wrapped in AdaptiveSparkPlanExec before
+    // execution, whose collect() sees only the un-finalized shell):
+    // exactly ONE leaf carries the candidate id column; the only other
+    // leaves are the pinned index (LogicalRDD) and the robots-text
+    // relation — which legitimately appears twice, because
+    // robotsRules' group-match semi-join reads the policy text for
+    // both its agent leg and its rules leg (bounded by the robots
+    // files, never the corpus).
+    val leaves = gate.queryExecution.optimizedPlan.collectLeaves()
+    val candLeaves = leaves.filter(_.output.exists(_.name == "doc_id"))
+    assert(candLeaves.size == 1,
+      s"candidate batch must scan once, found ${candLeaves.size} of " +
+        s"${leaves.size} leaves:\n${leaves.mkString("\n")}")
+    assert(leaves.size == 4,
+      s"leaf census drifted (expect candidate + index + robots x2):\n" +
+        leaves.mkString("\n"))
+    // execute FIRST, then audit the AQE-finalized physical plan (the
+    // unexecuted AdaptiveSparkPlanExec shell hides the real operators)
+    val out = gate.collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out === Map(1L -> true, 2L -> false))
+    val exec = gate.queryExecution.executedPlan
+    val plan = exec.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(exec)
+    // shuffles: only the batch side of the index probe (the pinned
+    // index is pre-partitioned; the rules join must broadcast).  The
+    // finalized plan nests materialized sub-stages behind
+    // QueryStageExec shells that node-collect does not enter, so the
+    // join audit reads the printed tree (which does render them).
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1,
+      s"frontierGate must shuffle only the candidate batch:\n" +
+        shuffles.mkString("\n"))
+    val printed = exec.toString
+    assert(printed.contains("BroadcastHashJoin"),
+      s"rules join must plan as a broadcast hash join:\n$printed")
+    assert(!printed.contains("SortMergeJoin"),
+      s"no corpus-shaped join may appear in the gate:\n$printed")
+  }
+
   test("the audit actually catches an injected cross join") {
     // sanity-check the detector itself on this session's conf: a bare
     // crossJoin must surface as CartesianProduct with AQE off
