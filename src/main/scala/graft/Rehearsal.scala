@@ -89,7 +89,10 @@ object Rehearsal {
     // round-16: RFC 9309 longest-match resolution (per-host sorted
     // rules, broadcast) and the frontier fetch decision (novelty ∧
     // robots) — the compositions that consult the rules at corpus rate
-    "x119_robots_verdict", "st17_frontier_policy_gate")
+    "x119_robots_verdict", "st17_frontier_policy_gate",
+    // round-16: the politeness scheduler (TopKPerKey cap + bounded
+    // window + broadcast delay join)
+    "x121_politeness")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)

@@ -370,7 +370,30 @@ object Web {
     * host — robots files are one per host and small, so the window
     * partitions are bounded by the file, never the corpus. */
   def robotsRules(robots: DataFrame, hostCol: String, txtCol: String,
-                  agent: String = "*"): DataFrame = {
+                  agent: String = "*"): DataFrame =
+    matchedPolicyLines(robots, hostCol, txtCol, agent)
+      .withColumn("dis",
+        when(lower(col("line")).rlike("^disallow\\s*:"),
+          trim(regexp_replace(col("line"), "(?i)^disallow\\s*:", ""))))
+      .withColumn("alw",
+        when(lower(col("line")).rlike("^allow\\s*:"),
+          trim(regexp_replace(col("line"), "(?i)^allow\\s*:", ""))))
+      .filter((col("dis").isNotNull && col("dis") =!= "") ||
+        (col("alw").isNotNull && col("alw") =!= ""))
+      .select(col("host"),
+        coalesce(col("dis"), col("alw")).as("path_prefix"),
+        col("alw").isNotNull.as("allow"))
+
+  /** The lines of each robots.txt that belong to a group naming
+    * `agent` (or `*`) — the RFC group machinery shared by
+    * [[robotsRules]] and [[robotsCrawlDelay]]: lines `posexplode`,
+    * a consecutive RUN of User-agent lines opens one group (ids are a
+    * running count of group starts — a window over (host, line pos)),
+    * and the group's lines semi-join on (host, group).  One shuffle
+    * keyed by host — robots files are one per host and small, so the
+    * window partitions are bounded by the file, never the corpus. */
+  private def matchedPolicyLines(robots: DataFrame, hostCol: String,
+                                 txtCol: String, agent: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = robots
       .select(col(hostCol).as("host"),
@@ -381,12 +404,6 @@ object Web {
         when(lower(col("line")).rlike("^user-agent\\s*:"),
           trim(regexp_replace(col("line"),
             "(?i)^user-agent\\s*:", ""))))
-      .withColumn("dis",
-        when(lower(col("line")).rlike("^disallow\\s*:"),
-          trim(regexp_replace(col("line"), "(?i)^disallow\\s*:", ""))))
-      .withColumn("alw",
-        when(lower(col("line")).rlike("^allow\\s*:"),
-          trim(regexp_replace(col("line"), "(?i)^allow\\s*:", ""))))
     val w = Window.partitionBy(col("host")).orderBy(col("pos"))
     val grouped = lines
       .withColumn("grp_start",
@@ -398,21 +415,87 @@ object Web {
       .filter(col("ua").isNotNull &&
         (col("ua") === agent || col("ua") === "*"))
       .select(col("host"), col("grp")).distinct()
-    grouped
-      .filter((col("dis").isNotNull && col("dis") =!= "") ||
-        (col("alw").isNotNull && col("alw") =!= ""))
-      .join(matched, Seq("host", "grp"), "left_semi")
-      .select(col("host"),
-        coalesce(col("dis"), col("alw")).as("path_prefix"),
-        col("alw").isNotNull.as("allow"))
+    grouped.join(matched, Seq("host", "grp"), "left_semi")
+  }
+
+  /** Per-host `Crawl-delay:` under the same group semantics as
+    * [[robotsRules]] (the directive is a de-facto standard, not part
+    * of RFC 9309 — but every major crawler honors it, and a politeness
+    * scheduler needs it as a number, not as [[robotsIgnored]]'s count).
+    * Values parse as seconds (double); unparseable values drop — they
+    * stay visible in [[robotsIgnored]].  When the matched groups carry
+    * several delays the MAXIMUM wins (the conservative read: never
+    * fetch faster than any applicable directive asked).
+    * Output: (host, delay_sec). */
+  def robotsCrawlDelay(robots: DataFrame, hostCol: String, txtCol: String,
+                       agent: String = "*"): DataFrame =
+    matchedPolicyLines(robots, hostCol, txtCol, agent)
+      .withColumn("cd",
+        // try_cast, not cast: under ANSI semantics a malformed value
+        // ("Crawl-delay: soon") must DROP (and stay visible through
+        // robotsIgnored), not kill the parse job
+        when(lower(col("line")).rlike("^crawl-delay\\s*:"),
+          trim(regexp_replace(col("line"), "(?i)^crawl-delay\\s*:", "")))
+          .try_cast("double"))
+      .filter(col("cd").isNotNull && col("cd") >= 0)
+      .groupBy(col("host"))
+      .agg(max(col("cd")).as("delay_sec"))
+
+  /** Per-host politeness schedule for ONE fetch cycle — the step after
+    * [[frontierGate]]: a crawler must serialize requests per origin
+    * host, so each fetchable candidate gets a dense per-host SLOT
+    * (0, 1, … by ascending id — deterministic) and an ETA
+    * `slot × delay_sec`, where the delay comes from
+    * [[robotsCrawlDelay]] (hosts without a directive get
+    * `defaultDelaySec`).
+    *
+    * Scale shape — the mega-host problem is bounded BY CONSTRUCTION:
+    * candidates first cap at `maxPerHost` per host through the
+    * [[graft.plans.TopKPerKey]] physical operator (k-bounded heap per
+    * key — memory O(hosts × k), no full-host sort, rows beyond the
+    * bound rejected with one comparison), which is also what a real
+    * crawler does: a host with a million pending URLs gets `maxPerHost`
+    * of them this cycle and the rest wait, because politeness makes
+    * the host itself the throughput ceiling, not the cluster.  The
+    * slot window then runs over ≤ maxPerHost rows per host — the
+    * partitioned-window sort that is a scale hazard on unbounded
+    * groups is safe on capped ones — and reuses the heap's hash
+    * partitioning (one shuffle total; the delay join broadcasts).
+    * Candidates whose URL has no parseable host (`""` — the malformed
+    * contract) are excluded: there is no origin to be polite to, and
+    * [[frontierGate]] already surfaced them as fetch=true.
+    * Output: (id, url_canon, host, slot, delay_sec, eta_sec). */
+  def politenessSchedule(candidates: DataFrame, delays: DataFrame,
+                         idCol: String, urlCol: String,
+                         maxPerHost: Int = 1000,
+                         defaultDelaySec: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = candidates
+      .select(col(idCol), canonicalUrl(col(urlCol)).as("url_canon"),
+        urlHost(col(urlCol)).as("host"))
+      .filter(col("host") =!= "")
+    val capped = graft.plans.TopKPerKey.topKPerKey(cand,
+      keys = Seq(col("host")), order = Seq(col(idCol).asc), k = maxPerHost)
+    val w = Window.partitionBy(col("host")).orderBy(col(idCol))
+    capped
+      .join(delays, Seq("host"), "left")
+      .withColumn("slot", row_number().over(w) - 1)
+      .withColumn("delay_sec",
+        coalesce(col("delay_sec"), lit(defaultDelaySec)))
+      .select(col(idCol), col("url_canon"), col("host"), col("slot"),
+        col("delay_sec"),
+        round(col("slot") * col("delay_sec"), 6).as("eta_sec"))
   }
 
   /** The directives [[robotsRules]] does NOT consume, surfaced as a
     * per-(host, directive) count — the round-15 verdict's observable:
     * a crawl-compliance pass fed real robots.txt must be able to see
     * that `Crawl-delay:` / `Sitemap:` / vendor extensions existed and
-    * were not part of the verdict, instead of silently believing the
-    * policy was fully applied.  `directive` is the lowercased key
+    * were not part of the BLOCK verdict, instead of silently believing
+    * the policy was fully applied.  (`Crawl-delay:` additionally parses
+    * as a number through [[robotsCrawlDelay]] for the politeness
+    * scheduler; it still counts here because the block verdict ignores
+    * it.)  `directive` is the lowercased key
     * before the `:` (`"<no-colon>"` for non-empty lines with no key
     * at all — a malformed policy line is itself worth seeing).
     * Same shuffle shape as the parser: one host-keyed aggregation

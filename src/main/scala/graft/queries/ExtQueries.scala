@@ -572,6 +572,50 @@ object ExtQueries {
         graft.ext.Web.robotsRules(robots, "host", "txt"))
     }),
 
+    // Crawl-delay parsing under robots group semantics: per-host
+    // policy texts with a non-matching bot group's delay (ignored), a
+    // matched fractional delay, a lattice-conditional second delay
+    // (max wins — the conservative read), and a lattice-conditional
+    // unparseable value (dropped, still visible via robotsIgnored)
+    "x120_crawl_delay" -> ((s, d) => {
+      val id = col("doc_id")
+      val txt = concat(
+        lit("User-agent: evilbot\nCrawl-delay: 99\n\n"),
+        lit("User-agent: *\nCrawl-delay: "),
+        (id % 4).cast("string"), lit(".5\n"),
+        when(id % 3 === 0, lit("Crawl-delay: 10\n")).otherwise(lit("")),
+        when(id % 5 === 0, lit("Crawl-delay: soon\n")).otherwise(lit("")))
+      graft.ext.Web.robotsCrawlDelay(
+        Tables.documents(s, d)
+          .select(concat(lit("h"), id.cast("string"),
+            lit(".example.com")).as("host"), txt.as("txt")),
+        "host", "txt", agent = "graftbot")
+    }),
+
+    // per-host politeness schedule — the step after the frontier gate:
+    // 5 hosts × ~N/5 candidates each, capped at 7 per host through the
+    // TopKPerKey heap operator, dense slots by ascending id, delays
+    // from parsed Crawl-delay (one host has none → default, one has an
+    // unparseable value → default), eta = slot × delay
+    "x121_politeness" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("http://site"), (id % 5).cast("string"),
+          lit(".example.com/p/"), id.cast("string")).as("url"))
+      val robots = Tables.documents(s, d)
+        .select((id % 5).as("h")).distinct()
+        .select(concat(lit("site"), col("h").cast("string"),
+          lit(".example.com")).as("host"),
+          when(col("h") < 3, concat(lit("User-agent: *\nCrawl-delay: "),
+            (col("h") * 2).cast("string"), lit("\n")))
+            .when(col("h") === 3, lit("User-agent: *\nDisallow: /x\n"))
+            .otherwise(lit("User-agent: *\nCrawl-delay: soon\n"))
+            .as("txt"))
+      graft.ext.Web.politenessSchedule(docs,
+        graft.ext.Web.robotsCrawlDelay(robots, "host", "txt"),
+        "doc_id", "url", maxPerHost = 7, defaultDelaySec = 1.5)
+    }),
+
     // decode-budget router — what the triage probes EXIST for: a
     // mixed-media corpus (MP3 / FLAC / MP4 by id lattice) probes
     // structurally, each payload routes decode/defer/skip on its
@@ -3593,6 +3637,32 @@ object ExtQueries {
         |SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com',
         |       '/*.zip$', FALSE
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    // expected delays closed-form: the evilbot group's 99 never
+    // matches; max(matched) = 10 when the id%3 leg injects it, else
+    // the fractional (id%4).5; the unparseable leg contributes nothing
+    "x120_crawl_delay" ->
+      """SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 10.0
+        |       ELSE (doc_id % 4) + 0.5 END AS DOUBLE) AS delay_sec
+        |FROM documents""".stripMargin,
+    // the cap + slot assignment re-derived with a plain ranking window
+    // (the engine uses the TopKPerKey heap operator, same rows by the
+    // total-order contract); delays closed-form from the host lattice
+    "x121_politeness" ->
+      """WITH c AS (SELECT doc_id, doc_id % 5 AS h FROM documents),
+        |r AS (SELECT doc_id, h,
+        |        row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |      FROM c)
+        |SELECT doc_id,
+        |  'http://site' || CAST(h AS VARCHAR) || '.example.com/p/'
+        |    || CAST(doc_id AS VARCHAR) AS url_canon,
+        |  'site' || CAST(h AS VARCHAR) || '.example.com' AS host,
+        |  CAST(rn - 1 AS INT) AS slot,
+        |  CAST(CASE WHEN h < 3 THEN h * 2 ELSE 1.5 END AS DOUBLE)
+        |    AS delay_sec,
+        |  ROUND((rn - 1) * CAST(CASE WHEN h < 3 THEN h * 2 ELSE 1.5 END
+        |    AS DOUBLE), 6) AS eta_sec
+        |FROM r WHERE rn <= 7""".stripMargin,
     // novelty re-derived via the same seen-CTE reduction as st16 (a
     // candidate is novel iff NO non-incoming doc shares its (host,
     // path, query) canonical combo); blocked re-derived closed-form

@@ -536,6 +536,50 @@ class WebSpec extends SparkSpec {
       ("h.com", "<no-colon>") -> 1L))
   }
 
+  test("robotsCrawlDelay honors group semantics: unmatched groups' " +
+    "delays ignored, max of matched wins, unparseable/negative drop") {
+    import graft.ext.Web
+    val txt =
+      "User-agent: evilbot\nCrawl-delay: 99\n\n" +
+      "User-agent: graftbot\nCrawl-delay: 2.5\nCrawl-delay: 7\n" +
+      "Crawl-delay: soon\nCrawl-delay: -3\n\n" +
+      "User-agent: other\nCrawl-delay: 50\n"
+    val got = Web.robotsCrawlDelay(
+        Seq(("h.com", txt), ("nodelay.com", "User-agent: *\nDisallow: /x\n"))
+          .toDF("host", "txt"), "host", "txt", agent = "graftbot")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // only the graftbot group's parseable, non-negative delays count;
+    // max(2.5, 7) = 7; a host with no directive emits NO row
+    assert(got === Map("h.com" -> 7.0))
+  }
+
+  test("politenessSchedule: per-host cap binds, slots dense from 0 by " +
+    "ascending id, eta = slot x delay, absent delay -> default, " +
+    "hostless (malformed) candidates excluded") {
+    import graft.ext.Web
+    val delays = Seq(("slow.com", 2.0)).toDF("host", "delay_sec")
+    val cand = Seq(
+      (5L, "http://slow.com/e"), (1L, "http://slow.com/a"),
+      (3L, "http://slow.com/c"), (4L, "http://slow.com/d"),
+      (2L, "http://fast.com/x"), (6L, "http://fast.com/y"),
+      (7L, "not a url")
+    ).toDF("doc_id", "url")
+    val got = Web.politenessSchedule(cand, delays, "doc_id", "url",
+        maxPerHost = 3, defaultDelaySec = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got === Set(
+      // slow.com: 4 candidates capped to the 3 smallest ids
+      (1L, "slow.com", 0, 2.0, 0.0),
+      (3L, "slow.com", 1, 2.0, 2.0),
+      (4L, "slow.com", 2, 2.0, 4.0),
+      // fast.com: no directive -> default delay
+      (2L, "fast.com", 0, 0.5, 0.0),
+      (6L, "fast.com", 1, 0.5, 0.5)))
+    // doc 7 (no parseable host) must not be scheduled at all
+    assert(!got.exists(_._1 == 7L))
+  }
+
   test("frontierGate: fetch = novel AND robots-allowed, all four " +
     "quadrants exercised, micro-batched foreachBatch equals the " +
     "one-shot batch answer") {
