@@ -519,6 +519,84 @@ object Web {
       .agg(count(lit(1)).as("n_lines"))
   }
 
+  /** `Sitemap:` directives from robots.txt — crawl DISCOVERY's other
+    * input (the frontier learns most URLs from links, but sitemaps are
+    * the publisher-declared seed list).  Per the sitemaps protocol the
+    * directive is GLOBAL, not group-scoped — it applies regardless of
+    * which User-agent group surrounds it — so this extraction
+    * deliberately ignores group structure (unlike [[robotsRules]] /
+    * [[robotsCrawlDelay]]).  Values are absolute sitemap URLs; empty
+    * values drop; duplicates collapse.  Output: (host, sitemap_url). */
+  def robotsSitemaps(robots: DataFrame, hostCol: String,
+                     txtCol: String): DataFrame =
+    robots
+      .select(col(hostCol).as("host"),
+        explode(split(col(txtCol), "\r?\n")).as("line"))
+      .withColumn("line", trim(col("line")))
+      .filter(lower(col("line")).rlike("^sitemap\\s*:"))
+      .select(col("host"),
+        trim(regexp_replace(col("line"), "(?i)^sitemap\\s*:", ""))
+          .as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+      .distinct()
+
+  /** Decode the five XML predefined entities — sitemap `<loc>` values
+    * are XML-escaped by the protocol (an `&` in a URL is `&amp;`).
+    * `&amp;` decodes LAST so `&amp;lt;` correctly yields the literal
+    * `&lt;` instead of double-decoding to `<`. */
+  private def xmlUnescape(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&apos;", "'"),
+      "&amp;", "&")
+
+  /** Parse fetched sitemap XML — both document kinds of the sitemaps
+    * protocol: a `<urlset>` yields one row per `<url>` entry (its
+    * `<loc>` page URL and optional `<lastmod>`), a `<sitemapindex>`
+    * yields one row per child `<sitemap>` (its `<loc>` is ANOTHER
+    * sitemap to fetch — the caller loops until no `kind = "index"`
+    * rows remain, exactly like pagination).  `<loc>` values
+    * XML-unescape; blank locs drop; missing `<lastmod>` is NULL.
+    *
+    * Deliberately regex-structural, not a full XML parser: sitemap
+    * files are machine-generated, schema-fixed, and capped by the
+    * protocol (50 MB / 50k entries), and the whole extraction is
+    * map-side `regexp_extract_all` algebra that fuses into the scan —
+    * one row in, ≤50k rows out, no shuffle at any scale.  A feed
+    * needing full XML fidelity (CDATA, namespaces on every element)
+    * plugs a parser in at the same column seam.
+    * Output: (sitemap_url, kind, loc, lastmod). */
+  def sitemapEntries(sitemaps: DataFrame, urlCol: String,
+                     xmlCol: String): DataFrame = {
+    val xml = col(xmlCol)
+    val kind = when(xml.contains("<sitemapindex"), lit("index"))
+      .when(xml.contains("<urlset"), lit("urlset"))
+      .otherwise(lit("unknown"))
+    val blocks = when(col("kind") === "index",
+      regexp_extract_all(xml, lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1)))
+      .when(col("kind") === "urlset",
+        regexp_extract_all(xml, lit("(?s)<url>(.*?)</url>"), lit(1)))
+      .otherwise(array())
+    val block = col("block")
+    val loc = xmlUnescape(trim(
+      regexp_extract(block, "(?s)<loc>\\s*(.*?)\\s*</loc>", 1)))
+    val lastmod = trim(
+      regexp_extract(block, "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1))
+    sitemaps
+      .select(col(urlCol).as("sitemap_url"), xml.as(xmlCol))
+      .withColumn("kind", kind)
+      .select(col("sitemap_url"), col("kind"), explode(blocks).as("block"))
+      .select(col("sitemap_url"), col("kind"), loc.as("loc"),
+        when(lastmod === "", lit(null).cast("string"))
+          .otherwise(lastmod).as("lastmod"))
+      .filter(col("loc") =!= "")
+  }
+
   /** A pinned set of already-seen canonical URLs — the state of the
     * ingest-time URL dedup gate ([[urlNoveltyGate]]).  `legs` counts
     * the pinned union legs accumulated by [[extendUrlIndex]] since the

@@ -616,6 +616,67 @@ object ExtQueries {
         "doc_id", "url", maxPerHost = 7, defaultDelaySec = 1.5)
     }),
 
+    // sitemap discovery from robots.txt: Sitemap: directives are
+    // GLOBAL per the sitemaps protocol (group structure deliberately
+    // ignored — unlike rules/crawl-delay), case-insensitive key,
+    // duplicates collapse, empty values drop
+    "x122_sitemap_discovery" -> ((s, d) => {
+      val id = col("doc_id")
+      val base = concat(lit("http://h"), id.cast("string"),
+        lit(".example.com"))
+      val txt = concat(
+        lit("User-agent: *\nDisallow: /x\nSitemap: "), base,
+        lit("/sitemap.xml\n"),
+        when(id % 3 === 0,
+          concat(lit("SITEMAP: "), base, lit("/sitemap-news.xml\n")))
+          .otherwise(lit("")),
+        when(id % 4 === 0,
+          concat(lit("Sitemap: "), base, lit("/sitemap.xml\n")))
+          .otherwise(lit("")),
+        lit("Sitemap:\n"))
+      graft.ext.Web.robotsSitemaps(
+        Tables.documents(s, d)
+          .select(concat(lit("h"), id.cast("string"),
+            lit(".example.com")).as("host"), txt.as("txt")),
+        "host", "txt")
+    }),
+
+    // sitemap XML parsing, both protocol document kinds: urlset files
+    // (1-4 <url> entries, optional <lastmod>, XML-escaped & in some
+    // locs, whitespace inside <loc>) and sitemapindex files (2 child
+    // sitemaps each) — the oracle regenerates every expected row
+    // closed-form from the lattice, it never re-parses the XML
+    "x123_sitemap_entries" -> ((s, d) => {
+      val id = col("doc_id")
+      val h = (id % 5).cast("string")
+      def pageLoc(k: Int) = concat(lit("http://site"), h,
+        lit(".example.com/p/"), id.cast("string"), lit(s"/$k"),
+        when(id % 7 === 0, lit("?a=1&amp;b=2")).otherwise(lit("")))
+      def urlBlock(k: Int) = when(id % 3 >= k,
+        concat(lit("<url><loc> "), pageLoc(k), lit(" </loc>"),
+          when((id + k) % 2 === 0,
+            lit(s"<lastmod>2026-01-0${k + 1}</lastmod>"))
+            .otherwise(lit("")),
+          lit("</url>\n"))).otherwise(lit(""))
+      def smBlock(k: Int) = concat(
+        lit("<sitemap><loc>http://site"), h, lit(".example.com/sitemap"),
+        id.cast("string"),
+        lit(s"-$k.xml</loc><lastmod>2026-02-01</lastmod></sitemap>\n"))
+      val xml = when(id % 2 === 0, concat(
+        lit("<?xml version=\"1.0\"?>\n<urlset " +
+          "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+        urlBlock(0), urlBlock(1), urlBlock(2), urlBlock(3),
+        lit("</urlset>")))
+        .otherwise(concat(lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n"),
+          smBlock(0), smBlock(1), lit("</sitemapindex>")))
+      graft.ext.Web.sitemapEntries(
+        Tables.documents(s, d).select(
+          concat(lit("http://site"), h, lit(".example.com/sitemap"),
+            id.cast("string"), lit(".xml")).as("sitemap_url"),
+          xml.as("xml")),
+        "sitemap_url", "xml")
+    }),
+
     // decode-budget router — what the triage probes EXIST for: a
     // mixed-media corpus (MP3 / FLAC / MP4 by id lattice) probes
     // structurally, each payload routes decode/defer/skip on its
@@ -3637,6 +3698,44 @@ object ExtQueries {
         |SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com',
         |       '/*.zip$', FALSE
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    // expected discovery closed-form: every host declares its main
+    // sitemap (the id%4 duplicate collapses), the id%3 leg adds a
+    // news sitemap, the empty directive contributes nothing
+    "x122_sitemap_discovery" ->
+      """SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+        |  'http://h' || CAST(doc_id AS VARCHAR) ||
+        |    '.example.com/sitemap.xml' AS sitemap_url
+        |FROM documents
+        |UNION ALL
+        |SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com',
+        |  'http://h' || CAST(doc_id AS VARCHAR) ||
+        |    '.example.com/sitemap-news.xml'
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    // every expected entry row regenerated from the lattice: urlset
+    // docs emit k = 0..(id%3) page locs (decoded &, trimmed, lastmod
+    // only when (id+k) is even), index docs emit 2 child sitemaps
+    "x123_sitemap_entries" ->
+      """WITH t(k) AS (VALUES (0), (1), (2), (3))
+        |SELECT
+        |  'http://site' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    '.example.com/sitemap' || CAST(doc_id AS VARCHAR) || '.xml'
+        |    AS sitemap_url,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'urlset' ELSE 'index' END AS kind,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 'http://site' || CAST(doc_id % 5 AS VARCHAR) ||
+        |      '.example.com/p/' || CAST(doc_id AS VARCHAR) || '/' ||
+        |      CAST(k AS VARCHAR) ||
+        |      CASE WHEN doc_id % 7 = 0 THEN '?a=1&b=2' ELSE '' END
+        |    ELSE 'http://site' || CAST(doc_id % 5 AS VARCHAR) ||
+        |      '.example.com/sitemap' || CAST(doc_id AS VARCHAR) || '-' ||
+        |      CAST(k AS VARCHAR) || '.xml' END AS loc,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN (CASE WHEN (doc_id + k) % 2 = 0
+        |          THEN '2026-01-0' || CAST(k + 1 AS VARCHAR) END)
+        |    ELSE '2026-02-01' END AS lastmod
+        |FROM documents CROSS JOIN t
+        |WHERE (doc_id % 2 = 0 AND k <= doc_id % 3)
+        |   OR (doc_id % 2 = 1 AND k <= 1)""".stripMargin,
     // expected delays closed-form: the evilbot group's 99 never
     // matches; max(matched) = 10 when the id%3 leg injects it, else
     // the fractional (id%4).5; the unparseable leg contributes nothing

@@ -580,6 +580,56 @@ class WebSpec extends SparkSpec {
     assert(!got.exists(_._1 == 7L))
   }
 
+  test("robotsSitemaps: Sitemap directives are global (group " +
+    "structure ignored), case-insensitive, deduped; empty values drop") {
+    import graft.ext.Web
+    val txt =
+      "Sitemap: http://h.com/top.xml\n" +           // before any group
+      "User-agent: evilbot\nDisallow: /\n" +
+      "SITEMAP: http://h.com/inside-evil.xml\n" +   // inside a non-* group: still counts
+      "\nUser-agent: *\nDisallow: /a\n" +
+      "sitemap: http://h.com/top.xml\n" +           // duplicate → collapses
+      "Sitemap:\n"                                  // empty → drops
+    val got = Web.robotsSitemaps(
+        Seq(("h.com", txt)).toDF("host", "txt"), "host", "txt")
+      .collect().map(_.getString(1)).toSet
+    assert(got === Set("http://h.com/top.xml", "http://h.com/inside-evil.xml"))
+  }
+
+  test("sitemapEntries: urlset rows with decoded/trimmed locs and " +
+    "optional lastmod, sitemapindex rows point at child sitemaps, " +
+    "unknown documents and blank locs yield nothing") {
+    import graft.ext.Web
+    val urlset =
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc> http://h.com/p?a=1&amp;b=2 </loc>
+        |  <lastmod>2026-03-01</lastmod></url>
+        |<url><loc>http://h.com/q</loc></url>
+        |<url><loc>  </loc></url>
+        |</urlset>""".stripMargin
+    val index =
+      """<sitemapindex><sitemap><loc>http://h.com/sm1.xml</loc>
+        |<lastmod>2026-01-01</lastmod></sitemap>
+        |<sitemap><loc>http://h.com/sm2.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val got = Web.sitemapEntries(
+        Seq(("http://h.com/sitemap.xml", urlset),
+          ("http://h.com/smi.xml", index),
+          ("http://h.com/garbage.xml", "not xml at all"))
+          .toDF("u", "xml"), "u", "xml")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(got === Set(
+      ("http://h.com/sitemap.xml", "urlset", "http://h.com/p?a=1&b=2",
+        Some("2026-03-01")),
+      ("http://h.com/sitemap.xml", "urlset", "http://h.com/q", None),
+      ("http://h.com/smi.xml", "index", "http://h.com/sm1.xml",
+        Some("2026-01-01")),
+      ("http://h.com/smi.xml", "index", "http://h.com/sm2.xml", None)))
+  }
+
   test("frontierGate: fetch = novel AND robots-allowed, all four " +
     "quadrants exercised, micro-batched foreachBatch equals the " +
     "one-shot batch answer") {
