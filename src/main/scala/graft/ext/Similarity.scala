@@ -708,6 +708,43 @@ object Similarity {
     * spreads over nb(nb+1)/2 tasks at nb× row replication instead of
     * pinning one executor — the guard costs one extra assignment pass
     * for the per-cell sizes (≤ nlist agg rows). */
+  /** Semantic eval-set decontamination — the embedding-space
+    * complement of the n-gram contamination family
+    * ([[graft.ext.Dedup.contaminatedDocs]] / `contaminationOverlap`):
+    * a TRAIN document is semantically contaminated when its embedding
+    * sits too close (cosine ≥ tau) to ANY benchmark embedding —
+    * paraphrased or re-worded leakage that shares no 5-gram and walks
+    * straight past the n-gram pass.
+    *
+    * Scale shape: the 100 TB side (train) indexes ONCE via
+    * [[ivfIndex]] and never re-shuffles per eval set; the bench side —
+    * small by construction, eval sets are thousands of rows — probes
+    * `nprobe` cells per query with exact re-rank ([[ivfTopKIndexed]]).
+    * Matches ≥ tau then aggregate per train doc (max score, best bench
+    * id with lowest-id tiebreak — one skinny hash agg), so the output
+    * is the ranked DROP-LIST JOIN TABLE: (train_id, bench_id, score).
+    *
+    * Recall caveat, same as every IVF consumer: a match outside the
+    * probed cells is missed; `nprobe = nlist` degrades to exhaustive
+    * exact search (the suite pins that equality), and `k` bounds how
+    * many bench neighbors a single train doc can be flagged through
+    * (only the BEST one is reported anyway). */
+  def semanticContamination(train: DataFrame, bench: DataFrame,
+                            tau: Double, dim: Int = 64, nlist: Int = 16,
+                            nprobe: Int = 4, k: Int = 10): DataFrame = {
+    val idx = ivfIndex(train, dim, nlist)
+    ivfTopKIndexed(idx, bench, k, nprobe)
+      .filter(col("score") >= tau)
+      .select(col("c_id").as("train_id"), col("q_id").as("bench_id"),
+        col("score"))
+      .groupBy(col("train_id"))
+      .agg(max(col("score")).as("score"),
+        min_by(col("bench_id"),
+          struct((-col("score")).as("ns"), col("bench_id")))
+          .as("bench_id"))
+      .select(col("train_id"), col("bench_id"), col("score"))
+  }
+
   def semanticPrune(corpus: DataFrame, tau: Double, dim: Int = 64,
                     nlist: Int = 16,
                     cellBlockTarget: Int = 1 << 13): DataFrame = {

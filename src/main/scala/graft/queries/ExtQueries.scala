@@ -616,6 +616,20 @@ object ExtQueries {
         "doc_id", "url", maxPerHost = 7, defaultDelaySec = 1.5)
     }),
 
+    // semantic eval-set decontamination: train docs whose EMBEDDING
+    // sits within cosine >= tau of any benchmark embedding — the
+    // paraphrase-leak complement of the 5-gram family (x19/x24); the
+    // train side indexes once (IVF), the small bench side probes it,
+    // one skinny agg ranks each contaminated train doc by its best
+    // bench match
+    "x124_semantic_decontam" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.semanticContamination(
+        e.filter(pmod(col("vec_id"), lit(97)) =!= 0),
+        e.filter(pmod(col("vec_id"), lit(97)) === 0),
+        tau = 0.4, dim = 64, nlist = 16, nprobe = 4, k = 10)
+    }),
+
     // sitemap discovery from robots.txt: Sitemap: directives are
     // GLOBAL per the sitemaps protocol (group structure deliberately
     // ignored — unlike rules/crawl-delay), case-insensitive key,
@@ -3698,6 +3712,43 @@ object ExtQueries {
         |SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com',
         |       '/*.zip$', FALSE
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    // the IVF probe algebra replayed (x17's oracle with bench/train
+    // WHEREs), then the same tau filter and per-train best-match rank
+    "x124_semantic_decontam" -> {
+      def dot(a: String, b: String): String =
+        s"list_sum(list_transform(generate_series(1, 64), " +
+          s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+      def cos(a: String, b: String): String =
+        s"round(${dot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}), 6)"
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings
+         |           WHERE vec_id % 97 = 0),
+         |cs AS (SELECT vec_id AS c_id, embedding AS c FROM embeddings
+         |       WHERE vec_id % 97 <> 0),
+         |cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+         |         WHERE vec_id % 97 <> 0 ORDER BY vec_id ASC LIMIT 16),
+         |asg AS (SELECT cell, c_id, c FROM (
+         |  SELECT cent.cell, cs.c_id, cs.c,
+         |         row_number() OVER (PARTITION BY cs.c_id
+         |           ORDER BY ${cos("cs.c", "cent.cv")} DESC,
+         |             cent.cell ASC) AS rk
+         |  FROM cs CROSS JOIN cent) WHERE rk = 1),
+         |pr AS (SELECT q_id, q, cell FROM (
+         |  SELECT q.q_id, q.q, cent.cell,
+         |         row_number() OVER (PARTITION BY q.q_id
+         |           ORDER BY ${cos("q.q", "cent.cv")} DESC,
+         |             cent.cell ASC) AS rk
+         |  FROM q CROSS JOIN cent) WHERE rk <= 4),
+         |scored AS (SELECT q_id, c_id, ${cos("q", "c")} AS score
+         |           FROM pr JOIN asg USING (cell)),
+         |hits AS (SELECT q_id, c_id, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, c_id ASC) AS rank FROM scored)
+         |  WHERE rank <= 10 AND score >= 0.4)
+         |SELECT c_id AS train_id, q_id AS bench_id, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY c_id
+         |    ORDER BY score DESC, q_id ASC) AS rk2 FROM hits)
+         |WHERE rk2 = 1""".stripMargin
+    },
     // expected discovery closed-form: every host declares its main
     // sitemap (the id%4 duplicate collapses), the id%3 leg adds a
     // news sitemap, the empty directive contributes nothing

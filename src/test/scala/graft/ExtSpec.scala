@@ -1627,6 +1627,33 @@ class SimilaritySpec extends SparkSpec {
       "block decomposition must change task layout only, never results")
   }
 
+  test("semanticContamination flags a planted paraphrase leak (scaled " +
+    "copy -> cosine 1.0), ranks it by its best bench match, and " +
+    "ignores clean train docs") {
+    val train = Tables.embeddings(spark, sf0001)
+      .filter($"vec_id" % 97 =!= 0)
+    // bench: one planted leak (train vec 1 scaled by 3 -> cosine 1.0
+    // against its source) plus the natural %97 slice
+    val planted = train.filter($"vec_id" === 1)
+      .select(lit(900001L).as("vec_id"),
+        transform($"embedding", x => x * lit(3.0f)).as("embedding"))
+    val bench = Tables.embeddings(spark, sf0001)
+      .filter($"vec_id" % 97 === 0)
+      .select($"vec_id", $"embedding")
+      .unionByName(planted)
+    val got = Similarity.semanticContamination(train, bench, tau = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // at tau 0.999 only the planted identity survives: train doc 1,
+    // matched to the planted bench id, cosine 1.0 on the score grid
+    assert(got.toSeq === Seq((1L, 900001L, 1.0)))
+    // and at the working tau, every reported train_id is unique (one
+    // best bench match per contaminated doc — the drop-list contract)
+    val ranked = Similarity.semanticContamination(train, bench, tau = 0.4)
+      .collect().map(r => r.getLong(0))
+    assert(ranked.distinct.length == ranked.length)
+    assert(ranked.contains(1L))
+  }
+
   test("semanticPrune: every vector appears once; dropped iff a lower-id " +
     "cell-mate is within tau (independent replay, sf0.001)") {
     val e = Tables.embeddings(spark, sf0001)
