@@ -627,7 +627,10 @@ object ExtQueries {
       Similarity.semanticContamination(
         e.filter(pmod(col("vec_id"), lit(97)) =!= 0),
         e.filter(pmod(col("vec_id"), lit(97)) === 0),
-        tau = 0.4, dim = 64, nlist = 16, nprobe = 4, k = 10)
+        // tau 0.3: the synthetic embeddings' probed-score ceiling is
+        // 0.364 at sf0.001 / 0.467 at sf0.01 (measured) — 0.4 would
+        // return zero rows on the smoke corpus
+        tau = 0.3, dim = 64, nlist = 16, nprobe = 4, k = 10)
     }),
 
     // sitemap discovery from robots.txt: Sitemap: directives are
@@ -3743,7 +3746,7 @@ object ExtQueries {
          |hits AS (SELECT q_id, c_id, score FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY score DESC, c_id ASC) AS rank FROM scored)
-         |  WHERE rank <= 10 AND score >= 0.4)
+         |  WHERE rank <= 10 AND score >= 0.3)
          |SELECT c_id AS train_id, q_id AS bench_id, score FROM (
          |  SELECT *, row_number() OVER (PARTITION BY c_id
          |    ORDER BY score DESC, q_id ASC) AS rk2 FROM hits)

@@ -33,6 +33,8 @@ object Plans {
     "x67_silent_keys" -> "single-row latest-window bound",
     "x68_source_concentration" -> "single-row corpus token total",
     "st10_embedding_ingest_gate" -> "nlist-row centroid codebook (ivfGate probe)",
+    "x124_semantic_decontam" ->
+      "nlist-row centroid codebook (x17 shape, bench-side probes)",
     "x79_shard_assign" -> "#partitions-row triangular offset join (globalRank)",
     "x83_dsir_weights" -> "single-row token-total normalizers",
     "x85_quantization_audit" -> "single-row packed min/max span arrays",
