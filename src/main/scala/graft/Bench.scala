@@ -59,7 +59,7 @@ import java.nio.file.{Files, Paths}
   * the round needed evidence for shipped none.  The bench now reads
   * the PRIOR committed artifact at startup (SPARK_GRAFT_BENCH_PRIOR,
   * default: the output path's existing content) and, when a query's
-  * min exceeds the prior min by SPARK_GRAFT_BENCH_REGRESS (default
+  * min exceeds the reference min by SPARK_GRAFT_BENCH_REGRESS (default
   * 2.0×, same 300 ms floor), it (a) takes the same rerun budget —
   * a box-wide ambient elevation gets quiet-run chances — and (b) if
   * the regression survives, ships the MIN run's stage+GC evidence as
@@ -67,6 +67,16 @@ import java.nio.file.{Files, Paths}
   * the representative one; the worst run is what "spread_profile"
   * already covers).  `prior_s` rides along so the artifact is
   * self-contained.
+  *
+  * BEST-EVER reference (round-16 verdict #1): gating each round only
+  * against the immediately prior artifact admits unbounded drift at
+  * 1.3×/round (x3/x82/x55 each crept ~1.3× in r16 without a trip).
+  * The artifact therefore carries a per-query "best" map — the
+  * smallest min ever recorded at this sf, folded forward every run —
+  * and the regression gate compares against min(prior "best", prior
+  * "queries"), so the floor never rises.  A prior at a different sf,
+  * with no sf field, or whose maps fail the flat-format sanity check
+  * DISARMS the gate instead of arming it wrong (round-16 ADVICE).
   *
   * Attribution hygiene (round-15 ADVICE): listener events are
   * delivered ASYNCHRONOUSLY, so a run's final stage-completed events
@@ -90,25 +100,53 @@ object Bench {
     // this run overwrites outFile.  A missing/unparseable prior simply
     // disables the gate (first run on a fresh box).
     val priorFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", outFile)
-    val priorMins: Map[String, Double] = {
-      val p = Paths.get(priorFile)
-      if (!Files.exists(p)) Map.empty
+    // Scrape one flat {"name":sec,...} map out of the prior artifact.
+    // Defensive per the round-16 ADVICE: the writer's format is flat
+    // (no nested braces), so after removing every "name":num pair the
+    // body must be only commas/whitespace — anything else means schema
+    // drift and the whole map is discarded rather than half-parsed
+    // (a truncated prior must DISARM the gate, not arm it wrong).
+    def scrapeFlatMap(raw: String, key: String): Map[String, Double] = {
+      val marker = "\"" + key + "\":{"
+      val idx = raw.indexOf(marker)
+      if (idx < 0) Map.empty
       else {
-        val raw = Files.readString(p)
-        val qsec = raw.indexOf("\"queries\":{")
-        // a prior recorded at a different scale factor would mis-gate
-        // every query (smaller sf → no trip; larger sf → all trip)
-        val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(raw)
-          .forall(_.group(1) == sfDir)
-        if (qsec < 0 || !sfOk) Map.empty
+        val start = idx + marker.length
+        val end = raw.indexOf('}', start)
+        if (end < 0) Map.empty
         else {
-          val body = raw.substring(qsec + "\"queries\":{".length,
-            raw.indexOf('}', qsec))
-          "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(body)
+          val body = raw.substring(start, end)
+          val re = "\"([^\"]+)\":([0-9.]+)".r
+          val residue = re.replaceAllIn(body, "").replaceAll("[,\\s]", "")
+          if (residue.nonEmpty) Map.empty
+          else re.findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       }
     }
+    val (priorMins, priorBest): (Map[String, Double], Map[String, Double]) = {
+      val p = Paths.get(priorFile)
+      if (!Files.exists(p)) (Map.empty, Map.empty)
+      else {
+        val raw = Files.readString(p)
+        // a prior recorded at a different scale factor would mis-gate
+        // every query (smaller sf → no trip; larger sf → all trip).
+        // PRESENT-and-equal (round-16 ADVICE): a prior with no sf field
+        // at all is schema drift, not a match — exists, not forall.
+        val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(raw)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk) (Map.empty, Map.empty)
+        else (scrapeFlatMap(raw, "queries"), scrapeFlatMap(raw, "best"))
+      }
+    }
+    // BEST-EVER reference (round-16 verdict #1): a 2×-vs-prior gate
+    // admits unbounded drift at 1.3×/round (x3/x82/x55 all crept under
+    // it).  The artifact carries a per-query "best" map — the smallest
+    // min ever recorded at this sf — and the gate trips on
+    // min > gate × best(-ever), not just vs the immediately prior round.
+    def bestRef(name: String): Option[Double] =
+      (priorBest.get(name).toSeq ++ priorMins.get(name).toSeq)
+        .reduceOption(_ min _)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -241,7 +279,7 @@ object Bench {
         // a quiet run can beat them.  (min >= 0.3 s: sub-second queries
         // flip ratio on scheduler jitter alone and their absolute error
         // is negligible.)
-        val prior = priorMins.get(name)
+        val prior = bestRef(name)
         def spreadBad = times.nonEmpty && times.min >= 0.3 &&
           times.max / times.min > spreadGate
         def regressBad = times.nonEmpty && times.min >= 0.3 &&
@@ -336,12 +374,24 @@ object Bench {
          case (k, (p, prior)) =>
            s""""$k":${profBody(p, "min_s", s""""prior_s":$prior,""")}"""
        }.mkString("{", ",", "}"))
+    // per-query best-ever min at this sf (current min folded into the
+    // prior artifact's best) — the reference the NEXT round's regression
+    // gate reads, so 1.3×/round drift compounds against a fixed floor
+    // instead of a moving one.  FILE artifact only (stdout is the
+    // truncated top-30 line).
+    val bestOut = rounded.map { case (k, (lo, _)) =>
+      k -> bestRef(k).map(b => msBd(b).min(lo)).getOrElse(lo)
+    }
+    def bestJson: String =
+      ""","best":""" + bestOut.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     def line(m: Iterable[(String, (BigDecimal, BigDecimal))],
-             prof: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"reruns":$rerunsTaken,"timing":"slate-v2","queries_run":${rounded.size}$failedJson,"queries":${qJson(m)},"spread":${spreadJson(m)}$prof,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get(outFile), line(rounded, profJson) + "\n")
+             prof: String, best: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"reruns":$rerunsTaken,"timing":"slate-v2","queries_run":${rounded.size}$failedJson,"queries":${qJson(m)},"spread":${spreadJson(m)}$prof$best,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outFile),
+      line(rounded, profJson, bestJson) + "\n")
     spark.stop() // stop FIRST: no executor/shutdown log can splice the line
-    println(line(slowest, ""))
+    println(line(slowest, "", ""))
     System.out.flush()
   }
 }

@@ -254,6 +254,41 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"))
 
+  /** Caller-side budget BACKSTOP over the compressed-codec seam
+    * (round-16 ADVICE): the budgeted SPI overloads DEFAULT to
+    * delegating to the unbudgeted form, so a jar-dropped third-party
+    * codec could silently ignore the session frame budget — the exact
+    * unprotected path the budgeted overloads closed for in-repo
+    * codecs.  Results are therefore re-checked AFTER the call: an
+    * audio result whose mono length exceeds `maxFrames` rejects (and
+    * counts in [[WavAudioCodec.oversizeRejected]]) no matter what the
+    * codec implementation did with the budget. */
+  private[ext] def budgetedAudio(cc: CompressedCodec, payload: Array[Byte],
+                                 maxFrames: Long)
+      : Option[WavAudioCodec.DecodedAudio] =
+    cc.decodeAudio(payload, maxFrames).flatMap { a =>
+      if (a.mono.length > maxFrames) {
+        WavAudioCodec.oversizeRejected.incrementAndGet(); None
+      } else Some(a)
+    }
+
+  /** The byte-stream twin of [[budgetedAudio]].  The canonical stream
+    * is 16-bit mono for auditory codecs (2 bytes/frame ⇒ a
+    * 2×`maxFrames`-byte budget) and a grayscale raster for visual ones
+    * (1 byte/pixel ⇒ a `maxPixels`-byte budget); the SPI carries no
+    * modality marker, so the backstop enforces the LARGER of the two —
+    * looser than the per-modality bound the in-repo overrides enforce
+    * internally, but output beyond BOTH budgets is an allocation bomb
+    * in either modality and can never reach the caller. */
+  private[ext] def budgetedDecode(cc: CompressedCodec, payload: Array[Byte],
+                                  maxFrames: Long, maxPixels: Long)
+      : Option[Array[Byte]] =
+    cc.decode(payload, maxFrames).flatMap { bytes =>
+      if (bytes.length > math.max(2L * maxFrames, maxPixels)) {
+        WavAudioCodec.oversizeRejected.incrementAndGet(); None
+      } else Some(bytes)
+    }
+
   /** Structural media TRIAGE stage: probe each payload's metadata
     * (frame count, sample rate, bitrate, total samples) through the
     * [[CompressedCodecs]] SPI WITHOUT decoding a coefficient — the
@@ -292,7 +327,7 @@ object Multimodal {
       rows.flatMap { r =>
         WavAudioCodec.decode(r.payload, maxFrames)
           .orElse(compressed.find(_.sniff(r.payload))
-            .flatMap(_.decodeAudio(r.payload, maxFrames)))
+            .flatMap(budgetedAudio(_, r.payload, maxFrames)))
           .flatMap { a =>
             if (a.mono.isEmpty) None
             else {
@@ -340,7 +375,7 @@ object Multimodal {
           .orElse(WavAudioCodec.decode(r.payload, maxFrames)
             .map(WavAudioCodec.canonicalBytes))
           .orElse(compressed.find(_.sniff(r.payload))
-            .flatMap(_.decode(r.payload, maxFrames)))
+            .flatMap(budgetedDecode(_, r.payload, maxFrames, maxPixels)))
           .getOrElse(codec.decode(r.payload))
         codec.frameSample(decoded, everyN)
           .zipWithIndex.map { case (frame, i) =>
@@ -372,7 +407,8 @@ object Multimodal {
             case Some(a) =>
               (WavAudioCodec.canonicalBytes(a), r.width, r.height)
             case None => compressed.find(_.sniff(r.payload))
-              .flatMap(cc => cc.decode(r.payload, maxFrames).map { bytes =>
+              .flatMap(cc => budgetedDecode(cc, r.payload, maxFrames,
+                maxPixels).map { bytes =>
                 // visual codecs report decoded first-frame dimensions,
                 // like the still-image path; audio passes meta through
                 cc.decodeImage(r.payload) match {
@@ -518,7 +554,7 @@ object Multimodal {
               case Some(cc) =>
                 cc.decodeImage(r.payload)
                   .map(d => dHash64(d.gray, d.width, d.height))
-                  .orElse(cc.decodeAudio(r.payload, maxFrames)
+                  .orElse(budgetedAudio(cc, r.payload, maxFrames)
                     .map(a => WavAudioCodec.aHash64(a.mono)))
                   .getOrElse(byteGridDHash64(r.payload))
               case None => byteGridDHash64(r.payload)
@@ -731,7 +767,8 @@ object Multimodal {
                 val canonical = WavAudioCodec.decode(r.payload, maxFrames)
                   .map(WavAudioCodec.canonicalBytes)
                   .orElse(compressed.find(_.sniff(r.payload))
-                    .flatMap(_.decode(r.payload, maxFrames)))
+                    .flatMap(budgetedDecode(_, r.payload, maxFrames,
+                      maxPixels)))
                   .getOrElse(codec.decode(r.payload))
                 codec.frameSample(canonical, everyN)
                   .map(f => (r.media_id, hex(f)))

@@ -688,26 +688,6 @@ object Similarity {
     pairs.toDF("a", "b", "score")
   }
 
-  /** SemDeDup-style semantic prune: coarse-quantize the corpus into
-    * `nlist` cells (the deterministic lowest-id codebook of [[ivfTopK]])
-    * and, WITHIN each cell, drop every vector that has a lower-id
-    * cell-mate with cosine >= tau.  Returns every vector with its cell,
-    * a `dropped` flag, and the responsible keeper (`dropped_by` = the
-    * smallest qualifying cell-mate, null when kept).
-    *
-    * The keep-lowest-id rule is the order-free variant of SemDeDup's
-    * sequential greedy sweep: decisions depend only on (cell, pairwise
-    * scores), never on visit order, so the operator is deterministic,
-    * embarrassingly parallel per cell, and oracle-replayable.  Scale
-    * shape: the nlist-row codebook collects once (bounded) and
-    * broadcasts; cell assignment is a narrow mapPartitions kernel (no
-    * join, no argmax shuffle); cells shuffle as skinny (id, vec) rows
-    * and score with the primitive-array kernel.  Cells larger than
-    * `cellBlockTarget` rows block-decompose triangle-wise (the
-    * [[cosineNearDupPairsBucketed]] pattern) so a hot cell's O(cell²)
-    * spreads over nb(nb+1)/2 tasks at nb× row replication instead of
-    * pinning one executor — the guard costs one extra assignment pass
-    * for the per-cell sizes (≤ nlist agg rows). */
   /** Semantic eval-set decontamination — the embedding-space
     * complement of the n-gram contamination family
     * ([[graft.ext.Dedup.contaminatedDocs]] / `contaminationOverlap`):
@@ -745,6 +725,26 @@ object Similarity {
       .select(col("train_id"), col("bench_id"), col("score"))
   }
 
+  /** SemDeDup-style semantic prune: coarse-quantize the corpus into
+    * `nlist` cells (the deterministic lowest-id codebook of [[ivfTopK]])
+    * and, WITHIN each cell, drop every vector that has a lower-id
+    * cell-mate with cosine >= tau.  Returns every vector with its cell,
+    * a `dropped` flag, and the responsible keeper (`dropped_by` = the
+    * smallest qualifying cell-mate, null when kept).
+    *
+    * The keep-lowest-id rule is the order-free variant of SemDeDup's
+    * sequential greedy sweep: decisions depend only on (cell, pairwise
+    * scores), never on visit order, so the operator is deterministic,
+    * embarrassingly parallel per cell, and oracle-replayable.  Scale
+    * shape: the nlist-row codebook collects once (bounded) and
+    * broadcasts; cell assignment is a narrow mapPartitions kernel (no
+    * join, no argmax shuffle); cells shuffle as skinny (id, vec) rows
+    * and score with the primitive-array kernel.  Cells larger than
+    * `cellBlockTarget` rows block-decompose triangle-wise (the
+    * [[cosineNearDupPairsBucketed]] pattern) so a hot cell's O(cell²)
+    * spreads over nb(nb+1)/2 tasks at nb× row replication instead of
+    * pinning one executor — the guard costs one extra assignment pass
+    * for the per-cell sizes (≤ nlist agg rows). */
   def semanticPrune(corpus: DataFrame, tau: Double, dim: Int = 64,
                     nlist: Int = 16,
                     cellBlockTarget: Int = 1 << 13): DataFrame = {

@@ -479,8 +479,10 @@ object ExtQueries {
     // probe) ∧ robots-allowed (RFC 9309 longest-match over parsed
     // rules) — the full per-candidate verdict a frontier consults
     // before spending a fetch.  Hosts/paths ride the x119 precedence
-    // lattice (rescue/anchor/tie/no-group branches) and a (h, p, q)
-    // collision lattice leaves a handful of genuinely novel
+    // lattice (rescue/anchor/tie/no-group branches — here every URL
+    // carries a ?query, so the anchored /*.zip$ leg exercises "$ stops
+    // at end of raw TARGET incl. query": it matches nothing) and a
+    // (h, p, q) collision lattice leaves a handful of genuinely novel
     // candidates; batch replay declared here, the foreachBatch
     // micro-batch ≡ batch lifecycle proven in WebSpec
     "st17_frontier_policy_gate" -> ((s, d) => {
@@ -515,14 +517,21 @@ object ExtQueries {
     // robots.txt parsing (RFC 9309 subset): per-host policy texts —
     // multi-agent groups, comments, CRLF, empty-Disallow idiom, a
     // non-matching bot group, Allow overrides, a wildcard/anchored
-    // pattern, and a Crawl-delay line (surfaced by robotsIgnored, not
-    // a rule) — parsed to the (host, pattern, allow) rules x108/x119
-    // consume.  The oracle derives the expected rule set independently
-    // from the injection lattice
+    // pattern, a Crawl-delay line (surfaced by robotsIgnored, not
+    // a rule), and the §2.2.1 EXCLUSIVITY lattice (round-17): id%4==0
+    // hosts put graftbot in the SAME run as * (one group — selected
+    // exactly, same rules), id%4==1 hosts publish a STANDALONE
+    // graftbot group whose rules apply ALONE (the * group drops) —
+    // parsed to the (host, pattern, allow) rules x108/x119 consume.
+    // The oracle derives the expected rule set independently from the
+    // injection lattice
     "x117_robots_parse" -> ((s, d) => {
       val id = col("doc_id")
       val txt = concat(
         lit("# crawl policy\r\nUser-agent: evilbot\nDisallow: /\n\n"),
+        when(id % 4 === 1,
+          lit("User-agent: graftbot\nDisallow: /gbot-only\n\n"))
+          .otherwise(lit("")),
         when(id % 4 === 0, lit("User-agent: graftbot\n"))
           .otherwise(lit("")),
         lit("User-agent: *\nDISALLOW: /private/"), (id % 7).cast("string"),
@@ -575,12 +584,18 @@ object ExtQueries {
     // Crawl-delay parsing under robots group semantics: per-host
     // policy texts with a non-matching bot group's delay (ignored), a
     // matched fractional delay, a lattice-conditional second delay
-    // (max wins — the conservative read), and a lattice-conditional
-    // unparseable value (dropped, still visible via robotsIgnored)
+    // (max wins — the conservative read), a lattice-conditional
+    // unparseable value (dropped, still visible via robotsIgnored),
+    // and (round-17) a §2.2.1-exclusive leg: id%7==0 hosts publish a
+    // standalone graftbot group whose delay applies ALONE — the *
+    // group's larger delays drop for the named agent
     "x120_crawl_delay" -> ((s, d) => {
       val id = col("doc_id")
       val txt = concat(
         lit("User-agent: evilbot\nCrawl-delay: 99\n\n"),
+        when(id % 7 === 0,
+          lit("User-agent: graftbot\nCrawl-delay: 2.25\n\n"))
+          .otherwise(lit("")),
         lit("User-agent: *\nCrawl-delay: "),
         (id % 4).cast("string"), lit(".5\n"),
         when(id % 3 === 0, lit("Crawl-delay: 10\n")).otherwise(lit("")),
@@ -661,8 +676,11 @@ object ExtQueries {
     // sitemap XML parsing, both protocol document kinds: urlset files
     // (1-4 <url> entries, optional <lastmod>, XML-escaped & in some
     // locs, whitespace inside <loc>) and sitemapindex files (2 child
-    // sitemaps each) — the oracle regenerates every expected row
-    // closed-form from the lattice, it never re-parses the XML
+    // sitemaps each), plus (round-17) an id%11==3 leg that fetches an
+    // HTML error page instead — surfaced as ONE kind='unknown' row
+    // (NULL loc/lastmod), never silently dropped — the oracle
+    // regenerates every expected row closed-form from the lattice, it
+    // never re-parses the XML
     "x123_sitemap_entries" -> ((s, d) => {
       val id = col("doc_id")
       val h = (id % 5).cast("string")
@@ -679,11 +697,13 @@ object ExtQueries {
         lit("<sitemap><loc>http://site"), h, lit(".example.com/sitemap"),
         id.cast("string"),
         lit(s"-$k.xml</loc><lastmod>2026-02-01</lastmod></sitemap>\n"))
-      val xml = when(id % 2 === 0, concat(
-        lit("<?xml version=\"1.0\"?>\n<urlset " +
-          "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
-        urlBlock(0), urlBlock(1), urlBlock(2), urlBlock(3),
-        lit("</urlset>")))
+      val xml = when(id % 11 === 3,
+        lit("<html><body>404 not found</body></html>"))
+        .when(id % 2 === 0, concat(
+          lit("<?xml version=\"1.0\"?>\n<urlset " +
+            "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+          urlBlock(0), urlBlock(1), urlBlock(2), urlBlock(3),
+          lit("</urlset>")))
         .otherwise(concat(lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n"),
           smBlock(0), smBlock(1), lit("</sitemapindex>")))
       graft.ext.Web.sitemapEntries(
@@ -2847,6 +2867,9 @@ object ExtQueries {
         |  len(kept) >= 1 AS keep_doc
         |FROM k""".stripMargin,
     "x107_filtered_ann" -> ivfSql("vec_id >= 8 AND label % 3 = 0"),
+    // the verdict targets the RAW path+query (robotsMatchTarget —
+    // round-17): re-extract both raw pieces from the URL instead of
+    // reusing the canonical pathc
     "x108_robots_rules" -> (duckUrlCanonCte + "," +
       """
         |r AS (SELECT * FROM (VALUES
@@ -2854,10 +2877,17 @@ object ExtQueries {
         |        ('site2.example.com', '/Articles/2'),
         |        ('site4.example.com', '/Articles/4'))
         |      AS t(host, path_prefix)),
-        |j AS (SELECT uc.doc_id, uc.host, uc.pathc AS path,
+        |t2 AS (SELECT doc_id, host,
+        |        (CASE WHEN regexp_extract(url,
+        |             '^[^:/?#]+://[^/?#]*([^?#]*)', 1) = '' THEN '/'
+        |          ELSE regexp_extract(url,
+        |             '^[^:/?#]+://[^/?#]*([^?#]*)', 1) END)
+        |        || regexp_extract(url, '^[^#]*?(\?[^#]*)', 1) AS tgt
+        |       FROM uc),
+        |j AS (SELECT t2.doc_id, t2.host, t2.tgt AS path,
         |        CASE WHEN r.path_prefix IS NULL THEN false
-        |             ELSE starts_with(uc.pathc, r.path_prefix) END AS hit
-        |      FROM uc LEFT JOIN r USING (host))
+        |             ELSE starts_with(t2.tgt, r.path_prefix) END AS hit
+        |      FROM t2 LEFT JOIN r USING (host))
         |SELECT doc_id, host, path, max(hit) AS blocked
         |FROM j GROUP BY 1, 2, 3""".stripMargin),
     "x109_threshold_sweep" -> x109Sql,
@@ -3693,28 +3723,34 @@ object ExtQueries {
         |  seen.s IS NULL AS novel
         |FROM d LEFT JOIN seen ON d.s = seen.s AND d.m = seen.m
         |WHERE d.doc_id % 7 = 0""".stripMargin,
-    // expected rules derived independently: the '*' group always
-    // matches (and when id%4=0 the graftbot line joins the same
-    // group run — same rules either way); the evilbot group, the
-    // empty Disallow/Allow, and the Crawl-delay line never contribute
+    // expected rules derived independently: exclusive §2.2.1 group
+    // selection — id%4=1 hosts have a STANDALONE graftbot group, so
+    // ONLY its rule applies (the * group drops); id%4=0 hosts put
+    // graftbot in the same RUN as * (one group — same rules as the
+    // plain-* hosts); the evilbot group, the empty Disallow/Allow,
+    // and the Crawl-delay line never contribute
     "x117_robots_parse" ->
       """SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
-        |       '/private/' || CAST(doc_id % 7 AS VARCHAR) AS path_prefix,
-        |       FALSE AS allow
-        |FROM documents
+        |       '/gbot-only' AS path_prefix, FALSE AS allow
+        |FROM documents WHERE doc_id % 4 = 1
+        |UNION ALL
+        |SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com',
+        |       '/private/' || CAST(doc_id % 7 AS VARCHAR),
+        |       FALSE
+        |FROM documents WHERE doc_id % 4 <> 1
         |UNION ALL
         |SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com',
         |       '/private/' || CAST(doc_id % 7 AS VARCHAR) || '/pub',
         |       TRUE
-        |FROM documents
+        |FROM documents WHERE doc_id % 4 <> 1
         |UNION ALL
         |SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com',
         |       '/tmp', FALSE
-        |FROM documents WHERE doc_id % 3 = 0
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 4 <> 1
         |UNION ALL
         |SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com',
         |       '/*.zip$', FALSE
-        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+        |FROM documents WHERE doc_id % 5 = 0 AND doc_id % 4 <> 1""".stripMargin,
     // the IVF probe algebra replayed (x17's oracle with bench/train
     // WHEREs), then the same tau filter and per-train best-match rank
     "x124_semantic_decontam" -> {
@@ -3767,7 +3803,8 @@ object ExtQueries {
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     // every expected entry row regenerated from the lattice: urlset
     // docs emit k = 0..(id%3) page locs (decoded &, trimmed, lastmod
-    // only when (id+k) is even), index docs emit 2 child sitemaps
+    // only when (id+k) is even), index docs emit 2 child sitemaps,
+    // id%11=3 docs (HTML error pages) emit one kind='unknown' row
     "x123_sitemap_entries" ->
       """WITH t(k) AS (VALUES (0), (1), (2), (3))
         |SELECT
@@ -3788,14 +3825,24 @@ object ExtQueries {
         |          THEN '2026-01-0' || CAST(k + 1 AS VARCHAR) END)
         |    ELSE '2026-02-01' END AS lastmod
         |FROM documents CROSS JOIN t
-        |WHERE (doc_id % 2 = 0 AND k <= doc_id % 3)
-        |   OR (doc_id % 2 = 1 AND k <= 1)""".stripMargin,
+        |WHERE doc_id % 11 <> 3
+        |  AND ((doc_id % 2 = 0 AND k <= doc_id % 3)
+        |    OR (doc_id % 2 = 1 AND k <= 1))
+        |UNION ALL
+        |SELECT
+        |  'http://site' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    '.example.com/sitemap' || CAST(doc_id AS VARCHAR) || '.xml',
+        |  'unknown', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |FROM documents WHERE doc_id % 11 = 3""".stripMargin,
     // expected delays closed-form: the evilbot group's 99 never
-    // matches; max(matched) = 10 when the id%3 leg injects it, else
-    // the fractional (id%4).5; the unparseable leg contributes nothing
+    // matches; id%7=0 hosts have an exclusive graftbot group → 2.25
+    // alone (the * group drops); otherwise max(matched) = 10 when the
+    // id%3 leg injects it, else the fractional (id%4).5; the
+    // unparseable leg contributes nothing
     "x120_crawl_delay" ->
       """SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 10.0
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 2.25
+        |       WHEN doc_id % 3 = 0 THEN 10.0
         |       ELSE (doc_id % 4) + 0.5 END AS DOUBLE) AS delay_sec
         |FROM documents""".stripMargin,
     // the cap + slot assignment re-derived with a plain ranking window
@@ -3819,7 +3866,11 @@ object ExtQueries {
     // novelty re-derived via the same seen-CTE reduction as st16 (a
     // candidate is novel iff NO non-incoming doc shares its (host,
     // path, query) canonical combo); blocked re-derived closed-form
-    // from the x119 precedence lattice; fetch = novel AND NOT blocked
+    // from the x119 precedence lattice over the RAW path+query match
+    // target (round-17): every candidate carries '?id=', so the
+    // anchored /*.zip$ rule matches NOTHING here — $ stops at the end
+    // of the target, which includes the query (the no-query positive
+    // anchor case lives in x119); fetch = novel AND NOT blocked
     "st17_frontier_policy_gate" ->
       """WITH d AS (SELECT doc_id, doc_id % 3 AS h, doc_id % 5 AS p,
         |                  doc_id % 40 AS q
@@ -3833,8 +3884,8 @@ object ExtQueries {
         |       ELSE '/ok' END || '?id=' || CAST(inc.q AS VARCHAR)
         |    AS url_canon,
         |  seen.h IS NULL AS novel,
-        |  (inc.h <> 2 AND inc.p IN (0, 2)) AS blocked,
-        |  (seen.h IS NULL AND NOT (inc.h <> 2 AND inc.p IN (0, 2)))
+        |  (inc.h <> 2 AND inc.p = 0) AS blocked,
+        |  (seen.h IS NULL AND NOT (inc.h <> 2 AND inc.p = 0))
         |    AS fetch
         |FROM inc LEFT JOIN seen
         |  ON inc.h = seen.h AND inc.p = seen.p AND inc.q = seen.q""".stripMargin,

@@ -506,6 +506,89 @@ class WebSpec extends SparkSpec {
       4L -> false, 5L -> false, 6L -> false, 7L -> true, 8L -> false))
   }
 
+  test("RFC 9309 group selection is exclusive: a named-agent group " +
+    "drops the * groups, so a *-group Disallow cannot override the " +
+    "named group's Allow") {
+    val txt =
+      "User-agent: graftbot\nAllow: /a\nDisallow: /b\n\n" +
+      "User-agent: *\nDisallow: /a\nDisallow: /c\n"
+    def ruleSet(agent: String): Set[(String, Boolean)] =
+      Web.robotsRules(Seq(("h.com", txt)).toDF("host", "txt"),
+          "host", "txt", agent)
+        .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+    // the named agent sees ONLY its group — the * Disallows drop
+    assert(ruleSet("graftbot") === Set("/a" -> true, "/b" -> false))
+    // everyone else sees the * group
+    assert(ruleSet("other") === Set("/a" -> false, "/c" -> false))
+    // verdict level: /a/x allowed for graftbot, blocked for others
+    val docs = Seq((1L, "http://h.com/a/x"), (2L, "http://h.com/b/x"),
+      (3L, "http://h.com/c/x")).toDF("doc_id", "url")
+    def verdicts(agent: String): Map[Long, Boolean] =
+      Web.robotsReport(docs, "doc_id", "url",
+          Web.robotsRules(Seq(("h.com", txt)).toDF("host", "txt"),
+            "host", "txt", agent))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(verdicts("graftbot") ===
+      Map(1L -> false, 2L -> true, 3L -> false))
+    assert(verdicts("other") === Map(1L -> true, 2L -> false, 3L -> true))
+    // two groups naming the SAME agent still merge (the combine rule)
+    val merged = "User-agent: graftbot\nDisallow: /x\n\n" +
+      "User-agent: graftbot\nDisallow: /y\n\nUser-agent: *\nDisallow: /z\n"
+    assert(Web.robotsRules(Seq(("h.com", merged)).toDF("host", "txt"),
+        "host", "txt", "graftbot")
+      .collect().map(_.getString(1)).toSet === Set("/x", "/y"))
+    // a single RUN naming both agent and * is one group — selected
+    // exactly, and being exact it drops a LATER standalone * group
+    val run = "User-agent: graftbot\nUser-agent: *\nDisallow: /r\n\n" +
+      "User-agent: *\nDisallow: /s\n"
+    assert(Web.robotsRules(Seq(("h.com", run)).toDF("host", "txt"),
+        "host", "txt", "graftbot")
+      .collect().map(_.getString(1)).toSet === Set("/r"))
+    // crawl-delay rides the same selection: the named group's delay
+    // applies alone even when the * group asks for more
+    val delayTxt = "User-agent: graftbot\nCrawl-delay: 2\n\n" +
+      "User-agent: *\nCrawl-delay: 50\n"
+    val d = Web.robotsCrawlDelay(
+        Seq(("h.com", delayTxt)).toDF("host", "txt"),
+        "host", "txt", agent = "graftbot")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d === Map("h.com" -> 2.0))
+  }
+
+  test("robots matching targets the RAW path+query: Disallow /dir/ " +
+    "blocks /dir/ itself, query-pattern rules match, $ does not reach " +
+    "past the query, tracking params stay visible to rules") {
+    val robots = Seq(("h.com",
+      "User-agent: *\n" +
+      "Disallow: /dir/\n" +
+      "Disallow: /*?session=\n" +
+      "Disallow: /*.zip$\n" +
+      "Disallow: /*&admin=1\n"
+    )).toDF("host", "txt")
+    val rules = Web.robotsRules(robots, "host", "txt")
+    val docs = Seq(
+      // raw /dir/ must block even though it canonicalizes to /dir
+      (1L, "http://h.com/dir/"),
+      (2L, "http://h.com/dir"),            // /dir does NOT match /dir/
+      (3L, "http://h.com/x?session=9"),    // query rule matches
+      (4L, "http://h.com/x?id=1"),         // other query → allowed
+      (5L, "http://h.com/f.zip"),          // anchored → blocked
+      (6L, "http://h.com/f.zip?id=1"),     // $ stops at end of TARGET
+      // tracking params are NOT stripped on the robots side
+      (7L, "http://h.com/y?utm_source=a&admin=1"),
+      (8L, "http://h.com/y#frag?session=9") // '?' in fragment: no query
+    ).toDF("doc_id", "url")
+    val got = Web.robotsReport(docs, "doc_id", "url", rules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false,
+      5L -> true, 6L -> false, 7L -> true, 8L -> false))
+    // and the match-target column itself reports the raw form
+    val tgt = Seq("http://h.com/dir/", "http://h.com",
+      "http://h.com/a?utm_x=1#f").toDF("u")
+      .select(Web.robotsMatchTarget(col("u"))).collect().map(_.getString(0))
+    assert(tgt.toSeq === Seq("/dir/", "/", "/a?utm_x=1"))
+  }
+
   test("a rules frame without an allow column keeps the historical " +
     "all-Disallow reading") {
     val rules = Seq(("h.com", "/a")).toDF("host", "path_prefix")
@@ -598,7 +681,7 @@ class WebSpec extends SparkSpec {
 
   test("sitemapEntries: urlset rows with decoded/trimmed locs and " +
     "optional lastmod, sitemapindex rows point at child sitemaps, " +
-    "unknown documents and blank locs yield nothing") {
+    "unknown documents surface one kind=unknown row, blank locs drop") {
     import graft.ext.Web
     val urlset =
       """<?xml version="1.0"?>
@@ -619,15 +702,18 @@ class WebSpec extends SparkSpec {
           ("http://h.com/garbage.xml", "not xml at all"))
           .toDF("u", "xml"), "u", "xml")
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)),
         Option(r.getString(3)))).toSet
     assert(got === Set(
-      ("http://h.com/sitemap.xml", "urlset", "http://h.com/p?a=1&b=2",
-        Some("2026-03-01")),
-      ("http://h.com/sitemap.xml", "urlset", "http://h.com/q", None),
-      ("http://h.com/smi.xml", "index", "http://h.com/sm1.xml",
+      ("http://h.com/sitemap.xml", "urlset",
+        Some("http://h.com/p?a=1&b=2"), Some("2026-03-01")),
+      ("http://h.com/sitemap.xml", "urlset", Some("http://h.com/q"), None),
+      ("http://h.com/smi.xml", "index", Some("http://h.com/sm1.xml"),
         Some("2026-01-01")),
-      ("http://h.com/smi.xml", "index", "http://h.com/sm2.xml", None)))
+      ("http://h.com/smi.xml", "index", Some("http://h.com/sm2.xml"), None),
+      // a fetched-but-unparseable document is a visible parse failure,
+      // not a vanished row (round-16 ADVICE)
+      ("http://h.com/garbage.xml", "unknown", None, None)))
   }
 
   test("frontierGate: fetch = novel AND robots-allowed, all four " +
