@@ -514,6 +514,111 @@ object ExtQueries {
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "url")
     }),
 
+    // the DISCOVERY→FRONTIER composition end-to-end (round-17):
+    // robots.txt Sitemap: directives seed resolveSitemaps, whose
+    // bounded driver loop (the S10 pagination shape) fetches index
+    // documents through a deterministic fetch seam — even hosts
+    // publish a depth-1 index (with a depth-2 sub-index on the id%3
+    // leg and a self-CYCLE on the id%5 leg, fetched exactly once),
+    // odd hosts a direct urlset — and the resolved page entries gate
+    // through frontierGate (novelty from an id%7 seen lattice, robots
+    // Disallow /private/).  The oracle regenerates the reachable page
+    // set closed-form; a duplicate fetch (cycle bug) or a lost branch
+    // (depth bug) changes the row set
+    "st18_sitemap_resolve" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      val hostOf = concat(lit("h"), id.cast("string"), lit(".example.com"))
+      val robots = docs.select(hostOf.as("host"),
+        concat(lit("User-agent: *\nDisallow: /private/\nSitemap: http://"),
+          hostOf,
+          when(id % 2 === 0, lit("/idx.xml")).otherwise(lit("/set.xml")),
+          lit("\n")).as("txt"))
+      val seeds = graft.ext.Web.robotsSitemaps(robots, "host", "txt")
+        .select(col("sitemap_url"))
+      val fetchFn: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame = { f =>
+        val u = col("sitemap_url")
+        val hid = regexp_extract(u, "^http://h([0-9]+)\\.", 1).cast("long")
+        val base = concat(lit("http://h"), hid.cast("string"),
+          lit(".example.com"))
+        val xml = when(u.endsWith("/idx.xml"), concat(
+            lit("<sitemapindex><sitemap><loc>"), base,
+            lit("/set.xml</loc></sitemap>"),
+            when(hid % 5 === 0, concat(lit("<sitemap><loc>"), base,
+              lit("/idx.xml</loc></sitemap>"))).otherwise(lit("")),
+            when(hid % 3 === 0, concat(lit("<sitemap><loc>"), base,
+              lit("/idx2.xml</loc></sitemap>"))).otherwise(lit("")),
+            lit("</sitemapindex>")))
+          .when(u.endsWith("/idx2.xml"), concat(
+            lit("<sitemapindex><sitemap><loc>"), base,
+            lit("/set2.xml</loc></sitemap></sitemapindex>")))
+          .when(u.endsWith("/set2.xml"), concat(
+            lit("<urlset><url><loc>"), base,
+            lit("/deep</loc><lastmod>2026-04-01</lastmod></url></urlset>")))
+          .otherwise(concat(
+            lit("<urlset><url><loc>"), base, lit("/p/0</loc></url>"),
+            when(hid % 3 === 0, concat(lit("<url><loc>"), base,
+              lit("/private/x</loc></url>"))).otherwise(lit("")),
+            lit("</urlset>")))
+        f.select(u, xml.as("xml"))
+      }
+      val resolved = graft.ext.Web.resolveSitemaps(seeds, "sitemap_url",
+        fetchFn, maxDepth = 4)
+      val candidates = resolved.filter(col("kind") === "urlset")
+        .select(col("loc").as("url")).distinct()
+      val seen = docs.filter(id % 7 === 0)
+        .select(concat(lit("http://"), hostOf, lit("/p/0")).as("url"))
+      graft.ext.Web.frontierGate(
+        graft.ext.Web.urlIndex(seen, "url"),
+        graft.ext.Web.robotsRules(robots, "host", "txt"),
+        candidates, "url", "url")
+    }),
+
+    // lastmod-aware RECRAWL gate (round-17): the st15 novelty lattice
+    // extended with freshness — urls collide on (id%3, id%5, id%40),
+    // mods ride an id%27 date lattice with an id%9 NULL leg, the index
+    // takes max(mod) per group; fetch = novel ∨ strictly-newer.  The
+    // oracle re-derives the per-group max and the NULL-conservative
+    // verdict closed-form
+    "st19_recrawl_gate" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = concat(lit("http://h"), (id % 3).cast("string"),
+        lit(".example.com/p/"), (id % 5).cast("string"),
+        lit("?v="), (id % 40).cast("string"))
+      val mod = when(id % 9 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("2026-01-"),
+          lpad(((id % 27) + 1).cast("string"), 2, "0")))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"), mod.as("mod"))
+      graft.ext.Web.recrawlGate(
+        graft.ext.Web.urlModIndex(
+          docs.filter(col("doc_id") % 7 =!= 0), "url", "mod"),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "url", "mod")
+    }),
+
+    // politeness ACROSS cycles (round-17): batch 1 (even ids)
+    // schedules, its state (per-host max eta + delay) seeds batch 2
+    // (odd ids), whose etas must start where batch 1's promises end —
+    // the x121 slot algebra continued over a micro-batch boundary.
+    // Output is batch 2's schedule; the oracle replays both cycles
+    // with ranking windows and a per-host offset join
+    "x125_politeness_cycles" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      val url = concat(lit("http://site"), (id % 5).cast("string"),
+        lit(".example.com/p/"), id.cast("string"))
+      val delays = docs.select((id % 5).as("h")).distinct()
+        .select(concat(lit("site"), col("h").cast("string"),
+          lit(".example.com")).as("host"),
+          (col("h").cast("double") / 2 + 0.5).as("delay_sec"))
+      val b1 = docs.filter(id % 2 === 0).select(col("doc_id"), url.as("url"))
+      val b2 = docs.filter(id % 2 === 1).select(col("doc_id"), url.as("url"))
+      val s1 = graft.ext.Web.politenessSchedule(b1, delays, "doc_id", "url")
+      graft.ext.Web.politenessScheduleResume(b2, delays,
+        graft.ext.Web.politenessStateAfter(s1), "doc_id", "url")
+    }),
+
     // robots.txt parsing (RFC 9309 subset): per-host policy texts —
     // multi-agent groups, comments, CRLF, empty-Disallow idiom, a
     // non-matching bot group, Allow overrides, a wildcard/anchored
@@ -3889,6 +3994,78 @@ object ExtQueries {
         |    AS fetch
         |FROM inc LEFT JOIN seen
         |  ON inc.h = seen.h AND inc.p = seen.p AND inc.q = seen.q""".stripMargin,
+    // the reachable page set regenerated closed-form from the sitemap
+    // tree lattice: every host reaches /p/0 (via its index or its
+    // direct urlset), id%3 hosts add /private/x (robots-blocked),
+    // id%6 hosts (even AND id%3 — idx2 is only reachable from idx)
+    // add /deep; the id%5 self-cycle and the depth bound add NO rows —
+    // a duplicate fetch or a lost branch breaks the compare
+    "st18_sitemap_resolve" ->
+      """WITH h AS (SELECT doc_id AS hid FROM documents),
+        |p AS (SELECT hid, '/p/0' AS path, FALSE AS blocked FROM h
+        |      UNION ALL
+        |      SELECT hid, '/private/x', TRUE FROM h WHERE hid % 3 = 0
+        |      UNION ALL
+        |      SELECT hid, '/deep', FALSE FROM h WHERE hid % 6 = 0)
+        |SELECT
+        |  'http://h' || CAST(hid AS VARCHAR) || '.example.com' || path
+        |    AS url,
+        |  'http://h' || CAST(hid AS VARCHAR) || '.example.com' || path
+        |    AS url_canon,
+        |  NOT (hid % 7 = 0 AND path = '/p/0') AS novel,
+        |  blocked,
+        |  NOT (hid % 7 = 0 AND path = '/p/0') AND NOT blocked AS fetch
+        |FROM p""".stripMargin,
+    // per-group freshness re-derived: the seen side's max(mod) per
+    // (h,p,q) group (max ignores NULLs, like the index); updated =
+    // seen ∧ candidate mod non-NULL ∧ (no known mod ∨ strictly newer)
+    "st19_recrawl_gate" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS h, doc_id % 5 AS p,
+        |                  doc_id % 40 AS q,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       ELSE '2026-01-' ||
+        |         lpad(CAST((doc_id % 27) + 1 AS VARCHAR), 2, '0')
+        |  END AS mod
+        |  FROM documents),
+        |seen AS (SELECT h, p, q, max(mod) AS m
+        |         FROM d WHERE doc_id % 7 <> 0 GROUP BY 1, 2, 3)
+        |SELECT inc.doc_id,
+        |  'http://h' || CAST(inc.h AS VARCHAR) || '.example.com/p/' ||
+        |    CAST(inc.p AS VARCHAR) || '?v=' || CAST(inc.q AS VARCHAR)
+        |    AS url_canon,
+        |  seen.h IS NULL AS novel,
+        |  (seen.h IS NOT NULL AND inc.mod IS NOT NULL
+        |    AND (seen.m IS NULL OR inc.mod > seen.m)) AS updated,
+        |  (seen.h IS NULL OR (inc.mod IS NOT NULL
+        |    AND (seen.m IS NULL OR inc.mod > seen.m))) AS fetch
+        |FROM d inc LEFT JOIN seen
+        |  ON inc.h = seen.h AND inc.p = seen.p AND inc.q = seen.q
+        |WHERE inc.doc_id % 7 = 0""".stripMargin,
+    // both cycles replayed with ranking windows: batch 1's per-host
+    // fetch count × delay is batch 2's starting offset
+    "x125_politeness_cycles" ->
+      """WITH c AS (SELECT doc_id, doc_id % 5 AS h FROM documents),
+        |dl AS (SELECT h, h / 2.0 + 0.5 AS delay_sec
+        |       FROM (SELECT DISTINCT doc_id % 5 AS h FROM documents)),
+        |b1 AS (SELECT doc_id, h,
+        |         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |       FROM c WHERE doc_id % 2 = 0),
+        |off AS (SELECT b1.h, max(rn) * delay_sec AS next_eta
+        |        FROM b1 JOIN dl ON b1.h = dl.h GROUP BY b1.h, delay_sec),
+        |b2 AS (SELECT doc_id, h,
+        |         row_number() OVER (PARTITION BY h ORDER BY doc_id) - 1
+        |           AS slot
+        |       FROM c WHERE doc_id % 2 = 1)
+        |SELECT b2.doc_id,
+        |  'http://site' || CAST(b2.h AS VARCHAR) || '.example.com/p/' ||
+        |    CAST(b2.doc_id AS VARCHAR) AS url_canon,
+        |  'site' || CAST(b2.h AS VARCHAR) || '.example.com' AS host,
+        |  CAST(slot AS INT) AS slot,
+        |  delay_sec,
+        |  round(coalesce(off.next_eta, 0) + slot * delay_sec, 6)
+        |    AS eta_sec
+        |FROM b2 JOIN dl ON b2.h = dl.h
+        |LEFT JOIN off ON b2.h = off.h""".stripMargin,
     // verdicts recomputed closed-form from the path/policy lattice:
     // /a/x → Disallow /a (longest match, blocked); /a/pub/x → the
     // len-6 Allow outranks the len-2 Disallow (rescued); /b/file.zip →

@@ -762,4 +762,148 @@ class WebSpec extends SparkSpec {
     q.awaitTermination()
     assert(got.toSet === batch)
   }
+
+  test("resolveSitemaps: depth-2 index tree resolves end-to-end, a " +
+    "cyclic index is fetched exactly once, unresolved depth overflow " +
+    "stays visible, unknown docs surface") {
+    import org.apache.spark.sql.DataFrame
+    // fixture tree: idx.xml -> [set.xml, idx2.xml, idx.xml (CYCLE)]
+    //               idx2.xml -> [set2.xml]
+    //               set.xml -> /p1 /p2 ; set2.xml -> /deep ; junk -> html
+    val fetch: DataFrame => DataFrame = { f =>
+      val u = col("sitemap_url")
+      val xml = when(u.endsWith("/idx.xml"), lit(
+        "<sitemapindex><sitemap><loc>http://h.com/set.xml</loc></sitemap>" +
+          "<sitemap><loc>http://h.com/idx2.xml</loc></sitemap>" +
+          "<sitemap><loc>http://h.com/idx.xml</loc></sitemap>" +
+          "</sitemapindex>"))
+        .when(u.endsWith("/idx2.xml"), lit(
+          "<sitemapindex><sitemap><loc>http://h.com/set2.xml</loc>" +
+            "</sitemap></sitemapindex>"))
+        .when(u.endsWith("/set.xml"), lit(
+          "<urlset><url><loc>http://h.com/p1</loc>" +
+            "<lastmod>2026-01-01</lastmod></url>" +
+            "<url><loc>http://h.com/p2</loc></url></urlset>"))
+        .when(u.endsWith("/set2.xml"), lit(
+          "<urlset><url><loc>http://h.com/deep</loc></url></urlset>"))
+        .otherwise(lit("<html>404</html>"))
+      f.select(u, xml.as("xml"))
+    }
+    val seeds = Seq("http://h.com/idx.xml", "http://h.com/junk.xml")
+      .toDF("sitemap_url")
+    val rows = Web.resolveSitemaps(seeds, "sitemap_url", fetch, maxDepth = 5)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)), r.getInt(4)))
+    // the cycle back-edge appears as a row (observability) but is
+    // fetched once: idx.xml's three children appear exactly once
+    assert(rows.count(_._1 == "http://h.com/idx.xml") === 3)
+    // depth-2 pages resolved
+    assert(rows.toSet.contains(("http://h.com/set2.xml", "urlset",
+      Some("http://h.com/deep"), None, 2)))
+    // depth-1 urlset pages
+    assert(rows.toSet.contains(("http://h.com/set.xml", "urlset",
+      Some("http://h.com/p1"), Some("2026-01-01"), 1)))
+    // the unparseable seed surfaces as unknown at depth 0
+    assert(rows.toSet.contains(("http://h.com/junk.xml", "unknown",
+      None, None, 0)))
+    // total fetches: idx+junk (d0), set+idx2 (d1), set2 (d2) — idx
+    // NOT refetched despite the cycle: exactly these source urls
+    assert(rows.map(_._1).distinct.sorted === Seq(
+      "http://h.com/idx.xml", "http://h.com/idx2.xml",
+      "http://h.com/junk.xml", "http://h.com/set.xml",
+      "http://h.com/set2.xml"))
+    // maxDepth truncation: at depth 1 the idx2 row remains an
+    // unresolved kind=index row and set2's pages never appear
+    val shallow = Web.resolveSitemaps(
+        Seq("http://h.com/idx.xml").toDF("sitemap_url"),
+        "sitemap_url", fetch, maxDepth = 2)
+      .collect().map(r => (r.getString(1), Option(r.getString(2))))
+    assert(shallow.contains(("index", Some("http://h.com/idx2.xml"))))
+    assert(!shallow.exists(_._2.contains("http://h.com/deep")))
+  }
+
+  test("recrawlGate: fetch = novel OR updated; NULL mods are " +
+    "conservative; extendUrlModIndex re-pins an updated URL") {
+    val corpus = Seq(
+      (1L, "http://h.com/a", "2026-01-05"),
+      (2L, "http://h.com/a", "2026-01-03"), // older dup — max wins
+      (3L, "http://h.com/b", null),          // seen, unknown freshness
+      (4L, "http://h.com/c", "2026-01-01")
+    ).toDF("doc_id", "url", "mod")
+    val idx = Web.urlModIndex(corpus, "url", "mod")
+    val incoming = Seq(
+      (10L, "http://h.com/a", "2026-01-04"), // seen, older → skip
+      (11L, "http://h.com/a", "2026-01-06"), // seen, newer → updated
+      (12L, "http://h.com/b", "2026-02-01"), // seen mod NULL → updated
+      (13L, "http://h.com/b", null),         // no evidence → skip
+      (14L, "http://h.com/new", null),       // novel → fetch
+      (15L, "http://h.com/c", "2026-01-01")  // equal → skip
+    ).toDF("doc_id", "url", "mod")
+    def verdicts(i: Web.UrlModIndex) =
+      Web.recrawlGate(i, incoming, "doc_id", "url", "mod")
+        .select("doc_id", "novel", "updated", "fetch")
+        .as[(Long, Boolean, Boolean, Boolean)].collect().toSet
+    assert(verdicts(idx) === Set(
+      (10L, false, false, false), (11L, false, true, true),
+      (12L, false, true, true), (13L, false, false, false),
+      (14L, true, false, true), (15L, false, false, false)))
+    // extend with the accepted batch: the updated URLs re-pin — the
+    // same candidates now all read seen-and-current
+    val idx2 = Web.extendUrlModIndex(idx,
+      incoming.filter(col("doc_id").isin(11L, 12L, 14L)), "url", "mod")
+    assert(verdicts(idx2) === Set(
+      (10L, false, false, false), (11L, false, false, false),
+      (12L, false, false, false), (13L, false, false, false),
+      (14L, false, false, false), (15L, false, false, false)))
+    // compaction keeps answers identical (legs fold to max-mod rows);
+    // after CompactLegs extensions at least one compaction must have
+    // reset the chain, so the final leg count sits below the threshold
+    val compacted = (1 to Web.CompactLegs).foldLeft(idx2)((i, k) =>
+      Web.extendUrlModIndex(i,
+        Seq((100L + k, s"http://h.com/x$k", "2026-03-01"))
+          .toDF("doc_id", "url", "mod"), "url", "mod"))
+    assert(compacted.legs < Web.CompactLegs)
+    assert(verdicts(compacted) === verdicts(idx2))
+  }
+
+  test("politeness across cycles: two consecutive batches against one " +
+    "host never schedule closer than delay_sec, idle hosts' promises " +
+    "carry forward") {
+    val delays = Seq(("slow.com", 2.0)).toDF("host", "delay_sec")
+    val b1 = Seq(
+      (1L, "http://slow.com/a"), (2L, "http://slow.com/b"),
+      (3L, "http://idle.com/x")).toDF("doc_id", "url")
+    val b2 = Seq(
+      (4L, "http://slow.com/c"), (5L, "http://slow.com/d"),
+      (6L, "http://fresh.com/y")).toDF("doc_id", "url")
+    val s1 = Web.politenessSchedule(b1, delays, "doc_id", "url",
+      defaultDelaySec = 1.0)
+    val st1 = Web.politenessStateAfter(s1)
+    val s2 = Web.politenessScheduleResume(b2, delays, st1, "doc_id",
+      "url", defaultDelaySec = 1.0)
+    val etas = (s1.unionByName(s2))
+      .select("host", "eta_sec", "delay_sec")
+      .as[(String, Double, Double)].collect()
+      .groupBy(_._1).map { case (h, rows) =>
+        h -> rows.map(r => (r._2, r._3)).sortBy(_._1).toSeq }
+    // every consecutive pair on one host is >= delay apart
+    etas.foreach { case (_, seq) =>
+      seq.sliding(2).foreach {
+        case Seq((e1, d), (e2, _)) => assert(e2 - e1 >= d - 1e-9)
+        case _ => ()
+      }
+    }
+    // slow.com cycle 2 starts at 4.0 (cycle 1 etas 0,2 → next 4)
+    val slow2 = s2.filter(col("host") === "slow.com")
+      .select("eta_sec").as[Double].collect().sorted
+    assert(slow2 === Array(4.0, 6.0))
+    // a host with no prior state starts at 0
+    assert(s2.filter(col("host") === "fresh.com")
+      .select("eta_sec").as[Double].head() === 0.0)
+    // idle.com's promise carries forward through the next state
+    val st2 = Web.politenessStateAfter(s2, prior = Some(st1))
+    val m = st2.as[(String, Double)].collect().toMap
+    assert(m("idle.com") === 1.0) // one fetch at 0 + default delay 1
+    assert(m("slow.com") === 8.0) // last eta 6 + delay 2
+  }
 }
