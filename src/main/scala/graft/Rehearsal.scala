@@ -92,7 +92,17 @@ object Rehearsal {
     "x119_robots_verdict", "st17_frontier_policy_gate",
     // round-16: the politeness scheduler (TopKPerKey cap + bounded
     // window + broadcast delay join)
-    "x121_politeness")
+    "x121_politeness",
+    // round-17 (round-16 verdict #4): the four r16 queries that had no
+    // growth row — crawl-delay parsing, sitemap discovery + parsing,
+    // and the IVF-probe semantic decontamination whose 100 TB claim
+    // previously rested on design argument alone
+    "x120_crawl_delay", "x122_sitemap_discovery", "x123_sitemap_entries",
+    "x124_semantic_decontam",
+    // round-17 operators: the bounded sitemap-resolution loop composed
+    // into the frontier, the freshness recrawl gate, and the
+    // cross-cycle politeness resume
+    "st18_sitemap_resolve", "st19_recrawl_gate", "x125_politeness_cycles")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)
@@ -136,7 +146,25 @@ object Rehearsal {
       "x95_quality_train" -> ((s, d) =>
         graft.ext.QualityModel.trainQualityModel(Tables.documents(s, d),
           "doc_id", "text",
-          org.apache.spark.sql.functions.col("lang") === "en")))
+          org.apache.spark.sql.functions.col("lang") === "en")),
+      // x124's DECLARED query ties the bench side to the corpus
+      // (vec_id % 97), so rehearsing it as-is measures bench×train —
+      // quadratic BY THE LATTICE, not by the operator (measured 605x
+      // at 100x data before this override).  The operator's production
+      // contract is the opposite: eval sets are FIXED-size while the
+      // train corpus grows (the scaladoc's index-once/probe-small
+      // shape).  Rehearse THAT: bench pinned to the vec_id < 2048
+      // sliver (present identically in every generated corpus), train
+      // = the rest, growing with scale — growth then measures the
+      // per-train-row probe cost, the thing a 100 TB claim rests on.
+      "x124_semantic_decontam" -> { (s, d) =>
+        import org.apache.spark.sql.functions.col
+        val e = Tables.embeddings(s, d)
+        graft.ext.Similarity.semanticContamination(
+          e.filter(col("vec_id") % 97 =!= 0),
+          e.filter(col("vec_id") % 97 === 0 && col("vec_id") < 2048),
+          tau = 0.3, dim = 64, nlist = 16, nprobe = 4, k = 10)
+      })
     def time(name: String, dir: String): Seq[Double] = {
       // Clean slate per (query, dir): earlier queries' pinned
       // localCheckpoint blocks otherwise accumulate across the run and

@@ -263,7 +263,7 @@ object Multimodal {
     * audio result whose mono length exceeds `maxFrames` rejects (and
     * counts in [[WavAudioCodec.oversizeRejected]]) no matter what the
     * codec implementation did with the budget. */
-  private[ext] def budgetedAudio(cc: CompressedCodec, payload: Array[Byte],
+  private[graft] def budgetedAudio(cc: CompressedCodec, payload: Array[Byte],
                                  maxFrames: Long)
       : Option[WavAudioCodec.DecodedAudio] =
     cc.decodeAudio(payload, maxFrames).flatMap { a =>
@@ -280,7 +280,7 @@ object Multimodal {
     * looser than the per-modality bound the in-repo overrides enforce
     * internally, but output beyond BOTH budgets is an allocation bomb
     * in either modality and can never reach the caller. */
-  private[ext] def budgetedDecode(cc: CompressedCodec, payload: Array[Byte],
+  private[graft] def budgetedDecode(cc: CompressedCodec, payload: Array[Byte],
                                   maxFrames: Long, maxPixels: Long)
       : Option[Array[Byte]] =
     cc.decode(payload, maxFrames).flatMap { bytes =>

@@ -913,6 +913,37 @@ object Web {
     } else UrlModIndex(grown, index.legs + 1)
   }
 
+  /** Persist a [[UrlModIndex]] BUCKETED by the canonical URL — the
+    * cross-restart form of the freshness seen-set, compacted to one
+    * max-mod row per URL on write.  Marker property refuses non-index
+    * tables on load (the [[saveUrlIndex]] contract; the marker key
+    * avoids the token "url" so SHOW TBLPROPERTIES does not redact the
+    * value). */
+  def saveUrlModIndex(index: UrlModIndex, table: String,
+                      buckets: Int = 16): Unit = {
+    index.urls
+      .groupBy(col("url_canon"))
+      .agg(max(col("last_seen_mod")).as("last_seen_mod"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "url_canon").sortBy("url_canon")
+      .format("parquet").saveAsTable(table)
+    index.urls.sparkSession.sql(
+      s"ALTER TABLE ${SqlIdent.quote(table)} SET TBLPROPERTIES " +
+        "('graft.seenset.mod'='1')")
+  }
+
+  /** Reopen a persisted [[UrlModIndex]], refusing tables without the
+    * [[saveUrlModIndex]] marker. */
+  def loadUrlModIndex(spark: org.apache.spark.sql.SparkSession,
+                      table: String): UrlModIndex = {
+    val props = spark
+      .sql(s"SHOW TBLPROPERTIES ${SqlIdent.quote(table)}").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("graft.seenset.mod").contains("1"),
+      s"$table is not a graft URL freshness-index table")
+    UrlModIndex(spark.table(table))
+  }
+
   /** The lastmod-aware recrawl verdict — [[urlNoveltyGate]] extended
     * to `fetch = novel ∨ updated` (round-16 verdict #5): a candidate
     * fetches when its canonical URL was never seen (`novel`), OR when
@@ -968,6 +999,33 @@ object Web {
       .unionByName(p.select(col("host"), col("next_eta_sec")))
       .groupBy(col("host"))
       .agg(max(col("next_eta_sec")).as("next_eta_sec")))
+  }
+
+  /** Persist the cross-cycle politeness state (host, next_eta_sec) —
+    * one snapshot row per host, bucketed on the host so a resumed
+    * schedule's state join reads pre-partitioned.  Marker property
+    * refuses non-state tables on load. */
+  def saveHostState(state: DataFrame, table: String,
+                    buckets: Int = 16): Unit = {
+    state.select(col("host"), col("next_eta_sec"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "host").sortBy("host")
+      .format("parquet").saveAsTable(table)
+    state.sparkSession.sql(
+      s"ALTER TABLE ${SqlIdent.quote(table)} SET TBLPROPERTIES " +
+        "('graft.hoststate'='1')")
+  }
+
+  /** Reopen a persisted politeness state, refusing tables without the
+    * [[saveHostState]] marker. */
+  def loadHostState(spark: org.apache.spark.sql.SparkSession,
+                    table: String): DataFrame = {
+    val props = spark
+      .sql(s"SHOW TBLPROPERTIES ${SqlIdent.quote(table)}").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("graft.hoststate").contains("1"),
+      s"$table is not a graft politeness-state table")
+    spark.table(table)
   }
 
   /** [[politenessSchedule]] RESUMED from a prior cycle's state: same

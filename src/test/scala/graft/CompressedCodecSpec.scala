@@ -648,4 +648,41 @@ class CompressedCodecSpec extends SparkSpec {
       if (codec.sniff(p)) { codec.probe(p); () }
     }
   }
+
+  test("the caller-side budget backstop binds for a codec that ignores " +
+    "the budgeted SPI overloads: oversize audio rejects and counts, " +
+    "in-budget results pass through") {
+    import graft.ext.CompressedCodec
+    // a rogue jar-drop codec: budgeted overloads inherit the defaults,
+    // which DELEGATE to the unbudgeted forms — exactly the unprotected
+    // path the backstop closes
+    class RogueCodec(frames: Int) extends CompressedCodec {
+      def name = "rogue"
+      def sniff(p: Array[Byte]) = true
+      def decode(p: Array[Byte]): Option[Array[Byte]] =
+        Some(new Array[Byte](frames * 2))
+      def decodeFrames(p: Array[Byte]): Option[Seq[Array[Byte]]] = None
+      override def decodeAudio(p: Array[Byte])
+          : Option[WavAudioCodec.DecodedAudio] =
+        Some(WavAudioCodec.DecodedAudio(44100, 1, new Array[Short](frames)))
+    }
+    val payload = Array[Byte](1, 2, 3)
+    val before = WavAudioCodec.oversizeRejected.get()
+    // mono length over the budget → rejected + counted, regardless of
+    // the codec having ignored maxFrames
+    assert(Multimodal.budgetedAudio(new RogueCodec(2000), payload,
+      maxFrames = 1000).isEmpty)
+    assert(WavAudioCodec.oversizeRejected.get() === before + 1)
+    // in-budget passes through untouched
+    assert(Multimodal.budgetedAudio(new RogueCodec(500), payload,
+      maxFrames = 1000).exists(_.mono.length == 500))
+    // byte seam: output beyond BOTH budgets (2x frames, pixels) rejects
+    assert(Multimodal.budgetedDecode(new RogueCodec(2000), payload,
+      maxFrames = 100, maxPixels = 100).isEmpty)
+    assert(WavAudioCodec.oversizeRejected.get() === before + 2)
+    // a visual-sized result under the pixel budget survives even when
+    // it exceeds 2x maxFrames (the SPI carries no modality marker)
+    assert(Multimodal.budgetedDecode(new RogueCodec(2000), payload,
+      maxFrames = 100, maxPixels = 8192).exists(_.length == 4000))
+  }
 }

@@ -150,6 +150,69 @@ class PlanAuditSpec extends SparkSpec {
       s"no corpus-shaped join may appear in the gate:\n$printed")
   }
 
+  test("recrawlGate scans the candidate batch once and shuffles only " +
+    "batch-sized data: the index probe key and the per-candidate " +
+    "max-mod fold") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    val corpus = Seq((100L, "http://h.com/a", "2026-01-05"))
+      .toDF("doc_id", "url", "mod")
+    val index = graft.ext.Web.urlModIndex(corpus, "url", "mod")
+    val incoming = Seq((1L, "http://h.com/a", "2026-01-06"),
+      (2L, "http://h.com/new", null)).toDF("doc_id", "url", "mod")
+    val gate = graft.ext.Web.recrawlGate(index, incoming, "doc_id",
+      "url", "mod")
+    // the candidate relation appears exactly once; the only other leaf
+    // is the pinned index (LogicalRDD)
+    val leaves = gate.queryExecution.optimizedPlan.collectLeaves()
+    val candLeaves = leaves.filter(_.output.exists(_.name == "doc_id"))
+    assert(candLeaves.size == 1,
+      s"candidate batch must scan once:\n${leaves.mkString("\n")}")
+    assert(leaves.size == 2,
+      s"leaf census drifted (expect candidate + index):\n" +
+        leaves.mkString("\n"))
+    val out = gate.collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out === Map(1L -> true, 2L -> true))
+    val exec = gate.queryExecution.executedPlan
+    val plan = exec.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(exec)
+    // batch-sized shuffles only: the probe join key and the
+    // batch-keyed max(mod) aggregation — never anything corpus-shaped
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2,
+      s"recrawlGate must shuffle only batch-sized data:\n" +
+        shuffles.mkString("\n"))
+  }
+
+  test("politenessScheduleResume keeps the single-shuffle schedule " +
+    "shape: the state and delay joins broadcast, the slot window " +
+    "reuses the TopKPerKey partitioning") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    val delays = Seq(("h.com", 2.0)).toDF("host", "delay_sec")
+    val state = Seq(("h.com", 4.0)).toDF("host", "next_eta_sec")
+    val cand = Seq((1L, "http://h.com/a"), (2L, "http://h.com/b"))
+      .toDF("doc_id", "url")
+    val sched = graft.ext.Web.politenessScheduleResume(cand, delays,
+      state, "doc_id", "url")
+    val etas = sched.collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(etas === Map(1L -> 4.0, 2L -> 6.0))
+    val exec = sched.queryExecution.executedPlan
+    val plan = exec.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(exec)
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1,
+      s"resumed schedule must keep one candidate shuffle:\n" +
+        shuffles.mkString("\n"))
+    val printed = exec.toString
+    assert(!printed.contains("SortMergeJoin"),
+      s"state/delay joins must broadcast:\n$printed")
+  }
+
   test("the audit actually catches an injected cross join") {
     // sanity-check the detector itself on this session's conf: a bare
     // crossJoin must surface as CartesianProduct with AQE off

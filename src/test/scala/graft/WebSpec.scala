@@ -855,6 +855,20 @@ class WebSpec extends SparkSpec {
       (10L, false, false, false), (11L, false, false, false),
       (12L, false, false, false), (13L, false, false, false),
       (14L, false, false, false), (15L, false, false, false)))
+    // persistence: bucketed save/load round-trip compacts to one
+    // max-mod row per URL; non-index tables refused
+    dropTableFully("g_urlmod_idx")
+    Web.saveUrlModIndex(idx2, "g_urlmod_idx")
+    val reopened = Web.loadUrlModIndex(spark, "g_urlmod_idx")
+    assert(verdicts(reopened) === verdicts(idx2))
+    assert(reopened.urls.count() ===
+      idx2.urls.select("url_canon").distinct().count())
+    dropTableFully("g_not_urlmod_idx")
+    corpus.select("doc_id").limit(2).write
+      .format("parquet").saveAsTable("g_not_urlmod_idx")
+    intercept[IllegalArgumentException] {
+      Web.loadUrlModIndex(spark, "g_not_urlmod_idx")
+    }
     // compaction keeps answers identical (legs fold to max-mod rows);
     // after CompactLegs extensions at least one compaction must have
     // reset the chain, so the final leg count sits below the threshold
@@ -905,5 +919,54 @@ class WebSpec extends SparkSpec {
     val m = st2.as[(String, Double)].collect().toMap
     assert(m("idle.com") === 1.0) // one fetch at 0 + default delay 1
     assert(m("slow.com") === 8.0) // last eta 6 + delay 2
+    // persistence: the state snapshot survives a restart; non-state
+    // tables refused
+    dropTableFully("g_host_state")
+    Web.saveHostState(st2, "g_host_state")
+    val back = Web.loadHostState(spark, "g_host_state")
+      .as[(String, Double)].collect().toMap
+    assert(back === m)
+    dropTableFully("g_not_host_state")
+    delays.write.format("parquet").saveAsTable("g_not_host_state")
+    intercept[IllegalArgumentException] {
+      Web.loadHostState(spark, "g_not_host_state")
+    }
+    // streaming lifecycle: the same two batches micro-batched through
+    // foreachBatch with the state threaded between triggers produce
+    // the same per-host gap guarantee as the batch-composed answer
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_polite_").toString
+    b1.write.mode("append").parquet(dir)
+    b2.write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val got = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sched = state match {
+          case None => Web.politenessSchedule(df, delays, "doc_id", "url",
+            defaultDelaySec = 1.0)
+          case Some(st) => Web.politenessScheduleResume(df, delays, st,
+            "doc_id", "url", defaultDelaySec = 1.0)
+        }
+        val pinned = sched.localCheckpoint()
+        got ++= pinned.select("host", "eta_sec", "delay_sec")
+          .as[(String, Double, Double)].collect()
+        state = Some(Web.politenessStateAfter(pinned,
+          prior = state).localCheckpoint())
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      rows.map(r => (r._2, r._3)).sortBy(_._1).toSeq.sliding(2).foreach {
+        case Seq((e1, d), (e2, _)) => assert(e2 - e1 >= d - 1e-9)
+        case _ => ()
+      }
+    }
+    ()
   }
 }
