@@ -102,7 +102,8 @@ object Rehearsal {
     // round-17 operators: the bounded sitemap-resolution loop composed
     // into the frontier, the freshness recrawl gate, and the
     // cross-cycle politeness resume
-    "st18_sitemap_resolve", "st19_recrawl_gate", "x125_politeness_cycles")
+    "st18_sitemap_resolve", "st19_recrawl_gate", "x125_politeness_cycles",
+    "st20_sitemap_recrawl")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)

@@ -575,6 +575,41 @@ object ExtQueries {
         candidates, "url", "url")
     }),
 
+    // DISCOVERY-FRESHNESS composition (round-17): sitemapEntries'
+    // lastmod column feeds the recrawl gate — the reference's
+    // watermark discipline (meta.js) applied end-to-end: a publisher's
+    // declared lastmod decides the refetch, not just novelty.  Page
+    // urls collide on (id%11, id%5); candidate lastmods ride an id%27
+    // date lattice with an id%4 missing-lastmod leg; the seen index
+    // carries an id%13 date lattice over even ids on hosts 0..7 (hosts
+    // 8..10 stay novel).  The oracle mirrors the construction with a
+    // group-max CTE, never re-parsing the XML
+    "st20_sitemap_recrawl" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      val pageUrl = concat(lit("http://h"), (id % 11).cast("string"),
+        lit(".example.com/p/"), (id % 5).cast("string"))
+      val xml = concat(lit("<urlset><url><loc>"), pageUrl, lit("</loc>"),
+        when(id % 4 =!= 1, concat(lit("<lastmod>2026-02-"),
+          lpad(((id % 27) + 1).cast("string"), 2, "0"),
+          lit("</lastmod>"))).otherwise(lit("")),
+        lit("</url></urlset>"))
+      val entries = graft.ext.Web.sitemapEntries(
+        docs.select(concat(lit("http://h"), id.cast("string"),
+          lit(".example.com/sitemap.xml")).as("sitemap_url"),
+          xml.as("xml")),
+        "sitemap_url", "xml")
+      val candidates = entries.filter(col("kind") === "urlset")
+        .select(col("sitemap_url"), col("loc").as("url"), col("lastmod"))
+      val seen = docs.filter(id % 2 === 0 && id % 11 < 8)
+        .select(pageUrl.as("url"),
+          concat(lit("2026-02-"),
+            lpad(((id % 13) + 1).cast("string"), 2, "0")).as("mod"))
+      graft.ext.Web.recrawlGate(
+        graft.ext.Web.urlModIndex(seen, "url", "mod"),
+        candidates, "sitemap_url", "url", "lastmod")
+    }),
+
     // lastmod-aware RECRAWL gate (round-17): the st15 novelty lattice
     // extended with freshness — urls collide on (id%3, id%5, id%40),
     // mods ride an id%27 date lattice with an id%9 NULL leg, the index
@@ -4016,6 +4051,28 @@ object ExtQueries {
         |  blocked,
         |  NOT (hid % 7 = 0 AND path = '/p/0') AND NOT blocked AS fetch
         |FROM p""".stripMargin,
+    // the discovery→freshness composition mirrored: candidate lastmod
+    // and the seen side's group-max both regenerated from the lattice
+    "st20_sitemap_recrawl" ->
+      """WITH d AS (SELECT doc_id, doc_id % 11 AS a, doc_id % 5 AS b,
+        |  CASE WHEN doc_id % 4 <> 1 THEN '2026-02-' ||
+        |    lpad(CAST((doc_id % 27) + 1 AS VARCHAR), 2, '0') END AS lm,
+        |  '2026-02-' ||
+        |    lpad(CAST((doc_id % 13) + 1 AS VARCHAR), 2, '0') AS sm
+        |  FROM documents),
+        |seen AS (SELECT a, b, max(sm) AS m FROM d
+        |         WHERE doc_id % 2 = 0 AND a < 8 GROUP BY 1, 2)
+        |SELECT
+        |  'http://h' || CAST(d.doc_id AS VARCHAR) ||
+        |    '.example.com/sitemap.xml' AS sitemap_url,
+        |  'http://h' || CAST(d.a AS VARCHAR) || '.example.com/p/' ||
+        |    CAST(d.b AS VARCHAR) AS url_canon,
+        |  seen.a IS NULL AS novel,
+        |  (seen.a IS NOT NULL AND d.lm IS NOT NULL AND d.lm > seen.m)
+        |    AS updated,
+        |  (seen.a IS NULL OR (d.lm IS NOT NULL AND d.lm > seen.m))
+        |    AS fetch
+        |FROM d LEFT JOIN seen ON d.a = seen.a AND d.b = seen.b""".stripMargin,
     // per-group freshness re-derived: the seen side's max(mod) per
     // (h,p,q) group (max ignores NULLs, like the index); updated =
     // seen ∧ candidate mod non-NULL ∧ (no known mod ∨ strictly newer)
