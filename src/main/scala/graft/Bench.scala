@@ -98,8 +98,15 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     // Prior committed artifact for the regression self-gate: read BEFORE
     // this run overwrites outFile.  A missing/unparseable prior simply
-    // disables the gate (first run on a fresh box).
-    val priorFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", outFile)
+    // disables the gate (first run on a fresh box).  When the caller
+    // writes to a round-stamped path that does not exist yet (the
+    // driver's per-round artifact), fall back to the COMMITTED
+    // BENCH_LOCAL.json that travels with the repo — otherwise a fresh
+    // out path would permanently disarm the best-ever gate on exactly
+    // the runs the gate exists for.
+    val priorFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
+      if (Files.exists(Paths.get(outFile))) outFile
+      else "BENCH_LOCAL.json")
     // Scrape one flat {"name":sec,...} map out of the prior artifact.
     // Defensive per the round-16 ADVICE: the writer's format is flat
     // (no nested braces), so after removing every "name":num pair the

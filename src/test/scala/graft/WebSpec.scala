@@ -878,6 +878,41 @@ class WebSpec extends SparkSpec {
           .toDF("doc_id", "url", "mod"), "url", "mod"))
     assert(compacted.legs < Web.CompactLegs)
     assert(verdicts(compacted) === verdicts(idx2))
+    // streaming lifecycle: micro-batched delivery through foreachBatch,
+    // extending the index with each accepted batch, equals the batch
+    // answer on the first delivery and re-pins on the second (the
+    // st15/st16/st17 discipline at the freshness grain)
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_recrawl_").toString
+    // one FILE per delivery (maxFilesPerTrigger=1 ⇒ one trigger per
+    // file); the same batch lands twice — the 2nd pass must re-pin
+    incoming.coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    incoming.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    var live = idx
+    val seen = scala.collection.mutable.ListBuffer[Map[Long, Boolean]]()
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val gated = Web.recrawlGate(live, df, "doc_id", "url", "mod")
+          .localCheckpoint()
+        seen += gated.select("doc_id", "fetch")
+          .as[(Long, Boolean)].collect().toMap
+        live = Web.extendUrlModIndex(live,
+          df.join(gated.filter(col("fetch")).select("doc_id"),
+            Seq("doc_id"), "left_semi"), "url", "mod")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(seen.size === 2)
+    // first delivery == the batch verdicts; second sees everything
+    // pinned current (novel 14 was accepted, updated 11/12 re-pinned)
+    assert(seen.head === Map(10L -> false, 11L -> true, 12L -> true,
+      13L -> false, 14L -> true, 15L -> false))
+    assert(seen(1).forall(!_._2))
   }
 
   test("politeness across cycles: two consecutive batches against one " +
