@@ -1048,6 +1048,83 @@ object Web {
         round(col("eta_sec") + coalesce(col("next_eta_sec"), lit(0.0)), 6)
           .as("eta_sec"))
 
+  /** Out-link extraction — the OTHER crawl-discovery input (sitemaps
+    * are publisher-declared, links are the frontier's organic feed):
+    * one row per `<a href=...>` in each fetched page, with the target
+    * RESOLVED against the page URL and the anchor text alongside.
+    *
+    * Extraction is regex-structural like [[sitemapEntries]] (two
+    * `regexp_extract_all` over the same pattern — href group and
+    * anchor group — stay index-aligned because they walk the same
+    * match list, then `arrays_zip` + one explode).  Hrefs XML-unescape
+    * (`&amp;` in URLs), fragments drop, and non-fetchable schemes
+    * (javascript:/mailto:/tel:/data:) drop entirely.  Resolution is
+    * the RFC 3986 §5 subset a crawler needs: absolute passes through,
+    * scheme-relative (`//h/p`) takes the base scheme, root-relative
+    * (`/p`) takes scheme://host, anything else joins the base
+    * DIRECTORY (path up to the last `/`); `./` segments collapse and
+    * `../` segments resolve through a BOUNDED number of passes (4 —
+    * deeper chains keep their residue, the same bounded-normalization
+    * call real crawlers make; a row's resolution never recurses).
+    * Anchor text is the tag body with inner markup stripped and
+    * whitespace collapsed (may be empty — image links).
+    *
+    * Pure map-side column algebra: fuses into the scan, zero shuffle
+    * at any corpus size; output is the (id, link_url, anchor) feed
+    * that composes into [[frontierGate]] exactly like sitemap locs.
+    * Output: (id, link_url, anchor). */
+  def extractLinks(pages: DataFrame, idCol: String, urlCol: String,
+                   htmlCol: String): DataFrame = {
+    val pat = "(?is)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>(.*?)</a>"
+    val hrefs = regexp_extract_all(col(htmlCol), lit(pat), lit(1))
+    val texts = regexp_extract_all(col(htmlCol), lit(pat), lit(2))
+    // raw href → fetchable absolute URL (NULL = dropped scheme/empty)
+    def resolved(href: Column, base: Column): Column = {
+      val unescaped = xmlUnescape(trim(href))
+      val noFrag = regexp_replace(unescaped, "#.*$", "")
+      val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+      val hostPart = regexp_extract(base, "^[^:/?#]+://([^/?#]*)", 1)
+      val basePath = regexp_extract(base, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+      val baseDir = when(
+        regexp_extract(basePath, "^(.*/)", 1) === "", lit("/"))
+        .otherwise(regexp_extract(basePath, "^(.*/)", 1))
+      val joined =
+        when(noFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), noFrag)
+          .when(noFrag.startsWith("//"), concat(scheme, lit(":"), noFrag))
+          .when(noFrag.startsWith("/"),
+            concat(scheme, lit("://"), hostPart, noFrag))
+          .otherwise(concat(scheme, lit("://"), hostPart, baseDir, noFrag))
+      // bounded dot-segment normalization on the PATH part only: the
+      // authority's "//" must not look like an empty path segment, so
+      // passes run on everything after scheme://host
+      val head = regexp_extract(joined, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+      val tail = regexp_replace(joined,
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+      val dotsGone = regexp_replace(tail, "/\\.(?=/|$)", "")
+      // leftmost-match makes the plain pattern correct on chains
+      // ("/a/b/../../c" → "/a/../c" → "/c"); "../" runs that climb
+      // past the root keep their residue after the 4 passes — the
+      // documented bounded-normalization contract
+      val up = (1 to 4).foldLeft(dotsGone)((c, _) =>
+        regexp_replace(c, "/[^/]+/\\.\\.(?=/|$)", ""))
+      when(noFrag === "" ||
+        lower(noFrag).rlike("^(javascript|mailto|tel|data):"),
+        lit(null).cast("string"))
+        .otherwise(concat(head, up))
+    }
+    pages
+      .select(col(idCol), col(urlCol).as("__base"),
+        explode(arrays_zip(hrefs.as("href"), texts.as("t"))).as("lnk"))
+      .select(col(idCol), col("__base"),
+        col("lnk.href").as("__href"),
+        trim(regexp_replace(regexp_replace(col("lnk.t"), "<[^>]*>", " "),
+          "\\s+", " ")).as("anchor"))
+      .select(col(idCol),
+        resolved(col("__href"), col("__base")).as("link_url"),
+        col("anchor"))
+      .filter(col("link_url").isNotNull)
+  }
+
   /** URL-keyword spam scoring (the RefinedWeb/UT1-family URL filter):
     * weighted soft-term hits over the lowercased canonical host+path,
     * plus a hard-term instant block.  `score` sums the weights of the

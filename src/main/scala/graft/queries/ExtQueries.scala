@@ -632,6 +632,38 @@ object ExtQueries {
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "url", "mod")
     }),
 
+    // out-link extraction (round-17): per-page <a href> rows resolved
+    // against the page URL — absolute passes through, scheme-relative
+    // takes the base scheme, root-relative takes scheme://host,
+    // path-relative joins the base directory with ../ resolution,
+    // fragments strip, &amp; unescapes, javascript: drops, anchor text
+    // loses inner markup.  The oracle regenerates every expected link
+    // closed-form from the injection lattice — never re-parses HTML
+    "x126_link_extract" -> ((s, d) => {
+      val id = col("doc_id")
+      val base = concat(lit("http://h"), (id % 7).cast("string"),
+        lit(".example.com/dir"), (id % 3).cast("string"),
+        lit("/page"), id.cast("string"), lit(".html"))
+      val html = concat(
+        lit("<html><body><a href=\"http://ext"), (id % 5).cast("string"),
+        lit(".example.com/abs\">Ext</a>\n<a href='/r/"),
+        (id % 4).cast("string"), lit("'>Root</a>\n"),
+        when(id % 2 === 0, concat(lit("<a class=\"x\" href=\"../up/"),
+          (id % 6).cast("string"),
+          lit("#frag\">Up <b>bold</b></a>\n"))).otherwise(lit("")),
+        when(id % 3 === 0,
+          lit("<a href=\"//cdn.example.com/c?a=1&amp;b=2\">CDN</a>\n"))
+          .otherwise(lit("")),
+        when(id % 5 === 0,
+          lit("<a href=\"javascript:void(0)\">js</a>\n")).otherwise(lit("")),
+        lit("<a href=\"next"), (id % 9).cast("string"),
+        lit(".html\"></a></body></html>"))
+      graft.ext.Web.extractLinks(
+        Tables.documents(s, d).select(col("doc_id"), base.as("url"),
+          html.as("html")),
+        "doc_id", "url", "html")
+    }),
+
     // politeness ACROSS cycles (round-17): batch 1 (even ids)
     // schedules, its state (per-host max eta + delay) seeds batch 2
     // (odd ids), whose etas must start where batch 1's promises end —
@@ -4098,6 +4130,33 @@ object ExtQueries {
         |FROM d inc LEFT JOIN seen
         |  ON inc.h = seen.h AND inc.p = seen.p AND inc.q = seen.q
         |WHERE inc.doc_id % 7 = 0""".stripMargin,
+    // every expected link regenerated from the lattice: the absolute
+    // and root-relative legs always, the ../ leg on even ids (resolved
+    // to /up/k, fragment gone, inner markup stripped from the anchor),
+    // the scheme-relative leg on id%3 (entity decoded), the
+    // javascript: leg NEVER (dropped scheme), the empty-anchor
+    // relative leg always (joined on the base directory)
+    "x126_link_extract" ->
+      """SELECT doc_id,
+        |  'http://ext' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    '.example.com/abs' AS link_url, 'Ext' AS anchor
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'http://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  '.example.com/r/' || CAST(doc_id % 4 AS VARCHAR), 'Root'
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'http://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  '.example.com/up/' || CAST(doc_id % 6 AS VARCHAR), 'Up bold'
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, 'http://cdn.example.com/c?a=1&b=2', 'CDN'
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, 'http://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  '.example.com/dir' || CAST(doc_id % 3 AS VARCHAR) ||
+        |  '/next' || CAST(doc_id % 9 AS VARCHAR) || '.html', ''
+        |FROM documents""".stripMargin,
     // both cycles replayed with ranking windows: batch 1's per-host
     // fetch count × delay is batch 2's starting offset
     "x125_politeness_cycles" ->

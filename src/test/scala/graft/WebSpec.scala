@@ -915,6 +915,54 @@ class WebSpec extends SparkSpec {
     assert(seen(1).forall(!_._2))
   }
 
+  test("extractLinks: RFC 3986-subset resolution (absolute, " +
+    "scheme-relative, root-relative, dot-segments), entity decode, " +
+    "fragment strip, dropped schemes, anchor markup stripped") {
+    val html =
+      """<a href="http://x.com/a">A</a>
+        |<a href='//cdn.com/p?u=1&amp;v=2'>B</a>
+        |<a href="/root">C</a>
+        |<a class="k" href="sib.html#frag">D <i>it</i> E</a>
+        |<a href="./same.html">dot</a>
+        |<a href="../one/up.html">F</a>
+        |<a href="../../two.html">G</a>
+        |<a href="a/b/../c.html">H</a>
+        |<a href="JavaScript:void(0)">no</a>
+        |<a href="mailto:x@y.z">no</a>
+        |<a href="">no</a>
+        |<a href="img.html"><img src="i.png"></a>""".stripMargin
+    val got = Web.extractLinks(
+        Seq((1L, "http://h.com/d1/d2/page.html", html))
+          .toDF("doc_id", "url", "html"),
+        "doc_id", "url", "html")
+      .select("link_url", "anchor").as[(String, String)].collect().toSet
+    assert(got === Set(
+      ("http://x.com/a", "A"),
+      ("http://cdn.com/p?u=1&v=2", "B"),
+      ("http://h.com/root", "C"),
+      ("http://h.com/d1/d2/sib.html", "D it E"),
+      ("http://h.com/d1/d2/same.html", "dot"),
+      ("http://h.com/d1/one/up.html", "F"),
+      ("http://h.com/two.html", "G"),
+      ("http://h.com/d1/d2/a/c.html", "H"),
+      ("http://h.com/d1/d2/img.html", "")))
+    // over-popping ../ keeps its residue (bounded normalization —
+    // browsers clamp, crawlers surface): still one row, never dropped
+    val over = Web.extractLinks(
+        Seq((1L, "http://h.com/p.html",
+          "<a href=\"../../x.html\">o</a>")).toDF("doc_id", "url", "html"),
+        "doc_id", "url", "html")
+      .select("link_url").as[String].collect()
+    assert(over.length === 1 && over.head.endsWith("x.html"))
+    // a base URL with no directory resolves relatives at the root
+    val rootBase = Web.extractLinks(
+        Seq((1L, "http://h.com", "<a href=\"a.html\">r</a>"))
+          .toDF("doc_id", "url", "html"),
+        "doc_id", "url", "html")
+      .select("link_url").as[String].head()
+    assert(rootBase === "http://h.com/a.html")
+  }
+
   test("politeness across cycles: two consecutive batches against one " +
     "host never schedule closer than delay_sec, idle hosts' promises " +
     "carry forward") {
