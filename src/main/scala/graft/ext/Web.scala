@@ -1056,7 +1056,12 @@ object Web {
     * Extraction is regex-structural like [[sitemapEntries]] (two
     * `regexp_extract_all` over the same pattern — href group and
     * anchor group — stay index-aligned because they walk the same
-    * match list, then `arrays_zip` + one explode).  Hrefs XML-unescape
+    * match list, then `arrays_zip` + one explode).  A/B'd against a
+    * lift-blocks-once variant (one full-document pass + three short
+    * per-block regexes): the two-pass form is ~20% faster at sf0.1
+    * (1.13 s vs 1.42 s warm) — per-block regex evaluation and the
+    * fatter exploded rows (whole `<a>` blocks vs two slim groups)
+    * cost more than the saved document scan.  Hrefs XML-unescape
     * (`&amp;` in URLs), fragments drop, and non-fetchable schemes
     * (javascript:/mailto:/tel:/data:) drop entirely.  Resolution is
     * the RFC 3986 §5 subset a crawler needs: absolute passes through,
