@@ -103,7 +103,7 @@ object Rehearsal {
     // into the frontier, the freshness recrawl gate, and the
     // cross-cycle politeness resume
     "st18_sitemap_resolve", "st19_recrawl_gate", "x125_politeness_cycles",
-    "st20_sitemap_recrawl")
+    "st20_sitemap_recrawl", "st21_link_frontier")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)

@@ -664,6 +664,47 @@ object ExtQueries {
         "doc_id", "url", "html")
     }),
 
+    // the ORGANIC discovery→frontier composition (round-17): pages'
+    // out-links (x126's extraction — an absolute external link with a
+    // query and a root-relative internal link per page) become frontier
+    // candidates, gated on novelty (links already discovered by the
+    // id%13≠0 crawl slice) ∧ robots (external hosts block /abs/3,
+    // internal hosts block /r/1) — sitemaps (st18), lastmod (st20),
+    // and links (here) all feed the same gate
+    "st21_link_frontier" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      val base = concat(lit("http://h"), (id % 7).cast("string"),
+        lit(".example.com/d/p"), id.cast("string"), lit(".html"))
+      val html = concat(
+        lit("<a href=\"http://ext"), (id % 5).cast("string"),
+        lit(".example.com/abs/"), (id % 11).cast("string"),
+        lit("?q="), (id % 40).cast("string"), lit("\">E</a>"),
+        lit("<a href=\"/r/"), (id % 4).cast("string"), lit("\">R</a>"))
+      def links(p: org.apache.spark.sql.DataFrame) =
+        graft.ext.Web.extractLinks(p, "doc_id", "url", "html")
+          .select(col("link_url").as("url"))
+      val pages = docs.select(col("doc_id"), base.as("url"),
+        html.as("html"))
+      val candidates = links(pages.filter(id % 13 === 0)).distinct()
+      val hostsTxt = docs
+        .select((id % 5).as("e"), (id % 7).as("h")).distinct()
+      val robots = hostsTxt
+        .select(concat(lit("ext"), col("e").cast("string"),
+          lit(".example.com")).as("host"),
+          lit("User-agent: *\nDisallow: /abs/3\n").as("txt"))
+        .unionByName(hostsTxt
+          .select(concat(lit("h"), col("h").cast("string"),
+            lit(".example.com")).as("host"),
+            lit("User-agent: *\nDisallow: /r/1\n").as("txt")))
+        .distinct()
+      graft.ext.Web.frontierGate(
+        graft.ext.Web.urlIndex(
+          links(pages.filter(id % 13 =!= 0)), "url"),
+        graft.ext.Web.robotsRules(robots, "host", "txt"),
+        candidates, "url", "url")
+    }),
+
     // politeness ACROSS cycles (round-17): batch 1 (even ids)
     // schedules, its state (per-host max eta + delay) seeds batch 2
     // (odd ids), whose etas must start where batch 1's promises end —
@@ -4130,6 +4171,30 @@ object ExtQueries {
         |FROM d inc LEFT JOIN seen
         |  ON inc.h = seen.h AND inc.p = seen.p AND inc.q = seen.q
         |WHERE inc.doc_id % 7 = 0""".stripMargin,
+    // both link legs regenerated per doc, the seen slice and verdicts
+    // re-derived: novelty via the id%13 crawl-slice CTE, blocked
+    // closed-form from the path lattice (/abs/3 external, /r/1
+    // internal)
+    "st21_link_frontier" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'http://ext' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    '.example.com/abs/' || CAST(doc_id % 11 AS VARCHAR) ||
+        |    '?q=' || CAST(doc_id % 40 AS VARCHAR) AS url,
+        |    doc_id % 11 = 3 AS blocked
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    'http://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.com/r/' || CAST(doc_id % 4 AS VARCHAR),
+        |    doc_id % 4 = 1
+        |  FROM documents),
+        |seen AS (SELECT DISTINCT url FROM d WHERE doc_id % 13 <> 0),
+        |inc AS (SELECT DISTINCT url, blocked FROM d WHERE doc_id % 13 = 0)
+        |SELECT inc.url, inc.url AS url_canon,
+        |  seen.url IS NULL AS novel, inc.blocked,
+        |  (seen.url IS NULL AND NOT inc.blocked) AS fetch
+        |FROM inc LEFT JOIN seen ON inc.url = seen.url""".stripMargin,
     // every expected link regenerated from the lattice: the absolute
     // and root-relative legs always, the ../ leg on even ids (resolved
     // to /up/k, fragment gone, inner markup stripped from the anchor),
