@@ -103,7 +103,17 @@ object Rehearsal {
     // into the frontier, the freshness recrawl gate, and the
     // cross-cycle politeness resume
     "st18_sitemap_resolve", "st19_recrawl_gate", "x125_politeness_cycles",
-    "st20_sitemap_recrawl", "st21_link_frontier")
+    "st20_sitemap_recrawl", "st21_link_frontier",
+    // round-17 link-authority family: the host-edge rollup (the link
+    // table's one shuffle), the fixed-point PageRank walk (per-sweep
+    // cost = edge distinct + |V|-sized joins — the corpus-linear part
+    // is the DISTINCT, the walk itself is host-sized), and the ranked
+    // frontier composition (x130's corpus-rate leg is the same
+    // DISTINCT shape as x127 — the fixpoint itself is host-sized)
+    "x127_host_graph", "x128_pagerank", "st22_ranked_frontier",
+    // round-17 crawl mechanics: the two-level trap rollup and the
+    // bounded redirect walk + its frontier composition
+    "x131_url_traps", "x132_redirects", "st23_redirect_frontier")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)

@@ -1,0 +1,229 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph authority operators — the crawl-PRIORITIZATION layer that
+  * sits on top of discovery ([[Web.extractLinks]] / sitemaps) and
+  * compliance ([[Web.frontierGate]] / politeness): which of the URLs we
+  * are ALLOWED to fetch should we fetch FIRST?  Production crawlers
+  * order their frontier by link authority (PageRank-family scores over
+  * the host graph — the original use of the algorithm, and still the
+  * standard quality prior for web training corpora: CommonCrawl
+  * publishes harmonic-centrality/PR host ranks for exactly this).
+  *
+  * Everything is host-level by design: the 100 TB side of a crawl is
+  * the page/link corpus, while the HOST graph it rolls up to is
+  * millions of nodes at web scale — broadcastable next to the
+  * link-table's petabytes.  That asymmetry is the scale contract here:
+  * the big link table shuffles ONCE (the host-edge rollup), and every
+  * PageRank iteration keeps the edge table in place (broadcast of the
+  * |V|-sized rank table, map-side join, one partial-aggregated
+  * exchange on dst).  Rank values are fixed-point BIGINT micro-units
+  * with floor division throughout, so distributed sum order cannot
+  * wobble the result — the same property that lets the DuckDB oracle
+  * replay the walk bit-for-bit (the repo's md5-determinism idiom,
+  * applied to iterative numerics).
+  */
+object Graph {
+
+  private val M = 1000000L // fixed-point scale: 1.0 == 1e6 micro-units
+
+  /** Host-level edge rollup from link rows — one row per (src_host,
+    * dst_host) with the link multiplicity as weight.  Input is any
+    * table carrying a page URL and an out-link URL per row (e.g.
+    * [[Web.extractLinks]] output joined back to its pages on id — an
+    * id-co-partitioned join — or a (src,dst) URL pair table from a
+    * WARC ingest).  Self-loops (intra-host navigation) drop: they say
+    * nothing about cross-host endorsement and at web scale they are
+    * the MAJORITY of links, so dropping them before the groupBy is
+    * also the big win (map-side filter, fuses into the scan).  NULL
+    * hosts (unparseable URLs) drop.
+    *
+    * Scale shape: one hash exchange on (src_host, dst_host) with
+    * map-side partial aggregation — the only shuffle the 100 TB link
+    * table ever pays in this module; everything downstream is
+    * host-sized. */
+  def hostEdges(links: DataFrame, srcUrlCol: String,
+                dstUrlCol: String): DataFrame = {
+    val src = Web.urlHost(col(srcUrlCol))
+    val dst = Web.urlHost(col(dstUrlCol))
+    links
+      .select(src.as("src_host"), dst.as("dst_host"))
+      .filter(col("src_host").isNotNull && col("dst_host").isNotNull &&
+        col("src_host") =!= "" && col("dst_host") =!= "" &&
+        col("src_host") =!= col("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fixed-point PageRank in BIGINT micro-units (1.0 == 1e6): after
+    * `iterations` synchronous sweeps,
+    *
+    *   r'(v) = (M − d)/N  +  d · (Σ_{(u,v)∈E} r(u)/outdeg(u) + dang/N) / M
+    *
+    * with EVERY division a floor division on non-negative longs and
+    * `dang` the summed rank of dangling nodes (outdeg 0 — their mass
+    * redistributes uniformly, the standard correction).  Edges are
+    * UNWEIGHTED distinct pairs (PageRank's original form; weight-aware
+    * ranking belongs to a different estimator).  Floor division leaks
+    * at most 1 micro-unit per node per division, so total mass stays
+    * within iterations·3N micro of 1e6 — the price of a result that is
+    * EXACTLY reproducible: integer sums commute, so the same numbers
+    * come out of any partitioning, any engine (the DuckDB oracle
+    * unrolls this very recurrence), any run.
+    *
+    * Scale shape (the host-graph contract in the object doc): the edge
+    * table is localCheckpointed once and NEVER shuffles again — each
+    * iteration broadcasts the |V|-sized share table into a map-side
+    * join and pays one partial-aggregated exchange on dst; the rank
+    * update joins two |V|-sized tables (contrib broadcast) and
+    * re-checkpoints, truncating lineage so iteration N's plan is flat
+    * regardless of N (the [[Dedup.mergeClusters]] discipline).  For a
+    * URL-level graph too big to broadcast, persist the edges bucketed
+    * by src and let the joins degrade to co-located shuffles — the
+    * recurrence is unchanged.
+    *
+    * Output: (node STRING, rank_micro BIGINT). */
+  def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
+                    iterations: Int = 10,
+                    dampingMicro: Long = 850000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
+    require(dampingMicro >= 0 && dampingMicro <= M,
+      s"dampingMicro must be in [0, $M] (got $dampingMicro)")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .join(outdeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .localCheckpoint()
+    // n is ONE long read off an already-materialized host-sized table —
+    // the repo's bounded-collect discipline (it sizes the base/dangling
+    // terms, which are per-node literals in the plan)
+    val n = nodes.count()
+    // empty graph → empty ranks (the library-wide empty-input
+    // contract: a brand-new day / empty source partition must flow
+    // through, not throw)
+    if (n == 0)
+      return nodes.select(col("node"), col("outdeg").as("rank_micro"))
+    var r = nodes
+      .select(col("node"), col("outdeg"), lit(M / n).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations)
+      r = sweep(r, e, n, dampingMicro).localCheckpoint()
+    r.select(col("node"), col("r").as("rank_micro"))
+  }
+
+  /** One synchronous PageRank sweep, lazily (the loop in
+    * [[pageRankMicro]] checkpoints each result; PlanAuditSpec audits
+    * THIS plan for the per-iteration scale contract: the edge table
+    * joins the broadcast share table map-side, the only shuffle is the
+    * partial-aggregated exchange on dst, and the dangling-mass term is
+    * a single-row broadcast). */
+  private[graft] def sweep(r: DataFrame, e: DataFrame, n: Long,
+                           dampingMicro: Long): DataFrame = {
+    val base = (M - dampingMicro) / n
+    val shares = r.filter(col("outdeg") > 0)
+      .select(col("node").as("src"), expr("r DIV outdeg").as("share"))
+    val contrib = e.join(broadcast(shares), Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("share")).as("contrib"))
+    val dang = r.filter(col("outdeg") === 0)
+      .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+    r.select(col("node"), col("outdeg"))
+      .join(broadcast(contrib), Seq("node"), "left")
+      .crossJoin(broadcast(dang))
+      .select(col("node"), col("outdeg"),
+        (lit(base) + expr(
+          s"($dampingMicro * (coalesce(contrib, 0L) + dang DIV $n)) DIV $M"))
+          .as("r"))
+  }
+
+  /** Top-k anchor texts per link target — the classic training-data
+    * use of the link graph BESIDES ranking: the anchors pointing at a
+    * page are a human-written summary of it (the anchor-text corpus of
+    * the early web-search literature, now a standard retrieval-training
+    * signal).  Empty anchors (image links) drop; ranking is
+    * (count DESC, anchor ASC) — the cross-engine tiebreak idiom.
+    *
+    * Scale shape: one partial-aggregated exchange on (url, anchor),
+    * then per-URL k-bounded heaps via the [[graft.plans.TopKPerKey]]
+    * physical operator — no corpus-wide window sort, O(#urls · k)
+    * state. */
+  def anchorTopK(links: DataFrame, urlCol: String, anchorCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val counted = links
+      .filter(col(anchorCol).isNotNull && col(anchorCol) =!= "")
+      .groupBy(col(urlCol).as("link_url"), col(anchorCol).as("anchor"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.plans.TopKPerKey.topKPerKey(counted, Seq(col("link_url")),
+      Seq(col("cnt").desc, col("anchor").asc), k)
+  }
+
+  /** Connected components of the host graph — mirror/alias families
+    * (one site served from m.example.com, example.co.uk, a CDN alias)
+    * and link farms both surface as components, and crawl budgets /
+    * dedup decisions want the FAMILY, not the host.  Each host maps to
+    * a deterministic 60-bit id (md5-prefix — engine-portable, the
+    * repo's hashing idiom, collision odds ~n²/2⁶¹), edges symmetrize
+    * inside [[Dedup.duplicateClusters]]' hash-min fixpoint (the
+    * delta-gated O(changed) loop the incremental-dedup family already
+    * rides), and the winning min-id maps BACK to its host so the
+    * output is readable: (host, component_rep) where the rep is the
+    * component's min-md5 member.
+    *
+    * Scale shape: everything here is host-sized (the 100 TB link table
+    * was already rolled up by [[hostEdges]]); the fixpoint shuffles
+    * the edge list once and per-round only the shrinking delta. */
+  def hostComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxIter: Int = 25): DataFrame = {
+    def hid(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("host"))
+      .unionByName(e.select(col("dst").as("host")))
+      .distinct()
+      .select(col("host"), hid(col("host")).as("nid"))
+      .localCheckpoint()
+    val labels = Dedup.duplicateClusters(
+      nodes.select(col("nid")), "nid",
+      e.select(hid(col("src")).as("a"), hid(col("dst")).as("b")), maxIter)
+    labels
+      .select(col("doc_id").as("nid"), col("cluster_id"))
+      .join(nodes, Seq("nid"))
+      .join(nodes.select(col("nid").as("cluster_id"),
+        col("host").as("component_rep")), Seq("cluster_id"))
+      .select(col("host"), col("component_rep"))
+  }
+
+  /** Frontier prioritization: annotate gate verdicts (any DataFrame
+    * carrying a canonical-URL column — [[Web.frontierGate]] /
+    * [[Web.recrawlGate]] output) with the target host's authority from
+    * [[pageRankMicro]], so the fetch queue can pop allowed URLs in
+    * rank order.  Hosts absent from the rank table (never linked when
+    * the ranks were computed) get rank 0 — fetch-last, not dropped:
+    * novelty is still a reason to crawl.  The join broadcasts the
+    * host-sized rank table under the batch; no candidate shuffle. */
+  def rankFrontier(gated: DataFrame, ranks: DataFrame,
+                   urlCol: String = "url_canon"): DataFrame =
+    gated
+      .withColumn("host", Web.urlHost(col(urlCol)))
+      .join(broadcast(ranks.select(col("node").as("host"),
+        col("rank_micro"))), Seq("host"), "left")
+      .withColumn("rank_micro", coalesce(col("rank_micro"), lit(0L)))
+}

@@ -1130,6 +1130,85 @@ object Web {
       .filter(col("link_url").isNotNull)
   }
 
+  /** Spider-trap detection — URL EXPLOSION per host: a crawl trap
+    * (calendar pages, session-id permutations, faceted-search
+    * combinatorics) manufactures unbounded distinct URLs from one page
+    * TEMPLATE, so the trap signature is "many distinct paths, one
+    * template".  The template is the canonical path with digit runs
+    * folded to `N` and long (≥8) hex runs folded to `H` (session
+    * tokens/hashes); per host the rollup reports how many distinct
+    * paths exist, how many templates they collapse to, and the WORST
+    * single template's expansion — `trap` fires when that worst
+    * expansion reaches `threshold` (a calendar trap is one template at
+    * 10⁶, not a uniform spread).
+    *
+    * Scale shape: the textbook two-level rollup — template algebra is
+    * map-side (fuses into the scan), then one partial-aggregated
+    * exchange on (host, template, path)-distinct grain and one on
+    * host; no Expand plan, no distinct-aggregate double shuffle.
+    * Output: (host, n_urls, n_templates, worst_expansion, trap). */
+  def urlTrapScore(urls: DataFrame, urlCol: String,
+                   threshold: Long = 1000L): DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1 (got $threshold)")
+    val host = urlHost(col(urlCol))
+    val path = urlPath(col(urlCol))
+    // hex folds FIRST (a digit-run inside a session token must not
+    // break the ≥8 hex run before it's recognized), then digit runs
+    val tmpl = regexp_replace(
+      regexp_replace(path, "[0-9a-f]{8,}", "H"), "[0-9]+", "N")
+    urls
+      .select(host.as("host"), path.as("p"), tmpl.as("t"))
+      .filter(col("host") =!= "")
+      .distinct()
+      .groupBy(col("host"), col("t"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("host"))
+      .agg(sum(col("n")).as("n_urls"),
+        count(lit(1)).as("n_templates"),
+        max(col("n")).as("worst_expansion"))
+      .withColumn("trap", col("worst_expansion") >= threshold)
+  }
+
+  /** Bounded redirect-chain resolution — the 3xx half of crawl
+    * mechanics: given the redirect edge table a fetch cycle observed,
+    * resolve each source URL to where its chain lands within
+    * `maxHops` hops.  One edge per source is kept (min dst —
+    * deterministic; a production feed keeps the latest fetch's edge
+    * before calling).  Output: (url, final_url, hops, resolved) where
+    * `resolved` means the landing URL has NO outgoing redirect — a
+    * cycle (a↔b) or an over-long chain simply comes out unresolved,
+    * hops pinned at `maxHops`, for the caller to drop or refetch.
+    *
+    * Scale shape: `maxHops` is a SMALL constant (real crawlers cap at
+    * 5-10), so resolution is maxHops−1 bounded left joins — the edge
+    * table is localCheckpointed once and each hop joins the state's
+    * moving `cur` key against it (state shuffles per hop, the edge
+    * table is reused); no unbounded iteration, no driver loop over
+    * data. */
+  def resolveRedirects(redirects: DataFrame, srcCol: String,
+                       dstCol: String, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1 (got $maxHops)")
+    val e = redirects
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .groupBy(col("src")).agg(min(col("dst")).as("dst"))
+      .localCheckpoint()
+    var state = e.select(col("src").as("url"), col("dst").as("cur"),
+      lit(1).as("hops"))
+    for (_ <- 2 to maxHops) {
+      state = state.join(e, state("cur") === e("src"), "left")
+        .select(col("url"),
+          coalesce(col("dst"), col("cur")).as("cur"),
+          (col("hops") + when(col("dst").isNull, 0).otherwise(1))
+            .as("hops"))
+    }
+    state.join(e, state("cur") === e("src"), "left")
+      .select(col("url"), col("cur").as("final_url"), col("hops"),
+        col("src").isNull.as("resolved"))
+  }
+
   /** URL-keyword spam scoring (the RefinedWeb/UT1-family URL filter):
     * weighted soft-term hits over the lowercased canonical host+path,
     * plus a hard-term instant block.  `score` sums the weights of the

@@ -727,6 +727,209 @@ object ExtQueries {
         graft.ext.Web.politenessStateAfter(s1), "doc_id", "url")
     }),
 
+    // host-level link graph (round-17): x126's extraction joined back
+    // to its pages on id (co-keyed) rolls up to (src_host, dst_host,
+    // cnt) — the root-relative leg lands on the page's own host and
+    // must DROP as a self-loop, so only the absolute-external and
+    // scheme-relative CDN legs survive.  The oracle regenerates the
+    // surviving edge multiplicities from the lattice, never from HTML
+    "x127_host_graph" -> ((s, d) => {
+      val id = col("doc_id")
+      val base = concat(lit("http://h"), (id % 7).cast("string"),
+        lit(".example.com/dir/page"), id.cast("string"), lit(".html"))
+      val html = concat(
+        lit("<a href=\"http://ext"), (id % 5).cast("string"),
+        lit(".example.com/a\">E</a><a href=\"/self\">S</a>"),
+        when(id % 3 === 0,
+          lit("<a href=\"//cdn.example.com/c\">C</a>")).otherwise(lit("")))
+      val pages = Tables.documents(s, d)
+        .select(col("doc_id"), base.as("url"), html.as("html"))
+      val links = graft.ext.Web
+        .extractLinks(pages, "doc_id", "url", "html")
+        .join(pages.select(col("doc_id"), col("url")), Seq("doc_id"))
+      graft.ext.Graph.hostEdges(links, "url", "link_url")
+    }),
+
+    // fixed-point PageRank (round-17): 4 synchronous sweeps over a
+    // 12-node host lattice with irregular out-degrees (the (i+j)%3
+    // hole pattern) and two genuinely dangling hosts (ext1/ext3 emit
+    // nothing — their mass redistributes uniformly).  BIGINT
+    // micro-units with floor division make the walk bit-reproducible,
+    // so the oracle unrolls the exact recurrence as 4 chained CTEs
+    "x128_pagerank" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      def h(c: org.apache.spark.sql.Column) =
+        concat(lit("h"), c.cast("string"), lit(".example.com"))
+      def ext(c: org.apache.spark.sql.Column) =
+        concat(lit("ext"), c.cast("string"), lit(".example.com"))
+      val legA = docs.filter((id % 7 + id % 5) % 3 =!= 0)
+        .select(h(id % 7).as("src"), ext(id % 5).as("dst"))
+      val legB = docs.select(h(id % 7).as("src"), h((id + 3) % 7).as("dst"))
+      val legC = docs.filter(id % 5 % 2 === 0)
+        .select(ext(id % 5).as("src"), h(id % 7).as("dst"))
+      graft.ext.Graph.pageRankMicro(
+        legA.unionByName(legB).unionByName(legC), "src", "dst",
+        iterations = 4)
+    }),
+
+    // anchor-text rollup (round-17): top-2 anchors per link target by
+    // (count DESC, anchor ASC) — label0..2 tie on near-equal counts
+    // (broken lexically), the id%5 'extra' leg loses on count, and the
+    // empty-anchor leg (image link) must never rank.  TopKPerKey heaps
+    // on the engine side, a row_number window replay in the oracle
+    "x129_anchor_topk" -> ((s, d) => {
+      val id = col("doc_id")
+      val base = concat(lit("http://h"), (id % 7).cast("string"),
+        lit(".example.com/p"), id.cast("string"), lit(".html"))
+      val html = concat(
+        lit("<a href=\"http://t"), (id % 4).cast("string"),
+        lit(".example.com/x\">label"), (id % 3).cast("string"),
+        lit("</a>"),
+        when(id % 5 === 0, concat(lit("<a href=\"http://t"),
+          (id % 4).cast("string"),
+          lit(".example.com/x\">extra</a>"))).otherwise(lit("")),
+        lit("<a href=\"http://t"), (id % 4).cast("string"),
+        lit(".example.com/x\"></a>"))
+      val pages = Tables.documents(s, d)
+        .select(col("doc_id"), base.as("url"), html.as("html"))
+      graft.ext.Graph.anchorTopK(
+        graft.ext.Web.extractLinks(pages, "doc_id", "url", "html"),
+        "link_url", "anchor", k = 2)
+    }),
+
+    // spider-trap detection (round-17): the /cal/<id> leg is the trap
+    // (one template, per-doc distinct paths), /pageK and /about are
+    // benign, the md5 session leg exercises the hex→H fold, and host t
+    // (4 static paths) must come out trap=false; threshold 100
+    "x131_url_traps" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      val sHost = concat(lit("http://s"), (id % 3).cast("string"),
+        lit(".example.com"))
+      val l1 = docs.select(
+        concat(sHost, lit("/cal/"), id.cast("string")).as("url"))
+      val l2 = docs.select(
+        concat(sHost, lit("/page"), (id % 5).cast("string")).as("url"))
+      val l3 = docs.filter(id % 2 === 0)
+        .select(concat(sHost, lit("/about")).as("url"))
+      val l4 = docs.filter(id % 7 === 0)
+        .select(concat(sHost, lit("/s/"),
+          substring(md5(id.cast("string")), 1, 12)).as("url"))
+      val l5 = docs.select(concat(lit("http://t.example.com/static/"),
+        (id % 4).cast("string")).as("url"))
+      graft.ext.Web.urlTrapScore(
+        l1.unionByName(l2).unionByName(l3).unionByName(l4)
+          .unionByName(l5), "url", threshold = 100)
+    }),
+
+    // redirect-chain resolution (round-17): blocks of 4 form chains
+    // u_i→u_{i+1} (hops 3/2/1 to the block's terminal), the id%4==0
+    // sources also carry a CONFLICTING edge to /x (min-dst keeps the
+    // chain — deterministic), and the a↔b 2-cycle must come out
+    // unresolved with hops pinned at maxHops=4
+    "x132_redirects" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      def u(c: org.apache.spark.sql.Column) =
+        concat(lit("http://r.example.com/u/"), c.cast("string"))
+      val chain = docs.filter(id % 4 =!= 3)
+        .select(u(id).as("src"), u(id + 1).as("dst"))
+      val conflict = docs.filter(id % 4 === 0)
+        .select(u(id).as("src"), lit("http://r.example.com/x").as("dst"))
+      val cyc = docs.filter(id % 31 === 0)
+      val cycle = cyc
+        .select(lit("http://c.example.com/a").as("src"),
+          lit("http://c.example.com/b").as("dst"))
+        .unionByName(cyc.select(lit("http://c.example.com/b").as("src"),
+          lit("http://c.example.com/a").as("dst")))
+      graft.ext.Web.resolveRedirects(
+        chain.unionByName(conflict).unionByName(cycle), "src", "dst",
+        maxHops = 4)
+    }),
+
+    // redirects feed the frontier (round-17): the FOURTH discovery
+    // feed into the same gate (sitemaps st18, lastmod st20, links
+    // st21, redirect landings here) — resolved finals become
+    // candidates; the id%20 conflict redirects its block to /q
+    // ('q' < 'u' wins the min-dst tie-break), which robots blocks;
+    // seen = the j%8==7 terminals already crawled
+    "st23_redirect_frontier" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      def u(c: org.apache.spark.sql.Column) =
+        concat(lit("http://r.example.com/u/"), c.cast("string"))
+      val chain = docs.filter(id % 4 =!= 3)
+        .select(u(id).as("src"), u(id + 1).as("dst"))
+      val conflict = docs.filter(id % 4 === 0)
+        .select(u(id).as("src"),
+          when(id % 20 === 0, lit("http://r.example.com/q"))
+            .otherwise(lit("http://r.example.com/x")).as("dst"))
+      val fin = graft.ext.Web.resolveRedirects(
+        chain.unionByName(conflict), "src", "dst", maxHops = 4)
+        .filter(col("resolved"))
+        .select(col("final_url").as("url")).distinct()
+      val seen = docs.filter(id % 8 === 7).select(u(id).as("url"))
+      val robots = docs.select(lit("r.example.com").as("host"),
+        lit("User-agent: *\nDisallow: /q\n").as("txt")).distinct()
+      graft.ext.Web.frontierGate(graft.ext.Web.urlIndex(seen, "url"),
+        graft.ext.Web.robotsRules(robots, "host", "txt"),
+        fin, "url", "url")
+    }),
+
+    // host components (round-17): the +2 ring over m0..m9 splits into
+    // the even and odd families, plus an isolated a↔b pair — mirror
+    // domains / link farms surface as components; the rep is the
+    // component's min-md5 member (engine-portable), replayed by the
+    // oracle's recursive reachability + arg_min
+    "x130_host_components" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      def m(c: org.apache.spark.sql.Column) =
+        concat(lit("m"), c.cast("string"), lit(".example.com"))
+      val ring = docs.select(m(id % 10).as("src"), m((id + 2) % 10).as("dst"))
+      val pair = docs.filter(id % 17 === 0)
+        .select(lit("a.example.com").as("src"),
+          lit("b.example.com").as("dst"))
+      graft.ext.Graph.hostComponents(ring.unionByName(pair), "src", "dst")
+    }),
+
+    // the PRIORITIZED frontier (round-17): st21's gate verdicts
+    // (novelty ∧ robots) annotated with the target host's PageRank
+    // from the x128 lattice graph — the fetch queue pops allowed URLs
+    // in authority order, and a host the rank table has never seen
+    // rides along at rank 0 (fetch-last, never dropped)
+    "st22_ranked_frontier" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      val url = concat(lit("http://ext"), (id % 5).cast("string"),
+        lit(".example.com/abs/"), (id % 11).cast("string"))
+      val cand = docs.filter(id % 13 === 0).select(url.as("url")).distinct()
+      val seen = docs.filter(id % 13 =!= 0 && id % 3 === 0)
+        .select(url.as("url"))
+      val robots = docs.select((id % 5).as("e")).distinct()
+        .select(concat(lit("ext"), col("e").cast("string"),
+          lit(".example.com")).as("host"),
+          lit("User-agent: *\nDisallow: /abs/3\n").as("txt"))
+      val gated = graft.ext.Web.frontierGate(
+        graft.ext.Web.urlIndex(seen, "url"),
+        graft.ext.Web.robotsRules(robots, "host", "txt"),
+        cand, "url", "url")
+      def h(c: org.apache.spark.sql.Column) =
+        concat(lit("h"), c.cast("string"), lit(".example.com"))
+      def ext(c: org.apache.spark.sql.Column) =
+        concat(lit("ext"), c.cast("string"), lit(".example.com"))
+      val legA = docs.filter((id % 7 + id % 5) % 3 =!= 0)
+        .select(h(id % 7).as("src"), ext(id % 5).as("dst"))
+      val legB = docs.select(h(id % 7).as("src"), h((id + 3) % 7).as("dst"))
+      val legC = docs.filter(id % 5 % 2 === 0)
+        .select(ext(id % 5).as("src"), h(id % 7).as("dst"))
+      val ranks = graft.ext.Graph.pageRankMicro(
+        legA.unionByName(legB).unionByName(legC), "src", "dst",
+        iterations = 4)
+      graft.ext.Graph.rankFrontier(gated, ranks, "url_canon")
+    }),
+
     // robots.txt parsing (RFC 9309 subset): per-host policy texts —
     // multi-agent groups, comments, CRLF, empty-Disallow idiom, a
     // non-matching bot group, Allow overrides, a wildcard/anchored
@@ -3001,6 +3204,62 @@ object ExtQueries {
        |  END AS url_canon
        |  FROM h)""".stripMargin
 
+  /** One synchronous PageRank sweep in DuckDB SQL — the EXACT integer
+    * recurrence of [[graft.ext.Graph.pageRankMicro]] (floor division
+    * `//` everywhere, damping 850000 micro): shares = r // outdeg over
+    * the live nodes, contribs grouped on dst, dangling mass summed and
+    * spread // n, base 150000 // n.  Chained 4 deep by [[prCte]]. */
+  private def prIter(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT p.node, p.outdeg,
+       |    CAST((150000 // (SELECT n FROM nn)) +
+       |      (850000 * (coalesce(c.contrib, 0) +
+       |                 (d.dang // (SELECT n FROM nn)))) // 1000000
+       |      AS BIGINT) AS r
+       |  FROM $prev p
+       |  LEFT JOIN (SELECT e.dst AS node,
+       |                    CAST(sum(q.r // q.outdeg) AS BIGINT) AS contrib
+       |             FROM e JOIN $prev q ON e.src = q.node
+       |             WHERE q.outdeg > 0 GROUP BY 1) c ON p.node = c.node
+       |  CROSS JOIN (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+       |              FROM $prev WHERE outdeg = 0) d)""".stripMargin
+
+  /** The x128/st22 host-graph lattice (legs A/B/C — irregular
+    * out-degrees, ext1/ext3 dangling) walked 4 PageRank sweeps; ends
+    * at CTE `r4` (node, outdeg, r). */
+  private val prCte: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT * FROM (
+       |    SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+       |             AS src,
+       |           'ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+       |             AS dst
+       |    FROM documents
+       |    WHERE ((doc_id % 7) + (doc_id % 5)) % 3 <> 0
+       |    UNION ALL
+       |    SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com',
+       |           'h' || CAST((doc_id + 3) % 7 AS VARCHAR) || '.example.com'
+       |    FROM documents
+       |    UNION ALL
+       |    SELECT 'ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.com',
+       |           'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+       |    FROM documents WHERE (doc_id % 5) % 2 = 0
+       |  )
+       |),
+       |od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+       |nodes AS (
+       |  SELECT n.node, coalesce(od.outdeg, 0) AS outdeg
+       |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+       |  LEFT JOIN od ON n.node = od.node),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, outdeg,
+       |              CAST(1000000 // (SELECT n FROM nn) AS BIGINT) AS r
+       |       FROM nodes),
+       |${prIter("r0", "r1")},
+       |${prIter("r1", "r2")},
+       |${prIter("r2", "r3")},
+       |${prIter("r3", "r4")}""".stripMargin
+
   val sql: Map[String, String] = Map(
     // NOTE: the shared CTE is already stripMargin'd — concatenate the
     // tail instead of re-stripping (a second stripMargin would eat the
@@ -4247,6 +4506,181 @@ object ExtQueries {
         |    AS eta_sec
         |FROM b2 JOIN dl ON b2.h = dl.h
         |LEFT JOIN off ON b2.h = off.h""".stripMargin,
+    // the two surviving legs' multiplicities regenerated from the
+    // lattice (the root-relative self-link never produces an edge):
+    // every doc emits one h→ext link, the id%3 slice adds one h→cdn
+    "x127_host_graph" ->
+      """SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+        |         AS src_host,
+        |       'ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+        |         AS dst_host,
+        |       count(*) AS cnt
+        |FROM documents GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com',
+        |       'cdn.example.com', count(*)
+        |FROM documents WHERE doc_id % 3 = 0 GROUP BY 1, 2""".stripMargin,
+    // the exact integer recurrence unrolled 4 sweeps (prCte): floor
+    // division everywhere, dangling mass spread uniformly — BIGINT
+    // fixed-point, so the hash compare is exact by construction
+    "x128_pagerank" ->
+      (prCte + "\nSELECT node, r AS rank_micro FROM r4"),
+    // anchor multiplicities regenerated from the lattice (the
+    // empty-anchor leg never counts), then the same
+    // (cnt DESC, anchor ASC) top-2 as a ranking window
+    "x129_anchor_topk" ->
+      """WITH l AS (
+        |  SELECT 'http://t' || CAST(doc_id % 4 AS VARCHAR) ||
+        |           '.example.com/x' AS link_url,
+        |         'label' || CAST(doc_id % 3 AS VARCHAR) AS anchor
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'http://t' || CAST(doc_id % 4 AS VARCHAR) ||
+        |           '.example.com/x', 'extra'
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |c AS (SELECT link_url, anchor, count(*) AS cnt
+        |      FROM l GROUP BY 1, 2)
+        |SELECT link_url, anchor, cnt FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY link_url
+        |            ORDER BY cnt DESC, anchor ASC) AS rk FROM c)
+        |WHERE rk <= 2""".stripMargin,
+    // the same hex-then-digit template fold over the regenerated path
+    // lattice, then the two-level (host,template) → host rollup
+    "x131_url_traps" ->
+      """WITH u AS (
+        |  SELECT DISTINCT host, p,
+        |    regexp_replace(regexp_replace(p, '[0-9a-f]{8,}', 'H', 'g'),
+        |                   '[0-9]+', 'N', 'g') AS t
+        |  FROM (
+        |    SELECT 's' || CAST(doc_id % 3 AS VARCHAR) || '.example.com'
+        |             AS host,
+        |           '/cal/' || CAST(doc_id AS VARCHAR) AS p
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT 's' || CAST(doc_id % 3 AS VARCHAR) || '.example.com',
+        |           '/page' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+        |    UNION ALL
+        |    SELECT 's' || CAST(doc_id % 3 AS VARCHAR) || '.example.com',
+        |           '/about'
+        |    FROM documents WHERE doc_id % 2 = 0
+        |    UNION ALL
+        |    SELECT 's' || CAST(doc_id % 3 AS VARCHAR) || '.example.com',
+        |           '/s/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |    FROM documents WHERE doc_id % 7 = 0
+        |    UNION ALL
+        |    SELECT 't.example.com',
+        |           '/static/' || CAST(doc_id % 4 AS VARCHAR)
+        |    FROM documents
+        |  )
+        |),
+        |g AS (SELECT host, t, count(*) AS n FROM u GROUP BY 1, 2)
+        |SELECT host, CAST(sum(n) AS BIGINT) AS n_urls,
+        |       count(*) AS n_templates,
+        |       CAST(max(n) AS BIGINT) AS worst_expansion,
+        |       max(n) >= 100 AS trap
+        |FROM g GROUP BY 1""".stripMargin,
+    // the bounded hop walk unrolled: min-dst edge per source, three
+    // chained left joins, resolved = the landing URL has no out-edge
+    "x132_redirects" ->
+      """WITH e0 AS (
+        |  SELECT 'http://r.example.com/u/' || CAST(doc_id AS VARCHAR)
+        |           AS src,
+        |         'http://r.example.com/u/' || CAST(doc_id + 1 AS VARCHAR)
+        |           AS dst
+        |  FROM documents WHERE doc_id % 4 <> 3
+        |  UNION ALL
+        |  SELECT 'http://r.example.com/u/' || CAST(doc_id AS VARCHAR),
+        |         'http://r.example.com/x'
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 'http://c.example.com/a', 'http://c.example.com/b'
+        |  FROM documents WHERE doc_id % 31 = 0
+        |  UNION ALL
+        |  SELECT 'http://c.example.com/b', 'http://c.example.com/a'
+        |  FROM documents WHERE doc_id % 31 = 0),
+        |e AS (SELECT src, min(dst) AS dst FROM e0 GROUP BY 1),
+        |s1 AS (SELECT src AS url, dst AS cur, 1 AS hops FROM e),
+        |s2 AS (SELECT s1.url, coalesce(e.dst, s1.cur) AS cur,
+        |         s1.hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END
+        |           AS hops
+        |       FROM s1 LEFT JOIN e ON s1.cur = e.src),
+        |s3 AS (SELECT s2.url, coalesce(e.dst, s2.cur) AS cur,
+        |         s2.hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END
+        |           AS hops
+        |       FROM s2 LEFT JOIN e ON s2.cur = e.src),
+        |s4 AS (SELECT s3.url, coalesce(e.dst, s3.cur) AS cur,
+        |         s3.hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END
+        |           AS hops
+        |       FROM s3 LEFT JOIN e ON s3.cur = e.src)
+        |SELECT s4.url, s4.cur AS final_url, s4.hops,
+        |       e.src IS NULL AS resolved
+        |FROM s4 LEFT JOIN e ON s4.cur = e.src""".stripMargin,
+    // resolved finals closed-form (the %20 blocks land on /q, every
+    // other source lands on its block terminal), verdicts re-derived
+    "st23_redirect_frontier" ->
+      """WITH f AS (SELECT DISTINCT CASE WHEN doc_id % 20 = 0
+        |      THEN 'http://r.example.com/q'
+        |      ELSE 'http://r.example.com/u/' ||
+        |           CAST(doc_id - (doc_id % 4) + 3 AS VARCHAR) END AS url
+        |    FROM documents WHERE doc_id % 4 <> 3),
+        |sn AS (SELECT DISTINCT 'http://r.example.com/u/' ||
+        |         CAST(doc_id AS VARCHAR) AS url
+        |       FROM documents WHERE doc_id % 8 = 7)
+        |SELECT f.url, f.url AS url_canon, sn.url IS NULL AS novel,
+        |       f.url = 'http://r.example.com/q' AS blocked,
+        |       (sn.url IS NULL AND f.url <> 'http://r.example.com/q')
+        |         AS fetch
+        |FROM f LEFT JOIN sn ON f.url = sn.url""".stripMargin,
+    // reachability over the symmetrized ring+pair lattice, component
+    // rep = arg_min by the same md5-prefix id the engine uses
+    "x130_host_components" ->
+      """WITH RECURSIVE he AS (
+        |  SELECT DISTINCT * FROM (
+        |    SELECT 'm' || CAST(doc_id % 10 AS VARCHAR) || '.example.com'
+        |             AS src,
+        |           'm' || CAST((doc_id + 2) % 10 AS VARCHAR) ||
+        |             '.example.com' AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT 'a.example.com', 'b.example.com'
+        |    FROM documents WHERE doc_id % 17 = 0
+        |  )
+        |),
+        |hn AS (SELECT src AS host FROM he UNION SELECT dst FROM he),
+        |sym AS (SELECT src AS s, dst AS d FROM he
+        |        UNION SELECT dst, src FROM he),
+        |reach(node, r) AS (
+        |  SELECT host, host FROM hn
+        |  UNION
+        |  SELECT sym.d, reach.r FROM sym JOIN reach ON sym.s = reach.node)
+        |SELECT node AS host,
+        |       arg_min(r, CAST('0x' || substr(md5(r), 1, 15) AS BIGINT))
+        |         AS component_rep
+        |FROM reach GROUP BY 1""".stripMargin,
+    // st21's gate verdicts replayed over the /abs lattice, then the
+    // prCte rank joined by host — absent hosts coalesce to rank 0
+    "st22_ranked_frontier" ->
+      (prCte + "," +
+        """
+          |d22 AS (SELECT DISTINCT
+          |    'http://ext' || CAST(doc_id % 5 AS VARCHAR) ||
+          |      '.example.com/abs/' || CAST(doc_id % 11 AS VARCHAR)
+          |      AS url,
+          |    'ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+          |      AS host,
+          |    doc_id % 11 = 3 AS blocked
+          |  FROM documents WHERE doc_id % 13 = 0),
+          |seen22 AS (SELECT DISTINCT
+          |    'http://ext' || CAST(doc_id % 5 AS VARCHAR) ||
+          |      '.example.com/abs/' || CAST(doc_id % 11 AS VARCHAR)
+          |      AS url
+          |  FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 3 = 0)
+          |SELECT d22.host, d22.url, d22.url AS url_canon,
+          |  seen22.url IS NULL AS novel, d22.blocked,
+          |  (seen22.url IS NULL AND NOT d22.blocked) AS fetch,
+          |  CAST(coalesce(r4.r, 0) AS BIGINT) AS rank_micro
+          |FROM d22 LEFT JOIN seen22 ON d22.url = seen22.url
+          |LEFT JOIN r4 ON r4.node = d22.host""".stripMargin),
     // verdicts recomputed closed-form from the path/policy lattice:
     // /a/x → Disallow /a (longest match, blocked); /a/pub/x → the
     // len-6 Allow outranks the len-2 Disallow (rescued); /b/file.zip →

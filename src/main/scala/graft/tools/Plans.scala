@@ -38,7 +38,12 @@ object Plans {
     "x79_shard_assign" -> "#partitions-row triangular offset join (globalRank)",
     "x83_dsir_weights" -> "single-row token-total normalizers",
     "x85_quantization_audit" -> "single-row packed min/max span arrays",
-    "x84_interleaved_order" -> "#partitions-row triangular offset joins (globalRank x2)")
+    "x84_interleaved_order" -> "#partitions-row triangular offset joins (globalRank x2)",
+    "st23_redirect_frontier" ->
+      ("single-host collapsed rule table: the lattice's literal host " +
+        "constant-folds the equi-join key into the join CONDITION, " +
+        "degenerating BHJ to BNLJ over a 1-row broadcast (production " +
+        "rule tables carry data-derived hosts and plan BHJ — st21/st22)"))
   // x100/x101/st14 are deliberately absent: the NearestCellExpr kernel
   // keeps the whole clustering family join-free — map-only assignment
   // against a task-serialized codebook, k-row aggregates.

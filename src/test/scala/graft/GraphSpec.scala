@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Graph
+
+/** Link-graph authority family: host-edge rollup semantics, the
+  * fixed-point PageRank recurrence (checked against an INDEPENDENT
+  * driver-side reimplementation over an explicit adjacency list — the
+  * oracle proves Spark↔DuckDB agreement, this proves both match the
+  * declared algebra), anchor top-k, and frontier rank annotation. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference fixed-point PageRank: plain Scala Longs, same floor
+    * math as the scaladoc recurrence, no Spark. */
+  private def refPr(edges: Seq[(String, String)], iters: Int,
+                    dMicro: Long): Map[String, Long] = {
+    val M = 1000000L
+    val dist = edges.distinct.filter(e => e._1 != e._2)
+    val nodes = (dist.map(_._1) ++ dist.map(_._2)).distinct.sorted
+    val out = dist.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = nodes.size.toLong
+    val base = (M - dMicro) / n
+    var r = nodes.map(_ -> M / n).toMap
+    for (_ <- 1 to iters) {
+      val share = r.collect {
+        case (u, ru) if out.getOrElse(u, 0L) > 0 => u -> ru / out(u) }
+      val contrib = dist.groupBy(_._2).view
+        .mapValues(_.map(e => share.getOrElse(e._1, 0L)).sum).toMap
+      val dang = r.collect {
+        case (u, ru) if out.getOrElse(u, 0L) == 0 => ru }.sum
+      r = nodes.map(v => v ->
+        (base + (dMicro * (contrib.getOrElse(v, 0L) + dang / n)) / M)).toMap
+    }
+    r
+  }
+
+  private def runPr(edges: Seq[(String, String)], iters: Int,
+                    dMicro: Long = 850000L): Map[String, Long] =
+    Graph.pageRankMicro(edges.toDF("src", "dst"), "src", "dst",
+      iterations = iters, dampingMicro = dMicro)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  // a: two in-links (b, d); c: leaf fed only by a; d: dangling feeder
+  private val g = Seq(
+    ("a", "b"), ("a", "c"), ("b", "a"), ("d", "a"),
+    // duplicates and a self-loop must not change the result
+    ("a", "b"), ("c", "c"))
+
+  test("pageRankMicro matches the driver-side reference recurrence " +
+    "exactly, at 1 and at 6 sweeps") {
+    assert(runPr(g, 1) === refPr(g, 1, 850000L))
+    assert(runPr(g, 6) === refPr(g, 6, 850000L))
+  }
+
+  test("pageRankMicro: dangling mass is redistributed (c has outdeg 0 " +
+    "after self-loop drop; total mass stays ~1e6) and authority " +
+    "ordering holds (a out-ranks the leaf c)") {
+    val r = runPr(g, 8)
+    // self-loop ("c","c") dropped => c is dangling; floor leakage per
+    // sweep is bounded by ~n(n+2) micro (share/base/dang/damp floors)
+    val total = r.values.sum
+    assert(total <= 1000000L && total >= 1000000L - 8 * 4 * (4 + 2),
+      s"mass drifted: $total")
+    assert(r("a") > r("c"), s"hub a=${r("a")} must out-rank leaf c=${r("c")}")
+    assert(r("a") > r("d"), "a (2 in-links) must out-rank d (0 in-links)")
+  }
+
+  test("pageRankMicro: damping 0 gives the uniform base row; " +
+    "argument validation rejects bad iterations/damping/empty graphs") {
+    val r = runPr(g, 3, dMicro = 0L)
+    assert(r.values.toSet === Set(1000000L / 4))
+    intercept[IllegalArgumentException] {
+      Graph.pageRankMicro(g.toDF("src", "dst"), "src", "dst", iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRankMicro(g.toDF("src", "dst"), "src", "dst",
+        dampingMicro = 1000001L)
+    }
+    // a self-loop-only (hence empty) graph flows through empty — the
+    // library-wide empty-input contract
+    assert(Graph.pageRankMicro(
+      Seq(("x", "x")).toDF("src", "dst"), "src", "dst").count() === 0)
+  }
+
+  test("hostEdges: self-loops and unparseable hosts drop, multiplicity " +
+    "counts, www/port canonicalization folds hosts together") {
+    val links = Seq(
+      ("http://a.com/p", "http://b.com/x"),
+      ("http://a.com/q", "http://www.b.com:80/y"), // same edge as above
+      ("http://a.com/p", "http://a.com/other"),    // self-loop: drop
+      ("http://a.com/p", "not a url"),             // no host: drop
+      ("http://b.com/p", "http://a.com/z")
+    ).toDF("url", "link_url")
+    val got = Graph.hostEdges(links, "url", "link_url")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === Set(("a.com", "b.com", 2L), ("b.com", "a.com", 1L)))
+  }
+
+  test("anchorTopK: empty anchors never rank, k bounds the group, ties " +
+    "on count break anchor-ascending") {
+    val links = Seq(
+      ("u1", "beta"), ("u1", "beta"), ("u1", "alpha"), ("u1", "alpha"),
+      ("u1", "gamma"), ("u1", ""),
+      ("u2", "only")
+    ).toDF("link_url", "anchor")
+    val got = Graph.anchorTopK(links, "link_url", "anchor", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // u1: alpha/beta tie at 2 → both kept (alpha first is an ordering
+    // property, set-wise both beat gamma=1); u2: the single anchor
+    assert(got === Set(("u1", "alpha", 2L), ("u1", "beta", 2L),
+      ("u2", "only", 1L)))
+  }
+
+  test("hostComponents: chains merge into one family, disconnected " +
+    "pairs stay apart, the rep is a member, self-loops are inert") {
+    val edges = Seq(
+      ("x.com", "y.com"), ("y.com", "z.com"),   // chain → one component
+      ("p.com", "q.com"),                       // separate pair
+      ("x.com", "x.com")                        // self-loop: inert
+    ).toDF("src", "dst")
+    val got = Graph.hostComponents(edges, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.keySet === Set("x.com", "y.com", "z.com", "p.com", "q.com"))
+    // one label per family, label is a member of its own family
+    assert(Set(got("x.com"), got("y.com"), got("z.com")).size === 1)
+    assert(Set("x.com", "y.com", "z.com").contains(got("x.com")))
+    assert(got("p.com") === got("q.com"))
+    assert(Set("p.com", "q.com").contains(got("p.com")))
+    assert(got("x.com") !== got("p.com"))
+  }
+
+  test("rankFrontier: rank joins by canonical host; hosts the rank " +
+    "table never saw ride along at 0") {
+    val gated = Seq(
+      ("http://a.com/x", true),
+      ("http://unknown.com/y", true)
+    ).toDF("url_canon", "fetch")
+    val ranks = Seq(("a.com", 777L)).toDF("node", "rank_micro")
+    val got = Graph.rankFrontier(gated, ranks)
+      .select(col("url_canon"), col("rank_micro"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("http://a.com/x", 777L),
+      ("http://unknown.com/y", 0L)))
+  }
+}

@@ -213,6 +213,42 @@ class PlanAuditSpec extends SparkSpec {
       s"state/delay joins must broadcast:\n$printed")
   }
 
+  test("pageRankMicro's per-sweep plan: the edge table never " +
+    "shuffles — both exchanges are partial-aggregated (dst contribs + " +
+    "the single-row dangling scalar), joins broadcast") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, SortMergeJoinExec}
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src", "dst").localCheckpoint()
+    val r = Seq(("a", 2L, 333333L), ("b", 1L, 333333L), ("c", 1L, 333333L))
+      .toDF("node", "outdeg", "r").localCheckpoint()
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.ext.Graph.sweep(r, e, 3L, 850000L)
+        .queryExecution.executedPlan
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size == 2,
+        s"expected the dst-agg + dangling-scalar exchanges only:\n$plan")
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+          w.child
+        case other => other
+      }
+      assert(shuffles.forall(s =>
+        unwrap(s.child).isInstanceOf[BaseAggregateExec]),
+        s"every sweep exchange must carry partial-aggregated rows " +
+          s"(|V|-bounded per partition), never raw edges:\n$plan")
+      assert(plan.collect { case s: SortMergeJoinExec => s }.isEmpty,
+        s"no sort-merge join in a sweep:\n$plan")
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }.size == 2,
+        s"share and contrib joins must broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
   test("the audit actually catches an injected cross join") {
     // sanity-check the detector itself on this session's conf: a bare
     // crossJoin must surface as CartesianProduct with AQE off

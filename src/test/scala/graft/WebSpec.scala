@@ -1052,4 +1052,46 @@ class WebSpec extends SparkSpec {
     }
     ()
   }
+
+  test("urlTrapScore: one exploding template trips the trap, hex " +
+    "session tokens fold to H (duplicate URLs count once), a benign " +
+    "host stays false") {
+    val urls = Seq(
+      "http://a.com/cal/1", "http://a.com/cal/2", "http://a.com/cal/3",
+      "http://a.com/about",
+      "http://b.com/s/deadbeefcafe1", "http://b.com/s/deadbeefcafe1",
+      "http://b.com/p"
+    ).toDF("url")
+    val got = Web.urlTrapScore(urls, "url", threshold = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    // a.com: /cal/N explodes to 3 paths (worst=3 trips threshold 3),
+    // /about is its own template
+    assert(got("a.com") === ((4L, 2L, 3L, true)))
+    // b.com: the 13-hex session folds to /s/H, the dup URL deduped
+    assert(got("b.com") === ((2L, 2L, 1L, false)))
+  }
+
+  test("resolveRedirects: chains resolve with hop counts, a 2-cycle " +
+    "pins at maxHops unresolved, conflicting edges keep min-dst, " +
+    "maxHops=1 stops after the first hop") {
+    val ed = Seq(("u1", "u2"), ("u2", "u3"), ("a", "b"), ("b", "a"),
+      ("u1", "zzz")).toDF("src", "dst")
+    val got = Web.resolveRedirects(ed, "src", "dst", maxHops = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getInt(2), r.getBoolean(3)))).toMap
+    // min("u2","zzz") keeps the chain edge for u1
+    assert(got("u1") === (("u3", 2, true)))
+    assert(got("u2") === (("u3", 1, true)))
+    // the 2-cycle walks to maxHops and reports unresolved
+    assert(got("a")._2 === 4 && !got("a")._3)
+    assert(got("b")._2 === 4 && !got("b")._3)
+    val one = Web.resolveRedirects(ed, "src", "dst", maxHops = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getInt(2), r.getBoolean(3)))).toMap
+    // one hop: u1 lands on u2, which still redirects → unresolved
+    assert(one("u1") === (("u2", 1, false)))
+    assert(one("u2") === (("u3", 1, true)))
+  }
 }
