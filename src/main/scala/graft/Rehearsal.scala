@@ -111,9 +111,11 @@ object Rehearsal {
     // frontier composition (x130's corpus-rate leg is the same
     // DISTINCT shape as x127 — the fixpoint itself is host-sized)
     "x127_host_graph", "x128_pagerank", "st22_ranked_frontier",
-    // round-17 crawl mechanics: the two-level trap rollup and the
-    // bounded redirect walk + its frontier composition
-    "x131_url_traps", "x132_redirects", "st23_redirect_frontier")
+    // round-17 crawl mechanics: the two-level trap rollup, the
+    // bounded redirect walk + its frontier composition, the
+    // warm-started rank resume, and the budget rollup
+    "x131_url_traps", "x132_redirects", "st23_redirect_frontier",
+    "st24_rank_resume", "x133_crawl_budget")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)

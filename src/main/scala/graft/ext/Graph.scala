@@ -87,7 +87,28 @@ object Graph {
     * Output: (node STRING, rank_micro BIGINT). */
   def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
                     iterations: Int = 10,
-                    dampingMicro: Long = 850000L): DataFrame = {
+                    dampingMicro: Long = 850000L): DataFrame =
+    pageRankWalk(edges, srcCol, dstCol, None, iterations, dampingMicro)
+
+  /** [[pageRankMicro]] WARM-STARTED from a prior rank table — the
+    * "index once, serve batches" discipline applied to authority: a
+    * crawl cycle extends the host graph by a delta, and re-converging
+    * from yesterday's ranks takes a couple of sweeps where a cold
+    * start needs ten (the fixpoint is the same — the init only buys
+    * convergence speed, so warm-start results stay exactly
+    * reproducible given the same prior).  Hosts the prior never saw
+    * start at the uniform 1e6/N; prior hosts that left the graph
+    * drop.  Pair with [[saveRanks]]/[[loadRanks]]. */
+  def pageRankMicroFrom(edges: DataFrame, srcCol: String, dstCol: String,
+                        prior: DataFrame, iterations: Int = 2,
+                        dampingMicro: Long = 850000L): DataFrame =
+    pageRankWalk(edges, srcCol, dstCol, Some(prior), iterations,
+      dampingMicro)
+
+  private def pageRankWalk(edges: DataFrame, srcCol: String,
+                           dstCol: String, prior: Option[DataFrame],
+                           iterations: Int,
+                           dampingMicro: Long): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
     require(dampingMicro >= 0 && dampingMicro <= M,
       s"dampingMicro must be in [0, $M] (got $dampingMicro)")
@@ -115,12 +136,47 @@ object Graph {
     // through, not throw)
     if (n == 0)
       return nodes.select(col("node"), col("outdeg").as("rank_micro"))
-    var r = nodes
-      .select(col("node"), col("outdeg"), lit(M / n).as("r"))
-      .localCheckpoint()
+    val r0 = prior match {
+      case None =>
+        nodes.select(col("node"), col("outdeg"), lit(M / n).as("r"))
+      case Some(p) =>
+        nodes
+          .join(broadcast(p.select(col("node"), col("rank_micro"))),
+            Seq("node"), "left")
+          .select(col("node"), col("outdeg"),
+            coalesce(col("rank_micro"), lit(M / n)).as("r"))
+    }
+    var r = r0.localCheckpoint()
     for (_ <- 1 to iterations)
       r = sweep(r, e, n, dampingMicro).localCheckpoint()
     r.select(col("node"), col("r").as("rank_micro"))
+  }
+
+  /** Persist a rank table (node, rank_micro) bucketed on the node so a
+    * resumed walk's warm-start join and [[rankFrontier]]'s broadcast
+    * read pre-partitioned data.  Marker property refuses non-rank
+    * tables on load — the Indexes discipline. */
+  def saveRanks(ranks: DataFrame, table: String,
+                buckets: Int = 16): Unit = {
+    ranks.select(col("node"), col("rank_micro"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "node").sortBy("node")
+      .format("parquet").saveAsTable(table)
+    ranks.sparkSession.sql(
+      s"ALTER TABLE ${SqlIdent.quote(table)} SET TBLPROPERTIES " +
+        "('graft.ranks'='1')")
+  }
+
+  /** Reopen a persisted rank table, refusing tables without the
+    * [[saveRanks]] marker. */
+  def loadRanks(spark: org.apache.spark.sql.SparkSession,
+                table: String): DataFrame = {
+    val props = spark
+      .sql(s"SHOW TBLPROPERTIES ${SqlIdent.quote(table)}").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("graft.ranks").contains("1"),
+      s"$table is not a graft rank table")
+    spark.table(table)
   }
 
   /** One synchronous PageRank sweep, lazily (the loop in

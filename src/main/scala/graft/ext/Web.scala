@@ -1130,6 +1130,43 @@ object Web {
       .filter(col("link_url").isNotNull)
   }
 
+  /** Per-host crawl-budget allocation — the planning half of
+    * politeness: BEFORE a cycle spends its wall clock, report how much
+    * of each host's queue actually FITS in the cycle window under that
+    * host's crawl delay.  Capacity of a window of `windowSec` at delay
+    * d is ⌊window/d⌋+1 fetches (slots at 0, d, 2d, …); `allocated` =
+    * min(queue, capacity) and the `deferred` remainder is the
+    * carry-over the next cycle inherits (via
+    * [[politenessScheduleResume]]).  The aggregate over hosts is the
+    * cycle's fetch bill — the same "know the cost before paying it"
+    * report the decode-budget router gives media.
+    *
+    * Scale shape: one partial-aggregated exchange on host for the
+    * queue count; the delay table joins broadcast (host-sized, the
+    * [[robotsCrawlDelay]] output).  Output: (host, queue, delay_sec,
+    * capacity, allocated, deferred). */
+  def crawlBudget(frontier: DataFrame, delays: DataFrame, urlCol: String,
+                  windowSec: Double,
+                  defaultDelaySec: Double = 1.0): DataFrame = {
+    require(windowSec > 0, s"windowSec must be > 0 (got $windowSec)")
+    require(defaultDelaySec > 0,
+      s"defaultDelaySec must be > 0 (got $defaultDelaySec)")
+    val queued = frontier
+      .select(urlHost(col(urlCol)).as("host"))
+      .filter(col("host") =!= "")
+      .groupBy(col("host")).agg(count(lit(1)).as("queue"))
+    val cap = floor(lit(windowSec) /
+      coalesce(col("delay_sec"), lit(defaultDelaySec))).cast("long") + 1L
+    queued
+      .join(broadcast(delays.select(col("host"), col("delay_sec"))),
+        Seq("host"), "left")
+      .select(col("host"), col("queue"),
+        coalesce(col("delay_sec"), lit(defaultDelaySec)).as("delay_sec"),
+        cap.as("capacity"),
+        least(col("queue"), cap).as("allocated"),
+        (col("queue") - least(col("queue"), cap)).as("deferred"))
+  }
+
   /** Spider-trap detection — URL EXPLOSION per host: a crawl trap
     * (calendar pages, session-id permutations, faceted-search
     * combinatorics) manufactures unbounded distinct URLs from one page

@@ -848,6 +848,53 @@ object ExtQueries {
         maxHops = 4)
     }),
 
+    // warm-started PageRank (round-17): cycle 2 extends the x128
+    // lattice with the full ext ring (the dangling ext hosts grew
+    // out-links) and re-converges in 2 sweeps FROM the prior walk's
+    // ranks — the "index once, serve batches" discipline applied to
+    // authority; new-node defaults and the changed dangling set both
+    // exercise the resume path
+    "st24_rank_resume" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      def h(c: org.apache.spark.sql.Column) =
+        concat(lit("h"), c.cast("string"), lit(".example.com"))
+      def ext(c: org.apache.spark.sql.Column) =
+        concat(lit("ext"), c.cast("string"), lit(".example.com"))
+      val legA = docs.filter((id % 7 + id % 5) % 3 =!= 0)
+        .select(h(id % 7).as("src"), ext(id % 5).as("dst"))
+      val legB = docs.select(h(id % 7).as("src"), h((id + 3) % 7).as("dst"))
+      val legC = docs.filter(id % 5 % 2 === 0)
+        .select(ext(id % 5).as("src"), h(id % 7).as("dst"))
+      val eA = legA.unionByName(legB).unionByName(legC)
+      val legD = docs.filter(id % 2 === 1)
+        .select(ext(id % 5).as("src"), ext((id % 5 + 1) % 5).as("dst"))
+      val prior = graft.ext.Graph.pageRankMicro(eA, "src", "dst",
+        iterations = 4)
+      graft.ext.Graph.pageRankMicroFrom(eA.unionByName(legD),
+        "src", "dst", prior, iterations = 2)
+    }),
+
+    // per-host crawl budget (round-17): site0's short path modulus
+    // keeps it under capacity (deferred 0), the rest overflow; site4
+    // publishes no Crawl-delay and rides the 1.0 default — the fetch
+    // bill is known BEFORE the cycle spends wall clock
+    "x133_crawl_budget" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      val hh = id % 5
+      val p = when(hh === 0, id % 7).otherwise(id % 97)
+      val frontier = docs.select(concat(lit("http://site"),
+        hh.cast("string"), lit(".example.com/p/"),
+        p.cast("string")).as("url")).distinct()
+      val delays = docs.filter(hh < 4).select(hh.as("g")).distinct()
+        .select(concat(lit("site"), col("g").cast("string"),
+          lit(".example.com")).as("host"),
+          (col("g").cast("double") / 2 + 0.5).as("delay_sec"))
+      graft.ext.Web.crawlBudget(frontier, delays, "url",
+        windowSec = 10.0)
+    }),
+
     // redirects feed the frontier (round-17): the FOURTH discovery
     // feed into the same gate (sitemaps st18, lastmod st20, links
     // st21, redirect landings here) — resolved finals become
@@ -3209,17 +3256,18 @@ object ExtQueries {
     * `//` everywhere, damping 850000 micro): shares = r // outdeg over
     * the live nodes, contribs grouped on dst, dangling mass summed and
     * spread // n, base 150000 // n.  Chained 4 deep by [[prCte]]. */
-  private def prIter(prev: String, cur: String): String =
-    s"""$cur AS (
+  private def prIter(prev: String, cur: String, eN: String = "e",
+                     nnN: String = "nn"): String =
+    s"""$cur AS MATERIALIZED (
        |  SELECT p.node, p.outdeg,
-       |    CAST((150000 // (SELECT n FROM nn)) +
+       |    CAST((150000 // (SELECT n FROM $nnN)) +
        |      (850000 * (coalesce(c.contrib, 0) +
-       |                 (d.dang // (SELECT n FROM nn)))) // 1000000
+       |                 (d.dang // (SELECT n FROM $nnN)))) // 1000000
        |      AS BIGINT) AS r
        |  FROM $prev p
-       |  LEFT JOIN (SELECT e.dst AS node,
+       |  LEFT JOIN (SELECT $eN.dst AS node,
        |                    CAST(sum(q.r // q.outdeg) AS BIGINT) AS contrib
-       |             FROM e JOIN $prev q ON e.src = q.node
+       |             FROM $eN JOIN $prev q ON $eN.src = q.node
        |             WHERE q.outdeg > 0 GROUP BY 1) c ON p.node = c.node
        |  CROSS JOIN (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
        |              FROM $prev WHERE outdeg = 0) d)""".stripMargin
@@ -3228,7 +3276,7 @@ object ExtQueries {
     * out-degrees, ext1/ext3 dangling) walked 4 PageRank sweeps; ends
     * at CTE `r4` (node, outdeg, r). */
   private val prCte: String =
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT DISTINCT * FROM (
        |    SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
        |             AS src,
@@ -3246,13 +3294,13 @@ object ExtQueries {
        |    FROM documents WHERE (doc_id % 5) % 2 = 0
        |  )
        |),
-       |od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
-       |nodes AS (
+       |od AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+       |nodes AS MATERIALIZED (
        |  SELECT n.node, coalesce(od.outdeg, 0) AS outdeg
        |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
        |  LEFT JOIN od ON n.node = od.node),
-       |nn AS (SELECT count(*) AS n FROM nodes),
-       |r0 AS (SELECT node, outdeg,
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node, outdeg,
        |              CAST(1000000 // (SELECT n FROM nn) AS BIGINT) AS r
        |       FROM nodes),
        |${prIter("r0", "r1")},
@@ -4615,6 +4663,56 @@ object ExtQueries {
         |SELECT s4.url, s4.cur AS final_url, s4.hops,
         |       e.src IS NULL AS resolved
         |FROM s4 LEFT JOIN e ON s4.cur = e.src""".stripMargin,
+    // the prior walk (prCte → r4) seeds a second 2-sweep walk over the
+    // ring-extended edge set — the exact warm-start recurrence
+    "st24_rank_resume" ->
+      (prCte + "," +
+        s"""
+           |e2 AS MATERIALIZED (SELECT DISTINCT * FROM (
+           |  SELECT src, dst FROM e
+           |  UNION ALL
+           |  SELECT 'ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.com',
+           |         'ext' || CAST((doc_id % 5 + 1) % 5 AS VARCHAR) ||
+           |           '.example.com'
+           |  FROM documents WHERE doc_id % 2 = 1)),
+           |od2 AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg
+           |        FROM e2 GROUP BY 1),
+           |nodes2 AS MATERIALIZED (
+           |  SELECT n.node, coalesce(od2.outdeg, 0) AS outdeg
+           |  FROM (SELECT src AS node FROM e2 UNION SELECT dst FROM e2) n
+           |  LEFT JOIN od2 ON n.node = od2.node),
+           |nn2 AS MATERIALIZED (SELECT count(*) AS n FROM nodes2),
+           |q0 AS MATERIALIZED (SELECT nodes2.node, nodes2.outdeg,
+           |         CAST(coalesce(r4.r,
+           |           1000000 // (SELECT n FROM nn2)) AS BIGINT) AS r
+           |       FROM nodes2 LEFT JOIN r4 ON nodes2.node = r4.node),
+           |${prIter("q0", "q1", "e2", "nn2")},
+           |${prIter("q1", "q2", "e2", "nn2")}
+           |SELECT node, r AS rank_micro FROM q2""".stripMargin),
+    // queue counts, window capacity, and the min/remainder algebra
+    // replayed per host; site4 has no delay row → the 1.0 default
+    "x133_crawl_budget" ->
+      """WITH f AS (SELECT DISTINCT doc_id % 5 AS h,
+        |    CASE WHEN doc_id % 5 = 0 THEN doc_id % 7
+        |         ELSE doc_id % 97 END AS p
+        |  FROM documents),
+        |q AS (SELECT 'site' || CAST(h AS VARCHAR) || '.example.com'
+        |         AS host, h, count(*) AS queue
+        |      FROM f GROUP BY 1, 2),
+        |dl AS (SELECT h, h / 2.0 + 0.5 AS delay_sec
+        |       FROM (SELECT DISTINCT doc_id % 5 AS h FROM documents
+        |             WHERE doc_id % 5 < 4))
+        |SELECT q.host, q.queue,
+        |  coalesce(dl.delay_sec, 1.0) AS delay_sec,
+        |  CAST(floor(10.0 / coalesce(dl.delay_sec, 1.0)) AS BIGINT) + 1
+        |    AS capacity,
+        |  least(q.queue,
+        |    CAST(floor(10.0 / coalesce(dl.delay_sec, 1.0)) AS BIGINT) + 1)
+        |    AS allocated,
+        |  q.queue - least(q.queue,
+        |    CAST(floor(10.0 / coalesce(dl.delay_sec, 1.0)) AS BIGINT) + 1)
+        |    AS deferred
+        |FROM q LEFT JOIN dl ON q.h = dl.h""".stripMargin,
     // resolved finals closed-form (the %20 blocks land on /q, every
     // other source lands on its block terminal), verdicts re-derived
     "st23_redirect_frontier" ->

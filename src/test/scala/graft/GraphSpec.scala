@@ -14,14 +14,15 @@ class GraphSpec extends SparkSpec {
   /** Reference fixed-point PageRank: plain Scala Longs, same floor
     * math as the scaladoc recurrence, no Spark. */
   private def refPr(edges: Seq[(String, String)], iters: Int,
-                    dMicro: Long): Map[String, Long] = {
+                    dMicro: Long,
+                    init: Map[String, Long] = Map.empty): Map[String, Long] = {
     val M = 1000000L
     val dist = edges.distinct.filter(e => e._1 != e._2)
     val nodes = (dist.map(_._1) ++ dist.map(_._2)).distinct.sorted
     val out = dist.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val n = nodes.size.toLong
     val base = (M - dMicro) / n
-    var r = nodes.map(_ -> M / n).toMap
+    var r = nodes.map(v => v -> init.getOrElse(v, M / n)).toMap
     for (_ <- 1 to iters) {
       val share = r.collect {
         case (u, ru) if out.getOrElse(u, 0L) > 0 => u -> ru / out(u) }
@@ -112,6 +113,43 @@ class GraphSpec extends SparkSpec {
     // property, set-wise both beat gamma=1); u2: the single anchor
     assert(got === Set(("u1", "alpha", 2L), ("u1", "beta", 2L),
       ("u2", "only", 1L)))
+  }
+
+  test("pageRankMicroFrom: warm start from a k-sweep prior equals a " +
+    "(k+i)-sweep cold walk on the unchanged graph; on an extended " +
+    "graph new nodes default to 1e6/N and the walk matches the " +
+    "reference recurrence") {
+    val prior = Graph.pageRankMicro(g.toDF("src", "dst"), "src", "dst",
+      iterations = 3)
+    val warm = Graph.pageRankMicroFrom(g.toDF("src", "dst"), "src", "dst",
+      prior, iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(warm === refPr(g, 5, 850000L))
+    // extend: e→a gives the dangling c company and adds node e
+    val g2 = g :+ (("e", "a"))
+    val warm2 = Graph.pageRankMicroFrom(g2.toDF("src", "dst"),
+      "src", "dst", prior, iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(warm2 === refPr(g2, 2, 850000L,
+      init = refPr(g, 3, 850000L)))
+  }
+
+  test("saveRanks/loadRanks round-trip; loadRanks refuses a table " +
+    "without the marker") {
+    val ranks = Graph.pageRankMicro(g.toDF("src", "dst"), "src", "dst",
+      iterations = 2)
+    dropTableFully("ranks_rt")
+    Graph.saveRanks(ranks, "ranks_rt")
+    val back = Graph.loadRanks(spark, "ranks_rt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(back === ranks.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    dropTableFully("not_ranks")
+    Seq(("a", 1L)).toDF("node", "rank_micro")
+      .write.format("parquet").saveAsTable("not_ranks")
+    intercept[IllegalArgumentException] {
+      Graph.loadRanks(spark, "not_ranks")
+    }
   }
 
   test("hostComponents: chains merge into one family, disconnected " +

@@ -1073,6 +1073,26 @@ class WebSpec extends SparkSpec {
     assert(got("b.com") === ((2L, 2L, 1L, false)))
   }
 
+  test("crawlBudget: window/delay slot algebra, default delay for " +
+    "unlisted hosts, deferred remainder") {
+    val frontier = Seq(
+      "http://a.com/1", "http://a.com/2", "http://a.com/3",
+      "http://b.com/1", "http://b.com/2", "http://b.com/3",
+      "http://b.com/4", "http://b.com/5", "http://b.com/6",
+      "http://b.com/7", "http://b.com/8", "http://b.com/9",
+      "http://b.com/10"
+    ).toDF("url")
+    val delays = Seq(("a.com", 2.0)).toDF("host", "delay_sec")
+    val got = Web.crawlBudget(frontier, delays, "url", windowSec = 5.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // a.com: slots at 0/2/4 → capacity 3, queue 3 fits exactly
+    assert(got("a.com") === ((3L, 2.0, 3L, 3L, 0L)))
+    // b.com rides the 1.0 default: capacity 6, 4 deferred
+    assert(got("b.com") === ((10L, 1.0, 6L, 6L, 4L)))
+  }
+
   test("resolveRedirects: chains resolve with hop counts, a 2-cycle " +
     "pins at maxHops unresolved, conflicting edges keep min-dst, " +
     "maxHops=1 stops after the first hop") {
