@@ -115,7 +115,10 @@ object Rehearsal {
     // bounded redirect walk + its frontier composition, the
     // warm-started rank resume, and the budget rollup
     "x131_url_traps", "x132_redirects", "st23_redirect_frontier",
-    "st24_rank_resume", "x133_crawl_budget")
+    "st24_rank_resume", "x133_crawl_budget",
+    // round-17 page-policy tier: the three-group link extraction, the
+    // directive+keeper rollup, and the policy-filtered frontier
+    "x135_links_policy", "x136_canonical_keepers", "st25_policy_frontier")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)

@@ -1078,45 +1078,145 @@ object Web {
     * at any corpus size; output is the (id, link_url, anchor) feed
     * that composes into [[frontierGate]] exactly like sitemap locs.
     * Output: (id, link_url, anchor). */
+  /** Raw href → fetchable absolute URL (NULL = dropped scheme/empty):
+    * the RFC 3986 §5 subset documented on [[extractLinks]] — shared by
+    * the link extractors and [[pageDirectives]]' canonical
+    * resolution. */
+  private def resolveHref(href: Column, base: Column): Column = {
+    val unescaped = xmlUnescape(trim(href))
+    val noFrag = regexp_replace(unescaped, "#.*$", "")
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val hostPart = regexp_extract(base, "^[^:/?#]+://([^/?#]*)", 1)
+    val basePath = regexp_extract(base, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val baseDir = when(
+      regexp_extract(basePath, "^(.*/)", 1) === "", lit("/"))
+      .otherwise(regexp_extract(basePath, "^(.*/)", 1))
+    val joined =
+      when(noFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), noFrag)
+        .when(noFrag.startsWith("//"), concat(scheme, lit(":"), noFrag))
+        .when(noFrag.startsWith("/"),
+          concat(scheme, lit("://"), hostPart, noFrag))
+        .otherwise(concat(scheme, lit("://"), hostPart, baseDir, noFrag))
+    // bounded dot-segment normalization on the PATH part only: the
+    // authority's "//" must not look like an empty path segment, so
+    // passes run on everything after scheme://host
+    val head = regexp_extract(joined, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val tail = regexp_replace(joined,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val dotsGone = regexp_replace(tail, "/\\.(?=/|$)", "")
+    // leftmost-match makes the plain pattern correct on chains
+    // ("/a/b/../../c" → "/a/../c" → "/c"); "../" runs that climb
+    // past the root keep their residue after the 4 passes — the
+    // documented bounded-normalization contract
+    val up = (1 to 4).foldLeft(dotsGone)((c, _) =>
+      regexp_replace(c, "/[^/]+/\\.\\.(?=/|$)", ""))
+    when(noFrag === "" ||
+      lower(noFrag).rlike("^(javascript|mailto|tel|data):"),
+      lit(null).cast("string"))
+      .otherwise(concat(head, up))
+  }
+
+  /** Page-level crawl directives — the HTML half of robots compliance
+    * ([[robotsReport]] covers the server's robots.txt; pages carry
+    * their OWN policy): `<meta name="robots" content="...">` parsed
+    * for the `noindex` / `nofollow` tokens (case-insensitive,
+    * token-boundary-safe — `nofollowme` does not match), and the
+    * `<link rel="canonical" href=...>` target resolved against the
+    * page URL (the duplicate-cluster signal real pipelines consult
+    * BEFORE content dedup — the publisher names the keeper).  Both
+    * tag forms accept attributes in either order.  NULL canonical =
+    * none declared.
+    *
+    * Pure map-side regex algebra — fuses into the scan, zero shuffle.
+    * Output: (id, noindex, nofollow, canonical_url). */
+  def pageDirectives(pages: DataFrame, idCol: String, urlCol: String,
+                     htmlCol: String): DataFrame = {
+    // meta robots: name before or after content; directive list inside
+    val metaPat =
+      "(?is)<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*>"
+    val metaTag = regexp_extract(col(htmlCol), metaPat, 0)
+    val content = regexp_extract(metaTag,
+      "(?is)content\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    def hasTok(t: String) =
+      lower(content).rlike(s"(^|[\\s,])$t($$|[\\s,])")
+    val canonPat = "(?is)<link\\s[^>]*rel\\s*=\\s*[\"']canonical[\"'][^>]*>"
+    val canonTag = regexp_extract(col(htmlCol), canonPat, 0)
+    val canonHref = regexp_extract(canonTag,
+      "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    pages.select(col(idCol),
+      hasTok("noindex").as("noindex"),
+      hasTok("nofollow").as("nofollow"),
+      when(canonHref === "", lit(null).cast("string"))
+        .otherwise(resolveHref(canonHref, col(urlCol)))
+        .as("canonical_url"))
+  }
+
+  /** [[extractLinks]] with the per-link `rel` policy alongside: a
+    * third aligned capture group keeps each link's whole opening tag,
+    * and `nofollow` is true when its rel list carries the token —
+    * the link-graph feed that respects publisher opt-outs (nofollow
+    * links vote no endorsement, so authority walks and frontier feeds
+    * both want them flagged).  Same resolution/drop rules as
+    * [[extractLinks]]; same map-side shape.
+    * Output: (id, link_url, anchor, nofollow). */
+  def extractLinksPolicy(pages: DataFrame, idCol: String, urlCol: String,
+                         htmlCol: String): DataFrame = {
+    val pat =
+      "(?is)(<a\\s[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>)(.*?)</a>"
+    val tags = regexp_extract_all(col(htmlCol), lit(pat), lit(1))
+    val hrefs = regexp_extract_all(col(htmlCol), lit(pat), lit(2))
+    val texts = regexp_extract_all(col(htmlCol), lit(pat), lit(3))
+    pages
+      .select(col(idCol), col(urlCol).as("__base"),
+        explode(arrays_zip(tags.as("tag"), hrefs.as("href"),
+          texts.as("t"))).as("lnk"))
+      .select(col(idCol), col("__base"),
+        col("lnk.href").as("__href"),
+        trim(regexp_replace(regexp_replace(col("lnk.t"), "<[^>]*>", " "),
+          "\\s+", " ")).as("anchor"),
+        regexp_extract(col("lnk.tag"),
+          "(?is)rel\\s*=\\s*[\"']([^\"']*)[\"']", 1).as("__rel"))
+      .select(col(idCol),
+        resolveHref(col("__href"), col("__base")).as("link_url"),
+        col("anchor"),
+        lower(col("__rel"))
+          .rlike("(^|[\\s,])nofollow($|[\\s,])").as("nofollow"))
+      .filter(col("link_url").isNotNull)
+  }
+
+  /** Canonical-directed keeper selection — URL dedup where the
+    * PUBLISHER names the keeper: each page's dedup key is its declared
+    * `rel=canonical` target when present (resolved,
+    * [[pageDirectives]]), else its own canonical-form URL; within a
+    * key the keeper is (max `weightCol`, min id) — the J5/max_by
+    * idiom, partial-aggregated, no window sort.  Output one row per
+    * page: (id, url_canon, dedup_key, keeper_id, is_keeper). */
+  def canonicalKeepers(pages: DataFrame, idCol: String, urlCol: String,
+                       htmlCol: String, weightCol: String): DataFrame = {
+    val d = pageDirectives(pages, idCol, urlCol, htmlCol)
+      .select(col(idCol), col("canonical_url"))
+    val keyed = pages
+      .select(col(idCol), canonicalUrl(col(urlCol)).as("url_canon"),
+        col(weightCol))
+      .join(d, Seq(idCol))
+      .select(col(idCol), col("url_canon"),
+        coalesce(col("canonical_url"), col("url_canon")).as("dedup_key"),
+        col(weightCol))
+    val keepers = keyed
+      .groupBy(col("dedup_key"))
+      .agg(max_by(col(idCol),
+        struct(col(weightCol), -col(idCol))).as("keeper_id"))
+    keyed
+      .join(keepers, Seq("dedup_key"))
+      .select(col(idCol), col("url_canon"), col("dedup_key"),
+        col("keeper_id"), (col(idCol) === col("keeper_id")).as("is_keeper"))
+  }
+
   def extractLinks(pages: DataFrame, idCol: String, urlCol: String,
                    htmlCol: String): DataFrame = {
     val pat = "(?is)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>(.*?)</a>"
     val hrefs = regexp_extract_all(col(htmlCol), lit(pat), lit(1))
     val texts = regexp_extract_all(col(htmlCol), lit(pat), lit(2))
-    // raw href → fetchable absolute URL (NULL = dropped scheme/empty)
-    def resolved(href: Column, base: Column): Column = {
-      val unescaped = xmlUnescape(trim(href))
-      val noFrag = regexp_replace(unescaped, "#.*$", "")
-      val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
-      val hostPart = regexp_extract(base, "^[^:/?#]+://([^/?#]*)", 1)
-      val basePath = regexp_extract(base, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
-      val baseDir = when(
-        regexp_extract(basePath, "^(.*/)", 1) === "", lit("/"))
-        .otherwise(regexp_extract(basePath, "^(.*/)", 1))
-      val joined =
-        when(noFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), noFrag)
-          .when(noFrag.startsWith("//"), concat(scheme, lit(":"), noFrag))
-          .when(noFrag.startsWith("/"),
-            concat(scheme, lit("://"), hostPart, noFrag))
-          .otherwise(concat(scheme, lit("://"), hostPart, baseDir, noFrag))
-      // bounded dot-segment normalization on the PATH part only: the
-      // authority's "//" must not look like an empty path segment, so
-      // passes run on everything after scheme://host
-      val head = regexp_extract(joined, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
-      val tail = regexp_replace(joined,
-        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-      val dotsGone = regexp_replace(tail, "/\\.(?=/|$)", "")
-      // leftmost-match makes the plain pattern correct on chains
-      // ("/a/b/../../c" → "/a/../c" → "/c"); "../" runs that climb
-      // past the root keep their residue after the 4 passes — the
-      // documented bounded-normalization contract
-      val up = (1 to 4).foldLeft(dotsGone)((c, _) =>
-        regexp_replace(c, "/[^/]+/\\.\\.(?=/|$)", ""))
-      when(noFrag === "" ||
-        lower(noFrag).rlike("^(javascript|mailto|tel|data):"),
-        lit(null).cast("string"))
-        .otherwise(concat(head, up))
-    }
     pages
       .select(col(idCol), col(urlCol).as("__base"),
         explode(arrays_zip(hrefs.as("href"), texts.as("t"))).as("lnk"))
@@ -1125,7 +1225,7 @@ object Web {
         trim(regexp_replace(regexp_replace(col("lnk.t"), "<[^>]*>", " "),
           "\\s+", " ")).as("anchor"))
       .select(col(idCol),
-        resolved(col("__href"), col("__base")).as("link_url"),
+        resolveHref(col("__href"), col("__base")).as("link_url"),
         col("anchor"))
       .filter(col("link_url").isNotNull)
   }

@@ -848,6 +848,124 @@ object ExtQueries {
         maxHops = 4)
     }),
 
+    // page-level crawl directives (round-17): meta robots parsed for
+    // noindex/nofollow with TOKEN boundaries (the id%5 'nofollowme'
+    // leg must NOT match), a viewport decoy meta, and rel=canonical
+    // resolved root-relative and absolute — NULL when undeclared
+    "x134_page_directives" -> ((s, d) => {
+      val id = col("doc_id")
+      val base = concat(lit("http://h"), (id % 7).cast("string"),
+        lit(".example.com/d/p"), id.cast("string"), lit(".html"))
+      val content = when(id % 2 === 0, lit("noindex, nofollow"))
+        .when(id % 5 === 0, lit("nofollowme"))
+        .otherwise(lit("nofollow"))
+      val html = concat(
+        lit("<meta name=\"viewport\" content=\"width=device-width\">"),
+        when(id % 3 === 0, concat(lit("<meta name=\"robots\" content=\""),
+          content, lit("\">"))).otherwise(lit("")),
+        when(id % 4 === 0, concat(lit("<link rel=\"canonical\" href=\"/canon/"),
+          (id % 9).cast("string"), lit("\">"))).otherwise(lit("")),
+        when(id % 4 === 2,
+          concat(lit("<link href=\"http://canon.example.com/c"),
+            (id % 5).cast("string"),
+            lit("\" rel=\"canonical\">"))).otherwise(lit("")),
+        lit("<body>x</body>"))
+      graft.ext.Web.pageDirectives(
+        Tables.documents(s, d).select(col("doc_id"), base.as("url"),
+          html.as("html")),
+        "doc_id", "url", "html")
+    }),
+
+    // per-link rel policy (round-17): rel after href, rel BEFORE href,
+    // no rel, and the token-boundary trap ('nofollower' must stay
+    // false) — the link-graph feed that respects publisher opt-outs
+    "x135_links_policy" -> ((s, d) => {
+      val id = col("doc_id")
+      val base = concat(lit("http://h"), (id % 7).cast("string"),
+        lit(".example.com/d/p"), id.cast("string"), lit(".html"))
+      val html = concat(
+        lit("<a href=\"/r/"), (id % 4).cast("string"),
+        lit("\" rel=\"nofollow\">R</a>"),
+        lit("<a rel=\"ugc nofollow\" href=\"http://ext"),
+        (id % 5).cast("string"), lit(".example.com/u\">U</a>"),
+        lit("<a href=\"/ok/"), (id % 3).cast("string"), lit("\">OK</a>"),
+        when(id % 2 === 0,
+          lit("<a href=\"/f\" rel=\"noreferrer nofollower\">F</a>"))
+          .otherwise(lit("")))
+      graft.ext.Web.extractLinksPolicy(
+        Tables.documents(s, d).select(col("doc_id"), base.as("url"),
+          html.as("html")),
+        "doc_id", "url", "html")
+    }),
+
+    // the POLICY-AWARE link frontier (round-17): page-level meta
+    // nofollow (id%9 pages contribute NOTHING) and link-level rel
+    // nofollow both gate the feed BEFORE novelty ∧ robots; the /deny
+    // leg survives policy but robots blocks it
+    "st25_policy_frontier" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      val base = concat(lit("http://p"), (id % 6).cast("string"),
+        lit(".example.com/a/b"), id.cast("string"), lit(".html"))
+      val html = concat(
+        when(id % 9 === 0,
+          lit("<meta name=\"robots\" content=\"nofollow\">"))
+          .otherwise(lit("")),
+        lit("<a href=\"http://q"), (id % 5).cast("string"),
+        lit(".example.com/l/"), (id % 11).cast("string"), lit("\">L</a>"),
+        lit("<a href=\"http://q"), (id % 5).cast("string"),
+        lit(".example.com/n/"), (id % 7).cast("string"),
+        lit("\" rel=\"nofollow\">N</a>"),
+        lit("<a href=\"/deny\">D</a>"))
+      val pages = docs.select(col("doc_id"), base.as("url"),
+        html.as("html"))
+      def feed(p: org.apache.spark.sql.DataFrame) = {
+        val dirs = graft.ext.Web.pageDirectives(p, "doc_id", "url", "html")
+          .select(col("doc_id"), col("nofollow").as("page_nofollow"))
+        graft.ext.Web.extractLinksPolicy(p, "doc_id", "url", "html")
+          .join(dirs, Seq("doc_id"))
+          .filter(!col("nofollow") && !col("page_nofollow"))
+          .select(col("link_url").as("url"))
+      }
+      val candidates = feed(pages.filter(id % 13 === 0)).distinct()
+      val hostsTxt = docs
+        .select((id % 5).as("q"), (id % 6).as("p")).distinct()
+      val robots = hostsTxt
+        .select(concat(lit("q"), col("q").cast("string"),
+          lit(".example.com")).as("host"),
+          lit("User-agent: *\nDisallow: /deny\n").as("txt"))
+        .unionByName(hostsTxt
+          .select(concat(lit("p"), col("p").cast("string"),
+            lit(".example.com")).as("host"),
+            lit("User-agent: *\nDisallow: /deny\n").as("txt")))
+        .distinct()
+      graft.ext.Web.frontierGate(
+        graft.ext.Web.urlIndex(
+          feed(pages.filter(id % 13 =!= 0)), "url"),
+        graft.ext.Web.robotsRules(robots, "host", "txt"),
+        candidates, "url", "url")
+    }),
+
+    // canonical-directed dedup (round-17): the publisher names the
+    // keeper — id%2 pages declare rel=canonical /master/<id%8> (the
+    // dedup key), the rest key on their own canonical URL (tracking
+    // params stripped); keeper = (max n_chars, min id) per key
+    "x136_canonical_keepers" -> ((s, d) => {
+      val id = col("doc_id")
+      val base = concat(lit("http://w.example.com/v"),
+        (id % 40).cast("string"), lit("?utm_source=z&n="),
+        (id % 3).cast("string"))
+      val html = concat(
+        when(id % 2 === 0,
+          concat(lit("<link rel=\"canonical\" href=\"/master/"),
+            (id % 8).cast("string"), lit("\">"))).otherwise(lit("")),
+        lit("<body>y</body>"))
+      graft.ext.Web.canonicalKeepers(
+        Tables.documents(s, d).select(col("doc_id"), base.as("url"),
+          html.as("html"), col("n_chars")),
+        "doc_id", "url", "html", "n_chars")
+    }),
+
     // warm-started PageRank (round-17): cycle 2 extends the x128
     // lattice with the full ext ring (the dangling ext hosts grew
     // out-links) and re-converges in 2 sweeps FROM the prior walk's
@@ -4663,6 +4781,82 @@ object ExtQueries {
         |SELECT s4.url, s4.cur AS final_url, s4.hops,
         |       e.src IS NULL AS resolved
         |FROM s4 LEFT JOIN e ON s4.cur = e.src""".stripMargin,
+    // directive truth table closed-form: noindex only on the even
+    // id%3 slice, nofollow everywhere the meta carries the real token
+    // ('nofollowme' fails the boundary), canonical per the %4 lattice
+    "x134_page_directives" ->
+      """SELECT doc_id,
+        |  (doc_id % 3 = 0 AND doc_id % 2 = 0) AS noindex,
+        |  (doc_id % 3 = 0 AND (doc_id % 2 = 0 OR doc_id % 5 <> 0))
+        |    AS nofollow,
+        |  CASE WHEN doc_id % 4 = 0
+        |         THEN 'http://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |              '.example.com/canon/' || CAST(doc_id % 9 AS VARCHAR)
+        |       WHEN doc_id % 4 = 2
+        |         THEN 'http://canon.example.com/c' ||
+        |              CAST(doc_id % 5 AS VARCHAR)
+        |  END AS canonical_url
+        |FROM documents""".stripMargin,
+    // every link leg regenerated with its rel verdict: rel-after-href
+    // true, rel-before-href true, no rel false, 'nofollower' false
+    "x135_links_policy" ->
+      """SELECT doc_id, 'http://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  '.example.com/r/' || CAST(doc_id % 4 AS VARCHAR) AS link_url,
+        |  'R' AS anchor, TRUE AS nofollow
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'http://ext' || CAST(doc_id % 5 AS VARCHAR) ||
+        |  '.example.com/u', 'U', TRUE
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'http://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  '.example.com/ok/' || CAST(doc_id % 3 AS VARCHAR), 'OK', FALSE
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'http://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  '.example.com/f', 'F', FALSE
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+    // the policy-filtered feed replayed (nofollow links and the id%9
+    // meta-nofollow pages' links never enter), then the gate verdicts
+    "st25_policy_frontier" ->
+      """WITH lk AS (
+        |  SELECT doc_id,
+        |    'http://q' || CAST(doc_id % 5 AS VARCHAR) ||
+        |      '.example.com/l/' || CAST(doc_id % 11 AS VARCHAR) AS url
+        |  FROM documents WHERE doc_id % 9 <> 0
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    'http://p' || CAST(doc_id % 6 AS VARCHAR) ||
+        |      '.example.com/deny'
+        |  FROM documents WHERE doc_id % 9 <> 0),
+        |cand AS (SELECT DISTINCT url FROM lk WHERE doc_id % 13 = 0),
+        |sn AS (SELECT DISTINCT url FROM lk WHERE doc_id % 13 <> 0)
+        |SELECT cand.url, cand.url AS url_canon,
+        |  sn.url IS NULL AS novel,
+        |  cand.url LIKE '%/deny' AS blocked,
+        |  (sn.url IS NULL AND cand.url NOT LIKE '%/deny') AS fetch
+        |FROM cand LEFT JOIN sn ON cand.url = sn.url""".stripMargin,
+    // dedup keys closed-form (declared canonical on even ids, own
+    // canonical URL otherwise), keeper via the ranking window
+    "x136_canonical_keepers" ->
+      """WITH p AS (SELECT doc_id, n_chars,
+        |    'http://w.example.com/v' || CAST(doc_id % 40 AS VARCHAR) ||
+        |      '?n=' || CAST(doc_id % 3 AS VARCHAR) AS url_canon,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'http://w.example.com/master/' ||
+        |           CAST(doc_id % 8 AS VARCHAR)
+        |      ELSE 'http://w.example.com/v' ||
+        |           CAST(doc_id % 40 AS VARCHAR) || '?n=' ||
+        |           CAST(doc_id % 3 AS VARCHAR) END AS dedup_key
+        |  FROM documents),
+        |k AS (SELECT dedup_key, doc_id AS keeper_id FROM (
+        |  SELECT dedup_key, doc_id,
+        |         row_number() OVER (PARTITION BY dedup_key
+        |           ORDER BY n_chars DESC, doc_id ASC) AS rk FROM p)
+        |  WHERE rk = 1)
+        |SELECT p.doc_id, p.url_canon, p.dedup_key, k.keeper_id,
+        |  p.doc_id = k.keeper_id AS is_keeper
+        |FROM p JOIN k ON p.dedup_key = k.dedup_key""".stripMargin,
     // the prior walk (prCte → r4) seeds a second 2-sweep walk over the
     // ring-extended edge set — the exact warm-start recurrence
     "st24_rank_resume" ->

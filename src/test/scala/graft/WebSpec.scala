@@ -1073,6 +1073,61 @@ class WebSpec extends SparkSpec {
     assert(got("b.com") === ((2L, 2L, 1L, false)))
   }
 
+  test("pageDirectives: meta robots token boundaries, attribute order " +
+    "freedom, canonical resolution (root- and directory-relative), " +
+    "decoy metas ignored") {
+    val pages = Seq(
+      (1L, "http://a.com/d/p.html",
+        "<meta name=\"viewport\" content=\"w\">" +
+          "<meta name=\"robots\" content=\"noindex, nofollow\">" +
+          "<link rel=\"canonical\" href=\"/master\">"),
+      (2L, "http://a.com/x", "<meta content=\"nofollow\" name=\"robots\">"),
+      (3L, "http://a.com/x", "<meta name=\"robots\" content=\"nofollowme\">"),
+      (4L, "http://a.com/x", "<body>none</body>"),
+      (5L, "http://a.com/a/b", "<link href=\"c2\" rel=\"canonical\">")
+    ).toDF("doc_id", "url", "html")
+    val got = Web.pageDirectives(pages, "doc_id", "url", "html").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), Option(r.getString(3))))).toMap
+    assert(got(1L) === ((true, true, Some("http://a.com/master"))))
+    assert(got(2L) === ((false, true, None)))
+    assert(got(3L) === ((false, false, None)))
+    assert(got(4L) === ((false, false, None)))
+    assert(got(5L) === ((false, false, Some("http://a.com/a/c2"))))
+  }
+
+  test("extractLinksPolicy: rel before/after href, 'nofollower' fails " +
+    "the token boundary, no-rel defaults false") {
+    val pages = Seq((1L, "http://a.com/d/p.html",
+      "<a href=\"/x\" rel=\"nofollow\">X</a>" +
+        "<a rel=\"ugc nofollow\" href=\"/y\">Y</a>" +
+        "<a href=\"/z\" rel=\"noreferrer nofollower\">Z</a>" +
+        "<a href=\"/w\">W</a>")).toDF("doc_id", "url", "html")
+    val got = Web.extractLinksPolicy(pages, "doc_id", "url", "html")
+      .collect().map(r => r.getString(1) -> r.getBoolean(3)).toMap
+    assert(got === Map("http://a.com/x" -> true, "http://a.com/y" -> true,
+      "http://a.com/z" -> false, "http://a.com/w" -> false))
+  }
+
+  test("canonicalKeepers: declared canonical groups pages under the " +
+    "publisher's keeper; (max weight, min id) picks within a key") {
+    val pages = Seq(
+      (1L, "http://a.com/p1?utm_source=t",
+        "<link rel=\"canonical\" href=\"/m\">", 10L),
+      (2L, "http://a.com/p2", "<link rel=\"canonical\" href=\"/m\">", 30L),
+      (3L, "http://a.com/p3", "", 20L),
+      (4L, "http://a.com/p3", "", 20L)
+    ).toDF("doc_id", "url", "html", "n_chars")
+    val got = Web.canonicalKeepers(pages, "doc_id", "url", "html",
+      "n_chars").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) === (("http://a.com/m", 2L, false)))
+    assert(got(2L) === (("http://a.com/m", 2L, true)))
+    assert(got(3L) === (("http://a.com/p3", 3L, true)))
+    assert(got(4L) === (("http://a.com/p3", 3L, false)))
+  }
+
   test("crawlBudget: window/delay slot algebra, default delay for " +
     "unlisted hosts, deferred remainder") {
     val frontier = Seq(
