@@ -1346,6 +1346,80 @@ object Web {
         col("src").isNull.as("resolved"))
   }
 
+  /** Politeness-compliance AUDIT over an observed fetch log — the
+    * verification half of the politeness pair ([[politenessSchedule]]
+    * plans, this checks what actually happened): per host, consecutive
+    * fetch gaps (microsecond-exact, `(ts, id)`-ordered so ties are
+    * deterministic) against the host's crawl delay; `violations`
+    * counts gaps shorter than the delay and `min_gap_us` is the worst
+    * one.  The report a crawl operator reads after an incident ("did
+    * we hammer anyone?") and the regression test a scheduler change
+    * runs against its own output.
+    *
+    * Scale shape: one exchange on host for the lag window, then the
+    * rollup rides the same partitioning.  The per-host window is
+    * BOUNDED BY CONSTRUCTION in production use: an audit runs per
+    * politeness cycle, and a compliant cycle fetches a host at most
+    * window/delay times — the partition cannot be a mega-host.
+    * Output: (host, delay_sec, n_fetches, violations, min_gap_us). */
+  def politenessAudit(fetches: DataFrame, delays: DataFrame,
+                      idCol: String, hostCol: String, tsCol: String,
+                      defaultDelaySec: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("us"), col("__id"))
+    val g = fetches
+      .select(col(hostCol).as("host"), col(idCol).as("__id"),
+        unix_micros(col(tsCol)).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+    val delayUs = (coalesce(col("delay_sec"), lit(defaultDelaySec)) *
+      lit(1000000.0)).cast("long")
+    g.join(broadcast(delays.select(col("host"), col("delay_sec"))),
+        Seq("host"), "left")
+      .groupBy(col("host"),
+        coalesce(col("delay_sec"), lit(defaultDelaySec)).as("delay_sec"))
+      .agg(count(lit(1)).as("n_fetches"),
+        sum(when(col("gap_us") < delayUs, 1).otherwise(0))
+          .as("violations"),
+        min(col("gap_us")).as("min_gap_us"))
+  }
+
+  /** Content-hash recrawl backoff — the adaptive half of freshness
+    * ([[recrawlGate]] asks "is it new or declared-newer?"; this asks
+    * "how often is it WORTH refetching?"): per URL, the STREAK of
+    * fetches since the content hash last changed (the latest hash is
+    * the (max ts, max hash) observation — deterministic under ties),
+    * and the next revisit interval = `baseSec · 2^min(streak−1,
+    * maxExp)` — the classic exponential backoff every production
+    * crawler runs, capped so a never-changing page still gets
+    * revisited.  2^k is float-exact far past any sane cap, so the
+    * interval is engine-exact.
+    *
+    * Scale shape: url-keyed aggregates and co-keyed joins only — the
+    * history table shuffles once on url and everything downstream
+    * reuses the key.  Output: (url, streak, next_interval_sec). */
+  def recrawlBackoff(history: DataFrame, urlCol: String, tsCol: String,
+                     hashCol: String, baseSec: Long = 3600L,
+                     maxExp: Int = 6): DataFrame = {
+    require(baseSec >= 1, s"baseSec must be >= 1 (got $baseSec)")
+    require(maxExp >= 0 && maxExp <= 50,
+      s"maxExp must be in [0, 50] (got $maxExp)")
+    val h = history.select(col(urlCol).as("url"), col(tsCol).as("ts"),
+      col(hashCol).as("h"))
+    val latest = h.groupBy(col("url"))
+      .agg(max(struct(col("ts"), col("h"))).as("m"))
+      .select(col("url"), col("m.h").as("latest_hash"))
+    val j = h.join(latest, Seq("url"))
+    val tChange = j.filter(col("h") =!= col("latest_hash"))
+      .groupBy(col("url")).agg(max(col("ts")).as("t_change"))
+    j.join(tChange, Seq("url"), "left")
+      .filter(col("t_change").isNull || col("ts") > col("t_change"))
+      .groupBy(col("url")).agg(count(lit(1)).as("streak"))
+      .select(col("url"), col("streak"),
+        expr(s"$baseSec * CAST(power(2, LEAST(streak - 1, $maxExp)) " +
+          "AS BIGINT)").as("next_interval_sec"))
+  }
+
   /** URL-keyword spam scoring (the RefinedWeb/UT1-family URL filter):
     * weighted soft-term hits over the lowercased canonical host+path,
     * plus a hard-term instant block.  `score` sums the weights of the

@@ -848,6 +848,39 @@ object ExtQueries {
         maxHops = 4)
     }),
 
+    // politeness audit (round-17): the events log replayed as a fetch
+    // log (host = user_id%7 lattice), microsecond gaps per host
+    // against the per-host delay — hosts 5/6 publish no delay and
+    // ride the 1.0 default
+    "x137_politeness_audit" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val uid = col("user_id")
+      val fetches = ev.select(concat(lit("site"),
+        (uid % 7).cast("string"), lit(".example.com")).as("host"),
+        col("event_id"), col("ts"))
+      val delays = ev.filter(uid % 7 < 5).select((uid % 7).as("g"))
+        .distinct()
+        .select(concat(lit("site"), col("g").cast("string"),
+          lit(".example.com")).as("host"),
+          (col("g").cast("double") / 2 + 0.5).as("delay_sec"))
+      graft.ext.Web.politenessAudit(fetches, delays,
+        "event_id", "host", "ts")
+    }),
+
+    // recrawl backoff (round-17): content hash = the fetch's UTC day
+    // bucket (integer µs division — engine-exact), so a URL's streak
+    // is its fetch count within its latest observed day and the next
+    // interval doubles per unchanged revisit, capped at 2^6
+    "x138_recrawl_backoff" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val url = concat(lit("http://e.example.com/"),
+        (col("user_id") % 50).cast("string"))
+      val h = expr("unix_micros(ts) DIV 86400000000").cast("string")
+      graft.ext.Web.recrawlBackoff(
+        ev.select(url.as("url"), col("ts"), h.as("h")),
+        "url", "ts", "h", baseSec = 3600L, maxExp = 6)
+    }),
+
     // page-level crawl directives (round-17): meta robots parsed for
     // noindex/nofollow with TOKEN boundaries (the id%5 'nofollowme'
     // leg must NOT match), a viewport decoy meta, and rel=canonical
@@ -4781,6 +4814,50 @@ object ExtQueries {
         |SELECT s4.url, s4.cur AS final_url, s4.hops,
         |       e.src IS NULL AS resolved
         |FROM s4 LEFT JOIN e ON s4.cur = e.src""".stripMargin,
+    // the same (ts, event_id)-ordered lag window per host, µs gaps vs
+    // the µs delay, rollup per (host, delay)
+    "x137_politeness_audit" ->
+      """WITH f AS (SELECT 'site' || CAST(user_id % 7 AS VARCHAR) ||
+        |    '.example.com' AS host, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |g AS (SELECT host,
+        |        us - lag(us) OVER (PARTITION BY host
+        |          ORDER BY us, event_id) AS gap
+        |      FROM f),
+        |dl AS (SELECT 'site' || CAST(h AS VARCHAR) || '.example.com'
+        |         AS host, h / 2.0 + 0.5 AS delay_sec
+        |       FROM (SELECT DISTINCT user_id % 7 AS h FROM events
+        |             WHERE user_id % 7 < 5))
+        |SELECT g.host, coalesce(dl.delay_sec, 1.0) AS delay_sec,
+        |  count(*) AS n_fetches,
+        |  CAST(sum(CASE WHEN gap <
+        |    CAST(coalesce(dl.delay_sec, 1.0) * 1000000 AS BIGINT)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |  min(gap) AS min_gap_us
+        |FROM g LEFT JOIN dl ON g.host = dl.host
+        |GROUP BY 1, 2""".stripMargin,
+    // latest hash = (max ts, max h); t_change = last differing fetch;
+    // streak = fetches after it; interval = 3600 · 2^min(streak−1, 6)
+    "x138_recrawl_backoff" ->
+      """WITH f AS (SELECT 'http://e.example.com/' ||
+        |    CAST(user_id % 50 AS VARCHAR) AS url, ts,
+        |    CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS h
+        |  FROM events),
+        |lat AS (SELECT url, max(ts) AS last_ts FROM f GROUP BY 1),
+        |lh AS (SELECT f.url, max(f.h) AS latest_hash
+        |       FROM f JOIN lat ON f.url = lat.url AND f.ts = lat.last_ts
+        |       GROUP BY 1),
+        |tc AS (SELECT f.url, max(f.ts) AS t_change
+        |       FROM f JOIN lh ON f.url = lh.url
+        |       WHERE f.h <> lh.latest_hash GROUP BY 1),
+        |st AS (SELECT f.url, count(*) AS streak
+        |       FROM f LEFT JOIN tc ON f.url = tc.url
+        |       WHERE tc.t_change IS NULL OR f.ts > tc.t_change
+        |       GROUP BY 1)
+        |SELECT url, streak,
+        |  3600 * CAST(power(2, LEAST(streak - 1, 6)) AS BIGINT)
+        |    AS next_interval_sec
+        |FROM st""".stripMargin,
     // directive truth table closed-form: noindex only on the even
     // id%3 slice, nofollow everywhere the meta carries the real token
     // ('nofollowme' fails the boundary), canonical per the %4 lattice

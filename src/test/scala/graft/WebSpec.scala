@@ -1073,6 +1073,48 @@ class WebSpec extends SparkSpec {
     assert(got("b.com") === ((2L, 2L, 1L, false)))
   }
 
+  test("politenessAudit: sub-delay gaps count as violations, " +
+    "unlisted hosts audit against the default, single-fetch hosts " +
+    "report NULL min gap") {
+    val fetches = Seq(
+      (1L, "a.com", 1000.0), (2L, "a.com", 1001.5), (3L, "a.com", 1004.0),
+      (4L, "b.com", 2000.0), (5L, "b.com", 2000.5),
+      (6L, "c.com", 3000.0)
+    ).toDF("event_id", "host", "sec")
+      .select(col("event_id"), col("host"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val delays = Seq(("a.com", 2.0)).toDF("host", "delay_sec")
+    val got = Web.politenessAudit(fetches, delays, "event_id", "host",
+      "ts").collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    // a.com: gaps 1.5s (violation at delay 2) and 2.5s (ok)
+    assert(got("a.com") === ((2.0, 3L, 1L, 1500000L)))
+    // b.com rides the 1.0 default: the 0.5s gap violates
+    assert(got("b.com") === ((1.0, 2L, 1L, 500000L)))
+    assert(got("c.com") === ((1.0, 1L, 0L, -1L)))
+  }
+
+  test("recrawlBackoff: streak counts fetches since the last content " +
+    "change, interval doubles per unchanged revisit and caps at " +
+    "2^maxExp; flip-flops reset") {
+    val hist = Seq(
+      ("u1", 1.0, "A"), ("u1", 2.0, "A"), ("u1", 3.0, "B"),
+      ("u1", 4.0, "B"), ("u1", 5.0, "B"),
+      ("u2", 1.0, "C"),
+      ("u3", 1.0, "A"), ("u3", 2.0, "B"), ("u3", 3.0, "A")
+    ) ++ (1 to 9).map(i => ("u4", i.toDouble, "Z"))
+    val df = hist.toDF("url", "sec", "h")
+      .select(col("url"), timestamp_seconds(col("sec")).as("ts"), col("h"))
+    val got = Web.recrawlBackoff(df, "url", "ts", "h",
+      baseSec = 3600L, maxExp = 6).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("u1") === ((3L, 14400L)))   // 3 unchanged → 3600·2²
+    assert(got("u2") === ((1L, 3600L)))    // first sighting → base
+    assert(got("u3") === ((1L, 3600L)))    // flip-flop resets to 1
+    assert(got("u4") === ((9L, 230400L)))  // streak 9 capped at 2⁶
+  }
+
   test("pageDirectives: meta robots token boundaries, attribute order " +
     "freedom, canonical resolution (root- and directory-relative), " +
     "decoy metas ignored") {
