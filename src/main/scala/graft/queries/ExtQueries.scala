@@ -848,6 +848,46 @@ object ExtQueries {
         maxHops = 4)
     }),
 
+    // the HOST SCORECARD (round-17): the tiering decision a crawl
+    // operator actually makes, composed from library operators —
+    // authority (pageRankMicro over the s→v lattice), trap verdict
+    // (v0 is a calendar trap), spam rate (v1 is all-casino), and the
+    // deny tier = trap ∨ spam ≥ 0.5; rank orders what survives
+    "st26_host_scorecard" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      def v(c: org.apache.spark.sql.Column) =
+        concat(lit("v"), c.cast("string"), lit(".example.com"))
+      def sh(c: org.apache.spark.sql.Column) =
+        concat(lit("s"), c.cast("string"), lit(".example.com"))
+      val urls = docs.select(concat(lit("http://"), v(id % 6),
+        when(id % 6 === 0, concat(lit("/cal/"), id.cast("string")))
+          .when(id % 6 === 1,
+            concat(lit("/casino/"), (id % 13).cast("string")))
+          .otherwise(concat(lit("/p"), (id % 13).cast("string"))))
+        .as("url")).distinct()
+      val traps = graft.ext.Web.urlTrapScore(urls, "url", threshold = 50)
+      val spam = urls.select(
+        graft.ext.Web.urlHost(col("url")).as("host"),
+        graft.ext.Web.urlSpamScore(col("url"),
+          Seq("promo" -> 0.5), Seq("casino"), 1.0)
+          .getField("blocked").as("blocked"))
+        .groupBy(col("host"))
+        .agg(round(avg(col("blocked").cast("double")), 6).as("spam_frac"))
+      val edges = docs.filter((id % 4 + id % 6) % 3 =!= 0)
+        .select(sh(id % 4).as("src"), v(id % 6).as("dst"))
+      val ranks = graft.ext.Graph.pageRankMicro(edges, "src", "dst",
+        iterations = 4)
+      traps.join(spam, Seq("host"))
+        .join(ranks.select(col("node").as("host"), col("rank_micro")),
+          Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("rank_micro"), lit(0L)).as("rank_micro"),
+          col("n_urls"), col("worst_expansion"), col("trap"),
+          col("spam_frac"),
+          (col("trap") || col("spam_frac") >= 0.5).as("deny"))
+    }),
+
     // politeness audit (round-17): the events log replayed as a fetch
     // log (host = user_id%7 lattice), microsecond gaps per host
     // against the per-host delay — hosts 5/6 publish no delay and
@@ -4814,6 +4854,59 @@ object ExtQueries {
         |SELECT s4.url, s4.cur AS final_url, s4.hops,
         |       e.src IS NULL AS resolved
         |FROM s4 LEFT JOIN e ON s4.cur = e.src""".stripMargin,
+    // trap rollup + closed-form spam verdicts (only v1 carries the
+    // hard term) + a second materialized PR walk over the s→v lattice
+    "st26_host_scorecard" ->
+      (s"""WITH u AS MATERIALIZED (SELECT DISTINCT
+          |    'v' || CAST(doc_id % 6 AS VARCHAR) || '.example.com'
+          |      AS host,
+          |    CASE WHEN doc_id % 6 = 0
+          |           THEN '/cal/' || CAST(doc_id AS VARCHAR)
+          |         WHEN doc_id % 6 = 1
+          |           THEN '/casino/' || CAST(doc_id % 13 AS VARCHAR)
+          |         ELSE '/p' || CAST(doc_id % 13 AS VARCHAR) END AS p
+          |  FROM documents),
+          |tt AS (SELECT host, t2, count(*) AS n FROM (
+          |    SELECT host,
+          |      regexp_replace(regexp_replace(p, '[0-9a-f]{8,}', 'H',
+          |        'g'), '[0-9]+', 'N', 'g') AS t2
+          |    FROM u)
+          |  GROUP BY 1, 2),
+          |tr AS (SELECT host, CAST(sum(n) AS BIGINT) AS n_urls,
+          |         CAST(max(n) AS BIGINT) AS worst_expansion,
+          |         max(n) >= 50 AS trap
+          |       FROM tt GROUP BY 1),
+          |sp AS (SELECT host,
+          |         CASE WHEN host = 'v1.example.com' THEN 1.0
+          |              ELSE 0.0 END AS spam_frac
+          |       FROM (SELECT DISTINCT host FROM u)),
+          |e3 AS MATERIALIZED (SELECT DISTINCT
+          |    's' || CAST(doc_id % 4 AS VARCHAR) || '.example.com'
+          |      AS src,
+          |    'v' || CAST(doc_id % 6 AS VARCHAR) || '.example.com'
+          |      AS dst
+          |  FROM documents
+          |  WHERE ((doc_id % 4) + (doc_id % 6)) % 3 <> 0),
+          |od3 AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg
+          |       FROM e3 GROUP BY 1),
+          |nodes3 AS MATERIALIZED (
+          |  SELECT n.node, coalesce(od3.outdeg, 0) AS outdeg
+          |  FROM (SELECT src AS node FROM e3 UNION SELECT dst FROM e3) n
+          |  LEFT JOIN od3 ON n.node = od3.node),
+          |nn3 AS MATERIALIZED (SELECT count(*) AS n FROM nodes3),
+          |p0 AS MATERIALIZED (SELECT node, outdeg,
+          |       CAST(1000000 // (SELECT n FROM nn3) AS BIGINT) AS r
+          |     FROM nodes3),
+          |${prIter("p0", "p1", "e3", "nn3")},
+          |${prIter("p1", "p2", "e3", "nn3")},
+          |${prIter("p2", "p3", "e3", "nn3")},
+          |${prIter("p3", "p4", "e3", "nn3")}
+          |SELECT tr.host,
+          |  CAST(coalesce(p4.r, 0) AS BIGINT) AS rank_micro,
+          |  tr.n_urls, tr.worst_expansion, tr.trap, sp.spam_frac,
+          |  (tr.trap OR sp.spam_frac >= 0.5) AS deny
+          |FROM tr JOIN sp ON tr.host = sp.host
+          |LEFT JOIN p4 ON p4.node = tr.host""".stripMargin),
     // the same (ts, event_id)-ordered lag window per host, µs gaps vs
     // the µs delay, rollup per (host, delay)
     "x137_politeness_audit" ->
