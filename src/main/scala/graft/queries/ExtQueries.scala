@@ -742,12 +742,14 @@ object ExtQueries {
         lit(".example.com/a\">E</a><a href=\"/self\">S</a>"),
         when(id % 3 === 0,
           lit("<a href=\"//cdn.example.com/c\">C</a>")).otherwise(lit("")))
-      val pages = Tables.documents(s, d)
-        .select(col("doc_id"), base.as("url"), html.as("html"))
-      val links = graft.ext.Web
-        .extractLinks(pages, "doc_id", "url", "html")
-        .join(pages.select(col("doc_id"), col("url")), Seq("doc_id"))
-      graft.ext.Graph.hostEdges(links, "url", "link_url")
+      // fused form: the page row carries its own URL, so the host
+      // pair derives in-row — no id-keyed join-back shuffle
+      // (same-harness A/B at sf0.1: 3.11 → 2.61 s warm min; the rest
+      // is the per-page regex extraction itself)
+      graft.ext.Graph.hostEdgesFromPages(
+        Tables.documents(s, d)
+          .select(col("doc_id"), base.as("url"), html.as("html")),
+        "url", "html")
     }),
 
     // fixed-point PageRank (round-17): 4 synchronous sweeps over a

@@ -152,6 +152,39 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("hostEdgesFromPages ≡ extractLinks + join-back + hostEdges " +
+    "(the fusion changes the plan, never the rollup)") {
+    val pages = Seq(
+      (1L, "http://a.com/d/p.html",
+        "<a href=\"http://b.com/x\">B</a><a href=\"/self\">S</a>" +
+          "<a href=\"//c.com/y\">C</a>"),
+      (2L, "http://b.com/q.html", "<a href=\"http://a.com/z\">A</a>")
+    ).toDF("doc_id", "url", "html")
+    val fused = Graph.hostEdgesFromPages(pages, "url", "html")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val viaJoin = Graph.hostEdges(
+      graft.ext.Web.extractLinks(pages, "doc_id", "url", "html")
+        .join(pages.select(col("doc_id"), col("url")), Seq("doc_id")),
+      "url", "link_url")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(fused === viaJoin)
+    assert(fused === Set(("a.com", "b.com", 1L), ("a.com", "c.com", 1L),
+      ("b.com", "a.com", 1L)))
+  }
+
+  test("pageRankMicro is partitioning-invariant: the same ranks come " +
+    "out of a 1-partition and a 16-partition edge table (integer " +
+    "fixed-point has no sum-order wobble)") {
+    val e = g.toDF("src", "dst")
+    val one = Graph.pageRankMicro(e.coalesce(1), "src", "dst", 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val many = Graph.pageRankMicro(e.repartition(16), "src", "dst", 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one === many)
+  }
+
   test("hostComponents: chains merge into one family, disconnected " +
     "pairs stay apart, the rep is a member, self-loops are inert") {
     val edges = Seq(
