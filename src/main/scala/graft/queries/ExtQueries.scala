@@ -681,8 +681,12 @@ object ExtQueries {
         lit(".example.com/abs/"), (id % 11).cast("string"),
         lit("?q="), (id % 40).cast("string"), lit("\">E</a>"),
         lit("<a href=\"/r/"), (id % 4).cast("string"), lit("\">R</a>"))
+      // URL-only extraction: the frontier feed discards anchors, and
+      // the two-group zip pays a second full-document regex walk for
+      // them (same-harness A/B at sf0.1 in the comment on
+      // Web.extractLinkUrls)
       def links(p: org.apache.spark.sql.DataFrame) =
-        graft.ext.Web.extractLinks(p, "doc_id", "url", "html")
+        graft.ext.Web.extractLinkUrls(p, "url", "html")
           .select(col("link_url").as("url"))
       val pages = docs.select(col("doc_id"), base.as("url"),
         html.as("html"))

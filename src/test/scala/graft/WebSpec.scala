@@ -1073,6 +1073,23 @@ class WebSpec extends SparkSpec {
     assert(got("b.com") === ((2L, 2L, 1L, false)))
   }
 
+  test("extractLinkUrls emits exactly extractLinks' link_url column " +
+    "(the anchor leg is the only thing dropped)") {
+    val pages = Seq(
+      (1L, "http://a.com/d/p.html",
+        "<a href=\"http://b.com/x\">B</a><a href='/r/1'>R</a>" +
+          "<a href=\"../up/2#f\">Up <b>b</b></a>" +
+          "<a href=\"javascript:void(0)\">j</a>" +
+          "<a href=\"//cdn.com/c?a=1&amp;b=2\"></a>")
+    ).toDF("doc_id", "url", "html")
+    val urlsOnly = Web.extractLinkUrls(pages, "url", "html")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val full = Web.extractLinks(pages, "doc_id", "url", "html")
+      .select(col("link_url")).collect().map(_.getString(0)).sorted.toSeq
+    assert(urlsOnly === full)
+    assert(urlsOnly.contains("http://cdn.com/c?a=1&b=2"))
+  }
+
   test("politenessAudit: sub-delay gaps count as violations, " +
     "unlisted hosts audit against the default, single-fetch hosts " +
     "report NULL min gap") {
