@@ -998,10 +998,12 @@ object ExtQueries {
         lit("<a href=\"/deny\">D</a>"))
       val pages = docs.select(col("doc_id"), base.as("url"),
         html.as("html"))
+      // anchor-free policy extraction: the feed needs (url, nofollow)
+      // only, so the third regex walk and the anchor cleanup drop
       def feed(p: org.apache.spark.sql.DataFrame) = {
         val dirs = graft.ext.Web.pageDirectives(p, "doc_id", "url", "html")
           .select(col("doc_id"), col("nofollow").as("page_nofollow"))
-        graft.ext.Web.extractLinksPolicy(p, "doc_id", "url", "html")
+        graft.ext.Web.extractLinkUrlsPolicy(p, "doc_id", "url", "html")
           .join(dirs, Seq("doc_id"))
           .filter(!col("nofollow") && !col("page_nofollow"))
           .select(col("link_url").as("url"))

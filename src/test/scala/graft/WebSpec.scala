@@ -1090,6 +1090,20 @@ class WebSpec extends SparkSpec {
     assert(urlsOnly.contains("http://cdn.com/c?a=1&b=2"))
   }
 
+  test("extractLinkUrlsPolicy emits exactly extractLinksPolicy minus " +
+    "the anchor column") {
+    val pages = Seq((1L, "http://a.com/d/p.html",
+      "<a href=\"/x\" rel=\"nofollow\">X</a>" +
+        "<a rel=\"ugc nofollow\" href=\"/y\">Y</a>" +
+        "<a href=\"/z\" rel=\"noreferrer nofollower\">Z</a>" +
+        "<a href=\"/w\">W</a>")).toDF("doc_id", "url", "html")
+    val slim = Web.extractLinkUrlsPolicy(pages, "doc_id", "url", "html")
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+    val full = Web.extractLinksPolicy(pages, "doc_id", "url", "html")
+      .collect().map(r => (r.getString(1), r.getBoolean(3))).toSet
+    assert(slim === full)
+  }
+
   test("politenessAudit: sub-delay gaps count as violations, " +
     "unlisted hosts audit against the default, single-fetch hosts " +
     "report NULL min gap") {
