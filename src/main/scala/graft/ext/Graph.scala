@@ -253,6 +253,43 @@ object Graph {
       Seq(col("cnt").desc, col("anchor").asc), k)
   }
 
+  /** Mutual-link (reciprocity) rollup — the TrustRank-era link-farm
+    * signal: organically linked hosts rarely link BACK (news →
+    * source, blog → tool), while farms exchange links by
+    * construction, so a host whose out-edges are mostly reciprocated
+    * is a strong spam prior ([[Web.urlSpamScore]]'s graph-side
+    * complement, and a `deny` input for the scorecard tier).  Per
+    * source host: out-edge count, how many of them are reciprocated,
+    * and the ratio.
+    *
+    * Scale shape: host-sized by contract (the input is a
+    * [[hostEdges]] rollup); one distinct, a (src,dst)-keyed left-semi
+    * against the reversed table, and the per-host rollup — every
+    * exchange carries host-pair grain at most.
+    * Output: (host, out_edges, mutual_edges, reciprocity). */
+  def linkReciprocity(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val mutual = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+      .groupBy(col("src").as("host"))
+      .agg(count(lit(1)).as("mutual_edges"))
+    e.groupBy(col("src").as("host"))
+      .agg(count(lit(1)).as("out_edges"))
+      .join(mutual, Seq("host"), "left")
+      .select(col("host"), col("out_edges"),
+        coalesce(col("mutual_edges"), lit(0L)).as("mutual_edges"),
+        round(coalesce(col("mutual_edges"), lit(0L)).cast("double") /
+          col("out_edges"), 6).as("reciprocity"))
+  }
+
   /** Connected components of the host graph — mirror/alias families
     * (one site served from m.example.com, example.co.uk, a CDN alias)
     * and link farms both surface as components, and crawl budgets /

@@ -1123,6 +1123,25 @@ object ExtQueries {
         fin, "url", "url")
     }),
 
+    // link reciprocity (round-17): over the x128 lattice, an h→ext
+    // edge is mutual iff the even-ext return leg exists — h hosts get
+    // partial reciprocity, even ext hosts high, odd ext hosts none
+    "x139_link_reciprocity" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      def h(c: org.apache.spark.sql.Column) =
+        concat(lit("h"), c.cast("string"), lit(".example.com"))
+      def ext(c: org.apache.spark.sql.Column) =
+        concat(lit("ext"), c.cast("string"), lit(".example.com"))
+      val legA = docs.filter((id % 7 + id % 5) % 3 =!= 0)
+        .select(h(id % 7).as("src"), ext(id % 5).as("dst"))
+      val legB = docs.select(h(id % 7).as("src"), h((id + 3) % 7).as("dst"))
+      val legC = docs.filter(id % 5 % 2 === 0)
+        .select(ext(id % 5).as("src"), h(id % 7).as("dst"))
+      graft.ext.Graph.linkReciprocity(
+        legA.unionByName(legB).unionByName(legC), "src", "dst")
+    }),
+
     // host components (round-17): the +2 ring over m0..m9 splits into
     // the even and odd families, plus an isolated a↔b pair — mirror
     // domains / link farms surface as components; the rep is the
@@ -3471,11 +3490,11 @@ object ExtQueries {
        |  CROSS JOIN (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
        |              FROM $prev WHERE outdeg = 0) d)""".stripMargin
 
-  /** The x128/st22 host-graph lattice (legs A/B/C — irregular
-    * out-degrees, ext1/ext3 dangling) walked 4 PageRank sweeps; ends
-    * at CTE `r4` (node, outdeg, r). */
-  private val prCte: String =
-    s"""WITH e AS MATERIALIZED (
+  /** The x128/st22 host-graph lattice edge CTE (legs A/B/C —
+    * irregular out-degrees, ext1/ext3 dangling), shared by the walk
+    * ([[prCte]]) and the reciprocity rollup (x139). */
+  private val prEdges: String =
+    s"""e AS MATERIALIZED (
        |  SELECT DISTINCT * FROM (
        |    SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
        |             AS src,
@@ -3492,7 +3511,12 @@ object ExtQueries {
        |           'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
        |    FROM documents WHERE (doc_id % 5) % 2 = 0
        |  )
-       |),
+       |)""".stripMargin
+
+  /** The lattice walked 4 PageRank sweeps; ends at CTE `r4`
+    * (node, outdeg, r). */
+  private val prCte: String =
+    s"""WITH $prEdges,
        |od AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
        |nodes AS MATERIALIZED (
        |  SELECT n.node, coalesce(od.outdeg, 0) AS outdeg
@@ -5101,6 +5125,21 @@ object ExtQueries {
         |       (sn.url IS NULL AND f.url <> 'http://r.example.com/q')
         |         AS fetch
         |FROM f LEFT JOIN sn ON f.url = sn.url""".stripMargin,
+    // the same semi-join against the reversed edge set over the
+    // shared lattice CTE, then the per-source rollup
+    "x139_link_reciprocity" ->
+      (s"""WITH $prEdges,
+          |rv AS (SELECT e.src, e.dst FROM e
+          |       JOIN e r ON e.src = r.dst AND e.dst = r.src),
+          |mu AS (SELECT src AS host, count(*) AS mutual_edges
+          |       FROM rv GROUP BY 1),
+          |oe AS (SELECT src AS host, count(*) AS out_edges
+          |       FROM e GROUP BY 1)
+          |SELECT oe.host, oe.out_edges,
+          |  CAST(coalesce(mu.mutual_edges, 0) AS BIGINT) AS mutual_edges,
+          |  round(CAST(coalesce(mu.mutual_edges, 0) AS DOUBLE)
+          |        / oe.out_edges, 6) AS reciprocity
+          |FROM oe LEFT JOIN mu ON oe.host = mu.host""".stripMargin),
     // reachability over the symmetrized ring+pair lattice, component
     // rep = arg_min by the same md5-prefix id the engine uses
     "x130_host_components" ->

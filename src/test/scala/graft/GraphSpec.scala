@@ -203,6 +203,21 @@ class GraphSpec extends SparkSpec {
     assert(got("x.com") !== got("p.com"))
   }
 
+  test("linkReciprocity: reciprocated out-edges count once each, " +
+    "one-way links score 0, duplicates and self-loops are inert") {
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "c"),
+      ("c", "d"), ("d", "c"), ("c", "d"), ("a", "a")
+    ).toDF("src", "dst")
+    val got = Graph.linkReciprocity(edges, "src", "dst")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("a") === ((2L, 1L, 0.5)))
+    assert(got("b") === ((1L, 1L, 1.0)))
+    assert(got("c") === ((1L, 1L, 1.0)))
+    assert(got("d") === ((1L, 1L, 1.0)))
+  }
+
   test("rankFrontier: rank joins by canonical host; hosts the rank " +
     "table never saw ride along at 0") {
     val gated = Seq(
