@@ -118,7 +118,11 @@ object Rehearsal {
     "st24_rank_resume", "x133_crawl_budget",
     // round-17 page-policy tier: the three-group link extraction, the
     // directive+keeper rollup, and the policy-filtered frontier
-    "x135_links_policy", "x136_canonical_keepers", "st25_policy_frontier")
+    "x135_links_policy", "x136_canonical_keepers", "st25_policy_frontier",
+    // round-17 closing additions: the fetch-log audit, the backoff
+    // rollup, the scorecard composition, and the reciprocity join
+    "x137_politeness_audit", "x138_recrawl_backoff",
+    "st26_host_scorecard", "x139_link_reciprocity")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)
