@@ -854,6 +854,32 @@ object ExtQueries {
         maxHops = 4)
     }),
 
+    // anchor→document training pairs (round-17): the web tier feeding
+    // retrieval training — anchors are human-written queries for their
+    // targets.  Chain links give each page one single-count anchor;
+    // hub links concentrate two anchor variants on each 5-block hub,
+    // so the top-2 keeps the hub anchors and drops the chain label;
+    // targets resolve to in-corpus doc_ids by URL join
+    "st27_anchor_pairs" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      val base = concat(lit("http://t.example.com/p"), id.cast("string"))
+      val html = concat(
+        lit("<a href=\"http://t.example.com/p"), (id + 1).cast("string"),
+        lit("\">label"), (id % 3).cast("string"), lit("</a>"),
+        lit("<a href=\"http://t.example.com/p"),
+        (id - id % 5).cast("string"),
+        lit("\">hub"), (id % 2).cast("string"), lit("</a>"))
+      val pages = docs.select(col("doc_id"), base.as("url"),
+        html.as("html"))
+      val top = graft.ext.Graph.anchorTopK(
+        graft.ext.Web.extractLinks(pages, "doc_id", "url", "html"),
+        "link_url", "anchor", k = 2)
+      top.join(pages.select(col("doc_id").as("target_doc_id"),
+          col("url").as("link_url")), Seq("link_url"))
+        .select(col("target_doc_id"), col("anchor"), col("cnt"))
+    }),
+
     // the HOST SCORECARD (round-17): the tiering decision a crawl
     // operator actually makes, composed from library operators —
     // authority (pageRankMicro over the s→v lattice), trap verdict
@@ -4886,6 +4912,29 @@ object ExtQueries {
         |SELECT s4.url, s4.cur AS final_url, s4.hops,
         |       e.src IS NULL AS resolved
         |FROM s4 LEFT JOIN e ON s4.cur = e.src""".stripMargin,
+    // both link legs regenerated, the same (cnt DESC, anchor ASC)
+    // top-2 window, then the URL→doc_id resolution join
+    "st27_anchor_pairs" ->
+      """WITH l AS (
+        |  SELECT 'http://t.example.com/p' || CAST(doc_id + 1 AS VARCHAR)
+        |           AS link_url,
+        |         'label' || CAST(doc_id % 3 AS VARCHAR) AS anchor
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'http://t.example.com/p' ||
+        |           CAST(doc_id - (doc_id % 5) AS VARCHAR),
+        |         'hub' || CAST(doc_id % 2 AS VARCHAR)
+        |  FROM documents),
+        |c AS (SELECT link_url, anchor, count(*) AS cnt
+        |      FROM l GROUP BY 1, 2),
+        |t AS (SELECT link_url, anchor, cnt FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY link_url
+        |            ORDER BY cnt DESC, anchor ASC) AS rk FROM c)
+        |  WHERE rk <= 2)
+        |SELECT d.doc_id AS target_doc_id, t.anchor, t.cnt
+        |FROM t JOIN documents d
+        |  ON t.link_url = 'http://t.example.com/p' ||
+        |     CAST(d.doc_id AS VARCHAR)""".stripMargin,
     // trap rollup + closed-form spam verdicts (only v1 carries the
     // hard term) + a second materialized PR walk over the s→v lattice
     "st26_host_scorecard" ->

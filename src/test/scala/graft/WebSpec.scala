@@ -1073,6 +1073,26 @@ class WebSpec extends SparkSpec {
     assert(got("b.com") === ((2L, 2L, 1L, false)))
   }
 
+  test("resolveRedirects and recrawlBackoff are partitioning-" +
+    "invariant (min-dst dedup and (ts,hash)-max make them " +
+    "order-free)") {
+    val ed = Seq(("u1", "u2"), ("u2", "u3"), ("u1", "zzz"), ("a", "b"),
+      ("b", "a")).toDF("src", "dst")
+    def rr(df: org.apache.spark.sql.DataFrame) =
+      Web.resolveRedirects(df, "src", "dst", maxHops = 4)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          r.getBoolean(3))).toSet
+    assert(rr(ed.coalesce(1)) === rr(ed.repartition(16)))
+    val hist = Seq(("u1", 1.0, "A"), ("u1", 2.0, "B"), ("u1", 3.0, "B"))
+      .toDF("url", "sec", "h")
+      .select(col("url"), timestamp_seconds(col("sec")).as("ts"), col("h"))
+    def rb(df: org.apache.spark.sql.DataFrame) =
+      Web.recrawlBackoff(df, "url", "ts", "h")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2))).toSet
+    assert(rb(hist.coalesce(1)) === rb(hist.repartition(16)))
+  }
+
   test("extractLinkUrls emits exactly extractLinks' link_url column " +
     "(the anchor leg is the only thing dropped)") {
     val pages = Seq(
