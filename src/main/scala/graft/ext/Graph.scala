@@ -84,18 +84,25 @@ object Graph {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Fixed-point PageRank in BIGINT micro-units (1.0 == 1e6): after
+  /** Fixed-point PageRank in BIGINT micro-units, scaled PER NODE
+    * (the uniform rank == 1e6, total mass == N·1e6): after
     * `iterations` synchronous sweeps,
     *
-    *   r'(v) = (M − d)/N  +  d · (Σ_{(u,v)∈E} r(u)/outdeg(u) + dang/N) / M
+    *   r'(v) = (M − d)  +  d · (Σ_{(u,v)∈E} r(u)/outdeg(u) + dang/N) / M
     *
     * with EVERY division a floor division on non-negative longs and
     * `dang` the summed rank of dangling nodes (outdeg 0 — their mass
-    * redistributes uniformly, the standard correction).  Edges are
+    * redistributes uniformly, the standard correction).  Per-node
+    * scaling is what survives web-scale graphs: normalizing TOTAL mass
+    * to 1e6 (the textbook form) floors the uniform init and the base
+    * term to 0 once N exceeds ~150k nodes — every CommonCrawl-size
+    * host graph — and the walk degenerates to the zero vector.  With
+    * the per-node scale the resolution per node is N-independent; the
+    * values are exactly the textbook ranks × N·1e6.  Edges are
     * UNWEIGHTED distinct pairs (PageRank's original form; weight-aware
     * ranking belongs to a different estimator).  Floor division leaks
-    * at most 1 micro-unit per node per division, so total mass stays
-    * within iterations·3N micro of 1e6 — the price of a result that is
+    * at most 1 micro-unit per node per division, so average rank stays
+    * within iterations·3 micro of 1e6 — the price of a result that is
     * EXACTLY reproducible: integer sums commute, so the same numbers
     * come out of any partitioning, any engine (the DuckDB oracle
     * unrolls this very recurrence), any run.
@@ -108,14 +115,17 @@ object Graph {
     * re-checkpoints, truncating lineage so iteration N's plan is flat
     * regardless of N (the [[Dedup.mergeClusters]] discipline).  For a
     * URL-level graph too big to broadcast, persist the edges bucketed
-    * by src and let the joins degrade to co-located shuffles — the
-    * recurrence is unchanged.
+    * by src ([[saveEdges]]) and walk with [[pageRankMicroBucketed]] —
+    * the joins degrade to co-located shuffles (the edge side reads
+    * pre-partitioned, only the |V|-sized tables move) and the
+    * recurrence — hence the ranks — is unchanged.
     *
     * Output: (node STRING, rank_micro BIGINT). */
   def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
                     iterations: Int = 10,
                     dampingMicro: Long = 850000L): DataFrame =
-    pageRankWalk(edges, srcCol, dstCol, None, iterations, dampingMicro)
+    pageRankWalk(prepareEdges(edges, srcCol, dstCol), None, iterations,
+      dampingMicro, hinted = true)
 
   /** [[pageRankMicro]] WARM-STARTED from a prior rank table — the
     * "index once, serve batches" discipline applied to authority: a
@@ -124,28 +134,57 @@ object Graph {
     * start needs ten (the fixpoint is the same — the init only buys
     * convergence speed, so warm-start results stay exactly
     * reproducible given the same prior).  Hosts the prior never saw
-    * start at the uniform 1e6/N; prior hosts that left the graph
+    * start at the uniform 1e6; prior hosts that left the graph
     * drop.  Pair with [[saveRanks]]/[[loadRanks]]. */
   def pageRankMicroFrom(edges: DataFrame, srcCol: String, dstCol: String,
                         prior: DataFrame, iterations: Int = 2,
                         dampingMicro: Long = 850000L): DataFrame =
-    pageRankWalk(edges, srcCol, dstCol, Some(prior), iterations,
-      dampingMicro)
+    pageRankWalk(prepareEdges(edges, srcCol, dstCol), Some(prior),
+      iterations, dampingMicro, hinted = true)
 
-  private def pageRankWalk(edges: DataFrame, srcCol: String,
-                           dstCol: String, prior: Option[DataFrame],
-                           iterations: Int,
-                           dampingMicro: Long): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
-    require(dampingMicro >= 0 && dampingMicro <= M,
-      s"dampingMicro must be in [0, $M] (got $dampingMicro)")
-    val e = edges
+  /** The URL-grain degrade path promised by [[pageRankMicro]]'s scale
+    * contract: walk a [[saveEdges]]-persisted edge table WITHOUT
+    * broadcast hints.  At page grain the rank table is as big as the
+    * edge table's node set — broadcasting it would OOM every executor
+    * — so each sweep's contrib join degrades to a co-located shuffle
+    * join: the bucketed edge scan reports its (src, buckets) hash
+    * partitioning, only the |V|-sized share/rank tables move, and the
+    * edge bytes stay in place across ALL sweeps exactly as in the
+    * broadcast walk.  The recurrence is the same integer fixed point,
+    * so ranks are bit-equal to [[pageRankMicro]] on the same graph
+    * (GraphSpec pins this with broadcast joins disabled).  The table
+    * must carry the [[saveEdges]] marker — pre-cleaned distinct
+    * (src, dst) pairs are the walk's input contract here, so none of
+    * the prepare work (cast/self-loop drop/distinct/checkpoint) is
+    * re-paid. */
+  def pageRankMicroBucketed(spark: org.apache.spark.sql.SparkSession,
+                            table: String, iterations: Int = 10,
+                            dampingMicro: Long = 850000L,
+                            prior: Option[DataFrame] = None): DataFrame =
+    pageRankWalk(loadEdges(spark, table), prior, iterations,
+      dampingMicro, hinted = false)
+
+  /** Shared edge cleaning for the in-memory walks and [[saveEdges]]:
+    * string-cast, NULL/self-loop drop, distinct pairs. */
+  private def cleanEdges(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame =
+    edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+
+  private def prepareEdges(edges: DataFrame, srcCol: String,
+                           dstCol: String): DataFrame =
+    cleanEdges(edges, srcCol, dstCol).localCheckpoint()
+
+  private def pageRankWalk(e: DataFrame, prior: Option[DataFrame],
+                           iterations: Int, dampingMicro: Long,
+                           hinted: Boolean): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
+    require(dampingMicro >= 0 && dampingMicro <= M,
+      s"dampingMicro must be in [0, $M] (got $dampingMicro)")
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
@@ -163,20 +202,52 @@ object Graph {
     // through, not throw)
     if (n == 0)
       return nodes.select(col("node"), col("outdeg").as("rank_micro"))
+    val hint: DataFrame => DataFrame =
+      if (hinted) broadcast(_) else identity
     val r0 = prior match {
       case None =>
-        nodes.select(col("node"), col("outdeg"), lit(M / n).as("r"))
+        nodes.select(col("node"), col("outdeg"), lit(M).as("r"))
       case Some(p) =>
         nodes
-          .join(broadcast(p.select(col("node"), col("rank_micro"))),
+          .join(hint(p.select(col("node"), col("rank_micro"))),
             Seq("node"), "left")
           .select(col("node"), col("outdeg"),
-            coalesce(col("rank_micro"), lit(M / n)).as("r"))
+            coalesce(col("rank_micro"), lit(M)).as("r"))
     }
     var r = r0.localCheckpoint()
     for (_ <- 1 to iterations)
-      r = sweep(r, e, n, dampingMicro).localCheckpoint()
+      r = sweep(r, e, n, dampingMicro, hinted).localCheckpoint()
     r.select(col("node"), col("r").as("rank_micro"))
+  }
+
+  /** Persist a cleaned edge table (src, dst — distinct, self-loops
+    * dropped) bucketed on src, so [[pageRankMicroBucketed]]'s
+    * per-sweep contrib join reads the edge side pre-partitioned and
+    * never exchanges it — the on-disk analog of the broadcast walk's
+    * "edge table never shuffles" contract, for graphs whose rank
+    * table is NOT broadcastable.  Marker property refuses non-edge
+    * tables on load — the [[saveRanks]] discipline. */
+  def saveEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                table: String, buckets: Int = 16): Unit = {
+    cleanEdges(edges, srcCol, dstCol)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "src").sortBy("src")
+      .format("parquet").saveAsTable(table)
+    edges.sparkSession.sql(
+      s"ALTER TABLE ${SqlIdent.quote(table)} SET TBLPROPERTIES " +
+        "('graft.edges'='1')")
+  }
+
+  /** Reopen a persisted edge table, refusing tables without the
+    * [[saveEdges]] marker. */
+  def loadEdges(spark: org.apache.spark.sql.SparkSession,
+                table: String): DataFrame = {
+    val props = spark
+      .sql(s"SHOW TBLPROPERTIES ${SqlIdent.quote(table)}").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("graft.edges").contains("1"),
+      s"$table is not a graft edge table")
+    spark.table(table)
   }
 
   /** Persist a rank table (node, rank_micro) bucketed on the node so a
@@ -211,19 +282,27 @@ object Graph {
     * THIS plan for the per-iteration scale contract: the edge table
     * joins the broadcast share table map-side, the only shuffle is the
     * partial-aggregated exchange on dst, and the dangling-mass term is
-    * a single-row broadcast). */
+    * a single-row broadcast).  `hinted = false` is the
+    * [[pageRankMicroBucketed]] degrade: the SAME algebra with no
+    * broadcast hints, so the contrib join plans as a co-located
+    * shuffle join against the bucketed edge scan (the dangling-mass
+    * single row keeps its hint — one row is broadcastable at any
+    * grain). */
   private[graft] def sweep(r: DataFrame, e: DataFrame, n: Long,
-                           dampingMicro: Long): DataFrame = {
-    val base = (M - dampingMicro) / n
+                           dampingMicro: Long,
+                           hinted: Boolean = true): DataFrame = {
+    val base = M - dampingMicro
+    val hint: DataFrame => DataFrame =
+      if (hinted) broadcast(_) else identity
     val shares = r.filter(col("outdeg") > 0)
       .select(col("node").as("src"), expr("r DIV outdeg").as("share"))
-    val contrib = e.join(broadcast(shares), Seq("src"))
+    val contrib = e.join(hint(shares), Seq("src"))
       .groupBy(col("dst").as("node"))
       .agg(sum(col("share")).as("contrib"))
     val dang = r.filter(col("outdeg") === 0)
       .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
     r.select(col("node"), col("outdeg"))
-      .join(broadcast(contrib), Seq("node"), "left")
+      .join(hint(contrib), Seq("node"), "left")
       .crossJoin(broadcast(dang))
       .select(col("node"), col("outdeg"),
         (lit(base) + expr(

@@ -38,6 +38,23 @@ import org.apache.spark.sql.functions._
   */
 object Web {
 
+  /** Session-token fold for [[urlTrapScore]]: a hex run of length ≥8
+    * containing at least one letter (so GUIDs/md5s in EITHER case fold
+    * to one token while pure digit runs of any length fall through to
+    * the digit fold — one logical template, one fold).  RE2 has no
+    * lookahead, so "≥8 and has a letter" is spelled as an alternation
+    * over the first letter's position: prefix of p digits + letter +
+    * ≥(7−p) more hex (p ≤ 6), or ≥7 digits then a letter.  Every
+    * branch ends in a greedy hex class, so whichever branch fires
+    * consumes the whole maximal run — leftmost-first semantics agree
+    * between Java regex (Spark) and RE2 (the DuckDB oracle), which is
+    * why the SAME string is used verbatim on both sides. */
+  private[graft] val hexRunPat: String =
+    "[A-Fa-f][0-9A-Fa-f]{7,}|[0-9][A-Fa-f][0-9A-Fa-f]{6,}|" +
+      "[0-9]{2}[A-Fa-f][0-9A-Fa-f]{5,}|[0-9]{3}[A-Fa-f][0-9A-Fa-f]{4,}|" +
+      "[0-9]{4}[A-Fa-f][0-9A-Fa-f]{3,}|[0-9]{5}[A-Fa-f][0-9A-Fa-f]{2,}|" +
+      "[0-9]{6}[A-Fa-f][0-9A-Fa-f]{1,}|[0-9]{7,}[A-Fa-f][0-9A-Fa-f]*"
+
   /** Tracking params dropped by rule 5.  `(^|&)` (instead of a
     * lookbehind) eats the separating `&` with the param, so the
     * remaining list needs no re-join; a leading `&` left when the
@@ -1125,7 +1142,12 @@ object Web {
     * page URL (the duplicate-cluster signal real pipelines consult
     * BEFORE content dedup — the publisher names the keeper).  Both
     * tag forms accept attributes in either order.  NULL canonical =
-    * none declared.
+    * none declared.  A page may carry SEVERAL robots metas (separate
+    * noindex and nofollow tags, CMS-injected duplicates) — directives
+    * OR across all of them, the conservative reading of the spec
+    * ("the most restrictive applies"): a compliance operator must
+    * never under-enforce a publisher opt-out because it read only the
+    * first tag.
     *
     * Pure map-side regex algebra — fuses into the scan, zero shuffle.
     * Output: (id, noindex, nofollow, canonical_url). */
@@ -1134,11 +1156,12 @@ object Web {
     // meta robots: name before or after content; directive list inside
     val metaPat =
       "(?is)<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*>"
-    val metaTag = regexp_extract(col(htmlCol), metaPat, 0)
-    val content = regexp_extract(metaTag,
-      "(?is)content\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val metaTags = regexp_extract_all(col(htmlCol), lit(metaPat), lit(0))
     def hasTok(t: String) =
-      lower(content).rlike(s"(^|[\\s,])$t($$|[\\s,])")
+      exists(metaTags, tag =>
+        lower(regexp_extract(tag,
+          "(?is)content\\s*=\\s*[\"']([^\"']*)[\"']", 1))
+          .rlike(s"(^|[\\s,])$t($$|[\\s,])"))
     val canonPat = "(?is)<link\\s[^>]*rel\\s*=\\s*[\"']canonical[\"'][^>]*>"
     val canonTag = regexp_extract(col(htmlCol), canonPat, 0)
     val canonHref = regexp_extract(canonTag,
@@ -1187,10 +1210,13 @@ object Web {
   /** Canonical-directed keeper selection — URL dedup where the
     * PUBLISHER names the keeper: each page's dedup key is its declared
     * `rel=canonical` target when present (resolved,
-    * [[pageDirectives]]), else its own canonical-form URL; within a
-    * key the keeper is (max `weightCol`, min id) — the J5/max_by
-    * idiom, partial-aggregated, no window sort.  Output one row per
-    * page: (id, url_canon, dedup_key, keeper_id, is_keeper). */
+    * [[pageDirectives]], then run through [[canonicalUrl]] so a
+    * declared target with www/default-port/tracking-param variants
+    * groups with the master page keyed on its own canonical form),
+    * else the page's own canonical-form URL; within a key the keeper
+    * is (max `weightCol`, min id) — the J5/max_by idiom,
+    * partial-aggregated, no window sort.  Output one row per page:
+    * (id, url_canon, dedup_key, keeper_id, is_keeper). */
   def canonicalKeepers(pages: DataFrame, idCol: String, urlCol: String,
                        htmlCol: String, weightCol: String): DataFrame = {
     val d = pageDirectives(pages, idCol, urlCol, htmlCol)
@@ -1200,7 +1226,8 @@ object Web {
         col(weightCol))
       .join(d, Seq(idCol))
       .select(col(idCol), col("url_canon"),
-        coalesce(col("canonical_url"), col("url_canon")).as("dedup_key"),
+        coalesce(canonicalUrl(col("canonical_url")), col("url_canon"))
+          .as("dedup_key"),
         col(weightCol))
     val keepers = keyed
       .groupBy(col("dedup_key"))
@@ -1319,9 +1346,12 @@ object Web {
     * (calendar pages, session-id permutations, faceted-search
     * combinatorics) manufactures unbounded distinct URLs from one page
     * TEMPLATE, so the trap signature is "many distinct paths, one
-    * template".  The template is the canonical path with digit runs
-    * folded to `N` and long (≥8) hex runs folded to `H` (session
-    * tokens/hashes); per host the rollup reports how many distinct
+    * template".  The template is the canonical path with long (≥8)
+    * hex runs folded to `H` (session tokens/hashes — case-insensitive
+    * and requiring at least one letter, so an uppercase GUID folds
+    * while a pure digit run of any length falls through to the digit
+    * fold and one logical template never splits in two) and digit
+    * runs folded to `N`; per host the rollup reports how many distinct
     * paths exist, how many templates they collapse to, and the WORST
     * single template's expansion — `trap` fires when that worst
     * expansion reaches `threshold` (a calendar trap is one template at
@@ -1338,9 +1368,11 @@ object Web {
     val host = urlHost(col(urlCol))
     val path = urlPath(col(urlCol))
     // hex folds FIRST (a digit-run inside a session token must not
-    // break the ≥8 hex run before it's recognized), then digit runs
+    // break the ≥8 hex run before it's recognized), then digit runs;
+    // [[hexRunPat]] requires a letter so pure digit runs fold to N
+    // regardless of length, never H
     val tmpl = regexp_replace(
-      regexp_replace(path, "[0-9a-f]{8,}", "H"), "[0-9]+", "N")
+      regexp_replace(path, hexRunPat, "H"), "[0-9]+", "N")
     urls
       .select(host.as("host"), path.as("p"), tmpl.as("t"))
       .filter(col("host") =!= "")

@@ -806,8 +806,11 @@ object ExtQueries {
 
     // spider-trap detection (round-17): the /cal/<id> leg is the trap
     // (one template, per-doc distinct paths), /pageK and /about are
-    // benign, the md5 session leg exercises the hex→H fold, and host t
-    // (4 static paths) must come out trap=false; threshold 100
+    // benign, the md5 session legs exercise the hex→H fold in BOTH
+    // cases (uppercase GUIDs must fold too), the /n/ leg mixes 10-digit
+    // and short digit runs that must land in ONE template (digit runs
+    // never fold to H regardless of length), and host t (4 static
+    // paths) must come out trap=false; threshold 100
     "x131_url_traps" -> ((s, d) => {
       val id = col("doc_id")
       val docs = Tables.documents(s, d)
@@ -822,11 +825,18 @@ object ExtQueries {
       val l4 = docs.filter(id % 7 === 0)
         .select(concat(sHost, lit("/s/"),
           substring(md5(id.cast("string")), 1, 12)).as("url"))
+      val l4b = docs.filter(id % 11 === 0)
+        .select(concat(sHost, lit("/S/"),
+          upper(substring(md5(id.cast("string")), 1, 12))).as("url"))
+      val l4c = docs.select(concat(sHost, lit("/n/"),
+        when(id % 2 === 0, lpad(id.cast("string"), 10, "0"))
+          .otherwise((id % 50).cast("string"))).as("url"))
       val l5 = docs.select(concat(lit("http://t.example.com/static/"),
         (id % 4).cast("string")).as("url"))
       graft.ext.Web.urlTrapScore(
         l1.unionByName(l2).unionByName(l3).unionByName(l4)
-          .unionByName(l5), "url", threshold = 100)
+          .unionByName(l4b).unionByName(l4c).unionByName(l5),
+        "url", threshold = 100)
     }),
 
     // redirect-chain resolution (round-17): blocks of 4 form chains
@@ -906,18 +916,30 @@ object ExtQueries {
           .getField("blocked").as("blocked"))
         .groupBy(col("host"))
         .agg(round(avg(col("blocked").cast("double")), 6).as("spam_frac"))
-      val edges = docs.filter((id % 4 + id % 6) % 3 =!= 0)
+      // forward s→v endorsements plus a reverse v→s leg on even s
+      // hosts: the link-exchange shape linkReciprocity exists to
+      // catch — v2's out-edges are BOTH reciprocated (farm), v0/v4
+      // sit at 0.5, odd v hosts have no out-edges (reciprocity 0)
+      val fwd = docs.filter((id % 4 + id % 6) % 3 =!= 0)
         .select(sh(id % 4).as("src"), v(id % 6).as("dst"))
+      val rev = docs.filter(id % 4 % 2 === 0)
+        .select(v(id % 6).as("src"), sh(id % 4).as("dst"))
+      val edges = fwd.unionByName(rev)
       val ranks = graft.ext.Graph.pageRankMicro(edges, "src", "dst",
         iterations = 4)
+      val rec = graft.ext.Graph.linkReciprocity(edges, "src", "dst")
       traps.join(spam, Seq("host"))
         .join(ranks.select(col("node").as("host"), col("rank_micro")),
+          Seq("host"), "left")
+        .join(rec.select(col("host"), col("reciprocity")),
           Seq("host"), "left")
         .select(col("host"),
           coalesce(col("rank_micro"), lit(0L)).as("rank_micro"),
           col("n_urls"), col("worst_expansion"), col("trap"),
           col("spam_frac"),
-          (col("trap") || col("spam_frac") >= 0.5).as("deny"))
+          coalesce(col("reciprocity"), lit(0.0)).as("reciprocity"),
+          (col("trap") || col("spam_frac") >= 0.5 ||
+            coalesce(col("reciprocity"), lit(0.0)) >= 0.75).as("deny"))
     }),
 
     // politeness audit (round-17): the events log replayed as a fetch
@@ -955,8 +977,11 @@ object ExtQueries {
 
     // page-level crawl directives (round-17): meta robots parsed for
     // noindex/nofollow with TOKEN boundaries (the id%5 'nofollowme'
-    // leg must NOT match), a viewport decoy meta, and rel=canonical
-    // resolved root-relative and absolute — NULL when undeclared
+    // leg must NOT match), a viewport decoy meta, a SECOND robots meta
+    // on id%6==3 pages (separate noindex tag — directives must OR
+    // across all robots metas, not stop at the first), and
+    // rel=canonical resolved root-relative and absolute — NULL when
+    // undeclared
     "x134_page_directives" -> ((s, d) => {
       val id = col("doc_id")
       val base = concat(lit("http://h"), (id % 7).cast("string"),
@@ -968,6 +993,9 @@ object ExtQueries {
         lit("<meta name=\"viewport\" content=\"width=device-width\">"),
         when(id % 3 === 0, concat(lit("<meta name=\"robots\" content=\""),
           content, lit("\">"))).otherwise(lit("")),
+        when(id % 6 === 3,
+          lit("<meta name=\"robots\" content=\"noindex\">"))
+          .otherwise(lit("")),
         when(id % 4 === 0, concat(lit("<link rel=\"canonical\" href=\"/canon/"),
           (id % 9).cast("string"), lit("\">"))).otherwise(lit("")),
         when(id % 4 === 2,
@@ -1055,7 +1083,10 @@ object ExtQueries {
 
     // canonical-directed dedup (round-17): the publisher names the
     // keeper — id%2 pages declare rel=canonical /master/<id%8> (the
-    // dedup key), the rest key on their own canonical URL (tracking
+    // dedup key; id%4==0 pages declare it as a www/default-port/
+    // tracking-param VARIANT of the same target, which must group with
+    // the root-relative declarers — the key is the canonical FORM of
+    // the target), the rest key on their own canonical URL (tracking
     // params stripped); keeper = (max n_chars, min id) per key
     "x136_canonical_keepers" -> ((s, d) => {
       val id = col("doc_id")
@@ -1063,9 +1094,13 @@ object ExtQueries {
         (id % 40).cast("string"), lit("?utm_source=z&n="),
         (id % 3).cast("string"))
       val html = concat(
-        when(id % 2 === 0,
-          concat(lit("<link rel=\"canonical\" href=\"/master/"),
-            (id % 8).cast("string"), lit("\">"))).otherwise(lit("")),
+        when(id % 4 === 0,
+          concat(lit("<link rel=\"canonical\" href=" +
+            "\"http://www.w.example.com:80/master/"),
+            (id % 8).cast("string"), lit("?utm_source=t\">")))
+          .when(id % 2 === 0,
+            concat(lit("<link rel=\"canonical\" href=\"/master/"),
+              (id % 8).cast("string"), lit("\">"))).otherwise(lit("")),
         lit("<body>y</body>"))
       graft.ext.Web.canonicalKeepers(
         Tables.documents(s, d).select(col("doc_id"), base.as("url"),
@@ -3497,14 +3532,15 @@ object ExtQueries {
 
   /** One synchronous PageRank sweep in DuckDB SQL — the EXACT integer
     * recurrence of [[graft.ext.Graph.pageRankMicro]] (floor division
-    * `//` everywhere, damping 850000 micro): shares = r // outdeg over
-    * the live nodes, contribs grouped on dst, dangling mass summed and
-    * spread // n, base 150000 // n.  Chained 4 deep by [[prCte]]. */
+    * `//` everywhere, damping 850000 micro, PER-NODE scale: uniform
+    * rank == 1e6): shares = r // outdeg over the live nodes, contribs
+    * grouped on dst, dangling mass summed and spread // n, base
+    * 150000.  Chained 4 deep by [[prCte]]. */
   private def prIter(prev: String, cur: String, eN: String = "e",
                      nnN: String = "nn"): String =
     s"""$cur AS MATERIALIZED (
        |  SELECT p.node, p.outdeg,
-       |    CAST((150000 // (SELECT n FROM $nnN)) +
+       |    CAST(150000 +
        |      (850000 * (coalesce(c.contrib, 0) +
        |                 (d.dang // (SELECT n FROM $nnN)))) // 1000000
        |      AS BIGINT) AS r
@@ -3550,7 +3586,7 @@ object ExtQueries {
        |  LEFT JOIN od ON n.node = od.node),
        |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
        |r0 AS MATERIALIZED (SELECT node, outdeg,
-       |              CAST(1000000 // (SELECT n FROM nn) AS BIGINT) AS r
+       |              CAST(1000000 AS BIGINT) AS r
        |       FROM nodes),
        |${prIter("r0", "r1")},
        |${prIter("r1", "r2")},
@@ -4842,12 +4878,14 @@ object ExtQueries {
         |            ORDER BY cnt DESC, anchor ASC) AS rk FROM c)
         |WHERE rk <= 2""".stripMargin,
     // the same hex-then-digit template fold over the regenerated path
-    // lattice, then the two-level (host,template) → host rollup
+    // lattice, then the two-level (host,template) → host rollup —
+    // hexRunPat verbatim (RE2-compatible on purpose)
     "x131_url_traps" ->
-      """WITH u AS (
+      s"""WITH u AS (
         |  SELECT DISTINCT host, p,
-        |    regexp_replace(regexp_replace(p, '[0-9a-f]{8,}', 'H', 'g'),
-        |                   '[0-9]+', 'N', 'g') AS t
+        |    regexp_replace(regexp_replace(p,
+        |        '${graft.ext.Web.hexRunPat}', 'H', 'g'),
+        |      '[0-9]+', 'N', 'g') AS t
         |  FROM (
         |    SELECT 's' || CAST(doc_id % 3 AS VARCHAR) || '.example.com'
         |             AS host,
@@ -4864,6 +4902,17 @@ object ExtQueries {
         |    SELECT 's' || CAST(doc_id % 3 AS VARCHAR) || '.example.com',
         |           '/s/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
         |    FROM documents WHERE doc_id % 7 = 0
+        |    UNION ALL
+        |    SELECT 's' || CAST(doc_id % 3 AS VARCHAR) || '.example.com',
+        |           '/S/' || upper(substr(md5(CAST(doc_id AS VARCHAR)), 1,
+        |             12))
+        |    FROM documents WHERE doc_id % 11 = 0
+        |    UNION ALL
+        |    SELECT 's' || CAST(doc_id % 3 AS VARCHAR) || '.example.com',
+        |           '/n/' || CASE WHEN doc_id % 2 = 0
+        |             THEN lpad(CAST(doc_id AS VARCHAR), 10, '0')
+        |             ELSE CAST(doc_id % 50 AS VARCHAR) END
+        |    FROM documents
         |    UNION ALL
         |    SELECT 't.example.com',
         |           '/static/' || CAST(doc_id % 4 AS VARCHAR)
@@ -4949,8 +4998,9 @@ object ExtQueries {
           |  FROM documents),
           |tt AS (SELECT host, t2, count(*) AS n FROM (
           |    SELECT host,
-          |      regexp_replace(regexp_replace(p, '[0-9a-f]{8,}', 'H',
-          |        'g'), '[0-9]+', 'N', 'g') AS t2
+          |      regexp_replace(regexp_replace(p,
+          |          '${graft.ext.Web.hexRunPat}', 'H', 'g'),
+          |        '[0-9]+', 'N', 'g') AS t2
           |    FROM u)
           |  GROUP BY 1, 2),
           |tr AS (SELECT host, CAST(sum(n) AS BIGINT) AS n_urls,
@@ -4961,13 +5011,27 @@ object ExtQueries {
           |         CASE WHEN host = 'v1.example.com' THEN 1.0
           |              ELSE 0.0 END AS spam_frac
           |       FROM (SELECT DISTINCT host FROM u)),
-          |e3 AS MATERIALIZED (SELECT DISTINCT
+          |e3 AS MATERIALIZED (SELECT DISTINCT * FROM (
+          |  SELECT
           |    's' || CAST(doc_id % 4 AS VARCHAR) || '.example.com'
           |      AS src,
           |    'v' || CAST(doc_id % 6 AS VARCHAR) || '.example.com'
           |      AS dst
           |  FROM documents
-          |  WHERE ((doc_id % 4) + (doc_id % 6)) % 3 <> 0),
+          |  WHERE ((doc_id % 4) + (doc_id % 6)) % 3 <> 0
+          |  UNION ALL
+          |  SELECT
+          |    'v' || CAST(doc_id % 6 AS VARCHAR) || '.example.com',
+          |    's' || CAST(doc_id % 4 AS VARCHAR) || '.example.com'
+          |  FROM documents WHERE doc_id % 4 % 2 = 0)),
+          |rc AS (SELECT e.src AS host,
+          |         round(CAST(sum(CASE WHEN r.src IS NOT NULL
+          |                 THEN 1 ELSE 0 END) AS DOUBLE)
+          |           / count(*), 6) AS reciprocity
+          |       FROM e3 e LEFT JOIN
+          |         (SELECT DISTINCT dst AS src, src AS dst FROM e3) r
+          |         ON e.src = r.src AND e.dst = r.dst
+          |       GROUP BY 1),
           |od3 AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg
           |       FROM e3 GROUP BY 1),
           |nodes3 AS MATERIALIZED (
@@ -4976,7 +5040,7 @@ object ExtQueries {
           |  LEFT JOIN od3 ON n.node = od3.node),
           |nn3 AS MATERIALIZED (SELECT count(*) AS n FROM nodes3),
           |p0 AS MATERIALIZED (SELECT node, outdeg,
-          |       CAST(1000000 // (SELECT n FROM nn3) AS BIGINT) AS r
+          |       CAST(1000000 AS BIGINT) AS r
           |     FROM nodes3),
           |${prIter("p0", "p1", "e3", "nn3")},
           |${prIter("p1", "p2", "e3", "nn3")},
@@ -4985,9 +5049,12 @@ object ExtQueries {
           |SELECT tr.host,
           |  CAST(coalesce(p4.r, 0) AS BIGINT) AS rank_micro,
           |  tr.n_urls, tr.worst_expansion, tr.trap, sp.spam_frac,
-          |  (tr.trap OR sp.spam_frac >= 0.5) AS deny
+          |  coalesce(rc.reciprocity, 0.0) AS reciprocity,
+          |  (tr.trap OR sp.spam_frac >= 0.5
+          |    OR coalesce(rc.reciprocity, 0.0) >= 0.75) AS deny
           |FROM tr JOIN sp ON tr.host = sp.host
-          |LEFT JOIN p4 ON p4.node = tr.host""".stripMargin),
+          |LEFT JOIN p4 ON p4.node = tr.host
+          |LEFT JOIN rc ON rc.host = tr.host""".stripMargin),
     // the same (ts, event_id)-ordered lag window per host, µs gaps vs
     // the µs delay, rollup per (host, delay)
     "x137_politeness_audit" ->
@@ -5037,7 +5104,8 @@ object ExtQueries {
     // ('nofollowme' fails the boundary), canonical per the %4 lattice
     "x134_page_directives" ->
       """SELECT doc_id,
-        |  (doc_id % 3 = 0 AND doc_id % 2 = 0) AS noindex,
+        |  ((doc_id % 3 = 0 AND doc_id % 2 = 0) OR doc_id % 6 = 3)
+        |    AS noindex,
         |  (doc_id % 3 = 0 AND (doc_id % 2 = 0 OR doc_id % 5 <> 0))
         |    AS nofollow,
         |  CASE WHEN doc_id % 4 = 0
@@ -5128,8 +5196,7 @@ object ExtQueries {
            |  LEFT JOIN od2 ON n.node = od2.node),
            |nn2 AS MATERIALIZED (SELECT count(*) AS n FROM nodes2),
            |q0 AS MATERIALIZED (SELECT nodes2.node, nodes2.outdeg,
-           |         CAST(coalesce(r4.r,
-           |           1000000 // (SELECT n FROM nn2)) AS BIGINT) AS r
+           |         CAST(coalesce(r4.r, 1000000) AS BIGINT) AS r
            |       FROM nodes2 LEFT JOIN r4 ON nodes2.node = r4.node),
            |${prIter("q0", "q1", "e2", "nn2")},
            |${prIter("q1", "q2", "e2", "nn2")}

@@ -21,8 +21,8 @@ class GraphSpec extends SparkSpec {
     val nodes = (dist.map(_._1) ++ dist.map(_._2)).distinct.sorted
     val out = dist.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val n = nodes.size.toLong
-    val base = (M - dMicro) / n
-    var r = nodes.map(v => v -> init.getOrElse(v, M / n)).toMap
+    val base = M - dMicro
+    var r = nodes.map(v => v -> init.getOrElse(v, M)).toMap
     for (_ <- 1 to iters) {
       val share = r.collect {
         case (u, ru) if out.getOrElse(u, 0L) > 0 => u -> ru / out(u) }
@@ -55,13 +55,13 @@ class GraphSpec extends SparkSpec {
   }
 
   test("pageRankMicro: dangling mass is redistributed (c has outdeg 0 " +
-    "after self-loop drop; total mass stays ~1e6) and authority " +
+    "after self-loop drop; total mass stays ~n·1e6) and authority " +
     "ordering holds (a out-ranks the leaf c)") {
     val r = runPr(g, 8)
     // self-loop ("c","c") dropped => c is dangling; floor leakage per
-    // sweep is bounded by ~n(n+2) micro (share/base/dang/damp floors)
+    // sweep is bounded by ~n(n+2) micro (share/dang/damp floors)
     val total = r.values.sum
-    assert(total <= 1000000L && total >= 1000000L - 8 * 4 * (4 + 2),
+    assert(total <= 4 * 1000000L && total >= 4 * 1000000L - 8 * 4 * (4 + 2),
       s"mass drifted: $total")
     assert(r("a") > r("c"), s"hub a=${r("a")} must out-rank leaf c=${r("c")}")
     assert(r("a") > r("d"), "a (2 in-links) must out-rank d (0 in-links)")
@@ -70,7 +70,7 @@ class GraphSpec extends SparkSpec {
   test("pageRankMicro: damping 0 gives the uniform base row; " +
     "argument validation rejects bad iterations/damping/empty graphs") {
     val r = runPr(g, 3, dMicro = 0L)
-    assert(r.values.toSet === Set(1000000L / 4))
+    assert(r.values.toSet === Set(1000000L))
     intercept[IllegalArgumentException] {
       Graph.pageRankMicro(g.toDF("src", "dst"), "src", "dst", iterations = 0)
     }
@@ -117,8 +117,8 @@ class GraphSpec extends SparkSpec {
 
   test("pageRankMicroFrom: warm start from a k-sweep prior equals a " +
     "(k+i)-sweep cold walk on the unchanged graph; on an extended " +
-    "graph new nodes default to 1e6/N and the walk matches the " +
-    "reference recurrence") {
+    "graph new nodes default to the uniform 1e6 and the walk matches " +
+    "the reference recurrence") {
     val prior = Graph.pageRankMicro(g.toDF("src", "dst"), "src", "dst",
       iterations = 3)
     val warm = Graph.pageRankMicroFrom(g.toDF("src", "dst"), "src", "dst",
@@ -149,6 +149,43 @@ class GraphSpec extends SparkSpec {
       .write.format("parquet").saveAsTable("not_ranks")
     intercept[IllegalArgumentException] {
       Graph.loadRanks(spark, "not_ranks")
+    }
+  }
+
+  test("URL-grain degrade path: saveEdges round-trips the cleaned " +
+    "pairs bucketed by src, pageRankMicroBucketed matches the " +
+    "broadcast walk bit-for-bit with broadcast joins DISABLED, warm " +
+    "start included; loadEdges refuses unmarked tables") {
+    dropTableFully("pr_edges_bkt")
+    Graph.saveEdges(g.toDF("src", "dst"), "src", "dst", "pr_edges_bkt",
+      buckets = 4)
+    // the saved table is the cleaned distinct pairs (dups/self-loops
+    // gone), bucketed on src
+    val saved = spark.table("pr_edges_bkt")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(saved === Set(("a", "b"), ("a", "c"), ("b", "a"), ("d", "a")))
+    val bcast = runPr(g, 5)
+    val warmPrior = Graph.pageRankMicro(g.toDF("src", "dst"),
+      "src", "dst", iterations = 3)
+    val warmExpect = refPr(g, 5, 850000L)
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cold = Graph.pageRankMicroBucketed(spark, "pr_edges_bkt",
+        iterations = 5)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cold === bcast)
+      val warm = Graph.pageRankMicroBucketed(spark, "pr_edges_bkt",
+        iterations = 2, prior = Some(warmPrior))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(warm === warmExpect)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    dropTableFully("not_edges")
+    Seq(("a", "b")).toDF("src", "dst")
+      .write.format("parquet").saveAsTable("not_edges")
+    intercept[IllegalArgumentException] {
+      Graph.loadEdges(spark, "not_edges")
     }
   }
 

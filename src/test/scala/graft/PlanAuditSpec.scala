@@ -249,6 +249,58 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", before)
   }
 
+  test("the degraded (URL-grain) sweep plan: no rank/share broadcast " +
+    "— the contrib join is a co-located shuffle join whose EDGE side " +
+    "reads the bucketed table with NO exchange; the only broadcast " +
+    "left is the single-row dangling scalar") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledJoin}
+    import spark.implicits._
+    dropTableFully("pr_edges_audit")
+    graft.ext.Graph.saveEdges(
+      Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+        .toDF("src", "dst"), "src", "dst", "pr_edges_audit", buckets = 4)
+    val e = graft.ext.Graph.loadEdges(spark, "pr_edges_audit")
+    val r = Seq(("a", 2L, 1000000L), ("b", 1L, 1000000L),
+      ("c", 1L, 1000000L)).toDF("node", "outdeg", "r").localCheckpoint()
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.ext.Graph.sweep(r, e, 3L, 850000L, hinted = false)
+        .queryExecution.executedPlan
+      // the one broadcast join left is the dangling crossJoin's
+      // single-row side (broadcastable at ANY grain); share + contrib
+      // joins must NOT broadcast a |V|-sized table
+      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.isEmpty,
+        s"degraded sweep must not broadcast-hash-join rank tables:\n$plan")
+      val sj = plan.collect { case j: ShuffledJoin => j }
+      assert(sj.size == 2,
+        s"share + contrib joins must plan as shuffled joins:\n$plan")
+      // the edge side of the contrib join reads bucketed: no
+      // ShuffleExchange anywhere above the pr_edges_audit scan.  Only
+      // the INNERMOST join touches the scan directly — the outer
+      // rank-update join's subtree contains the whole contrib
+      // pipeline (shares exchange included), so filter to sides with
+      // no nested join
+      val scanSides = plan.collect {
+        case j: ShuffledJoin => Seq(j.left, j.right) }.flatten
+      val edgeSide = scanSides.filter(s =>
+        s.toString.contains("pr_edges_audit") &&
+          s.collect { case j: ShuffledJoin => j }.isEmpty)
+      assert(edgeSide.nonEmpty, s"no join side reads the edge table:\n$plan")
+      assert(edgeSide.forall(s =>
+        s.collect { case x: ShuffleExchangeExec => x }.isEmpty),
+        s"the bucketed edge side must not exchange:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", before)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    }
+  }
+
   test("the audit actually catches an injected cross join") {
     // sanity-check the detector itself on this session's conf: a bare
     // crossJoin must surface as CartesianProduct with AQE off

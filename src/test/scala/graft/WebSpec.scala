@@ -1073,6 +1073,30 @@ class WebSpec extends SparkSpec {
     assert(got("b.com") === ((2L, 2L, 1L, false)))
   }
 
+  test("urlTrapScore session-token fold: uppercase/mixed-case GUIDs " +
+    "fold to H like lowercase ones, pure digit runs of any length " +
+    "fold to N (one logical template never splits)") {
+    val urls = Seq(
+      // one session template in four casings/compositions
+      "http://c.com/s/DEADBEEFCAFE12",   // uppercase hex
+      "http://c.com/s/deadbeefcafe34",   // lowercase hex
+      "http://c.com/s/DeAdBeEf99ff00",   // mixed case
+      "http://c.com/s/12345678abc",      // letter only after 8 digits
+      // one digit template in two lengths — both fold to N, not
+      // (short→N, ≥8→H)
+      "http://d.com/n/1234567890123", "http://d.com/n/42",
+      // a 7-char hex token is too short for the session fold: the
+      // letters survive, digits fold → two DIFFERENT templates
+      "http://e.com/s/beef123", "http://e.com/s/cafe456x7890abcd"
+    ).toDF("url")
+    val got = Web.urlTrapScore(urls, "url", threshold = 100)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("c.com") === ((4L, 1L, 4L)), s"c.com: ${got("c.com")}")
+    assert(got("d.com") === ((2L, 1L, 2L)), s"d.com: ${got("d.com")}")
+    assert(got("e.com") === ((2L, 2L, 1L)), s"e.com: ${got("e.com")}")
+  }
+
   test("resolveRedirects and recrawlBackoff are partitioning-" +
     "invariant (min-dst dedup and (ts,hash)-max make them " +
     "order-free)") {
@@ -1177,7 +1201,16 @@ class WebSpec extends SparkSpec {
       (2L, "http://a.com/x", "<meta content=\"nofollow\" name=\"robots\">"),
       (3L, "http://a.com/x", "<meta name=\"robots\" content=\"nofollowme\">"),
       (4L, "http://a.com/x", "<body>none</body>"),
-      (5L, "http://a.com/a/b", "<link href=\"c2\" rel=\"canonical\">")
+      (5L, "http://a.com/a/b", "<link href=\"c2\" rel=\"canonical\">"),
+      // SEPARATE noindex and nofollow metas: directives OR across all
+      // robots tags, not just the first
+      (6L, "http://a.com/x",
+        "<meta name=\"robots\" content=\"noindex\">" +
+          "<meta name=\"robots\" content=\"nofollow\">"),
+      // a CMS-injected duplicate of the same tag stays idempotent
+      (7L, "http://a.com/x",
+        "<meta name=\"robots\" content=\"nofollow\">" +
+          "<meta name=\"robots\" content=\"nofollow\">")
     ).toDF("doc_id", "url", "html")
     val got = Web.pageDirectives(pages, "doc_id", "url", "html").collect()
       .map(r => r.getLong(0) ->
@@ -1187,6 +1220,8 @@ class WebSpec extends SparkSpec {
     assert(got(3L) === ((false, false, None)))
     assert(got(4L) === ((false, false, None)))
     assert(got(5L) === ((false, false, Some("http://a.com/a/c2"))))
+    assert(got(6L) === ((true, true, None)))
+    assert(got(7L) === ((false, true, None)))
   }
 
   test("extractLinksPolicy: rel before/after href, 'nofollower' fails " +
@@ -1203,22 +1238,33 @@ class WebSpec extends SparkSpec {
   }
 
   test("canonicalKeepers: declared canonical groups pages under the " +
-    "publisher's keeper; (max weight, min id) picks within a key") {
+    "publisher's keeper; (max weight, min id) picks within a key; a " +
+    "www/default-port/tracking-param VARIANT of the declared target " +
+    "groups with the master page keyed on its own canonical form") {
     val pages = Seq(
       (1L, "http://a.com/p1?utm_source=t",
         "<link rel=\"canonical\" href=\"/m\">", 10L),
       (2L, "http://a.com/p2", "<link rel=\"canonical\" href=\"/m\">", 30L),
       (3L, "http://a.com/p3", "", 20L),
-      (4L, "http://a.com/p3", "", 20L)
+      (4L, "http://a.com/p3", "", 20L),
+      // declares the SAME target as 1/2, spelled dirty — must join
+      // their cluster (and wins it on weight)
+      (5L, "http://a.com/p5",
+        "<link rel=\"canonical\" " +
+          "href=\"http://www.a.com:80/m?utm_source=x\">", 40L),
+      // the master page itself: keys on its own canonical URL /m
+      (6L, "http://www.a.com/m", "", 5L)
     ).toDF("doc_id", "url", "html", "n_chars")
     val got = Web.canonicalKeepers(pages, "doc_id", "url", "html",
       "n_chars").collect()
       .map(r => r.getLong(0) ->
         ((r.getString(2), r.getLong(3), r.getBoolean(4)))).toMap
-    assert(got(1L) === (("http://a.com/m", 2L, false)))
-    assert(got(2L) === (("http://a.com/m", 2L, true)))
+    assert(got(1L) === (("http://a.com/m", 5L, false)))
+    assert(got(2L) === (("http://a.com/m", 5L, false)))
     assert(got(3L) === (("http://a.com/p3", 3L, true)))
     assert(got(4L) === (("http://a.com/p3", 3L, false)))
+    assert(got(5L) === (("http://a.com/m", 5L, true)))
+    assert(got(6L) === (("http://a.com/m", 5L, false)))
   }
 
   test("crawlBudget: window/delay slot algebra, default delay for " +
