@@ -410,6 +410,59 @@ object Graph {
       .select(col("host"), col("component_rep"))
   }
 
+  /** [[hostComponents]] WARM-STARTED from a prior cycle's labels —
+    * the st24/PageRank resume discipline applied to components: a
+    * crawl cycle observes a DELTA of host edges, and re-walking the
+    * whole history's fixpoint each cycle re-pays the full edge
+    * shuffle.  Under the crawl tier's append-only contract (an edge
+    * once observed stays observed — cycles only ADD evidence), the
+    * prior labels are a lossless compression of the old graph's
+    * connectivity: each (host, component_rep) row is a star edge to
+    * the component's rep, and the union of those stars has exactly
+    * the old components with diameter ≤ 2.  So the warm walk runs the
+    * SAME fixpoint over (delta edges ∪ prior stars) — only the
+    * delta's neighborhoods move labels, convergence is 2-3 rounds
+    * instead of the full-history diameter, and the result is
+    * BIT-EQUAL to a cold [[hostComponents]] over the whole history
+    * (md5-min reps are order-free — GraphSpec pins the equality).
+    * Pair with [[saveComponents]]/[[loadComponents]]. */
+  def hostComponentsFrom(edges: DataFrame, srcCol: String, dstCol: String,
+                         prior: DataFrame, maxIter: Int = 25): DataFrame =
+    hostComponents(
+      edges
+        .select(col(srcCol).cast("string").as("src"),
+          col(dstCol).cast("string").as("dst"))
+        .unionByName(prior.select(col("host").as("src"),
+          col("component_rep").as("dst"))),
+      "src", "dst", maxIter)
+
+  /** Persist a component labeling (host, component_rep) bucketed on
+    * the host — the cross-cycle form [[hostComponentsFrom]] resumes
+    * from.  Marker property refuses non-component tables on load —
+    * the [[saveRanks]] discipline. */
+  def saveComponents(components: DataFrame, table: String,
+                     buckets: Int = 16): Unit = {
+    components.select(col("host"), col("component_rep"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "host").sortBy("host")
+      .format("parquet").saveAsTable(table)
+    components.sparkSession.sql(
+      s"ALTER TABLE ${SqlIdent.quote(table)} SET TBLPROPERTIES " +
+        "('graft.components'='1')")
+  }
+
+  /** Reopen a persisted component labeling, refusing tables without
+    * the [[saveComponents]] marker. */
+  def loadComponents(spark: org.apache.spark.sql.SparkSession,
+                     table: String): DataFrame = {
+    val props = spark
+      .sql(s"SHOW TBLPROPERTIES ${SqlIdent.quote(table)}").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("graft.components").contains("1"),
+      s"$table is not a graft component table")
+    spark.table(table)
+  }
+
   /** Frontier prioritization: annotate gate verdicts (any DataFrame
     * carrying a canonical-URL column — [[Web.frontierGate]] /
     * [[Web.recrawlGate]] output) with the target host's authority from

@@ -942,6 +942,124 @@ object ExtQueries {
             coalesce(col("reciprocity"), lit(0.0)) >= 0.75).as("deny"))
     }),
 
+    // the PRODUCTION crawl cycle composed END-TO-END (round-18): all
+    // FOUR discovery feeds — lastmod sitemaps (st20's shape), the
+    // resolved sitemap-index tree (st18's driver loop), out-links
+    // (st21), redirect landings (st23) — union into one candidate set
+    // with per-URL max(lastmod), gate on freshness-aware novelty
+    // (recrawlGate over the prior cycle's UrlModIndex), schedule under
+    // CROSS-CYCLE politeness (politenessScheduleResume seeded by the
+    // prior cycle's state), and annotate with host authority
+    // (rankFrontier — the slot algebra is rank-independent, host-grain
+    // authority vs URL-grain slots, so annotating the scheduled queue
+    // is the same lattice with one fewer join).  The oracle re-derives
+    // the whole cycle closed-form: feed urls, group-max lastmod, gate
+    // verdicts, the 2-sweep rank walk, and the slot + prior-offset
+    // algebra
+    "st28_crawl_cycle" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      def ch(c: org.apache.spark.sql.Column) =
+        concat(lit("c"), c.cast("string"), lit(".example.com"))
+      def purl(ac: org.apache.spark.sql.Column,
+               kc: org.apache.spark.sql.Column) =
+        concat(lit("http://"), ch(ac), lit("/p/"), kc.cast("string"))
+      val a = id % 5
+      val k = id % 9
+      // feed 1 — published urlsets with lastmod (id%3==1 omits it)
+      val xml = concat(lit("<urlset><url><loc>"), purl(a, k),
+        lit("</loc>"),
+        when(id % 3 =!= 1, concat(lit("<lastmod>2026-03-"),
+          lpad(((id % 27) + 1).cast("string"), 2, "0"),
+          lit("</lastmod>"))).otherwise(lit("")),
+        lit("</url></urlset>"))
+      val f1 = graft.ext.Web.sitemapEntries(
+        docs.filter(id % 4 === 0).select(
+          concat(lit("http://"), ch(a), lit("/sm"), id.cast("string"),
+            lit(".xml")).as("sitemap_url"), xml.as("xml")),
+        "sitemap_url", "xml")
+        .filter(col("kind") === "urlset")
+        .select(col("loc").as("url"), col("lastmod").as("lm"))
+      // feed 2 — the index tree resolved by the bounded driver loop:
+      // idx.xml → set.xml → one /s/<a> page per host
+      val seeds = docs.select(a.as("a")).distinct()
+        .select(concat(lit("http://"), ch(col("a")),
+          lit("/idx.xml")).as("sitemap_url"))
+      val fetchFn: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame = { f =>
+        val u = col("sitemap_url")
+        val ha = regexp_extract(u, "^http://c([0-9]+)\\.", 1)
+        val base = concat(lit("http://c"), ha, lit(".example.com"))
+        val x = when(u.endsWith("/idx.xml"),
+          concat(lit("<sitemapindex><sitemap><loc>"), base,
+            lit("/set.xml</loc></sitemap></sitemapindex>")))
+          .otherwise(concat(lit("<urlset><url><loc>"), base,
+            lit("/s/"), ha, lit("</loc></url></urlset>")))
+        f.select(u, x.as("xml"))
+      }
+      val f2 = graft.ext.Web.resolveSitemaps(seeds, "sitemap_url",
+        fetchFn, maxDepth = 3)
+        .filter(col("kind") === "urlset")
+        .select(col("loc").as("url"), col("lastmod").as("lm"))
+      // feed 3 — out-links from the fetched slice: an absolute /p
+      // link plus a root-relative /l link on the page's own host
+      val html3 = concat(
+        lit("<a href=\""), purl(a, k), lit("\">P</a>"),
+        lit("<a href=\"/l/"), (id % 7).cast("string"), lit("\">L</a>"))
+      val f3 = graft.ext.Web.extractLinkUrls(
+        docs.filter(id % 4 === 1).select(
+          concat(lit("http://"), ch((id + 2) % 5), lit("/d/"),
+            id.cast("string"), lit(".html")).as("url"),
+          html3.as("html")), "url", "html")
+        .select(col("link_url").as("url"),
+          lit(null).cast("string").as("lm"))
+      // feed 4 — redirect landings (single-hop chains, all resolve)
+      val f4 = graft.ext.Web.resolveRedirects(
+        docs.filter(id % 4 === 2).select(
+          concat(lit("http://"), ch(a), lit("/r/"),
+            id.cast("string")).as("src"),
+          purl(a, (id + 1) % 9).as("dst")), "src", "dst", maxHops = 2)
+        .filter(col("resolved"))
+        .select(col("final_url").as("url"),
+          lit(null).cast("string").as("lm"))
+      val cands = f1.unionByName(f2).unionByName(f3).unionByName(f4)
+        .groupBy(col("url")).agg(max(col("lm")).as("lm"))
+      // the prior cycle's fetches with their observed mods = the
+      // freshness seen-set AND the politeness history
+      val seen = docs.filter(id % 2 === 0)
+        .select(purl(a, k).as("url"),
+          concat(lit("2026-03-"),
+            lpad(((id % 13) + 1).cast("string"), 2, "0")).as("mod"))
+      val gated = graft.ext.Web.recrawlGate(
+        graft.ext.Web.urlModIndex(seen, "url", "mod"),
+        cands, "url", "url", "lm")
+        .filter(col("fetch"))
+      // authority: 2 sweeps over the c-host graph (step-2 ring plus
+      // the even-host step-1 leg — irregular out-degrees)
+      val e1 = docs.filter((a + id % 7) % 3 =!= 0)
+        .select(ch(a).as("src"), ch((a + 2) % 5).as("dst"))
+      val e2 = docs.filter(a % 2 === 0)
+        .select(ch(a).as("src"), ch((a + 1) % 5).as("dst"))
+      val ranks = graft.ext.Graph.pageRankMicro(e1.unionByName(e2),
+        "src", "dst", iterations = 2)
+      val delays = docs.filter(a < 4).select(a.as("h")).distinct()
+        .select(ch(col("h")).as("host"),
+          (col("h").cast("double") / 2 + 0.5).as("delay_sec"))
+      // prior-cycle schedule → cross-cycle state
+      val s1 = graft.ext.Web.politenessSchedule(
+        seen.select(col("url")).distinct()
+          .select(col("url"), col("url").as("u2")),
+        delays, "url", "u2")
+      val state = graft.ext.Web.politenessStateAfter(s1)
+      val sched = graft.ext.Web.politenessScheduleResume(
+        gated.select(col("url_canon").as("url"),
+          col("url_canon").as("u2")),
+        delays, state, "url", "u2")
+      graft.ext.Graph.rankFrontier(sched, ranks, "url_canon")
+        .select(col("url_canon"), col("host"), col("rank_micro"),
+          col("slot"), col("delay_sec"), col("eta_sec"))
+    }),
+
     // politeness audit (round-17): the events log replayed as a fetch
     // log (host = user_id%7 lattice), microsecond gaps per host
     // against the per-host delay — hosts 5/6 publish no delay and
@@ -5055,6 +5173,96 @@ object ExtQueries {
           |FROM tr JOIN sp ON tr.host = sp.host
           |LEFT JOIN p4 ON p4.node = tr.host
           |LEFT JOIN rc ON rc.host = tr.host""".stripMargin),
+    // the whole crawl cycle re-derived closed-form: the four feed
+    // lattices, per-URL max(lastmod), the freshness gate, a 2-sweep
+    // walk over the c-host graph, and the slot + prior-offset algebra
+    "st28_crawl_cycle" ->
+      (s"""WITH dd AS (SELECT doc_id, doc_id % 5 AS a, doc_id % 9 AS k,
+          |    doc_id % 7 AS j FROM documents),
+          |f1 AS (SELECT 'http://c' || CAST(a AS VARCHAR) ||
+          |    '.example.com/p/' || CAST(k AS VARCHAR) AS url,
+          |    CASE WHEN doc_id % 3 <> 1 THEN '2026-03-' ||
+          |      lpad(CAST((doc_id % 27) + 1 AS VARCHAR), 2, '0')
+          |    END AS lm
+          |  FROM dd WHERE doc_id % 4 = 0),
+          |f2 AS (SELECT DISTINCT 'http://c' || CAST(a AS VARCHAR) ||
+          |    '.example.com/s/' || CAST(a AS VARCHAR) AS url,
+          |    CAST(NULL AS VARCHAR) AS lm
+          |  FROM dd),
+          |f3 AS (SELECT url, CAST(NULL AS VARCHAR) AS lm FROM (
+          |    SELECT 'http://c' || CAST(a AS VARCHAR) ||
+          |      '.example.com/p/' || CAST(k AS VARCHAR) AS url
+          |    FROM dd WHERE doc_id % 4 = 1
+          |    UNION ALL
+          |    SELECT 'http://c' || CAST((a + 2) % 5 AS VARCHAR) ||
+          |      '.example.com/l/' || CAST(j AS VARCHAR)
+          |    FROM dd WHERE doc_id % 4 = 1)),
+          |f4 AS (SELECT 'http://c' || CAST(a AS VARCHAR) ||
+          |    '.example.com/p/' || CAST((doc_id + 1) % 9 AS VARCHAR)
+          |      AS url,
+          |    CAST(NULL AS VARCHAR) AS lm
+          |  FROM dd WHERE doc_id % 4 = 2),
+          |cand AS (SELECT url, max(lm) AS lm FROM (
+          |    SELECT * FROM f1 UNION ALL SELECT * FROM f2
+          |    UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+          |  GROUP BY 1),
+          |seen AS (SELECT 'http://c' || CAST(a AS VARCHAR) ||
+          |    '.example.com/p/' || CAST(k AS VARCHAR) AS url,
+          |    max('2026-03-' ||
+          |      lpad(CAST((doc_id % 13) + 1 AS VARCHAR), 2, '0')) AS m
+          |  FROM dd WHERE doc_id % 2 = 0 GROUP BY 1),
+          |f AS (SELECT cand.url FROM cand LEFT JOIN seen
+          |        ON cand.url = seen.url
+          |      WHERE seen.url IS NULL OR
+          |        (cand.lm IS NOT NULL AND cand.lm > seen.m)),
+          |e5 AS MATERIALIZED (SELECT DISTINCT * FROM (
+          |  SELECT 'c' || CAST(a AS VARCHAR) || '.example.com' AS src,
+          |         'c' || CAST((a + 2) % 5 AS VARCHAR) || '.example.com'
+          |           AS dst
+          |  FROM dd WHERE (a + j) % 3 <> 0
+          |  UNION ALL
+          |  SELECT 'c' || CAST(a AS VARCHAR) || '.example.com',
+          |         'c' || CAST((a + 1) % 5 AS VARCHAR) || '.example.com'
+          |  FROM dd WHERE a % 2 = 0)),
+          |od5 AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg
+          |       FROM e5 GROUP BY 1),
+          |nodes5 AS MATERIALIZED (
+          |  SELECT n.node, coalesce(od5.outdeg, 0) AS outdeg
+          |  FROM (SELECT src AS node FROM e5 UNION SELECT dst FROM e5) n
+          |  LEFT JOIN od5 ON n.node = od5.node),
+          |nn5 AS MATERIALIZED (SELECT count(*) AS n FROM nodes5),
+          |g0 AS MATERIALIZED (SELECT node, outdeg,
+          |       CAST(1000000 AS BIGINT) AS r
+          |     FROM nodes5),
+          |${prIter("g0", "g1", "e5", "nn5")},
+          |${prIter("g1", "g2", "e5", "nn5")},
+          |dl AS (SELECT 'c' || CAST(h AS VARCHAR) || '.example.com'
+          |         AS host, h / 2.0 + 0.5 AS delay_sec
+          |       FROM (SELECT DISTINCT a AS h FROM dd WHERE a < 4)),
+          |b1 AS (SELECT DISTINCT 'http://c' || CAST(a AS VARCHAR) ||
+          |    '.example.com/p/' || CAST(k AS VARCHAR) AS url,
+          |    'c' || CAST(a AS VARCHAR) || '.example.com' AS host
+          |  FROM dd WHERE doc_id % 2 = 0),
+          |off AS (SELECT b1.host,
+          |          count(*) * coalesce(min(dl.delay_sec), 1.0)
+          |            AS next_eta
+          |        FROM b1 LEFT JOIN dl ON b1.host = dl.host
+          |        GROUP BY 1),
+          |sc AS (SELECT url,
+          |         regexp_extract(url, '^http://([^/]+)/', 1) AS host,
+          |         row_number() OVER (
+          |           PARTITION BY regexp_extract(url, '^http://([^/]+)/', 1)
+          |           ORDER BY url) - 1 AS slot
+          |       FROM f)
+          |SELECT sc.url AS url_canon, sc.host,
+          |  CAST(coalesce(g2.r, 0) AS BIGINT) AS rank_micro,
+          |  CAST(slot AS INT) AS slot,
+          |  coalesce(dl.delay_sec, 1.0) AS delay_sec,
+          |  round(slot * coalesce(dl.delay_sec, 1.0) +
+          |    coalesce(off.next_eta, 0), 6) AS eta_sec
+          |FROM sc LEFT JOIN dl ON sc.host = dl.host
+          |LEFT JOIN off ON sc.host = off.host
+          |LEFT JOIN g2 ON g2.node = sc.host""".stripMargin),
     // the same (ts, event_id)-ordered lag window per host, µs gaps vs
     // the µs delay, rollup per (host, delay)
     "x137_politeness_audit" ->

@@ -240,6 +240,42 @@ class GraphSpec extends SparkSpec {
     assert(got("x.com") !== got("p.com"))
   }
 
+  test("hostComponentsFrom: a warm start from yesterday's labels " +
+    "equals a cold run over the full history — merging chains, a new " +
+    "node bridging two old components, and an untouched component " +
+    "keeping its rep; save/load round-trips with a marker") {
+    val day1 = Seq(
+      ("x.com", "y.com"), ("y.com", "z.com"),   // chain component
+      ("p.com", "q.com"),                       // pair component
+      ("s.com", "t.com")                        // untouched tomorrow
+    ).toDF("src", "dst")
+    val labels1 = Graph.hostComponents(day1, "src", "dst")
+    dropTableFully("comp_day1")
+    Graph.saveComponents(labels1, "comp_day1")
+    // day 2 appends: a NEW host bridges the chain and the pair into
+    // one family; s/t sees no new edges
+    val delta = Seq(
+      ("bridge.com", "z.com"), ("bridge.com", "p.com")
+    ).toDF("src", "dst")
+    val warm = Graph.hostComponentsFrom(delta, "src", "dst",
+      Graph.loadComponents(spark, "comp_day1"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val cold = Graph.hostComponents(day1.unionByName(delta), "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(warm === cold)
+    // the bridged family is one component containing all six hosts
+    assert(Seq("x.com", "y.com", "z.com", "p.com", "q.com", "bridge.com")
+      .map(warm).toSet.size === 1)
+    assert(warm("s.com") === warm("t.com"))
+    assert(warm("s.com") !== warm("x.com"))
+    dropTableFully("not_comp")
+    Seq(("a", "a")).toDF("host", "component_rep")
+      .write.format("parquet").saveAsTable("not_comp")
+    intercept[IllegalArgumentException] {
+      Graph.loadComponents(spark, "not_comp")
+    }
+  }
+
   test("linkReciprocity: reciprocated out-edges count once each, " +
     "one-way links score 0, duplicates and self-loops are inert") {
     val edges = Seq(

@@ -963,6 +963,62 @@ class WebSpec extends SparkSpec {
     assert(rootBase === "http://h.com/a.html")
   }
 
+  test("two-cycle crawl replay: cycle 1 gates/schedules and extends " +
+    "the freshness index + politeness state; cycle 2's gate skips " +
+    "what cycle 1 pinned and its etas start where cycle 1's promises " +
+    "end") {
+    val delays = Seq(("a.com", 2.0)).toDF("host", "delay_sec")
+    // prior state: a.com/p1 was fetched with mod 2026-01-05
+    var idx = Web.urlModIndex(
+      Seq(("http://a.com/p1", "2026-01-05")).toDF("url", "mod"),
+      "url", "mod")
+    // cycle 1: p1 republished NEWER (updated), p2 and b.com/x novel
+    val c1 = Seq(
+      ("http://a.com/p1", "2026-01-10"),
+      ("http://a.com/p2", null),
+      ("http://b.com/x", null)
+    ).toDF("url", "lm")
+    val g1 = Web.recrawlGate(idx, c1, "url", "url", "lm")
+      .filter(col("fetch"))
+    assert(g1.count() === 3)
+    val s1 = Web.politenessSchedule(
+      g1.select(col("url_canon").as("url"), col("url_canon").as("u2")),
+      delays, "url", "u2")
+    val state1 = Web.politenessStateAfter(s1)
+    // the fetches observed mods: pin them
+    idx = Web.extendUrlModIndex(idx,
+      Seq(("http://a.com/p1", "2026-01-10"),
+        ("http://a.com/p2", "2026-01-11"),
+        ("http://b.com/x", null.asInstanceOf[String]))
+        .toDF("url", "mod"), "url", "mod")
+    // cycle 2: p1 at the SAME lm (pinned → skip), b.com/x again with
+    // no freshness evidence (skip), p3 novel (fetch)
+    val c2 = Seq(
+      ("http://a.com/p1", "2026-01-10"),
+      ("http://a.com/p3", null),
+      ("http://b.com/x", null)
+    ).toDF("url", "lm")
+    val g2 = Web.recrawlGate(idx, c2, "url", "url", "lm")
+      .filter(col("fetch"))
+    assert(g2.select(col("url_canon")).as[String].collect().toSeq ===
+      Seq("http://a.com/p3"))
+    val s2 = Web.politenessScheduleResume(
+      g2.select(col("url_canon").as("url"), col("url_canon").as("u2")),
+      delays, state1, "url", "u2")
+      .collect().map(r => (r.getString(2), r.getDouble(5)))
+    // cycle 1 on a.com: slots 0,1 → etas 0,2; promise = 2 + 2 = 4;
+    // cycle 2's first a.com fetch starts exactly there
+    assert(s2.toSeq === Seq(("a.com", 4.0)))
+    // composed ordering: across BOTH cycles a.com never schedules
+    // closer than its 2 s delay
+    val etas = s1.filter(col("host") === "a.com")
+      .select(col("eta_sec")).as[Double].collect().toSeq :+ 4.0
+    etas.sorted.sliding(2).foreach {
+      case Seq(e1, e2) => assert(e2 - e1 >= 2.0 - 1e-9)
+      case _ => ()
+    }
+  }
+
   test("politeness across cycles: two consecutive batches against one " +
     "host never schedule closer than delay_sec, idle hosts' promises " +
     "carry forward") {
