@@ -122,7 +122,18 @@ object Rehearsal {
     // round-17 closing additions: the fetch-log audit, the backoff
     // rollup, the scorecard composition, and the reciprocity join
     "x137_politeness_audit", "x138_recrawl_backoff",
-    "st26_host_scorecard", "x139_link_reciprocity")
+    "st26_host_scorecard", "x139_link_reciprocity",
+    // round-18 (round-17 verdict #5): the round-17 queries that had
+    // no growth row — link extraction (per-doc regex, linear by
+    // construction), anchor top-k (heap-bounded), host components
+    // (the dedup fixpoint on a LONG-CHAIN graph, unlike the near-dup
+    // cliques it was gated on), page directives (map-side regex), and
+    // the anchor-pair rollup
+    "x126_link_extract", "x129_anchor_topk", "x130_host_components",
+    "x134_page_directives", "st27_anchor_pairs",
+    // round-18: the composed crawl cycle — four feeds + gate + rank +
+    // politeness in one declared query
+    "st28_crawl_cycle")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)
