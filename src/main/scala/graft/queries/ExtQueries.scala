@@ -1022,8 +1022,17 @@ object ExtQueries {
         .filter(col("resolved"))
         .select(col("final_url").as("url"),
           lit(null).cast("string").as("lm"))
+      // pin the unioned candidate set at the cycle boundary: the four
+      // feed branches fuse into one generated method past the JVM's
+      // 64 KB codegen limit, and WITHOUT the cut every downstream
+      // stage re-inherits the mega-expression and re-pays the failed
+      // compile + interpreted fallback (measured: 16.4 s wall with
+      // 3.2 s of stage time and 8 codegen failures → the checkpoint
+      // removes them; a production cycle materializes its frontier at
+      // exactly this seam anyway)
       val cands = f1.unionByName(f2).unionByName(f3).unionByName(f4)
         .groupBy(col("url")).agg(max(col("lm")).as("lm"))
+        .localCheckpoint()
       // the prior cycle's fetches with their observed mods = the
       // freshness seen-set AND the politeness history
       val seen = docs.filter(id % 2 === 0)
