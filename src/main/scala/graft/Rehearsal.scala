@@ -132,8 +132,9 @@ object Rehearsal {
     "x126_link_extract", "x129_anchor_topk", "x130_host_components",
     "x134_page_directives", "st27_anchor_pairs",
     // round-18: the composed crawl cycle — four feeds + gate + rank +
-    // politeness in one declared query
-    "st28_crawl_cycle")
+    // politeness in one declared query — and the warm-started
+    // component resume (prior fixpoint + star-seeded delta walk)
+    "st28_crawl_cycle", "st29_component_resume")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)

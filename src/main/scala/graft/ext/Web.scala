@@ -1097,9 +1097,21 @@ object Web {
     * Output: (id, link_url, anchor). */
   /** Raw href → fetchable absolute URL (NULL = dropped scheme/empty):
     * the RFC 3986 §5 subset documented on [[extractLinks]] — shared by
-    * the link extractors and [[pageDirectives]]' canonical
-    * resolution. */
-  private def resolveHref(href: Column, base: Column): Column = {
+    * the link extractors and [[pageDirectives]]' canonical resolution.
+    * Implemented as the [[graft.plans.ResolveHref]] codegen kernel:
+    * the column-algebra form below, fused into the extractors'
+    * exploded projection, blew the JVM's 64 KB generated-method limit
+    * and pushed the hot extraction stage of st21/st25/x127 into
+    * interpreted fallback; the kernel is one static call over
+    * patterns compiled once per JVM.  [[resolveHrefAlgebra]] keeps
+    * the composed form for WebSpec's bit-equality pin. */
+  private def resolveHref(href: Column, base: Column): Column =
+    graft.plans.ResolveHref.resolveHref(href, base)
+
+  /** The retired column-algebra form of [[resolveHref]] — kept ONLY as
+    * the independent reference the kernel is spec-checked against
+    * (the MinHashSig/TokenSetEncode kernel discipline). */
+  private[graft] def resolveHrefAlgebra(href: Column, base: Column): Column = {
     val unescaped = xmlUnescape(trim(href))
     val noFrag = regexp_replace(unescaped, "#.*$", "")
     val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)

@@ -1262,6 +1262,34 @@ object ExtQueries {
         "src", "dst", prior, iterations = 2)
     }),
 
+    // warm-started host components (round-18): day 1's ring splits
+    // into the even and odd m-families plus the a↔b pair; day 2's
+    // delta adds step-5 edges (odd step — merges the two ring
+    // families into ONE) and a brand-new c↔d pair.  The warm fixpoint
+    // seeds from day 1's labels as star edges, and under the
+    // append-only contract equals a cold run over the full history —
+    // which is exactly what the oracle computes (recursive
+    // reachability over day1 ∪ delta, rep via arg_min md5)
+    "st29_component_resume" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      def m(c: org.apache.spark.sql.Column) =
+        concat(lit("m"), c.cast("string"), lit(".example.com"))
+      val ring = docs.select(m(id % 10).as("src"),
+        m((id + 2) % 10).as("dst"))
+      val pair = docs.filter(id % 17 === 0)
+        .select(lit("a.example.com").as("src"),
+          lit("b.example.com").as("dst"))
+      val prior = graft.ext.Graph.hostComponents(
+        ring.unionByName(pair), "src", "dst")
+      val delta = docs.filter(id % 3 === 0)
+        .select(m(id % 10).as("src"), m((id + 5) % 10).as("dst"))
+        .unionByName(docs.filter(id % 19 === 0)
+          .select(lit("c.example.com").as("src"),
+            lit("d.example.com").as("dst")))
+      graft.ext.Graph.hostComponentsFrom(delta, "src", "dst", prior)
+    }),
+
     // per-host crawl budget (round-17): site0's short path modulus
     // keeps it under capacity (deferred 0), the rest overflow; site4
     // publishes no Crawl-delay and rides the 1.0 default — the fetch
@@ -5475,6 +5503,41 @@ object ExtQueries {
           |FROM oe LEFT JOIN mu ON oe.host = mu.host""".stripMargin),
     // reachability over the symmetrized ring+pair lattice, component
     // rep = arg_min by the same md5-prefix id the engine uses
+    // the warm fixpoint ≡ cold over the full history (append-only
+    // contract), so the oracle is x130's reachability over
+    // day1 ∪ delta
+    "st29_component_resume" ->
+      """WITH RECURSIVE he AS (
+        |  SELECT DISTINCT * FROM (
+        |    SELECT 'm' || CAST(doc_id % 10 AS VARCHAR) || '.example.com'
+        |             AS src,
+        |           'm' || CAST((doc_id + 2) % 10 AS VARCHAR) ||
+        |             '.example.com' AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT 'a.example.com', 'b.example.com'
+        |    FROM documents WHERE doc_id % 17 = 0
+        |    UNION ALL
+        |    SELECT 'm' || CAST(doc_id % 10 AS VARCHAR) || '.example.com',
+        |           'm' || CAST((doc_id + 5) % 10 AS VARCHAR) ||
+        |             '.example.com'
+        |    FROM documents WHERE doc_id % 3 = 0
+        |    UNION ALL
+        |    SELECT 'c.example.com', 'd.example.com'
+        |    FROM documents WHERE doc_id % 19 = 0
+        |  )
+        |),
+        |hn AS (SELECT src AS host FROM he UNION SELECT dst FROM he),
+        |sym AS (SELECT src AS s, dst AS d FROM he
+        |        UNION SELECT dst, src FROM he),
+        |reach(node, r) AS (
+        |  SELECT host, host FROM hn
+        |  UNION
+        |  SELECT sym.d, reach.r FROM sym JOIN reach ON sym.s = reach.node)
+        |SELECT node AS host,
+        |       arg_min(r, CAST('0x' || substr(md5(r), 1, 15) AS BIGINT))
+        |         AS component_rep
+        |FROM reach GROUP BY 1""".stripMargin,
     "x130_host_components" ->
       """WITH RECURSIVE he AS (
         |  SELECT DISTINCT * FROM (

@@ -963,6 +963,37 @@ class WebSpec extends SparkSpec {
     assert(rootBase === "http://h.com/a.html")
   }
 
+  test("ResolveHref kernel ≡ the retired column-algebra form on the " +
+    "full resolution lattice (absolute, scheme/root/directory-" +
+    "relative, dot segments, entities, fragments, dropped schemes, " +
+    "whitespace, overlong ../ chains, empties)") {
+    val hrefs = Seq(
+      "http://x.com/abs", "HTTPS://X.com/UP?q=1#f", "//cdn.com/c",
+      "/root/p", "rel.html", "./same/./x", "../up", "../../twice",
+      "../../../../../over", "a/b/../c/./d", "  spaced  ",
+      "q?a=1&amp;b=2&lt;3&gt;4&quot;5&apos;6", "#fragonly", "",
+      "javascript:void(0)", "MAILTO:x@y.z", "tel:123", "data:text/x,1",
+      "javascript2:ok", "x#f1#f2", "weird:::", "//", "/", "...",
+      "/a//b/../c", "..", "p/..", "ftp://h/p", "custom+x.y-1:thing")
+    val bases = Seq(
+      "http://a.com/d/p.html", "https://b.com:8080/x/y/z?k=v",
+      "http://c.com", "http://d.com/", "not a url", "")
+    import spark.implicits._
+    val rows = for { h <- hrefs; b <- bases } yield (h, b)
+    val df = rows.toDF("h", "b")
+    val got = df.select(
+      graft.plans.ResolveHref.resolveHref(col("h"), col("b")).as("k"),
+      Web.resolveHrefAlgebra(col("h"), col("b")).as("a"),
+      col("h"), col("b")).collect()
+    got.foreach { r =>
+      assert(Option(r.getString(0)) === Option(r.getString(1)),
+        s"kernel/algebra split on href='${r.getString(2)}' " +
+          s"base='${r.getString(3)}': " +
+          s"${Option(r.getString(0))} vs ${Option(r.getString(1))}")
+    }
+    assert(got.length === hrefs.size * bases.size)
+  }
+
   test("two-cycle crawl replay: cycle 1 gates/schedules and extends " +
     "the freshness index + politeness state; cycle 2's gate skips " +
     "what cycle 1 pinned and its etas start where cycle 1's promises " +
