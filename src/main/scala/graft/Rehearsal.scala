@@ -134,7 +134,10 @@ object Rehearsal {
     // round-18: the composed crawl cycle — four feeds + gate + rank +
     // politeness in one declared query — and the warm-started
     // component resume (prior fixpoint + star-seeded delta walk)
-    "st28_crawl_cycle", "st29_component_resume")
+    "st28_crawl_cycle", "st29_component_resume",
+    // round-18: HyperBall — per sweep one register-max exchange over
+    // (node, 256 B) partials; |V|-sized by construction
+    "x140_harmonic_centrality")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)

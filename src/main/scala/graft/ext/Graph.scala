@@ -332,6 +332,80 @@ object Graph {
       Seq(col("cnt").desc, col("anchor").asc), k)
   }
 
+  /** Harmonic centrality via HyperBall — the OTHER authority score
+    * CommonCrawl publishes for its host graph (Boldi & Vigna,
+    * "Axioms for Centrality" / "HyperBall: in-core ball cardinalities
+    * at scale"): h(v) = Σ_{u≠v} 1/d(u,v) over nodes that can REACH v,
+    * truncated at `maxRadius` (distances past the truncation
+    * contribute ≤ 1/(R+1) each — the standard bounded form).  Exact
+    * per-pair distances are O(|V|²) and intractable at web scale;
+    * HyperBall replaces each node's in-ball SET with the repo's
+    * 256-byte md5 HLL sketch: ball_0(v) = sketch{v}, and each sweep
+    * unions every edge's source ball into its target —
+    * ball_r(v) = ball_{r-1}(v) ∪ ⋃_{(u,v)∈E} ball_{r-1}(u) — so
+    * |ball_r| estimates arrive for every node simultaneously, and
+    * h(v) = Σ_{r=1..R} (|ball_r(v)| − |ball_{r-1}(v)|)/r.  Every hash
+    * is md5-derived and the estimate's Σ runs in bucket order, so the
+    * whole computation is bit-reproducible — the DuckDB oracle replays
+    * exact bounded reachability, rebuilds the SAME registers per
+    * (node, radius), and reproduces the float sum to the digit.
+    *
+    * Scale shape: the [[pageRankMicro]] sweep contract with sketches
+    * for rank values — the edge table is localCheckpointed once and
+    * never re-shuffles; each sweep broadcasts the |V|-sized ball table
+    * into a map-side join and pays one exchange whose rows are
+    * (node, 256 B) partials merged map-side (register max is
+    * commutative/associative, so the union agg combines before the
+    * shuffle); per-sweep checkpoint keeps lineage flat.  R is a small
+    * constant (CommonCrawl uses the same truncation; default 4).
+    *
+    * Output: (node, est_reach — |ball_R| estimate, harmonic —
+    * the truncated harmonic score, both rounded to 4). */
+  def harmonicCentrality(edges: DataFrame, srcCol: String,
+                         dstCol: String, maxRadius: Int = 4): DataFrame = {
+    require(maxRadius >= 1, s"maxRadius must be >= 1 (got $maxRadius)")
+    import graft.plans.{HllEst, HllSingleton, HllUnionAgg}
+    val e = prepareEdges(edges, srcCol, dstCol)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+    var balls = nodes
+      .select(col("node"),
+        HllSingleton.hllSingleton(col("node")).as("ball"),
+        lit(0.0).as("harmonic"))
+      .withColumn("est", HllEst.hllEst(col("ball")))
+      .localCheckpoint()
+    for (r <- 1 to maxRadius)
+      balls = hyperBallSweep(balls, e, r).localCheckpoint()
+    balls.select(col("node"), round(col("est"), 4).as("est_reach"),
+      round(col("harmonic"), 4).as("harmonic"))
+  }
+
+  /** One HyperBall sweep, lazily (PlanAuditSpec audits THIS plan: the
+    * edge table joins the broadcast ball table map-side and the only
+    * shuffle is the partial-aggregated register-max exchange on the
+    * target node — the [[sweep]] contract with sketches for rank
+    * values). */
+  private[graft] def hyperBallSweep(balls: DataFrame, e: DataFrame,
+                                    r: Int): DataFrame = {
+    import graft.plans.{HllEst, HllUnionAgg}
+    val grown = e
+      .join(broadcast(balls.select(col("node").as("src"),
+        col("ball"))), Seq("src"))
+      .select(col("dst").as("node"), col("ball"))
+      .unionByName(balls.select(col("node"), col("ball")))
+      .groupBy(col("node"))
+      .agg(HllUnionAgg.hllUnion(col("ball")).as("ball"))
+    grown
+      .join(broadcast(balls.select(col("node"), col("est"),
+        col("harmonic"))), Seq("node"))
+      .withColumn("__est", HllEst.hllEst(col("ball")))
+      .select(col("node"), col("ball"),
+        (col("harmonic") + (col("__est") - col("est")) / r)
+          .as("harmonic"),
+        col("__est").as("est"))
+  }
+
   /** Mutual-link (reciprocity) rollup — the TrustRank-era link-farm
     * signal: organically linked hosts rarely link BACK (news →
     * source, blog → tool), while farms exchange links by

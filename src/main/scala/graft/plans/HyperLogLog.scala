@@ -113,6 +113,14 @@ object HllKernel {
 
   def deserialize(bytes: Array[Byte]): Array[Long] =
     bytes.map(_.toLong & 0xffL)
+
+  /** The serialized sketch of a single value — [[HllSingleton]]'s
+    * kernel (one register set, one store). */
+  def singleton(value: Array[Byte]): Array[Byte] = {
+    val regs = new Array[Long](m)
+    add(regs, value)
+    serialize(regs)
+  }
 }
 
 /** `hll_agg(value)` → estimated distinct count (DOUBLE, rounded by the
@@ -182,4 +190,163 @@ object HllAgg {
   def hllAgg(value: Column): Column =
     ColumnBridge.column(
       HllAgg(ColumnBridge.expression(value)).toAggregateExpression())
+}
+
+/** `hll_singleton(value)` → the 256-byte register sketch of ONE value —
+  * the seed of sketch-valued computations ([[HllUnionAgg]] merges
+  * them, [[HllEst]] reads them out).  The HyperBall seed: every node
+  * starts as the sketch of itself. */
+case class HllSingleton(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.BinaryType
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hll_singleton expects STRING or BIGINT values, got " +
+        s"${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v match {
+      case s: UTF8String => s.getBytes
+      case l: java.lang.Long =>
+        l.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    HllKernel.singleton(bytes)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val kernel = HllKernel.getClass.getName.stripSuffix("$")
+    val conv =
+      if (child.dataType == StringType) (s: String) => s"$s.getBytes()"
+      else (s: String) =>
+        s"java.lang.Long.toString($s).getBytes(" +
+          "java.nio.charset.StandardCharsets.UTF_8)"
+    defineCodeGen(ctx, ev, c => s"$kernel.singleton(${conv(c)})")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HllSingleton = copy(child = newChild)
+}
+
+object HllSingleton {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def hllSingleton(value: Column): Column =
+    ColumnBridge.column(HllSingleton(ColumnBridge.expression(value)))
+}
+
+/** `hll_union(sketch)` → merged 256-byte sketch: elementwise register
+  * max (idempotent + commutative + associative — partials compose at
+  * any tree depth, so the union agg is map-side combinable like every
+  * sketch in the family).  NULL sketches are ignored; malformed
+  * lengths throw at the boundary rather than corrupting registers. */
+case class HllUnionAgg(child: Expression,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+  import org.apache.spark.sql.types.BinaryType
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hll_union expects BINARY sketches, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](HllKernel.m)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      require(bytes.length == HllKernel.m,
+        s"hll_union got a ${bytes.length}-byte value; expected a " +
+          s"${HllKernel.m}-byte graft HLL sketch")
+      var i = 0
+      while (i < buffer.length) {
+        val r = bytes(i).toLong & 0xffL
+        if (r > buffer(i)) buffer(i) = r
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) {
+      if (other(i) > buffer(i)) buffer(i) = other(i)
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = HllKernel.serialize(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] =
+    HllKernel.serialize(buffer)
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    HllKernel.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): HllUnionAgg = copy(child = newChild)
+}
+
+object HllUnionAgg {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def hllUnion(sketch: Column): Column =
+    ColumnBridge.column(
+      HllUnionAgg(ColumnBridge.expression(sketch)).toAggregateExpression())
+}
+
+/** `hll_est(sketch)` → the sketch's cardinality estimate — the same
+  * bucket-ordered Σ and linear-counting fallback as [[HllAgg]], read
+  * off a materialized sketch column. */
+case class HllEst(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.BinaryType
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hll_est expects BINARY sketches, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    HllKernel.estimate(HllKernel.deserialize(v.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val kernel = HllKernel.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev,
+      c => s"$kernel.estimate($kernel.deserialize($c))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HllEst =
+    copy(child = newChild)
+}
+
+object HllEst {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def hllEst(sketch: Column): Column =
+    ColumnBridge.column(HllEst(ColumnBridge.expression(sketch)))
 }

@@ -1358,6 +1358,29 @@ object ExtQueries {
         legA.unionByName(legB).unionByName(legC), "src", "dst")
     }),
 
+    // HyperBall harmonic centrality (round-18): the x128 lattice
+    // walked 3 sketch sweeps — h(v) = Σ (|ball_r|−|ball_{r-1}|)/r with
+    // 256-byte md5 HLL in-balls.  Every register and the estimate's
+    // bucket-ordered float Σ are engine-reproducible, so the oracle
+    // computes exact bounded reachability and rebuilds the SAME
+    // registers per (node, radius)
+    "x140_harmonic_centrality" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      def h(c: org.apache.spark.sql.Column) =
+        concat(lit("h"), c.cast("string"), lit(".example.com"))
+      def ext(c: org.apache.spark.sql.Column) =
+        concat(lit("ext"), c.cast("string"), lit(".example.com"))
+      val legA = docs.filter((id % 7 + id % 5) % 3 =!= 0)
+        .select(h(id % 7).as("src"), ext(id % 5).as("dst"))
+      val legB = docs.select(h(id % 7).as("src"), h((id + 3) % 7).as("dst"))
+      val legC = docs.filter(id % 5 % 2 === 0)
+        .select(ext(id % 5).as("src"), h(id % 7).as("dst"))
+      graft.ext.Graph.harmonicCentrality(
+        legA.unionByName(legB).unionByName(legC), "src", "dst",
+        maxRadius = 3)
+    }),
+
     // host components (round-17): the +2 ring over m0..m9 splits into
     // the even and odd families, plus an isolated a↔b pair — mirror
     // domains / link farms surface as components; the rep is the
@@ -3730,6 +3753,47 @@ object ExtQueries {
        |  )
        |)""".stripMargin
 
+  /** One HyperBall radius-`r` estimate block in DuckDB SQL — rebuilds
+    * the EXACT 256 registers of [[graft.plans.HllKernel]] for every
+    * node's in-ball at radius `r` (members from the bounded min-dist
+    * CTE `md`, hex-digit bucket/rho, bucket-ordered float Σ, the
+    * linear-counting fallback) and ends at CTE `he$r`(node, est) —
+    * the st7 register-replay idiom parameterized by radius for
+    * x140. */
+  private def hbEst(r: Int): String =
+    s"""hp$r AS (SELECT node, md5(member) AS h FROM md WHERE d <= $r),
+       |hz$r AS (SELECT node, h,
+       |         len(regexp_extract(substr(h, 3, 12), '^0*')) AS z
+       |       FROM hp$r),
+       |hr$r AS (SELECT node,
+       |         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+       |           + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+       |           AS bucket,
+       |         max(4 * z
+       |           + CASE WHEN z = 12 THEN 0
+       |                  WHEN substr(h, 3 + z, 1) = '1' THEN 3
+       |                  WHEN substr(h, 3 + z, 1) IN ('2', '3') THEN 2
+       |                  WHEN substr(h, 3 + z, 1) IN ('4', '5', '6', '7')
+       |                    THEN 1
+       |                  ELSE 0 END + 1) AS rho
+       |       FROM hz$r GROUP BY 1, 2),
+       |hf$r AS (SELECT g.node, g.bucket, coalesce(hr$r.rho, 0) AS rho
+       |         FROM gridh g LEFT JOIN hr$r
+       |           ON g.node = hr$r.node AND g.bucket = hr$r.bucket),
+       |ha$r AS (SELECT node,
+       |           list_sum(list_transform(list(rho ORDER BY bucket),
+       |             x -> power(2::DOUBLE, -x))) AS s,
+       |           len(list_filter(list(rho ORDER BY bucket),
+       |             x -> x = 0)) AS v
+       |         FROM hf$r GROUP BY 1),
+       |he$r AS (SELECT node,
+       |           CASE WHEN 0.7213::DOUBLE / (1::DOUBLE + 1.079::DOUBLE / 256)
+       |                    * 256 * 256 / s <= 2.5::DOUBLE * 256 AND v > 0
+       |                THEN 256 * ln(256::DOUBLE / v)
+       |                ELSE 0.7213::DOUBLE / (1::DOUBLE + 1.079::DOUBLE / 256)
+       |                     * 256 * 256 / s END AS est
+       |         FROM ha$r)""".stripMargin
+
   /** The lattice walked 4 PageRank sweeps; ends at CTE `r4`
     * (node, outdeg, r). */
   private val prCte: String =
@@ -5501,6 +5565,34 @@ object ExtQueries {
           |  round(CAST(coalesce(mu.mutual_edges, 0) AS DOUBLE)
           |        / oe.out_edges, 6) AS reciprocity
           |FROM oe LEFT JOIN mu ON oe.host = mu.host""".stripMargin),
+    // exact bounded min-dist reachability over the shared lattice,
+    // then the SAME HLL registers rebuilt per (node, radius 0..3) and
+    // the truncated harmonic sum in the engine's add order
+    "x140_harmonic_centrality" ->
+      (s"""WITH RECURSIVE $prEdges,
+          |hnode AS (SELECT DISTINCT node FROM (
+          |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          |walk(member, node, d) AS (
+          |  SELECT node, node, 0 FROM hnode
+          |  UNION
+          |  SELECT walk.member, e.dst, walk.d + 1
+          |  FROM walk JOIN e ON walk.node = e.src
+          |  WHERE walk.d < 3),
+          |md AS (SELECT member, node, min(d) AS d FROM walk
+          |       GROUP BY 1, 2),
+          |gridh AS (SELECT n.node, gs.j AS bucket
+          |          FROM hnode n CROSS JOIN
+          |            (SELECT unnest(generate_series(0, 255)) AS j) gs),
+          |${hbEst(0)},
+          |${hbEst(1)},
+          |${hbEst(2)},
+          |${hbEst(3)}
+          |SELECT he3.node, round(he3.est, 4) AS est_reach,
+          |  round((he1.est - he0.est) / 1 + (he2.est - he1.est) / 2
+          |        + (he3.est - he2.est) / 3, 4) AS harmonic
+          |FROM he3 JOIN he2 ON he3.node = he2.node
+          |JOIN he1 ON he3.node = he1.node
+          |JOIN he0 ON he3.node = he0.node""".stripMargin),
     // reachability over the symmetrized ring+pair lattice, component
     // rep = arg_min by the same md5-prefix id the engine uses
     // the warm fixpoint ≡ cold over the full history (append-only

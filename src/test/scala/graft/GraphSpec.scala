@@ -240,6 +240,44 @@ class GraphSpec extends SparkSpec {
     assert(got("x.com") !== got("p.com"))
   }
 
+  test("harmonicCentrality: in-balls grow along edges (star center " +
+    "accumulates, sources score 0), a symmetric cycle scores " +
+    "uniformly, radius is monotone, and the sketch walk is " +
+    "partitioning-invariant") {
+    // star: l1..l3 → hub; hub has the only non-trivial in-ball
+    val star = Seq(("l1", "hub"), ("l2", "hub"), ("l3", "hub"))
+      .toDF("src", "dst")
+    val hs = Graph.harmonicCentrality(star, "src", "dst", maxRadius = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(hs("hub")._2 > 0.0)
+    Seq("l1", "l2", "l3").foreach { l =>
+      assert(hs(l)._2 === 0.0, s"source $l must score 0: ${hs(l)}")
+    }
+    // 3-cycle: perfect symmetry → one (est_reach, harmonic) value
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val hc = Graph.harmonicCentrality(cyc, "src", "dst", maxRadius = 2)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSet
+    assert(hc.size === 1, s"cycle must be uniform: $hc")
+    // radius monotone: more sweeps never lower the truncated sum
+    val g2 = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val h1 = Graph.harmonicCentrality(g2, "src", "dst", maxRadius = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val h3 = Graph.harmonicCentrality(g2, "src", "dst", maxRadius = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    h1.keys.foreach(k => assert(h3(k) >= h1(k) - 1e-9, s"$k shrank"))
+    assert(h3("e") > h1("e"), "deep chain tail must gain at radius 3")
+    // partitioning invariance: md5 registers + bucket-ordered sums
+    val one = Graph.harmonicCentrality(g2.coalesce(1), "src", "dst", 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2))).toSet
+    val many = Graph.harmonicCentrality(g2.repartition(16), "src", "dst", 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2))).toSet
+    assert(one === many)
+  }
+
   test("hostComponentsFrom: a warm start from yesterday's labels " +
     "equals a cold run over the full history — merging chains, a new " +
     "node bridging two old components, and an untouched component " +

@@ -249,6 +249,47 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", before)
   }
 
+  test("hyperBallSweep's plan: the edge table never shuffles — the " +
+    "one exchange carries partial-aggregated register-max partials, " +
+    "joins broadcast") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, SortMergeJoinExec}
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+      .toDF("src", "dst").localCheckpoint()
+    val balls = Seq("a", "b", "c").toDF("node")
+      .select(col("node"),
+        graft.plans.HllSingleton.hllSingleton(col("node")).as("ball"),
+        lit(0.0).as("harmonic"))
+      .withColumn("est", graft.plans.HllEst.hllEst(col("ball")))
+      .localCheckpoint()
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.ext.Graph.hyperBallSweep(balls, e, 1)
+        .queryExecution.executedPlan
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size == 1,
+        s"expected ONE register-union exchange:\n$plan")
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+          w.child
+        case other => other
+      }
+      assert(shuffles.forall(s =>
+        unwrap(s.child).isInstanceOf[BaseAggregateExec] ||
+          s.child.isInstanceOf[BaseAggregateExec]),
+        s"the union exchange must carry register-max partials " +
+          s"(256 B per node per map side), never raw balls:\n$plan")
+      assert(plan.collect { case s: SortMergeJoinExec => s }.isEmpty,
+        s"no sort-merge join in a HyperBall sweep:\n$plan")
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }.size == 2,
+        s"ball and rollup joins must broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
   test("the degraded (URL-grain) sweep plan: no rank/share broadcast " +
     "— the contrib join is a co-located shuffle join whose EDGE side " +
     "reads the bucketed table with NO exchange; the only broadcast " +
