@@ -78,6 +78,14 @@ import java.nio.file.{Files, Paths}
   * with no sf field, or whose maps fail the flat-format sanity check
   * DISARMS the gate instead of arming it wrong (round-16 ADVICE).
   *
+  * ELEVATION CANARY (round-18 verdict #2): two fixed-cost map-only
+  * queries (f5, s7) are timed before and after the suite; their
+  * ratio-to-best-ever is recorded as "elevation_factor" (first) /
+  * "elevation_last", and the regression gate compares
+  * elevation-NORMALIZED mins (min / elevation_factor > gate × best) —
+  * a uniformly elevated shared box now resolves from the artifact
+  * instead of per-round narrative adjudication.
+  *
   * Attribution hygiene (round-15 ADVICE): listener events are
   * delivered ASYNCHRONOUSLY, so a run's final stage-completed events
   * can arrive after the snapshot (and after a per-run clear would have
@@ -230,6 +238,50 @@ object Bench {
       scala.collection.mutable.LinkedHashMap.empty[String, RunProf]
     val regressProfiles =
       scala.collection.mutable.LinkedHashMap.empty[String, (RunProf, Double)]
+    // ELEVATION CANARY (round-18 verdict #2): rerun counts went
+    // 4→32→60 across three rounds on byte-identical code — box
+    // elevation must be a NUMBER in the artifact, not a narrative.
+    // Two fixed-cost map-only queries (f5 comma parse, s7 gzip
+    // round-trip: flat scans, no shuffle, no skew surface) are timed
+    // FIRST (before any gated query) and LAST (after the suite); each
+    // measurement's ratio to that query's best-ever min is the box's
+    // elevation at that moment.  The regression self-gate divides each
+    // query's min by the FIRST measurement before comparing against
+    // gate × best — a uniformly elevated box then resolves
+    // mechanically instead of by per-round adjudication.  Clamped at
+    // ≥1 (a faster-than-best box must not loosen the gate the other
+    // way); canaries without a best reference contribute nothing, and
+    // no reference at all disarms to 1.0 exactly like the gate itself.
+    val canaries = Seq("f5_comma_parse", "s7_gzip_roundtrip")
+    def canaryElevation(): Double = {
+      // a full untimed pass over BOTH canaries first: the canary must
+      // measure the BOX, not JVM warmth — on a cold session the first
+      // measurement otherwise carries class-load/codegen/JIT residue
+      // that no best-ever value includes (measured: 4.1x "elevation"
+      // on a quiet box, vs 1.9x once warm)
+      canaries.foreach(name =>
+        SparkEntry.queries.get(name).foreach(_(spark, sfDir).count()))
+      val ratios = canaries.flatMap { name =>
+        for (fn <- SparkEntry.queries.get(name); b <- bestRef(name))
+          yield {
+            graft.queries.ExtQueries.clearSessionSlate(spark,
+              blocking = true)
+            System.gc()
+            fn(spark, sfDir).count() // untimed warmup
+            val t = (1 to 3).map { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).count()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            t / b
+          }
+      }
+      if (ratios.isEmpty) 1.0
+      else math.max(1.0, ratios.sum / ratios.size)
+    }
+    val elevationFirst = canaryElevation()
+    System.err.println(f"[bench] elevation canary (first): " +
+      f"$elevationFirst%.3fx vs best-ever")
     val results = SparkEntry.queries
       .filter(kv => only.forall(_.exists(kv._1.startsWith)))
       .flatMap { case (name, fn) =>
@@ -289,8 +341,12 @@ object Bench {
         val prior = bestRef(name)
         def spreadBad = times.nonEmpty && times.min >= 0.3 &&
           times.max / times.min > spreadGate
+        // min is elevation-normalized before the best-ever comparison
+        // (round-18 verdict #2): on a uniformly elevated box the
+        // canary ratio and the query's drift cancel, so only
+        // code-caused regressions trip
         def regressBad = times.nonEmpty && times.min >= 0.3 &&
-          prior.exists(p => times.min > regressGate * p)
+          prior.exists(p => times.min / elevationFirst > regressGate * p)
         var extra = 0
         while (extra < maxReruns && rerunsTaken < rerunCap &&
                (spreadBad || regressBad)) {
@@ -324,6 +380,12 @@ object Bench {
           Some(name -> ((times.min, times.max)))
         }
       }
+    // the canary re-measured AFTER the suite: first≈last pins the box
+    // state for the whole recording; first≪last names mid-suite load
+    // arrival from the artifact alone
+    val elevationLast = canaryElevation()
+    System.err.println(f"[bench] elevation canary (last): " +
+      f"$elevationLast%.3fx vs best-ever")
     // default 30: the full-map line (~4.7 KB at 137 queries) overflows
     // the driver's stdout tail capture, which cuts the HEAD of the JSON
     // line — 4 of 8 rounds recorded "parsed": null because of it.  The
@@ -394,7 +456,7 @@ object Bench {
         .mkString("{", ",", "}")
     def line(m: Iterable[(String, (BigDecimal, BigDecimal))],
              prof: String, best: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"reruns":$rerunsTaken,"timing":"slate-v2","queries_run":${rounded.size}$failedJson,"queries":${qJson(m)},"spread":${spreadJson(m)}$prof$best,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"reruns":$rerunsTaken,"timing":"slate-v2","elevation_factor":${msBd(elevationFirst)},"elevation_last":${msBd(elevationLast)},"queries_run":${rounded.size}$failedJson,"queries":${qJson(m)},"spread":${spreadJson(m)}$prof$best,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile),
       line(rounded, profJson, bestJson) + "\n")
     spark.stop() // stop FIRST: no executor/shutdown log can splice the line

@@ -137,7 +137,13 @@ object Rehearsal {
     "st28_crawl_cycle", "st29_component_resume",
     // round-18: HyperBall — per sweep one register-max exchange over
     // (node, 256 B) partials; |V|-sized by construction
-    "x140_harmonic_centrality")
+    "x140_harmonic_centrality",
+    // round-19 (round-18 verdict #1/#6): the warm-started HyperBall
+    // resume (delta-gated sweeps over the full-history edge set) and
+    // the URL-grain degraded PageRank walk (saveEdges bucketed write +
+    // co-located shuffle sweeps — the write is the corpus-linear half,
+    // the walk is node-sized)
+    "st30_hyperball_resume", "x141_pagerank_bucketed")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)

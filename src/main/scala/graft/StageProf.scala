@@ -69,9 +69,13 @@ object StageProf {
       fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       // the listener bus is async and its drain API is private —
-      // settle on a stable queue size (the Bench discipline)
+      // settle on a stable queue size, BOUNDED at 3 s (the Bench
+      // quiesce discipline; an unbounded settle would spin forever if
+      // any background job kept completing stages — round-18 ADVICE)
       var last = -1
-      while ({ Thread.sleep(100); val s = live.size; val go = s != last
+      val deadline = System.nanoTime() + 3000L * 1000000L
+      while (System.nanoTime() < deadline &&
+             { Thread.sleep(100); val s = live.size; val go = s != last
                last = s; go }) ()
       val stages = {
         import scala.jdk.CollectionConverters._

@@ -220,6 +220,23 @@ object Graph {
     r.select(col("node"), col("r").as("rank_micro"))
   }
 
+  /** Honor mode("overwrite") ACROSS sessions for the save* family: a
+    * prior session's managed table leaves its warehouse directory
+    * behind while the (in-memory) catalog forgets it, and saveAsTable
+    * then refuses with LOCATION_ALREADY_EXISTS even in overwrite mode.
+    * The caller asked for overwrite — drop both the catalog entry and
+    * an orphaned default-database location.  (Unqualified table names
+    * only, which is what every save/load pair here takes.) */
+  private[ext] def prepareOverwrite(spark: org.apache.spark.sql.SparkSession,
+                               table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${SqlIdent.quote(table)}")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh,
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   /** Persist a cleaned edge table (src, dst — distinct, self-loops
     * dropped) bucketed on src, so [[pageRankMicroBucketed]]'s
     * per-sweep contrib join reads the edge side pre-partitioned and
@@ -229,6 +246,7 @@ object Graph {
     * tables on load — the [[saveRanks]] discipline. */
   def saveEdges(edges: DataFrame, srcCol: String, dstCol: String,
                 table: String, buckets: Int = 16): Unit = {
+    prepareOverwrite(edges.sparkSession, table)
     cleanEdges(edges, srcCol, dstCol)
       .write.mode("overwrite")
       .bucketBy(buckets, "src").sortBy("src")
@@ -253,26 +271,37 @@ object Graph {
   /** Persist a rank table (node, rank_micro) bucketed on the node so a
     * resumed walk's warm-start join and [[rankFrontier]]'s broadcast
     * read pre-partitioned data.  Marker property refuses non-rank
-    * tables on load — the Indexes discipline. */
+    * tables on load — the Indexes discipline.  Marker value `'2'`
+    * names the PER-NODE fixed-point scale (uniform rank == 1e6; the
+    * round-18 rescale): tables written under the retired total-mass
+    * scale carried `'1'`, and [[loadRanks]] refuses them rather than
+    * warm-starting a walk from values ~N× too small (round-18
+    * ADVICE). */
   def saveRanks(ranks: DataFrame, table: String,
                 buckets: Int = 16): Unit = {
+    prepareOverwrite(ranks.sparkSession, table)
     ranks.select(col("node"), col("rank_micro"))
       .write.mode("overwrite")
       .bucketBy(buckets, "node").sortBy("node")
       .format("parquet").saveAsTable(table)
     ranks.sparkSession.sql(
       s"ALTER TABLE ${SqlIdent.quote(table)} SET TBLPROPERTIES " +
-        "('graft.ranks'='1')")
+        "('graft.ranks'='2')")
   }
 
   /** Reopen a persisted rank table, refusing tables without the
-    * [[saveRanks]] marker. */
+    * [[saveRanks]] marker — including `'1'`-marked tables from the
+    * retired total-mass-1e6 scale, whose values would silently skew a
+    * resumed walk (they are ~N× below the per-node scale). */
   def loadRanks(spark: org.apache.spark.sql.SparkSession,
                 table: String): DataFrame = {
     val props = spark
       .sql(s"SHOW TBLPROPERTIES ${SqlIdent.quote(table)}").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    require(props.get("graft.ranks").contains("1"),
+    require(!props.get("graft.ranks").contains("1"),
+      s"$table is a retired total-mass-scale rank table " +
+        "(graft.ranks='1'); recompute it under the per-node scale")
+    require(props.get("graft.ranks").contains("2"),
       s"$table is not a graft rank table")
     spark.table(table)
   }
@@ -287,7 +316,18 @@ object Graph {
     * broadcast hints, so the contrib join plans as a co-located
     * shuffle join against the bucketed edge scan (the dangling-mass
     * single row keeps its hint — one row is broadcastable at any
-    * grain). */
+    * grain).
+    *
+    * Overflow contract (round-18 ADVICE): the damped term is computed
+    * by the exact floor-division split
+    * `d·(a DIV M) + (d·(a mod M)) DIV M` (for a = q·M + s,
+    * d·a = d·q·M + d·s, so `(d·a) DIV M = d·q + (d·s) DIV M` exactly
+    * on non-negative longs) instead of the naive `(d·a) DIV M`, whose
+    * intermediate d·a reaches d·N·1e6 and silently wraps a Long once a
+    * single node concentrates ~1e13 micro (~1e7-node graphs with one
+    * dominant authority — squarely the web-host regime).  Split
+    * intermediates are bounded by d·(M−1) < 8.5e11 and d·(total/M) ≤
+    * 8.5e5·N — safe past 1e12 nodes. */
   private[graft] def sweep(r: DataFrame, e: DataFrame, n: Long,
                            dampingMicro: Long,
                            hinted: Boolean = true): DataFrame = {
@@ -301,12 +341,13 @@ object Graph {
       .agg(sum(col("share")).as("contrib"))
     val dang = r.filter(col("outdeg") === 0)
       .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+    val a = s"(coalesce(contrib, 0L) + dang DIV $n)"
     r.select(col("node"), col("outdeg"))
       .join(hint(contrib), Seq("node"), "left")
       .crossJoin(broadcast(dang))
       .select(col("node"), col("outdeg"),
         (lit(base) + expr(
-          s"($dampingMicro * (coalesce(contrib, 0L) + dang DIV $n)) DIV $M"))
+          s"$dampingMicro * ($a DIV $M) + ($dampingMicro * ($a % $M)) DIV $M"))
           .as("r"))
   }
 
@@ -344,7 +385,9 @@ object Graph {
     * unions every edge's source ball into its target —
     * ball_r(v) = ball_{r-1}(v) ∪ ⋃_{(u,v)∈E} ball_{r-1}(u) — so
     * |ball_r| estimates arrive for every node simultaneously, and
-    * h(v) = Σ_{r=1..R} (|ball_r(v)| − |ball_{r-1}(v)|)/r.  Every hash
+    * h(v) = Σ_{r=1..R} max(|ball_r(v)| − |ball_{r-1}(v)|, 0)/r (the
+    * clamp documented on [[hyperBallSweep]]: the estimator is
+    * non-monotone at its linear-counting switch).  Every hash
     * is md5-derived and the estimate's Σ runs in bucket order, so the
     * whole computation is bit-reproducible — the DuckDB oracle replays
     * exact bounded reachability, rebuilds the SAME registers per
@@ -358,14 +401,39 @@ object Graph {
     * commutative/associative, so the union agg combines before the
     * shuffle); per-sweep checkpoint keeps lineage flat.  R is a small
     * constant (CommonCrawl uses the same truncation; default 4).
+    * For graphs whose |V|×256 B ball table is NOT broadcastable (URL
+    * grain), persist the edges bucketed by src ([[saveEdges]]) and
+    * walk with [[harmonicCentralityBucketed]] — the joins degrade to
+    * co-located shuffles and the registers are unchanged.
     *
     * Output: (node, est_reach — |ball_R| estimate, harmonic —
     * the truncated harmonic score, both rounded to 4). */
   def harmonicCentrality(edges: DataFrame, srcCol: String,
-                         dstCol: String, maxRadius: Int = 4): DataFrame = {
+                         dstCol: String, maxRadius: Int = 4): DataFrame =
+    harmonicWalk(prepareEdges(edges, srcCol, dstCol), maxRadius,
+      hinted = true)
+
+  /** The non-broadcast degrade path promised by [[harmonicCentrality]]'s
+    * scale contract — the [[pageRankMicroBucketed]] discipline applied
+    * to sketches: walk a [[saveEdges]]-persisted edge table WITHOUT
+    * broadcast hints.  At URL grain the ball table is |V|×256 B —
+    * broadcasting it each sweep is the suite's one named scale wall —
+    * so the ball join degrades to a co-located shuffle join (the
+    * bucketed edge scan reports its (src, buckets) hash partitioning
+    * and never exchanges; only the |V|-sized ball table moves), and
+    * the per-sweep register algebra — hence every register, estimate,
+    * and harmonic sum — is unchanged: results are bit-equal to the
+    * broadcast walk on the same graph (GraphSpec pins this with
+    * broadcast joins disabled; PlanAuditSpec pins the census). */
+  def harmonicCentralityBucketed(spark: org.apache.spark.sql.SparkSession,
+                                 table: String,
+                                 maxRadius: Int = 4): DataFrame =
+    harmonicWalk(loadEdges(spark, table), maxRadius, hinted = false)
+
+  private def harmonicWalk(e: DataFrame, maxRadius: Int,
+                           hinted: Boolean): DataFrame = {
     require(maxRadius >= 1, s"maxRadius must be >= 1 (got $maxRadius)")
-    import graft.plans.{HllEst, HllSingleton, HllUnionAgg}
-    val e = prepareEdges(edges, srcCol, dstCol)
+    import graft.plans.{HllEst, HllSingleton}
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
@@ -376,7 +444,7 @@ object Graph {
       .withColumn("est", HllEst.hllEst(col("ball")))
       .localCheckpoint()
     for (r <- 1 to maxRadius)
-      balls = hyperBallSweep(balls, e, r).localCheckpoint()
+      balls = hyperBallSweep(balls, e, r, hinted).localCheckpoint()
     balls.select(col("node"), round(col("est"), 4).as("est_reach"),
       round(col("harmonic"), 4).as("harmonic"))
   }
@@ -385,25 +453,219 @@ object Graph {
     * edge table joins the broadcast ball table map-side and the only
     * shuffle is the partial-aggregated register-max exchange on the
     * target node — the [[sweep]] contract with sketches for rank
-    * values). */
+    * values; `hinted = false` is the [[harmonicCentralityBucketed]]
+    * degrade, the same algebra with both |V|-sized joins left to plan
+    * as co-located shuffle joins against the bucketed edge scan).
+    *
+    * Per-radius increments clamp at 0 (round-18 ADVICE): the estimator
+    * is non-monotone at its linear-counting→raw switch (LC at one
+    * empty register ≈ 1419 vs raw ≈ 640 at m = 256), so a TRUE ball
+    * growing through the ~600–1400 band can show a falling estimate
+    * between consecutive radii; HyperBall's harmonic sum assumes
+    * monotone counters, and the clamp restores that on engine and
+    * oracle alike (both apply `greatest(Δ, 0)`, so the replay stays
+    * bit-exact). */
   private[graft] def hyperBallSweep(balls: DataFrame, e: DataFrame,
-                                    r: Int): DataFrame = {
+                                    r: Int,
+                                    hinted: Boolean = true): DataFrame = {
     import graft.plans.{HllEst, HllUnionAgg}
+    val hint: DataFrame => DataFrame =
+      if (hinted) broadcast(_) else identity
     val grown = e
-      .join(broadcast(balls.select(col("node").as("src"),
+      .join(hint(balls.select(col("node").as("src"),
         col("ball"))), Seq("src"))
       .select(col("dst").as("node"), col("ball"))
       .unionByName(balls.select(col("node"), col("ball")))
       .groupBy(col("node"))
       .agg(HllUnionAgg.hllUnion(col("ball")).as("ball"))
     grown
-      .join(broadcast(balls.select(col("node"), col("est"),
+      .join(hint(balls.select(col("node"), col("est"),
         col("harmonic"))), Seq("node"))
       .withColumn("__est", HllEst.hllEst(col("ball")))
       .select(col("node"), col("ball"),
-        (col("harmonic") + (col("__est") - col("est")) / r)
+        (col("harmonic") +
+          greatest(col("__est") - col("est"), lit(0.0)) / r)
           .as("harmonic"),
         col("__est").as("est"))
+  }
+
+  /** The per-radius HyperBall STATE of [[harmonicCentrality]]'s walk —
+    * one row per (node, radius 0..maxRadius) carrying that radius'
+    * 256-byte register sketch — in the long format
+    * [[harmonicBallsFrom]] resumes from and [[harmonicFromBalls]]
+    * reads out.  Identical sweeps to the centrality walk (same
+    * registers level by level); the state is what a crawl cycle
+    * persists ([[saveBalls]]) so the NEXT cycle's delta re-walk is
+    * gated to changed neighborhoods instead of re-sweeping history.
+    * Output: (node, r, ball). */
+  def harmonicBalls(edges: DataFrame, srcCol: String, dstCol: String,
+                    maxRadius: Int = 4): DataFrame = {
+    require(maxRadius >= 1, s"maxRadius must be >= 1 (got $maxRadius)")
+    import graft.plans.{HllSingleton, HllUnionAgg}
+    val e = prepareEdges(edges, srcCol, dstCol)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+    var cur = nodes
+      .select(col("node"), HllSingleton.hllSingleton(col("node")).as("ball"))
+      .localCheckpoint()
+    var acc = cur.withColumn("r", lit(0))
+    for (r <- 1 to maxRadius) {
+      cur = e
+        .join(broadcast(cur.select(col("node").as("src"), col("ball"))),
+          Seq("src"))
+        .select(col("dst").as("node"), col("ball"))
+        .unionByName(cur)
+        .groupBy(col("node"))
+        .agg(HllUnionAgg.hllUnion(col("ball")).as("ball"))
+        .localCheckpoint()
+      acc = acc.unionByName(cur.withColumn("r", lit(r)))
+    }
+    acc.select(col("node"), col("r"), col("ball"))
+  }
+
+  /** [[harmonicBalls]] WARM-STARTED from a prior cycle's per-radius
+    * state — the st24/st29 resume discipline applied to HyperBall: a
+    * crawl cycle observes a DELTA of edges, and under the crawl tier's
+    * append-only contract (an edge once observed stays observed) the
+    * prior balls are reusable verbatim wherever the delta's influence
+    * has not reached.  Each warm sweep unions THREE sources per node:
+    * the prior cycle's radius-r ball (always a register-subset of the
+    * true new ball — monotone), the node's own new radius-(r−1) ball,
+    * and contributions from GATED in-edges only — an edge (u, v)
+    * contributes only when it is a delta edge or u's ball CHANGED at
+    * r−1 (sketch inequality; for an unchanged u over an old edge,
+    * old_{r−1}(u) ⊆ old_r(v) already covers it, register-exactly).
+    * Induction over radii gives bit-equal registers to a cold
+    * [[harmonicBalls]] over the full history (GraphSpec pins it), and
+    * the per-sweep edge work shrinks from |E| to the changed
+    * neighborhoods — the delta-gated O(changed) shape of
+    * [[Dedup.duplicateClusters]]' fixpoint, applied to a bounded
+    * sweep count.
+    *
+    * `prior` must carry radii 0..maxRadius (a shallower prior cannot
+    * certify the unchanged-coverage step) — one bounded driver-side
+    * max() enforces it.  `oldEdges` is the edge set the prior walked
+    * (persist it with [[saveEdges]]); `delta` is this cycle's new
+    * observations.  Output: (node, r, ball), same contract as
+    * [[harmonicBalls]]. */
+  def harmonicBallsFrom(prior: DataFrame, oldEdges: DataFrame,
+                        delta: DataFrame, srcCol: String, dstCol: String,
+                        maxRadius: Int = 4): DataFrame = {
+    require(maxRadius >= 1, s"maxRadius must be >= 1 (got $maxRadius)")
+    import graft.plans.{HllSingleton, HllUnionAgg}
+    // an EMPTY prior (a first cycle with no history) degrades to the
+    // cold walk — every node counts as changed, every edge sweeps —
+    // per the library-wide empty-input contract; only a non-empty but
+    // SHALLOW prior is refused (it cannot certify unchanged coverage)
+    val priorMaxR = prior.agg(max(col("r"))).head() match {
+      case row if row.isNullAt(0) => -1
+      case row => row.getInt(0)
+    }
+    require(priorMaxR < 0 || priorMaxR >= maxRadius,
+      s"prior state stops at radius $priorMaxR < $maxRadius — a " +
+        "shallower prior cannot cover unchanged neighborhoods; " +
+        "rebuild it with harmonicBalls(maxRadius = " + maxRadius + ")")
+    val eOld = cleanEdges(oldEdges, srcCol, dstCol)
+    val eDelta = cleanEdges(delta, srcCol, dstCol)
+      .join(eOld, Seq("src", "dst"), "left_anti")
+    val e = eOld.withColumn("is_delta", lit(false))
+      .unionByName(eDelta.withColumn("is_delta", lit(true)))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+    var cur = nodes
+      .select(col("node"), HllSingleton.hllSingleton(col("node")).as("ball"))
+      .localCheckpoint()
+    // changed at radius 0 = brand-new nodes (singletons are a pure
+    // function of the node name, so prior nodes are unchanged by
+    // construction)
+    var changed = cur.select(col("node"))
+      .join(prior.filter(col("r") === 0).select(col("node")),
+        Seq("node"), "left_anti")
+      .localCheckpoint()
+    var acc = cur.withColumn("r", lit(0))
+    for (r <- 1 to maxRadius) {
+      val oldR = prior.filter(col("r") === r)
+        .select(col("node"), col("ball").as("old_ball"))
+      val gated = e
+        .join(broadcast(changed.select(col("node").as("src"),
+          lit(true).as("__ch"))), Seq("src"), "left")
+        .filter(col("is_delta") || coalesce(col("__ch"), lit(false)))
+      val next = gated
+        .join(broadcast(cur.select(col("node").as("src"), col("ball"))),
+          Seq("src"))
+        .select(col("dst").as("node"), col("ball"))
+        .unionByName(cur)
+        .unionByName(oldR.select(col("node"),
+          col("old_ball").as("ball")))
+        .groupBy(col("node"))
+        .agg(HllUnionAgg.hllUnion(col("ball")).as("ball"))
+        .localCheckpoint()
+      changed = next
+        .join(oldR, Seq("node"), "left")
+        .filter(col("old_ball").isNull || col("ball") =!= col("old_ball"))
+        .select(col("node"))
+        .localCheckpoint()
+      cur = next
+      acc = acc.unionByName(cur.withColumn("r", lit(r)))
+    }
+    acc.select(col("node"), col("r"), col("ball"))
+  }
+
+  /** Read (est_reach, harmonic) off a per-radius ball state — the same
+    * clamped truncated-harmonic algebra as [[harmonicCentrality]]'s
+    * in-walk accumulation, term for term in the same float order, so
+    * `harmonicFromBalls(harmonicBalls(e), R)` is bit-equal to
+    * `harmonicCentrality(e, R)` (GraphSpec pins it; this is how the
+    * warm-started state turns back into scores).  One |V|-bounded
+    * pivot aggregation — no corpus-shaped work. */
+  def harmonicFromBalls(state: DataFrame, maxRadius: Int = 4): DataFrame = {
+    require(maxRadius >= 1, s"maxRadius must be >= 1 (got $maxRadius)")
+    import graft.plans.HllEst
+    val est = state
+      .select(col("node"), col("r"), HllEst.hllEst(col("ball")).as("est"))
+    val pivoted = est.groupBy(col("node"))
+      .agg(max(when(col("r") === 0, col("est"))).as("e0"),
+        (1 to maxRadius).map(i =>
+          max(when(col("r") === i, col("est"))).as(s"e$i")): _*)
+    // ((0.0 + g1/1) + g2/2) + … — the exact accumulation sequence of
+    // the in-walk form, so the doubles match bit for bit
+    val harmonic = (1 to maxRadius).foldLeft(lit(0.0)) { (h, i) =>
+      h + greatest(col(s"e$i") - col(s"e${i - 1}"), lit(0.0)) / i
+    }
+    pivoted.select(col("node"),
+      round(col(s"e$maxRadius"), 4).as("est_reach"),
+      round(harmonic, 4).as("harmonic"))
+  }
+
+  /** Persist a per-radius HyperBall state (node, r, ball) bucketed on
+    * the node — the cross-cycle form [[harmonicBallsFrom]] resumes
+    * from.  Marker property refuses non-ball tables on load — the
+    * [[saveRanks]] discipline. */
+  def saveBalls(state: DataFrame, table: String,
+                buckets: Int = 16): Unit = {
+    prepareOverwrite(state.sparkSession, table)
+    state.select(col("node"), col("r"), col("ball"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "node").sortBy("node")
+      .format("parquet").saveAsTable(table)
+    state.sparkSession.sql(
+      s"ALTER TABLE ${SqlIdent.quote(table)} SET TBLPROPERTIES " +
+        "('graft.balls'='1')")
+  }
+
+  /** Reopen a persisted HyperBall state, refusing tables without the
+    * [[saveBalls]] marker. */
+  def loadBalls(spark: org.apache.spark.sql.SparkSession,
+                table: String): DataFrame = {
+    val props = spark
+      .sql(s"SHOW TBLPROPERTIES ${SqlIdent.quote(table)}").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("graft.balls").contains("1"),
+      s"$table is not a graft HyperBall state table")
+    spark.table(table)
   }
 
   /** Mutual-link (reciprocity) rollup — the TrustRank-era link-farm
@@ -516,6 +778,7 @@ object Graph {
     * the [[saveRanks]] discipline. */
   def saveComponents(components: DataFrame, table: String,
                      buckets: Int = 16): Unit = {
+    prepareOverwrite(components.sparkSession, table)
     components.select(col("host"), col("component_rep"))
       .write.mode("overwrite")
       .bucketBy(buckets, "host").sortBy("host")

@@ -1024,6 +1024,7 @@ object Web {
     * refuses non-state tables on load. */
   def saveHostState(state: DataFrame, table: String,
                     buckets: Int = 16): Unit = {
+    Graph.prepareOverwrite(state.sparkSession, table)
     state.select(col("host"), col("next_eta_sec"))
       .write.mode("overwrite")
       .bucketBy(buckets, "host").sortBy("host")

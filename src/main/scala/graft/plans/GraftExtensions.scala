@@ -16,7 +16,9 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, TimestampT
   *     ys)`, `minhash_union(sig)`, `minhash_sig(toks, n, k)`,
   *     `simhash_sig(toks)`, `token_set_encode(toks)`, `pii_redact(text)`,
   *     `bloom_agg(hash64, numBits, numHashes)`,
-  *     `bloom_might_contain(filter, hash64)`, `url_canonicalize(url)`.
+  *     `bloom_might_contain(filter, hash64)`, `url_canonicalize(url)`,
+  *     `hll_agg(value)`, `hll_singleton(value)`, `hll_union(sketch)`,
+  *     `hll_est(sketch)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -162,6 +164,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"hll_agg takes exactly 1 argument (the value to count " +
             s"distinct), got ${exprs.length}")
         HllAgg(exprs.head)
+      }))
+    // the sketch-VALUED HLL trio (the HyperBall surface, round-19 —
+    // family discipline: every kernel with a Column API gets a SQL
+    // twin): hll_singleton(value) → 256-byte sketch of one value,
+    // hll_union(sketch) → register-max merge aggregate,
+    // hll_est(sketch) → the cardinality read-out
+    e.injectFunction((
+      new FunctionIdentifier("hll_singleton"),
+      new ExpressionInfo(classOf[HllSingleton].getName, "hll_singleton"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"hll_singleton takes exactly 1 argument, got ${exprs.length}")
+        HllSingleton(exprs.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("hll_union"),
+      new ExpressionInfo(classOf[HllUnionAgg].getName, "hll_union"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"hll_union takes exactly 1 argument (the sketch column), " +
+            s"got ${exprs.length}")
+        HllUnionAgg(exprs.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("hll_est"),
+      new ExpressionInfo(classOf[HllEst].getName, "hll_est"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"hll_est takes exactly 1 argument (the sketch column), " +
+            s"got ${exprs.length}")
+        HllEst(exprs.head)
       }))
     // pii_redact(text): the privacy scrub as a SQL function.  The
     // builder runs mid-analysis, so it must emit RESOLVED Catalyst

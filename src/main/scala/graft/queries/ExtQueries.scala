@@ -952,10 +952,14 @@ object ExtQueries {
     // prior cycle's state), and annotate with host authority
     // (rankFrontier — the slot algebra is rank-independent, host-grain
     // authority vs URL-grain slots, so annotating the scheduled queue
-    // is the same lattice with one fewer join).  The oracle re-derives
-    // the whole cycle closed-form: feed urls, group-max lastmod, gate
-    // verdicts, the 2-sweep rank walk, and the slot + prior-offset
-    // algebra
+    // is the same lattice with one fewer join) AND the per-host fetch
+    // bill (crawlBudget over the gated set, round-19: gated → budget →
+    // schedule, so the cycle knows its capacity/deferral cost BEFORE
+    // spending wall clock — x133's planning half wired into the
+    // production loop).  The oracle re-derives the whole cycle
+    // closed-form: feed urls, group-max lastmod, gate verdicts, the
+    // 2-sweep rank walk, the slot + prior-offset algebra, and the
+    // window-capacity min/remainder bill
     "st28_crawl_cycle" -> ((s, d) => {
       val id = col("doc_id")
       val docs = Tables.documents(s, d)
@@ -1064,9 +1068,19 @@ object ExtQueries {
         gated.select(col("url_canon").as("url"),
           col("url_canon").as("u2")),
         delays, state, "url", "u2")
+      // the fetch bill for the SAME gated set the schedule consumes —
+      // host-sized, broadcast under the queue (no candidate shuffle)
+      val budget = graft.ext.Web.crawlBudget(
+        gated.select(col("url_canon").as("url")), delays, "url",
+        windowSec = 10.0)
       graft.ext.Graph.rankFrontier(sched, ranks, "url_canon")
+        .join(broadcast(budget.select(col("host"), col("queue"),
+          col("capacity"), col("allocated"), col("deferred"))),
+          Seq("host"), "left")
         .select(col("url_canon"), col("host"), col("rank_micro"),
-          col("slot"), col("delay_sec"), col("eta_sec"))
+          col("slot"), col("delay_sec"), col("eta_sec"),
+          col("queue"), col("capacity"), col("allocated"),
+          col("deferred"))
     }),
 
     // politeness audit (round-17): the events log replayed as a fetch
@@ -1379,6 +1393,65 @@ object ExtQueries {
       graft.ext.Graph.harmonicCentrality(
         legA.unionByName(legB).unionByName(legC), "src", "dst",
         maxRadius = 3)
+    }),
+
+    // warm-started HyperBall (round-19): day 1 = the x128 lattice
+    // (legs A/B/C) walked to per-radius ball state; day 2's delta adds
+    // the ext ring (st24's leg D — the dangling ext hosts grew
+    // out-links).  The warm walk seeds from day 1's balls and gates
+    // each sweep's edge work to delta edges + changed neighborhoods;
+    // under the append-only contract its registers — hence every
+    // estimate and the clamped harmonic sum — are BIT-EQUAL to a cold
+    // walk over the full history, which is exactly what the oracle
+    // replays (exact bounded reachability over A∪B∪C∪D, the same 256
+    // registers per (node, radius), the clamped truncated sum)
+    "st30_hyperball_resume" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      def h(c: org.apache.spark.sql.Column) =
+        concat(lit("h"), c.cast("string"), lit(".example.com"))
+      def ext(c: org.apache.spark.sql.Column) =
+        concat(lit("ext"), c.cast("string"), lit(".example.com"))
+      val legA = docs.filter((id % 7 + id % 5) % 3 =!= 0)
+        .select(h(id % 7).as("src"), ext(id % 5).as("dst"))
+      val legB = docs.select(h(id % 7).as("src"), h((id + 3) % 7).as("dst"))
+      val legC = docs.filter(id % 5 % 2 === 0)
+        .select(ext(id % 5).as("src"), h(id % 7).as("dst"))
+      val day1 = legA.unionByName(legB).unionByName(legC)
+      val legD = docs.filter(id % 2 === 1)
+        .select(ext(id % 5).as("src"), ext((id % 5 + 1) % 5).as("dst"))
+      val prior = graft.ext.Graph.harmonicBalls(day1, "src", "dst",
+        maxRadius = 3)
+      graft.ext.Graph.harmonicFromBalls(
+        graft.ext.Graph.harmonicBallsFrom(prior, day1, legD,
+          "src", "dst", maxRadius = 3),
+        maxRadius = 3)
+    }),
+
+    // the URL-grain degraded PageRank walk DECLARED (round-19, the
+    // round-18 verdict's growth gate for the co-located-shuffle
+    // plan): a 499-node URL ring with irregular out-degree (step-7
+    // ring + a 2id+1 chord on the id%3 slice) is persisted bucketed
+    // by src (saveEdges — the corpus-linear half: one distinct
+    // rollup + bucketed write) and walked 4 sweeps WITHOUT broadcast
+    // hints (pageRankMicroBucketed — each sweep's contrib join is a
+    // co-located shuffle against the bucketed scan; only |V|-sized
+    // tables move).  Ranks are bit-equal to the broadcast walk
+    // (GraphSpec pins it); the oracle unrolls the same integer
+    // recurrence over the residue lattice
+    "x141_pagerank_bucketed" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      def u(c: org.apache.spark.sql.Column) =
+        concat(lit("http://g.example.com/u/"), c.cast("string"))
+      val e1 = docs.select(u(id % 499).as("src"),
+        u((id + 7) % 499).as("dst"))
+      val e2 = docs.filter(id % 3 === 0)
+        .select(u(id % 499).as("src"), u((id * 2 + 1) % 499).as("dst"))
+      graft.ext.Graph.saveEdges(e1.unionByName(e2), "src", "dst",
+        "x141_edges_bkt", buckets = 16)
+      graft.ext.Graph.pageRankMicroBucketed(s, "x141_edges_bkt",
+        iterations = 4)
     }),
 
     // host components (round-17): the +2 ring over m0..m9 splits into
@@ -3753,6 +3826,67 @@ object ExtQueries {
        |  )
        |)""".stripMargin
 
+  /** The x128 lattice EXTENDED by st24's leg D (the ext ring) — the
+    * full-history edge set st30's warm HyperBall walk must equal a
+    * cold walk over. */
+  private val st30Edges: String =
+    s"""e AS MATERIALIZED (
+       |  SELECT DISTINCT * FROM (
+       |    SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+       |             AS src,
+       |           'ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+       |             AS dst
+       |    FROM documents
+       |    WHERE ((doc_id % 7) + (doc_id % 5)) % 3 <> 0
+       |    UNION ALL
+       |    SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com',
+       |           'h' || CAST((doc_id + 3) % 7 AS VARCHAR) || '.example.com'
+       |    FROM documents
+       |    UNION ALL
+       |    SELECT 'ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.com',
+       |           'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+       |    FROM documents WHERE (doc_id % 5) % 2 = 0
+       |    UNION ALL
+       |    SELECT 'ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.com',
+       |           'ext' || CAST((doc_id % 5 + 1) % 5 AS VARCHAR) ||
+       |             '.example.com'
+       |    FROM documents WHERE doc_id % 2 = 1
+       |  )
+       |)""".stripMargin
+
+  /** The x141 URL-ring recurrence unrolled 4 sweeps — the residue
+    * lattice (step-7 ring + the 2·id+1 chord on the id%3 slice,
+    * self-loops dropped) walked by the same integer [[prIter]]
+    * algebra the broadcast walk's oracle uses (the degraded walk is
+    * bit-equal by contract, so it shares the recurrence). */
+  private val x141Sql: String = {
+    val u = "'http://g.example.com/u/'"
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT * FROM (
+       |    SELECT $u || CAST(doc_id % 499 AS VARCHAR) AS src,
+       |           $u || CAST((doc_id + 7) % 499 AS VARCHAR) AS dst
+       |    FROM documents
+       |    UNION ALL
+       |    SELECT $u || CAST(doc_id % 499 AS VARCHAR),
+       |           $u || CAST((doc_id * 2 + 1) % 499 AS VARCHAR)
+       |    FROM documents WHERE doc_id % 3 = 0)
+       |  WHERE src <> dst),
+       |od AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg
+       |     FROM e GROUP BY 1),
+       |nodes AS MATERIALIZED (
+       |  SELECT n.node, coalesce(od.outdeg, 0) AS outdeg
+       |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+       |  LEFT JOIN od ON n.node = od.node),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node, outdeg,
+       |     CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${prIter("r0", "r1")},
+       |${prIter("r1", "r2")},
+       |${prIter("r2", "r3")},
+       |${prIter("r3", "r4")}
+       |SELECT node, r AS rank_micro FROM r4""".stripMargin
+  }
+
   /** One HyperBall radius-`r` estimate block in DuckDB SQL — rebuilds
     * the EXACT 256 registers of [[graft.plans.HllKernel]] for every
     * node's in-ball at radius `r` (members from the bounded min-dist
@@ -5354,16 +5488,27 @@ object ExtQueries {
           |         row_number() OVER (
           |           PARTITION BY regexp_extract(url, '^http://([^/]+)/', 1)
           |           ORDER BY url) - 1 AS slot
-          |       FROM f)
+          |       FROM f),
+          |bud AS (SELECT host, count(*) AS queue FROM sc GROUP BY 1)
           |SELECT sc.url AS url_canon, sc.host,
           |  CAST(coalesce(g2.r, 0) AS BIGINT) AS rank_micro,
           |  CAST(slot AS INT) AS slot,
           |  coalesce(dl.delay_sec, 1.0) AS delay_sec,
           |  round(slot * coalesce(dl.delay_sec, 1.0) +
-          |    coalesce(off.next_eta, 0), 6) AS eta_sec
+          |    coalesce(off.next_eta, 0), 6) AS eta_sec,
+          |  bud.queue,
+          |  CAST(floor(10.0 / coalesce(dl.delay_sec, 1.0)) AS BIGINT) + 1
+          |    AS capacity,
+          |  least(bud.queue,
+          |    CAST(floor(10.0 / coalesce(dl.delay_sec, 1.0)) AS BIGINT) + 1)
+          |    AS allocated,
+          |  bud.queue - least(bud.queue,
+          |    CAST(floor(10.0 / coalesce(dl.delay_sec, 1.0)) AS BIGINT) + 1)
+          |    AS deferred
           |FROM sc LEFT JOIN dl ON sc.host = dl.host
           |LEFT JOIN off ON sc.host = off.host
-          |LEFT JOIN g2 ON g2.node = sc.host""".stripMargin),
+          |LEFT JOIN g2 ON g2.node = sc.host
+          |LEFT JOIN bud ON sc.host = bud.host""".stripMargin),
     // the same (ts, event_id)-ordered lag window per host, µs gaps vs
     // the µs delay, rollup per (host, delay)
     "x137_politeness_audit" ->
@@ -5588,11 +5733,46 @@ object ExtQueries {
           |${hbEst(2)},
           |${hbEst(3)}
           |SELECT he3.node, round(he3.est, 4) AS est_reach,
-          |  round((he1.est - he0.est) / 1 + (he2.est - he1.est) / 2
-          |        + (he3.est - he2.est) / 3, 4) AS harmonic
+          |  round(greatest(he1.est - he0.est, 0.0) / 1
+          |        + greatest(he2.est - he1.est, 0.0) / 2
+          |        + greatest(he3.est - he2.est, 0.0) / 3, 4) AS harmonic
           |FROM he3 JOIN he2 ON he3.node = he2.node
           |JOIN he1 ON he3.node = he1.node
           |JOIN he0 ON he3.node = he0.node""".stripMargin),
+    // warm ≡ cold under the append-only contract, so the oracle is
+    // x140's register replay over the FULL history (legs A/B/C ∪ the
+    // ext-ring delta): exact bounded reachability, the same 256
+    // registers per (node, radius), the clamped truncated sum
+    "st30_hyperball_resume" ->
+      (s"""WITH RECURSIVE $st30Edges,
+          |hnode AS (SELECT DISTINCT node FROM (
+          |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          |walk(member, node, d) AS (
+          |  SELECT node, node, 0 FROM hnode
+          |  UNION
+          |  SELECT walk.member, e.dst, walk.d + 1
+          |  FROM walk JOIN e ON walk.node = e.src
+          |  WHERE walk.d < 3),
+          |md AS (SELECT member, node, min(d) AS d FROM walk
+          |       GROUP BY 1, 2),
+          |gridh AS (SELECT n.node, gs.j AS bucket
+          |          FROM hnode n CROSS JOIN
+          |            (SELECT unnest(generate_series(0, 255)) AS j) gs),
+          |${hbEst(0)},
+          |${hbEst(1)},
+          |${hbEst(2)},
+          |${hbEst(3)}
+          |SELECT he3.node, round(he3.est, 4) AS est_reach,
+          |  round(greatest(he1.est - he0.est, 0.0) / 1
+          |        + greatest(he2.est - he1.est, 0.0) / 2
+          |        + greatest(he3.est - he2.est, 0.0) / 3, 4) AS harmonic
+          |FROM he3 JOIN he2 ON he3.node = he2.node
+          |JOIN he1 ON he3.node = he1.node
+          |JOIN he0 ON he3.node = he0.node""".stripMargin),
+    // the degraded walk is bit-equal to the broadcast walk by
+    // contract, so its oracle is the same unrolled integer recurrence
+    // over the URL-ring residue lattice
+    "x141_pagerank_bucketed" -> x141Sql,
     // reachability over the symmetrized ring+pair lattice, component
     // rep = arg_min by the same md5-prefix id the engine uses
     // the warm fixpoint ≡ cold over the full history (append-only

@@ -243,6 +243,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(e2.getMessage.contains("hll_agg"), e2.getMessage)
   }
 
+  test("the sketch-valued HLL trio is SQL-registered with Column-API " +
+    "parity: hll_est(hll_union(hll_singleton(v))) matches the " +
+    "DataFrame chain bit for bit, and arity errors name the function") {
+    import graft.plans.{HllEst, HllSingleton, HllUnionAgg}
+    import spark.implicits._
+    val keys = (1 to 5000).map(i => s"k-$i")
+    keys.toDF("v").createOrReplaceTempView("__hlltrio")
+    val viaApi = keys.toDF("v")
+      .select(HllSingleton.hllSingleton(col("v")).as("s"))
+      .agg(HllUnionAgg.hllUnion(col("s")).as("u"))
+      .select(HllEst.hllEst(col("u")))
+      .head.getDouble(0)
+    val viaSql = spark.sql(
+      "SELECT hll_est(hll_union(hll_singleton(v))) FROM __hlltrio")
+      .head.getDouble(0)
+    assert(viaSql == viaApi)
+    // the singleton→union path must agree with the direct value agg —
+    // one definition of the registers, two routes in
+    assert(viaApi ==
+      keys.toDF("v").agg(graft.plans.HllAgg.hllAgg(col("v")))
+        .head.getDouble(0))
+    // a merged singleton round-trips its registers byte-for-byte
+    val sqlSketch = spark.sql(
+      "SELECT hll_union(hll_singleton(v)) FROM __hlltrio WHERE v = 'k-1'")
+      .head.getAs[Array[Byte]](0)
+    val apiSketch = Seq("k-1").toDF("v")
+      .select(HllSingleton.hllSingleton(col("v")))
+      .head.getAs[Array[Byte]](0)
+    assert(sqlSketch.toSeq == apiSketch.toSeq)
+    for (bad <- Seq("SELECT hll_singleton() FROM __hlltrio",
+      "SELECT hll_union(hll_singleton(v), hll_singleton(v)) FROM __hlltrio",
+      "SELECT hll_est() FROM __hlltrio")) {
+      val err = intercept[Exception] { spark.sql(bad) }
+      assert(err.getMessage.contains("hll_"), err.getMessage)
+    }
+  }
+
   test("sketch probes ship as broadcasts, not plan literals: a " +
     "production-width sketch adds only a handle to the serialized " +
     "expression") {

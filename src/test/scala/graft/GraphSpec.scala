@@ -329,6 +329,110 @@ class GraphSpec extends SparkSpec {
     assert(got("d") === ((1L, 1L, 1.0)))
   }
 
+  test("sweep's damped multiply survives contrib mass past the naive " +
+    "d·a Long ceiling (the split floor division is exact, so huge " +
+    "authorities neither wrap nor change small-graph values — " +
+    "round-18 ADVICE)") {
+    // one authority concentrating 9e15 micro: the naive
+    // 850000 · contrib product is 7.65e21 — a wrapped Long — while the
+    // split d·(a DIV M) + (d·(a mod M)) DIV M peaks at ~7.65e15
+    val big = 9000000000000000L
+    val e = Seq(("a", "b")).toDF("src", "dst").localCheckpoint()
+    val r = Seq(("a", 1L, big), ("b", 0L, 0L))
+      .toDF("node", "outdeg", "r").localCheckpoint()
+    val got = graft.ext.Graph.sweep(r, e, 2L, 850000L).collect()
+      .map(x => x.getString(0) -> x.getLong(2)).toMap
+    val M = BigInt(1000000)
+    val expectB =
+      (BigInt(150000) + (BigInt(850000) * BigInt(big)) / M).toLong
+    assert(got("b") === expectB)
+    assert(got("b") > 0L, s"damped product wrapped: ${got("b")}")
+    assert(got("a") === 150000L) // no in-links, no dangling mass
+  }
+
+  test("loadRanks refuses a '1'-marked table from the retired " +
+    "total-mass scale (its values are ~N× below the per-node scale)") {
+    dropTableFully("old_scale_ranks")
+    Seq(("a", 1L)).toDF("node", "rank_micro")
+      .write.format("parquet").saveAsTable("old_scale_ranks")
+    spark.sql(
+      "ALTER TABLE old_scale_ranks SET TBLPROPERTIES ('graft.ranks'='1')")
+    val err = intercept[IllegalArgumentException] {
+      Graph.loadRanks(spark, "old_scale_ranks")
+    }
+    assert(err.getMessage.contains("total-mass"), err.getMessage)
+  }
+
+  test("harmonicCentralityBucketed matches the broadcast walk " +
+    "bit-for-bit with broadcast joins DISABLED (the URL-grain " +
+    "degrade keeps every register and float)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+      ("d", "a")).toDF("src", "dst")
+    val bcast = Graph.harmonicCentrality(edges, "src", "dst", maxRadius = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2))).toSet
+    dropTableFully("hb_edges_bkt")
+    Graph.saveEdges(edges, "src", "dst", "hb_edges_bkt", buckets = 4)
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val got = Graph.harmonicCentralityBucketed(spark, "hb_edges_bkt",
+        maxRadius = 3)
+        .collect().map(r => (r.getString(0), r.getDouble(1),
+          r.getDouble(2))).toSet
+      assert(got === bcast)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("harmonicBallsFrom: the delta-gated warm walk equals a cold " +
+    "walk over the full history register for register; " +
+    "harmonicFromBalls reads the same scores as harmonicCentrality; " +
+    "saveBalls round-trips with a marker; a shallow prior is refused") {
+    val day1 = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("s", "t"))
+      .toDF("src", "dst")
+    // delta extends the cycle through a NEW node d, adds an old↔old
+    // edge, and touches the s/t island with a new source
+    val delta = Seq(("c", "d"), ("d", "a"), ("x", "s"), ("a", "c"))
+      .toDF("src", "dst")
+    val full = day1.unionByName(delta)
+    val prior = Graph.harmonicBalls(day1, "src", "dst", maxRadius = 3)
+    dropTableFully("hb_state")
+    Graph.saveBalls(prior, "hb_state")
+    val warm = Graph.harmonicBallsFrom(Graph.loadBalls(spark, "hb_state"),
+      day1, delta, "src", "dst", maxRadius = 3)
+    val cold = Graph.harmonicBalls(full, "src", "dst", maxRadius = 3)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1)) ->
+        r.getAs[Array[Byte]](2).toSeq).toMap
+    assert(regs(warm) === regs(cold))
+    // read-out ≡ the in-walk accumulation, float for float
+    val viaState = Graph.harmonicFromBalls(warm, maxRadius = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2))).toSet
+    val direct = Graph.harmonicCentrality(full, "src", "dst",
+      maxRadius = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2))).toSet
+    assert(viaState === direct)
+    dropTableFully("not_balls")
+    Seq(("a", 0, Array[Byte](1))).toDF("node", "r", "ball")
+      .write.format("parquet").saveAsTable("not_balls")
+    intercept[IllegalArgumentException] {
+      Graph.loadBalls(spark, "not_balls")
+    }
+    val shallow = Graph.harmonicBalls(day1, "src", "dst", maxRadius = 1)
+    val err = intercept[IllegalArgumentException] {
+      Graph.harmonicBallsFrom(shallow, day1, delta, "src", "dst",
+        maxRadius = 3)
+    }
+    assert(err.getMessage.contains("radius"), err.getMessage)
+    // an EMPTY prior (first cycle, no history) degrades to the cold
+    // walk instead of refusing — the library-wide empty-input contract
+    assert(regs(Graph.harmonicBallsFrom(prior.filter(lit(false)),
+      day1, delta, "src", "dst", maxRadius = 3)) === regs(cold))
+  }
+
   test("rankFrontier: rank joins by canonical host; hosts the rank " +
     "table never saw ride along at 0") {
     val gated = Seq(

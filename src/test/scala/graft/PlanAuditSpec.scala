@@ -342,6 +342,56 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("the degraded (URL-grain) HyperBall sweep plan: no ball " +
+    "broadcast — both |V|-sized joins plan as shuffled joins, and " +
+    "the EDGE side of the union join reads the bucketed table with " +
+    "NO exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledJoin}
+    import spark.implicits._
+    dropTableFully("hb_edges_audit")
+    graft.ext.Graph.saveEdges(
+      Seq(("a", "b"), ("b", "c"), ("c", "a"))
+        .toDF("src", "dst"), "src", "dst", "hb_edges_audit", buckets = 4)
+    val e = graft.ext.Graph.loadEdges(spark, "hb_edges_audit")
+    val balls = Seq("a", "b", "c").toDF("node")
+      .select(col("node"),
+        graft.plans.HllSingleton.hllSingleton(col("node")).as("ball"),
+        lit(0.0).as("harmonic"))
+      .withColumn("est", graft.plans.HllEst.hllEst(col("ball")))
+      .localCheckpoint()
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.ext.Graph.hyperBallSweep(balls, e, 1,
+        hinted = false).queryExecution.executedPlan
+      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.isEmpty,
+        s"degraded sweep must not broadcast ball tables:\n$plan")
+      val sj = plan.collect { case j: ShuffledJoin => j }
+      assert(sj.size == 2,
+        s"ball + rollup joins must plan as shuffled joins:\n$plan")
+      // the edge side of the inner (ball-union) join reads bucketed:
+      // no ShuffleExchange above the hb_edges_audit scan — filter to
+      // join sides with no nested join, as in the PageRank census
+      val scanSides = plan.collect {
+        case j: ShuffledJoin => Seq(j.left, j.right) }.flatten
+      val edgeSide = scanSides.filter(s =>
+        s.toString.contains("hb_edges_audit") &&
+          s.collect { case j: ShuffledJoin => j }.isEmpty)
+      assert(edgeSide.nonEmpty, s"no join side reads the edge table:\n$plan")
+      assert(edgeSide.forall(s =>
+        s.collect { case x: ShuffleExchangeExec => x }.isEmpty),
+        s"the bucketed edge side must not exchange:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", before)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    }
+  }
+
   test("the audit actually catches an injected cross join") {
     // sanity-check the detector itself on this session's conf: a bare
     // crossJoin must surface as CartesianProduct with AQE off
