@@ -259,10 +259,17 @@ object Bench {
       // measurement otherwise carries class-load/codegen/JIT residue
       // that no best-ever value includes (measured: 4.1x "elevation"
       // on a quiet box, vs 1.9x once warm)
-      canaries.foreach(name =>
-        SparkEntry.queries.get(name).foreach(_(spark, sfDir).count()))
+      // a canary that cannot run on THIS corpus (local iteration
+      // against a generated dir missing its table) contributes
+      // nothing instead of killing the bench — same failure contract
+      // as the main loop's `once`
+      def tryCount(name: String): Option[Unit] =
+        try SparkEntry.queries.get(name).map(_(spark, sfDir).count())
+        catch { case scala.util.control.NonFatal(_) => None }
+      canaries.foreach(tryCount)
       val ratios = canaries.flatMap { name =>
-        for (fn <- SparkEntry.queries.get(name); b <- bestRef(name))
+        for (fn <- SparkEntry.queries.get(name); b <- bestRef(name);
+             _ <- tryCount(name))
           yield {
             graft.queries.ExtQueries.clearSessionSlate(spark,
               blocking = true)
