@@ -433,6 +433,32 @@ class GraphSpec extends SparkSpec {
       day1, delta, "src", "dst", maxRadius = 3)) === regs(cold))
   }
 
+  test("harmonicBallsFrom at a few hundred nodes: warm ≡ cold across " +
+    "many partitions (the gating must hold when changed sets, prior " +
+    "levels, and edges land on different executors — a tiny graph " +
+    "cannot catch a partition-dependent gating bug)") {
+    // 311-node ring (step 1 + step 7 chord on every 3rd node): long
+    // chains, irregular out-degree, diameter well past maxRadius
+    val n = 311
+    val day1 = (0 until n).flatMap { i =>
+      Seq((s"n$i", s"n${(i + 1) % n}")) ++
+        (if (i % 3 == 0) Seq((s"n$i", s"n${(i + 7) % n}")) else Nil)
+    }.toDF("src", "dst").repartition(16)
+    // delta: a handful of long-range edges + 3 brand-new nodes
+    val delta = (Seq((s"n5", s"n200"), (s"n100", s"n10"),
+      ("new1", "n50"), ("n60", "new2"), ("new3", "new1")))
+      .toDF("src", "dst").repartition(4)
+    val prior = Graph.harmonicBalls(day1, "src", "dst", maxRadius = 3)
+    val warm = Graph.harmonicBallsFrom(prior, day1, delta,
+      "src", "dst", maxRadius = 3)
+    val cold = Graph.harmonicBalls(day1.unionByName(delta),
+      "src", "dst", maxRadius = 3)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1)) ->
+        r.getAs[Array[Byte]](2).toSeq).toMap
+    assert(regs(warm) === regs(cold))
+  }
+
   test("rankFrontier: rank joins by canonical host; hosts the rank " +
     "table never saw ride along at 0") {
     val gated = Seq(
