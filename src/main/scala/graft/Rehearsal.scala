@@ -206,6 +206,31 @@ object Rehearsal {
           e.filter(col("vec_id") % 97 === 0 && col("vec_id") < 2048),
           tau = 0.3, dim = 64, nlist = 16, nprobe = 4, k = 10)
       })
+    // ELEVATION CANARY, the Bench discipline applied to the growth
+    // instrument (round-19: the first 10x gate of the round recorded
+    // st28's BASE at 15.6 s with tight spreads and an inverted 0.58x
+    // growth — session-order inflation a fresh-session A/B read at
+    // 5.9 s; a growth ratio is only as good as the two moments it
+    // compares).  A fixed-cost map-only probe over the BASE corpus
+    // (constant work regardless of which dir a query is being timed
+    // against) runs before every (query, dir) measurement; each row
+    // carries its two canary readings, and a reading ≥2x the run's
+    // canary minimum marks that side "elevated" so an inflated ratio
+    // identifies itself from the committed artifact alone.
+    import org.apache.spark.sql.functions.{col, length, sum => fsum}
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      Tables.documents(spark, baseDir)
+        .agg(fsum(length(col("text")))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce(); canaryOnce() // untimed: absorb class-load/codegen/JIT
+    val canaryReads = scala.collection.mutable.ListBuffer[Double]()
+    def canary(): Double = {
+      val t = canaryOnce()
+      canaryReads += t
+      t
+    }
     def time(name: String, dir: String): Seq[Double] = {
       // Clean slate per (query, dir): earlier queries' pinned
       // localCheckpoint blocks otherwise accumulate across the run and
@@ -243,14 +268,25 @@ object Rehearsal {
       case c => c.toString
     } + "\""
     val rows = queries.map { name =>
+      val cBase = canary()
       val base = time(name, baseDir)
+      val cBig = canary()
       val big = time(name, bigDir)
       val g = big.min / base.min
       println(s"[rehearsal] ${name.padTo(24, ' ')} base=${n(base.min, 2)}s " +
-        s"big=${n(big.min, 2)}s growth=${n(g, 1)}x (scale=${n(scale, 0)}x)")
+        s"big=${n(big.min, 2)}s growth=${n(g, 1)}x (scale=${n(scale, 0)}x, " +
+        s"canary ${n(cBase, 2)}/${n(cBig, 2)})")
+      (name, base, big, g, cBase, cBig)
+    }
+    // the elevation reference is the quietest moment the RUN ITSELF
+    // saw — a per-row reading ≥2x it marks that side suspect
+    val cMin = if (canaryReads.isEmpty) 1.0 else canaryReads.min
+    val rowJson = rows.map { case (name, base, big, g, cBase, cBig) =>
       s"""  "$name": {"base_sec": ${n(base.min)}, "big_sec": ${n(big.min)},
          |    "base_spread": [${n(base.min)}, ${n(base.max)}],
          |    "big_spread": [${n(big.min)}, ${n(big.max)}],
+         |    "canary": [${n(cBase)}, ${n(cBig)}],
+         |    "elevated": ${cBase >= 2 * cMin || cBig >= 2 * cMin},
          |    "growth": ${n(g, 2)}, "sublinear": ${g < scale}}""".stripMargin
     }
     val json =
@@ -258,8 +294,9 @@ object Rehearsal {
          |  "base_dir": ${q(baseDir)}, "big_dir": ${q(bigDir)},
          |  "scale": ${n(scale, 2)}, "runs_per_point": $runs,
          |  "history": $history,
+         |  "canary_min_sec": ${n(cMin)},
          |  "queries": {
-         |${rows.mkString(",\n")}
+         |${rowJson.mkString(",\n")}
          |  }
          |}
          |""".stripMargin
