@@ -82,9 +82,26 @@ import java.nio.file.{Files, Paths}
   * queries (f5, s7) are timed before and after the suite; their
   * ratio-to-best-ever is recorded as "elevation_factor" (first) /
   * "elevation_last", and the regression gate compares
-  * elevation-NORMALIZED mins (min / elevation_factor > gate × best) —
+  * elevation-NORMALIZED mins (min / divisor > gate × best) —
   * a uniformly elevated shared box now resolves from the artifact
   * instead of per-round narrative adjudication.
+  *
+  * Round 20 (round-19 verdict #2 + ADVICE): the gate's divisor is no
+  * longer the possibly-STALE first reading alone — r19's closing run
+  * read first 2.46× → last 1.26× (load easing mid-run), so late-suite
+  * queries were gated ~2× looser than their actual conditions.  When a
+  * query first trips the regression gate, the canary is RE-READ at
+  * that decision point and the divisor becomes min(first, fresh) —
+  * conservative: the gate is never loosened more than the quieter of
+  * the two readings justifies (the probe's slate-clear is followed by
+  * one untimed re-warm so the query's reruns stay warm).  Per-canary
+  * ratios clamp at 1.0 BEFORE averaging (a faster-than-best reading
+  * on one canary must not offset real elevation on the other), the
+  * rerun log prints the divisor so the logged inequality is the one
+  * the gate actually evaluated, and "elevation_warn" flags either
+  * reading exceeding 3× — the canaries are real engine queries, so a
+  * code change that slows the shared scan/parse path inflates the
+  * factor and would otherwise silently widen every query's gate.
   *
   * Attribution hygiene (round-15 ADVICE): listener events are
   * delivered ASYNCHRONOUSLY, so a run's final stage-completed events
@@ -283,12 +300,27 @@ object Bench {
             t / b
           }
       }
+      // clamp EACH ratio at 1.0 before averaging (round-19 ADVICE): a
+      // faster-than-best reading on one canary must not offset real
+      // elevation on the other (0.8 and 1.8 should read ~1.4, not 1.3)
       if (ratios.isEmpty) 1.0
-      else math.max(1.0, ratios.sum / ratios.size)
+      else ratios.map(math.max(1.0, _)).sum / ratios.size
     }
     val elevationFirst = canaryElevation()
     System.err.println(f"[bench] elevation canary (first): " +
       f"$elevationFirst%.3fx vs best-ever")
+    // a canary reading this far above best is either a heavily loaded
+    // box or a CODE regression in the shared scan/parse path the
+    // canaries ride — and in the latter case the elevation divisor
+    // would silently widen every query's gate (round-19 ADVICE); warn
+    // loudly and flag the artifact so the reading gets adjudicated
+    val elevationBound = 3.0
+    if (elevationFirst > elevationBound)
+      System.err.println(f"[bench] WARNING: elevation " +
+        f"$elevationFirst%.3fx exceeds ${elevationBound}x — if the box " +
+        "is quiet, suspect a canary-path code regression (f5/s7 are " +
+        "real engine queries); the regression gate is loosened by " +
+        "this factor")
     val results = SparkEntry.queries
       .filter(kv => only.forall(_.exists(kv._1.startsWith)))
       .flatMap { case (name, fn) =>
@@ -351,15 +383,35 @@ object Bench {
         // min is elevation-normalized before the best-ever comparison
         // (round-18 verdict #2): on a uniformly elevated box the
         // canary ratio and the query's drift cancel, so only
-        // code-caused regressions trip
+        // code-caused regressions trip.  The divisor starts at the
+        // suite-start reading and, at this query's FIRST gate trip,
+        // tightens to min(first, a fresh probe) — round-19 verdict
+        // #2: the first reading can be stale by the time late-suite
+        // queries run, and dividing by a louder-than-now canary
+        // loosens the gate exactly where a regression could hide
+        var elevDiv = elevationFirst
+        var probed = false
         def regressBad = times.nonEmpty && times.min >= 0.3 &&
-          prior.exists(p => times.min / elevationFirst > regressGate * p)
+          prior.exists(p => times.min / elevDiv > regressGate * p)
         var extra = 0
         while (extra < maxReruns && rerunsTaken < rerunCap &&
                (spreadBad || regressBad)) {
+          if (regressBad && !probed) {
+            probed = true
+            val fresh = canaryElevation()
+            if (fresh < elevDiv) {
+              System.err.println(f"[bench] $name: canary re-read " +
+                f"$fresh%.3fx < first $elevDiv%.3fx — gate tightened")
+              elevDiv = fresh
+            }
+            // the probe cleared the session slate — one untimed run
+            // re-warms this query's pinned inputs before any rerun
+            once(timed = false)
+          }
           val why =
             if (spreadBad) f"spread ${times.max / times.min}%.1fx"
-            else f"min ${times.min}%.2fs > ${regressGate}x prior ${prior.get}%.2fs"
+            else f"min ${times.min}%.2fs / elev $elevDiv%.2fx > " +
+              f"${regressGate}x best ${prior.get}%.2fs"
           System.err.println(
             s"[bench] $name $why — rerunning (${extra + 1}/$maxReruns)")
           times = times ++ once(timed = true)
@@ -463,7 +515,7 @@ object Bench {
         .mkString("{", ",", "}")
     def line(m: Iterable[(String, (BigDecimal, BigDecimal))],
              prof: String, best: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"reruns":$rerunsTaken,"timing":"slate-v2","elevation_factor":${msBd(elevationFirst)},"elevation_last":${msBd(elevationLast)},"queries_run":${rounded.size}$failedJson,"queries":${qJson(m)},"spread":${spreadJson(m)}$prof$best,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"reruns":$rerunsTaken,"timing":"slate-v2","elevation_factor":${msBd(elevationFirst)},"elevation_last":${msBd(elevationLast)},"elevation_warn":${elevationFirst > elevationBound || elevationLast > elevationBound},"queries_run":${rounded.size}$failedJson,"queries":${qJson(m)},"spread":${spreadJson(m)}$prof$best,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile),
       line(rounded, profJson, bestJson) + "\n")
     spark.stop() // stop FIRST: no executor/shutdown log can splice the line

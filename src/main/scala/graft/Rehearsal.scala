@@ -143,7 +143,12 @@ object Rehearsal {
     // the URL-grain degraded PageRank walk (saveEdges bucketed write +
     // co-located shuffle sweeps — the write is the corpus-linear half,
     // the walk is node-sized)
-    "st30_hyperball_resume", "x141_pagerank_bucketed")
+    "st30_hyperball_resume", "x141_pagerank_bucketed",
+    // round-20 (round-19 verdict #1/#5): the bucketed HyperBall
+    // read-out (saveEdges write + co-located-shuffle sweeps) and the
+    // bucketed warm resume (bucketed state build + persist + the
+    // delta-gated no-broadcast walk)
+    "x142_harmonic_bucketed", "st31_hyperball_bucketed")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, scaleStr) = args.take(3)

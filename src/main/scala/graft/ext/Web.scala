@@ -1020,8 +1020,10 @@ object Web {
 
   /** Persist the cross-cycle politeness state (host, next_eta_sec) —
     * one snapshot row per host, bucketed on the host so a resumed
-    * schedule's state join reads pre-partitioned.  Marker property
-    * refuses non-state tables on load. */
+    * schedule's state join reads pre-partitioned.  Versioned marker
+    * property refuses non-state and stale-format tables on load —
+    * the [[Graph.stampMarker]] convention shared by the five
+    * persisted-state families. */
   def saveHostState(state: DataFrame, table: String,
                     buckets: Int = 16): Unit = {
     Graph.prepareOverwrite(state.sparkSession, table)
@@ -1029,22 +1031,17 @@ object Web {
       .write.mode("overwrite")
       .bucketBy(buckets, "host").sortBy("host")
       .format("parquet").saveAsTable(table)
-    state.sparkSession.sql(
-      s"ALTER TABLE ${SqlIdent.quote(table)} SET TBLPROPERTIES " +
-        "('graft.hoststate'='1')")
+    Graph.stampMarker(state.sparkSession, table, "hoststate", "1")
   }
 
   /** Reopen a persisted politeness state, refusing tables without the
-    * [[saveHostState]] marker. */
+    * [[saveHostState]] marker or from a retired format version. */
   def loadHostState(spark: org.apache.spark.sql.SparkSession,
-                    table: String): DataFrame = {
-    val props = spark
-      .sql(s"SHOW TBLPROPERTIES ${SqlIdent.quote(table)}").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    require(props.get("graft.hoststate").contains("1"),
-      s"$table is not a graft politeness-state table")
-    spark.table(table)
-  }
+                    table: String): DataFrame =
+    Graph.requireMarker(spark, table, "hoststate", "1",
+      "politeness-state",
+      "a stale-format snapshot cannot offset a resumed schedule; " +
+        "rebuild it with politenessStateAfter + saveHostState")
 
   /** [[politenessSchedule]] RESUMED from a prior cycle's state: same
     * cap/slot/delay algebra, but each host's etas start at its
@@ -1354,6 +1351,37 @@ object Web {
         least(col("queue"), cap).as("allocated"),
         (col("queue") - least(col("queue"), cap)).as("deferred"))
   }
+
+  /** Make the budget a BRAKE, not just a bill (round-19 verdict:
+    * [[crawlBudget]] reported queue/capacity/allocated/deferred per
+    * host but the schedule still emitted an ETA for every gated URL —
+    * nothing actually moved past `allocated` into the next cycle).
+    * Splits a politeness schedule at each host's allocation: the
+    * first `allocated` slots keep their ETAs and fetch THIS cycle;
+    * the remainder comes out with `deferred_next = true` and a NULL
+    * eta — the carry the next cycle's
+    * [[politenessScheduleResume]] re-schedules (its per-host offset
+    * from [[politenessStateAfter]] already models exactly this
+    * cross-cycle continuation, so the deferred rows just re-enter as
+    * candidates).  Slots are dense per host, so `slot < allocated`
+    * IS the within-window prefix the capacity formula counted.
+    *
+    * Scale shape: the budget table is host-sized by construction —
+    * it broadcasts under the schedule, no candidate shuffle.  Hosts
+    * absent from the budget (a schedule row the budget never saw)
+    * conservatively fetch — a missing bill must not silently defer.
+    * Output: the schedule's columns + (queue, capacity, allocated,
+    * deferred, deferred_next), eta_sec NULL on deferred rows. */
+  def applyBudget(schedule: DataFrame, budget: DataFrame): DataFrame =
+    schedule
+      .join(broadcast(budget.select(col("host"), col("queue"),
+        col("capacity"), col("allocated"), col("deferred"))),
+        Seq("host"), "left")
+      .withColumn("deferred_next",
+        col("slot") >= coalesce(col("allocated"), lit(Long.MaxValue)))
+      .withColumn("eta_sec",
+        when(col("deferred_next"), lit(null).cast("double"))
+          .otherwise(col("eta_sec")))
 
   /** Spider-trap detection — URL EXPLOSION per host: a crawl trap
     * (calendar pages, session-id permutations, faceted-search

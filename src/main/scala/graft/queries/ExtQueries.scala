@@ -1069,18 +1069,23 @@ object ExtQueries {
           col("url_canon").as("u2")),
         delays, state, "url", "u2")
       // the fetch bill for the SAME gated set the schedule consumes —
-      // host-sized, broadcast under the queue (no candidate shuffle)
+      // host-sized, broadcast under the queue (no candidate shuffle).
+      // The cycle window is parameterized via session conf (round-19
+      // missing #2), defaulting to the 10 s the oracle replays
+      val windowSec = s.conf.getOption("spark.graft.crawlWindowSec")
+        .map(_.toDouble).getOrElse(10.0)
       val budget = graft.ext.Web.crawlBudget(
         gated.select(col("url_canon").as("url")), delays, "url",
-        windowSec = 10.0)
-      graft.ext.Graph.rankFrontier(sched, ranks, "url_canon")
-        .join(broadcast(budget.select(col("host"), col("queue"),
-          col("capacity"), col("allocated"), col("deferred"))),
-          Seq("host"), "left")
+        windowSec = windowSec)
+      // applyBudget makes the bill a BRAKE: slots past each host's
+      // allocation lose their ETA and come out deferred_next = true —
+      // the carry the next cycle re-schedules
+      graft.ext.Web.applyBudget(
+        graft.ext.Graph.rankFrontier(sched, ranks, "url_canon"), budget)
         .select(col("url_canon"), col("host"), col("rank_micro"),
           col("slot"), col("delay_sec"), col("eta_sec"),
           col("queue"), col("capacity"), col("allocated"),
-          col("deferred"))
+          col("deferred"), col("deferred_next"))
     }),
 
     // politeness audit (round-17): the events log replayed as a fetch
@@ -1452,6 +1457,69 @@ object ExtQueries {
         "x141_edges_bkt", buckets = 16)
       graft.ext.Graph.pageRankMicroBucketed(s, "x141_edges_bkt",
         iterations = 4)
+    }),
+
+    // the URL-grain degraded HyperBall READ-OUT declared (round-20,
+    // round-19 verdict #5: the bucketed sweep had spec equality but
+    // no growth row of its own — the x141 precedent): the x140
+    // lattice persisted bucketed by src (the corpus-linear half),
+    // then harmonicCentralityBucketed walks it with NO broadcast
+    // hints — each sweep's two |V|-sized joins plan as co-located
+    // shuffles against the bucketed scan.  Bit-equal to x140's
+    // broadcast walk by contract, so the oracle is shared verbatim
+    "x142_harmonic_bucketed" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      def h(c: org.apache.spark.sql.Column) =
+        concat(lit("h"), c.cast("string"), lit(".example.com"))
+      def ext(c: org.apache.spark.sql.Column) =
+        concat(lit("ext"), c.cast("string"), lit(".example.com"))
+      val legA = docs.filter((id % 7 + id % 5) % 3 =!= 0)
+        .select(h(id % 7).as("src"), ext(id % 5).as("dst"))
+      val legB = docs.select(h(id % 7).as("src"), h((id + 3) % 7).as("dst"))
+      val legC = docs.filter(id % 5 % 2 === 0)
+        .select(ext(id % 5).as("src"), h(id % 7).as("dst"))
+      graft.ext.Graph.saveEdges(
+        legA.unionByName(legB).unionByName(legC), "src", "dst",
+        "x142_edges_bkt", buckets = 16)
+      graft.ext.Graph.harmonicCentralityBucketed(s, "x142_edges_bkt",
+        maxRadius = 3)
+    }),
+
+    // the degraded WARM HyperBall resume declared (round-20, the
+    // round-19 verdict's #1 in full): day 1 = the x128 lattice
+    // persisted as a bucketed edge table AND walked to bucketed
+    // per-radius ball state by the non-broadcast state walk; day 2's
+    // ext-ring delta is then walked by harmonicBallsFromBucketed
+    // with NO broadcast hints — the changed-set gate and the ball
+    // join are co-located shuffles against the bucketed scan, so the
+    // resume survives the URL grain where the st30 broadcast form
+    // dies.  warm ≡ cold under the append-only contract, so the
+    // oracle is st30's full-history register replay verbatim
+    "st31_hyperball_bucketed" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      def h(c: org.apache.spark.sql.Column) =
+        concat(lit("h"), c.cast("string"), lit(".example.com"))
+      def ext(c: org.apache.spark.sql.Column) =
+        concat(lit("ext"), c.cast("string"), lit(".example.com"))
+      val legA = docs.filter((id % 7 + id % 5) % 3 =!= 0)
+        .select(h(id % 7).as("src"), ext(id % 5).as("dst"))
+      val legB = docs.select(h(id % 7).as("src"), h((id + 3) % 7).as("dst"))
+      val legC = docs.filter(id % 5 % 2 === 0)
+        .select(ext(id % 5).as("src"), h(id % 7).as("dst"))
+      val day1 = legA.unionByName(legB).unionByName(legC)
+      val legD = docs.filter(id % 2 === 1)
+        .select(ext(id % 5).as("src"), ext((id % 5 + 1) % 5).as("dst"))
+      graft.ext.Graph.saveEdges(day1, "src", "dst",
+        "st31_edges_bkt", buckets = 16)
+      graft.ext.Graph.saveBalls(
+        graft.ext.Graph.harmonicBallsBucketed(s, "st31_edges_bkt",
+          maxRadius = 3), "st31_balls_bkt")
+      graft.ext.Graph.harmonicFromBalls(
+        graft.ext.Graph.harmonicBallsFromBucketed(s, "st31_balls_bkt",
+          "st31_edges_bkt", legD, "src", "dst", maxRadius = 3),
+        maxRadius = 3)
     }),
 
     // host components (round-17): the +2 ring over m0..m9 splits into
@@ -3928,6 +3996,42 @@ object ExtQueries {
        |                     * 256 * 256 / s END AS est
        |         FROM ha$r)""".stripMargin
 
+  /** Exact bounded min-dist reachability + per-(node, radius 0..3)
+    * register replay + the clamped truncated harmonic sum, over the
+    * edge CTE `edges` — the shared body of the HyperBall oracles
+    * (x140/x142 over the x128 lattice; st30/st31 over the
+    * delta-extended history: the bucketed walks are bit-equal to the
+    * broadcast walks by contract, so each pair shares one replay). */
+  private def hbSql(edges: String): String =
+    s"""WITH RECURSIVE $edges,
+       |hnode AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |walk(member, node, d) AS (
+       |  SELECT node, node, 0 FROM hnode
+       |  UNION
+       |  SELECT walk.member, e.dst, walk.d + 1
+       |  FROM walk JOIN e ON walk.node = e.src
+       |  WHERE walk.d < 3),
+       |md AS (SELECT member, node, min(d) AS d FROM walk
+       |       GROUP BY 1, 2),
+       |gridh AS (SELECT n.node, gs.j AS bucket
+       |          FROM hnode n CROSS JOIN
+       |            (SELECT unnest(generate_series(0, 255)) AS j) gs),
+       |${hbEst(0)},
+       |${hbEst(1)},
+       |${hbEst(2)},
+       |${hbEst(3)}
+       |SELECT he3.node, round(he3.est, 4) AS est_reach,
+       |  round(greatest(he1.est - he0.est, 0.0) / 1
+       |        + greatest(he2.est - he1.est, 0.0) / 2
+       |        + greatest(he3.est - he2.est, 0.0) / 3, 4) AS harmonic
+       |FROM he3 JOIN he2 ON he3.node = he2.node
+       |JOIN he1 ON he3.node = he1.node
+       |JOIN he0 ON he3.node = he0.node""".stripMargin
+
+  private val x140Sql: String = hbSql(prEdges)
+  private val st30Sql: String = hbSql(st30Edges)
+
   /** The lattice walked 4 PageRank sweeps; ends at CTE `r4`
     * (node, outdeg, r). */
   private val prCte: String =
@@ -5489,26 +5593,30 @@ object ExtQueries {
           |           PARTITION BY regexp_extract(url, '^http://([^/]+)/', 1)
           |           ORDER BY url) - 1 AS slot
           |       FROM f),
-          |bud AS (SELECT host, count(*) AS queue FROM sc GROUP BY 1)
+          |bud AS (SELECT host, count(*) AS queue FROM sc GROUP BY 1),
+          |alloc AS (SELECT bud.host, bud.queue,
+          |    CAST(floor(10.0 / coalesce(dl.delay_sec, 1.0)) AS BIGINT)
+          |      + 1 AS capacity,
+          |    least(bud.queue,
+          |      CAST(floor(10.0 / coalesce(dl.delay_sec, 1.0)) AS BIGINT)
+          |        + 1) AS allocated,
+          |    bud.queue - least(bud.queue,
+          |      CAST(floor(10.0 / coalesce(dl.delay_sec, 1.0)) AS BIGINT)
+          |        + 1) AS deferred
+          |  FROM bud LEFT JOIN dl ON bud.host = dl.host)
           |SELECT sc.url AS url_canon, sc.host,
           |  CAST(coalesce(g2.r, 0) AS BIGINT) AS rank_micro,
           |  CAST(slot AS INT) AS slot,
           |  coalesce(dl.delay_sec, 1.0) AS delay_sec,
-          |  round(slot * coalesce(dl.delay_sec, 1.0) +
-          |    coalesce(off.next_eta, 0), 6) AS eta_sec,
-          |  bud.queue,
-          |  CAST(floor(10.0 / coalesce(dl.delay_sec, 1.0)) AS BIGINT) + 1
-          |    AS capacity,
-          |  least(bud.queue,
-          |    CAST(floor(10.0 / coalesce(dl.delay_sec, 1.0)) AS BIGINT) + 1)
-          |    AS allocated,
-          |  bud.queue - least(bud.queue,
-          |    CAST(floor(10.0 / coalesce(dl.delay_sec, 1.0)) AS BIGINT) + 1)
-          |    AS deferred
+          |  CASE WHEN slot >= alloc.allocated THEN NULL
+          |    ELSE round(slot * coalesce(dl.delay_sec, 1.0) +
+          |      coalesce(off.next_eta, 0), 6) END AS eta_sec,
+          |  alloc.queue, alloc.capacity, alloc.allocated, alloc.deferred,
+          |  slot >= alloc.allocated AS deferred_next
           |FROM sc LEFT JOIN dl ON sc.host = dl.host
           |LEFT JOIN off ON sc.host = off.host
           |LEFT JOIN g2 ON g2.node = sc.host
-          |LEFT JOIN bud ON sc.host = bud.host""".stripMargin),
+          |LEFT JOIN alloc ON sc.host = alloc.host""".stripMargin),
     // the same (ts, event_id)-ordered lag window per host, µs gaps vs
     // the µs delay, rollup per (host, delay)
     "x137_politeness_audit" ->
@@ -5713,62 +5821,20 @@ object ExtQueries {
     // exact bounded min-dist reachability over the shared lattice,
     // then the SAME HLL registers rebuilt per (node, radius 0..3) and
     // the truncated harmonic sum in the engine's add order
-    "x140_harmonic_centrality" ->
-      (s"""WITH RECURSIVE $prEdges,
-          |hnode AS (SELECT DISTINCT node FROM (
-          |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-          |walk(member, node, d) AS (
-          |  SELECT node, node, 0 FROM hnode
-          |  UNION
-          |  SELECT walk.member, e.dst, walk.d + 1
-          |  FROM walk JOIN e ON walk.node = e.src
-          |  WHERE walk.d < 3),
-          |md AS (SELECT member, node, min(d) AS d FROM walk
-          |       GROUP BY 1, 2),
-          |gridh AS (SELECT n.node, gs.j AS bucket
-          |          FROM hnode n CROSS JOIN
-          |            (SELECT unnest(generate_series(0, 255)) AS j) gs),
-          |${hbEst(0)},
-          |${hbEst(1)},
-          |${hbEst(2)},
-          |${hbEst(3)}
-          |SELECT he3.node, round(he3.est, 4) AS est_reach,
-          |  round(greatest(he1.est - he0.est, 0.0) / 1
-          |        + greatest(he2.est - he1.est, 0.0) / 2
-          |        + greatest(he3.est - he2.est, 0.0) / 3, 4) AS harmonic
-          |FROM he3 JOIN he2 ON he3.node = he2.node
-          |JOIN he1 ON he3.node = he1.node
-          |JOIN he0 ON he3.node = he0.node""".stripMargin),
+    "x140_harmonic_centrality" -> x140Sql,
+    // the degraded (bucketed, no-broadcast) read-out walk is
+    // bit-equal to the broadcast walk by contract — the oracle is
+    // x140's register replay verbatim
+    "x142_harmonic_bucketed" -> x140Sql,
     // warm ≡ cold under the append-only contract, so the oracle is
     // x140's register replay over the FULL history (legs A/B/C ∪ the
     // ext-ring delta): exact bounded reachability, the same 256
     // registers per (node, radius), the clamped truncated sum
-    "st30_hyperball_resume" ->
-      (s"""WITH RECURSIVE $st30Edges,
-          |hnode AS (SELECT DISTINCT node FROM (
-          |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-          |walk(member, node, d) AS (
-          |  SELECT node, node, 0 FROM hnode
-          |  UNION
-          |  SELECT walk.member, e.dst, walk.d + 1
-          |  FROM walk JOIN e ON walk.node = e.src
-          |  WHERE walk.d < 3),
-          |md AS (SELECT member, node, min(d) AS d FROM walk
-          |       GROUP BY 1, 2),
-          |gridh AS (SELECT n.node, gs.j AS bucket
-          |          FROM hnode n CROSS JOIN
-          |            (SELECT unnest(generate_series(0, 255)) AS j) gs),
-          |${hbEst(0)},
-          |${hbEst(1)},
-          |${hbEst(2)},
-          |${hbEst(3)}
-          |SELECT he3.node, round(he3.est, 4) AS est_reach,
-          |  round(greatest(he1.est - he0.est, 0.0) / 1
-          |        + greatest(he2.est - he1.est, 0.0) / 2
-          |        + greatest(he3.est - he2.est, 0.0) / 3, 4) AS harmonic
-          |FROM he3 JOIN he2 ON he3.node = he2.node
-          |JOIN he1 ON he3.node = he1.node
-          |JOIN he0 ON he3.node = he0.node""".stripMargin),
+    "st30_hyperball_resume" -> st30Sql,
+    // the degraded (bucketed-state, no-broadcast) resume is bit-equal
+    // to the broadcast resume by contract — the oracle is st30's
+    // full-history register replay verbatim
+    "st31_hyperball_bucketed" -> st30Sql,
     // the degraded walk is bit-equal to the broadcast walk by
     // contract, so its oracle is the same unrolled integer recurrence
     // over the URL-ring residue lattice

@@ -459,6 +459,93 @@ class GraphSpec extends SparkSpec {
     assert(regs(warm) === regs(cold))
   }
 
+  test("harmonicBallsBucketed: the degraded STATE walk matches the " +
+    "broadcast walk register for register with broadcast joins " +
+    "DISABLED (the round-19 scale wall, closed for the persistence " +
+    "path)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+      ("d", "a")).toDF("src", "dst")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1)) ->
+        r.getAs[Array[Byte]](2).toSeq).toMap
+    val bcast = regs(Graph.harmonicBalls(edges, "src", "dst",
+      maxRadius = 3))
+    dropTableFully("hbs_edges_bkt")
+    Graph.saveEdges(edges, "src", "dst", "hbs_edges_bkt", buckets = 4)
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val got = regs(Graph.harmonicBallsBucketed(spark, "hbs_edges_bkt",
+        maxRadius = 3))
+      assert(got === bcast)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("harmonicBallsFromBucketed: the degraded WARM resume over " +
+    "persisted ball/edge tables equals a cold full-history walk " +
+    "register for register with broadcast joins DISABLED — including " +
+    "a delta that re-observes persisted edges (idempotent unions)") {
+    val n = 97
+    val day1 = (0 until n).flatMap { i =>
+      Seq((s"n$i", s"n${(i + 1) % n}")) ++
+        (if (i % 3 == 0) Seq((s"n$i", s"n${(i + 7) % n}")) else Nil)
+    }.toDF("src", "dst").repartition(8)
+    // delta: long-range rewires, two brand-new nodes, and one edge
+    // day 1 already observed (n0 → n1) — the bucketed variant skips
+    // the corpus-shuffling dedup, so the duplicate must be harmless
+    val delta = Seq(("n5", "n60"), ("new1", "n50"), ("n60", "new2"),
+      ("n0", "n1")).toDF("src", "dst")
+    dropTableFully("hbw_edges_bkt"); dropTableFully("hbw_balls_bkt")
+    Graph.saveEdges(day1, "src", "dst", "hbw_edges_bkt", buckets = 4)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1)) ->
+        r.getAs[Array[Byte]](2).toSeq).toMap
+    val cold = regs(Graph.harmonicBalls(day1.unionByName(delta),
+      "src", "dst", maxRadius = 3))
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Graph.saveBalls(Graph.harmonicBallsBucketed(spark, "hbw_edges_bkt",
+        maxRadius = 3), "hbw_balls_bkt")
+      val warm = regs(Graph.harmonicBallsFromBucketed(spark,
+        "hbw_balls_bkt", "hbw_edges_bkt", delta, "src", "dst",
+        maxRadius = 3))
+      assert(warm === cold)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("every persisted-state family refuses a STALE-VERSION marker " +
+    "(the rank-table incident generalized: a format change must " +
+    "refuse old tables, not silently read them)") {
+    def staleTable(name: String, family: String,
+                   df: org.apache.spark.sql.DataFrame): Unit = {
+      dropTableFully(name)
+      df.write.format("parquet").saveAsTable(name)
+      spark.sql(
+        s"ALTER TABLE $name SET TBLPROPERTIES ('graft.$family'='0')")
+    }
+    staleTable("stale_edges", "edges", Seq(("a", "b")).toDF("src", "dst"))
+    staleTable("stale_ranks", "ranks", Seq(("a", 1L)).toDF("node", "rank_micro"))
+    staleTable("stale_balls", "balls",
+      Seq(("a", 0, Array[Byte](1))).toDF("node", "r", "ball"))
+    staleTable("stale_comps", "components",
+      Seq(("a", "a")).toDF("host", "component_rep"))
+    staleTable("stale_hstate", "hoststate",
+      Seq(("a", 1.0)).toDF("host", "next_eta_sec"))
+    def refusedStale(f: => Any): Unit = {
+      val err = intercept[IllegalArgumentException](f)
+      assert(err.getMessage.contains("stale") ||
+        err.getMessage.contains("version '"), err.getMessage)
+    }
+    refusedStale(Graph.loadEdges(spark, "stale_edges"))
+    refusedStale(Graph.loadRanks(spark, "stale_ranks"))
+    refusedStale(Graph.loadBalls(spark, "stale_balls"))
+    refusedStale(Graph.loadComponents(spark, "stale_comps"))
+    refusedStale(graft.ext.Web.loadHostState(spark, "stale_hstate"))
+  }
+
   test("rankFrontier: rank joins by canonical host; hosts the rank " +
     "table never saw ride along at 0") {
     val gated = Seq(

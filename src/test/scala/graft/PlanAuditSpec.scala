@@ -392,6 +392,94 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("the degraded STATE sweep plan (ballSweep, hinted = false): " +
+    "no ball broadcast — the ball join plans as a shuffled join " +
+    "whose EDGE side reads the bucketed table with NO exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledJoin}
+    import spark.implicits._
+    dropTableFully("bs_edges_audit")
+    graft.ext.Graph.saveEdges(
+      Seq(("a", "b"), ("b", "c"), ("c", "a"))
+        .toDF("src", "dst"), "src", "dst", "bs_edges_audit", buckets = 4)
+    val e = graft.ext.Graph.loadEdges(spark, "bs_edges_audit")
+    val cur = Seq("a", "b", "c").toDF("node")
+      .select(col("node"),
+        graft.plans.HllSingleton.hllSingleton(col("node")).as("ball"))
+      .localCheckpoint()
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.ext.Graph.ballSweep(cur, e, hinted = false)
+        .queryExecution.executedPlan
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+        s"degraded state sweep must not broadcast the ball table:\n$plan")
+      val scanSides = plan.collect {
+        case j: ShuffledJoin => Seq(j.left, j.right) }.flatten
+      val edgeSide = scanSides.filter(s =>
+        s.toString.contains("bs_edges_audit") &&
+          s.collect { case j: ShuffledJoin => j }.isEmpty)
+      assert(edgeSide.nonEmpty, s"no join side reads the edge table:\n$plan")
+      assert(edgeSide.forall(s =>
+        s.collect { case x: ShuffleExchangeExec => x }.isEmpty),
+        s"the bucketed edge side must not exchange:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", before)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    }
+  }
+
+  test("the degraded WARM sweep plan (ballWarmSweep, hinted = false): " +
+    "no ball OR changed-set broadcast — the changed-set gate and the " +
+    "ball join both plan as shuffled joins, and the bucketed EDGE " +
+    "side never exchanges (the round-19 named scale wall)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledJoin}
+    import spark.implicits._
+    dropTableFully("bw_edges_audit")
+    graft.ext.Graph.saveEdges(
+      Seq(("a", "b"), ("b", "c"), ("c", "a"))
+        .toDF("src", "dst"), "src", "dst", "bw_edges_audit", buckets = 4)
+    val eOld = graft.ext.Graph.loadEdges(spark, "bw_edges_audit")
+    val eDelta = Seq(("c", "d")).toDF("src", "dst").localCheckpoint()
+    val cur = Seq("a", "b", "c", "d").toDF("node")
+      .select(col("node"),
+        graft.plans.HllSingleton.hllSingleton(col("node")).as("ball"))
+      .localCheckpoint()
+    val changed = Seq("d").toDF("node").localCheckpoint()
+    val oldR = Seq("a", "b", "c").toDF("node")
+      .select(col("node"),
+        graft.plans.HllSingleton.hllSingleton(col("node")).as("old_ball"))
+      .localCheckpoint()
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.ext.Graph.ballWarmSweep(cur, changed, oldR,
+        eOld, eDelta, hinted = false).queryExecution.executedPlan
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+        s"degraded warm sweep must broadcast neither the ball table " +
+          s"nor the changed set:\n$plan")
+      val scanSides = plan.collect {
+        case j: ShuffledJoin => Seq(j.left, j.right) }.flatten
+      val edgeSide = scanSides.filter(s =>
+        s.toString.contains("bw_edges_audit") &&
+          s.collect { case j: ShuffledJoin => j }.isEmpty)
+      assert(edgeSide.nonEmpty, s"no join side reads the edge table:\n$plan")
+      assert(edgeSide.forall(s =>
+        s.collect { case x: ShuffleExchangeExec => x }.isEmpty),
+        s"the bucketed edge side must not exchange:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", before)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    }
+  }
+
   test("the audit actually catches an injected cross join") {
     // sanity-check the detector itself on this session's conf: a bare
     // crossJoin must surface as CartesianProduct with AQE off

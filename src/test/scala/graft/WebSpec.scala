@@ -1374,6 +1374,56 @@ class WebSpec extends SparkSpec {
     assert(got("b.com") === ((10L, 1.0, 6L, 6L, 4L)))
   }
 
+  test("applyBudget: the budget is a brake — a mega-host's overflow " +
+    "loses its ETA, comes out deferred_next, and cycle 2's resumed " +
+    "schedule actually fetches the carry") {
+    // b.com queues 10 URLs into a 5 s window at the 1.0 default delay
+    // → capacity 6; a.com's 2 fit under its capacity 3
+    val c1 = Seq(
+      "http://a.com/1", "http://a.com/2",
+      "http://b.com/1", "http://b.com/2", "http://b.com/3",
+      "http://b.com/4", "http://b.com/5", "http://b.com/6",
+      "http://b.com/7", "http://b.com/8", "http://b.com/9",
+      "http://b.com/10"
+    ).toDF("url").select(col("url"), col("url").as("u2"))
+    val delays = Seq(("a.com", 2.0)).toDF("host", "delay_sec")
+    val sched1 = Web.politenessSchedule(c1, delays, "url", "u2")
+    val budget = Web.crawlBudget(c1.select(col("url")), delays, "url",
+      windowSec = 5.0)
+    val split = Web.applyBudget(sched1, budget)
+    val rows = split.collect().map(r => r.getAs[String]("url_canon") ->
+      ((r.getAs[Int]("slot"), Option(r.getAs[java.lang.Double]("eta_sec")),
+        r.getAs[Boolean]("deferred_next")))).toMap
+    // within-allocation rows keep their ETAs (slots order by URL
+    // STRING, so b.com's slot order is /1, /10, /2, …, /9)
+    assert(rows("http://a.com/1") === ((0, Some(0.0), false)))
+    assert(rows("http://b.com/10") === ((1, Some(1.0), false)))
+    assert(rows("http://b.com/5") === ((5, Some(5.0), false)))
+    // the overflow (slots 6..9 on b.com) is deferred with NO eta
+    val deferred = rows.filter(_._2._3)
+    assert(deferred.keySet ===
+      Set("http://b.com/6", "http://b.com/7", "http://b.com/8",
+        "http://b.com/9"))
+    assert(deferred.values.forall(_._2.isEmpty))
+    // cycle 2: the carry re-enters as candidates against the state
+    // cycle 1 left — the resumed schedule fetches every deferred URL
+    // at ETAs past cycle 1's horizon for that host
+    val fetched1 = split.filter(!col("deferred_next"))
+      .select(col("url_canon").as("url"), col("host"), col("slot"),
+        col("delay_sec"), col("eta_sec"))
+    val state = Web.politenessStateAfter(fetched1)
+    val c2 = split.filter(col("deferred_next"))
+      .select(col("url_canon").as("url"), col("url_canon").as("u2"))
+    val sched2 = Web.politenessScheduleResume(c2, delays, state,
+      "url", "u2")
+    val got2 = sched2.collect().map(r => r.getAs[String]("url_canon") ->
+      r.getAs[Double]("eta_sec")).toMap
+    assert(got2.keySet === deferred.keySet)
+    // cycle 1's b.com horizon: max eta 5.0 + delay 1.0 = 6.0
+    assert(got2("http://b.com/6") === 6.0)
+    assert(got2("http://b.com/9") === 9.0)
+  }
+
   test("resolveRedirects: chains resolve with hop counts, a 2-cycle " +
     "pins at maxHops unresolved, conflicting edges keep min-dst, " +
     "maxHops=1 stops after the first hop") {
