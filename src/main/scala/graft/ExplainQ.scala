@@ -19,6 +19,12 @@ object ExplainQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // strategy-switch hook for before/after plan capture (same as
+    // TimeQ/Bench): SPARK_GRAFT_CONF="spark.graft.rankIndexImpl=rows"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     SparkEntry.queries(name)(spark, sfDir).explain(mode)
     spark.stop()
   }

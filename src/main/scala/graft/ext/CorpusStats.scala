@@ -479,18 +479,44 @@ object CorpusStats {
         s"reserved names (__pid, __idx, __offset) or rankName=$rankName")
     val n = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
-    val schema = df.schema
-      .add("__pid", IntegerType, nullable = false)
-      .add("__idx", LongType, nullable = false)
-    val indexed = df.repartitionByRange(n, orderCols: _*)
+    // (pid, in-partition index) attachment — two physical strategies,
+    // identical output (CorpusStatsSpec pins the equivalence), selected
+    // by `spark.graft.rankIndexImpl`:
+    //
+    //  - `codegen` (default, round 20): decode BOTH scratch columns
+    //    from ONE `monotonically_increasing_id()` — the id is
+    //    `partitionId << 33 | in-partition-row-index` by definition, so
+    //    `__pid = id >> 33` and `__idx = id & (2³³−1)` are two plain
+    //    bit-ops and the sorted frame never leaves whole-stage codegen.
+    //  - `rows`: the round-13 `mapPartitions` + external-Row encoder —
+    //    it de/serializes EVERY row and column across the
+    //    InternalRow↔Row boundary just to append two ints, taxing the
+    //    whole rank family (x57/x79/x83/x84) per-task; kept selectable
+    //    for measurement.
+    //
+    // The id expression is nondeterministic-flagged, which is exactly
+    // right here: nothing may reorder across it, and the immediate
+    // localCheckpoint freezes the values it produced.
+    val impl = df.sparkSession.conf.get("spark.graft.rankIndexImpl", "codegen")
+    val sorted = df.repartitionByRange(n, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-      .mapPartitions { it =>
+    val indexed = (if (impl == "codegen") {
+      sorted
+        .withColumn("__mid", monotonically_increasing_id())
+        .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
+        .withColumn("__idx", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+        .drop("__mid")
+    } else {
+      val schema = df.schema
+        .add("__pid", IntegerType, nullable = false)
+        .add("__idx", LongType, nullable = false)
+      sorted.mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         it.zipWithIndex.map { case (r, i) =>
           Row.fromSeq(r.toSeq :+ pid :+ i.toLong)
         }
       }(Encoders.row(schema))
-      .localCheckpoint()
+    }).localCheckpoint()
     val counts = indexed.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
     val offsets = counts.as("a")
       .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")
@@ -532,14 +558,29 @@ object CorpusStats {
         s"cumName=$cumName")
     val n = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
-    val valueIdx = df.schema.fieldIndex(valueCol)
-    val schema = df.schema
-      .add("__pid", IntegerType, nullable = false)
-      .add("__pcum", LongType, nullable = false)
-      .add("__ridx", LongType, nullable = false)
-    val summed = df.repartitionByRange(n, orderCols: _*)
+    // prefix-sum attachment — two physical strategies, identical output
+    // (ExtSpec pins the equivalence), selected by
+    // `spark.graft.cumIndexImpl`:
+    //
+    //  - `operator` (default, round 20): the
+    //    [[graft.plans.PartitionPrefixSum]] whole-operator extension
+    //    walks InternalRows directly — one bound eval per row, one
+    //    UnsafeProjection append, zero encoder round-trips.
+    //  - `rows`: the original `mapPartitions` + external-Row encoder,
+    //    which de/serializes every row and column just to append three
+    //    scratch columns; kept selectable for measurement.
+    val impl = df.sparkSession.conf.get("spark.graft.cumIndexImpl", "operator")
+    val sorted = df.repartitionByRange(n, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-      .mapPartitions { it =>
+    val summed = (if (impl == "operator") {
+      graft.plans.PartitionPrefixSum.attach(sorted, valueCol)
+    } else {
+      val valueIdx = df.schema.fieldIndex(valueCol)
+      val schema = df.schema
+        .add("__pid", IntegerType, nullable = false)
+        .add("__pcum", LongType, nullable = false)
+        .add("__ridx", LongType, nullable = false)
+      sorted.mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var acc = 0L
         var idx = 0L
@@ -549,7 +590,7 @@ object CorpusStats {
           Row.fromSeq(r.toSeq :+ pid :+ acc :+ idx)
         }
       }(Encoders.row(schema))
-      .localCheckpoint() // totals derive from this; avoid a second sort
+    }).localCheckpoint() // totals derive from this; avoid a second sort
     val totals = summed.groupBy(col("__pid"))
       .agg(max_by(col("__pcum"), col("__ridx")).as("__t"))
     val offsets = totals.as("a")

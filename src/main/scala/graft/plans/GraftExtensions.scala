@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: per-key top-k via bounded heaps
     // (logical node + physical operator — see plans/TopKPerKey.scala)
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // whole-operator extension: in-partition prefix sum over
+    // InternalRows (round-20 — replaces globalCumSum's external-Row
+    // mapPartitions; see plans/PartitionPrefixSum.scala)
+    e.injectPlannerStrategy(_ => PartitionPrefixSumStrategy)
     e.injectFunction((
       new FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName,

@@ -503,6 +503,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("globalRank: codegen and rows index strategies agree exactly " +
+    "(round-20 optimization: monotonically_increasing_id decode vs the " +
+    "mapPartitions Row-encoder path)") {
+    val df = spark.range(0, 997).toDF("id") // prime: uneven partitions
+      .withColumn("v", pmod(col("id") * 53, lit(89)))
+    val order = Seq(col("v").asc, col("id").desc)
+    def run(impl: String): Array[(Long, Long)] = {
+      spark.conf.set("spark.graft.rankIndexImpl", impl)
+      try graft.ext.CorpusStats.globalRank(df, order, partitions = 7)
+        .select(col("id"), col("rank")).as[(Long, Long)]
+        .collect().sortBy(_._1)
+      finally spark.conf.unset("spark.graft.rankIndexImpl")
+    }
+    val codegen = run("codegen")
+    val rows = run("rows")
+    assert(codegen.sameElements(rows),
+      "rank strategies diverged: " +
+        codegen.zip(rows).find { case (a, b) => a != b }.toString)
+    // and the codegen path really is the default + Row-free: no
+    // DeserializeToObject/SerializeFromObject in its plan
+    spark.conf.unset("spark.graft.rankIndexImpl")
+    val plan = graft.ext.CorpusStats.globalRank(df, order, partitions = 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject"),
+      "default globalRank path must stay inside codegen (no Row encoder)")
+  }
+
   test("shardAssignments: deterministic, balanced-ish, dense 0..k-1 " +
     "positions per shard, and no single-task Window in the plan") {
     val df = spark.range(0, 1000).toDF("doc_id")
@@ -1001,6 +1028,38 @@ class DedupSpec extends SparkSpec {
       .select("k", "cum").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
+  }
+
+  test("globalCumSum: operator and rows strategies agree exactly, " +
+    "and the default plan carries the PartitionPrefixSum operator " +
+    "with no Row encoder (round-20 optimization)") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, (i * 31) % 97 - 48)) // signed
+    val df = rows.toDF("k", "v")
+    def run(impl: String): Array[(Long, Long)] = {
+      spark.conf.set("spark.graft.cumIndexImpl", impl)
+      try graft.ext.CorpusStats.globalCumSum(
+          df.repartition(11), Seq(col("k")), "v", partitions = 7)
+        .select(col("k"), col("cum")).as[(Long, Long)]
+        .collect().sortBy(_._1)
+      finally spark.conf.unset("spark.graft.cumIndexImpl")
+    }
+    val op = run("operator")
+    val rws = run("rows")
+    assert(op.sameElements(rws),
+      "cumsum strategies diverged: " +
+        op.zip(rws).find { case (a, b) => a != b }.toString)
+    // the final globalCumSum plan is checkpoint-truncated (RDD scan),
+    // so pin the attach step's own plan: the custom operator, no
+    // exchange above the sort, no Row encoder
+    val plan = graft.plans.PartitionPrefixSum.attach(
+        df.repartitionByRange(7, col("k"))
+          .sortWithinPartitions(col("k")), "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionPrefixSum"),
+      s"attach must plan the custom operator:\n$plan")
+    assert(!plan.contains("SerializeFromObject"),
+      "cumsum attach must not round-trip external Rows")
   }
 
   test("snapshot novelty: copies are not novel, fresh docs are") {
