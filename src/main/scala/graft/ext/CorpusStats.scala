@@ -412,14 +412,32 @@ object CorpusStats {
     * text never shuffles. */
   def exactDupShare(docs: DataFrame, sourceCol: String,
                     textCol: String): DataFrame = {
+    // round 20 (guide §2.4: remove the shuffle-join outright): the old
+    // shape joined the corpus-sized fp table back to its own grouped
+    // counts — the fingerprint (text normalize + md5) pass ran on BOTH
+    // join sides and the join itself shuffled #docs rows.  But a doc
+    // is untouched by dedup iff its fingerprint is globally UNIQUE,
+    // and a unique fingerprint's group has exactly one member — so its
+    // source is recoverable from the group itself (min of a 1-group)
+    // and the report reduces to stacked aggregations:
+    //   dups(source) = docs(source) − singleton-fp docs(source).
+    // One text/md5 pass, no corpus join; the only other scan reads the
+    // source column alone.  Output is bit-equal (ExtSpec pins it).
     val fp = docs.select(col(sourceCol).as("source"),
       TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val g = fp.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
-    fp.join(g, "fp").groupBy(col("source"))
-      .agg(count(lit(1)).as("__docs"),
-        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("__dups"))
+    val singles = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__n"), min(col("source")).as("__src"))
+      .filter(col("__n") === 1)
+      .groupBy(col("__src"))
+      .agg(count(lit(1)).as("__singles"))
+    val vols = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("__docs"))
+    // null-safe join: the old form grouped NULL sources like any other
+    // group, so the singleton credit must reach them too
+    vols.join(singles, col("source") <=> col("__src"), "left")
       .select(col("source"),
-        round(col("__dups") / col("__docs"), 6).as("exact_dup_share"))
+        round((col("__docs") - coalesce(col("__singles"), lit(0L)))
+          / col("__docs"), 6).as("exact_dup_share"))
   }
 
   /** Dataset card: the one-row-per-source curation summary — volumes
@@ -437,7 +455,29 @@ object CorpusStats {
                   textCol: String, vocabSize: Int = 1000): DataFrame = {
     // drift and OOV share ONE (source, token) count pass
     val perSrc = perSourceTokenCounts(docs, sourceCol, textCol)
-    sourceMix(docs, sourceCol, textCol)
+    // round 20 (guide §2.3/§1.2: don't recompute what a shared pass
+    // already holds): the volume leg used to be sourceMix's OWN
+    // tokenize pass — the card's third full text parse.  Per-source
+    // token mass IS the sum of that source's (source, token) counts,
+    // so the volumes derive from perSrc and the only extra scan reads
+    // the SOURCE column alone (parquet-pruned, no text in the plan).
+    // Bit-equal to sourceMix: the counts are the same longs, the share
+    // division sees the same operands (ExtSpec pins the equality).
+    // The left join + coalesce covers an all-empty-token source, which
+    // has volume rows but no perSrc rows.
+    val vols = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val toks = perSrc.groupBy(col("source"))
+      .agg(sum(col("__c")).cast("long").as("n_tokens"))
+    val per = vols.join(toks, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .localCheckpoint() // #sources rows; the total derives from it
+    val tot = per.agg(sum(col("n_tokens")).as("__tot"))
+    val mix = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens") / col("__tot")).as("tok_share"))
+    mix
       .join(sourceDivergenceFrom(perSrc)
         .select(col("source"), col("js_div")), "source")
       .join(vocabCoverageFrom(perSrc, vocabSize)

@@ -365,6 +365,58 @@ class DedupSpec extends SparkSpec {
     assert(out == Map("web" -> ((2L, 5L, 0.5)), "books" -> ((1L, 5L, 0.5))))
   }
 
+  test("datasetCard volume leg equals sourceMix exactly (round-20: the " +
+    "card derives volumes from the shared (source, token) pass instead " +
+    "of a third tokenize scan) — incl. an all-empty-token source") {
+    val docs = Seq(("web", "a b c"), ("web", "d e"),
+        ("books", "f g h i j"), ("punct", "..."), ("punct", "!!"))
+      .toDF("source", "text") // tokenizer yields [] for punct-only text
+    val mix = graft.ext.CorpusStats.sourceMix(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val card = graft.ext.CorpusStats
+      .datasetCard(docs, "source", "text", vocabSize = 3)
+      .select("source", "n_docs", "n_tokens", "tok_share")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // the card inner-joins the divergence/vocab legs, which drop
+    // token-free sources — compare on the card's domain, and pin that
+    // sourceMix agrees bit-for-bit there
+    assert(card.nonEmpty && card.keySet == mix.keySet - "punct")
+    card.foreach { case (s, v) => assert(v == mix(s), s"source $s") }
+  }
+
+  test("exactDupShare: aggregation-only rewrite equals the join form " +
+    "(round-20: no corpus self-join, one fingerprint pass) — cross-" +
+    "source copies counted, null sources kept") {
+    val docs = Seq(
+      ("web", "same text"), ("books", "same text"), // cross-source dup
+      ("web", "unique one"), ("web", "twin"), ("web", "twin"),
+      ("books", "unique two"),
+      (null.asInstanceOf[String], "null src unique"),
+      (null.asInstanceOf[String], "null twin"),
+      (null.asInstanceOf[String], "null twin"))
+      .toDF("source", "text")
+    val got = graft.ext.CorpusStats.exactDupShare(docs, "source", "text")
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    // old join-form ground truth, computed inline
+    val fp = docs.select(col("source"),
+      graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val g = fp.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+    val want = fp.join(g, "fp").groupBy(col("source"))
+      .agg(count(lit(1)).as("__docs"),
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("__dups"))
+      .select(col("source"),
+        round(col("__dups") / col("__docs"), 6).as("s"))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got(Some("web")) == 0.75 && got(Some("books")) == 0.5 &&
+      got(None) == round2(2.0 / 3.0))
+  }
+
+  private def round2(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("vocab coverage: exact OOV occurrence counts, token-asc " +
     "tiebreak at the frequency cutoff") {
     // corpus freqs: x:4, z:2, y:1 → top-2 vocab = {x, z}; y is OOV
