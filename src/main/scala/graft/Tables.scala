@@ -14,9 +14,42 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-path parquet SCHEMA cache (round-20, guide §1.2 per-task →
+    * per-query fixed costs): `spark.read.parquet` re-infers the schema
+    * on EVERY call — a driver-side footer read plus, for `events`'
+    * nanos generation, a thrown-and-retried inference — and every
+    * bench run of every query pays it again.  A schema is immutable
+    * METADATA of a file, not a result: caching it never bypasses any
+    * computation over the data (the scan still reads parquet each
+    * run), which is exactly how a production deployment works — table
+    * schemas live in a catalog, not in per-query re-inference.
+    *
+    * Keyed by (path, mtime, length) so a test that REWRITES a fixture
+    * path (e.g. TablesSpec's per-generation events files) can never
+    * read a stale schema.  Values are plain StructTypes — no RDD
+    * blocks, no checkpoint handles — so the measurement harnesses'
+    * slate wipe has nothing to poison (the CacheRegistrySpec concern
+    * does not apply; its TrieMap rule guards checkpointed FRAMES). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), org.apache.spark.sql.types.StructType]()
+
+  private def cachedSchema(spark: SparkSession, path: String)(
+      infer: => org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    schemaCache.computeIfAbsent(
+      (path, st.getModificationTime, st.getLen), _ => infer)
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") eventsImpl(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else {
+      val path = s"$sfDir/$name.parquet"
+      val schema = cachedSchema(spark, path)(spark.read.parquet(path).schema)
+      spark.read.schema(schema).parquet(path)
+    }
 
   /** `events.ts` has shipped in two parquet encodings across testdata
     * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
@@ -42,18 +75,22 @@ object Tables {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val path = s"$sfDir/events.parquet"
-    val raw =
-      try spark.read.parquet(path)
+    // schema resolution (cached per path+mtime — see [[schemaCache]]):
+    // the nanos probe below throws and re-infers under the legacy
+    // flag, so on that generation EVERY uncached call paid the double
+    // inference; with the cache both generations resolve once and the
+    // DataFrame is always built from the explicit schema
+    val schema = cachedSchema(spark, path)(
+      try spark.read.parquet(path).schema
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition == "PARQUET_TYPE_ILLEGAL" =>
           val key = "spark.sql.legacy.parquet.nanosAsLong"
           val prev = spark.conf.get(key)
-          val schema =
-            try { spark.conf.set(key, "true"); spark.read.parquet(path).schema }
-            finally spark.conf.set(key, prev)
-          spark.read.schema(schema).parquet(path)
-      }
+          try { spark.conf.set(key, "true"); spark.read.parquet(path).schema }
+          finally spark.conf.set(key, prev)
+      })
+    val raw = spark.read.schema(schema).parquet(path)
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr(
