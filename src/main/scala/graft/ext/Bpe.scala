@@ -136,6 +136,17 @@ object Bpe {
     require(merges >= 1, s"merges must be >= 1 (got $merges)")
     val spark = words.sparkSession
     import spark.implicits._
+    val rows = collectWordTable(words, maxCollectWords)
+    val (learned, _) = localMergeLoop(rows, merges)
+    learned.toDF("round", "sym_a", "sym_b", "merged", "pair_count")
+  }
+
+  /** The enforced-cap driver collect shared by the local trainer and
+    * the local encode path — see [[bpeTrainLocal]] for the contract. */
+  private def collectWordTable(words: DataFrame,
+                               maxCollectWords: Long): Array[(String, Long)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
     val capped = math.min(maxCollectWords, Int.MaxValue - 1L).toInt
     val rows = words.select(col("word").cast("string"),
         col("cnt").cast("long"))
@@ -144,28 +155,43 @@ object Bpe {
       s"bpeTrainLocal collects the word table to the driver: input " +
         s"exceeds maxCollectWords=$maxCollectWords. Use bpeTrainOnWords " +
         "(one Spark job per merge round) for larger vocabularies.")
+    rows
+  }
+
+  /** The sequential merge loop over a collected (word, cnt) table —
+    * bit-identical to the distributed trainer (BpeSpec).  Returns the
+    * learned merges AND each word's FINAL symbol stream: after the
+    * loop, `streams(i)` is exactly the replay of every learned merge
+    * over `rows(i)._1`'s doubled-space stream, i.e. the word's
+    * BPE-encoded form — which lets an encode-side caller skip a second
+    * replay entirely (round-20, [[bpeEncodeCounts]]). */
+  private def localMergeLoop(rows: Array[(String, Long)], merges: Int)
+      : (Seq[(Int, String, String, String, Long)], Array[String]) = {
     // doubled-space symbol streams, as in the distributed trainer
-    val streams = rows.map { case (w, c) =>
-      (" " + w.split("").mkString("  ") + " ", c)
+    val streams = rows.map { case (w, _) =>
+      " " + w.split("").mkString("  ") + " "
     }
+    val cnts = rows.map(_._2)
     // unsigned UTF-8 byte order = Spark's BinaryComparable string sort
     def u8lt(x: String, y: String): Boolean =
       java.util.Arrays.compareUnsigned(
         x.getBytes("UTF-8"), y.getBytes("UTF-8")) < 0
     val learned = Seq.newBuilder[(Int, String, String, String, Long)]
-    var cur = streams
     var exhausted = false
     for (r <- 0 until merges if !exhausted) {
       val counts = scala.collection.mutable.HashMap
         .empty[(String, String), Long]
-      cur.foreach { case (s, c) =>
-        val syms = s.trim.split("  ")
+      var j = 0
+      while (j < streams.length) {
+        val syms = streams(j).trim.split("  ")
+        val c = cnts(j)
         var i = 0
         while (i < syms.length - 1) {
           val k = (syms(i), syms(i + 1))
           counts.update(k, counts.getOrElse(k, 0L) + c)
           i += 1
         }
+        j += 1
       }
       if (counts.isEmpty) exhausted = true
       else {
@@ -173,13 +199,14 @@ object Bpe {
           Ordering.Tuple3(Ordering.Long,
             Ordering.fromLessThan(u8lt), Ordering.fromLessThan(u8lt)))
         learned += ((r, a, b, a + b, c))
-        cur = cur.map { case (s, cnt) =>
-          (s.replace(s" $a  $b ", s" ${a + b} "), cnt)
+        var i = 0
+        while (i < streams.length) {
+          streams(i) = streams(i).replace(s" $a  $b ", s" ${a + b} ")
+          i += 1
         }
       }
     }
-    learned.result()
-      .toDF("round", "sym_a", "sym_b", "merged", "pair_count")
+    (learned.result(), streams)
   }
 
   /** Flatten a learned merge table into the vocab [[
@@ -219,19 +246,47 @@ object Bpe {
     * Output: (doc_id, n_words, bpe_tokens). */
   def bpeEncodeCounts(docs: DataFrame, idCol: String, textCol: String,
                       merges: Int): DataFrame = {
-    val learned = bpeTrain(docs, textCol, merges)
-      .orderBy(col("round")).select(col("sym_a"), col("sym_b")).collect()
-      .map(r => (r.getString(0), r.getString(1)))
     val words = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("word"))
-    val start = concat(lit(" "),
-      array_join(split(col("word"), ""), "  "), lit(" "))
-    val encoded = learned.foldLeft(start) { case (e, (a, b)) =>
-      call_function("replace", e, lit(s" $a  $b "), lit(s" ${a + b} "))
-    }
-    val wordSyms = words.select(col("word")).distinct()
-      .select(col("word"),
-        size(split(trim(encoded), "  ")).cast("long").as("__n_syms"))
+    // Two physical strategies, identical output (BpeSpec pins the
+    // equivalence), selected by `spark.graft.bpeEncodeImpl`:
+    //
+    //  - `local` (default, round 20): ONE distributed job — the
+    //    (word, cnt) fold — then the whole train+encode runs on the
+    //    collected vocabulary driver-side: [[localMergeLoop]]'s final
+    //    streams ARE each word's encoded form, so the word→n_syms
+    //    dimension comes back as a driver-built broadcast table with
+    //    no second corpus scan and no per-round argmax jobs (the old
+    //    path drove 2 jobs per merge round + a distinct-word replay).
+    //    The driver collect is the enforced [[bpeTrainLocal]] cap —
+    //    the vocabulary is Heaps-law small and is the merge
+    //    algorithm's entire working set either way.
+    //  - `rounds`: the per-round distributed trainer + codegen replay
+    //    over the distinct-word table; kept selectable for measurement
+    //    and for vocabularies past the collect cap.
+    val impl = docs.sparkSession.conf.get("spark.graft.bpeEncodeImpl", "local")
+    val wordSyms =
+      if (impl == "local") {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val rows = collectWordTable(wordCounts(docs, textCol), 10000000L)
+        val (_, streams) = localMergeLoop(rows, merges)
+        rows.indices.map(i =>
+            (rows(i)._1, streams(i).trim.split("  ").length.toLong))
+          .toDF("word", "__n_syms")
+      } else {
+        val learned = bpeTrain(docs, textCol, merges)
+          .orderBy(col("round")).select(col("sym_a"), col("sym_b")).collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        val start = concat(lit(" "),
+          array_join(split(col("word"), ""), "  "), lit(" "))
+        val encoded = learned.foldLeft(start) { case (e, (a, b)) =>
+          call_function("replace", e, lit(s" $a  $b "), lit(s" ${a + b} "))
+        }
+        words.select(col("word")).distinct()
+          .select(col("word"),
+            size(split(trim(encoded), "  ")).cast("long").as("__n_syms"))
+      }
     words.join(broadcast(wordSyms), "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),

@@ -2337,6 +2337,25 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 4L, 4L)), got.toSeq)
   }
 
+  test("bpeEncodeCounts: local and rounds strategies agree exactly " +
+    "(round-20: driver-side train+encode over the collected vocabulary " +
+    "vs per-round jobs + codegen replay)") {
+    val docs = Seq(
+      (1L, "aaab aaab aaab ab"), (2L, "banana bandana"),
+      (3L, "the the the band banned a banana"),
+      (4L, "zzz"), (5L, "a")).toDF("doc_id", "text")
+    def run(impl: String): Seq[(Long, Long, Long)] = {
+      spark.conf.set("spark.graft.bpeEncodeImpl", impl)
+      try graft.ext.Bpe.bpeEncodeCounts(docs, "doc_id", "text", merges = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      finally spark.conf.unset("spark.graft.bpeEncodeImpl")
+    }
+    val local = run("local")
+    val rounds = run("rounds")
+    assert(local == rounds, s"local $local vs rounds $rounds")
+  }
+
   test("mergeVocab feeds the learned symbols into the VocabEncode " +
     "apply path: trained merges eliminate UNKs and shrink token counts") {
     val docs = Seq((1L, "aaab aaab aaab ab")).toDF("doc_id", "text")
