@@ -29,7 +29,8 @@ object Tables {
     * read a stale schema.  Values are plain StructTypes — no RDD
     * blocks, no checkpoint handles — so the measurement harnesses'
     * slate wipe has nothing to poison (the CacheRegistrySpec concern
-    * does not apply; its TrieMap rule guards checkpointed FRAMES). */
+    * does not apply; its frame-cache rule guards checkpointed
+    * FRAMES). */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long), org.apache.spark.sql.types.StructType]()
 
