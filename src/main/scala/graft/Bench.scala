@@ -198,8 +198,11 @@ object Bench {
     sys.env.get("SPARK_GRAFT_SHINGLE_ASSEMBLY")
       .foreach(v => spark.conf.set("spark.graft.shingleAssembly", v))
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(s"SPARK_GRAFT_CONF entry '$kv' is not " +
+          "key=value (comma-separated; values must not contain commas)")
+      }
     })
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -22,8 +22,11 @@ object ExplainQ {
     // strategy-switch hook for before/after plan capture (same as
     // TimeQ/Bench): SPARK_GRAFT_CONF="spark.graft.rankIndexImpl=rows"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(s"SPARK_GRAFT_CONF entry '$kv' is not " +
+          "key=value (comma-separated; values must not contain commas)")
+      }
     })
     SparkEntry.queries(name)(spark, sfDir).explain(mode)
     spark.stop()

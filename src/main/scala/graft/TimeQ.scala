@@ -11,8 +11,11 @@ object TimeQ {
     // ad-hoc A/B of session-conf strategy switches:
     // SPARK_GRAFT_CONF="spark.graft.minhashImpl=explode,..."
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(s"SPARK_GRAFT_CONF entry '$kv' is not " +
+          "key=value (comma-separated; values must not contain commas)")
+      }
     })
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (name <- args; i <- 1 to 2) {

@@ -145,17 +145,27 @@ object Bpe {
     * the local encode path — see [[bpeTrainLocal]] for the contract. */
   private def collectWordTable(words: DataFrame,
                                maxCollectWords: Long): Array[(String, Long)] = {
+    tryCollectWordTable(words, maxCollectWords).getOrElse(
+      throw new IllegalArgumentException(
+        s"bpeTrainLocal collects the word table to the driver: input " +
+          s"exceeds maxCollectWords=$maxCollectWords. Use bpeTrainOnWords " +
+          "(one Spark job per merge round) for larger vocabularies."))
+  }
+
+  /** Capped driver collect that reports overflow instead of throwing —
+    * the probe [[bpeEncodeCounts]] auto-dispatches on: one job either
+    * way (the cap+1 limit IS the size check, no extra count() pass),
+    * `None` means the vocabulary exceeds the cap and the caller must
+    * stay distributed. */
+  private def tryCollectWordTable(words: DataFrame, maxCollectWords: Long)
+      : Option[Array[(String, Long)]] = {
     val spark = words.sparkSession
     import spark.implicits._
     val capped = math.min(maxCollectWords, Int.MaxValue - 1L).toInt
     val rows = words.select(col("word").cast("string"),
         col("cnt").cast("long"))
       .as[(String, Long)].limit(capped + 1).collect()
-    require(rows.length <= capped,
-      s"bpeTrainLocal collects the word table to the driver: input " +
-        s"exceeds maxCollectWords=$maxCollectWords. Use bpeTrainOnWords " +
-        "(one Spark job per merge round) for larger vocabularies.")
-    rows
+    if (rows.length <= capped) Some(rows) else None
   }
 
   /** The sequential merge loop over a collected (word, cnt) table —
@@ -258,18 +268,27 @@ object Bpe {
     //    dimension comes back as a driver-built broadcast table with
     //    no second corpus scan and no per-round argmax jobs (the old
     //    path drove 2 jobs per merge round + a distinct-word replay).
-    //    The driver collect is the enforced [[bpeTrainLocal]] cap —
-    //    the vocabulary is Heaps-law small and is the merge
-    //    algorithm's entire working set either way.
+    //    The driver collect is capped (`spark.graft.bpeEncodeMaxCollectWords`,
+    //    default 10M) and AUTO-DISPATCHES (round 21): a vocabulary past
+    //    the cap falls back to `rounds` instead of throwing — the
+    //    cap+1-limited collect is itself the size probe, so the happy
+    //    path pays no extra count() job and the 100 TB path degrades to
+    //    the distributed trainer instead of erroring out.
     //  - `rounds`: the per-round distributed trainer + codegen replay
     //    over the distinct-word table; kept selectable for measurement
-    //    and for vocabularies past the collect cap.
+    //    and taken automatically for vocabularies past the collect cap.
     val impl = docs.sparkSession.conf.get("spark.graft.bpeEncodeImpl", "local")
+    val maxCollect = docs.sparkSession.conf
+      .get("spark.graft.bpeEncodeMaxCollectWords", "10000000").toLong
+    val collected =
+      if (impl == "local")
+        tryCollectWordTable(wordCounts(docs, textCol), maxCollect)
+      else None
     val wordSyms =
-      if (impl == "local") {
+      if (collected.isDefined) {
         val spark = docs.sparkSession
         import spark.implicits._
-        val rows = collectWordTable(wordCounts(docs, textCol), 10000000L)
+        val rows = collected.get
         val (_, streams) = localMergeLoop(rows, merges)
         rows.indices.map(i =>
             (rows(i)._1, streams(i).trim.split("  ").length.toLong))

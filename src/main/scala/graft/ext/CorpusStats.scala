@@ -421,17 +421,33 @@ object CorpusStats {
     // source is recoverable from the group itself (min of a 1-group)
     // and the report reduces to stacked aggregations:
     //   dups(source) = docs(source) − singleton-fp docs(source).
-    // One text/md5 pass, no corpus join; the only other scan reads the
-    // source column alone.  Output is bit-equal (ExtSpec pins it).
-    val fp = docs.select(col(sourceCol).as("source"),
-      TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val singles = fp.groupBy(col("fp"))
-      .agg(count(lit(1)).as("__n"), min(col("source")).as("__src"))
+    //
+    // Round 21 (guide §2.3 + round-20 ADVICE): ONE corpus scan total.
+    // The (source, fp) combine collapses exact duplicates map-side and
+    // is pinned (skinny rows: source + md5 + count — the same size
+    // class as the fp exchange itself), so the singleton leg and the
+    // per-source doc counts both derive from it without re-reading the
+    // corpus — round 20 still paid a second (source-only) scan for the
+    // volumes.  NULL-text docs are dropped from BOTH the numerator and
+    // the denominator: fingerprint(text) is NULL iff text is NULL, and
+    // the reference join form's inner equi-join on fp dropped NULL-fp
+    // docs from both sides (NULL keys never match — the same reading
+    // as the oracle's `fps JOIN fg USING (fp)`).  A source whose docs
+    // are all NULL-text has no row at all, exactly like the join form;
+    // ExtSpec pins both the equality and the NULL cases.
+    val sf = docs.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // two consumers; skinny (source, md5, cnt) rows
+    val singles = sf.groupBy(col("fp"))
+      .agg(sum(col("__c")).as("__n"), min(col("source")).as("__src"))
       .filter(col("__n") === 1)
       .groupBy(col("__src"))
       .agg(count(lit(1)).as("__singles"))
-    val vols = docs.groupBy(col(sourceCol).as("source"))
-      .agg(count(lit(1)).as("__docs"))
+    val vols = sf.groupBy(col("source"))
+      .agg(sum(col("__c")).as("__docs"))
     // null-safe join: the old form grouped NULL sources like any other
     // group, so the singleton credit must reach them too
     vols.join(singles, col("source") <=> col("__src"), "left")
@@ -467,9 +483,15 @@ object CorpusStats {
     // has volume rows but no perSrc rows.
     val vols = docs.groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"))
-    val toks = perSrc.groupBy(col("source"))
+    val toks = perSrc.groupBy(col("source").as("__tsrc"))
       .agg(sum(col("__c")).cast("long").as("n_tokens"))
-    val per = vols.join(toks, Seq("source"), "left")
+    // null-safe (round-20 ADVICE): a NULL source groups normally in
+    // sourceMix and the oracle's mix CTE, so its token mass must reach
+    // its own volume row — and stay in __tot — instead of being
+    // coalesced to 0 by a plain equi-join.  (The NULL-source row itself
+    // is dropped later by the card's inner joins, same as the oracle's
+    // `mix JOIN js ON mix.source = js.source`.)
+    val per = vols.join(toks, col("source") <=> col("__tsrc"), "left")
       .select(col("source"), col("n_docs"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
       .localCheckpoint() // #sources rows; the total derives from it

@@ -90,6 +90,13 @@ object Sinks {
                         force: Boolean = false,
                         verbose: Boolean = false,
                         verboseLimit: Int = 50): DataFrame = {
+    // session-lifecycle pin (round-20 verdict #1): this entry point is
+    // handed its session explicitly, so never depend on the calling
+    // thread's active-session thread-local — Spark 4's SparkPlan
+    // captures getActiveSession.orNull at plan construction, and a
+    // thread with an unset/stale thread-local otherwise builds plans
+    // whose localCheckpoint dies in LocalTableScanExec.metrics (NPE).
+    SparkSession.setActiveSession(spark)
     val incoming = stations
       .withColumn("__hash", md5(col(jsonCol)))
     val rpath = resolvePath(path)

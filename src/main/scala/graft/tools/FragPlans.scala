@@ -24,8 +24,11 @@ object FragPlans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.length > 1) args(1).split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(s"conf entry '$kv' is not key=value " +
+          "(comma-separated; values must not contain commas)")
+      }
     }
     val df = spark.range(0, 1000).toDF("id")
       .withColumn("v", pmod(col("id") * 37, lit(101)))

@@ -386,16 +386,49 @@ class DedupSpec extends SparkSpec {
     card.foreach { case (s, v) => assert(v == mix(s), s"source $s") }
   }
 
+  test("datasetCard keeps NULL-source token mass in the tok_share " +
+    "total (round-20 ADVICE: null-safe volume join) — the NULL row " +
+    "itself drops out via the card's inner joins, like the oracle's") {
+    val docs = Seq(("web", "a b c"), ("books", "d e"),
+        (null.asInstanceOf[String], "f g h i j"))
+      .toDF("source", "text")
+    // sourceMix groups NULL normally: total = 3 + 2 + 5 = 10
+    val mix = graft.ext.CorpusStats.sourceMix(docs, "source", "text")
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(mix(Some("web")) == ((1L, 3L, 0.3)) &&
+      mix(Some("books")) == ((1L, 2L, 0.2)) &&
+      mix(None) == ((1L, 5L, 0.5)), mix)
+    val card = graft.ext.CorpusStats
+      .datasetCard(docs, "source", "text", vocabSize = 3)
+      .select("source", "n_docs", "n_tokens", "tok_share")
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // NULL source absent from the card (inner joins), but its 5 tokens
+    // stay in every other source's share denominator
+    assert(card.keySet == Set(Some("web"), Some("books")), card)
+    assert(card(Some("web")) == mix(Some("web")) &&
+      card(Some("books")) == mix(Some("books")), s"card $card mix $mix")
+  }
+
   test("exactDupShare: aggregation-only rewrite equals the join form " +
     "(round-20: no corpus self-join, one fingerprint pass) — cross-" +
-    "source copies counted, null sources kept") {
+    "source copies counted, null sources kept, NULL-text docs dropped " +
+    "from both numerator and denominator (round-21: the join form's " +
+    "NULL-fp semantics made exact)") {
     val docs = Seq(
       ("web", "same text"), ("books", "same text"), // cross-source dup
       ("web", "unique one"), ("web", "twin"), ("web", "twin"),
       ("books", "unique two"),
       (null.asInstanceOf[String], "null src unique"),
       (null.asInstanceOf[String], "null twin"),
-      (null.asInstanceOf[String], "null twin"))
+      (null.asInstanceOf[String], "null twin"),
+      // NULL text → NULL fingerprint: the join form drops these rows
+      // (NULL keys never equi-join), so web's denominator stays 4 and
+      // the all-null-text source has NO row at all
+      ("web", null.asInstanceOf[String]),
+      ("ghost", null.asInstanceOf[String]),
+      ("ghost", null.asInstanceOf[String]))
       .toDF("source", "text")
     val got = graft.ext.CorpusStats.exactDupShare(docs, "source", "text")
       .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
@@ -412,6 +445,7 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
     assert(got(Some("web")) == 0.75 && got(Some("books")) == 0.5 &&
       got(None) == round2(2.0 / 3.0))
+    assert(!got.contains(Some("ghost")), s"all-NULL-text source kept: $got")
   }
 
   private def round2(v: Double): Double =
@@ -2354,6 +2388,28 @@ class BpeSpec extends SparkSpec {
     val local = run("local")
     val rounds = run("rounds")
     assert(local == rounds, s"local $local vs rounds $rounds")
+  }
+
+  test("bpeEncodeCounts auto-dispatches past the collect cap (round-21): " +
+    "a vocabulary larger than bpeEncodeMaxCollectWords runs the rounds " +
+    "path bit-identically instead of throwing") {
+    val docs = Seq(
+      (1L, "aaab aaab aaab ab"), (2L, "banana bandana"),
+      (3L, "the the the band banned a banana"),
+      (4L, "zzz"), (5L, "a")).toDF("doc_id", "text")
+    // 10 distinct words >> cap=4 → the default local impl must fall
+    // back to the distributed rounds path, not require-throw
+    def run(cap: Option[Long]): Seq[(Long, Long, Long)] = {
+      cap.foreach(c => spark.conf
+        .set("spark.graft.bpeEncodeMaxCollectWords", c.toString))
+      try graft.ext.Bpe.bpeEncodeCounts(docs, "doc_id", "text", merges = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      finally spark.conf.unset("spark.graft.bpeEncodeMaxCollectWords")
+    }
+    val uncapped = run(None)
+    val pastCap = run(Some(4L))
+    assert(pastCap == uncapped, s"pastCap $pastCap vs uncapped $uncapped")
   }
 
   test("mergeVocab feeds the learned symbols into the VocabEncode " +
